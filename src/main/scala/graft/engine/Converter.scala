@@ -1,0 +1,89 @@
+package graft.engine
+
+import graft.ingest.XmlIngest
+import graft.relationships._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The four public tables of the property-graph model. */
+final case class GraphTables(documents: DataFrame, nodes: DataFrame,
+    properties: DataFrame, crossReferences: DataFrame) {
+
+  /** Register SQL-accessible temp views (the working version of the
+    * reference's vestigial `create_views`, main.rb:100-107). */
+  def createViews(spark: SparkSession): Unit = {
+    documents.createOrReplaceTempView("documents")
+    nodes.createOrReplaceTempView("nodes")
+    properties.createOrReplaceTempView("node_properties")
+    crossReferences.createOrReplaceTempView("cross_references")
+  }
+
+  /** Persist as partitioned parquet — the columnar replacement for the
+    * SQLite file (no sqlite-jdbc resolvable offline; capability, not
+    * byte format, is the target — SURVEY.md S6). Nodes cluster by
+    * `node_type` so type-filtered scans prune files at read time. */
+  def write(outDir: String): Unit = {
+    documents.write.mode("overwrite").parquet(s"$outDir/documents")
+    nodes.write.mode("overwrite").partitionBy("node_type")
+      .parquet(s"$outDir/nodes")
+    properties.write.mode("overwrite").parquet(s"$outDir/node_properties")
+    crossReferences.write.mode("overwrite")
+      .parquet(s"$outDir/cross_references")
+  }
+}
+
+object GraphTables {
+  /** Reload previously written tables. */
+  def read(spark: SparkSession, dir: String): GraphTables = GraphTables(
+    spark.read.parquet(s"$dir/documents"),
+    spark.read.parquet(s"$dir/nodes"),
+    spark.read.parquet(s"$dir/node_properties"),
+    spark.read.parquet(s"$dir/cross_references"))
+}
+
+/** End-to-end XML directory → property-graph tables.
+  *
+  * The Spark-native counterpart of the reference's `XMLToSQLite` CLI
+  * object (/root/reference/main.rb:27-57): scan → parse → explode →
+  * dedup replaces the fiber pipeline; the adapter list is the same
+  * configuration surface the reference exposes
+  * (main.rb:109-115, examples/custom_main.rb:10-42), defaulting to the
+  * two core adapters. The whole run is two Spark jobs (ingest,
+  * relationship derivation) — transactions, WAL, queues and VACUUM all
+  * dissolve into immutable DataFrames + atomic job commits
+  * (SURVEY.md §3.1, §4.2).
+  */
+class Converter(
+    spark: SparkSession,
+    adapters: Seq[RelationshipAdapter] = Converter.coreAdapters,
+    detectRelationships: Boolean = true) {
+
+  def convert(inputDir: String): GraphTables = {
+    val t = XmlIngest.ingest(spark, inputDir)
+    // Ingest tables feed every adapter and the final write; cache once.
+    val nodes = t.nodes.cache()
+    val properties = t.properties.cache()
+    val xrefs =
+      if (detectRelationships)
+        RelationshipAdapter.detectAll(adapters, nodes, properties)
+      else
+        RelationshipAdapter.detectAll(Nil, nodes, properties)
+    GraphTables(t.documents, nodes, properties, xrefs)
+  }
+
+  def convertAndWrite(inputDir: String, outDir: String): GraphTables = {
+    val tables = convert(inputDir)
+    tables.write(outDir)
+    tables
+  }
+}
+
+object Converter {
+  /** The pair registered by default in the reference (main.rb:109-115). */
+  def coreAdapters: Seq[RelationshipAdapter] =
+    Seq(StructuralAdapter, AttributeReferenceAdapter)
+
+  /** Everything, including the examples-dir adapters. */
+  def allAdapters: Seq[RelationshipAdapter] =
+    Seq(StructuralAdapter, AttributeReferenceAdapter,
+      MultiReferenceAdapter, SemanticAdapter)
+}

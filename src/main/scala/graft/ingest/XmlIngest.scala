@@ -1,0 +1,223 @@
+package graft.ingest
+
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.io.ByteArrayInputStream
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.{Element, Node => DomNode}
+import scala.collection.mutable
+
+/** XML corpus → (documents, nodes, node_properties) DataFrames.
+  *
+  * Distributed re-expression of the reference's ingest pipeline
+  * (/root/reference/main.rb:61-82, lib/document_parser.rb): instead of a
+  * fiber producer/consumer feeding a single SQLite writer, every file is
+  * parsed as one row of Spark's `binaryFile` source and DOM-walked inside
+  * `mapPartitions`; the per-document node/property sequences are exploded
+  * into columnar tables and duplicate keys resolved with a deterministic
+  * last-write-wins window (the reference's `INSERT OR REPLACE`,
+  * database_writer.rb:46-61). At cluster scale each file is an
+  * independent task input — no shared writer, no queue, no transaction
+  * machinery; the atomic Spark job commit replaces batch commits.
+  *
+  * Parser semantics replicated from the reference (document_parser.rb):
+  *  - only elements carrying an `id` attribute become rows (:26);
+  *  - `node_type` / property names are namespace-local names (Nokogiri
+  *    `Node#name` / `#attributes` behavior, asserted in
+  *    test_edge_cases.rb:177-199);
+  *  - `content` concatenates descendant text with whitespace-only text
+  *    nodes dropped (the `noblanks` parse, :13), then strips;
+  *  - `xpath` carries positional predicates only where same-named
+  *    siblings exist (libxml2 `Node#path`, test_basic_functionality
+  *    .rb:137-146 asserts the index-free form);
+  *  - `position` is the element's 0-based index among *element*
+  *    siblings (:70-75);
+  *  - entity references are decoded and CDATA coalesced into text
+  *    (test_edge_cases.rb:58-79,201-221); comments and processing
+  *    instructions contribute nothing (:223-261);
+  *  - unparseable files yield zero rows and do not fail the job
+  *    (async_processor.rb:58-64).
+  */
+object XmlIngest {
+
+  /** Recursive scan of `.xml` files + whole-file read as a DataFrame
+    * (main.rb:62's recursive `Dir.glob` — but splittable across
+    * executors). */
+  def scan(spark: SparkSession, inputDir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xml")
+      .option("recursiveFileLookup", "true")
+      .load(inputDir)
+
+  /** Parse every file into the per-document IR. Parsing is pure
+    * computation per file, so it scales linearly with executor count. */
+  def parse(spark: SparkSession, inputDir: String): Dataset[ParsedDocument] = {
+    import spark.implicits._
+    scan(spark, inputDir)
+      .select("path", "length", "content")
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { files =>
+        files.flatMap { case (rawPath, length, bytes) =>
+          parseOne(rawPath, length, bytes)
+        }
+      }
+  }
+
+  /** Parse one file; None on parse failure (error-tolerant source S5).
+    * The reference's recovering Nokogiri parse may salvage a prefix of
+    * a malformed file; the JDK DOM parser is strict, so a malformed
+    * file contributes zero rows — both satisfy the reference's own
+    * "process what it can or handle gracefully" contract
+    * (test_edge_cases.rb:154-175). */
+  def parseOne(rawPath: String, length: Long,
+      bytes: Array[Byte]): Option[ParsedDocument] = {
+    val path = if (rawPath.startsWith("file:")) rawPath.stripPrefix("file:")
+      else rawPath
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val docId = if (base.endsWith(".xml")) base.dropRight(4) else base
+    try {
+      val factory = DocumentBuilderFactory.newInstance()
+      factory.setNamespaceAware(false)
+      factory.setCoalescing(true)
+      factory.setIgnoringComments(true)
+      factory.setFeature(
+        "http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+      val dom = factory.newDocumentBuilder()
+        .parse(new ByteArrayInputStream(bytes))
+      val nodes = mutable.ArrayBuffer.empty[RawNode]
+      val props = mutable.ArrayBuffer.empty[RawProperty]
+      var ordinal = 0L
+
+      def localName(qname: String): String = {
+        val i = qname.indexOf(':')
+        if (i >= 0) qname.substring(i + 1) else qname
+      }
+
+      // Descendant text with whitespace-only text nodes dropped, the
+      // `noblanks` + `element.text` combination (document_parser.rb:13,48).
+      def collectText(e: Element, sb: StringBuilder): Unit = {
+        var c = e.getFirstChild
+        while (c != null) {
+          c.getNodeType match {
+            case DomNode.TEXT_NODE | DomNode.CDATA_SECTION_NODE =>
+              val v = c.getNodeValue
+              if (v != null && v.trim.nonEmpty) sb.append(v)
+            case DomNode.ELEMENT_NODE =>
+              collectText(c.asInstanceOf[Element], sb)
+            case _ => ()
+          }
+          c = c.getNextSibling
+        }
+      }
+
+      def elementChildren(e: DomNode): Vector[Element] = {
+        val buf = Vector.newBuilder[Element]
+        var c = e.getFirstChild
+        while (c != null) {
+          if (c.getNodeType == DomNode.ELEMENT_NODE)
+            buf += c.asInstanceOf[Element]
+          c = c.getNextSibling
+        }
+        buf.result()
+      }
+
+      def walk(e: Element, parent: Option[Element], xpath: String,
+          position: Int): Unit = {
+        if (e.hasAttribute("id")) {
+          val id = e.getAttribute("id")
+          val parentId = parent.filter(_.hasAttribute("id"))
+            .map(_.getAttribute("id"))
+          val sb = new StringBuilder
+          collectText(e, sb)
+          nodes += RawNode(id, localName(e.getNodeName), docId, parentId,
+            position, Some(sb.result().trim), xpath, ordinal)
+          val attrs = e.getAttributes
+          var i = 0
+          while (i < attrs.getLength) {
+            val a = attrs.item(i)
+            val name = localName(a.getNodeName)
+            if (name != "id")
+              props += RawProperty(id, name, a.getNodeValue,
+                TypeInference.inferType(a.getNodeValue), docId, ordinal)
+            i += 1
+          }
+          ordinal += 1
+        }
+        val children = elementChildren(e)
+        // Positional xpath predicates only where a name is ambiguous
+        // among siblings (libxml2 path format).
+        val nameTotals = children.groupBy(_.getNodeName).map {
+          case (n, cs) => n -> cs.size
+        }
+        val nameSeen = mutable.Map.empty[String, Int].withDefaultValue(0)
+        children.zipWithIndex.foreach { case (child, idx) =>
+          val qn = child.getNodeName
+          val occ = nameSeen(qn) + 1
+          nameSeen(qn) = occ
+          val seg = if (nameTotals(qn) > 1) s"$qn[$occ]" else qn
+          walk(child, Some(e), s"$xpath/$seg", idx)
+        }
+      }
+
+      val root = dom.getDocumentElement
+      if (root != null) walk(root, None, s"/${root.getNodeName}", 0)
+      Some(ParsedDocument(DocumentRow(docId, path, length),
+        nodes.toSeq, props.toSeq))
+    } catch {
+      case _: Exception =>
+        // Malformed file: keep the document row absent entirely, like a
+        // file whose parse raised before any rows were enqueued.
+        None
+    }
+  }
+
+  /** Exploded + deduplicated public tables. */
+  final case class XmlTables(documents: DataFrame, nodes: DataFrame,
+      properties: DataFrame)
+
+  /** Explode the per-document IR into the three public tables, applying
+    * `INSERT OR REPLACE` key semantics: for each primary key the *last*
+    * written row wins, where arrival order is made deterministic as
+    * (filename, within-file document order) — see SURVEY.md §7.4. */
+  def tables(parsed: Dataset[ParsedDocument]): XmlTables = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+
+    val documents = parsed.select($"document.*")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"id").orderBy($"filename".desc)))
+      .filter($"rn" === 1)
+      .select($"id", $"filename", $"file_size",
+        current_timestamp().as("parsed_at"))
+
+    def lastWins(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.withColumn("rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*)
+          .orderBy($"filename".desc, $"ordinal".desc)))
+        .filter($"rn" === 1)
+
+    val nodes = lastWins(
+      parsed.select($"document.filename", explode($"nodes").as("n"))
+        .select($"filename", $"n.*"),
+      Seq("id"))
+      .select($"id", $"node_type", $"document_id", $"parent_id",
+        $"position", $"content", $"xpath",
+        current_timestamp().as("created_at"))
+
+    val properties = lastWins(
+      parsed.select($"document.filename", explode($"properties").as("p"))
+        .select($"filename", $"p.*"),
+      Seq("node_id", "property_name"))
+      .select($"node_id", $"property_name", $"property_value", $"data_type",
+        $"document_id")
+
+    XmlTables(documents, nodes, properties)
+  }
+
+  /** One-call convenience: directory → tables. */
+  def ingest(spark: SparkSession, inputDir: String): XmlTables =
+    tables(parse(spark, inputDir))
+}

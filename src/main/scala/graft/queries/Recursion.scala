@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Depth-capped iterative graph expansion — the engine's recursive-CTE
+  * workhorse (SURVEY.md U2).
+  *
+  * The reference's traversal queries are SQLite `WITH RECURSIVE` over
+  * the `cross_references` edge table with a depth guard and a string
+  * path accumulator (examples/sql_queries.md:51-103). Spark 4.1 ships
+  * native recursive CTEs (`UnionLoopExec`) for the SQL-text route —
+  * exercised in the test suite — but the DataFrame-level API here keeps
+  * the traversal a first-class, composable operator: a bounded loop of
+  * broadcast-friendly equi-joins with an early exit on an empty
+  * frontier. Each level is one shuffle keyed by the join key; the
+  * frontier is cached and released level by level, so at cluster scale
+  * this is the standard BFS-on-Spark pattern (no driver-side row
+  * collection — only an `isEmpty` probe per level).
+  */
+object Recursion {
+
+  /** Expand `seeds` over `edges(src, dst)` up to `maxDepth` levels.
+    *
+    * Output columns: `node`, `depth` (0 for seeds), `path`
+    * (" -> "-joined). Matches the descendants CTE shape
+    * (sql_queries.md:79-103): a row at depth d joins the recursive arm
+    * only while d < maxDepth.
+    */
+  def descend(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame =
+    expand(edges, seeds, maxDepth, prependPath = false)
+
+  /** Ancestor variant: expand against reversed edges with the path
+    * *prepended* ("ancestor -> …"), matching the ancestors CTE
+    * (sql_queries.md:51-74: `source_node_id || ' -> ' || a.path`). */
+  def ascend(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame =
+    expand(edges.select(col("dst").as("src"), col("src").as("dst")),
+      seeds, maxDepth, prependPath = true)
+
+  private def expand(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+      prependPath: Boolean): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).cache()
+    var frontier = seeds.select(col("node"), lit(0).as("depth"),
+      col("node").as("path")).cache()
+    var acc = frontier
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val stepPath =
+        if (prependPath) concat(col("e.dst"), lit(" -> "), col("f.path"))
+        else concat(col("f.path"), lit(" -> "), col("e.dst"))
+      val next = frontier.alias("f")
+        .join(e.alias("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node"),
+          (col("f.depth") + 1).as("depth"), stepPath.as("path"))
+        .cache()
+      acc = acc.unionAll(next)
+      frontier = next
+      depth += 1
+    }
+    e.unpersist()
+    acc
+  }
+}

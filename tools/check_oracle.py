@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's t2 correctness gate.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+Loads each <name>/ parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB (tables registered as views
+over <sf_dir>/*.parquet), and compares: columns sorted by name, rows
+sorted by all columns, exact value equality (floats compared exactly —
+the queries are designed to be bit-deterministic).
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as ds
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(rows):
+    out = []
+    for row in rows:
+        r = []
+        for v in row:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    r.append("NaN")
+                else:
+                    r.append(v)
+            elif hasattr(v, "isoformat"):
+                r.append(v.isoformat())
+            else:
+                r.append(v)
+        out.append(tuple(r))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_tbl = ds.dataset(f"{outdir}/{name}").to_table()
+            spark_cols = sorted(spark_tbl.column_names)
+            spark_rows = norm(
+                zip(*[spark_tbl.column(c).to_pylist() for c in spark_cols]))
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            cur = con.execute(sql)
+            duck_cols_raw = [d[0] for d in cur.description]
+            duck_all = cur.fetchall()
+            order = sorted(range(len(duck_cols_raw)),
+                           key=lambda i: duck_cols_raw[i])
+            duck_cols = [duck_cols_raw[i] for i in order]
+            duck_rows = norm([tuple(row[i] for i in order)
+                              for row in duck_all])
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if spark_cols != duck_cols:
+            print(f"FAIL {name}: columns {spark_cols} != {duck_cols}")
+            n_fail += 1
+            continue
+        if len(spark_rows) != len(duck_rows):
+            print(f"FAIL {name}: rowcount {len(spark_rows)} != "
+                  f"{len(duck_rows)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} differing rows; first: "
+                  f"spark={bad[0][0]} duck={bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
