@@ -651,7 +651,8 @@ object StarQueries {
     "q22_token_counts" -> q22Sql,
     "q23_eav_pivot" -> q23Sql)
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = core
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    core ++ XmlQueries.all
 
   def oracle: Map[String, String] = coreOracle
 }
