@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at corpus scale:
+  *
+  *  - exact / fingerprint dedup: one hash-partitioned `row_number`
+  *    window — a single shuffle on the hash key;
+  *  - MinHash + LSH banding: signatures are one groupBy over shingles
+  *    (map-side combinable `min` aggregates); candidate pairs come from
+  *    an equi-join on (band, value) buckets — never an all-pairs cross
+  *    join, so cost scales with bucket occupancy, not n²;
+  *  - SimHash: bit-vote aggregation, again map-side combinable;
+  *  - n-gram Jaccard: inverted-index self-join on token (the classic
+  *    "join on the rare thing" — a stopword cap would bound skew at
+  *    real scale; AQE's skew-join handles the midsize case);
+  *  - embedding cosine: see [[Similarity]].
+  *
+  * Every hash is md5 (deterministic, engine-portable), so each operator
+  * is reproducible across runs, partitionings, and the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact-duplicate resolution: keep the lowest-key row per hash of
+    * `textCol` (deterministic "first wins"). Output adds `text_hash`
+    * and `dup_rank` (1 = keeper). */
+  def exactRank(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    df.withColumn("text_hash", h)
+      .withColumn("dup_rank", row_number().over(
+        Window.partitionBy(col("text_hash")).orderBy(col(keyCol))))
+  }
+
+  /** Canonical-form (fingerprint) duplicate groups with group size and
+    * keeper key. */
+  def fingerprintGroups(df: DataFrame, textCol: String,
+      keyCol: String): DataFrame =
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("group_size"), min(col(keyCol)).as("keeper"))
+
+  /** Word 3-shingles with document-order positions. */
+  def shingles(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val toks = df.select(col(keyCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("pos"))
+    toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col(keyCol),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+  }
+
+  /** MinHash signatures: `numHashes` permutations simulated as
+    * min(md5(seed || shingle)). One shuffle (groupBy key); the min
+    * aggregates combine map-side. */
+  def minHashSignatures(df: DataFrame, textCol: String, keyCol: String,
+      numHashes: Int = 8): DataFrame = {
+    val sh = shingles(df, textCol, keyCol)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
+    sh.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a signature frame: `bands` bands of
+    * `numHashes/bands` rows each, band value = md5 of its hashes.
+    * Output: (key, band, band_hash). */
+  def lshBands(signatures: DataFrame, keyCol: String, numHashes: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(hs: _*)).as("band_hash"))
+    }
+    signatures.select(col(keyCol),
+      explode(array(bandCols: _*)).as("bh"))
+      .select(col(keyCol), col("bh.band"), col("bh.band_hash"))
+  }
+
+  /** Near-duplicate candidate pairs: keys sharing any LSH band bucket.
+    * The join is on (band, band_hash) — bucket-local, so no cross
+    * join; dedups to distinct ordered pairs. */
+  def minHashCandidates(df: DataFrame, textCol: String, keyCol: String,
+      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val bandsDf = lshBands(
+      minHashSignatures(df, textCol, keyCol, numHashes), keyCol,
+      numHashes, bands)
+    val a = bandsDf.select(col(keyCol).as("key_a"), col("band"),
+      col("band_hash"))
+    val b = bandsDf.select(col(keyCol).as("key_b"), col("band"),
+      col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash, emitted as 4×16-bit signature parts
+    * (key, part 0-3, sig) so the output stays engine-portable without
+    * unsigned-64 headaches. Distinct tokens vote ±1 per bit; bit b of
+    * md5-nibble n covers signature position (n-1)*4+b. */
+  def simHashParts(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val toks = df
+      .select(col(keyCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("tok"))
+      .distinct()
+      .withColumn("hh", md5(col("tok")))
+    val nibbles = toks
+      .select(col(keyCol), col("hh"),
+        explode(sequence(lit(1), lit(16))).as("ni"))
+      .withColumn("nv",
+        expr("instr('0123456789abcdef', substring(hh, ni, 1)) - 1"))
+    val bits = nibbles
+      .select(col(keyCol), col("ni"), col("nv"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .select(col(keyCol),
+        ((col("ni") - 1) * 4 + col("b")).as("bitpos"),
+        expr("shiftright(nv, b) & 1").as("bit"))
+    val votes = bits.groupBy(col(keyCol), col("bitpos"))
+      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .withColumn("sbit", when(col("s") > 0, 1L).otherwise(0L))
+    votes
+      .groupBy(col(keyCol), (col("bitpos") / 16).cast("int").as("part"))
+      .agg(sum(col("sbit") * expr("shiftleft(1L, int(bitpos % 16))"))
+        .as("sig"))
+  }
+
+  /** Exact n-gram (token-set) Jaccard pairs via an inverted-index
+    * self-join: |A∩B| from the token join, sizes from a per-key count,
+    * similarity = inter / (|A|+|B|-inter). */
+  def jaccardPairs(df: DataFrame, textCol: String, keyCol: String,
+      threshold: Double): DataFrame = {
+    val toks = df.select(col(keyCol),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+        .as("tok"))
+      .cache()
+    val sizes = toks.groupBy(col(keyCol)).agg(count(lit(1)).as("sz"))
+    val inter = toks.select(col(keyCol).as("key_a"), col("tok"))
+      .join(toks.select(col(keyCol).as("key_b"), col("tok")), Seq("tok"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(keyCol).as("key_a"), col("sz").as("sz_a")),
+        Seq("key_a"))
+      .join(sizes.select(col(keyCol).as("key_b"), col("sz").as("sz_b")),
+        Seq("key_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("key_a"), col("key_b"), round(col("jaccard"), 3)
+        .as("jaccard"))
+  }
+}

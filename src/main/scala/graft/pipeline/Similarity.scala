@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `Array[Float]` column.
+  *
+  * The dot product is a sequential `aggregate` fold over
+  * `zip_with` — a pure Catalyst higher-order function (no UDF, no
+  * explode), deterministic in accumulation order, which keeps results
+  * bit-identical across partitionings and engines.
+  *
+  * Two search paths:
+  *  - [[bruteForceTopK]]: exact — corpus × queries join. Right when the
+  *    query set is small (broadcast queries, stream the corpus: one
+  *    pass, no shuffle of the corpus side).
+  *  - [[lshTopK]]: sign-random-projection LSH — corpus is bucketed by
+  *    the sign pattern of `planes` fixed pseudo-random hyperplanes and
+  *    only same-bucket candidates are scored. The bucket id is a
+  *    deterministic function of the vector, so the bucketing is a plain
+  *    repartitionable column: at 100 TB the corpus is written
+  *    partitioned by bucket once and every query probes one partition
+  *    (multi-probe = enumerate neighbor buckets).
+  */
+object Similarity {
+
+  /** Cast float array to double (element-exact). */
+  private def dbl(c: Column): Column = transform(c, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(dbl(a), dbl(b), _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(dbl(a), x => x * x), lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Deterministic pseudo-random hyperplanes: `planes` × `dim`
+    * coefficients from a fixed-seed generator. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-pattern LSH bucket id of an embedding column: bit i = sign of
+    * dot(v, plane_i). */
+  def srpBucket(v: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(aggregate(zip_with(dbl(v), planeCol, _ * _), lit(0.0), _ + _)
+        >= 0, 1L << i).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact top-k cosine neighbors per query. Queries broadcast; corpus
+    * streamed once. Ties break on corpus key for determinism. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      keyCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(keyCol).as("q_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm")))
+    val c = corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val scored = q.crossJoin(c)
+      .withColumn("cos",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        round(col("cos"), 3).as("cos"))
+  }
+
+  /** Approximate top-k: score only corpus vectors sharing the query's
+    * SRP bucket. Recall is tunable via plane count (fewer planes →
+    * bigger buckets → higher recall, more compute). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      keyCol: String, k: Int, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val hp = hyperplanes(planes, dim)
+    val q = broadcast(queries.select(col(keyCol).as("q_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
+      srpBucket(col(vecCol), hp).as("bucket")))
+    val c = corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"),
+      srpBucket(col(vecCol), hp).as("bucket"))
+    q.join(c, Seq("bucket"))
+      .withColumn("cos",
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        round(col("cos"), 3).as("cos"))
+  }
+
+  /** All near-duplicate pairs by cosine ≥ threshold within `df`
+    * (bounded input — pair enumeration is quadratic by definition; at
+    * scale gate through [[Dedup.minHashCandidates]]-style bucketing
+    * first). */
+  def cosinePairs(df: DataFrame, vecCol: String, keyCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(keyCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+    val a = v.select(col(keyCol).as("key_a"), col(vecCol).as("vec_a"),
+      col("nrm").as("norm_a"))
+    val b = v.select(col(keyCol).as("key_b"), col(vecCol).as("vec_b"),
+      col("nrm").as("norm_b"))
+    a.crossJoin(b).filter(col("key_a") < col("key_b"))
+      .withColumn("cos",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("key_a"), col("key_b"), round(col("cos"), 3).as("cos"))
+  }
+}

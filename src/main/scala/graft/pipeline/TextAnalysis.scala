@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: language
+  * identification, quality scoring, token counting, and document
+  * fingerprinting. All pure Catalyst column expressions (codegen'd; no
+  * UDFs), so every operator runs scan-local at 100 TB — one pass, no
+  * shuffle until an aggregation asks for one.
+  */
+object TextAnalysis {
+
+  /** Lowercased word tokens (`\w+` runs — the reference's tokenizer,
+    * semantic_adapter.rb:77). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), _ =!= "")
+
+  /** Number of non-overlapping occurrences of `needle` in `haystack` —
+    * replace-and-measure, the classic engine-portable counting trick. */
+  def countOccurrences(haystack: Column, needle: String): Column =
+    ((length(haystack) - length(regexp_replace(haystack,
+      java.util.regex.Pattern.quote(needle), ""))) / needle.length)
+      .cast("long")
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny: language ID at pipeline scale is a
+    * scoring pass over marker hits, and this is that pass — swap in a
+    * bigger table for production without touching the plan shape. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "es" -> Seq(" el ", " y ", " de la "))
+
+  /** Chars removed when deleting every occurrence of `needle` — the
+    * marker-mass score used by [[langId]]. */
+  def markerChars(haystack: Column, needle: String): Column =
+    (length(haystack) - length(regexp_replace(haystack,
+      java.util.regex.Pattern.quote(needle), ""))).cast("long")
+
+  /** Predicted language = argmax over total marker mass; "und"
+    * (undetermined) when nothing scores. Ties break toward the
+    * lexicographically larger language code (struct-max semantics) for
+    * determinism. */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      val score = ms.map(markerChars(padded, _)).reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise("und")
+  }
+
+  /** Quality metrics: token count, mean token length, stopword ratio,
+    * non-alphanumeric density, and a composite score in [0,1]. */
+  def qualityMetrics(df: DataFrame, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(toks, tok => array_contains(stopArr, tok)))
+    val punct = length(regexp_replace(lower(t), "[a-z0-9\\s]", ""))
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("avg_token_len",
+        round(when(nTok > 0,
+          (length(regexp_replace(t, "\\s+", "")).cast("double") / nTok))
+          .otherwise(0.0), 3))
+      .withColumn("stopword_ratio",
+        round(when(nTok > 0, nStop.cast("double") / nTok)
+          .otherwise(0.0), 3))
+      .withColumn("punct_density",
+        round(when(length(t) > 0, punct.cast("double") / length(t))
+          .otherwise(0.0), 3))
+      .withColumn("quality_score",
+        round(least(lit(1.0),
+          when(nTok > 0,
+            lit(0.5) + lit(0.5) * least(lit(1.0), nTok / lit(100.0)) -
+              when(length(t) > 0, punct.cast("double") / length(t))
+                .otherwise(0.0))
+            .otherwise(0.0)), 3))
+  }
+
+  /** Whitespace token count (split on `\s+` of the trimmed text). */
+  def whitespaceTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+"))).cast("long")
+
+  /** BPE-ish subword proxy: count of letter-runs, digit-runs and
+    * individual punctuation marks — the standard cheap token-count
+    * estimator when no tokenizer model is shippable. Lookaround-free
+    * pattern so it stays portable to RE2-based engines. */
+  def approxBpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Canonical-form fingerprint: md5 of the lowercased,
+    * whitespace-collapsed, trimmed text — the exact-dup key that
+    * survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-verified batch forms of the streaming operators: the same
+  * transforms StreamingSpec drives through MemoryStream, here executed
+  * over the events table so the DuckDB oracle can pin their semantics.
+  * `ts` arrives as nanos-long (see the nanosAsLong session config);
+  * the oracle reads the same parquet as TIMESTAMP_NS and goes through
+  * `epoch()`.
+  */
+object EventQueries {
+  import StarQueries.t
+
+  /** Tumbling 5-minute windows per event type (window() function on
+    * the Spark side; epoch-bucket arithmetic in the oracle). */
+  def evWindow(s: SparkSession, dir: String): DataFrame =
+    EventStream.windowedAggregates(t(s, dir, "events"))
+      .orderBy(col("bucket_start"), col("event_type"))
+
+  private val evWindowSql =
+    """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300
+         AS bucket_start,
+       event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS sum_value
+       FROM events GROUP BY bucket_start, event_type
+       ORDER BY bucket_start, event_type"""
+
+  /** Sessionization (30-minute inactivity gap) per user. */
+  def evSessions(s: SparkSession, dir: String): DataFrame =
+    EventStream.sessionizeBatch(
+      EventStream.normalize(t(s, dir, "events")).toDF())
+      .orderBy(col("user_id"))
+
+  private val evSessionsSql =
+    """WITH e AS (
+         SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT)
+           AS ts_sec
+         FROM events),
+       flagged AS (
+         SELECT user_id,
+           CASE WHEN LAG(ts_sec) OVER w IS NULL
+                  OR ts_sec - LAG(ts_sec) OVER w > 1800
+                THEN 1 ELSE 0 END AS new_session
+         FROM e WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts_sec, event_id))
+       SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+         COUNT(*) AS n_events
+       FROM flagged GROUP BY user_id ORDER BY user_id"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_window" -> (evWindow _),
+    "ev_sessions" -> (evSessions _))
+
+  val oracle: Map[String, String] = Map(
+    "ev_window" -> evWindowSql,
+    "ev_sessions" -> evSessionsSql)
+}

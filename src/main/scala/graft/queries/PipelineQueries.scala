@@ -1,0 +1,340 @@
+package graft.queries
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-verified corpus for the training-data pipeline operators
+  * (dedup, similarity search, text analysis, multimodal) — the
+  * beyond-the-reference surface. Same determinism rules as
+  * [[StarQueries]]; every md5-based operator is bit-reproducible, so
+  * even MinHash/SimHash signatures oracle-match DuckDB exactly.
+  */
+object PipelineQueries {
+  import StarQueries.t
+
+  // --- deduplication --------------------------------------------
+
+  /** Exact dedup ranking: md5 groups, keeper = lowest doc_id. */
+  def ddExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactRank(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("text_hash"), col("dup_rank"))
+      .orderBy(col("doc_id"))
+
+  private val ddExactSql =
+    """SELECT doc_id, md5(text) AS text_hash,
+       ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+         AS dup_rank
+       FROM documents ORDER BY doc_id"""
+
+  /** Canonical-fingerprint duplicate groups. */
+  def ddFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintGroups(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("fp"))
+
+  private val ddFingerprintSql =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       COUNT(*) AS group_size, MIN(doc_id) AS keeper
+       FROM documents GROUP BY fp ORDER BY fp"""
+
+  /** MinHash(8) + LSH(4 bands) candidate pairs over word 3-shingles. */
+  def ddMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCandidates(
+      t(s, dir, "documents").filter(col("doc_id") < 300), "text", "doc_id")
+      .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val ddMinhashSql =
+    """WITH toks AS (
+         SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+         FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\W+'),
+                             x -> x <> '') AS tk
+               FROM documents WHERE doc_id < 300)),
+       sh AS (
+         SELECT doc_id,
+           tok || ' ' || LEAD(tok,1) OVER w || ' ' || LEAD(tok,2) OVER w
+             AS shingle
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       sig AS (
+         SELECT doc_id,
+           MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+           MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+           MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5,
+           MIN(md5('6|' || shingle)) AS h6, MIN(md5('7|' || shingle)) AS h7
+         FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 0 AS band, md5(h0 || h1) AS band_hash FROM sig
+         UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM bands a JOIN bands b
+         ON a.band = b.band AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id
+       ORDER BY doc_a, doc_b"""
+
+  /** 64-bit SimHash signatures as 4×16-bit parts. */
+  def ddSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashParts(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "text", "doc_id")
+      .orderBy(col("doc_id"), col("part"))
+
+  private val ddSimhashSql =
+    """WITH toks AS (
+         SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                              x -> x <> '')) AS tok
+         FROM documents WHERE doc_id < 200),
+       h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+       nib AS (
+         SELECT doc_id, hh, ni,
+           instr('0123456789abcdef', substr(hh, CAST(ni AS INT), 1)) - 1
+             AS nv
+         FROM h CROSS JOIN range(1, 17) r1(ni)),
+       bits AS (
+         SELECT doc_id, (ni-1)*4 + b AS bitpos,
+           ((nv >> CAST(b AS INT)) & 1) AS bit
+         FROM nib CROSS JOIN range(0, 4) r2(b)),
+       votes AS (
+         SELECT doc_id, bitpos,
+           CASE WHEN SUM(2*bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
+         FROM bits GROUP BY doc_id, bitpos)
+       SELECT doc_id, CAST(bitpos // 16 AS INT) AS part,
+         CAST(SUM(sbit * (1::BIGINT << CAST(bitpos % 16 AS INT)))
+           AS BIGINT) AS sig
+       FROM votes GROUP BY doc_id, part ORDER BY doc_id, part"""
+
+  /** Token-set Jaccard near-dup pairs (inverted-index join). */
+  def ddJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 150), "text", "doc_id",
+      threshold = 0.5)
+      .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val ddJaccardSql =
+    """WITH toks AS (
+         SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                              x -> x <> '')) AS tok
+         FROM documents WHERE doc_id < 150),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       SELECT doc_a, doc_b,
+         ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+       ORDER BY doc_a, doc_b"""
+
+  /** Embedding-cosine near-dup pairs. */
+  def ddCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(
+      t(s, dir, "embeddings").filter(col("vec_id") < 120), "embedding",
+      "vec_id", threshold = 0.3)
+      .select(col("key_a").as("vec_a"), col("key_b").as("vec_b"),
+        col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private val ddCosineSql =
+    """WITH v AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings WHERE vec_id < 120),
+       pairs AS (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(a.embedding) AS x,
+                         unnest(b.embedding) AS y) z) / (a.nrm * b.nrm)
+             AS cos
+         FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       SELECT vec_a, vec_b, ROUND(cos, 3) AS cos FROM pairs
+       WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""
+
+  // --- similarity search ----------------------------------------
+
+  /** Exact top-5 cosine neighbors for the first 10 vectors against the
+    * rest of the corpus. */
+  def annBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "embedding", "vec_id", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annBruteSql =
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       q AS (SELECT * FROM n WHERE vec_id < 10),
+       c AS (SELECT * FROM n WHERE vec_id >= 10),
+       scored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(c.embedding) AS y) z) / (q.nrm * c.nrm)
+             AS cos
+         FROM q CROSS JOIN c),
+       ranked AS (
+         SELECT q_id, c_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id, ROUND(cos, 3) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  // --- text analysis --------------------------------------------
+
+  /** Language-ID heuristic vs the labeled lang column. */
+  def taLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      .orderBy(col("doc_id"))
+
+  private val taLangidSql = {
+    // score = total marker chars removed; langs evaluated in the same
+    // (score, lang) lexicographic argmax as the Spark greatest(struct)
+    def score(ms: Seq[String]): String = ms.map { m =>
+      s"(length(p) - length(replace(p, '$m', '')))"
+    }.mkString(" + ")
+    val markers = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+    val rows = markers.map { case (lang, ms) =>
+      s"SELECT doc_id, '$lang' AS lang_cand, ${score(ms)} AS sc FROM padded"
+    }.mkString(" UNION ALL ")
+    s"""WITH padded AS (
+          SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+        cand AS ($rows),
+        best AS (
+          SELECT doc_id, lang_cand, sc,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY sc DESC, lang_cand DESC) AS rn
+          FROM cand)
+        SELECT d.doc_id, d.lang,
+          CASE WHEN b.sc > 0 THEN b.lang_cand ELSE 'und' END AS predicted
+        FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        ORDER BY d.doc_id"""
+  }
+
+  /** Quality metrics per document. */
+  def taQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "text")
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("stopword_ratio"), col("punct_density"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  private val taQualitySql =
+    """WITH m AS (
+         SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '')) AS n_tokens,
+           len(list_filter(string_split_regex(lower(text), '\W+'),
+               x -> list_contains(['the','a','and','of','to'], x)))
+             AS n_stop,
+           length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+           length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+             AS n_punct,
+           length(text) AS n_len
+         FROM documents WHERE doc_id < 200)
+       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         ROUND(CASE WHEN n_tokens > 0
+           THEN CAST(n_nonspace AS DOUBLE) / n_tokens ELSE 0.0 END, 3)
+           AS avg_token_len,
+         ROUND(CASE WHEN n_tokens > 0
+           THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 3)
+           AS stopword_ratio,
+         ROUND(CASE WHEN n_len > 0
+           THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END, 3)
+           AS punct_density,
+         ROUND(LEAST(1.0, CASE WHEN n_tokens > 0
+           THEN 0.5 + 0.5 * LEAST(1.0, n_tokens / 100.0) -
+                (CASE WHEN n_len > 0
+                 THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END)
+           ELSE 0.0 END), 3) AS quality_score
+       FROM m ORDER BY doc_id"""
+
+  /** Token counting three ways: whitespace, regex word, BPE-ish. */
+  def taTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+        size(TextAnalysis.tokens(col("text"))).cast("long")
+          .as("word_tokens"),
+        TextAnalysis.approxBpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val taTokensSql =
+    """SELECT doc_id,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+         AS ws_tokens,
+       CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                            x -> x <> '')) AS BIGINT) AS word_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+       FROM documents ORDER BY doc_id"""
+
+  // --- multimodal -----------------------------------------------
+
+  /** Binary-column pipeline summary: synthetic assets → partition-wise
+    * decode/featurize (stub codec) → per-asset frame counts + content
+    * hash. The hash and frame arithmetic are oracle-checkable; the
+    * float features are exercised in ScalaTest. */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featureTable(s, t(s, dir, "documents"))
+      .groupBy(col("asset_id"), col("modality"))
+      .agg(count(lit(1)).as("n_frames"), max(col("byte_len")).as("byte_len"),
+        max(col("content_hash")).as("content_hash"))
+      .orderBy(col("asset_id"))
+
+  private val mmFeaturesSql =
+    """SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+            ELSE LEAST(4, GREATEST(1, n_chars * 10 // 1000)) END AS BIGINT)
+         AS n_frames,
+       CAST(strlen(text) AS BIGINT) AS byte_len,
+       md5(text) AS content_hash
+       FROM documents ORDER BY asset_id"""
+
+  // --- registry -------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> (ddExact _),
+    "dd_fingerprint" -> (ddFingerprint _),
+    "dd_minhash_lsh" -> (ddMinhash _),
+    "dd_simhash" -> (ddSimhash _),
+    "dd_jaccard" -> (ddJaccard _),
+    "dd_cosine" -> (ddCosine _),
+    "ann_brute_topk" -> (annBruteTopK _),
+    "ta_langid" -> (taLangid _),
+    "ta_quality" -> (taQuality _),
+    "ta_tokens" -> (taTokens _),
+    "mm_features" -> (mmFeatures _))
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" -> ddExactSql,
+    "dd_fingerprint" -> ddFingerprintSql,
+    "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_simhash" -> ddSimhashSql,
+    "dd_jaccard" -> ddJaccardSql,
+    "dd_cosine" -> ddCosineSql,
+    "ann_brute_topk" -> annBruteSql,
+    "ta_langid" -> taLangidSql,
+    "ta_quality" -> taQualitySql,
+    "ta_tokens" -> taTokensSql,
+    "mm_features" -> mmFeaturesSql)
+}

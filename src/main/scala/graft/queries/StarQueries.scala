@@ -652,7 +652,8 @@ object StarQueries {
     "q23_eav_pivot" -> q23Sql)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    core ++ XmlQueries.all
+    core ++ PipelineQueries.all ++ EventQueries.all ++ XmlQueries.all
 
-  def oracle: Map[String, String] = coreOracle
+  def oracle: Map[String, String] =
+    coreOracle ++ PipelineQueries.oracle ++ EventQueries.oracle
 }

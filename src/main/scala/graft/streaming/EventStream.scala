@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event after timestamp normalization (`ts` arrives as
+  * TIMESTAMP(NANOS) parquet → nanos-long; `event_ts` is the
+  * seconds-precision Spark timestamp). */
+final case class NormalizedEvent(
+    event_id: Long,
+    user_id: Long,
+    event_type: String,
+    value: Double,
+    ts_sec: Long)
+
+final case class UserSessions(user_id: Long, n_sessions: Long,
+    n_events: Long)
+
+private final case class SessionState(lastTsSec: Long, sessions: Long,
+    events: Long)
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference has no streaming semantics (its async pipeline is
+  * ingestion concurrency, SURVEY.md §2.9) — this module is the
+  * beyond-parity event-processing layer: event-time tumbling windows
+  * with watermarked late-data handling, and stateful sessionization via
+  * `flatMapGroupsWithState`. Every transform takes a plain DataFrame,
+  * so the same code runs in batch (oracle-verified: ev_* queries) and
+  * under `readStream` (exercised with MemoryStream in StreamingSpec).
+  */
+object EventStream {
+
+  /** Nanos-long ts → seconds-precision event-time column. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_ts",
+      timestamp_seconds(expr("ts div 1000000000")))
+
+  /** Tumbling 5-minute event-time windows per event_type with a
+    * 10-minute watermark: counts + exact value sums. Works identically
+    * over a stream (append after watermark passes) and a batch frame. */
+  def windowedAggregates(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_ts", "10 minutes")
+      .groupBy(window(col("event_ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").cast("long").as("bucket_start"),
+        col("event_type"), col("n_events"),
+        round(col("sum_value"), 2).as("sum_value"))
+
+  /** Session gap: 30 minutes of user inactivity starts a new session. */
+  val sessionGapSec: Long = 1800L
+
+  /** Stateful sessionization: per-user session counting with
+    * `flatMapGroupsWithState` (Update mode — emits the running
+    * per-user totals each batch). State is one tiny record per user;
+    * at scale this is the standard keyed-state pattern with state
+    * store checkpointing. */
+  def sessionize(events: Dataset[NormalizedEvent]): Dataset[UserSessions] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[NormalizedEvent],
+            state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val newSession = st.lastTsSec == Long.MinValue ||
+              e.ts_sec - st.lastTsSec > sessionGapSec
+            st = SessionState(e.ts_sec,
+              st.sessions + (if (newSession) 1 else 0), st.events + 1)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          if (sorted.nonEmpty)
+            Iterator(UserSessions(userId, st.sessions, st.events))
+          else Iterator.empty
+      }
+  }
+
+  /** Batch sessionization — identical semantics to [[sessionize]],
+    * expressed as windows (lag → gap flag → running sum), which is the
+    * oracle-comparable form. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts_sec"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts_sec") - col("prev_ts") > sessionGapSec, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Normalize the raw events frame (nanos-long ts) into
+    * [[NormalizedEvent]]s. */
+  def normalize(events: DataFrame): Dataset[NormalizedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+      col("value"), expr("ts div 1000000000").as("ts_sec"))
+      .as[NormalizedEvent]
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the training-data pipeline operators (the
+  * oracle-verified numeric outputs are covered by the driver gate;
+  * these pin the semantics the oracle can't see). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and once"),
+    (3L, "completely unrelated text about spark query engines and joins"),
+    (4L, "  The  quick brown fox jumps over the lazy dog again and again "))
+    .toDF("doc_id", "text")
+
+  test("exact dedup: identical texts share a hash; keeper is min key") {
+    val r = Dedup.exactRank(docs, "text", "doc_id")
+      .select($"doc_id", $"dup_rank").as[(Long, Int)].collect().toMap
+    assert(r(0L) === 1)
+    assert(r(1L) === 2) // duplicate of 0
+    assert(r(2L) === 1)
+    assert(r(4L) === 1) // whitespace differs → different exact hash
+  }
+
+  test("fingerprint dedup catches formatting-only duplicates") {
+    val g = Dedup.fingerprintGroups(docs, "text", "doc_id")
+      .filter($"group_size" >= 2)
+      .select($"group_size", $"keeper").as[(Long, Long)].collect()
+    // 0, 1 and 4 normalize to the same fingerprint
+    assert(g.toSeq === Seq((3L, 0L)))
+  }
+
+  test("minhash LSH: near-identical docs collide; unrelated do not") {
+    val pairs = Dedup.minHashCandidates(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical → all bands equal
+    assert(pairs.contains((0L, 4L))) // same token stream
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+  }
+
+  test("simhash: identical docs get identical signatures; hamming small for near") {
+    val sigs = Dedup.simHashParts(docs, "text", "doc_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) === sigs(4L))
+    def bits(sig: Seq[Long]): Seq[Int] =
+      sig.flatMap(p => (0 until 16).map(b => ((p >> b) & 1L).toInt))
+    val hammingNear = bits(sigs(0L)).zip(bits(sigs(2L))).count(p => p._1 != p._2)
+    val hammingFar = bits(sigs(0L)).zip(bits(sigs(3L))).count(p => p._1 != p._2)
+    assert(hammingNear < hammingFar)
+  }
+
+  test("jaccard pairs: inverted-index join matches definition") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs((0L, 4L)) === 1.0)
+    // doc 2 swaps one "again" for "once": |A∩B|=10, |A∪B|=11
+    assert(math.abs(pairs((0L, 2L)) - math.rint(10.0 / 11 * 1000) / 1000)
+      < 1e-9)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("brute-force ANN top-k is exact: matches plain-Scala computation") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .filter($"vec_id" < 150)
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 3L).map { q =>
+      q -> vecs.filter(_._1 >= 10).toSeq
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    }.toMap
+    val got = Similarity.bruteForceTopK(
+      e.filter($"vec_id" < 3), e.filter($"vec_id" >= 10),
+      "embedding", "vec_id", k = 5)
+      .orderBy($"q_id", $"rank")
+      .select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(got === expected)
+  }
+
+  test("LSH ANN: neighbors share the query bucket; recall is sane") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val brute = Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    // 1 hyperplane → each bucket holds ~half the corpus
+    val lsh = Similarity.lshTopK(q, c, "embedding", "vec_id", 5,
+      planes = 1, dim = 64)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall")
+    // every returned neighbor must share its query's bucket
+    val hp = Similarity.hyperplanes(1, 64)
+    val buckets = e.select($"vec_id",
+      Similarity.srpBucket($"embedding", hp).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(lsh.forall { case (qid, cid) => buckets(qid) == buckets(cid) })
+  }
+
+  test("language id picks the marker-heavy language") {
+    val r = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der Hund und die Katze und der Vogel"),
+      (3L, "xyz qrs tuv"))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) === "en")
+    assert(r(2L) === "de")
+    assert(r(3L) === "und")
+  }
+
+  test("token counts: three counters agree on simple text") {
+    val r = Seq((1L, "hello world, it's 42 degrees!"))
+      .toDF("id", "text")
+      .select(
+        TextAnalysis.whitespaceTokenCount($"text").as("ws"),
+        size(TextAnalysis.tokens($"text")).cast("long").as("word"),
+        TextAnalysis.approxBpeTokenCount($"text").as("bpe"))
+      .as[(Long, Long, Long)].collect().head
+    assert(r._1 === 5) // whitespace chunks
+    assert(r._2 === 6) // hello world it s 42 degrees
+    assert(r._3 === 9) // hello world , it ' s 42 degrees !
+  }
+
+  test("multimodal: stub decode is deterministic, frame counts follow metadata") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .limit(60)
+    val feats = Multimodal.featureTable(spark, docs).cache()
+    // one row per frame, 8-dim features in [0,1]
+    val bad = feats.filter(size($"feature") =!= 8).count()
+    assert(bad === 0)
+    // images decode to exactly one frame
+    val imgFrames = feats.filter($"modality" === "image")
+      .groupBy($"asset_id").count().filter($"count" =!= 1).count()
+    assert(imgFrames === 0)
+    // determinism: rerun produces identical feature vectors
+    val again = Multimodal.featureTable(spark, docs)
+    assert(feats.exceptAll(again).count() === 0)
+    // audio/video frame counts bounded by maxFrames=4
+    assert(feats.groupBy($"asset_id").count()
+      .filter($"count" > 4).count() === 0)
+  }
+}

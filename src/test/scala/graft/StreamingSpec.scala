@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.{EventStream, NormalizedEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming behavior: the same transforms the ev_* batch
+  * queries pin via the oracle, driven through MemoryStream. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowed aggregates over a stream match the batch run") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val expected = EventStream.windowedAggregates(batchDf)
+      .orderBy($"bucket_start", $"event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+
+    val source = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = source.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.windowedAggregates(streamDf)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      val rows = batchDf
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[(Long, Long, Long, String, Double)].collect()
+      source.addData(rows.toSeq)
+      q.processAllAvailable()
+      // watermark advances on the next (empty-triggering) batch
+      source.addData(Seq.empty)
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .orderBy($"bucket_start", $"event_type")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      // append mode emits only windows the watermark has passed — all
+      // but the tail of the stream
+      assert(got.nonEmpty)
+      assert(got.toSet.subsetOf(expected.toSet))
+      assert(got.size >= expected.size - 8,
+        s"only ${got.size} of ${expected.size} windows emitted")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization matches the batch window form") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val expected = EventStream.sessionizeBatch(
+      EventStream.normalize(batchDf).toDF())
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val source = MemoryStream[NormalizedEvent]
+    val q = EventStream.sessionize(source.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    try {
+      val events = EventStream.normalize(batchDf).collect()
+      // feed in two chronological chunks to exercise state carry-over
+      val (first, second) = events.sortBy(e => (e.ts_sec, e.event_id))
+        .splitAt(events.length / 2)
+      source.addData(first.toSeq)
+      q.processAllAvailable()
+      source.addData(second.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .groupBy($"user_id")
+        .agg(max($"n_sessions").as("n_sessions"),
+          max($"n_events").as("n_events"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+}
