@@ -182,9 +182,12 @@ object XmlIngest {
     * `INSERT OR REPLACE` key semantics: for each primary key the *last*
     * written row wins, where arrival order is made deterministic as
     * (filename, within-file document order) — see SURVEY.md §7.4. */
-  def tables(parsed: Dataset[ParsedDocument]): XmlTables = {
-    val spark = parsed.sparkSession
+  def tables(parsedInput: Dataset[ParsedDocument]): XmlTables = {
+    val spark = parsedInput.sparkSession
     import spark.implicits._
+    // Three tables derive from one parse — cache the IR so the DOM walk
+    // runs once per file, not once per output table.
+    val parsed = parsedInput.cache()
 
     val documents = parsed.select($"document.*")
       .withColumn("rn", row_number().over(

@@ -39,9 +39,15 @@ object Recursion {
 
   private def expand(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
       prependPath: Boolean): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).cache()
+    // Materialize both inputs and truncate their lineage before
+    // looping: each level otherwise re-analyzes the full upstream plan
+    // (which for adapter-derived edge tables is a large union of
+    // window/join pipelines), making plan-time grow with depth. After
+    // truncation every level is a small join of two in-memory frames —
+    // the standard BFS-on-Spark shape.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var frontier = seeds.select(col("node"), lit(0).as("depth"),
-      col("node").as("path")).cache()
+      col("node").as("path")).localCheckpoint()
     var acc = frontier
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
@@ -52,12 +58,11 @@ object Recursion {
         .join(e.alias("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node"),
           (col("f.depth") + 1).as("depth"), stepPath.as("path"))
-        .cache()
+        .localCheckpoint()
       acc = acc.unionAll(next)
       frontier = next
       depth += 1
     }
-    e.unpersist()
     acc
   }
 }

@@ -28,8 +28,12 @@ object XmlQueries {
       case _ =>
         val t = new Converter(spark, Converter.allAdapters)
           .convert(fixturesDir)
-        val materialized = GraphTables(t.documents.cache(), t.nodes,
-          t.properties, t.crossReferences.cache())
+        // localCheckpoint truncates the ingest/adapter lineage so each
+        // downstream query plans against flat in-memory tables instead
+        // of re-analyzing the whole conversion pipeline
+        val materialized = GraphTables(t.documents.localCheckpoint(),
+          t.nodes.localCheckpoint(), t.properties.localCheckpoint(),
+          t.crossReferences.localCheckpoint())
         cached = Some((spark, materialized))
         materialized
     }
