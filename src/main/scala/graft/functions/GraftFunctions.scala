@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration surface for the custom Catalyst functions.
+  *
+  * Two entry points:
+  *  - [[GraftFunctions.register]] — imperative per-session registration
+  *    (temp functions), for library users with an existing session;
+  *  - [[GraftExtensions]] — `SparkSessionExtensions` injector for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`, the
+  *    deployment-grade wiring.
+  *
+  * After registration both are usable from SQL text and, via the
+  * `Column` helpers here, from the DataFrame API.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("minhash_agg",
+      exprs => exprs match {
+        case Seq(child) => MinHashAgg(child, 8).toAggregateExpression()
+        case Seq(child, k) =>
+          MinHashAgg(child,
+            k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+      }, "built-in")
+  }
+
+  /** 64-bit SimHash of a string column (codegen'd native expression).
+    * Requires [[register]] (or the extensions) on the session. */
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+
+  /** k-hash MinHash signature aggregate over a (shingle) column. */
+  def minhash_agg(c: Column, k: Int): Column =
+    call_function("minhash_agg", c,
+      org.apache.spark.sql.functions.lit(k))
+}
+
+/** `spark.sql.extensions` injector. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      SimHash64.info,
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashAgg].getName, "minhash_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        (exprs match {
+          case Seq(child) => MinHashAgg(child, 8)
+          case Seq(child, k) => MinHashAgg(child,
+            k.eval().asInstanceOf[Number].intValue())
+        }).toAggregateExpression()))
+  }
+}

@@ -158,6 +158,49 @@ object PipelineQueries {
        SELECT vec_a, vec_b, ROUND(cos, 3) AS cos FROM pairs
        WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""
 
+  /** SimHash via the custom codegen'd Catalyst expression
+    * ([[graft.functions.SimHash64]]): one scalar call per document
+    * replaces the 64-way explode + two shuffles of [[ddSimhash]] —
+    * verified against the *same* oracle SQL, proving the native
+    * expression bit-equivalent to the relational pipeline. */
+  def ddSimhashExpr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
+      .select(col("doc_id"), posexplode(array((0 until 4).map(i =>
+        expr(s"shiftrightunsigned(sh, ${16 * i}) & 65535")): _*))
+        .as(Seq("part", "sig")))
+      .orderBy(col("doc_id"), col("part"))
+  }
+
+  /** MinHash signatures via the custom `TypedImperativeAggregate`
+    * ([[graft.functions.MinHashAgg]]): one sketch aggregate instead of
+    * 8 parallel min() columns — same LSH banding and the same oracle
+    * as [[ddMinhash]]. */
+  def ddMinhashExpr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+    val sigs = Dedup.shingles(docs, "text", "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.GraftFunctions.minhash_agg(col("shingle"), 8)
+        .as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        md5(concat(element_at(col("sig"), b * 2 + 1),
+          element_at(col("sig"), b * 2 + 2)))): _*))
+        .as(Seq("band", "band_hash")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"),
+      col("band_hash"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"),
+      col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // --- similarity search ----------------------------------------
 
   /** Exact top-5 cosine neighbors for the first 10 vectors against the
@@ -316,7 +359,9 @@ object PipelineQueries {
     "dd_exact" -> (ddExact _),
     "dd_fingerprint" -> (ddFingerprint _),
     "dd_minhash_lsh" -> (ddMinhash _),
+    "dd_minhash_agg_expr" -> (ddMinhashExpr _),
     "dd_simhash" -> (ddSimhash _),
+    "dd_simhash_native_expr" -> (ddSimhashExpr _),
     "dd_jaccard" -> (ddJaccard _),
     "dd_cosine" -> (ddCosine _),
     "ann_brute_topk" -> (annBruteTopK _),
@@ -329,7 +374,9 @@ object PipelineQueries {
     "dd_exact" -> ddExactSql,
     "dd_fingerprint" -> ddFingerprintSql,
     "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_minhash_agg_expr" -> ddMinhashSql,
     "dd_simhash" -> ddSimhashSql,
+    "dd_simhash_native_expr" -> ddSimhashSql,
     "dd_jaccard" -> ddJaccardSql,
     "dd_cosine" -> ddCosineSql,
     "ann_brute_topk" -> annBruteSql,
