@@ -1,0 +1,98 @@
+package graft
+
+import graft.engine.Converter
+import graft.relationships.{MultiReferenceAdapter, SemanticAdapter}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI batch conversion — the reference's `main.rb` entry point
+  * re-expressed over Spark:
+  *
+  * {{{
+  *   runMain graft.Main -i /path/to/xml-dir -o /path/to/out \
+  *     [--no-relationships] [--examples] [--force] [-c N]
+  * }}}
+  *
+  * Flag mapping (reference main.rb:146-173): `-i/-o` as there; `-c`
+  * sets the local parallelism (the fiber-concurrency analog);
+  * `--no-relationships` skips the adapter phase (main.rb:42);
+  * `--examples` additionally registers the examples-dir adapters;
+  * `--force` clears the output first (main.rb:85). `--batch-size` is
+  * accepted and ignored — batching dissolves into Spark partitioning
+  * (SURVEY.md S7). Ends with the reference's stats printout
+  * (main.rb:124-142). */
+object Main {
+  def main(args: Array[String]): Unit = {
+    var input: Option[String] = None
+    var output: Option[String] = None
+    var relationships = true
+    var examples = false
+    var force = false
+    var concurrency = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-i" | "--input" => input = Some(args(i + 1)); i += 2
+        case "-o" | "--output" => output = Some(args(i + 1)); i += 2
+        case "-c" | "--concurrency" => concurrency = args(i + 1); i += 2
+        case "-b" | "--batch-size" => i += 2 // accepted, dissolved
+        case "--no-relationships" => relationships = false; i += 1
+        case "--examples" => examples = true; i += 1
+        case "--force" => force = true; i += 1
+        case other =>
+          System.err.println(s"unknown argument: $other"); sys.exit(2)
+      }
+    }
+    val (in, out) = (input, output) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ =>
+        System.err.println(
+          "usage: graft.Main -i <xml-dir> -o <out-dir> " +
+            "[--no-relationships] [--examples] [--force] [-c N]")
+        sys.exit(2); throw new IllegalStateException
+    }
+    if (force) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+
+    // reuse an already-running session (e.g. under test) and leave its
+    // lifecycle alone; stop only a session this run created
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = SparkSession.builder()
+      .master(s"local[$concurrency]")
+      .appName("graft-convert")
+      .config("spark.sql.shuffle.partitions", concurrency)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val adapters =
+      if (examples) Converter.allAdapters else Converter.coreAdapters
+    val tables = new Converter(spark, adapters, relationships)
+      .convertAndWrite(in, out)
+
+    // stats printout (main.rb:124-142)
+    val nDocs = tables.documents.count()
+    val nNodes = tables.nodes.count()
+    val nProps = tables.properties.count()
+    val nRefs = tables.crossReferences.count()
+    val mb = tables.documents.agg(
+      round(sum(col("file_size")) / 1048576.0, 2).as("mb"))
+      .collect().head.get(0)
+    println("Conversion complete!")
+    println(s"  Documents: $nDocs ($mb MB)")
+    println(s"  Nodes: $nNodes")
+    println(s"  Properties: $nProps")
+    println(s"  Cross-references: $nRefs")
+    tables.nodes.groupBy(col("node_type")).count()
+      .orderBy(col("count").desc, col("node_type"))
+      .collect()
+      .foreach(r => println(s"    ${r.get(0)}: ${r.get(1)}"))
+    if (!preExisting) spark.stop()
+  }
+}

@@ -43,6 +43,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming XML ingest converts files as they appear") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val in = Files.createTempDirectory("graft-stream-in")
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    Files.copy(Paths.get(s"$fixturesDir/simple.xml"),
+      in.resolve("simple.xml"), StandardCopyOption.REPLACE_EXISTING)
+    val q = graft.streaming.XmlStreamIngest.run(spark, in.toString, out,
+      ckpt, org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      val nodes1 = spark.read.parquet(s"$out/nodes")
+      assert(nodes1.count() === 4) // simple.xml's identified nodes
+      // a new file appears → next micro-batch picks it up
+      Files.copy(Paths.get(s"$fixturesDir/sample_library.xml"),
+        in.resolve("sample_library.xml"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val nodes2 = spark.read.parquet(s"$out/nodes")
+      assert(nodes2.count() === 40)
+      assert(nodes2.filter($"document_id" === "sample_library").count()
+        === 36)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch window form") {
     implicit val sqlCtx = spark.sqlContext
     val batchDf = spark.read.parquet(sf("sf0.001") + "/events.parquet")
