@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.graphx.{Edge, EdgeDirection, Graph, Pregel, VertexId}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,6 +37,48 @@ object Recursion {
   def ascend(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame =
     expand(edges.select(col("dst").as("src"), col("src").as("dst")),
       seeds, maxDepth, prependPath = true)
+
+  /** Min-depth reachability via GraphX Pregel — the 100 TB form of
+    * [[descend]]. The CTE semantics enumerate every path (output grows
+    * with path count, which explodes on dense graphs); at corpus scale
+    * the question is usually "which nodes are reachable, how deep",
+    * and that is a vertex program: messages carry candidate depths,
+    * vertices keep the minimum, iteration stops at `maxDepth`.
+    * Output: (node, depth) with depth = shortest distance from any
+    * seed, seeds at 0. */
+  def descendDepthsPregel(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).as[(String, String)]
+    val seedSet = seeds.select(col("node")).as[String]
+    val ids = e.flatMap(p => Seq(p._1, p._2)).union(seedSet).distinct()
+      .rdd.zipWithUniqueId().cache()
+    val idOf = ids.map(_.swap)
+    val seedIds: Set[VertexId] = seedSet.rdd.map(_ -> (())).join(ids)
+      .map { case (_, (_, vid)) => vid }.collect().toSet
+    val vertices = ids.map { case (_, vid) =>
+      (vid: VertexId, if (seedIds(vid)) 0 else Int.MaxValue)
+    }
+    val edgeRdd = e.rdd
+      .map(p => (p._1, p._2)).join(ids)
+      .map { case (_, (dst, srcId)) => (dst, srcId) }.join(ids)
+      .map { case (_, (srcId, dstId)) => Edge(srcId, dstId, ()) }
+    val graph = Graph(vertices, edgeRdd)
+    val result = Pregel(graph, initialMsg = Int.MaxValue,
+      maxIterations = maxDepth, activeDirection = EdgeDirection.Out)(
+      vprog = (_, attr, msg) => math.min(attr, msg),
+      sendMsg = t =>
+        if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + 1))
+        else Iterator.empty,
+      mergeMsg = math.min)
+    result.vertices
+      .join(idOf)
+      .map { case (_, (depth, name)) => (name, depth) }
+      .toDF("node", "depth")
+      .filter(col("depth") <= maxDepth)
+  }
 
   private def expand(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
       prependPath: Boolean): DataFrame = {

@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys.
+  *
+  * AQE's skew-join split handles most runtime skew; explicit salting
+  * remains the tool when one key dominates so heavily that even split
+  * partitions bottleneck (the classic power-law `parent_id` or
+  * token-frequency case in this engine's sibling and inverted-index
+  * joins). The fact table gets a per-row salt; the dimension side is
+  * replicated across all salt values; the join key becomes
+  * (key, salt) — identical results, `numSalts`× finer key granularity.
+  */
+object Skew {
+
+  /** Equi-join `fact ⋈ dim` on `key`, salted `numSalts` ways.
+    * `fact` is the large/skewed side. Result equals the plain join
+    * (column order: fact columns then dim columns, key kept once). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      numSalts: Int, joinType: String = "inner"): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    // deterministic spread: hash of the whole fact row modulo salts
+    // (any per-row value works — the salt never reaches the output)
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*),
+        lit(numSalts)).cast("int"))
+    val expandedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    saltedFact.join(expandedDim, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries.{Recursion, Skew, StarQueries}
+import org.apache.spark.sql.functions._
+
+/** Scale-machinery behavior: salted joins, Pregel reachability, and a
+  * many-file ingest. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join on a skewed key") {
+    // 90% of fact rows share one key — the classic hot-key shape
+    val fact = spark.range(0, 5000)
+      .select((when($"id" % 10 === 0, $"id" % 7).otherwise(0L))
+        .as("k"), ($"id" * 3).as("payload"))
+    val dim = spark.range(0, 7).select($"id".as("k"),
+      concat(lit("dim_"), $"id").as("label"))
+    val plain = fact.join(dim, Seq("k")).select($"k", $"payload", $"label")
+    val salted = Skew.saltedJoin(fact, dim, "k", numSalts = 8)
+      .select($"k", $"payload", $"label")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // left joins preserve unmatched fact rows too
+    val factWithMiss = fact.withColumn("k",
+      when($"payload" % 13 === 0, lit(999L)).otherwise($"k"))
+    val plainL = factWithMiss.join(dim, Seq("k"), "left_outer")
+    val saltedL = Skew.saltedJoin(factWithMiss, dim, "k", 8, "left_outer")
+    assert(saltedL.count() === plainL.count())
+  }
+
+  test("Pregel min-depth agrees with the iterative traversal") {
+    val edges = StarQueries.t(spark, sf("sf0.001"), "nation")
+      .select(concat(lit("r_"), $"n_regionkey").as("src"),
+        concat(lit("n_"), $"n_nationkey").as("dst"))
+      .unionAll(StarQueries.t(spark, sf("sf0.001"), "supplier")
+        .select(concat(lit("n_"), $"s_nationkey").as("src"),
+          concat(lit("s_"), $"s_suppkey").as("dst")))
+    val seeds = StarQueries.t(spark, sf("sf0.001"), "region")
+      .select(concat(lit("r_"), $"r_regionkey").as("node"))
+    val loop = Recursion.descend(edges, seeds, maxDepth = 10)
+      .groupBy($"node").agg(min($"depth").as("depth"))
+      .as[(String, Int)].collect().toMap
+    val pregel = Recursion.descendDepthsPregel(edges, seeds, maxDepth = 10)
+      .as[(String, Int)].collect().toMap
+    assert(pregel === loop)
+  }
+
+  test("ingest scales across many files with stable counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-many")
+    (0 until 200).foreach { i =>
+      val xml =
+        s"""<?xml version="1.0"?>
+           |<root id="root_$i">
+           |  <item id="item_${i}_a" count="$i" ref="root_$i">alpha $i</item>
+           |  <item id="item_${i}_b" flag="true">beta</item>
+           |</root>""".stripMargin
+      java.nio.file.Files.write(dir.resolve(f"doc_$i%03d.xml"),
+        xml.getBytes("UTF-8"))
+    }
+    val t0 = System.nanoTime()
+    val t = graft.ingest.XmlIngest.ingest(spark, dir.toString)
+    assert(t.nodes.count() === 600)
+    assert(t.properties.count() === 600) // count+ref / flag per file
+    assert(t.documents.count() === 200)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // parse is per-file parallel; 200 files should be comfortably fast
+    assert(secs < 60, s"ingest took $secs s")
+    // every ref resolves → 200 attribute_reference edges
+    val edges = graft.relationships.AttributeReferenceAdapter
+      .detect(t.nodes, t.properties)
+    assert(edges.count() === 200)
+  }
+}
