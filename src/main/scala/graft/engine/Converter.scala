@@ -9,12 +9,33 @@ final case class GraphTables(documents: DataFrame, nodes: DataFrame,
     properties: DataFrame, crossReferences: DataFrame) {
 
   /** Register SQL-accessible temp views (the working version of the
-    * reference's vestigial `create_views`, main.rb:100-107). */
-  def createViews(spark: SparkSession): Unit = {
+    * reference's vestigial `create_views`, main.rb:100-107). Views
+    * register in the session that owns these DataFrames. */
+  def createViews(): Unit = {
     documents.createOrReplaceTempView("documents")
     nodes.createOrReplaceTempView("nodes")
     properties.createOrReplaceTempView("node_properties")
     crossReferences.createOrReplaceTempView("cross_references")
+  }
+
+  /** One view per node_type (`<type>_nodes`) — the per-type views the
+    * reference enumerates but leaves commented out (main.rb:100-107).
+    * Type names are sanitized to identifier characters; types whose
+    * sanitized names collide (e.g. `my-item` / `my.item`) share one
+    * view covering all of them, so no rows become unreachable.
+    * Returns the distinct view names. */
+  def createNodeTypeViews(): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val types = nodes.select(col("node_type")).distinct()
+      .collect().map(_.getString(0)).filter(_ != null)
+    types.groupBy(t =>
+        t.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase + "_nodes")
+      .toSeq.sortBy(_._1)
+      .map { case (name, ts) =>
+        nodes.filter(col("node_type").isin(ts.toIndexedSeq: _*))
+          .createOrReplaceTempView(name)
+        name
+      }
   }
 
   /** Persist as partitioned parquet — the columnar replacement for the

@@ -46,6 +46,44 @@ class ScaleSpec extends SparkSpec {
     assert(pregel === loop)
   }
 
+  test("approx_count_distinct: the sketch substitute tracks exact counts") {
+    // SURVEY §2.4: exact COUNT DISTINCT at 100 TB becomes an HLL
+    // sketch; assert the substitution stays within its error bound
+    val li = StarQueries.t(spark, sf("sf0.01"), "lineitem")
+    val r = li.agg(
+      countDistinct($"l_partkey").as("exact"),
+      approx_count_distinct($"l_partkey", 0.02).as("approx"))
+      .as[(Long, Long)].collect().head
+    val relErr = math.abs(r._2 - r._1).toDouble / r._1
+    assert(relErr < 0.05, s"exact=${r._1} approx=${r._2} err=$relErr")
+  }
+
+  test("per-type node views register and answer queries") {
+    val t = graft.queries.XmlQueries.tables(spark)
+    val names = t.createNodeTypeViews()
+    assert(names.contains("book_nodes"))
+    assert(spark.sql("SELECT count(*) FROM book_nodes").collect()
+      .head.getLong(0) === 3)
+    assert(names.distinct === names)
+  }
+
+  test("per-type views merge types whose sanitized names collide") {
+    import graft.engine.GraphTables
+    val nodes = Seq(
+      ("a1", "my-item", "d", None: Option[String], 0,
+        Some("x"), "/r", new java.sql.Timestamp(0)),
+      ("a2", "my.item", "d", None: Option[String], 1,
+        Some("y"), "/r", new java.sql.Timestamp(0)))
+      .toDF("id", "node_type", "document_id", "parent_id", "position",
+        "content", "xpath", "created_at")
+    val empty = nodes.limit(0)
+    val t = GraphTables(empty, nodes, empty, empty)
+    val names = t.createNodeTypeViews()
+    assert(names === Seq("my_item_nodes"))
+    assert(spark.sql("SELECT count(*) FROM my_item_nodes").collect()
+      .head.getLong(0) === 2)
+  }
+
   test("ingest scales across many files with stable counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-many")
     (0 until 200).foreach { i =>
