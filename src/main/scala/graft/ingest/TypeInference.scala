@@ -34,13 +34,14 @@ object TypeInference {
     case _ => "string"
   }
 
-  /** The same chain as a Catalyst expression over a string column. */
+  /** The same chain as a Catalyst expression over a string column —
+    * built from the same compiled patterns as [[inferType]], so the
+    * two paths cannot drift. */
   def inferTypeCol(v: Column): Column =
     when(v.isNull || v === "", "string")
-      .when(v.rlike("^\\d+$"), "integer")
-      .when(v.rlike("^\\d+\\.\\d+$"), "float")
-      .when(v.rlike("(?i)^(true|false)$"), "boolean")
-      .when(v.rlike("^\\d{4}-\\d{2}-\\d{2}") ||
-        v.rlike("^\\d{2}:\\d{2}:\\d{2}"), "datetime")
+      .when(v.rlike(IntRe.regex), "integer")
+      .when(v.rlike(FloatRe.regex), "float")
+      .when(v.rlike(BoolRe.regex), "boolean")
+      .when(v.rlike(DateRe.regex) || v.rlike(TimeRe.regex), "datetime")
       .otherwise("string")
 }

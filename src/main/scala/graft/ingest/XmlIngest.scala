@@ -60,10 +60,24 @@ object XmlIngest {
       .select("path", "length", "content")
       .as[(String, Long, Array[Byte])]
       .mapPartitions { files =>
+        // builder constructed once per partition and reset per file —
+        // factory SPI lookup stays off the per-file hot path
+        val builder = newBuilder()
         files.flatMap { case (rawPath, length, bytes) =>
-          parseOne(rawPath, length, bytes)
+          builder.reset()
+          parseOne(rawPath, length, bytes, builder)
         }
       }
+  }
+
+  private def newBuilder(): javax.xml.parsers.DocumentBuilder = {
+    val factory = DocumentBuilderFactory.newInstance()
+    factory.setNamespaceAware(false)
+    factory.setCoalescing(true)
+    factory.setIgnoringComments(true)
+    factory.setFeature(
+      "http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+    factory.newDocumentBuilder()
   }
 
   /** Parse one file; None on parse failure (error-tolerant source S5).
@@ -73,20 +87,17 @@ object XmlIngest {
     * "process what it can or handle gracefully" contract
     * (test_edge_cases.rb:154-175). */
   def parseOne(rawPath: String, length: Long,
-      bytes: Array[Byte]): Option[ParsedDocument] = {
+      bytes: Array[Byte]): Option[ParsedDocument] =
+    parseOne(rawPath, length, bytes, newBuilder())
+
+  def parseOne(rawPath: String, length: Long, bytes: Array[Byte],
+      builder: javax.xml.parsers.DocumentBuilder): Option[ParsedDocument] = {
     val path = if (rawPath.startsWith("file:")) rawPath.stripPrefix("file:")
       else rawPath
     val base = path.substring(path.lastIndexOf('/') + 1)
     val docId = if (base.endsWith(".xml")) base.dropRight(4) else base
     try {
-      val factory = DocumentBuilderFactory.newInstance()
-      factory.setNamespaceAware(false)
-      factory.setCoalescing(true)
-      factory.setIgnoringComments(true)
-      factory.setFeature(
-        "http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
-      val dom = factory.newDocumentBuilder()
-        .parse(new ByteArrayInputStream(bytes))
+      val dom = builder.parse(new ByteArrayInputStream(bytes))
       val nodes = mutable.ArrayBuffer.empty[RawNode]
       val props = mutable.ArrayBuffer.empty[RawProperty]
       var ordinal = 0L
@@ -167,7 +178,9 @@ object XmlIngest {
       Some(ParsedDocument(DocumentRow(docId, path, length),
         nodes.toSeq, props.toSeq))
     } catch {
-      case _: Exception =>
+      // StackOverflowError included: pathological nesting depth must
+      // skip the file, not abort the job (the documented S5 contract)
+      case _: Exception | _: StackOverflowError =>
         // Malformed file: keep the document row absent entirely, like a
         // file whose parse raised before any rows were enqueued.
         None
@@ -201,11 +214,20 @@ object XmlIngest {
         Window.partitionBy(keys.map(col): _*)
           .orderBy($"filename".desc, $"ordinal".desc)))
         .filter($"rn" === 1)
+        .drop("rn")
 
-    val nodes = lastWins(
+    // Two replace keys, applied in write order like the reference's
+    // INSERT OR REPLACE against both constraints: PK (id), then
+    // UNIQUE(parent_id, position) (001_create_base_schema.rb:29; null
+    // parents are exempt, matching SQLite's multi-NULL semantics).
+    val byId = lastWins(
       parsed.select($"document.filename", explode($"nodes").as("n"))
         .select($"filename", $"n.*"),
       Seq("id"))
+    val withParent = lastWins(byId.filter($"parent_id".isNotNull),
+      Seq("parent_id", "position"))
+    val nodes = withParent
+      .unionByName(byId.filter($"parent_id".isNull))
       .select($"id", $"node_type", $"document_id", $"parent_id",
         $"position", $"content", $"xpath",
         current_timestamp().as("created_at"))

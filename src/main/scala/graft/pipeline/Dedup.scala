@@ -71,6 +71,9 @@ object Dedup {
     * Output: (key, band, band_hash). */
   def lshBands(signatures: DataFrame, keyCol: String, numHashes: Int = 8,
       bands: Int = 4): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes) — " +
+        "otherwise trailing hashes are dropped or bands degenerate")
     val rowsPerBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -134,10 +137,11 @@ object Dedup {
     * similarity = inter / (|A|+|B|-inter). */
   def jaccardPairs(df: DataFrame, textCol: String, keyCol: String,
       threshold: Double): DataFrame = {
+    // uncached by design: the token frame is reused by two consumers,
+    // but a cache here could never be unpersisted by the caller
     val toks = df.select(col(keyCol),
       explode(array_distinct(TextAnalysis.tokens(col(textCol))))
         .as("tok"))
-      .cache()
     val sizes = toks.groupBy(col(keyCol)).agg(count(lit(1)).as("sz"))
     val inter = toks.select(col(keyCol).as("key_a"), col("tok"))
       .join(toks.select(col(keyCol).as("key_b"), col("tok")), Seq("tok"))

@@ -80,6 +80,12 @@ object Similarity {
     * bigger buckets → higher recall, more compute). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
       keyCol: String, k: Int, planes: Int = 4, dim: Int = 64): DataFrame = {
+    // a dim mismatch would null the plane dot products and collapse
+    // every vector into one bucket (a silent full cross join) — fail
+    // fast instead; one tiny job against the corpus head
+    val actualDim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(actualDim == dim,
+      s"lshTopK dim=$dim but corpus vectors have length $actualDim")
     val hp = hyperplanes(planes, dim)
     val q = broadcast(queries.select(col(keyCol).as("q_id"),
       col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),

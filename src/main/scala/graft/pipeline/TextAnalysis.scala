@@ -76,12 +76,12 @@ object TextAnalysis {
         round(when(length(t) > 0, punct.cast("double") / length(t))
           .otherwise(0.0), 3))
       .withColumn("quality_score",
-        round(least(lit(1.0),
+        round(greatest(lit(0.0), least(lit(1.0),
           when(nTok > 0,
             lit(0.5) + lit(0.5) * least(lit(1.0), nTok / lit(100.0)) -
               when(length(t) > 0, punct.cast("double") / length(t))
                 .otherwise(0.0))
-            .otherwise(0.0)), 3))
+            .otherwise(0.0))), 3))
   }
 
   /** Whitespace token count (split on `\s+` of the trimmed text). */

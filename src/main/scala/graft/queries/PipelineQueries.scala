@@ -300,11 +300,11 @@ object PipelineQueries {
          ROUND(CASE WHEN n_len > 0
            THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END, 3)
            AS punct_density,
-         ROUND(LEAST(1.0, CASE WHEN n_tokens > 0
+         ROUND(GREATEST(0.0, LEAST(1.0, CASE WHEN n_tokens > 0
            THEN 0.5 + 0.5 * LEAST(1.0, n_tokens / 100.0) -
                 (CASE WHEN n_len > 0
                  THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END)
-           ELSE 0.0 END), 3) AS quality_score
+           ELSE 0.0 END)), 3) AS quality_score
        FROM m ORDER BY doc_id"""
 
   /** Token counting three ways: whitespace, regex word, BPE-ish. */

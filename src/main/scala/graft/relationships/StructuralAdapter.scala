@@ -50,11 +50,13 @@ object StructuralAdapter extends RelationshipAdapter {
       col("id").as("a_id"), col("position").as("a_pos"))
     val b = withParent.select(col("document_id"), col("parent_id"),
       col("id").as("b_id"), col("position").as("b_pos"))
+    // not cached: the four edge projections below share the join's
+    // shuffle outputs, and a cache here would outlive detect() with no
+    // handle to unpersist (storage leak across repeated conversions)
     val pairs = a.join(b, Seq("document_id", "parent_id"))
       .filter(col("a_pos") < col("b_pos"))
       .select(col("a_id"), col("b_id"),
         (col("b_pos") - col("a_pos") === 1).as("adjacent"))
-      .cache()
 
     def edges(src: String, dst: String, refType: String,
         onlyAdjacent: Boolean): DataFrame = {

@@ -181,6 +181,26 @@ class IngestSpec extends SparkSpec {
       .filter($"count" > 1 && $"parent_id".isNotNull).count() === 0)
   }
 
+  test("UNIQUE(parent_id, position) replaces across files like the reference") {
+    import spark.implicits._
+    // both files put a child at (parent g, position 0); the reference's
+    // INSERT OR REPLACE against UNIQUE(parent_id, position)
+    // (001_create_base_schema.rb:29) keeps only the last-written one
+    val fileA =
+      """<?xml version="1.0"?><group id="g"><item id="a1">first</item></group>"""
+    val fileB =
+      """<?xml version="1.0"?><group id="g"><item id="a2">second</item></group>"""
+    val parsed = Seq(
+      parseString("a.xml", fileA).get, parseString("b.xml", fileB).get)
+      .toDS()
+    val t = XmlIngest.tables(parsed)
+    val children = t.nodes.filter($"parent_id" === "g")
+      .select($"id").as[String].collect()
+    assert(children.toSeq === Seq("a2")) // last filename wins
+    // the colliding g node itself dedups on id, keeping one row
+    assert(t.nodes.filter($"id" === "g").count() === 1)
+  }
+
   test("end-to-end directory ingest of bundled fixtures") {
     import spark.implicits._
     val t = XmlIngest.ingest(spark, fixturesDir)
