@@ -28,6 +28,10 @@ object GraftFunctions {
           MinHashAgg(child,
             k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
       }, "built-in")
+    registry.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("vec_norm",
+      exprs => VecNorm(exprs.head), "built-in")
   }
 
   /** 64-bit SimHash of a string column (codegen'd native expression).
@@ -38,6 +42,12 @@ object GraftFunctions {
   def minhash_agg(c: Column, k: Int): Column =
     call_function("minhash_agg", c,
       org.apache.spark.sql.functions.lit(k))
+
+  /** Native float-vector dot product (codegen'd kernel). */
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Native float-vector L2 norm (codegen'd kernel). */
+  def vec_norm(a: Column): Column = call_function("vec_norm", a)
 }
 
 /** `spark.sql.extensions` injector. */
@@ -58,5 +68,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(child, k) => MinHashAgg(child,
             k.eval().asInstanceOf[Number].intValue())
         }).toAggregateExpression()))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_norm"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecNorm].getName, "vec_norm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecNorm(exprs.head)))
   }
 }

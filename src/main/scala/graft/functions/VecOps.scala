@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Static vector kernels: tight primitive loops over Spark's columnar
+  * ArrayData, accumulating left-to-right in double after per-element
+  * float→double widening — bit-identical to the
+  * `aggregate(zip_with(...))` higher-order formulation they replace
+  * (proven by the shared DuckDB oracle), but ~two orders of magnitude
+  * cheaper: the HOF path interprets a lambda per element with boxed
+  * accumulator updates; this is one static call per row inside
+  * whole-stage codegen. */
+object VecKernels {
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  def normF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = a.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s)
+  }
+}
+
+/** `vec_dot(a, b)` over two `array<float>` columns → double. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private val floatArray = ArrayType(FloatType, containsNull = false)
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires two array<float> arguments, got " +
+        s"${left.dataType} and ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecKernels.dotF($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDot = copy(left = newLeft, right = newRight)
+}
+
+/** `vec_norm(a)` over an `array<float>` column → double L2 norm. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm requires an array<float> argument, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.normF(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.normF($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}

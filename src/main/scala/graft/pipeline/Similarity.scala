@@ -28,11 +28,27 @@ object Similarity {
   /** Cast float array to double (element-exact). */
   private def dbl(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Higher-order-function formulation — kept as the dependency-free
+    * reference implementation; the operators below use the codegen'd
+    * [[graft.functions.VecDot]]/[[graft.functions.VecNorm]] kernels,
+    * which compute the identical left-to-right double accumulation
+    * (FunctionsSpec pins the equivalence) without per-element lambda
+    * interpretation. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(dbl(a), dbl(b), _ * _), lit(0.0), _ + _)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(dbl(a), x => x * x), lit(0.0), _ + _))
+
+  private def nativeDot(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.vec_dot(a, b)
+  }
+
+  private def nativeNorm(df: DataFrame)(a: Column): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.vec_norm(a)
+  }
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
@@ -59,13 +75,15 @@ object Similarity {
     * streamed once. Ties break on corpus key for determinism. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
       keyCol: String, k: Int): DataFrame = {
+    val nd = nativeDot(corpus) _
+    val nn = nativeNorm(corpus) _
     val q = broadcast(queries.select(col(keyCol).as("q_id"),
-      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm")))
+      col(vecCol).as("q_vec"), nn(col(vecCol)).as("q_norm")))
     val c = corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
-      norm(col(vecCol)).as("c_norm"))
+      nn(col(vecCol)).as("c_norm"))
     val scored = q.crossJoin(c)
       .withColumn("cos",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        nd(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -87,15 +105,17 @@ object Similarity {
     require(actualDim == dim,
       s"lshTopK dim=$dim but corpus vectors have length $actualDim")
     val hp = hyperplanes(planes, dim)
+    val nd = nativeDot(corpus) _
+    val nn = nativeNorm(corpus) _
     val q = broadcast(queries.select(col(keyCol).as("q_id"),
-      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
+      col(vecCol).as("q_vec"), nn(col(vecCol)).as("q_norm"),
       srpBucket(col(vecCol), hp).as("bucket")))
     val c = corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
-      norm(col(vecCol)).as("c_norm"),
+      nn(col(vecCol)).as("c_norm"),
       srpBucket(col(vecCol), hp).as("bucket"))
     q.join(c, Seq("bucket"))
       .withColumn("cos",
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+        nd(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cos").desc, col("c_id"))))
@@ -110,15 +130,17 @@ object Similarity {
     * first). */
   def cosinePairs(df: DataFrame, vecCol: String, keyCol: String,
       threshold: Double): DataFrame = {
+    val nd = nativeDot(df) _
+    val nn = nativeNorm(df) _
     val v = df.select(col(keyCol), col(vecCol),
-      norm(col(vecCol)).as("nrm"))
+      nn(col(vecCol)).as("nrm"))
     val a = v.select(col(keyCol).as("key_a"), col(vecCol).as("vec_a"),
       col("nrm").as("norm_a"))
     val b = v.select(col(keyCol).as("key_b"), col(vecCol).as("vec_b"),
       col("nrm").as("norm_b"))
     a.crossJoin(b).filter(col("key_a") < col("key_b"))
       .withColumn("cos",
-        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+        nd(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("key_a"), col("key_b"), round(col("cos"), 3).as("cos"))
   }

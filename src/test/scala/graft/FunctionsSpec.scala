@@ -92,6 +92,22 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql === e.eval(null))
   }
 
+  test("vec_dot/vec_norm kernels match the higher-order formulation bit-for-bit") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .filter($"vec_id" < 40)
+    val hof = e.select($"vec_id",
+        graft.pipeline.Similarity.dot($"embedding", $"embedding").as("d"),
+        graft.pipeline.Similarity.norm($"embedding").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val native = e.select($"vec_id",
+        GraftFunctions.vec_dot($"embedding", $"embedding").as("d"),
+        GraftFunctions.vec_norm($"embedding").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // bit-identical, not approximately equal
+    assert(native.sortBy(_._1).toSeq === hof.sortBy(_._1).toSeq)
+  }
+
   test("kernel: simhash is order- and duplicate-insensitive over tokens") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     assert(HashKernels.simHash64(u("a b c")) ===
