@@ -51,11 +51,33 @@ object EventQueries {
          COUNT(*) AS n_events
        FROM flagged GROUP BY user_id ORDER BY user_id"""
 
+  /** Sliding 10-minute windows advancing every 5 — each event lands in
+    * exactly two windows (Spark's window(size, slide); the oracle
+    * replicates membership by enumerating the two starts). */
+  def evSliding(s: SparkSession, dir: String): DataFrame =
+    EventStream.withEventTime(t(s, dir, "events"))
+      .groupBy(window(col("event_ts"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val evSlidingSql =
+    """SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 300) - k) * 300
+         AS window_start,
+       event_type, COUNT(*) AS n_events
+       FROM events CROSS JOIN range(0, 2) r(k)
+       GROUP BY window_start, event_type
+       ORDER BY window_start, event_type"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window" -> (evWindow _),
+    "ev_sliding" -> (evSliding _),
     "ev_sessions" -> (evSessions _))
 
   val oracle: Map[String, String] = Map(
     "ev_window" -> evWindowSql,
+    "ev_sliding" -> evSlidingSql,
     "ev_sessions" -> evSessionsSql)
 }

@@ -72,6 +72,18 @@ object GraphQueries {
       .distinct()
   }
 
+  /** J14's pivot form: widen the EAV store into one row per node with
+    * a column per requested property (`groupBy().pivot()` — the
+    * schema-on-read counterpart of the multi-self-join, SURVEY.md
+    * §7.4). Property list is explicit so the pivot needs no extra
+    * distinct-values pass at scale. */
+  def pivotProperties(t: GraphTables, propertyNames: Seq[String]): DataFrame =
+    t.properties
+      .filter(col("property_name").isin(propertyNames: _*))
+      .groupBy(col("node_id"))
+      .pivot("property_name", propertyNames)
+      .agg(first(col("property_value")))
+
   /** test_sql_operations.rb:176-197: properties filtered by inferred
     * data type. */
   def propertiesByDataType(t: GraphTables, dataType: String): DataFrame =

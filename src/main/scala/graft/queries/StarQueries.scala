@@ -597,6 +597,24 @@ object StarQueries {
          AND b.pname = 'priority' AND b.pval LIKE '1%'
        ORDER BY a.id"""
 
+  /** Beyond-parity: CUBE aggregation (all grouping-set combinations of
+    * status × priority) — the multidimensional-summary shape a
+    * warehouse load wants; NULL marks the rolled-up dimensions. */
+  def q24Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val q24Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY o_orderstatus ASC NULLS FIRST,
+                o_orderpriority ASC NULLS FIRST"""
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -624,7 +642,8 @@ object StarQueries {
     "q20_union_counts" -> (q20UnionCounts _),
     "q21_recursive_descend" -> (q21Descendants _),
     "q22_token_counts" -> (q22TokenCounts _),
-    "q23_eav_pivot" -> (q23EavPivot _))
+    "q23_eav_pivot" -> (q23EavPivot _),
+    "q24_cube" -> (q24Cube _))
 
   val coreOracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -649,7 +668,8 @@ object StarQueries {
     "q20_union_counts" -> q20Sql,
     "q21_recursive_descend" -> q21Sql,
     "q22_token_counts" -> q22Sql,
-    "q23_eav_pivot" -> q23Sql)
+    "q23_eav_pivot" -> q23Sql,
+    "q24_cube" -> q24Sql)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     core ++ PipelineQueries.all ++ EventQueries.all ++ XmlQueries.all

@@ -192,6 +192,19 @@ class CorpusSpec extends SparkSpec {
     assert(!pairs.exists(_._3 == "parent_child"))
   }
 
+  test("EAV pivot form widens properties into columns (SURVEY §7.4)") {
+    val wide = GraphQueries.pivotProperties(t,
+      Seq("isbn", "category", "published"))
+      .filter($"node_id".startsWith("book_"))
+      .orderBy($"node_id")
+      .as[(String, String, String, String)].collect()
+    assert(wide.length === 3)
+    val b1 = wide.find(_._1 == "book_1").get
+    assert(b1._2 === "978-0-123456-47-2")
+    assert(b1._3 === "cat_fiction")
+    assert(b1._4 === "2021-03-15")
+  }
+
   test("content search LIKE (README.md:161)") {
     val hits = GraphQueries.contentSearch(t, "quantum")
       .select($"id").as[String].collect().toSet

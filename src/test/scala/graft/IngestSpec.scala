@@ -181,6 +181,16 @@ class IngestSpec extends SparkSpec {
       .filter($"count" > 1 && $"parent_id".isNotNull).count() === 0)
   }
 
+  test("encoded documents honor their XML declaration (UTF-16)") {
+    val xml = "<?xml version=\"1.0\" encoding=\"UTF-16\"?>" +
+      "<root id=\"enc_root\"><item id=\"enc_1\" name=\"naïve café\">Déjà vu</item></root>"
+    val bytes = xml.getBytes(java.nio.charset.StandardCharsets.UTF_16)
+    val p = XmlIngest.parseOne("/tmp/enc.xml", bytes.length.toLong, bytes).get
+    assert(p.nodes.map(_.id).toSet === Set("enc_root", "enc_1"))
+    assert(p.nodes.find(_.id == "enc_1").get.content === Some("Déjà vu"))
+    assert(p.properties.head.property_value === "naïve café")
+  }
+
   test("UNIQUE(parent_id, position) replaces across files like the reference") {
     import spark.implicits._
     // both files put a child at (parent g, position 0); the reference's

@@ -43,6 +43,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from append output") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = source.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.windowedAggregates(streamDf)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    def ns(sec: Long): Long = sec * 1000000000L
+    try {
+      // watermark = max(event_ts) - 10min; window [0,300) closes once
+      // the watermark passes 300s
+      source.addData(Seq((1L, ns(10), 1L, "x", 1.0),
+        (2L, ns(1200), 1L, "x", 1.0)))
+      q.processAllAvailable()
+      // late arrival into the already-closed [0,300) window
+      source.addData(Seq((3L, ns(50), 1L, "x", 1.0)))
+      q.processAllAvailable()
+      // advance far enough to flush every window
+      source.addData(Seq((4L, ns(7200), 1L, "x", 1.0)))
+      q.processAllAvailable()
+      source.addData(Seq.empty)
+      q.processAllAvailable()
+      val bucket0 = spark.table("late_out")
+        .filter($"bucket_start" === 0L)
+        .select($"n_events").as[Long].collect()
+      // the late event never lands: bucket 0 keeps exactly 1 event
+      assert(bucket0.toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
   test("streaming XML ingest converts files as they appear") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val in = Files.createTempDirectory("graft-stream-in")
