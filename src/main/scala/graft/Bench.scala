@@ -23,11 +23,38 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    }.toMap + ("xml_convert_2000docs" -> xmlConvertBench(spark))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Time the engine's core function — XML directory → full
+    * property-graph conversion (core adapters) — over a generated
+    * 2000-file corpus (12 identified nodes + ~40 attributes each).
+    * Reported like any query; docs/sec = 2000 / seconds. */
+  private def xmlConvertBench(spark: SparkSession): Double = {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-bench-xml")
+    (0 until 2000).foreach { i =>
+      val items = (0 until 10).map { j =>
+        s"""<item id="it_${i}_$j" idx="$j" ref="sec_$i" score="$j.5" active="${j % 2 == 0}">payload $i $j</item>"""
+      }.mkString("\n")
+      val xml =
+        s"""<?xml version="1.0"?>
+           |<doc id="doc_$i"><section id="sec_$i" kind="bench">
+           |$items
+           |</section></doc>""".stripMargin
+      Files.write(dir.resolve(f"bench_$i%04d.xml"), xml.getBytes("UTF-8"))
+    }
+    val t0 = System.nanoTime()
+    try {
+      val tables = new graft.engine.Converter(spark).convert(dir.toString)
+      tables.crossReferences.count()
+      tables.properties.count()
+    } catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
   }
 }
