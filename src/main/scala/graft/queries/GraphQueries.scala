@@ -271,6 +271,13 @@ object GraphQueries {
       .orderBy(col("depth"), col("descendant_id"))
   }
 
+  /** sql_queries.md:210-235: the `hierarchical_paths` view — every
+    * (descendant, ancestor) pair with depth and the ancestor-to-
+    * descendant chain, over parent_child edges, depth-capped at 10. */
+  def hierarchicalPaths(t: GraphTables): DataFrame =
+    Recursion.ancestorPaths(parentChildEdges(t), maxDepth = 10)
+      .orderBy(col("descendant_id"), col("depth"))
+
   private def parentChildEdges(t: GraphTables): DataFrame =
     t.crossReferences.filter(col("reference_type") === "parent_child")
       .select(col("source_node_id").as("src"),

@@ -38,6 +38,33 @@ object Recursion {
     expand(edges.select(col("dst").as("src"), col("src").as("dst")),
       seeds, maxDepth, prependPath = true)
 
+  /** Ancestor-chain expansion carrying the origin row: for every seed
+    * node, one output row per ancestor at each depth with the
+    * ancestor→…→origin path — the `hierarchical_paths` view shape
+    * (sql_queries.md:210-235: base depth 1 = `src -> dst` per
+    * parent_child edge; recursive arm prepends the next ancestor). */
+  def ancestorPaths(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var frontier = e.select(col("dst").as("descendant_id"),
+        col("src").as("ancestor_id"), lit(1).as("depth"),
+        concat(col("src"), lit(" -> "), col("dst")).as("path"))
+      .localCheckpoint()
+    var acc = frontier
+    var depth = 1
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = frontier.alias("f")
+        .join(e.alias("e"), col("f.ancestor_id") === col("e.dst"))
+        .select(col("f.descendant_id"), col("e.src").as("ancestor_id"),
+          (col("f.depth") + 1).as("depth"),
+          concat(col("e.src"), lit(" -> "), col("f.path")).as("path"))
+        .localCheckpoint()
+      acc = acc.unionAll(next)
+      frontier = next
+      depth += 1
+    }
+    acc
+  }
+
   /** Min-depth reachability via GraphX Pregel — the 100 TB form of
     * [[descend]]. The CTE semantics enumerate every path (output grows
     * with path count, which explodes on dense graphs); at corpus scale

@@ -65,5 +65,8 @@ object XmlQueries {
       ((s: SparkSession, _: String) =>
         GraphQueries.bidirectionalPairs(tables(s))),
     "xml_statistics" ->
-      ((s: SparkSession, _: String) => GraphQueries.statistics(tables(s))))
+      ((s: SparkSession, _: String) => GraphQueries.statistics(tables(s))),
+    "xml_hierarchical_paths" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.hierarchicalPaths(tables(s))))
 }

@@ -160,6 +160,21 @@ class CorpusSpec extends SparkSpec {
     assert(!byDepth.contains(3))
   }
 
+  test("hierarchical_paths view: all ancestor chains (sql_queries.md:210-235)") {
+    val paths = GraphQueries.hierarchicalPaths(t)
+      .filter($"descendant_id" === "reviewer_1")
+      .select($"ancestor_id", $"depth", $"path")
+      .as[(String, Int, String)].collect()
+    assert(paths.toSeq === Seq(
+      ("review_1", 1, "review_1 -> reviewer_1"),
+      ("reviews", 2, "reviews -> review_1 -> reviewer_1"),
+      ("main_library", 3,
+        "main_library -> reviews -> review_1 -> reviewer_1")))
+    // every node with a parent appears at depth 1
+    val d1 = GraphQueries.hierarchicalPaths(t).filter($"depth" === 1).count()
+    assert(d1 === t.nodes.filter($"parent_id".isNotNull).count())
+  }
+
   test("broken references: none in the fixture corpus (sql_queries.md:193-199)") {
     assert(GraphQueries.brokenReferences(t).count() === 0)
   }
