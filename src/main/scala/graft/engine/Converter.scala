@@ -53,6 +53,16 @@ final case class GraphTables(documents: DataFrame, nodes: DataFrame,
 }
 
 object GraphTables {
+  /** Release any caches backing these tables (the converter caches
+    * nodes/properties for adapter reuse; call this when done with a
+    * conversion in a long-lived session). */
+  def unpersist(t: GraphTables): Unit = {
+    t.documents.unpersist()
+    t.nodes.unpersist()
+    t.properties.unpersist()
+    t.crossReferences.unpersist()
+  }
+
   /** Reload previously written tables. */
   def read(spark: SparkSession, dir: String): GraphTables = GraphTables(
     spark.read.parquet(s"$dir/documents"),

@@ -79,8 +79,10 @@ object Recursion {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).as[(String, String)]
     val seedSet = seeds.select(col("node")).as[String]
+    // sorted zipWithIndex: the name→id mapping is deterministic under
+    // recomputation, so no cache (and no leak) is needed
     val ids = e.flatMap(p => Seq(p._1, p._2)).union(seedSet).distinct()
-      .rdd.zipWithUniqueId().cache()
+      .rdd.sortBy(identity).zipWithIndex()
     val idOf = ids.map(_.swap)
     val seedIds: Set[VertexId] = seedSet.rdd.map(_ -> (())).join(ids)
       .map { case (_, (_, vid)) => vid }.collect().toSet

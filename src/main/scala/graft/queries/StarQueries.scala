@@ -263,11 +263,13 @@ object StarQueries {
     * SURVEY.md §4.3); the oracle runs the literal OR form, proving the
     * rewrite equivalent. */
   def q14MostConnected(s: SparkSession, dir: String): DataFrame = {
+    // uncached: the two endpoint projections share the distinct's
+    // shuffle via ReuseExchange, and a cache here could never be
+    // unpersisted by the caller
     val e = t(s, dir, "lineitem")
       .select(col("l_suppkey").as("src"), (col("l_partkey") % 97).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .cache()
     val endpoints = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
     endpoints.groupBy(col("id")).agg(count(lit(1)).as("connections"))
