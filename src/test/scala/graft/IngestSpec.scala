@@ -181,6 +181,19 @@ class IngestSpec extends SparkSpec {
       .filter($"count" > 1 && $"parent_id".isNotNull).count() === 0)
   }
 
+  test("pathologically deep nesting skips the file instead of failing") {
+    val depth = 60000
+    val sb = new StringBuilder("""<?xml version="1.0"?>""")
+    (0 until depth).foreach(i => sb.append(s"<n id='d$i'>"))
+    sb.append("x")
+    (0 until depth).foreach(_ => sb.append("</n>"))
+    val p = parseString("deep.xml", sb.toString)
+    // either the parser handles it or the walk overflows — both must
+    // degrade to a skipped file or a parsed document, never a thrown
+    // Error (the S5 contract after the StackOverflowError fix)
+    assert(p.isEmpty || p.get.nodes.length === depth)
+  }
+
   test("encoded documents honor their XML declaration (UTF-16)") {
     val xml = "<?xml version=\"1.0\" encoding=\"UTF-16\"?>" +
       "<root id=\"enc_root\"><item id=\"enc_1\" name=\"naïve café\">Déjà vu</item></root>"

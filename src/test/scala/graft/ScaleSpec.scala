@@ -84,6 +84,37 @@ class ScaleSpec extends SparkSpec {
       .head.getLong(0) === 2)
   }
 
+  test("bucketed tables co-locate the nodes-properties join (no shuffle)") {
+    val t = graft.queries.XmlQueries.tables(spark)
+    spark.sql("DROP TABLE IF EXISTS nodes_bkt")
+    spark.sql("DROP TABLE IF EXISTS props_bkt")
+    // a previously aborted run can leave the managed locations behind
+    // even when the catalog entry is gone
+    Seq("nodes_bkt", "props_bkt").foreach { n =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"spark-warehouse/$n"))
+    }
+    t.nodes.write.bucketBy(8, "id").sortBy("id")
+      .mode("overwrite").saveAsTable("nodes_bkt")
+    t.properties.withColumnRenamed("node_id", "id")
+      .write.bucketBy(8, "id").sortBy("id")
+      .mode("overwrite").saveAsTable("props_bkt")
+    // force the sort-merge path (tiny test tables would broadcast):
+    // with matching bucketing, SMJ needs no shuffle exchange at all
+    val joined = spark.table("nodes_bkt").hint("merge")
+      .join(spark.table("props_bkt"), Seq("id"))
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(joined.count() ===
+      t.properties.join(t.nodes,
+        t.properties("node_id") === t.nodes("id")).count())
+  }
+
   test("ingest scales across many files with stable counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-many")
     (0 until 200).foreach { i =>
