@@ -220,6 +220,56 @@ class CorpusSpec extends SparkSpec {
     assert(b1._4 === "2021-03-15")
   }
 
+  test("the reference's SQL text runs verbatim over the registered views") {
+    t.createViews()
+    // test_sql_operations.rb:119-126 (ORDER BY count DESC), parameters
+    // inlined
+    val counts = spark.sql(
+      """SELECT node_type, COUNT(*) as count
+        |FROM nodes
+        |GROUP BY node_type
+        |ORDER BY count DESC""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("book") === 3 && counts("author") === 3)
+    // test_sql_operations.rb:68-73: the flagship attribute search
+    val flagship = spark.sql(
+      """SELECT n.*, np.property_value
+        |FROM nodes n
+        |JOIN node_properties np ON n.id = np.node_id
+        |WHERE np.property_name = 'category' AND np.property_value = 'cat_fiction'""".stripMargin)
+      .collect()
+    assert(flagship.length === 1)
+    assert(flagship.head.getString(0) === "book_1")
+    // sql_queries.md:108-120: relationship summary
+    val summary = spark.sql(
+      """SELECT
+        |  reference_type,
+        |  COUNT(*) as total_count,
+        |  AVG(confidence) as avg_confidence,
+        |  MIN(confidence) as min_confidence,
+        |  MAX(confidence) as max_confidence,
+        |  COUNT(DISTINCT source_node_id) as unique_sources,
+        |  COUNT(DISTINCT target_node_id) as unique_targets
+        |FROM cross_references
+        |GROUP BY reference_type
+        |ORDER BY total_count DESC""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(summary.contains("sibling") && summary.contains("parent_child"))
+    // README.md:138-146: the node_tree recursive CTE, verbatim
+    val tree = spark.sql(
+      """WITH RECURSIVE node_tree AS (
+        |  SELECT id, node_type, parent_id, content, 0 as level
+        |  FROM nodes WHERE parent_id IS NULL
+        |  UNION ALL
+        |  SELECT n.id, n.node_type, n.parent_id, n.content, nt.level + 1
+        |  FROM nodes n
+        |  JOIN node_tree nt ON n.parent_id = nt.id
+        |)
+        |SELECT * FROM node_tree ORDER BY level, id""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getInt(4)).toMap
+    assert(tree("main_library") === 0 && tree("book_1") === 2)
+  }
+
   test("content search LIKE (README.md:161)") {
     val hits = GraphQueries.contentSearch(t, "quantum")
       .select($"id").as[String].collect().toSet
