@@ -677,5 +677,6 @@ object StarQueries {
     core ++ PipelineQueries.all ++ EventQueries.all ++ XmlQueries.all
 
   def oracle: Map[String, String] =
-    coreOracle ++ PipelineQueries.oracle ++ EventQueries.oracle
+    coreOracle ++ PipelineQueries.oracle ++ EventQueries.oracle ++
+      XmlQueries.oracle
 }

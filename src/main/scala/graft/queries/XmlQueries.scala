@@ -69,4 +69,37 @@ object XmlQueries {
     "xml_hierarchical_paths" ->
       ((s: SparkSession, _: String) =>
         GraphQueries.hierarchicalPaths(tables(s))))
+
+  /** Hand-derived golden outputs for the deterministic XML queries,
+    * expressed as VALUES relations so the driver's DuckDB oracle can
+    * hash-verify them (the rest of the xml_* family stays rows-only:
+    * their outputs carry ingest timestamps or float aggregates).
+    * Derivation: FIXTURES.md §A2's element inventory (sample_library)
+    * plus simple.xml's root/child/child/nested — independently
+    * recountable from the fixture files. */
+  val oracle: Map[String, String] = Map(
+    "xml_count_by_type" ->
+      """SELECT node_type, CAST(cnt AS BIGINT) AS count FROM (VALUES
+         ('tag', 9), ('subcategory', 4), ('author', 3), ('award', 3),
+         ('book', 3), ('review', 3), ('reviewer', 3), ('category', 2),
+         ('child', 2), ('books', 1), ('categories', 1), ('library', 1),
+         ('location', 1), ('metadata', 1), ('nested', 1), ('reviews', 1),
+         ('root', 1)) AS t(node_type, cnt)
+         ORDER BY count DESC, node_type""",
+    "xml_ancestors" ->
+      """SELECT ancestor_id, CAST(depth AS INT) AS depth, path FROM (VALUES
+         ('review_1', 1, 'review_1 -> reviewer_1'),
+         ('reviews', 2, 'reviews -> review_1 -> reviewer_1'),
+         ('main_library', 3,
+          'main_library -> reviews -> review_1 -> reviewer_1'))
+         AS t(ancestor_id, depth, path) ORDER BY depth""",
+    "xml_descendants" ->
+      """SELECT descendant_id, CAST(depth AS INT) AS depth, path FROM (VALUES
+         ('book_1', 1, 'books -> book_1'),
+         ('book_2', 1, 'books -> book_2'),
+         ('book_3', 1, 'books -> book_3'),
+         ('author_1', 2, 'books -> book_1 -> author_1'),
+         ('author_2', 2, 'books -> book_2 -> author_2'),
+         ('author_3', 2, 'books -> book_3 -> author_3'))
+         AS t(descendant_id, depth, path) ORDER BY depth, descendant_id""")
 }
