@@ -117,4 +117,11 @@ object Converter {
   def allAdapters: Seq[RelationshipAdapter] =
     Seq(StructuralAdapter, AttributeReferenceAdapter,
       MultiReferenceAdapter, SemanticAdapter)
+
+  /** The corpus-scale lineup: all-pairs similarity swapped for the
+    * LSH sketch-then-verify variant (same edge schema and confidence
+    * math, bounded join fan-out). */
+  def scaleAdapters: Seq[RelationshipAdapter] =
+    Seq(StructuralAdapter, AttributeReferenceAdapter,
+      MultiReferenceAdapter, SemanticLshAdapter)
 }

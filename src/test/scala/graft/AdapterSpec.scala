@@ -202,6 +202,34 @@ class AdapterSpec extends SparkSpec {
     assert(simEdges.count(e => e._1 == "b1" || e._1 == "b2") >= 2)
   }
 
+  test("LSH semantic variant: sketch-then-verify subset of exact edges") {
+    val xml =
+      """<?xml version="1.0"?><root id="r">
+        |<book id="b1">the quantum garden adventure story begins here tonight</book>
+        |<book id="b2">the quantum garden adventure story begins here tonight</book>
+        |<book id="b3">the quantum garden adventure story begins here today</book>
+        |<magazine id="m1">completely different words about cooking pasta dishes</magazine>
+        |</root>""".stripMargin
+    val exact = convert(Seq(SemanticAdapter), "lsh_a.xml" -> xml)
+    val lsh = convert(Seq(SemanticLshAdapter), "lsh_b.xml" -> xml)
+    def simEdges(df: DataFrame) = df
+      .filter($"reference_type" === "content_similar")
+      .select($"source_node_id", $"target_node_id", $"confidence")
+      .as[(String, String, Double)].collect().toSet
+    val exactEdges = simEdges(exact.crossReferences)
+    val lshEdges = simEdges(lsh.crossReferences)
+    // identical confidences where found; never a pair the exact
+    // adapter would reject
+    assert(lshEdges.subsetOf(exactEdges))
+    // identical texts share every band — guaranteed recall
+    assert(lshEdges.exists(e => e._1 == "b1" && e._2 == "b2" &&
+      e._3 == 0.5))
+    assert(lshEdges.exists(e => e._1 == "b2" && e._2 == "b1"))
+    // the near-identical pair (one word differs) should also survive
+    assert(lshEdges.exists(e => e._1 == "b1" && e._2 == "b3"))
+    assert(!lshEdges.exists(e => e._1 == "m1" || e._2 == "m1"))
+  }
+
   test("custom adapter interface (:342-388)") {
     val custom = new RelationshipAdapter {
       val name = "custom"
