@@ -45,22 +45,48 @@ object XmlStreamIngest {
   }
 
   /** Run the continuous conversion into `outDir` (parquet append per
-    * micro-batch). */
+    * micro-batch; rows carry their micro-batch id in `_batch` so
+    * [[compact]] can resolve cross-batch keys). */
   def run(spark: SparkSession, inputDir: String, outDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
     parsedStream(spark, inputDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[ParsedDocument], _: Long) =>
+      .foreachBatch { (batch: Dataset[ParsedDocument], batchId: Long) =>
         if (!batch.isEmpty) {
           val t = XmlIngest.tables(batch)
-          t.documents.write.mode("append").parquet(s"$outDir/documents")
-          t.nodes.write.mode("append").parquet(s"$outDir/nodes")
-          t.properties.write.mode("append")
-            .parquet(s"$outDir/node_properties")
+          Seq(
+            t.documents -> "documents",
+            t.nodes -> "nodes",
+            t.properties -> "node_properties"
+          ).foreach { case (df, name) =>
+            df.withColumn("_batch", lit(batchId))
+              .write.mode("append").parquet(s"$outDir/$name")
+          }
         }
         ()
       }
       .start()
+
+  /** Cross-batch key resolution: within a batch the tables are already
+    * deduplicated; across batches the highest `_batch` wins per key
+    * (INSERT OR REPLACE arrival order). Writes clean tables (no
+    * `_batch`) under `outDir/compacted` — the periodic-compaction leg
+    * of the streaming-upsert pattern for immutable stores. */
+  def compact(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    def lastPerKey(name: String, keys: Seq[String]): Unit = {
+      val df = spark.read.parquet(s"$outDir/$name")
+      df.withColumn("_rn", row_number().over(
+          Window.partitionBy(keys.map(col): _*)
+            .orderBy(col("_batch").desc)))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_batch")
+        .write.mode("overwrite").parquet(s"$outDir/compacted/$name")
+    }
+    lastPerKey("documents", Seq("id"))
+    lastPerKey("nodes", Seq("id"))
+    lastPerKey("node_properties", Seq("node_id", "property_name"))
+  }
 }

@@ -181,6 +181,18 @@ class IngestSpec extends SparkSpec {
       .filter($"count" > 1 && $"parent_id".isNotNull).count() === 0)
   }
 
+  test("parser never throws on arbitrary bytes (fuzz)") {
+    val prop = Prop.forAll(org.scalacheck.Gen.containerOf[Array, Byte](
+      org.scalacheck.Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      // any byte soup must yield Some(parse) or None — never an
+      // exception escaping parseOne (the S5 contract)
+      val r = XmlIngest.parseOne("/tmp/fuzz.xml", bytes.length.toLong, bytes)
+      r.isEmpty || r.nonEmpty
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200),
+      prop).passed)
+  }
+
   test("pathologically deep nesting skips the file instead of failing") {
     val depth = 60000
     val sb = new StringBuilder("""<?xml version="1.0"?>""")

@@ -95,6 +95,21 @@ class StreamingSpec extends SparkSpec {
       assert(nodes2.count() === 40)
       assert(nodes2.filter($"document_id" === "sample_library").count()
         === 36)
+      // a later batch rewrites the same document (same basename ⇒ same
+      // ids); compaction must keep only the newest version per key
+      val sub = in.resolve("v2")
+      Files.createDirectories(sub)
+      val v2 = new String(Files.readAllBytes(
+        Paths.get(s"$fixturesDir/simple.xml")), "UTF-8")
+        .replace("Hello World", "Hello Again")
+      Files.write(sub.resolve("simple.xml"), v2.getBytes("UTF-8"))
+      q.processAllAvailable()
+      graft.streaming.XmlStreamIngest.compact(spark, out)
+      val compacted = spark.read.parquet(s"$out/compacted/nodes")
+      assert(compacted.count() === 40) // one version per node id
+      assert(compacted.filter($"id" === "child_1")
+        .select($"content").as[String].head() === "Hello Again")
+      assert(!compacted.columns.contains("_batch"))
     } finally q.stop()
   }
 
