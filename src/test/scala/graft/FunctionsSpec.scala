@@ -108,6 +108,17 @@ class FunctionsSpec extends SparkSpec {
     assert(native.sortBy(_._1).toSeq === hof.sortBy(_._1).toSeq)
   }
 
+  test("Graft.session returns a working session with functions available") {
+    val s = graft.Graft.session()
+    val r = s.sql(
+      """SELECT simhash64('hello world') AS h,
+        |vec_norm(array(cast(3.0 as float), cast(4.0 as float))) AS n"""
+        .stripMargin).collect().head
+    assert(r.getLong(0) === HashKernels.simHash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    assert(math.abs(r.getDouble(1) - 5.0) < 1e-12)
+  }
+
   test("kernel: simhash is order- and duplicate-insensitive over tokens") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     assert(HashKernels.simHash64(u("a b c")) ===

@@ -239,8 +239,15 @@ class IngestSpec extends SparkSpec {
   test("end-to-end directory ingest of bundled fixtures") {
     import spark.implicits._
     val t = XmlIngest.ingest(spark, fixturesDir)
-    assert(t.documents.as[(String, String, Long, java.sql.Timestamp)]
-      .collect().map(_._1).toSet === Set("simple", "sample_library"))
+    val docs = t.documents.as[(String, String, Long, java.sql.Timestamp)]
+      .collect()
+    assert(docs.map(_._1).toSet === Set("simple", "sample_library"))
+    // documents golden (test_basic_functionality.rb:49-53): filename is
+    // the full path, file_size the on-disk byte size
+    val simpleDoc = docs.find(_._1 == "simple").get
+    assert(simpleDoc._2.endsWith("/simple.xml"))
+    assert(simpleDoc._3 ===
+      new java.io.File(s"$fixturesDir/simple.xml").length())
     assert(t.nodes.filter($"document_id" === "sample_library").count() === 36)
     val sl = t.nodes.filter($"document_id" === "sample_library")
     assert(sl.filter($"node_type" === "book").count() === 3)
