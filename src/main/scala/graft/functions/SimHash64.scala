@@ -37,7 +37,7 @@ object HashKernels {
     * one expression call replaces a 64-way explode + two shuffles. */
   def simHash64(text: UTF8String): Long = {
     if (text == null) return 0L
-    val tokens = text.toString.toLowerCase.split("\\W+")
+    val tokens = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\W+")
     val seen = new java.util.HashSet[String]()
     val votes = new Array[Int](64)
     var t = 0

@@ -157,7 +157,9 @@ object Dedup {
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("key_a"), col("key_b"), round(col("jaccard"), 3)
-        .as("jaccard"))
+      .select(col("key_a"), col("key_b"),
+        round(col("jaccard").cast(
+          org.apache.spark.sql.types.DecimalType(28, 10)), 3)
+          .cast("double").as("jaccard"))
   }
 }

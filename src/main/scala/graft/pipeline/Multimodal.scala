@@ -104,7 +104,9 @@ object Multimodal {
     * the binary-column plumbing end-to-end without real media. */
   def syntheticAssets(spark: SparkSession, documents: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
-    documents.select(
+    documents
+      .filter(col("text").isNotNull) // codec input must be bytes
+      .select(
       col("doc_id").as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),

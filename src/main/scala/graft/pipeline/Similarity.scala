@@ -45,6 +45,11 @@ object Similarity {
     graft.functions.GraftFunctions.vec_dot(a, b)
   }
 
+  /** Decimal-routed rounding (see StarQueries.roundd). */
+  private def r3(c: Column): Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(28, 10)), 3)
+      .cast("double")
+
   private def nativeNorm(df: DataFrame)(a: Column): Column = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     graft.functions.GraftFunctions.vec_norm(a)
@@ -90,7 +95,7 @@ object Similarity {
           .orderBy(col("cos").desc, col("c_id"))))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"),
-        round(col("cos"), 3).as("cos"))
+        r3(col("cos")).as("cos"))
   }
 
   /** Approximate top-k: score only corpus vectors sharing the query's
@@ -121,7 +126,7 @@ object Similarity {
           .orderBy(col("cos").desc, col("c_id"))))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"),
-        round(col("cos"), 3).as("cos"))
+        r3(col("cos")).as("cos"))
   }
 
   /** All near-duplicate pairs by cosine ≥ threshold within `df`
@@ -142,6 +147,6 @@ object Similarity {
       .withColumn("cos",
         nd(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
-      .select(col("key_a"), col("key_b"), round(col("cos"), 3).as("cos"))
+      .select(col("key_a"), col("key_b"), r3(col("cos")).as("cos"))
   }
 }

@@ -54,6 +54,12 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Decimal-routed rounding (see StarQueries.roundd — keeps both
+    * engines rounding the same decimal). */
+  private def r3(c: Column): Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(28, 10)), 3)
+      .cast("double")
+
   /** Quality metrics: token count, mean token length, stopword ratio,
     * non-alphanumeric density, and a composite score in [0,1]. */
   def qualityMetrics(df: DataFrame, textCol: String,
@@ -63,31 +69,35 @@ object TextAnalysis {
     val nTok = size(toks)
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, tok => array_contains(stopArr, tok)))
-    val punct = length(regexp_replace(lower(t), "[a-z0-9\\s]", ""))
+    // explicit whitespace class: Java \s includes VT (\x0B), RE2's
+    // does not — spell the class out so engine and oracle agree
+    val punct = length(regexp_replace(lower(t),
+      "[a-z0-9 \\t\\n\\x0B\\f\\r]", ""))
     df.withColumn("n_tokens", nTok.cast("long"))
       .withColumn("avg_token_len",
-        round(when(nTok > 0,
-          (length(regexp_replace(t, "\\s+", "")).cast("double") / nTok))
-          .otherwise(0.0), 3))
+        r3(when(nTok > 0,
+          (length(regexp_replace(t, "[ \\t\\n\\x0B\\f\\r]+", ""))
+            .cast("double") / nTok))
+          .otherwise(0.0)))
       .withColumn("stopword_ratio",
-        round(when(nTok > 0, nStop.cast("double") / nTok)
-          .otherwise(0.0), 3))
+        r3(when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0)))
       .withColumn("punct_density",
-        round(when(length(t) > 0, punct.cast("double") / length(t))
-          .otherwise(0.0), 3))
+        r3(when(length(t) > 0, punct.cast("double") / length(t))
+          .otherwise(0.0)))
       .withColumn("quality_score",
-        round(greatest(lit(0.0), least(lit(1.0),
+        r3(greatest(lit(0.0), least(lit(1.0),
           when(nTok > 0,
             lit(0.5) + lit(0.5) * least(lit(1.0), nTok / lit(100.0)) -
               when(length(t) > 0, punct.cast("double") / length(t))
                 .otherwise(0.0))
-            .otherwise(0.0))), 3))
+            .otherwise(0.0)))))
   }
 
   /** Whitespace token count (split on `\s+` of the trimmed text). */
   def whitespaceTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+"))).cast("long")
+      .otherwise(size(split(trim(text), "[ \\t\\n\\x0B\\f\\r]+")))
+      .cast("long")
 
   /** BPE-ish subword proxy: count of letter-runs, digit-runs and
     * individual punctuation marks — the standard cheap token-count
@@ -95,11 +105,12 @@ object TextAnalysis {
     * pattern so it stays portable to RE2-based engines. */
   def approxBpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text),
-      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+      lit("[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0)))
+      .cast("long")
 
   /** Canonical-form fingerprint: md5 of the lowercased,
     * whitespace-collapsed, trimmed text — the exact-dup key that
     * survives formatting noise. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(regexp_replace(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+", " "))
 }

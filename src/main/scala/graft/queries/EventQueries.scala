@@ -24,8 +24,8 @@ object EventQueries {
     """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300
          AS bucket_start,
        event_type, COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
-         AS sum_value
+       CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         AS DECIMAL(28,10)), 2) AS DOUBLE) AS sum_value
        FROM events GROUP BY bucket_start, event_type
        ORDER BY bucket_start, event_type"""
 

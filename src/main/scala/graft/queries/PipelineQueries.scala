@@ -33,7 +33,7 @@ object PipelineQueries {
       .orderBy(col("fp"))
 
   private val ddFingerprintSql =
-    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+    """SELECT md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp,
        COUNT(*) AS group_size, MIN(doc_id) AS keeper
        FROM documents GROUP BY fp ORDER BY fp"""
 
@@ -126,7 +126,8 @@ object PipelineQueries {
          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id)
        SELECT doc_a, doc_b,
-         ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 3) AS jaccard
+         CAST(ROUND(CAST(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS jaccard
        FROM inter
        JOIN sizes sa ON sa.doc_id = doc_a
        JOIN sizes sb ON sb.doc_id = doc_b
@@ -155,7 +156,9 @@ object PipelineQueries {
                          unnest(b.embedding) AS y) z) / (a.nrm * b.nrm)
              AS cos
          FROM v a JOIN v b ON a.vec_id < b.vec_id)
-       SELECT vec_a, vec_b, ROUND(cos, 3) AS cos FROM pairs
+       SELECT vec_a, vec_b,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+       FROM pairs
        WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""
 
   /** SimHash via the custom codegen'd Catalyst expression
@@ -166,6 +169,10 @@ object PipelineQueries {
   def ddSimhashExpr(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     t(s, dir, "documents").filter(col("doc_id") < 200)
+      // match the relational pipeline and oracle: token-less or null
+      // documents contribute no signature rows
+      .filter(col("text").isNotNull &&
+        size(TextAnalysis.tokens(col("text"))) > 0)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.simhash64(col("text")).as("sh"))
       .select(col("doc_id"), posexplode(array((0 until 4).map(i =>
@@ -233,7 +240,8 @@ object PipelineQueries {
            ROW_NUMBER() OVER (PARTITION BY q_id
              ORDER BY cos DESC, c_id) AS rank
          FROM scored)
-       SELECT q_id, rank, c_id, ROUND(cos, 3) AS cos
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
   // --- text analysis --------------------------------------------
@@ -285,26 +293,28 @@ object PipelineQueries {
            len(list_filter(string_split_regex(lower(text), '\W+'),
                x -> list_contains(['the','a','and','of','to'], x)))
              AS n_stop,
-           length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
-           length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
-             AS n_punct,
+           length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g'))
+             AS n_nonspace,
+           length(regexp_replace(lower(text),
+             '[a-z0-9 \t\n\x0B\f\r]', '', 'g')) AS n_punct,
            length(text) AS n_len
          FROM documents WHERE doc_id < 200)
        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-         ROUND(CASE WHEN n_tokens > 0
-           THEN CAST(n_nonspace AS DOUBLE) / n_tokens ELSE 0.0 END, 3)
-           AS avg_token_len,
-         ROUND(CASE WHEN n_tokens > 0
-           THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 3)
-           AS stopword_ratio,
-         ROUND(CASE WHEN n_len > 0
-           THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END, 3)
-           AS punct_density,
-         ROUND(GREATEST(0.0, LEAST(1.0, CASE WHEN n_tokens > 0
+         CAST(ROUND(CAST(CASE WHEN n_tokens > 0
+           THEN CAST(n_nonspace AS DOUBLE) / n_tokens ELSE 0.0 END
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS avg_token_len,
+         CAST(ROUND(CAST(CASE WHEN n_tokens > 0
+           THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS stopword_ratio,
+         CAST(ROUND(CAST(CASE WHEN n_len > 0
+           THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS punct_density,
+         CAST(ROUND(CAST(GREATEST(0.0, LEAST(1.0, CASE WHEN n_tokens > 0
            THEN 0.5 + 0.5 * LEAST(1.0, n_tokens / 100.0) -
                 (CASE WHEN n_len > 0
                  THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END)
-           ELSE 0.0 END)), 3) AS quality_score
+           ELSE 0.0 END)) AS DECIMAL(28,10)), 3) AS DOUBLE)
+           AS quality_score
        FROM m ORDER BY doc_id"""
 
   /** Token counting three ways: whitespace, regex word, BPE-ish. */
@@ -321,12 +331,14 @@ object PipelineQueries {
   private val taTokensSql =
     """SELECT doc_id,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+            ELSE len(string_split_regex(trim(text),
+                     '[ \t\n\x0B\f\r]+')) END AS BIGINT)
          AS ws_tokens,
        CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
                             x -> x <> '')) AS BIGINT) AS word_tokens,
        CAST(len(regexp_extract_all(lower(text),
-                '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+                '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS BIGINT)
+         AS bpe_tokens
        FROM documents ORDER BY doc_id"""
 
   // --- multimodal -----------------------------------------------
@@ -351,7 +363,7 @@ object PipelineQueries {
          AS n_frames,
        CAST(strlen(text) AS BIGINT) AS byte_len,
        md5(text) AS content_hash
-       FROM documents ORDER BY asset_id"""
+       FROM documents WHERE text IS NOT NULL ORDER BY asset_id"""
 
   // --- registry -------------------------------------------------
 

@@ -33,6 +33,16 @@ object StarQueries {
   def sumd(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Engine-neutral rounding: Spark's round(double) rounds the
+    * shortest decimal representation HALF_UP while DuckDB rounds the
+    * binary value, so doubles that ARE exact decimals near a half
+    * boundary (0.5075 → .508 vs .507) diverge. Routing through a
+    * scale-10 decimal first makes both engines see the same decimal
+    * before the final rounding; oracle side mirrors this as
+    * CAST(ROUND(CAST(x AS DECIMAL(28,10)), n) AS DOUBLE). */
+  def roundd(c: Column, n: Int): Column =
+    round(c.cast(DecimalType(28, 10)), n).cast("double")
+
   // ---------------------------------------------------------------
   // Aggregations (SURVEY §2.4)
   // ---------------------------------------------------------------
@@ -49,7 +59,7 @@ object StarQueries {
         sumd(col("l_extendedprice")).as("sum_base_price"),
         sumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
           .as("sum_disc_price"),
-        round(sumd(col("l_quantity")) / count(lit(1)), 2).as("avg_qty"),
+        roundd(sumd(col("l_quantity")) / count(lit(1)), 2).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -58,7 +68,7 @@ object StarQueries {
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
+       CAST(ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_qty,
        COUNT(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-01'
        GROUP BY l_returnflag, l_linestatus
@@ -71,7 +81,7 @@ object StarQueries {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("total_count"),
-        round(sumd(col("o_totalprice")) / count(lit(1)), 2)
+        roundd(sumd(col("o_totalprice")) / count(lit(1)), 2)
           .as("avg_price"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
@@ -81,7 +91,7 @@ object StarQueries {
   private val q02Sql =
     """SELECT o_orderpriority,
        COUNT(*) AS total_count,
-       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+       CAST(ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_price,
        MIN(o_totalprice) AS min_price,
        MAX(o_totalprice) AS max_price,
        COUNT(DISTINCT o_custkey) AS unique_customers
@@ -474,12 +484,12 @@ object StarQueries {
         when(col("o_totalprice") > 300000.0, "high")
           .when(col("o_totalprice") > 150000.0, "mid")
           .otherwise("low").as("price_band"),
-        round(least(lit(1.0), lit(0.8) +
+        roundd(least(lit(1.0), lit(0.8) +
           when(col("o_orderpriority").like("%URGENT%"), 0.15).otherwise(0.0) +
           when(col("o_orderstatus") === "F", 0.05).otherwise(0.0)), 2)
           .as("confidence"),
-        round(col("o_totalprice") / 1000.0, 2).as("price_k"),
-        round(abs(col("o_totalprice") - 200000.0), 2).as("dist_from_200k"),
+        roundd(col("o_totalprice") / 1000.0, 2).as("price_k"),
+        roundd(abs(col("o_totalprice") - 200000.0), 2).as("dist_from_200k"),
         concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
           .as("status_priority"))
       .orderBy(col("o_orderkey"))
@@ -489,12 +499,14 @@ object StarQueries {
        CASE WHEN o_totalprice > 300000.0 THEN 'high'
             WHEN o_totalprice > 150000.0 THEN 'mid'
             ELSE 'low' END AS price_band,
-       ROUND(CAST(LEAST(1.0, 0.8 +
+       CAST(ROUND(CAST(CAST(LEAST(1.0, 0.8 +
          (CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 0.15 ELSE 0.0 END) +
-         (CASE WHEN o_orderstatus = 'F' THEN 0.05 ELSE 0.0 END)) AS DOUBLE), 2)
-         AS confidence,
-       ROUND(o_totalprice / 1000.0, 2) AS price_k,
-       ROUND(ABS(o_totalprice - 200000.0), 2) AS dist_from_200k,
+         (CASE WHEN o_orderstatus = 'F' THEN 0.05 ELSE 0.0 END)) AS DOUBLE)
+         AS DECIMAL(28,10)), 2) AS DOUBLE) AS confidence,
+       CAST(ROUND(CAST(o_totalprice / 1000.0 AS DECIMAL(28,10)), 2)
+         AS DOUBLE) AS price_k,
+       CAST(ROUND(CAST(ABS(o_totalprice - 200000.0) AS DECIMAL(28,10)), 2)
+         AS DOUBLE) AS dist_from_200k,
        o_orderstatus || '-' || o_orderpriority AS status_priority
        FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
 
@@ -535,9 +547,9 @@ object StarQueries {
          FROM events WHERE event_id < 200)
        SELECT CASE
          WHEN v IS NULL OR v = '' THEN 'string'
-         WHEN regexp_matches(v, '^\d+$') THEN 'integer'
-         WHEN regexp_matches(v, '^\d+\.\d+$') THEN 'float'
-         WHEN regexp_matches(v, '(?i)^(true|false)$') THEN 'boolean'
+         WHEN regexp_matches(v, '^\d+\n?$') THEN 'integer'
+         WHEN regexp_matches(v, '^\d+\.\d+\n?$') THEN 'float'
+         WHEN regexp_matches(v, '(?i)^(true|false)\n?$') THEN 'boolean'
          WHEN regexp_matches(v, '^\d{4}-\d{2}-\d{2}')
            OR regexp_matches(v, '^\d{2}:\d{2}:\d{2}') THEN 'datetime'
          ELSE 'string' END AS data_type,

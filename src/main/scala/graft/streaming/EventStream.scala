@@ -49,7 +49,9 @@ object EventStream {
           .as("sum_value"))
       .select(col("window.start").cast("long").as("bucket_start"),
         col("event_type"), col("n_events"),
-        round(col("sum_value"), 2).as("sum_value"))
+        round(col("sum_value").cast(
+          org.apache.spark.sql.types.DecimalType(28, 10)), 2)
+          .cast("double").as("sum_value"))
 
   /** Session gap: 30 minutes of user inactivity starts a new session. */
   val sessionGapSec: Long = 1800L
