@@ -244,6 +244,49 @@ object PipelineQueries {
          CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
+  /** Approximate top-k via sign-random-projection bucketing (one
+    * hyperplane): queries score only same-bucket corpus vectors. The
+    * oracle embeds the same fixed-seed hyperplane as a literal list,
+    * proving the bucketing itself engine-neutral. */
+  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "embedding", "vec_id", k = 5, planes = 1, dim = 64)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private lazy val annLshSql = {
+    val plane = Similarity.hyperplanes(1, 64).head
+      .map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+    s"""WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm,
+           CASE WHEN (SELECT SUM(CAST(x AS DOUBLE) * y)
+                      FROM (SELECT unnest(embedding) AS x,
+                                   unnest($plane) AS y) z) >= 0
+                THEN 1 ELSE 0 END AS bucket
+         FROM embeddings),
+       q AS (SELECT * FROM n WHERE vec_id < 10),
+       c AS (SELECT * FROM n WHERE vec_id >= 10),
+       scored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(c.embedding) AS y) z) / (q.nrm * c.nrm)
+             AS cos
+         FROM q JOIN c ON q.bucket = c.bucket),
+       ranked AS (
+         SELECT q_id, c_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
   // --- text analysis --------------------------------------------
 
   /** Language-ID heuristic vs the labeled lang column. */
@@ -377,6 +420,7 @@ object PipelineQueries {
     "dd_jaccard" -> (ddJaccard _),
     "dd_cosine" -> (ddCosine _),
     "ann_brute_topk" -> (annBruteTopK _),
+    "ann_lsh_topk" -> (annLshTopK _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
@@ -392,6 +436,7 @@ object PipelineQueries {
     "dd_jaccard" -> ddJaccardSql,
     "dd_cosine" -> ddCosineSql,
     "ann_brute_topk" -> annBruteSql,
+    "ann_lsh_topk" -> annLshSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,
