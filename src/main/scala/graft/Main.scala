@@ -30,12 +30,18 @@ object Main {
     var force = false
     var concurrency = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) {
+        System.err.println(s"missing value for $flag"); sys.exit(2)
+      }
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "-i" | "--input" => input = Some(args(i + 1)); i += 2
-        case "-o" | "--output" => output = Some(args(i + 1)); i += 2
-        case "-c" | "--concurrency" => concurrency = args(i + 1); i += 2
-        case "-b" | "--batch-size" => i += 2 // accepted, dissolved
+        case f @ ("-i" | "--input") => input = Some(value(f)); i += 2
+        case f @ ("-o" | "--output") => output = Some(value(f)); i += 2
+        case f @ ("-c" | "--concurrency") => concurrency = value(f); i += 2
+        case f @ ("-b" | "--batch-size") => value(f); i += 2 // dissolved
         case "--no-relationships" => relationships = false; i += 1
         case "--examples" => examples = true; i += 1
         case "--force" => force = true; i += 1

@@ -17,17 +17,39 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Shared builder: validates arity and the k literal up front so a
+    * malformed call surfaces as a clean error at analysis, not a
+    * MatchError/NPE mid-planning. */
+  private[functions] def buildMinHashAgg(exprs: Seq[Expression]): Expression =
+    exprs match {
+      case Seq(child) => MinHashAgg(child, 8).toAggregateExpression()
+      case Seq(child, k) if k.foldable =>
+        val v = k.eval()
+        require(v != null && v.isInstanceOf[Number],
+          "minhash_agg: k must be a non-null integer literal")
+        MinHashAgg(child, v.asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "minhash_agg: k must be a foldable integer literal")
+      case _ => throw new IllegalArgumentException(
+        "minhash_agg expects (shingle[, k]) arguments")
+    }
+
+  private[functions] def buildSimHash(exprs: Seq[Expression]): Expression =
+    exprs match {
+      case Seq(child) => SimHash64(child)
+      case _ => throw new IllegalArgumentException(
+        "simhash64 expects exactly one string argument")
+    }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "built-in")
+      buildSimHash, "built-in")
     registry.createOrReplaceTempFunction("minhash_agg",
-      exprs => exprs match {
-        case Seq(child) => MinHashAgg(child, 8).toAggregateExpression()
-        case Seq(child, k) =>
-          MinHashAgg(child,
-            k.eval().asInstanceOf[Number].intValue()).toAggregateExpression()
-      }, "built-in")
+      buildMinHashAgg, "built-in")
     registry.createOrReplaceTempFunction("vec_dot",
       exprs => VecDot(exprs(0), exprs(1)), "built-in")
     registry.createOrReplaceTempFunction("vec_norm",
@@ -56,18 +78,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       SimHash64.info,
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(exprs.head)))
+      GraftFunctions.buildSimHash))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashAgg].getName, "minhash_agg"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        (exprs match {
-          case Seq(child) => MinHashAgg(child, 8)
-          case Seq(child, k) => MinHashAgg(child,
-            k.eval().asInstanceOf[Number].intValue())
-        }).toAggregateExpression()))
+      GraftFunctions.buildMinHashAgg))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -35,7 +35,10 @@ case class MinHashAgg(
   with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (numHashes < 1)
+      TypeCheckResult.TypeCheckFailure(
+        s"minhash_agg requires k >= 1, got $numHashes")
+    else if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"minhash_agg requires a string argument, got ${child.dataType}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

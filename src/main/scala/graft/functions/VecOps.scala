@@ -16,27 +16,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * whole-stage codegen. */
 object VecKernels {
 
-  def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Null result (boxed) when lengths differ or any element is null —
+    * exactly what `aggregate(zip_with(...))` produces in those cases,
+    * so the kernel never silently reads a null slot as 0.0. */
+  def dotF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 
-  def normF(a: ArrayData): Double = {
+  def normF(a: ArrayData): java.lang.Double = {
     val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       val v = a.getFloat(i).toDouble
       s += v * v
       i += 1
     }
-    math.sqrt(s)
+    java.lang.Double.valueOf(math.sqrt(s))
   }
 }
 
@@ -44,7 +50,6 @@ object VecKernels {
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private val floatArray = ArrayType(FloatType, containsNull = false)
   private def ok(t: DataType): Boolean = t match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -59,13 +64,18 @@ case class VecDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VecKernels.dotF($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.functions.VecKernels.dotF($a, $b);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.doubleValue(); }
+    """)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecDot = copy(left = newLeft, right = newRight)
@@ -82,12 +92,18 @@ case class VecNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any): Any =
     VecKernels.normF(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.normF($a)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Double r = graft.functions.VecKernels.normF($a);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.doubleValue(); }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)

@@ -21,6 +21,14 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       numSalts: Int, joinType: String = "inner"): DataFrame = {
     require(numSalts > 0, "numSalts must be positive")
+    // right/full outer would surface the dim replicas for unmatched
+    // keys (numSalts rows instead of one) — only fact-preserving join
+    // types are equivalent to the plain join
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed(joinType.toLowerCase.replace("_", "")) ||
+      allowed(joinType.toLowerCase),
+      s"saltedJoin does not support joinType=$joinType (dim side is replicated)")
     // deterministic spread: hash of the whole fact row modulo salts
     // (any per-row value works — the salt never reaches the output)
     val saltedFact = fact.withColumn("__salt",

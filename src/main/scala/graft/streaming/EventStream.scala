@@ -74,7 +74,10 @@ object EventStream {
           sorted.foreach { e =>
             val newSession = st.lastTsSec == Long.MinValue ||
               e.ts_sec - st.lastTsSec > sessionGapSec
-            st = SessionState(e.ts_sec,
+            // clamp: a late event must not move the session clock
+            // backwards (it would manufacture a spurious gap against
+            // the next on-time event)
+            st = SessionState(math.max(st.lastTsSec, e.ts_sec),
               st.sessions + (if (newSession) 1 else 0), st.events + 1)
           }
           if (sorted.nonEmpty) state.update(st)

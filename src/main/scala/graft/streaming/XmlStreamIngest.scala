@@ -6,8 +6,6 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import java.nio.charset.StandardCharsets.UTF_8
-
 /** Continuous conversion: "process XML files as they appear".
   *
   * The reference's async fiber pipeline (async_processor.rb:24-44) is
@@ -27,7 +25,12 @@ import java.nio.charset.StandardCharsets.UTF_8
 object XmlStreamIngest {
 
   /** Streaming per-file parse: one [[ParsedDocument]] per discovered
-    * file. */
+    * file. The file stream source is used only for *discovery* (one
+    * wholetext row per new file); the task then re-reads the raw bytes
+    * from the filesystem so the DOM parser sees the original encoding
+    * (a UTF-16 or latin-1 file would be mangled by the text source's
+    * UTF-8 decode) and the recorded file size is the true byte length —
+    * identical semantics to the batch binaryFile path. */
   def parsedStream(spark: SparkSession, inputDir: String): Dataset[ParsedDocument] = {
     import spark.implicits._
     spark.readStream
@@ -36,12 +39,29 @@ object XmlStreamIngest {
       .option("pathGlobFilter", "*.xml")
       .option("recursiveFileLookup", "true")
       .load(inputDir)
-      .select(input_file_name().as("path"), col("value"))
-      .as[(String, String)]
-      .mapPartitions(_.flatMap { case (path, content) =>
-        val bytes = content.getBytes(UTF_8)
-        XmlIngest.parseOne(path, bytes.length.toLong, bytes)
-      })
+      .select(input_file_name().as("path"))
+      .as[String]
+      .mapPartitions { paths =>
+        paths.flatMap { rawUri =>
+          try {
+            // input_file_name() is percent-encoded — decode via URI so
+            // ids match the batch path for names with spaces etc.
+            val uri = new java.net.URI(rawUri)
+            val p = new org.apache.hadoop.fs.Path(uri)
+            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val len = fs.getFileStatus(p).getLen
+            val in = fs.open(p)
+            val bytes = try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val chunk = new Array[Byte](65536)
+              var n = in.read(chunk)
+              while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+              buf.toByteArray
+            } finally in.close()
+            XmlIngest.parseOne(p.toUri.getPath, len, bytes)
+          } catch { case _: Exception => None }
+        }
+      }
   }
 
   /** Run the continuous conversion into `outDir` (parquet append per
@@ -55,15 +75,20 @@ object XmlStreamIngest {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[ParsedDocument], batchId: Long) =>
         if (!batch.isEmpty) {
-          val t = XmlIngest.tables(batch)
-          Seq(
-            t.documents -> "documents",
-            t.nodes -> "nodes",
-            t.properties -> "node_properties"
-          ).foreach { case (df, name) =>
-            df.withColumn("_batch", lit(batchId))
-              .write.mode("append").parquet(s"$outDir/$name")
-          }
+          try {
+            val t = XmlIngest.tables(batch)
+            Seq(
+              t.documents -> "documents",
+              t.nodes -> "nodes",
+              t.properties -> "node_properties"
+            ).foreach { case (df, name) =>
+              df.withColumn("_batch", lit(batchId))
+                .write.mode("append").parquet(s"$outDir/$name")
+            }
+          } finally
+            // tables() caches the parse IR (this same plan) — release
+            // it or a continuous run accumulates storage per batch
+            batch.unpersist()
         }
         ()
       }
@@ -76,17 +101,25 @@ object XmlStreamIngest {
     * of the streaming-upsert pattern for immutable stores. */
   def compact(spark: SparkSession, outDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    def lastPerKey(name: String, keys: Seq[String]): Unit = {
-      val df = spark.read.parquet(s"$outDir/$name")
+    def lastWins(df: org.apache.spark.sql.DataFrame,
+        keys: Seq[String]): org.apache.spark.sql.DataFrame =
       df.withColumn("_rn", row_number().over(
           Window.partitionBy(keys.map(col): _*)
             .orderBy(col("_batch").desc)))
         .filter(col("_rn") === 1)
-        .drop("_rn", "_batch")
-        .write.mode("overwrite").parquet(s"$outDir/compacted/$name")
-    }
-    lastPerKey("documents", Seq("id"))
-    lastPerKey("nodes", Seq("id"))
-    lastPerKey("node_properties", Seq("node_id", "property_name"))
+        .drop("_rn")
+    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.drop("_batch").write.mode("overwrite")
+        .parquet(s"$outDir/compacted/$name")
+    write(lastWins(spark.read.parquet(s"$outDir/documents"), Seq("id")),
+      "documents")
+    // nodes obey BOTH replace keys, like the batch ingest: PK id, then
+    // UNIQUE(parent_id, position) for non-null parents
+    val byId = lastWins(spark.read.parquet(s"$outDir/nodes"), Seq("id"))
+    val byPos = lastWins(byId.filter(col("parent_id").isNotNull),
+      Seq("parent_id", "position"))
+    write(byPos.unionByName(byId.filter(col("parent_id").isNull)), "nodes")
+    write(lastWins(spark.read.parquet(s"$outDir/node_properties"),
+      Seq("node_id", "property_name")), "node_properties")
   }
 }

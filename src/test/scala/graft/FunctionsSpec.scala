@@ -119,6 +119,36 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 5.0) < 1e-12)
   }
 
+  test("vec_dot/vec_norm null-propagate like the HOF form; bad calls error cleanly") {
+    GraftFunctions.register(spark)
+    // null element → null result (not silently 0)
+    val r1 = spark.sql(
+      """SELECT vec_dot(array(cast(1.0 as float), cast(null as float)),
+        |               array(cast(2.0 as float), cast(3.0 as float))) AS d"""
+        .stripMargin).collect().head
+    assert(r1.isNullAt(0))
+    // mismatched lengths → null (zip_with pads with null)
+    val r2 = spark.sql(
+      """SELECT vec_dot(array(cast(1.0 as float)),
+        |               array(cast(2.0 as float), cast(3.0 as float))) AS d"""
+        .stripMargin).collect().head
+    assert(r2.isNullAt(0))
+    val r3 = spark.sql(
+      "SELECT vec_norm(array(cast(null as float))) AS n").collect().head
+    assert(r3.isNullAt(0))
+    // minhash_agg misuse surfaces as a clean error, not MatchError/NPE
+    docs.createOrReplaceTempView("fn_docs2")
+    intercept[Exception] {
+      spark.sql("SELECT minhash_agg(text, 0) FROM fn_docs2").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT minhash_agg(text, doc_id) FROM fn_docs2").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT minhash_agg() FROM fn_docs2").collect()
+    }
+  }
+
   test("kernel: simhash is order- and duplicate-insensitive over tokens") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     assert(HashKernels.simHash64(u("a b c")) ===

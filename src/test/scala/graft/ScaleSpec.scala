@@ -27,6 +27,14 @@ class ScaleSpec extends SparkSpec {
     val plainL = factWithMiss.join(dim, Seq("k"), "left_outer")
     val saltedL = Skew.saltedJoin(factWithMiss, dim, "k", 8, "left_outer")
     assert(saltedL.count() === plainL.count())
+    // dim-preserving join types would replicate unmatched dim rows —
+    // rejected up front
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", 8, "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", 8, "right")
+    }
   }
 
   test("Pregel min-depth agrees with the iterative traversal") {
