@@ -118,10 +118,13 @@ object Converter {
     Seq(StructuralAdapter, AttributeReferenceAdapter,
       MultiReferenceAdapter, SemanticAdapter)
 
-  /** The corpus-scale lineup: all-pairs similarity swapped for the
-    * LSH sketch-then-verify variant (same edge schema and confidence
-    * math, bounded join fan-out). */
+  /** The corpus-scale lineup: the quadratic content-similarity scan is
+    * swapped for the LSH sketch-then-verify variant (same edge schema
+    * and confidence math, bounded join fan-out); the exact `same_type`
+    * pass stays ([[SameTypeAdapter]]), so the relationship schema is
+    * identical to [[allAdapters]] — only content_similar recall is
+    * approximate. */
   def scaleAdapters: Seq[RelationshipAdapter] =
     Seq(StructuralAdapter, AttributeReferenceAdapter,
-      MultiReferenceAdapter, SemanticLshAdapter)
+      MultiReferenceAdapter, SameTypeAdapter, SemanticLshAdapter)
 }

@@ -216,10 +216,18 @@ object XmlIngest {
         .filter($"rn" === 1)
         .drop("rn")
 
-    // Two replace keys, applied in write order like the reference's
-    // INSERT OR REPLACE against both constraints: PK (id), then
-    // UNIQUE(parent_id, position) (001_create_base_schema.rb:29; null
-    // parents are exempt, matching SQLite's multi-NULL semantics).
+    // Two replace keys: PK (id), then UNIQUE(parent_id, position)
+    // (001_create_base_schema.rb:29; null parents are exempt, matching
+    // SQLite's multi-NULL semantics). Semantics are *set-based*: a
+    // surviving row is the last arrival for its id AND the last among
+    // the id-survivors for its (parent_id, position). This diverges
+    // from SQLite's row-at-a-time INSERT OR REPLACE in one corner: if a
+    // middle arrival deletes an earlier row via the UNIQUE constraint
+    // and is later itself replaced via the PK, SQLite leaves that
+    // (parent, position) slot empty, whereas the window form keeps the
+    // earlier row (it is the last id-survivor for the slot). The
+    // declarative form is order-independent and scale-stable — pinned
+    // by IngestSpec "double-conflict interleaving".
     val byId = lastWins(
       parsed.select($"document.filename", explode($"nodes").as("n"))
         .select($"filename", $"n.*"),

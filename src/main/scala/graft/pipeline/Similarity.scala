@@ -106,7 +106,11 @@ object Similarity {
     // a dim mismatch would null the plane dot products and collapse
     // every vector into one bucket (a silent full cross join) — fail
     // fast instead; one tiny job against the corpus head
-    val actualDim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val probe = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("sz")).limit(1).collect()
+    require(probe.nonEmpty,
+      s"lshTopK: corpus has no non-null '$vecCol' vectors to probe")
+    val actualDim = probe(0).getInt(0)
     require(actualDim == dim,
       s"lshTopK dim=$dim but corpus vectors have length $actualDim")
     val hp = hyperplanes(planes, dim)

@@ -212,8 +212,12 @@ object GraphQueries {
       .limit(k)
   }
 
-  /** sql_queries.md:159-174: bidirectional relationship pairs (self
-    * join on swapped keys + type equality). */
+  /** sql_queries.md:159-174: bidirectional relationship pairs — self
+    * join on swapped keys + type equality. The reference's
+    * `LEFT JOIN … WHERE cr2.id IS NOT NULL` is an inner join that
+    * projects `is_bidirectional` and repeats a row once per matching
+    * reverse edge; that multiplicity is preserved here (a left_semi
+    * would silently dedup when duplicate reverse edges exist). */
   def bidirectionalPairs(t: GraphTables): DataFrame = {
     val a = t.crossReferences.alias("a")
     val b = t.crossReferences.alias("b")
@@ -221,10 +225,13 @@ object GraphQueries {
         col("a.source_node_id") === col("b.target_node_id") &&
           col("a.target_node_id") === col("b.source_node_id") &&
           col("a.reference_type") === col("b.reference_type"),
-        "left_semi")
-      .select(col("source_node_id").as("node1_id"),
-        col("target_node_id").as("node2_id"),
-        col("reference_type"), col("confidence"), col("attribute_name"))
+        "inner")
+      .select(col("a.source_node_id").as("node1_id"),
+        col("a.target_node_id").as("node2_id"),
+        col("a.reference_type").as("reference_type"),
+        col("a.confidence").as("confidence"),
+        col("a.attribute_name").as("attribute_name"),
+        lit(true).as("is_bidirectional"))
   }
 
   // --- recursive hierarchy --------------------------------------

@@ -236,6 +236,31 @@ class IngestSpec extends SparkSpec {
     assert(t.nodes.filter($"id" === "g").count() === 1)
   }
 
+  test("double-conflict interleaving: set-based replacement is pinned") {
+    import spark.implicits._
+    // Arrival order (filename asc): A@(g,0) → B@(g,0) → B@(g,1).
+    // SQLite's row-at-a-time INSERT OR REPLACE would end with only
+    // B@(g,1) (the middle arrival deletes A via UNIQUE, then is itself
+    // replaced via PK). The engine's set-based dedup keeps A: it is the
+    // last id-survivor occupying (g,0). This divergence is intentional
+    // (order-independent, scale-stable) — documented at the dedup site
+    // in XmlIngest.tables.
+    val fileA =
+      """<?xml version="1.0"?><group id="g"><item id="A">one</item></group>"""
+    val fileB =
+      """<?xml version="1.0"?><group id="g"><item id="B">two</item></group>"""
+    val fileC =
+      """<?xml version="1.0"?><group id="g"><pad/><item id="B">three</item></group>"""
+    val parsed = Seq(parseString("a.xml", fileA).get,
+      parseString("b.xml", fileB).get, parseString("c.xml", fileC).get)
+      .toDS()
+    val t = XmlIngest.tables(parsed)
+    val children = t.nodes.filter($"parent_id" === "g")
+      .select($"id", $"position", $"content")
+      .as[(String, Int, String)].collect().sortBy(_._2)
+    assert(children.toSeq === Seq(("A", 0, "one"), ("B", 1, "three")))
+  }
+
   test("end-to-end directory ingest of bundled fixtures") {
     import spark.implicits._
     val t = XmlIngest.ingest(spark, fixturesDir)
