@@ -243,7 +243,7 @@ object GraphQueries {
       .select(col("parent_id").as("src"), col("id").as("dst"))
     val seeds = t.nodes.filter(col("parent_id").isNull)
       .select(col("id").as("node"))
-    val tree = Recursion.descend(edges, seeds, maxDepth = 10)
+    val tree = Recursion.descendUnrolled(edges, seeds, maxDepth = 10)
       .select(col("node"), col("depth").as("level"))
     tree.join(t.nodes, tree("node") === t.nodes("id"))
       .select(col("id"), col("node_type"), col("parent_id"), col("content"),
@@ -259,7 +259,7 @@ object GraphQueries {
       .filter(col("target_node_id") === nodeId &&
         col("reference_type") === "parent_child")
       .select(col("target_node_id").as("node")).distinct()
-    Recursion.ascend(edges, seeds, maxDepth = 10)
+    Recursion.ascendUnrolled(edges, seeds, maxDepth = 10)
       .filter(col("depth") > 0)
       .select(col("node").as("ancestor_id"), col("depth"), col("path"))
       .orderBy(col("depth"))
@@ -272,7 +272,7 @@ object GraphQueries {
       .filter(col("source_node_id") === nodeId &&
         col("reference_type") === "parent_child")
       .select(col("source_node_id").as("node")).distinct()
-    Recursion.descend(edges, seeds, maxDepth = 10)
+    Recursion.descendUnrolled(edges, seeds, maxDepth = 10)
       .filter(col("depth") > 0)
       .select(col("node").as("descendant_id"), col("depth"), col("path"))
       .orderBy(col("depth"), col("descendant_id"))
@@ -282,7 +282,7 @@ object GraphQueries {
     * (descendant, ancestor) pair with depth and the ancestor-to-
     * descendant chain, over parent_child edges, depth-capped at 10. */
   def hierarchicalPaths(t: GraphTables): DataFrame =
-    Recursion.ancestorPaths(parentChildEdges(t), maxDepth = 10)
+    Recursion.ancestorPathsUnrolled(parentChildEdges(t), maxDepth = 10)
       .orderBy(col("descendant_id"), col("depth"))
 
   private def parentChildEdges(t: GraphTables): DataFrame =

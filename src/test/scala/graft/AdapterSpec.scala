@@ -300,6 +300,26 @@ class AdapterSpec extends SparkSpec {
       ("level1_node", 3), ("root_node", 4)))
   }
 
+  test("unrolled recursion matches the iterative loop, cycles included") {
+    // branching DAG plus a cycle: the depth cap is the only terminator
+    // on the a->b->c->a loop, so path multisets must agree exactly
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"node", $"depth", $"path").as[(String, Int, String)]
+        .collect().toSeq.sorted
+    assert(rows(Recursion.descendUnrolled(edges, seeds, 10)) ===
+      rows(Recursion.descend(edges, seeds, 10)))
+    assert(rows(Recursion.ascendUnrolled(edges, seeds, 10)) ===
+      rows(Recursion.ascend(edges, seeds, 10)))
+    def prows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"descendant_id", $"ancestor_id", $"depth", $"path")
+        .as[(String, String, Int, String)].collect().toSeq.sorted
+    assert(prows(Recursion.ancestorPathsUnrolled(edges, 6)) ===
+      prows(Recursion.ancestorPaths(edges, 6)))
+  }
+
   test("native WITH RECURSIVE matches the iterative traversal") {
     val xml =
       """<?xml version="1.0"?><root id="root_node">
