@@ -133,6 +133,57 @@ object Similarity {
         r3(col("cos")).as("cos"))
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor: the corpus is
+    * partitioned into clusters by nearest centroid, and each query
+    * scores only the `nprobe` clusters whose centroids it is closest
+    * to. Centroids here are a deterministic corpus subset selected by
+    * `centroidPred` (at real scale they'd come from k-means; the index
+    * structure — broadcast centroid table, one assignment pass over
+    * the corpus, per-query cluster pruning — is identical). The
+    * assignment is a single broadcast join + windowed argmax: one scan
+    * of the corpus, no corpus shuffle beyond the top-k window. At
+    * 100 TB the corpus is written partitioned by `cent_id` once and
+    * each query reads only its probed partitions.
+    *
+    * Ties (equal cosine) break on ascending id everywhere, so output
+    * is deterministic. Output schema matches [[bruteForceTopK]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      keyCol: String, k: Int, centroidPred: Column,
+      nprobe: Int = 2): DataFrame = {
+    val nd = nativeDot(corpus) _
+    val nn = nativeNorm(corpus) _
+    val cent = broadcast(corpus.filter(centroidPred)
+      .select(col(keyCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        nn(col(vecCol)).as("cent_norm")))
+    def nearest(df: DataFrame, id: String, vec: String, nrm: String,
+        keep: Int): DataFrame =
+      df.crossJoin(cent)
+        .withColumn("ccos",
+          nd(col(vec), col("cent_vec")) / (col(nrm) * col("cent_norm")))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col(id))
+            .orderBy(col("ccos").desc, col("cent_id"))))
+        .filter(col("crk") <= keep)
+        .drop("cent_vec", "cent_norm", "ccos", "crk")
+    val assigned = nearest(
+      corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
+        nn(col(vecCol)).as("c_norm")),
+      "c_id", "c_vec", "c_norm", keep = 1)
+    val probed = nearest(
+      queries.select(col(keyCol).as("q_id"), col(vecCol).as("q_vec"),
+        nn(col(vecCol)).as("q_norm")),
+      "q_id", "q_vec", "q_norm", keep = nprobe)
+    probed.join(assigned, Seq("cent_id"))
+      .withColumn("cos",
+        nd(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        r3(col("cos")).as("cos"))
+  }
+
   /** All near-duplicate pairs by cosine ≥ threshold within `df`
     * (bounded input — pair enumeration is quadratic by definition; at
     * scale gate through [[Dedup.minHashCandidates]]-style bucketing

@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 operator widening: grouping-set rollups, as-of joins,
+  * range/band joins, sketch-accuracy contracts, salted skew joins,
+  * exact percentiles, pivots, and hash-based deterministic sampling —
+  * the relational machinery a training-data pipeline layers on top of
+  * the reference's query surface. Same contract as [[StarQueries]]:
+  * every query is deterministic (total ORDER BY, decimal-routed sums,
+  * engine-neutral rounding) and hash-matched against a DuckDB oracle.
+  */
+object ExtendedQueries {
+  import StarQueries.{t, sumd, roundd}
+
+  // ---------------------------------------------------------------
+  // q25: ROLLUP grouping sets (super-aggregate hierarchy in one pass;
+  // Spark plans this as a single Expand + hash aggregate — one
+  // shuffle for all three grouping levels)
+  // ---------------------------------------------------------------
+
+  def q25Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"),
+        sumd(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("gid"), col("o_orderpriority"), col("o_orderstatus"),
+        col("sum_price"), col("n"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  private val q25Sql =
+    """SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+         AS gid,
+       o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       COUNT(*) AS n
+       FROM orders
+       GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+       ORDER BY gid, o_orderpriority NULLS FIRST,
+         o_orderstatus NULLS FIRST"""
+
+  // ---------------------------------------------------------------
+  // q26: as-of join — for every purchase, the most recent click by
+  // the same user at or before it. The scalable shape is NOT a theta
+  // join (quadratic) but a union-tag + running-max window: one
+  // shuffle by user_id, one sort, linear scan. Ties at equal
+  // timestamp: clicks sort before purchases (kind 0 < 1), so a
+  // same-instant click is visible to the purchase.
+  // ---------------------------------------------------------------
+
+  def q26AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    // µs precision: Spark reads the nanos-long raw (nanosAsLong conf)
+    // but DuckDB's parquet reader coerces TIMESTAMP_NS to µs, so the
+    // comparable timeline is microseconds
+    val e = t(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), // integral div: no double rounding
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("asof_click_us",
+        max(when(col("kind") === 0, col("ts_us"))).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_click_us"),
+        (col("ts_us") - col("asof_click_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q26Sql =
+    """WITH e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+         FROM events WHERE event_type IN ('click', 'purchase')),
+       w AS (
+         SELECT *, MAX(CASE WHEN kind = 0 THEN ts_us END) OVER
+           (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS asof_click_us
+         FROM e)
+       SELECT event_id, user_id, ts_us, asof_click_us,
+         ts_us - asof_click_us AS gap_us
+       FROM w WHERE kind = 1 ORDER BY event_id"""
+
+  // ---------------------------------------------------------------
+  // q27: range (band) join against an inline tier dimension. The dim
+  // is broadcast, so the non-equi predicate evaluates as a broadcast
+  // nested-loop over 5 rows — a streaming pass over the fact table,
+  // no shuffle before the final aggregation.
+  // ---------------------------------------------------------------
+
+  private val tierRows = Seq(
+    ("t1_budget", 0.0, 100000.0), ("t2_mid", 100000.0, 200000.0),
+    ("t3_high", 200000.0, 300000.0), ("t4_premium", 300000.0, 400000.0),
+    ("t5_top", 400000.0, 1000000.0))
+
+  def q27RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiers = broadcast(tierRows.toDF("tier", "lo", "hi"))
+    t(s, dir, "orders")
+      .join(tiers, col("o_totalprice") >= col("lo") &&
+        col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("tier"))
+  }
+
+  private val q27Sql =
+    """WITH tiers(tier, lo, hi) AS (VALUES
+         ('t1_budget', 0.0, 100000.0), ('t2_mid', 100000.0, 200000.0),
+         ('t3_high', 200000.0, 300000.0),
+         ('t4_premium', 300000.0, 400000.0),
+         ('t5_top', 400000.0, 1000000.0))
+       SELECT tier, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+       FROM orders JOIN tiers
+         ON o_totalprice >= lo AND o_totalprice < hi
+       GROUP BY tier ORDER BY tier"""
+
+  // ---------------------------------------------------------------
+  // q28: sketch-accuracy contract for HyperLogLog++ distinct
+  // counting. The estimate itself is engine-specific, so the oracle
+  // pins (a) the exact distinct count and (b) the CONTRACT that
+  // Spark's approx_count_distinct lands within 10% of it (default
+  // rsd = 5%) — the property a 100 TB pipeline actually relies on
+  // when it swaps countDistinct (full shuffle of the key set) for a
+  // fixed-size mergeable sketch.
+  // ---------------------------------------------------------------
+
+  def q28HllContract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+        approx_count_distinct(col("o_custkey")).as("n_approx"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact") * 0.10).as("approx_ok"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q28Sql =
+    """SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_exact, TRUE AS approx_ok
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---------------------------------------------------------------
+  // q29: salted skew join — the explicit-salting form of the
+  // fact⋈dim join ([[Skew.saltedJoin]]): fact rows get a
+  // deterministic salt, the dim side is replicated per salt, the key
+  // becomes (key, salt) so one hot key spreads over numSalts
+  // partitions. The oracle runs the plain join, pinning result
+  // equivalence.
+  // ---------------------------------------------------------------
+
+  def q29SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(t(s, dir, "lineitem"), dim, "l_orderkey", numSalts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q29Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---------------------------------------------------------------
+  // q30: exact continuous percentiles (quartiles of order value per
+  // priority). Spark's `percentile` aggregate and DuckDB's
+  // quantile_cont both linearly interpolate over the sorted values.
+  // ---------------------------------------------------------------
+
+  def q30Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        roundd(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        roundd(expr("percentile(o_totalprice, 0.50)"), 2).as("p50"),
+        roundd(expr("percentile(o_totalprice, 0.75)"), 2).as("p75"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q30Sql =
+    """SELECT o_orderpriority,
+       CAST(ROUND(CAST(quantile_cont(o_totalprice, 0.25)
+         AS DECIMAL(28,10)), 2) AS DOUBLE) AS p25,
+       CAST(ROUND(CAST(quantile_cont(o_totalprice, 0.50)
+         AS DECIMAL(28,10)), 2) AS DOUBLE) AS p50,
+       CAST(ROUND(CAST(quantile_cont(o_totalprice, 0.75)
+         AS DECIMAL(28,10)), 2) AS DOUBLE) AS p75
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---------------------------------------------------------------
+  // q31: pivot (status categories → columns) with an explicit value
+  // list, so the output schema is static and no extra
+  // distinct-values job runs.
+  // ---------------------------------------------------------------
+
+  def q31Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q31Sql =
+    """SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---------------------------------------------------------------
+  // q32: deterministic hash sampling — an engine-portable ~2.3%
+  // Bernoulli sample (md5 prefix < '06' ⇒ 6/256) keyed on the row
+  // id, so the same rows are selected on any engine, any partition
+  // count, any run. This is how a 100 TB pipeline takes auditable
+  // dev subsamples (sample() is seed- and partitioning-dependent and
+  // reproduces nowhere else).
+  // ---------------------------------------------------------------
+
+  def q32HashSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(substring(
+        md5(col("o_orderkey").cast("string").cast("binary")), 1, 2)
+        < "06")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q32Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+       FROM orders
+       WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '06'
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  // ---------------------------------------------------------------
+  // ta_bigrams: top-3 bigrams per source — n-gram frequency mining
+  // over the documents table (map-side explode → one shuffle on
+  // (source, bigram) with partial aggregation → per-group top-k
+  // window).
+  // ---------------------------------------------------------------
+
+  def taBigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+    val pairs = toks.select(col("source"),
+      explode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> concat(tk[i], ' ', tk[i + 1]))")).as("bigram"))
+    pairs.groupBy(col("source"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("bigram"))))
+      .filter(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("bigram"), col("n"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val taBigramsSql =
+    """WITH toks AS (
+         SELECT source, string_split(text, ' ') AS tk FROM documents),
+       pairs AS (
+         SELECT source, tk[i + 1] || ' ' || tk[i + 2] AS bigram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)),
+       counted AS (
+         SELECT source, bigram, COUNT(*) AS n
+         FROM pairs GROUP BY source, bigram),
+       ranked AS (
+         SELECT source, bigram, n,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY n DESC, bigram) AS rank
+         FROM counted)
+       SELECT source, rank, bigram, n
+       FROM ranked WHERE rank <= 3 ORDER BY source, rank"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_rollup" -> (q25Rollup _),
+    "q26_asof_join" -> (q26AsofJoin _),
+    "q27_range_join" -> (q27RangeJoin _),
+    "q28_hll_contract" -> (q28HllContract _),
+    "q29_salted_join" -> (q29SaltedJoin _),
+    "q30_percentiles" -> (q30Percentiles _),
+    "q31_pivot" -> (q31Pivot _),
+    "q32_hash_sample" -> (q32HashSample _),
+    "ta_bigrams" -> (taBigrams _))
+
+  val oracle: Map[String, String] = Map(
+    "q25_rollup" -> q25Sql,
+    "q26_asof_join" -> q26Sql,
+    "q27_range_join" -> q27Sql,
+    "q28_hll_contract" -> q28Sql,
+    "q29_salted_join" -> q29Sql,
+    "q30_percentiles" -> q30Sql,
+    "q31_pivot" -> q31Sql,
+    "q32_hash_sample" -> q32Sql,
+    "ta_bigrams" -> taBigramsSql)
+}

@@ -287,6 +287,73 @@ object PipelineQueries {
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
+  /** IVF approximate top-k: corpus vectors assigned to their nearest
+    * centroid (a deterministic corpus subset, vec_id ≡ 0 mod 50 — 9
+    * centroids), queries probe their 2 nearest centroids and score
+    * only those clusters. The oracle replays the whole index build in
+    * SQL, proving assignment, probing, and scoring engine-neutral. */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "embedding", "vec_id", k = 5,
+      centroidPred = col("vec_id") % 50 === 0, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annIvfSql =
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       q AS (SELECT * FROM n WHERE vec_id < 10),
+       c AS (SELECT * FROM n WHERE vec_id >= 10),
+       cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+                FROM c WHERE vec_id % 50 = 0),
+       cscore AS (
+         SELECT c.vec_id, cent.cent_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(c.embedding) AS x,
+                         unnest(cent.cemb) AS y) z) / (c.nrm * cent.cnrm)
+             AS ccos
+         FROM c CROSS JOIN cent),
+       assigned AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+           FROM cscore) WHERE crk = 1),
+       qscore AS (
+         SELECT q.vec_id, cent.cent_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(cent.cemb) AS y) z) / (q.nrm * cent.cnrm)
+             AS ccos
+         FROM q CROSS JOIN cent),
+       probed AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+           FROM qscore) WHERE crk <= 2),
+       scored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(c.embedding) AS y) z) / (q.nrm * c.nrm)
+             AS cos
+         FROM probed p
+           JOIN assigned a ON a.cent_id = p.cent_id
+           JOIN q ON q.vec_id = p.vec_id
+           JOIN c ON c.vec_id = a.vec_id),
+       ranked AS (
+         SELECT q_id, c_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   // --- text analysis --------------------------------------------
 
   /** Language-ID heuristic vs the labeled lang column. */
@@ -421,6 +488,7 @@ object PipelineQueries {
     "dd_cosine" -> (ddCosine _),
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
+    "ann_ivf_topk" -> (annIvfTopK _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
@@ -437,6 +505,7 @@ object PipelineQueries {
     "dd_cosine" -> ddCosineSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_lsh_topk" -> annLshSql,
+    "ann_ivf_topk" -> annIvfSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,

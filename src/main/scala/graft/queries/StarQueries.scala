@@ -686,9 +686,10 @@ object StarQueries {
     "q24_cube" -> q24Sql)
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    core ++ PipelineQueries.all ++ EventQueries.all ++ XmlQueries.all
+    core ++ PipelineQueries.all ++ EventQueries.all ++
+      ExtendedQueries.all ++ XmlQueries.all
 
   def oracle: Map[String, String] =
     coreOracle ++ PipelineQueries.oracle ++ EventQueries.oracle ++
-      XmlQueries.oracle
+      ExtendedQueries.oracle ++ XmlQueries.oracle
 }

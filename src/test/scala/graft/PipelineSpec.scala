@@ -115,6 +115,39 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.forall { case (qid, cid) => buckets(qid) == buckets(cid) })
   }
 
+  test("IVF ANN: results come only from probed clusters; recall is sane") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val brute = Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, c, "embedding", "vec_id", k = 5,
+      centroidPred = $"vec_id" % 50 === 0, nprobe = 2)
+    val got = ivf.select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall")
+    // invariant: each neighbor's assigned centroid is one of the
+    // query's nprobe probed centroids — recompute assignments in Scala
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = vecs.keys.filter(id => id >= 10 && id % 50 == 0).toSeq.sorted
+    def nearest(id: Long, n: Int): Seq[Long] =
+      cents.map(cid => (cid, cos(vecs(id), vecs(cid))))
+        .sortBy { case (cid, s) => (-s, cid) }.take(n).map(_._1)
+    got.foreach { case (qid, cid) =>
+      assert(nearest(qid, 2).contains(nearest(cid, 1).head),
+        s"neighbor $cid of query $qid is outside the probed clusters")
+    }
+  }
+
   test("language id picks the marker-heavy language") {
     val r = Seq(
       (1L, "the cat and the dog of the house"),
