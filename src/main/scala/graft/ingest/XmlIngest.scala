@@ -2,7 +2,6 @@ package graft.ingest
 
 import graft.model._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import java.io.ByteArrayInputStream
@@ -202,19 +201,25 @@ object XmlIngest {
     // runs once per file, not once per output table.
     val parsed = parsedInput.cache()
 
-    val documents = parsed.select($"document.*")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"id").orderBy($"filename".desc)))
-      .filter($"rn" === 1)
+    // Last-write-wins as a max_by hash aggregate, not a row_number
+    // window: the aggregate partially combines map-side, so at scale
+    // each shuffle moves ~one candidate row per key per map task,
+    // where the window form shuffles every duplicate row and then
+    // sorts each partition. Arrival order is the deterministic
+    // (filename, within-file document order) — see SURVEY.md §7.4.
+    def latest(df: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+        ord: org.apache.spark.sql.Column): DataFrame =
+      df.groupBy(keys: _*)
+        .agg(max_by(struct(df.columns.map(col).toIndexedSeq: _*), ord)
+          .as("w"))
+        .select($"w.*")
+
+    val documents = latest(parsed.select($"document.*"),
+      Seq($"id"), $"filename")
       .select($"id", $"filename", $"file_size",
         current_timestamp().as("parsed_at"))
 
-    def lastWins(df: DataFrame, keys: Seq[String]): DataFrame =
-      df.withColumn("rn", row_number().over(
-        Window.partitionBy(keys.map(col): _*)
-          .orderBy($"filename".desc, $"ordinal".desc)))
-        .filter($"rn" === 1)
-        .drop("rn")
+    val arrival = struct($"filename", $"ordinal")
 
     // Two replace keys: PK (id), then UNIQUE(parent_id, position)
     // (001_create_base_schema.rb:29; null parents are exempt, matching
@@ -224,26 +229,29 @@ object XmlIngest {
     // from SQLite's row-at-a-time INSERT OR REPLACE in one corner: if a
     // middle arrival deletes an earlier row via the UNIQUE constraint
     // and is later itself replaced via the PK, SQLite leaves that
-    // (parent, position) slot empty, whereas the window form keeps the
+    // (parent, position) slot empty, whereas the set form keeps the
     // earlier row (it is the last id-survivor for the slot). The
     // declarative form is order-independent and scale-stable — pinned
     // by IngestSpec "double-conflict interleaving".
-    val byId = lastWins(
+    //
+    // The UNIQUE pass exempts null parents by giving each null-parent
+    // row its own group (third key = id when parent is null) — one
+    // aggregation, no filtered-union re-scan of the PK pass's output.
+    val byId = latest(
       parsed.select($"document.filename", explode($"nodes").as("n"))
         .select($"filename", $"n.*"),
-      Seq("id"))
-    val withParent = lastWins(byId.filter($"parent_id".isNotNull),
-      Seq("parent_id", "position"))
-    val nodes = withParent
-      .unionByName(byId.filter($"parent_id".isNull))
+      Seq($"id"), arrival)
+    val nodes = latest(byId,
+      Seq($"parent_id", $"position",
+        when($"parent_id".isNull, $"id").as("null_slot")), arrival)
       .select($"id", $"node_type", $"document_id", $"parent_id",
         $"position", $"content", $"xpath",
         current_timestamp().as("created_at"))
 
-    val properties = lastWins(
+    val properties = latest(
       parsed.select($"document.filename", explode($"properties").as("p"))
         .select($"filename", $"p.*"),
-      Seq("node_id", "property_name"))
+      Seq($"node_id", $"property_name"), arrival)
       .select($"node_id", $"property_name", $"property_value", $"data_type",
         $"document_id")
 

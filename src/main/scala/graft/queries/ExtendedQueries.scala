@@ -163,7 +163,12 @@ object ExtendedQueries {
   def q29SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     val dim = t(s, dir, "orders")
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    Skew.saltedJoin(t(s, dir, "lineitem"), dim, "l_orderkey", numSalts = 8)
+    // project the fact side to the join key + aggregated column BEFORE
+    // salting: the salt hash and the shuffle then touch 2 columns, not
+    // the full lineitem row
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    Skew.saltedJoin(fact, dim, "l_orderkey", numSalts = 8)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sumd(col("l_extendedprice")).as("sum_price"))

@@ -132,16 +132,18 @@ object SemanticLshAdapter extends RelationshipAdapter {
       // emits both directions
       .filter(substring_index(col("key_a"), "\u0000", 1) ===
         substring_index(col("key_b"), "\u0000", 1))
-    val forward = verified.select(col("key_a").as("s"), col("key_b").as("t"),
-      col("sim"))
-    val backward = verified.select(col("key_b").as("s"), col("key_a").as("t"),
-      col("sim"))
-    forward.unionByName(backward)
+    // both directions from one execution of the verify join (explode,
+    // not a two-branch union that would re-run it)
+    verified
+      .select(explode(array(
+        struct(col("key_a").as("s"), col("key_b").as("t"), col("sim")),
+        struct(col("key_b").as("s"), col("key_a").as("t"), col("sim"))))
+        .as("e"))
       .select(
-        substring_index(col("s"), "\u0000", -1).as("source_node_id"),
-        substring_index(col("t"), "\u0000", -1).as("target_node_id"),
+        substring_index(col("e.s"), "\u0000", -1).as("source_node_id"),
+        substring_index(col("e.t"), "\u0000", -1).as("target_node_id"),
         lit("content_similar").as("reference_type"),
         lit(null).cast("string").as("attribute_name"),
-        (col("sim") * 0.5).as("confidence"))
+        (col("e.sim") * 0.5).as("confidence"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.relationships
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Structural edges: parent/child, sibling, adjacent-sibling.
@@ -31,50 +31,40 @@ object StructuralAdapter extends RelationshipAdapter {
 
   def detect(nodes: DataFrame, properties: DataFrame): DataFrame = {
     val n = nodes.select("id", "document_id", "parent_id", "position")
-
     val withParent = n.filter(col("parent_id").isNotNull)
-    val parentChild = withParent.select(
-      col("parent_id").as("source_node_id"),
-      col("id").as("target_node_id"),
-      lit("parent_child").as("reference_type"),
-      lit(null).cast("string").as("attribute_name"),
-      lit(1.0).as("confidence"))
-    val childParent = withParent.select(
-      col("id").as("source_node_id"),
-      col("parent_id").as("target_node_id"),
-      lit("child_parent").as("reference_type"),
-      lit(null).cast("string").as("attribute_name"),
-      lit(1.0).as("confidence"))
+
+    def edge(src: Column, dst: Column, refType: String): Column =
+      struct(src.as("source_node_id"), dst.as("target_node_id"),
+        lit(refType).as("reference_type"),
+        lit(null).cast("string").as("attribute_name"),
+        lit(1.0).as("confidence"))
+
+    // one scan: each child emits its parent_child + child_parent pair
+    val parentEdges = withParent.select(explode(array(
+      edge(col("parent_id"), col("id"), "parent_child"),
+      edge(col("id"), col("parent_id"), "child_parent"))).as("e"))
 
     val a = withParent.select(col("document_id"), col("parent_id"),
       col("id").as("a_id"), col("position").as("a_pos"))
     val b = withParent.select(col("document_id"), col("parent_id"),
       col("id").as("b_id"), col("position").as("b_pos"))
-    // not cached: the four edge projections below share the join's
-    // shuffle outputs, and a cache here would outlive detect() with no
-    // handle to unpersist (storage leak across repeated conversions)
-    val pairs = a.join(b, Seq("document_id", "parent_id"))
+    // one self-join execution for all four sibling edge types: each
+    // surviving pair explodes into its 2 sibling edges plus, when the
+    // positions are adjacent, the next/previous pair — slice(.., 1, 0)
+    // contributes nothing otherwise. Previously these were four union
+    // branches that each re-ran the join.
+    val pairEdges = a.join(b, Seq("document_id", "parent_id"))
       .filter(col("a_pos") < col("b_pos"))
-      .select(col("a_id"), col("b_id"),
-        (col("b_pos") - col("a_pos") === 1).as("adjacent"))
+      .select(explode(concat(
+        array(edge(col("a_id"), col("b_id"), "sibling"),
+          edge(col("b_id"), col("a_id"), "sibling")),
+        slice(array(
+          edge(col("a_id"), col("b_id"), "next_sibling"),
+          edge(col("b_id"), col("a_id"), "previous_sibling")),
+          lit(1),
+          when(col("b_pos") - col("a_pos") === 1, 2).otherwise(0))))
+        .as("e"))
 
-    def edges(src: String, dst: String, refType: String,
-        onlyAdjacent: Boolean): DataFrame = {
-      val base = if (onlyAdjacent) pairs.filter(col("adjacent")) else pairs
-      base.select(
-        col(src).as("source_node_id"),
-        col(dst).as("target_node_id"),
-        lit(refType).as("reference_type"),
-        lit(null).cast("string").as("attribute_name"),
-        lit(1.0).as("confidence"))
-    }
-
-    parentChild
-      .unionByName(childParent)
-      .unionByName(edges("a_id", "b_id", "sibling", onlyAdjacent = false))
-      .unionByName(edges("b_id", "a_id", "sibling", onlyAdjacent = false))
-      .unionByName(edges("a_id", "b_id", "next_sibling", onlyAdjacent = true))
-      .unionByName(edges("b_id", "a_id", "previous_sibling",
-        onlyAdjacent = true))
+    parentEdges.unionByName(pairEdges).select(col("e.*"))
   }
 }
