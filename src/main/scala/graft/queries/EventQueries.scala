@@ -71,13 +71,39 @@ object EventQueries {
        GROUP BY window_start, event_type
        ORDER BY window_start, event_type"""
 
+  /** Batch form of the stream-stream interval join (purchases ⋈ same-
+    * user clicks within the preceding 30 minutes) — the exact
+    * transform StreamingSpec drives through MemoryStream. */
+  def evIntervalJoin(s: SparkSession, dir: String): DataFrame =
+    EventStream.purchaseClickJoin(t(s, dir, "events"))
+      .select(col("purchase_id"), col("user_id"),
+        col("purchase_ts").cast("long").as("purchase_sec"),
+        col("click_id"), col("click_ts").cast("long").as("click_sec"))
+      .orderBy(col("purchase_id"), col("click_id"))
+
+  private val evIntervalSql =
+    """WITH e AS (
+         SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT)
+           AS ts_sec, event_type
+         FROM events),
+       c AS (SELECT * FROM e WHERE event_type = 'click'),
+       p AS (SELECT * FROM e WHERE event_type = 'purchase')
+       SELECT p.event_id AS purchase_id, p.user_id,
+         p.ts_sec AS purchase_sec, c.event_id AS click_id,
+         c.ts_sec AS click_sec
+       FROM p JOIN c ON c.user_id = p.user_id
+         AND c.ts_sec BETWEEN p.ts_sec - 1800 AND p.ts_sec
+       ORDER BY purchase_id, click_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window" -> (evWindow _),
     "ev_sliding" -> (evSliding _),
-    "ev_sessions" -> (evSessions _))
+    "ev_sessions" -> (evSessions _),
+    "ev_interval_join" -> (evIntervalJoin _))
 
   val oracle: Map[String, String] = Map(
     "ev_window" -> evWindowSql,
     "ev_sliding" -> evSlidingSql,
-    "ev_sessions" -> evSessionsSql)
+    "ev_sessions" -> evSessionsSql,
+    "ev_interval_join" -> evIntervalSql)
 }

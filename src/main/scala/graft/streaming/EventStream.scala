@@ -105,6 +105,43 @@ object EventStream {
         count(lit(1)).as("n_events"))
   }
 
+  /** Stream-stream interval join: each purchase paired with the same
+    * user's clicks in the 30 minutes up to (and including) the
+    * purchase. Both sides carry event-time watermarks and the join
+    * condition bounds click_ts relative to purchase_ts, so state for
+    * either side is dropped once the watermark passes the interval —
+    * the canonical bounded-state stream-stream join. The same
+    * transform runs in batch (ev_interval_join pins it against the
+    * DuckDB oracle). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val base = withEventTime(events)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("event_ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
+  /** Streaming exact deduplication on event_id:
+    * dropDuplicatesWithinWatermark keeps per-key state only until the
+    * watermark passes the key's event time, so the state store stays
+    * bounded — the streaming counterpart of the batch dd_exact
+    * operator (which can see the whole corpus at once). */
+  def deduplicated(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Normalize the raw events frame (nanos-long ts) into
     * [[NormalizedEvent]]s. */
   def normalize(events: DataFrame): Dataset[NormalizedEvent] = {

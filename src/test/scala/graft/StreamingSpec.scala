@@ -143,4 +143,56 @@ class StreamingSpec extends SparkSpec {
       assert(got === expected)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val expected = EventStream.purchaseClickJoin(batchDf)
+      .select($"purchase_id", $"click_id").as[(Long, Long)]
+      .collect().toSet
+    assert(expected.nonEmpty, "fixture data yields no join pairs")
+
+    val source = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = source.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.purchaseClickJoin(streamDf)
+      .writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    try {
+      val rows = batchDf
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[(Long, Long, Long, String, Double)].collect()
+      source.addData(rows.toSeq)
+      q.processAllAvailable()
+      source.addData(Seq.empty)
+      q.processAllAvailable()
+      val got = spark.table("ivj_out")
+        .select($"purchase_id", $"click_id").as[(Long, Long)]
+        .collect().toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops within-watermark duplicates, state stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = source.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.deduplicated(streamDf)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def ns(sec: Long): Long = sec * 1000000000L
+    try {
+      // same event_id delivered three times inside the watermark window
+      source.addData(Seq((1L, ns(10), 1L, "click", 1.0),
+        (1L, ns(12), 1L, "click", 1.0), (2L, ns(20), 1L, "view", 2.0)))
+      q.processAllAvailable()
+      source.addData(Seq((1L, ns(30), 1L, "click", 1.0),
+        (3L, ns(40), 2L, "view", 3.0)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select($"event_id").as[Long].collect().toSeq.sorted
+      assert(got === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
