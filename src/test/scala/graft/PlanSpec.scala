@@ -70,4 +70,29 @@ class PlanSpec extends SparkSpec {
       .explainString(FormattedMode)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q27: range join broadcasts the tier dimension (no shuffle)") {
+    val p = plan("q27_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q25: rollup plans as one Expand + aggregate, not N scans") {
+    val p = plan("q25_rollup")
+    assert(p.contains("Expand"), p)
+    // a single scan feeds every grouping level (count tree leaves, not
+    // the repeated node headers in the detail section)
+    assert("\\+- Scan parquet".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q26: as-of join is a single window pass, no self-join") {
+    val p = plan("q26_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
+  test("ann_ivf: centroid table broadcasts for assignment and probing") {
+    val p = plan("ann_ivf_topk")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+  }
 }
