@@ -46,14 +46,18 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("simhash64",
-      buildSimHash, "built-in")
-    registry.createOrReplaceTempFunction("minhash_agg",
-      buildMinHashAgg, "built-in")
-    registry.createOrReplaceTempFunction("vec_dot",
-      exprs => VecDot(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction("vec_norm",
-      exprs => VecNorm(exprs.head), "built-in")
+    // idempotent: skip names already present so repeated registration
+    // (every operator entry point calls this) doesn't spam
+    // "replaced a previously registered function" warnings
+    def once(name: String,
+        builder: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    once("simhash64", buildSimHash)
+    once("minhash_agg", buildMinHashAgg)
+    once("vec_dot", exprs => VecDot(exprs(0), exprs(1)))
+    once("vec_norm", exprs => VecNorm(exprs.head))
   }
 
   /** 64-bit SimHash of a string column (codegen'd native expression).

@@ -99,6 +99,34 @@ object Multimodal {
     }
   }
 
+  /** The pixel-transform boundary (resize/re-encode). Production
+    * implements this with a real image library; the stub re-stamps
+    * metadata and leaves bytes opaque (marked by a deterministic
+    * prefix) so tests can assert the plumbing without a codec. */
+  trait MediaResizer extends Serializable {
+    def resize(asset: MediaAsset, w: Int, h: Int): MediaAsset
+  }
+
+  object StubResizer extends MediaResizer {
+    def resize(a: MediaAsset, w: Int, h: Int): MediaAsset =
+      a.copy(width = Some(w), height = Some(h),
+        content = s"resized:${w}x$h:".getBytes("UTF-8") ++ a.content)
+  }
+
+  /** Partition-iterator resize pass over image assets; non-image rows
+    * pass through untouched. Same single-boundary shape as
+    * [[decodeAndFeaturize]]: swap the resizer, keep the plan. */
+  def resizeImages(assets: Dataset[MediaAsset], w: Int, h: Int,
+      resizer: MediaResizer = StubResizer): Dataset[MediaAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        if (a.modality == "image") resizer.resize(a, w, h) else a
+      }
+    }
+  }
+
   /** Synthesize a deterministic asset table from the documents corpus
     * (bytes = utf8 text; metadata derived from doc fields) — exercises
     * the binary-column plumbing end-to-end without real media. */

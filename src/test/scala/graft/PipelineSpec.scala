@@ -192,4 +192,26 @@ class PipelineSpec extends SparkSpec {
     assert(feats.groupBy($"asset_id").count()
       .filter($"count" > 4).count() === 0)
   }
+
+  test("multimodal: resize restamps image metadata, passes others through") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .limit(30)
+    val assets = Multimodal.syntheticAssets(spark, docs)
+    val resized = Multimodal.resizeImages(assets, 224, 224).collect()
+    resized.foreach { a =>
+      if (a.modality == "image") {
+        assert(a.width.contains(224) && a.height.contains(224))
+        assert(new String(a.content.take(16), "UTF-8")
+          .startsWith("resized:224x224:"))
+      } else {
+        assert(!new String(a.content.take(8), "UTF-8").startsWith("resized"))
+      }
+    }
+    // decode over resized assets still yields deterministic features
+    val feats = Multimodal.decodeAndFeaturize(
+      Multimodal.resizeImages(assets, 224, 224)).toDF()
+    val again = Multimodal.decodeAndFeaturize(
+      Multimodal.resizeImages(assets, 224, 224)).toDF()
+    assert(feats.exceptAll(again).count() === 0)
+  }
 }
