@@ -300,6 +300,74 @@ object ExtendedQueries {
        SELECT source, rank, bigram, n
        FROM ranked WHERE rank <= 3 ORDER BY source, rank"""
 
+  // ---------------------------------------------------------------
+  // q33: INTERSECT / EXCEPT set operations (distinct semantics both
+  // engines) — customers with urgent orders vs customers with
+  // finished orders.
+  // ---------------------------------------------------------------
+
+  def q33SetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val finished = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    urgent.intersect(finished)
+      .select(lit("both").as("src"), col("o_custkey"))
+      .unionByName(urgent.except(finished)
+        .select(lit("urgent_only").as("src"), col("o_custkey")))
+      .orderBy(col("src"), col("o_custkey"))
+  }
+
+  private val q33Sql =
+    """SELECT 'both' AS src, o_custkey FROM (
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+       UNION ALL
+       SELECT 'urgent_only' AS src, o_custkey FROM (
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+       ORDER BY src, o_custkey"""
+
+  // ---------------------------------------------------------------
+  // q34: RANGE window frame — per-customer trailing-7-day revenue
+  // (value-based frame; peers at the same day aggregate together,
+  // unlike the ROWS frames in q11).
+  // ---------------------------------------------------------------
+
+  def q34RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        // NTZ → TIMESTAMP is identity under the UTC session timezone;
+        // NTZ has no direct long cast
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+          .as("d"),
+        col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-7, Window.currentRow)
+    days
+      .withColumn("weekly",
+        sum(col("o_totalprice").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double"))
+      .select(col("o_custkey"), col("d"), col("weekly"))
+      .orderBy(col("o_custkey"), col("d"))
+  }
+
+  private val q34Sql =
+    """SELECT o_custkey, d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+         (PARTITION BY o_custkey ORDER BY d
+          RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS weekly
+       FROM (SELECT o_custkey,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+               o_totalprice
+             FROM orders)
+       ORDER BY o_custkey, d"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -309,6 +377,8 @@ object ExtendedQueries {
     "q30_percentiles" -> (q30Percentiles _),
     "q31_pivot" -> (q31Pivot _),
     "q32_hash_sample" -> (q32HashSample _),
+    "q33_setops" -> (q33SetOps _),
+    "q34_range_frame" -> (q34RangeFrame _),
     "ta_bigrams" -> (taBigrams _))
 
   val oracle: Map[String, String] = Map(
@@ -320,5 +390,7 @@ object ExtendedQueries {
     "q30_percentiles" -> q30Sql,
     "q31_pivot" -> q31Sql,
     "q32_hash_sample" -> q32Sql,
+    "q33_setops" -> q33Sql,
+    "q34_range_frame" -> q34Sql,
     "ta_bigrams" -> taBigramsSql)
 }
