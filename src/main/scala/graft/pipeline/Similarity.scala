@@ -155,6 +155,11 @@ object Similarity {
     val cent = broadcast(corpus.filter(centroidPred)
       .select(col(keyCol).as("cent_id"), col(vecCol).as("cent_vec"),
         nn(col(vecCol)).as("cent_norm")))
+    // an empty centroid set would silently produce zero results (every
+    // cluster join is empty) — fail fast instead; the centroid table
+    // is small by definition, so this probe is one tiny job
+    require(cent.limit(1).collect().nonEmpty,
+      "ivfTopK: centroidPred selects no corpus vectors")
     def nearest(df: DataFrame, id: String, vec: String, nrm: String,
         keep: Int): DataFrame =
       df.crossJoin(cent)

@@ -148,6 +148,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN fails fast on an empty centroid set") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(e.filter($"vec_id" < 10),
+        e.filter($"vec_id" >= 10), "embedding", "vec_id", k = 5,
+        centroidPred = $"vec_id" < 0)
+    }
+    assert(err.getMessage.contains("centroidPred selects no corpus"))
+  }
+
   test("language id picks the marker-heavy language") {
     val r = Seq(
       (1L, "the cat and the dog of the house"),
