@@ -160,16 +160,32 @@ object Similarity {
     // is small by definition, so this probe is one tiny job
     require(cent.limit(1).collect().nonEmpty,
       "ivfTopK: centroidPred selects no corpus vectors")
-    def nearest(df: DataFrame, id: String, vec: String, nrm: String,
-        keep: Int): DataFrame =
+    def scored(df: DataFrame, vec: String, nrm: String): DataFrame =
       df.crossJoin(cent)
         .withColumn("ccos",
           nd(col(vec), col("cent_vec")) / (col(nrm) * col("cent_norm")))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(col(id))
-            .orderBy(col("ccos").desc, col("cent_id"))))
-        .filter(col("crk") <= keep)
-        .drop("cent_vec", "cent_norm", "ccos", "crk")
+        .drop("cent_vec", "cent_norm")
+    // argmax (keep=1) as a max_by aggregate: partially combines
+    // map-side, so the corpus-sized assignment never shuffles the full
+    // (vector × centroid) score relation the window form would sort.
+    // Tie-break matches row_number(ccos desc, cent_id asc) via
+    // max over (ccos, -cent_id).
+    def nearest(df: DataFrame, id: String, vec: String, nrm: String,
+        keep: Int): DataFrame =
+      if (keep == 1) {
+        val payload = df.columns.filterNot(_ == id) :+ "cent_id"
+        scored(df, vec, nrm)
+          .groupBy(col(id))
+          .agg(max_by(struct(payload.map(col).toIndexedSeq: _*),
+            struct(col("ccos"), -col("cent_id"))).as("w"))
+          .select(col(id) +: payload.map(c => col(s"w.$c")): _*)
+      } else
+        scored(df, vec, nrm)
+          .withColumn("crk", row_number().over(
+            Window.partitionBy(col(id))
+              .orderBy(col("ccos").desc, col("cent_id"))))
+          .filter(col("crk") <= keep)
+          .drop("ccos", "crk")
     val assigned = nearest(
       corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
         nn(col(vecCol)).as("c_norm")),
