@@ -164,20 +164,24 @@ object Similarity {
       df.crossJoin(cent)
         .withColumn("ccos",
           nd(col(vec), col("cent_vec")) / (col(nrm) * col("cent_norm")))
+        // a null cosine (null/degenerate embedding) can rank neither
+        // here nor meaningfully downstream — drop it in BOTH branches
+        // so they agree
+        .filter(col("ccos").isNotNull)
         .drop("cent_vec", "cent_norm")
-    // argmax (keep=1) as a max_by aggregate: partially combines
+    // argmax (keep=1) as a min_by aggregate: partially combines
     // map-side, so the corpus-sized assignment never shuffles the full
     // (vector × centroid) score relation the window form would sort.
-    // Tie-break matches row_number(ccos desc, cent_id asc) via
-    // max over (ccos, -cent_id).
+    // min over (-ccos, cent_id) == row_number(ccos desc, cent_id asc)
+    // for any key type (the key itself is never negated).
     def nearest(df: DataFrame, id: String, vec: String, nrm: String,
         keep: Int): DataFrame =
       if (keep == 1) {
         val payload = df.columns.filterNot(_ == id) :+ "cent_id"
         scored(df, vec, nrm)
           .groupBy(col(id))
-          .agg(max_by(struct(payload.map(col).toIndexedSeq: _*),
-            struct(col("ccos"), -col("cent_id"))).as("w"))
+          .agg(min_by(struct(payload.map(col).toIndexedSeq: _*),
+            struct(-col("ccos"), col("cent_id"))).as("w"))
           .select(col(id) +: payload.map(c => col(s"w.$c")): _*)
       } else
         scored(df, vec, nrm)

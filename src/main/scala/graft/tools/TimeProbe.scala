@@ -37,5 +37,10 @@ object TimeProbe {
       time(s"r$r props count (cached)") { conv.properties.count() }
     }
     spark.stop()
+    // clean up the generated corpus (2000 files per run otherwise
+    // accumulate in /tmp across probe invocations)
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala.foreach(Files.delete)
+    Files.delete(dir)
   }
 }
