@@ -123,6 +123,61 @@ class ScaleSpec extends SparkSpec {
         t.properties("node_id") === t.nodes("id")).count())
   }
 
+  test("IVF works with string keys and prunes cluster partitions at rest") {
+    import graft.pipeline.Similarity
+    val e = StarQueries.t(spark, sf("sf0.001"), "embeddings")
+      .withColumn("key", concat(lit("vec_"), $"vec_id"))
+    // string key column: results must equal the long-key run (modulo
+    // the key rendering) — pins the type-agnostic tie-break
+    val byLong = Similarity.ivfTopK(
+      e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10),
+      "embedding", "vec_id", k = 5,
+      centroidPred = $"vec_id" % 50 === 0, nprobe = 2)
+      .select($"q_id".cast("string"), $"rank", $"c_id".cast("string"))
+      .as[(String, Int, String)].collect().toSet
+      .map { t: (String, Int, String) =>
+        (s"vec_${t._1}", t._2, s"vec_${t._3}") }
+    val byString = Similarity.ivfTopK(
+      e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10),
+      "embedding", "key", k = 5,
+      centroidPred = $"vec_id" % 50 === 0, nprobe = 2)
+      .select($"q_id", $"rank", $"c_id")
+      .as[(String, Int, String)].collect().toSet
+    assert(byString === byLong)
+
+    // the at-rest layout SCALE.md promises: corpus written partitioned
+    // by assigned centroid; a probe of 2 clusters prunes all others
+    val corpus = e.filter($"vec_id" >= 10)
+    val cent = corpus.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cemb"))
+    val assigned = corpus.crossJoin(broadcast(cent))
+      .withColumn("ccos", Similarity.dot($"embedding", $"cemb"))
+      .groupBy($"vec_id")
+      .agg(min_by(struct($"embedding", $"cent_id"),
+        struct(-$"ccos", $"cent_id")).as("w"))
+      .select($"vec_id", $"w.cent_id".as("cent_id"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ivf-rest").toString
+    assigned.write.partitionBy("cent_id").mode("overwrite").parquet(out)
+    val probed = spark.read.parquet(out)
+      .filter($"cent_id".isin(50, 100))
+    probed.collect() // execute THIS df's QueryExecution for its metrics
+    val executed = probed.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(executed.toString.contains("PartitionFilters"), executed)
+    // only the two probed cluster directories are actually read
+    // (inputFiles reports pre-pruning, so read the scan's own metric)
+    val scan = executed.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(allFiles > 2, s"expected >2 cluster files, got $allFiles")
+    assert(scan.metrics("numFiles").value === 2,
+      s"${scan.metrics("numFiles").value} of $allFiles files read")
+  }
+
   test("ingest scales across many files with stable counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-many")
     (0 until 200).foreach { i =>
