@@ -368,6 +368,37 @@ object ExtendedQueries {
              FROM orders)
        ORDER BY o_custkey, d"""
 
+  // ---------------------------------------------------------------
+  // q35: correlated LATERAL subquery, submitted as SQL text — the one
+  // entry exercised through spark.sql() rather than the DataFrame
+  // API. Catalyst decorrelates the per-customer aggregate into a
+  // join + group-by; customers with no orders keep n_orders=0 /
+  // max_price NULL (LATERAL of an aggregate is row-preserving).
+  // ---------------------------------------------------------------
+
+  def q35Lateral(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT c.c_custkey, o.n_orders, o.max_price
+          FROM parquet.`$dir/customer.parquet` c,
+          LATERAL (
+            SELECT COUNT(*) AS n_orders,
+              CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS max_price
+            FROM parquet.`$dir/orders.parquet`
+            WHERE o_custkey = c.c_custkey) o
+          WHERE c.c_mktsegment = 'BUILDING'
+          ORDER BY c.c_custkey""")
+
+  private val q35Sql =
+    """SELECT c.c_custkey, o.n_orders, o.max_price
+       FROM customer c, LATERAL (
+         SELECT COUNT(*) AS n_orders,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS max_price
+         FROM orders WHERE o_custkey = c.c_custkey) o
+       WHERE c.c_mktsegment = 'BUILDING'
+       ORDER BY c.c_custkey"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -379,6 +410,7 @@ object ExtendedQueries {
     "q32_hash_sample" -> (q32HashSample _),
     "q33_setops" -> (q33SetOps _),
     "q34_range_frame" -> (q34RangeFrame _),
+    "q35_lateral" -> (q35Lateral _),
     "ta_bigrams" -> (taBigrams _))
 
   val oracle: Map[String, String] = Map(
@@ -392,5 +424,6 @@ object ExtendedQueries {
     "q32_hash_sample" -> q32Sql,
     "q33_setops" -> q33Sql,
     "q34_range_frame" -> q34Sql,
+    "q35_lateral" -> q35Sql,
     "ta_bigrams" -> taBigramsSql)
 }

@@ -178,6 +178,45 @@ class ScaleSpec extends SparkSpec {
       s"${scan.metrics("numFiles").value} of $allFiles files read")
   }
 
+  test("property: salted join equals the plain join on random frames") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRows = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))
+    val dim = (0L to 4L).map(k => (k, s"d$k")).toDF("k", "label")
+    val prop = Prop.forAll(genRows, Gen.choose(1, 6)) { (rows, salts) =>
+      val fact = rows.toDF("k", "payload")
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.select($"k", $"payload", $"label")
+          .as[(Long, Long, String)].collect().toSeq.sorted
+      // dim covers keys 0-4 only; key 5 tests unmatched-fact behavior
+      sorted(Skew.saltedJoin(fact, dim, "k", salts)) ===
+        sorted(fact.join(dim, Seq("k")))
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("property: unrolled recursion equals iterative on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small dense-ish digraphs with cycles; depth cap keeps paths finite
+    val genEdges = Gen.listOfN(8,
+      Gen.zip(Gen.choose(0, 4), Gen.choose(0, 4)))
+      .map(_.distinct.map { case (a, b) => (s"n$a", s"n$b") })
+    val prop = Prop.forAll(genEdges) { edgeList =>
+      edgeList.isEmpty || {
+        val e = edgeList.toDF("src", "dst")
+        val seeds = Seq("n0").toDF("node")
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.select($"node", $"depth", $"path")
+            .as[(String, Int, String)].collect().toSeq.sorted
+        rows(Recursion.descendUnrolled(e, seeds, 4)) ===
+          rows(Recursion.descend(e, seeds, 4))
+      }
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
+    assert(SCTest.check(params, prop).passed)
+  }
+
   test("ingest scales across many files with stable counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-many")
     (0 until 200).foreach { i =>
