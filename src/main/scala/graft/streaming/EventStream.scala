@@ -142,6 +142,15 @@ object EventStream {
       .withWatermark("event_ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: the event stream joined to a
+    * static dimension on user_id. The static side is broadcast and
+    * re-resolved per micro-batch; left join preserves events with no
+    * dimension row. The third stream-join class next to windowed aggs
+    * and stream-stream joins — no watermark needed because the static
+    * side never grows state. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Normalize the raw events frame (nanos-long ts) into
     * [[NormalizedEvent]]s. */
   def normalize(events: DataFrame): Dataset[NormalizedEvent] = {

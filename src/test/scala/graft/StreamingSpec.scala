@@ -173,6 +173,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment matches the batch join, keeps unmatched") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val source = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = source.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.enriched(streamDf, dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      source.addData(Seq((1L, 1L, 1L, "click", 1.0),
+        (2L, 2L, 2L, "view", 2.0), (3L, 3L, 9L, "view", 3.0)))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select($"event_id", $"tier").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got === Map(1L -> Some("gold"), 2L -> Some("silver"),
+        3L -> None))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates, state stays bounded") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Long, Long, String, Double)]
