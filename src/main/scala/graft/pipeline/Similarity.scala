@@ -69,7 +69,7 @@ object Similarity {
     * dot(v, plane_i). */
   def srpBucket(v: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(aggregate(zip_with(dbl(v), planeCol, _ * _), lit(0.0), _ + _)
         >= 0, 1L << i).otherwise(0L)
     }
@@ -182,7 +182,7 @@ object Similarity {
           .groupBy(col(id))
           .agg(min_by(struct(payload.map(col).toIndexedSeq: _*),
             struct(-col("ccos"), col("cent_id"))).as("w"))
-          .select(col(id) +: payload.map(c => col(s"w.$c")): _*)
+          .select((col(id) +: payload.map(c => col(s"w.$c"))).toIndexedSeq: _*)
       } else
         scored(df, vec, nrm)
           .withColumn("crk", row_number().over(
