@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   *   runMain graft.Main -i /path/to/xml-dir -o /path/to/out \
-  *     [--no-relationships] [--examples] [--force] [-c N]
+  *     [--no-relationships] [--examples] [--force] [-c N] [-v]
   * }}}
   *
   * Flag mapping (reference main.rb:146-173): `-i/-o` as there; `-c`
@@ -28,6 +28,7 @@ object Main {
     var relationships = true
     var examples = false
     var force = false
+    var verbose = false
     var concurrency = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     var i = 0
     def value(flag: String): String = {
@@ -45,6 +46,7 @@ object Main {
         case "--no-relationships" => relationships = false; i += 1
         case "--examples" => examples = true; i += 1
         case "--force" => force = true; i += 1
+        case "-v" | "--verbose" => verbose = true; i += 1
         case other =>
           System.err.println(s"unknown argument: $other"); sys.exit(2)
       }
@@ -54,7 +56,7 @@ object Main {
       case _ =>
         System.err.println(
           "usage: graft.Main -i <xml-dir> -o <out-dir> " +
-            "[--no-relationships] [--examples] [--force] [-c N]")
+            "[--no-relationships] [--examples] [--force] [-c N] [-v]")
         sys.exit(2); throw new IllegalStateException
     }
     if (force) {
@@ -75,7 +77,9 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // -v mirrors main.rb's verbose progress logging via Spark's own
+    // job/stage logs
+    spark.sparkContext.setLogLevel(if (verbose) "INFO" else "WARN")
 
     val adapters =
       if (examples) Converter.allAdapters else Converter.coreAdapters
