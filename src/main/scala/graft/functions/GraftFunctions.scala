@@ -58,6 +58,11 @@ object GraftFunctions {
     once("minhash_agg", buildMinHashAgg)
     once("vec_dot", exprs => VecDot(exprs(0), exprs(1)))
     once("vec_norm", exprs => VecNorm(exprs.head))
+    // kernel fusion for sessions built without GraftExtensions —
+    // extraOptimizations is the per-session post-hoc injection point
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(VecFusionRule))
+      spark.experimental.extraOptimizations = extra :+ VecFusionRule
   }
 
   /** 64-bit SimHash of a string column (codegen'd native expression).
@@ -100,5 +105,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[VecNorm].getName, "vec_norm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecNorm(exprs.head)))
+    e.injectOptimizerRule(_ => VecFusionRule)
   }
 }

@@ -149,6 +149,48 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("VecFusionRule rewrites the HOF dot/norm into kernels, same results") {
+    import graft.functions.{VecDot, VecFusionRule, VecNorm}
+    import graft.pipeline.Similarity
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .limit(50)
+    val hof = e.select($"vec_id",
+      Similarity.dot($"embedding", $"embedding").as("d"),
+      Similarity.norm($"embedding").as("n"))
+    // the rule fires on the analyzed plan
+    val fused = VecFusionRule(hof.queryExecution.analyzed)
+    val fusedExprs = fused.collect { case pl => pl.expressions }
+      .flatten.flatMap(_.collect {
+        case d: VecDot => d
+        case n: VecNorm => n
+      })
+    assert(fusedExprs.count(_.isInstanceOf[VecDot]) === 1, fused)
+    assert(fusedExprs.count(_.isInstanceOf[VecNorm]) === 1, fused)
+
+    // end-to-end through extraOptimizations: optimized plan carries the
+    // kernels and the results are bit-identical to the unfused run
+    val before = hof.as[(Long, Double, Double)].collect().toSeq.sorted
+    graft.functions.GraftFunctions.register(spark)
+    val hof2 = e.select($"vec_id",
+      Similarity.dot($"embedding", $"embedding").as("d"),
+      Similarity.norm($"embedding").as("n"))
+    val opt = hof2.queryExecution.optimizedPlan
+    assert(opt.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[VecDot]))), opt)
+    assert(hof2.as[(Long, Double, Double)].collect().toSeq.sorted
+      === before)
+
+    // double arrays (e.g. the SRP hyperplane dot) must NOT fuse —
+    // VecDot is a float kernel
+    val dbl = e.select(transform($"embedding", _.cast("double"))
+      .as("emb_d"))
+    val dblHof = dbl.select(aggregate(zip_with($"emb_d", $"emb_d",
+      _ * _), lit(0.0), _ + _).as("d"))
+    val dblFused = VecFusionRule(dblHof.queryExecution.analyzed)
+    assert(!dblFused.exists(_.expressions.exists(
+      _.exists(_.isInstanceOf[VecDot]))), dblFused)
+  }
+
   test("kernel: simhash is order- and duplicate-insensitive over tokens") {
     import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
     assert(HashKernels.simHash64(u("a b c")) ===
