@@ -162,4 +162,29 @@ object Dedup {
           org.apache.spark.sql.types.DecimalType(28, 10)), 3)
           .cast("double").as("jaccard"))
   }
+
+  /** Dedup resolution: cluster near-duplicate pairs into connected
+    * components and label every id with its component representative
+    * (the smallest id in the component — singletons represent
+    * themselves). This is the step after candidate generation in every
+    * large-scale dedup pipeline: pairs → clusters → keep one per
+    * cluster. Runs GraphX `connectedComponents` (Pregel min-label
+    * propagation over vertex-partitioned state) — iterations scale
+    * with component diameter, state with vertex count, never with the
+    * quadratic pair-path count a join-based closure would enumerate.
+    * Ids must be integral (they become GraphX VertexIds). */
+  def componentClusters(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph, VertexId}
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val vertices = ids.select(col(idCol).cast("long")).as[Long]
+      .rdd.map(id => (id: VertexId, ()))
+    val edgeRdd = pairs
+      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    Graph(vertices, edgeRdd).connectedComponents()
+      .vertices.map { case (id, comp) => (id, comp) }
+      .toDF(idCol, "component")
+  }
 }

@@ -208,6 +208,43 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Dedup resolution over the cosine-pair graph: connected components
+    * via GraphX (min-id labeling), one keeper per cluster. The oracle
+    * replays the clustering as a recursive min-label CTE. */
+  def ddComponents(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 120)
+    val pairs = Similarity.cosinePairs(emb, "embedding", "vec_id",
+      threshold = 0.3)
+    Dedup.componentClusters(emb.select(col("vec_id")), "vec_id",
+      pairs, "key_a", "key_b")
+      .withColumn("is_keeper", col("vec_id") === col("component"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val ddComponentsSql =
+    """WITH RECURSIVE n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings WHERE vec_id < 120),
+       pairs AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+                FROM (SELECT unnest(a.embedding) AS x,
+                             unnest(b.embedding) AS y) z)
+           / (a.nrm * b.nrm) >= 0.3),
+       edges AS (SELECT va AS src, vb AS dst FROM pairs
+                 UNION ALL SELECT vb, va FROM pairs),
+       reach(node, root) AS (
+         SELECT vec_id, vec_id FROM n
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e
+           ON e.src = r.node)
+       SELECT node AS vec_id, MIN(root) AS component,
+         node = MIN(root) AS is_keeper
+       FROM reach GROUP BY node ORDER BY vec_id"""
+
   // --- similarity search ----------------------------------------
 
   /** Exact top-5 cosine neighbors for the first 10 vectors against the
@@ -486,6 +523,7 @@ object PipelineQueries {
     "dd_simhash_native_expr" -> (ddSimhashExpr _),
     "dd_jaccard" -> (ddJaccard _),
     "dd_cosine" -> (ddCosine _),
+    "dd_components" -> (ddComponents _),
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
@@ -503,6 +541,7 @@ object PipelineQueries {
     "dd_simhash_native_expr" -> ddSimhashSql,
     "dd_jaccard" -> ddJaccardSql,
     "dd_cosine" -> ddCosineSql,
+    "dd_components" -> ddComponentsSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,

@@ -115,6 +115,15 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.forall { case (qid, cid) => buckets(qid) == buckets(cid) })
   }
 
+  test("component clustering: pairs merge transitively, singletons self-label") {
+    val ids = (1L to 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.componentClusters(ids, "id", pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("IVF ANN: results come only from probed clusters; recall is sane") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)
