@@ -156,9 +156,10 @@ object Similarity {
       .select(col(keyCol).as("cent_id"), col(vecCol).as("cent_vec"),
         nn(col(vecCol)).as("cent_norm")))
     // an empty centroid set would silently produce zero results (every
-    // cluster join is empty) — fail fast instead; the centroid table
-    // is small by definition, so this probe is one tiny job
-    require(cent.limit(1).collect().nonEmpty,
+    // cluster join is empty) — fail fast instead; probe only the key
+    // column so the check job scans one column and computes no norms
+    require(corpus.filter(centroidPred).select(col(keyCol))
+      .limit(1).collect().nonEmpty,
       "ivfTopK: centroidPred selects no corpus vectors")
     def scored(df: DataFrame, vec: String, nrm: String): DataFrame =
       df.crossJoin(cent)
