@@ -391,6 +391,53 @@ object PipelineQueries {
          CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
+  /** Composite retrieval pipeline: ANN top-3 per query joined back to
+    * the documents table (vec_id == doc_id in the synthetic corpus)
+    * with a quality filter — the retrieve-then-enrich shape a
+    * training-data pipeline runs after dedup/quality scoring. */
+  def ppRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val hits = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "embedding", "vec_id", k = 3)
+    val docs = t(s, dir, "documents")
+      .filter(col("n_chars") > 100)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    hits.join(docs, hits("c_id") === docs("doc_id"))
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"),
+        col("lang"), col("n_chars"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val ppRetrievalSql =
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       q AS (SELECT * FROM n WHERE vec_id < 10),
+       c AS (SELECT * FROM n WHERE vec_id >= 10),
+       scored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(c.embedding) AS y) z) / (q.nrm * c.nrm)
+             AS cos
+         FROM q CROSS JOIN c),
+       ranked AS (
+         SELECT q_id, c_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, c_id) AS rank
+         FROM scored),
+       hits AS (
+         SELECT q_id, rank, c_id,
+           CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+         FROM ranked WHERE rank <= 3)
+       SELECT h.q_id, h.rank, h.c_id, h.cos, d.lang, d.n_chars
+       FROM hits h JOIN documents d
+         ON h.c_id = d.doc_id AND d.n_chars > 100
+       ORDER BY h.q_id, h.rank"""
+
   // --- text analysis --------------------------------------------
 
   /** Language-ID heuristic vs the labeled lang column. */
@@ -527,6 +574,7 @@ object PipelineQueries {
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
+    "pp_retrieval" -> (ppRetrieval _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
@@ -545,6 +593,7 @@ object PipelineQueries {
     "ann_brute_topk" -> annBruteSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
+    "pp_retrieval" -> ppRetrievalSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,
