@@ -399,6 +399,54 @@ object ExtendedQueries {
        WHERE c.c_mktsegment = 'BUILDING'
        ORDER BY c.c_custkey"""
 
+  // ---------------------------------------------------------------
+  // q36: NTILE quartiles + per-bucket rollup — the distribution-
+  // bucketing window (standard larger-buckets-first split in both
+  // engines; ties broken by orderkey for determinism).
+  // ---------------------------------------------------------------
+
+  def q36Ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        ntile(4).over(w).as("q"))
+      .groupBy(col("o_orderpriority"), col("q"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"), col("q"))
+  }
+
+  private val q36Sql =
+    """SELECT o_orderpriority, q, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+       FROM (SELECT o_orderpriority, o_totalprice,
+               NTILE(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS q
+             FROM orders)
+       GROUP BY o_orderpriority, q ORDER BY o_orderpriority, q"""
+
+  // ---------------------------------------------------------------
+  // q37: calendar-month temporal rollup (date_trunc) — the calendar
+  // grouping the epoch-bucket event queries don't cover.
+  // ---------------------------------------------------------------
+
+  def q37Monthly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month"))
+      .agg(count(lit(1)).as("n"),
+        sumd(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("month"))
+
+  private val q37Sql =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+       FROM orders GROUP BY month ORDER BY month"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -411,6 +459,8 @@ object ExtendedQueries {
     "q33_setops" -> (q33SetOps _),
     "q34_range_frame" -> (q34RangeFrame _),
     "q35_lateral" -> (q35Lateral _),
+    "q36_ntile" -> (q36Ntile _),
+    "q37_monthly" -> (q37Monthly _),
     "ta_bigrams" -> (taBigrams _))
 
   val oracle: Map[String, String] = Map(
@@ -425,5 +475,7 @@ object ExtendedQueries {
     "q33_setops" -> q33Sql,
     "q34_range_frame" -> q34Sql,
     "q35_lateral" -> q35Sql,
+    "q36_ntile" -> q36Sql,
+    "q37_monthly" -> q37Sql,
     "ta_bigrams" -> taBigramsSql)
 }
