@@ -447,6 +447,35 @@ object ExtendedQueries {
          AS sum_price
        FROM orders GROUP BY month ORDER BY month"""
 
+  // ---------------------------------------------------------------
+  // ta_ttr: lexical diversity (type-token ratio) per source — a
+  // standard corpus-quality signal: low TTR flags repetitive/
+  // boilerplate-heavy sources. countDistinct is exact here for the
+  // gate; at 100 TB swap approx_count_distinct under the q28-style
+  // accuracy contract.
+  // ---------------------------------------------------------------
+
+  def taTtr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        roundd(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("ttr"))
+      .orderBy(col("source"))
+
+  private val taTtrSql =
+    """SELECT source, COUNT(*) AS n_tokens,
+       COUNT(DISTINCT tok) AS n_distinct,
+       CAST(ROUND(CAST(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*)
+         AS DECIMAL(28,10)), 4) AS DOUBLE) AS ttr
+       FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents)
+       GROUP BY source ORDER BY source"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -461,7 +490,8 @@ object ExtendedQueries {
     "q35_lateral" -> (q35Lateral _),
     "q36_ntile" -> (q36Ntile _),
     "q37_monthly" -> (q37Monthly _),
-    "ta_bigrams" -> (taBigrams _))
+    "ta_bigrams" -> (taBigrams _),
+    "ta_ttr" -> (taTtr _))
 
   val oracle: Map[String, String] = Map(
     "q25_rollup" -> q25Sql,
@@ -477,5 +507,6 @@ object ExtendedQueries {
     "q35_lateral" -> q35Sql,
     "q36_ntile" -> q36Sql,
     "q37_monthly" -> q37Sql,
-    "ta_bigrams" -> taBigramsSql)
+    "ta_bigrams" -> taBigramsSql,
+    "ta_ttr" -> taTtrSql)
 }
