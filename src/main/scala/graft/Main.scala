@@ -99,6 +99,13 @@ object Main {
     println(s"  Nodes: $nNodes")
     println(s"  Properties: $nProps")
     println(s"  Cross-references: $nRefs")
+    // parity with the reference's per-file error reporting
+    // (async_processor.rb:62-64): scanned files minus successful
+    // parses (pre-dedup, so duplicate basenames don't inflate it)
+    val nScanned = graft.ingest.XmlIngest.scan(spark, in).count()
+    val nParsed = graft.ingest.XmlIngest.parse(spark, in).count()
+    if (nScanned > nParsed)
+      println(s"  Skipped (unparseable): ${nScanned - nParsed}")
     tables.nodes.groupBy(col("node_type")).count()
       .orderBy(col("count").desc, col("node_type"))
       .collect()

@@ -52,4 +52,20 @@ class WriteSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(types.contains("same_type"))
   }
+
+  test("CLI main reports unparseable files in the stats") {
+    val in = Files.createTempDirectory("graft-cli-bad")
+    Files.copy(java.nio.file.Paths.get(s"$fixturesDir/simple.xml"),
+      in.resolve("simple.xml"))
+    Files.write(in.resolve("broken.xml"),
+      "<root id=\"r\"><unclosed>".getBytes("UTF-8"))
+    val out = Files.createTempDirectory("graft-cli-bad-out").toString + "/db"
+    val stdout = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(stdout)) {
+      Main.main(Array("-i", in.toString, "-o", out, "--force"))
+    }
+    val printed = stdout.toString
+    assert(printed.contains("Documents: 1"))
+    assert(printed.contains("Skipped (unparseable): 1"), printed)
+  }
 }
