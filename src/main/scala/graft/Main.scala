@@ -83,7 +83,9 @@ object Main {
 
     val adapters =
       if (examples) Converter.allAdapters else Converter.coreAdapters
-    val tables = new Converter(spark, adapters, relationships)
+    val parseFailures = spark.sparkContext.longAccumulator("parse_failures")
+    val tables = new Converter(spark, adapters, relationships,
+      Some(parseFailures))
       .convertAndWrite(in, out)
 
     // stats printout (main.rb:124-142)
@@ -100,12 +102,10 @@ object Main {
     println(s"  Properties: $nProps")
     println(s"  Cross-references: $nRefs")
     // parity with the reference's per-file error reporting
-    // (async_processor.rb:62-64): scanned files minus successful
-    // parses (pre-dedup, so duplicate basenames don't inflate it)
-    val nScanned = graft.ingest.XmlIngest.scan(spark, in).count()
-    val nParsed = graft.ingest.XmlIngest.parse(spark, in).count()
-    if (nScanned > nParsed)
-      println(s"  Skipped (unparseable): ${nScanned - nParsed}")
+    // (async_processor.rb:62-64), counted by an accumulator during
+    // the single ingest pass — no second scan/parse of the corpus
+    if (parseFailures.value > 0)
+      println(s"  Skipped (unparseable): ${parseFailures.value}")
     tables.nodes.groupBy(col("node_type")).count()
       .orderBy(col("count").desc, col("node_type"))
       .collect()

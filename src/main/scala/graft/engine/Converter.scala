@@ -86,10 +86,11 @@ object GraphTables {
 class Converter(
     spark: SparkSession,
     adapters: Seq[RelationshipAdapter] = Converter.coreAdapters,
-    detectRelationships: Boolean = true) {
+    detectRelationships: Boolean = true,
+    parseFailures: Option[org.apache.spark.util.LongAccumulator] = None) {
 
   def convert(inputDir: String): GraphTables = {
-    val t = XmlIngest.ingest(spark, inputDir)
+    val t = XmlIngest.ingest(spark, inputDir, parseFailures)
     // Ingest tables feed every adapter and the final write; cache once.
     val nodes = t.nodes.cache()
     val properties = t.properties.cache()

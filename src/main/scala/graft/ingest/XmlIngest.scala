@@ -52,8 +52,14 @@ object XmlIngest {
       .load(inputDir)
 
   /** Parse every file into the per-document IR. Parsing is pure
-    * computation per file, so it scales linearly with executor count. */
-  def parse(spark: SparkSession, inputDir: String): Dataset[ParsedDocument] = {
+    * computation per file, so it scales linearly with executor count.
+    * `failures` (optional) is incremented once per unparseable file —
+    * an accumulator-based monitor, so it counts task *executions*:
+    * exact on a cached single pass, may overcount under recomputation
+    * (the standard Spark accumulator caveat). */
+  def parse(spark: SparkSession, inputDir: String,
+      failures: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[ParsedDocument] = {
     import spark.implicits._
     scan(spark, inputDir)
       .select("path", "length", "content")
@@ -64,7 +70,9 @@ object XmlIngest {
         val builder = newBuilder()
         files.flatMap { case (rawPath, length, bytes) =>
           builder.reset()
-          parseOne(rawPath, length, bytes, builder)
+          val parsed = parseOne(rawPath, length, bytes, builder)
+          if (parsed.isEmpty) failures.foreach(_.add(1L))
+          parsed
         }
       }
   }
@@ -259,6 +267,8 @@ object XmlIngest {
   }
 
   /** One-call convenience: directory → tables. */
-  def ingest(spark: SparkSession, inputDir: String): XmlTables =
-    tables(parse(spark, inputDir))
+  def ingest(spark: SparkSession, inputDir: String,
+      failures: Option[org.apache.spark.util.LongAccumulator] = None)
+      : XmlTables =
+    tables(parse(spark, inputDir, failures))
 }

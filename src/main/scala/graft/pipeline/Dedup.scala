@@ -178,10 +178,20 @@ object Dedup {
     import org.apache.spark.graphx.{Edge, Graph, VertexId}
     val spark = ids.sparkSession
     import spark.implicits._
-    val vertices = ids.select(col(idCol).cast("long")).as[Long]
-      .rdd.map(id => (id: VertexId, ()))
-    val edgeRdd = pairs
-      .select(col(aCol).cast("long"), col(bCol).cast("long"))
+    // null ids can't be VertexIds; GraphX would also materialize any
+    // edge endpoint absent from `ids` as a phantom vertex (and it
+    // could even become a keeper) — restrict edges to the universe the
+    // caller declared, so unknown/null endpoints are ignored rather
+    // than silently invented
+    val universe = ids.select(col(idCol).cast("long").as("__uid"))
+      .filter(col("__uid").isNotNull)
+    val cleanPairs = pairs
+      .select(col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"))
+      .join(universe, col("__a") === col("__uid"), "left_semi")
+      .join(universe, col("__b") === col("__uid"), "left_semi")
+    val vertices = universe.as[Long].rdd.map(id => (id: VertexId, ()))
+    val edgeRdd = cleanPairs
       .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
     Graph(vertices, edgeRdd).connectedComponents()
       .vertices.map { case (id, comp) => (id, comp) }

@@ -122,6 +122,13 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
       5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // pairs referencing ids outside the declared universe are ignored,
+    // not materialized as phantom vertices (id 0 would otherwise win
+    // 1's component as its min-label keeper)
+    val stray = pairs.unionByName(Seq((0L, 1L), (9L, 9L)).toDF("a", "b"))
+    val got2 = Dedup.componentClusters(ids, "id", stray, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got2 === got)
   }
 
   test("IVF ANN: results come only from probed clusters; recall is sane") {

@@ -65,7 +65,7 @@ class WriteSpec extends SparkSpec {
       Main.main(Array("-i", in.toString, "-o", out, "--force"))
     }
     val printed = stdout.toString
-    assert(printed.contains("Documents: 1"))
+    assert(printed.contains("Documents: 1 ("), printed)
     assert(printed.contains("Skipped (unparseable): 1"), printed)
   }
 }
