@@ -476,6 +476,30 @@ object ExtendedQueries {
              FROM documents)
        GROUP BY source ORDER BY source"""
 
+  // ---------------------------------------------------------------
+  // q38: ordered array aggregation — collect per group, sort by
+  // (-price, key) for a deterministic order, slice the top 3 keys.
+  // collect_list is unordered in Spark (partition-dependent), so the
+  // determinism comes from array_sort AFTER collection — the pattern
+  // that makes array aggregation reproducible at any parallelism.
+  // ---------------------------------------------------------------
+
+  def q38CollectTop(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(collect_list(struct((-col("o_totalprice")).as("np"),
+        col("o_orderkey").as("k"))).as("xs"))
+      .select(col("o_orderpriority"),
+        expr("transform(slice(array_sort(xs), 1, 3), x -> x.k)")
+          .as("top_keys"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q38Sql =
+    """SELECT o_orderpriority,
+       (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]
+         AS top_keys
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -490,6 +514,7 @@ object ExtendedQueries {
     "q35_lateral" -> (q35Lateral _),
     "q36_ntile" -> (q36Ntile _),
     "q37_monthly" -> (q37Monthly _),
+    "q38_collect_top" -> (q38CollectTop _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -507,6 +532,7 @@ object ExtendedQueries {
     "q35_lateral" -> q35Sql,
     "q36_ntile" -> q36Sql,
     "q37_monthly" -> q37Sql,
+    "q38_collect_top" -> q38Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }
