@@ -163,6 +163,31 @@ object Dedup {
           .cast("double").as("jaccard"))
   }
 
+  /** Benchmark-decontamination scan: flag corpus documents sharing any
+    * word n-gram with a held-out (test) subset — the standard
+    * contamination check run before training on scraped data. One
+    * inverted-index equi-join on the gram: the test gram set is
+    * typically tiny relative to the corpus (broadcastable), and corpus
+    * grams stream map-side; no pairwise document comparison happens.
+    * Returns (key, n_shared) per contaminated non-test document. */
+  def contaminationHits(docs: DataFrame, textCol: String, keyCol: String,
+      isTest: Column, n: Int): DataFrame = {
+    require(n >= 1, "contaminationHits: n-gram size must be >= 1")
+    val toks = docs.select(col(keyCol), isTest.as("is_test"),
+      split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+    val grams = toks.select(col(keyCol), col("is_test"),
+      explode(expr(
+        s"transform(sequence(0, size(tk) - $n)," +
+          s" i -> array_join(slice(tk, i + 1, $n), ' '))")).as("gram"))
+    val testGrams = grams.filter(col("is_test"))
+      .select(col("gram")).distinct()
+    grams.filter(!col("is_test"))
+      .join(testGrams, Seq("gram"))
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
   /** Dedup resolution: cluster near-duplicate pairs into connected
     * components and label every id with its component representative
     * (the smallest id in the component — singletons represent

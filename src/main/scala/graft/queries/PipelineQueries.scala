@@ -208,6 +208,29 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Decontamination scan: non-src0 documents sharing any 5-gram with
+    * the held-out src0 subset. */
+  def ddContamination(s: SparkSession, dir: String): DataFrame =
+    Dedup.contaminationHits(t(s, dir, "documents"), "text", "doc_id",
+      isTest = col("source") === "src0", n = 5)
+      .orderBy(col("doc_id"))
+
+  private val ddContaminationSql =
+    """WITH toks AS (
+         SELECT doc_id, source, string_split(text, ' ') AS tk
+         FROM documents WHERE len(string_split(text, ' ')) >= 5),
+       grams AS (
+         SELECT doc_id, source,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+           tk[i+4] || ' ' || tk[i+5] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 4)) AS r(i)),
+       test_grams AS (
+         SELECT DISTINCT gram FROM grams WHERE source = 'src0')
+       SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+       FROM grams g JOIN test_grams t ON g.gram = t.gram
+       WHERE g.source <> 'src0'
+       GROUP BY g.doc_id ORDER BY g.doc_id"""
+
   /** Dedup resolution over the cosine-pair graph: connected components
     * via GraphX (min-id labeling), one keeper per cluster. The oracle
     * replays the clustering as a recursive min-label CTE. */
@@ -571,6 +594,7 @@ object PipelineQueries {
     "dd_jaccard" -> (ddJaccard _),
     "dd_cosine" -> (ddCosine _),
     "dd_components" -> (ddComponents _),
+    "dd_contamination" -> (ddContamination _),
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_ivf_topk" -> (annIvfTopK _),
@@ -590,6 +614,7 @@ object PipelineQueries {
     "dd_jaccard" -> ddJaccardSql,
     "dd_cosine" -> ddCosineSql,
     "dd_components" -> ddComponentsSql,
+    "dd_contamination" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,

@@ -115,6 +115,22 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.forall { case (qid, cid) => buckets(qid) == buckets(cid) })
   }
 
+  test("contamination scan flags exact n-gram overlap only") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", true), // test doc
+      (1L, "prefix alpha beta gamma delta epsilon suffix", false), // hit
+      (2L, "alpha beta gamma delta other words here", false), // 4-gram only
+      (3L, "completely different text with no overlap at all", false))
+      .toDF("doc_id", "text", "is_test")
+    val hits = Dedup.contaminationHits(corpus, "text", "doc_id",
+      isTest = $"is_test", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares exactly one 5-gram ("alpha beta gamma delta
+    // epsilon"); doc 2's longest shared run is 4 tokens -> no flag
+    assert(hits.keySet === Set(1L))
+    assert(hits(1L) === 1L)
+  }
+
   test("component clustering: pairs merge transitively, singletons self-label") {
     val ids = (1L to 7L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
