@@ -173,8 +173,11 @@ object Dedup {
   def contaminationHits(docs: DataFrame, textCol: String, keyCol: String,
       isTest: Column, n: Int): DataFrame = {
     require(n >= 1, "contaminationHits: n-gram size must be >= 1")
+    // normalized tokens (lowercase, non-word splits dropped) like the
+    // rest of the dd_* family: decontamination must catch case/
+    // punctuation variants of a held-out passage
     val toks = docs.select(col(keyCol), isTest.as("is_test"),
-      split(col(textCol), " ").as("tk"))
+      filter(split(lower(col(textCol)), "\\W+"), _ =!= "").as("tk"))
       .filter(size(col("tk")) >= n)
     val grams = toks.select(col(keyCol), col("is_test"),
       explode(expr(

@@ -217,8 +217,12 @@ object PipelineQueries {
 
   private val ddContaminationSql =
     """WITH toks AS (
-         SELECT doc_id, source, string_split(text, ' ') AS tk
-         FROM documents WHERE len(string_split(text, ' ')) >= 5),
+         SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents
+         WHERE len(list_filter(string_split_regex(lower(text), '\W+'),
+                 x -> x <> '')) >= 5),
        grams AS (
          SELECT doc_id, source,
            tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||

@@ -118,7 +118,8 @@ class PipelineSpec extends SparkSpec {
   test("contamination scan flags exact n-gram overlap only") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta", true), // test doc
-      (1L, "prefix alpha beta gamma delta epsilon suffix", false), // hit
+      // case/punctuation variant still hits (normalized tokenization)
+      (1L, "prefix Alpha, beta GAMMA delta epsilon! suffix", false),
       (2L, "alpha beta gamma delta other words here", false), // 4-gram only
       (3L, "completely different text with no overlap at all", false))
       .toDF("doc_id", "text", "is_test")
