@@ -183,8 +183,10 @@ object Dedup {
       explode(expr(
         s"transform(sequence(0, size(tk) - $n)," +
           s" i -> array_join(slice(tk, i + 1, $n), ' '))")).as("gram"))
-    val testGrams = grams.filter(col("is_test"))
-      .select(col("gram")).distinct()
+    // the held-out set (a benchmark suite) is small next to the
+    // corpus: broadcast its gram set so corpus grams never shuffle
+    val testGrams = broadcast(grams.filter(col("is_test"))
+      .select(col("gram")).distinct())
     grams.filter(!col("is_test"))
       .join(testGrams, Seq("gram"))
       .groupBy(col(keyCol))
