@@ -179,10 +179,12 @@ object Dedup {
     val toks = docs.select(col(keyCol), isTest.as("is_test"),
       filter(split(lower(col(textCol)), "\\W+"), _ =!= "").as("tk"))
       .filter(size(col("tk")) >= n)
+    // direct element access per window — no per-gram slice allocation
+    val terms = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
     val grams = toks.select(col(keyCol), col("is_test"),
       explode(expr(
         s"transform(sequence(0, size(tk) - $n)," +
-          s" i -> array_join(slice(tk, i + 1, $n), ' '))")).as("gram"))
+          s" i -> concat_ws(' ', $terms))")).as("gram"))
     // the held-out set (a benchmark suite) is small next to the
     // corpus: broadcast its gram set so corpus grams never shuffle
     val testGrams = broadcast(grams.filter(col("is_test"))
