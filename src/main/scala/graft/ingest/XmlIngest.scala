@@ -266,6 +266,24 @@ object XmlIngest {
     XmlTables(documents, nodes, properties)
   }
 
+  /** Widened per-rowTag read via Spark's built-in XML source — the
+    * schema-on-read companion to the generic node model (SURVEY.md S2's
+    * `format("xml")` mapping): one row per `<rowTag>` element, nested
+    * children as struct/array columns, attributes `_`-prefixed. Right
+    * when a corpus slice is homogeneous and column-shaped queries are
+    * wanted directly; the DOM path remains the semantics-exact route to
+    * the property-graph tables. Schema inference scans the data once —
+    * pass `schema` to skip that at scale. */
+  def widenedRead(spark: SparkSession, inputDir: String, rowTag: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val reader = spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.xml")
+    schema.fold(reader)(reader.schema).load(inputDir)
+  }
+
   /** One-call convenience: directory → tables. */
   def ingest(spark: SparkSession, inputDir: String,
       failures: Option[org.apache.spark.util.LongAccumulator] = None)

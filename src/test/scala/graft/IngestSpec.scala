@@ -287,4 +287,27 @@ class IngestSpec extends SparkSpec {
       .select($"id").as[String].collect()
     assert(hits.toSet === Set("book_1"))
   }
+
+  test("widened rowTag read agrees with the node model on the same corpus") {
+    import spark.implicits._
+    val wide = XmlIngest.widenedRead(spark, fixturesDir, "book")
+    // one row per <book>, attributes as _-prefixed columns
+    assert(wide.count() === 3)
+    assert(wide.columns.contains("_id") && wide.columns.contains("title"))
+    val wideIds = wide.select($"_id").as[String].collect().toSet
+    val nodeIds = XmlIngest.ingest(spark, fixturesDir).nodes
+      .filter($"node_type" === "book")
+      .select($"id").as[String].collect().toSet
+    assert(wideIds === nodeIds)
+    // explicit schema skips inference and projects only what's asked
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("title",
+        org.apache.spark.sql.types.StringType)))
+    val narrow = XmlIngest.widenedRead(spark, fixturesDir, "book",
+      Some(schema))
+    assert(narrow.columns.toSeq === Seq("_id", "title"))
+    assert(narrow.count() === 3)
+  }
 }
