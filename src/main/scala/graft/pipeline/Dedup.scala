@@ -171,7 +171,8 @@ object Dedup {
     * grams stream map-side; no pairwise document comparison happens.
     * Returns (key, n_shared) per contaminated non-test document. */
   def contaminationHits(docs: DataFrame, textCol: String, keyCol: String,
-      isTest: Column, n: Int): DataFrame = {
+      isTest: Column, n: Int,
+      broadcastTestSide: Boolean = true): DataFrame = {
     require(n >= 1, "contaminationHits: n-gram size must be >= 1")
     // normalized tokens (lowercase, non-word splits dropped) like the
     // rest of the dd_* family: decontamination must catch case/
@@ -185,10 +186,14 @@ object Dedup {
       explode(expr(
         s"transform(sequence(0, size(tk) - $n)," +
           s" i -> concat_ws(' ', $terms))")).as("gram"))
-    // the held-out set (a benchmark suite) is small next to the
-    // corpus: broadcast its gram set so corpus grams never shuffle
-    val testGrams = broadcast(grams.filter(col("is_test"))
-      .select(col("gram")).distinct())
+    // a held-out benchmark suite is usually small next to the corpus:
+    // broadcasting its gram set means corpus grams never shuffle. For
+    // a LARGE held-out side (broadcast would overflow the driver),
+    // pass broadcastTestSide=false to fall back to the shuffle join.
+    val distinctTest = grams.filter(col("is_test"))
+      .select(col("gram")).distinct()
+    val testGrams =
+      if (broadcastTestSide) broadcast(distinctTest) else distinctTest
     grams.filter(!col("is_test"))
       .join(testGrams, Seq("gram"))
       .groupBy(col(keyCol))

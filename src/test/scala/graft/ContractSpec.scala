@@ -35,9 +35,13 @@ class ContractSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // these run on converted XML fixtures, which the driver's DuckDB
     // session cannot see (it only registers the sf-dir tables) — the
-    // driver records a rows-only check; goldens cover their values
-    assert(noOracle.forall(_.startsWith("xml_")),
-      s"non-xml queries missing oracles: ${noOracle.filterNot(_.startsWith("xml_"))}")
+    // driver records a rows-only check; goldens cover their values.
+    // Pinned as an exact set so an xml query silently LOSING its
+    // oracle also fails here.
+    assert(noOracle === Set("xml_bidirectional", "xml_hierarchical_paths",
+      "xml_most_connected", "xml_node_tree", "xml_relationship_counts",
+      "xml_relationship_summary", "xml_search_attribute",
+      "xml_statistics"))
   }
 
   test("per-module oracle maps never reference foreign queries") {
