@@ -482,6 +482,9 @@ object ExtendedQueries {
   // collect_list is unordered in Spark (partition-dependent), so the
   // determinism comes from array_sort AFTER collection — the pattern
   // that makes array aggregation reproducible at any parallelism.
+  // The ordered top-3 is serialized to a comma-joined string so the
+  // driver comparator (pandas hash/sort) sees a scalar column; the
+  // order inside the string still pins the array semantics.
   // ---------------------------------------------------------------
 
   def q38CollectTop(s: SparkSession, dir: String): DataFrame =
@@ -490,14 +493,15 @@ object ExtendedQueries {
       .agg(collect_list(struct((-col("o_totalprice")).as("np"),
         col("o_orderkey").as("k"))).as("xs"))
       .select(col("o_orderpriority"),
-        expr("transform(slice(array_sort(xs), 1, 3), x -> x.k)")
-          .as("top_keys"))
+        expr("concat_ws(',', transform(slice(array_sort(xs), 1, 3)," +
+          " x -> cast(x.k AS STRING)))").as("top_keys"))
       .orderBy(col("o_orderpriority"))
 
   private val q38Sql =
     """SELECT o_orderpriority,
-       (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]
-         AS top_keys
+       array_to_string(
+         (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3],
+         ',') AS top_keys
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

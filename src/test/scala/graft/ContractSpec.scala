@@ -31,17 +31,12 @@ class ContractSpec extends AnyFunSuite {
       s"oracle SQL with no matching query (would fail the gate): $dangling")
   }
 
-  test("only the fixture-table xml queries lack an oracle") {
+  test("every registered query has an oracle (no rows-only checks)") {
+    // Since round 3 the xml_* fixture queries carry VALUES-relation
+    // goldens (XmlGoldens), so the driver hash-verifies every entry.
+    // Pinned at empty so a query silently LOSING its oracle fails here.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // these run on converted XML fixtures, which the driver's DuckDB
-    // session cannot see (it only registers the sf-dir tables) — the
-    // driver records a rows-only check; goldens cover their values.
-    // Pinned as an exact set so an xml query silently LOSING its
-    // oracle also fails here.
-    assert(noOracle === Set("xml_bidirectional", "xml_hierarchical_paths",
-      "xml_most_connected", "xml_node_tree", "xml_relationship_counts",
-      "xml_relationship_summary", "xml_search_attribute",
-      "xml_statistics"))
+    assert(noOracle === Set.empty[String])
   }
 
   test("per-module oracle maps never reference foreign queries") {
