@@ -95,15 +95,56 @@ object EventQueries {
          AND c.ts_sec BETWEEN p.ts_sec - 1800 AND p.ts_sec
        ORDER BY purchase_id, click_id"""
 
+  /** Batch form of watermarked streaming dedup, keyed on
+    * (user_id, event_type). A kept row's non-key columns are
+    * pick-dependent (whichever row the state store saw first), so the
+    * oracle-comparable projection is the key set itself — which is
+    * exactly what the operator guarantees: one surviving row per key. */
+  def evDedup(s: SparkSession, dir: String): DataFrame =
+    EventStream.deduplicated(t(s, dir, "events"),
+        Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val evDedupSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+       ORDER BY user_id, event_type"""
+
+  /** Batch form of the stream-static enrichment join: events left-
+    * joined to the customer dimension on user_id (broadcast static
+    * side; events with no dimension row survive with NULL segment). */
+  def evEnrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    EventStream.enriched(
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type")),
+        dim)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"))
+      .orderBy(col("event_id"))
+  }
+
+  private val evEnrichSql =
+    """SELECT e.event_id, e.user_id, e.event_type,
+       c.c_mktsegment AS segment
+       FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+       ORDER BY e.event_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window" -> (evWindow _),
     "ev_sliding" -> (evSliding _),
     "ev_sessions" -> (evSessions _),
-    "ev_interval_join" -> (evIntervalJoin _))
+    "ev_interval_join" -> (evIntervalJoin _),
+    "ev_dedup" -> (evDedup _),
+    "ev_enrich" -> (evEnrich _))
 
   val oracle: Map[String, String] = Map(
     "ev_window" -> evWindowSql,
     "ev_sliding" -> evSlidingSql,
     "ev_sessions" -> evSessionsSql,
-    "ev_interval_join" -> evIntervalSql)
+    "ev_interval_join" -> evIntervalSql,
+    "ev_dedup" -> evDedupSql,
+    "ev_enrich" -> evEnrichSql)
 }

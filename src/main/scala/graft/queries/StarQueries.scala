@@ -451,6 +451,37 @@ object StarQueries {
       .orderBy(col("depth"), col("node"), col("path"))
   }
 
+  /** U2 (native form): the same traversal as [[q21Descendants]], but
+    * through Spark 4's native `WITH RECURSIVE` SQL path (planned as
+    * `UnionLoopExec`) instead of the hand-rolled iterative frontier
+    * loop — pinning that the engine's SQL-text surface accepts the
+    * recursive-CTE dialect a reference user would write directly. Same
+    * oracle as q21. */
+  def q21DescendantsNative(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "region").createOrReplaceTempView("g21_region")
+    t(s, dir, "nation").createOrReplaceTempView("g21_nation")
+    t(s, dir, "supplier").createOrReplaceTempView("g21_supplier")
+    t(s, dir, "customer").createOrReplaceTempView("g21_customer")
+    s.sql(
+      """WITH RECURSIVE e AS (
+           SELECT 'r_' || CAST(n_regionkey AS STRING) AS src,
+                  'n_' || CAST(n_nationkey AS STRING) AS dst FROM g21_nation
+           UNION ALL
+           SELECT 'n_' || CAST(s_nationkey AS STRING),
+                  's_' || CAST(s_suppkey AS STRING) FROM g21_supplier
+           UNION ALL
+           SELECT 'n_' || CAST(c_nationkey AS STRING),
+                  'c_' || CAST(c_custkey AS STRING) FROM g21_customer
+           WHERE c_custkey < 200),
+         d(node, depth, path) AS (
+           SELECT 'r_' || CAST(r_regionkey AS STRING), 0,
+                  'r_' || CAST(r_regionkey AS STRING) FROM g21_region
+           UNION ALL
+           SELECT e.dst, d.depth + 1, d.path || ' -> ' || e.dst
+           FROM d JOIN e ON e.src = d.node WHERE d.depth < 10)
+         SELECT node, depth, path FROM d ORDER BY depth, node, path""")
+  }
+
   private val q21Sql =
     """WITH RECURSIVE e AS (
          SELECT 'r_' || CAST(n_regionkey AS VARCHAR) AS src,
@@ -655,6 +686,7 @@ object StarQueries {
     "q19_text_search" -> (q19TextSearch _),
     "q20_union_counts" -> (q20UnionCounts _),
     "q21_recursive_descend" -> (q21Descendants _),
+    "q21_recursive_native" -> (q21DescendantsNative _),
     "q22_token_counts" -> (q22TokenCounts _),
     "q23_eav_pivot" -> (q23EavPivot _),
     "q24_cube" -> (q24Cube _))
@@ -681,6 +713,7 @@ object StarQueries {
     "q19_text_search" -> q19Sql,
     "q20_union_counts" -> q20Sql,
     "q21_recursive_descend" -> q21Sql,
+    "q21_recursive_native" -> q21Sql,
     "q22_token_counts" -> q22Sql,
     "q23_eav_pivot" -> q23Sql,
     "q24_cube" -> q24Sql)

@@ -137,10 +137,18 @@ object EventStream {
     * watermark passes the key's event time, so the state store stays
     * bounded — the streaming counterpart of the batch dd_exact
     * operator (which can see the whole corpus at once). */
-  def deduplicated(events: DataFrame): DataFrame =
-    withEventTime(events)
-      .withWatermark("event_ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
+  def deduplicated(events: DataFrame,
+      keys: Seq[String] = Seq("event_id")): DataFrame = {
+    val timed = withEventTime(events)
+    // dropDuplicatesWithinWatermark is a streaming-only operator (its
+    // whole point is bounding the state store); the batch semantic
+    // equivalent — one surviving row per key over the full input — is
+    // plain dropDuplicates.
+    if (events.isStreaming)
+      timed.withWatermark("event_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else timed.dropDuplicates(keys)
+  }
 
   /** Stream-static enrichment join: the event stream joined to a
     * static dimension on user_id. The static side is broadcast and
