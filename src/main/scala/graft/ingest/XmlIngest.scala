@@ -37,7 +37,10 @@ import scala.collection.mutable
   *  - entity references are decoded and CDATA coalesced into text
   *    (test_edge_cases.rb:58-79,201-221); comments and processing
   *    instructions contribute nothing (:223-261);
-  *  - unparseable files yield zero rows and do not fail the job
+  *  - malformed files are salvaged to their parseable prefix with
+  *    open elements auto-closed (the reference's recovering-Nokogiri
+  *    behavior, test_edge_cases.rb:154-175); files with no salvageable
+  *    root yield zero rows and never fail the job
   *    (async_processor.rb:58-64).
   */
 object XmlIngest {
@@ -87,12 +90,79 @@ object XmlIngest {
     factory.newDocumentBuilder()
   }
 
-  /** Parse one file; None on parse failure (error-tolerant source S5).
-    * The reference's recovering Nokogiri parse may salvage a prefix of
-    * a malformed file; the JDK DOM parser is strict, so a malformed
-    * file contributes zero rows — both satisfy the reference's own
-    * "process what it can or handle gracefully" contract
-    * (test_edge_cases.rb:154-175). */
+  /** Reconstruct the parseable prefix of a malformed file as a DOM
+    * document: replay SAX events into a DOM tree until the first fatal
+    * error, leaving any still-open elements implicitly auto-closed —
+    * the same shape libxml2's recovering parser (the reference's
+    * default Nokogiri mode, document_parser.rb:13) produces for
+    * truncated/unclosed markup, e.g. test_edge_cases.rb:154-175's
+    * fixture where unclosed `<item>`s nest and survive. Elements are
+    * attached to their parent at start-tag time, so everything seen
+    * before the error is kept. Returns None when no root element was
+    * ever started (nothing to salvage — the reference also skips such
+    * files: a recovered empty document has a nil root and its parse
+    * raises in the node walk, async_processor.rb:58-64). */
+  private def salvageParse(bytes: Array[Byte],
+      builder: javax.xml.parsers.DocumentBuilder)
+      : Option[org.w3c.dom.Document] = {
+    val doc = builder.newDocument()
+    val factory = javax.xml.parsers.SAXParserFactory.newInstance()
+    factory.setNamespaceAware(false)
+    factory.setFeature(
+      "http://apache.org/xml/features/nonvalidating/load-external-dtd",
+      false)
+    val parser = factory.newSAXParser()
+    val handler = new org.xml.sax.helpers.DefaultHandler {
+      private var stack: List[Element] = Nil
+      private val text = new StringBuilder
+      // Coalesce consecutive character chunks into one text node so a
+      // chunk boundary can never split a run of text in a way that
+      // changes the whitespace-only drop decision downstream.
+      private def flushText(): Unit =
+        if (text.nonEmpty) {
+          stack.headOption
+            .foreach(_.appendChild(doc.createTextNode(text.toString)))
+          text.clear()
+        }
+      override def startElement(uri: String, local: String, qname: String,
+          attrs: org.xml.sax.Attributes): Unit = {
+        flushText()
+        val e = doc.createElement(qname)
+        var i = 0
+        while (i < attrs.getLength) {
+          e.setAttribute(attrs.getQName(i), attrs.getValue(i))
+          i += 1
+        }
+        stack match {
+          case p :: _ => p.appendChild(e)
+          case Nil if doc.getDocumentElement == null => doc.appendChild(e)
+          case Nil => () // stray second root: unattached, never walked
+        }
+        stack = e :: stack
+      }
+      override def endElement(uri: String, local: String,
+          qname: String): Unit = {
+        flushText()
+        stack = stack.drop(1)
+      }
+      override def characters(ch: Array[Char], start: Int,
+          len: Int): Unit = { text.appendAll(ch, start, len); () }
+      override def error(
+          e: org.xml.sax.SAXParseException): Unit = () // recoverable
+      def finish(): Unit = flushText() // pending text at the fatal stop
+    }
+    try parser.parse(new ByteArrayInputStream(bytes), handler)
+    catch {
+      case _: org.xml.sax.SAXException | _: java.io.IOException => ()
+    }
+    handler.finish()
+    Option(doc.getDocumentElement).map(_ => doc)
+  }
+
+  /** Parse one file; falls back to [[salvageParse]] on strict-parse
+    * failure (error-tolerant source S5 + the reference's "process what
+    * it can" recovery, test_edge_cases.rb:154-175), and None when
+    * nothing at all is salvageable. */
   def parseOne(rawPath: String, length: Long,
       bytes: Array[Byte]): Option[ParsedDocument] =
     parseOne(rawPath, length, bytes, newBuilder())
@@ -104,7 +174,13 @@ object XmlIngest {
     val base = path.substring(path.lastIndexOf('/') + 1)
     val docId = if (base.endsWith(".xml")) base.dropRight(4) else base
     try {
-      val dom = builder.parse(new ByteArrayInputStream(bytes))
+      val dom =
+        try builder.parse(new ByteArrayInputStream(bytes))
+        catch {
+          case _: org.xml.sax.SAXException =>
+            salvageParse(bytes, builder).orNull
+        }
+      if (dom == null) return None
       val nodes = mutable.ArrayBuffer.empty[RawNode]
       val props = mutable.ArrayBuffer.empty[RawProperty]
       var ordinal = 0L

@@ -148,9 +148,40 @@ class IngestSpec extends SparkSpec {
       .property_name === "attr")
   }
 
-  test("malformed XML yields zero rows, not a failure (:154-175)") {
-    val p = parseString("bad.xml", "<root id=\"r\"><unclosed></root")
-    assert(p.isEmpty)
+  test("malformed XML salvages the parseable prefix (:154-175)") {
+    // The reference's exact fixture: Nokogiri's recovering parse keeps
+    // root/item_1/item_2 (unclosed items nest, then auto-close);
+    // `broken` carries no id so it never becomes a node either way.
+    val p = parseString("bad.xml",
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<root id="malformed_root">
+        |  <item id="item_1">Content
+        |  <item id="item_2">Unclosed item
+        |  <broken>No closing tag
+        |</root>""".stripMargin).get
+    assert(p.nodes.map(_.id) === Seq("malformed_root", "item_1", "item_2"))
+    // unclosed elements nest: item_2 is a child of item_1
+    assert(p.nodes.find(_.id == "item_2").get.parent_id === Some("item_1"))
+    assert(p.nodes.find(_.id == "item_2").get.content
+      .exists(_.startsWith("Unclosed item")))
+  }
+
+  test("unsalvageable XML yields zero rows, not a failure (:154-175)") {
+    assert(parseString("junk.xml", "not xml at all").isEmpty)
+    assert(parseString("empty.xml", "").isEmpty)
+    // prefix before the root tag ever opens: nothing to salvage
+    assert(parseString("noroot.xml", "<?xml version=\"1.0\"?><&&").isEmpty)
+  }
+
+  test("a salvaged truncated file keeps structure+text before the cut") {
+    // Text sitting exactly at the EOF cut may not have been delivered
+    // by the parser before the fatal error, so only content strictly
+    // before the truncation point is guaranteed.
+    val p = parseString("trunc.xml",
+      "<root id=\"r\"><item id=\"a\">kept text<item id=\"b\">tail").get
+    assert(p.nodes.map(_.id) === Seq("r", "a", "b"))
+    assert(p.nodes.find(_.id == "a").get.content
+      .exists(_.startsWith("kept text")))
   }
 
   test("large document: 1001 nodes, 1000 properties (:130-152)") {

@@ -57,8 +57,10 @@ class WriteSpec extends SparkSpec {
     val in = Files.createTempDirectory("graft-cli-bad")
     Files.copy(java.nio.file.Paths.get(s"$fixturesDir/simple.xml"),
       in.resolve("simple.xml"))
+    // no root element ever opens ⇒ nothing to salvage ⇒ skipped (a
+    // merely-unclosed file would now be prefix-salvaged instead)
     Files.write(in.resolve("broken.xml"),
-      "<root id=\"r\"><unclosed>".getBytes("UTF-8"))
+      "this is not xml at all".getBytes("UTF-8"))
     val out = Files.createTempDirectory("graft-cli-bad-out").toString + "/db"
     val stdout = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(stdout)) {
