@@ -88,16 +88,21 @@ object Main {
       Some(parseFailures))
       .convertAndWrite(in, out)
 
-    // stats printout (main.rb:124-142)
-    val nDocs = tables.documents.count()
-    val nNodes = tables.nodes.count()
+    // stats printout (main.rb:124-142) — one aggregate pass per table:
+    // documents fold count+MB into a single agg, and the node total is
+    // the sum of the per-type counts (no separate count() scan)
+    val docStats = tables.documents
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("file_size")) / 1048576.0, 2).as("mb"))
+      .collect().head
+    val typeCounts = tables.nodes.groupBy(col("node_type")).count()
+      .orderBy(col("count").desc, col("node_type"))
+      .collect()
+    val nNodes = typeCounts.map(_.getLong(1)).sum
     val nProps = tables.properties.count()
     val nRefs = tables.crossReferences.count()
-    val mb = tables.documents.agg(
-      round(sum(col("file_size")) / 1048576.0, 2).as("mb"))
-      .collect().head.get(0)
     println("Conversion complete!")
-    println(s"  Documents: $nDocs ($mb MB)")
+    println(s"  Documents: ${docStats.getLong(0)} (${docStats.get(1)} MB)")
     println(s"  Nodes: $nNodes")
     println(s"  Properties: $nProps")
     println(s"  Cross-references: $nRefs")
@@ -106,9 +111,7 @@ object Main {
     // the single ingest pass — no second scan/parse of the corpus
     if (parseFailures.value > 0)
       println(s"  Skipped (unparseable): ${parseFailures.value}")
-    tables.nodes.groupBy(col("node_type")).count()
-      .orderBy(col("count").desc, col("node_type"))
-      .collect()
+    typeCounts
       .foreach(r => println(s"    ${r.get(0)}: ${r.get(1)}"))
     if (!preExisting) spark.stop()
   }

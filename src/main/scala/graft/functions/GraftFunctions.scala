@@ -44,20 +44,25 @@ object GraftFunctions {
         "simhash64 expects exactly one string argument")
     }
 
+  /** Session-conf marker: set once graft's builders have been installed
+    * in this session. Keyed per session (runtime conf), unlike a mere
+    * name-exists check — so a foreign function that grabbed `vec_dot`
+    * first is replaced by graft's kernel on the first register() call,
+    * while repeat calls (every operator entry point) stay silent. */
+  private val RegisteredKey = "spark.graft.functionsRegistered"
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    // idempotent: skip names already present so repeated registration
-    // (every operator entry point calls this) doesn't spam
-    // "replaced a previously registered function" warnings
-    def once(name: String,
-        builder: Seq[Expression] => Expression): Unit =
-      if (!registry.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+    if (!spark.conf.getOption(RegisteredKey).contains("true")) {
+      def install(name: String,
+          builder: Seq[Expression] => Expression): Unit =
         registry.createOrReplaceTempFunction(name, builder, "built-in")
-    once("simhash64", buildSimHash)
-    once("minhash_agg", buildMinHashAgg)
-    once("vec_dot", exprs => VecDot(exprs(0), exprs(1)))
-    once("vec_norm", exprs => VecNorm(exprs.head))
+      install("simhash64", buildSimHash)
+      install("minhash_agg", buildMinHashAgg)
+      install("vec_dot", exprs => VecDot(exprs(0), exprs(1)))
+      install("vec_norm", exprs => VecNorm(exprs.head))
+      spark.conf.set(RegisteredKey, "true")
+    }
     // kernel fusion for sessions built without GraftExtensions —
     // extraOptimizations is the per-session post-hoc injection point
     val extra = spark.experimental.extraOptimizations

@@ -149,26 +149,42 @@ object Similarity {
     * is deterministic. Output schema matches [[bruteForceTopK]]. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
       keyCol: String, k: Int, centroidPred: Column,
-      nprobe: Int = 2): DataFrame = {
-    val nd = nativeDot(corpus) _
-    val nn = nativeNorm(corpus) _
-    val cent = broadcast(corpus.filter(centroidPred)
-      .select(col(keyCol).as("cent_id"), col(vecCol).as("cent_vec"),
-        nn(col(vecCol)).as("cent_norm")))
+      nprobe: Int): DataFrame = {
     // an empty centroid set would silently produce zero results (every
     // cluster join is empty) — fail fast instead; probe only the key
     // column so the check job scans one column and computes no norms
     require(corpus.filter(centroidPred).select(col(keyCol))
       .limit(1).collect().nonEmpty,
       "ivfTopK: centroidPred selects no corpus vectors")
+    ivfTopK(queries, corpus, vecCol, keyCol, k,
+      corpus.filter(centroidPred).select(col(keyCol).as("cent_id"),
+        col(vecCol).as("cent_vec")), nprobe)
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      keyCol: String, k: Int, centroidPred: Column): DataFrame =
+    ivfTopK(queries, corpus, vecCol, keyCol, k, centroidPred, nprobe = 2)
+
+  /** IVF over an explicit centroid table `(cent_id, cent_vec)` — e.g.
+    * the output of [[kmeansCentroids]], or any externally-built
+    * codebook. The predicate overload above delegates here. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      keyCol: String, k: Int, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val nd = nativeDot(corpus) _
+    val nn = nativeNorm(corpus) _
+    val cent = broadcast(centroids
+      .select(col("cent_id"), col("cent_vec"),
+        nn(col("cent_vec")).as("cent_norm")))
     def scored(df: DataFrame, vec: String, nrm: String): DataFrame =
       df.crossJoin(cent)
         .withColumn("ccos",
           nd(col(vec), col("cent_vec")) / (col(nrm) * col("cent_norm")))
-        // a null cosine (null/degenerate embedding) can rank neither
-        // here nor meaningfully downstream — drop it in BOTH branches
-        // so they agree
-        .filter(col("ccos").isNotNull)
+        // a null or NaN cosine (null embedding, or 0/0 from a
+        // zero-norm vector) can rank neither here nor meaningfully
+        // downstream — and NaN would sort OPPOSITE ways in the min_by
+        // and row_number branches below — so drop both uniformly
+        .filter(col("ccos").isNotNull && !isnan(col("ccos")))
         .drop("cent_vec", "cent_norm")
     // argmax (keep=1) as a min_by aggregate: partially combines
     // map-side, so the corpus-sized assignment never shuffles the full
@@ -208,6 +224,72 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"),
         r3(col("cos")).as("cos"))
+  }
+
+  /** Spherical-k-means centroid builder for [[ivfTopK]]: Lloyd
+    * iterations with cosine assignment, so the codebook optimizes the
+    * same metric the index probes with.
+    *
+    *  - Seeding is deterministic: the k corpus vectors with the
+    *    smallest `xxhash64(key)` (a seeded hash-order sample — no RNG,
+    *    reproducible across runs and partitionings).
+    *  - Each iteration is one broadcast-join assignment pass (the same
+    *    map-side-combinable `min_by` argmax ivfTopK uses — the corpus
+    *    never shuffles its score relation) followed by an element-wise
+    *    mean via `posexplode` → per-(cluster, position) partial avg:
+    *    shuffle volume is O(clusters × dim) per map task, independent
+    *    of corpus size.
+    *  - Empty clusters drop out (the codebook may end smaller than k);
+    *    degenerate zero-norm corpus vectors are excluded from
+    *    assignment, mirroring ivfTopK's NaN policy.
+    *  - Centroid means are computed in double and cast back to float so
+    *    the resulting `(cent_id, cent_vec)` table plugs into the same
+    *    `vec_dot`/`vec_norm` kernels; the quantization is harmless for
+    *    an index structure (assignment, not scoring).
+    *
+    * Iteration count is fixed (no convergence collect): at scale each
+    * pass is one corpus scan, and 5-10 Lloyd rounds are the standard
+    * IVF-codebook budget. Per-iteration `localCheckpoint` truncates the
+    * growing plan lineage (the iterative-loop Catalyst trap). */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, keyCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    require(k > 0 && iters >= 0, "kmeansCentroids: k > 0, iters >= 0")
+    val nd = nativeDot(corpus) _
+    val nn = nativeNorm(corpus) _
+    val v = corpus
+      .select(col(keyCol).as("v_id"), col(vecCol).as("v_vec"),
+        nn(col(vecCol)).as("v_norm"))
+      .filter(col("v_norm").isNotNull && col("v_norm") > 0)
+    var cent = v
+      .withColumn("h", xxhash64(col("v_id")))
+      .orderBy(col("h"), col("v_id")).limit(k)
+      .withColumn("cent_id", row_number().over(
+        Window.orderBy(col("h"), col("v_id"))) .cast("long"))
+      .select(col("cent_id"), col("v_vec").as("cent_vec"))
+      .localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val assigned = v
+        .crossJoin(broadcast(cent
+          .withColumn("cent_norm", nn(col("cent_vec")))))
+        .withColumn("ccos", nd(col("v_vec"), col("cent_vec")) /
+          (col("v_norm") * col("cent_norm")))
+        .filter(col("ccos").isNotNull && !isnan(col("ccos")))
+        .groupBy(col("v_id"))
+        .agg(min_by(struct(col("cent_id"), col("v_vec")),
+          struct(-col("ccos"), col("cent_id"))).as("w"))
+        .select(col("w.cent_id").as("cent_id"), col("w.v_vec").as("v_vec"))
+      cent = assigned
+        .select(col("cent_id"), posexplode(col("v_vec")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cent_id"),
+          transform(col("pm"), x => x("m").cast("float")).as("cent_vec"))
+        .localCheckpoint()
+    }
+    cent
   }
 
   /** All near-duplicate pairs by cosine ≥ threshold within `df`

@@ -181,6 +181,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF over k-means centroids: deterministic seed, sane recall") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val cents = Similarity.kmeansCentroids(c, "embedding", "vec_id",
+      k = 8, iters = 3)
+    val ids = cents.select($"cent_id").as[Long].collect()
+    assert(ids.nonEmpty && ids.length <= 8 &&
+      ids.distinct.length === ids.length)
+    // codebook vectors are real float vectors of the corpus dim
+    val dims = cents.select($"cent_vec").as[Array[Float]].collect()
+      .map(_.length).toSet
+    assert(dims === Set(64))
+    val brute = Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val got = Similarity
+      .ivfTopK(q, c, "embedding", "vec_id", 5, cents, nprobe = 4)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF k-means recall $recall")
+    // seeding is RNG-free: two builds pick identical seed vectors
+    def seeds() = Similarity
+      .kmeansCentroids(c, "embedding", "vec_id", k = 8, iters = 0)
+      .orderBy($"cent_id")
+      .as[(Long, Array[Float])].collect().toSeq
+      .map { case (id, v) => (id, v.toSeq) }
+    assert(seeds() === seeds())
+  }
+
   test("IVF ANN fails fast on an empty centroid set") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val err = intercept[IllegalArgumentException] {
