@@ -36,19 +36,7 @@ object Bench {
     * 2000-file corpus (12 identified nodes + ~40 attributes each).
     * Reported like any query; docs/sec = 2000 / seconds. */
   private def xmlConvertBench(spark: SparkSession): Double = {
-    import java.nio.file.Files
-    val dir = Files.createTempDirectory("graft-bench-xml")
-    (0 until 2000).foreach { i =>
-      val items = (0 until 10).map { j =>
-        s"""<item id="it_${i}_$j" idx="$j" ref="sec_$i" score="$j.5" active="${j % 2 == 0}">payload $i $j</item>"""
-      }.mkString("\n")
-      val xml =
-        s"""<?xml version="1.0"?>
-           |<doc id="doc_$i"><section id="sec_$i" kind="bench">
-           |$items
-           |</section></doc>""".stripMargin
-      Files.write(dir.resolve(f"bench_$i%04d.xml"), xml.getBytes("UTF-8"))
-    }
+    val dir = graft.tools.BenchCorpus.generate(2000)
     val t0 = System.nanoTime()
     try {
       val tables = new graft.engine.Converter(spark).convert(dir.toString)
