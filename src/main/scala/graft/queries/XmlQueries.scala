@@ -89,20 +89,80 @@ object XmlQueries {
       ((s: SparkSession, _: String) => GraphQueries.statistics(tables(s))),
     "xml_hierarchical_paths" ->
       ((s: SparkSession, _: String) =>
-        GraphQueries.hierarchicalPaths(tables(s))))
+        GraphQueries.hierarchicalPaths(tables(s))),
+    // --- round 4: the rest of the reference's navigation corpus,
+    // driver-gated with the same VALUES-golden pattern. Each gate entry
+    // adds a total ORDER BY (and, for node scans, projects away the
+    // ingest-wall-clock created_at) so output is hash-deterministic;
+    // the GraphQueries methods themselves keep the reference's shape.
+    "xml_relationships_of" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.relationshipsOf(tables(s), "book_1")
+          .orderBy(col("direction"), col("reference_type"),
+            col("related_node"), col("confidence"))),
+    "xml_direct_children" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.directChildren(tables(s), "books")
+          .orderBy(col("child_id"))),
+    "xml_siblings" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.siblingsOf(tables(s), "book_1")
+          .orderBy(col("sibling_id"))),
+    "xml_references_to" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.referencesTo(tables(s), "book_1")
+          .orderBy(col("confidence").desc, col("source_node_id"),
+            col("attribute_name"))),
+    "xml_xpath_search" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.xpathSearch(tables(s), "%/book[%")
+          .select(col("id"), col("node_type"), col("document_id"),
+            col("parent_id"), col("position"), col("content"), col("xpath"))
+          .orderBy(col("id"))),
+    "xml_content_search" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.contentSearch(tables(s), "quantum")
+          .select(col("id"), col("node_type"), col("document_id"),
+            col("parent_id"), col("position"), col("content"), col("xpath"))
+          .orderBy(col("id"))),
+    "xml_properties_of_type" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.propertiesOfType(tables(s), "book", "category")),
+    "xml_properties_by_datatype" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.propertiesByDataType(tables(s), "integer")),
+    "xml_eav_conjunction" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.eavConjunction(tables(s), "rating", "5",
+            "date", "datetime")
+          .orderBy(col("id"))),
+    "xml_pivot_properties" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.pivotProperties(tables(s),
+            Seq("name", "category", "rating"))
+          .orderBy(col("node_id"))))
 
   /** Golden outputs for the XML queries, expressed as VALUES relations
     * so the driver's DuckDB oracle can hash-verify every xml_* entry.
     * The three below are hand-derived from FIXTURES.md §A2's element
     * inventory (sample_library) plus simple.xml's
     * root/child/child/nested — independently recountable from the
-    * fixture files. The remaining eight live in [[XmlGoldens]]
+    * fixture files. The rest live in [[XmlGoldens]]
     * (generated from a verified dump over the independently-pinned
     * corpus tables; spot-checked: statistics' 40 nodes == the
     * count_by_type golden's sum, relationship_summary's 118 same_type
     * rows == Σ n(n−1) over same-typed id-carrying elements, and
     * avg=0.955/min=0.8500000000000001 reproduce the reference's
-    * base+0.05 confidence doubles). */
+    * base+0.05 confidence doubles. Round-4 navigation goldens,
+    * recounted from the fixtures by hand: direct_children(books) =
+    * {book_1,book_2,book_3}; xpath_search('%/book[%') = 18 = the 3
+    * books + 3 authors + 3 awards + 9 tags under them (only book has
+    * ambiguous-sibling positional predicates); pivot_properties = 21 =
+    * 15 name-carrying elements (2 category + 4 subcategory + 3 author
+    * + 3 reviewer + 3 award) + 3 category-carrying books + 3
+    * rating-carrying reviews; eav_conjunction(rating=5 ∧ datetime
+    * date) = {review_1, review_3}; properties_by_datatype(integer) =
+    * 9 = count×2 + depth + year×3 + rating×3). */
   val oracle: Map[String, String] = XmlGoldens.oracle ++ Map(
     "xml_count_by_type" ->
       """SELECT node_type, CAST(cnt AS BIGINT) AS count FROM (VALUES

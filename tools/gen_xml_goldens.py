@@ -22,6 +22,11 @@ NAMES = [
     "xml_search_attribute", "xml_most_connected", "xml_relationship_counts",
     "xml_node_tree", "xml_hierarchical_paths", "xml_bidirectional",
     "xml_statistics", "xml_relationship_summary",
+    # round 4: the rest of the navigation corpus (see XmlQueries).
+    "xml_relationships_of", "xml_direct_children", "xml_siblings",
+    "xml_references_to", "xml_xpath_search", "xml_content_search",
+    "xml_properties_of_type", "xml_properties_by_datatype",
+    "xml_eav_conjunction", "xml_pivot_properties",
 ]
 
 CAST = {
