@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Runs per query; the median is reported. Three samples cost ~2 min
+    * at sf0.1 and collapse the 10-30% single-shot machine-load drift
+    * documented in BASELINE.md, so round-over-round comparisons track
+    * plan changes instead of noise. */
+  private val Runs = 3
+
+  /** Time `body` [[Runs]] times and return Right(median seconds), or
+    * Left(error) if any run throws — a failure must surface as an
+    * explicit red flag in the JSON, never as a silently-booked elapsed
+    * time (a missing table at a new sf would otherwise look like a
+    * normal timing). */
+  private[graft] def timeMedian(body: => Unit): Either[String, Double] =
+    try {
+      val samples = Seq.fill(Runs) {
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e9
+      }
+      Right(samples.sorted.apply(Runs / 2))
+    } catch {
+      case e: Throwable => Left(e.getClass.getSimpleName)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,31 +42,30 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     try graft.queries.XmlQueries.tables(spark).nodes.count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-    }.toMap + ("xml_convert_2000docs" -> xmlConvertBench(spark))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results = (SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => name -> timeMedian(fn(spark, sfDir).count())
+    } :+ ("xml_convert_2000docs" -> xmlConvertBench(spark))).toMap
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_)) => s"\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(e)) => s"\"$k:$e\"" }.toSeq
+    val total = results.values.collect { case Right(v) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$Runs,"errors":${failed.size},"failed":${failed.sorted.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 
   /** Time the engine's core function — XML directory → full
     * property-graph conversion (core adapters) — over a generated
     * 2000-file corpus (12 identified nodes + ~40 attributes each).
-    * Reported like any query; docs/sec = 2000 / seconds. */
-  private def xmlConvertBench(spark: SparkSession): Double = {
+    * Reported like any query (median of [[Runs]] full conversions);
+    * docs/sec = 2000 / seconds. */
+  private def xmlConvertBench(spark: SparkSession): Either[String, Double] = {
     val dir = graft.tools.BenchCorpus.generate(2000)
-    val t0 = System.nanoTime()
-    try {
+    timeMedian {
       val tables = new graft.engine.Converter(spark).convert(dir.toString)
       tables.crossReferences.count()
       tables.properties.count()
-    } catch { case _: Throwable => () }
-    (System.nanoTime() - t0) / 1e9
+    }
   }
 }

@@ -312,4 +312,32 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("key_a"), col("key_b"), r3(col("cos")).as("cos"))
   }
+
+  /** The scale path for [[cosinePairs]]: SRP-bucket the corpus with
+    * `planes` fixed hyperplanes and enumerate pairs only within a
+    * bucket — the cross join becomes an equi-join on `bucket`, so the
+    * shuffle is hash-partitioned and per-bucket quadratic instead of
+    * globally quadratic. Approximate by construction (a pair whose
+    * vectors land in different buckets is never scored — for SRP the
+    * miss probability per plane is angle/π, so high-cosine pairs are
+    * overwhelmingly retained); fewer planes → bigger buckets → higher
+    * recall, more compute. Output schema matches [[cosinePairs]], and
+    * every emitted pair carries its exact cosine. */
+  def cosinePairsBucketed(df: DataFrame, vecCol: String, keyCol: String,
+      threshold: Double, planes: Int = 1, dim: Int = 64): DataFrame = {
+    val nd = nativeDot(df) _
+    val nn = nativeNorm(df) _
+    val hp = hyperplanes(planes, dim)
+    val v = df.select(col(keyCol), col(vecCol), nn(col(vecCol)).as("nrm"),
+      srpBucket(col(vecCol), hp).as("bucket"))
+    val a = v.select(col("bucket"), col(keyCol).as("key_a"),
+      col(vecCol).as("vec_a"), col("nrm").as("norm_a"))
+    val b = v.select(col("bucket"), col(keyCol).as("key_b"),
+      col(vecCol).as("vec_b"), col("nrm").as("norm_b"))
+    a.join(b, Seq("bucket")).filter(col("key_a") < col("key_b"))
+      .withColumn("cos",
+        nd(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("key_a"), col("key_b"), r3(col("cos")).as("cos"))
+  }
 }

@@ -161,6 +161,46 @@ object PipelineQueries {
        FROM pairs
        WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""
 
+  /** The scale-safe form of [[ddCosine]]: SRP-bucketed pair
+    * generation (equi-join on the bucket id, never a cross join),
+    * same output schema and threshold. The oracle embeds the same
+    * fixed-seed hyperplane as a literal, proving the bucketing
+    * engine-neutral — together with dd_cosine this hash-verifies both
+    * the exact and the bucketed pair paths. */
+  def ddCosineBucketed(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsBucketed(
+      t(s, dir, "embeddings").filter(col("vec_id") < 120), "embedding",
+      "vec_id", threshold = 0.3, planes = 1, dim = 64)
+      .select(col("key_a").as("vec_a"), col("key_b").as("vec_b"),
+        col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private lazy val ddCosineBucketedSql = {
+    val plane = Similarity.hyperplanes(1, 64).head
+      .map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+    s"""WITH v AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm,
+           CASE WHEN (SELECT SUM(CAST(x AS DOUBLE) * y)
+                      FROM (SELECT unnest(embedding) AS x,
+                                   unnest($plane) AS y) z) >= 0
+                THEN 1 ELSE 0 END AS bucket
+         FROM embeddings WHERE vec_id < 120),
+       pairs AS (
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(a.embedding) AS x,
+                         unnest(b.embedding) AS y) z) / (a.nrm * b.nrm)
+             AS cos
+         FROM v a JOIN v b
+           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       SELECT vec_a, vec_b,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+       FROM pairs
+       WHERE cos >= 0.3 ORDER BY vec_a, vec_b"""
+  }
+
   /** SimHash via the custom codegen'd Catalyst expression
     * ([[graft.functions.SimHash64]]): one scalar call per document
     * replaces the 64-way explode + two shuffles of [[ddSimhash]] —
@@ -597,6 +637,7 @@ object PipelineQueries {
     "dd_simhash_native_expr" -> (ddSimhashExpr _),
     "dd_jaccard" -> (ddJaccard _),
     "dd_cosine" -> (ddCosine _),
+    "dd_cosine_bucketed" -> (ddCosineBucketed _),
     "dd_components" -> (ddComponents _),
     "dd_contamination" -> (ddContamination _),
     "ann_brute_topk" -> (annBruteTopK _),
@@ -617,6 +658,7 @@ object PipelineQueries {
     "dd_simhash_native_expr" -> ddSimhashSql,
     "dd_jaccard" -> ddJaccardSql,
     "dd_cosine" -> ddCosineSql,
+    "dd_cosine_bucketed" -> ddCosineBucketedSql,
     "dd_components" -> ddComponentsSql,
     "dd_contamination" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,

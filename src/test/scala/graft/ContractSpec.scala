@@ -39,6 +39,12 @@ class ContractSpec extends AnyFunSuite {
     assert(noOracle === Set.empty[String])
   }
 
+  test("bench timing reports a failure as Left, never a booked time") {
+    assert(Bench.timeMedian(()).isRight)
+    assert(Bench.timeMedian { throw new IllegalStateException("boom") }
+      === Left("IllegalStateException"))
+  }
+
   test("per-module oracle maps never reference foreign queries") {
     val oraclesByModule = Seq(
       "core" -> (StarQueries.coreOracle.keySet, StarQueries.core.keySet),

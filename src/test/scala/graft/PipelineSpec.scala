@@ -115,6 +115,26 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.forall { case (qid, cid) => buckets(qid) == buckets(cid) })
   }
 
+  test("bucketed cosine pairs: subset of exact pairs, identical cosines") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .filter($"vec_id" < 120)
+    val exact = Similarity.cosinePairs(e, "embedding", "vec_id", 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val bucketed = Similarity
+      .cosinePairsBucketed(e, "embedding", "vec_id", 0.3,
+        planes = 1, dim = 64)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // every bucketed pair is an exact pair with the same cosine...
+    assert(bucketed.keySet.subsetOf(exact.keySet))
+    for ((k, c) <- bucketed) assert(c === exact(k))
+    // ...and a 1-plane split retains a non-trivial share of them
+    assert(bucketed.nonEmpty)
+    assert(bucketed.size.toDouble / exact.size >= 0.3,
+      s"bucketed kept ${bucketed.size} of ${exact.size}")
+  }
+
   test("contamination scan flags exact n-gram overlap only") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta", true), // test doc
@@ -208,6 +228,31 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Array[Float])].collect().toSeq
       .map { case (id, v) => (id, v.toSeq) }
     assert(seeds() === seeds())
+  }
+
+  test("k-means IVF recall@5: mean per-query recall over 30 queries") {
+    // the quality bound for the codebook path: across 30 queries
+    // against the remaining 470 corpus vectors, probing half the
+    // clusters must recover most of each query's true top-5 — a
+    // recall floor, not exact-match (IVF is approximate by design)
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter($"vec_id" < 30)
+    val c = e.filter($"vec_id" >= 30)
+    val brute = Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cents = Similarity.kmeansCentroids(c, "embedding", "vec_id",
+      k = 8, iters = 3)
+    val ivf = Similarity
+      .ivfTopK(q, c, "embedding", "vec_id", 5, cents, nprobe = 4)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (qid, truth) =>
+      (truth & ivf.getOrElse(qid, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(ivf.size === 30, s"IVF returned results for ${ivf.size}/30")
+    assert(mean >= 0.5, s"mean recall@5 $mean")
   }
 
   test("IVF ANN fails fast on an empty centroid set") {
