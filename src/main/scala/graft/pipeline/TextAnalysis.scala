@@ -113,4 +113,30 @@ object TextAnalysis {
     * survives formatting noise. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+", " "))
+
+  /** Within-document repetition signal (the Gopher-style duplicate
+    * n-gram fraction): per document, the share of word n-grams that
+    * are repeats of an earlier n-gram — `1 - distinct/total`, 0.0 for
+    * documents with fewer than n tokens. Entirely scan-local: the
+    * gram list, its size, and its distinct size are computed as array
+    * expressions on the row (no explode, no shuffle), so at 100 TB
+    * this is one pass over the corpus fused into whatever scan feeds
+    * it. Output adds n_grams, n_distinct, dup_fraction. */
+  def repetitionStats(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, "repetitionStats: n-gram size must be >= 1")
+    val terms = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
+    df.withColumn("tk", tokens(col(textCol)))
+      .withColumn("grams", when(size(col("tk")) >= n, expr(
+        s"transform(sequence(0, size(tk) - $n)," +
+          s" i -> concat_ws(' ', $terms))"))
+        .otherwise(array()))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("grams"))).cast("long"))
+      .withColumn("dup_fraction",
+        r3(when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .otherwise(0.0)))
+      .drop("tk", "grams")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -602,6 +602,117 @@ object PipelineQueries {
          AS bpe_tokens
        FROM documents ORDER BY doc_id"""
 
+  /** Gopher-style within-document repetition signal: duplicate 3-gram
+    * fraction, computed entirely scan-local (array expressions on the
+    * row — no explode, no shuffle). */
+  def taRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, dir, "documents"), "text", n = 3)
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("dup_fraction"))
+      .orderBy(col("doc_id"))
+
+  private val taRepetitionSql =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       agg AS (
+         SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT gram) AS n_distinct
+         FROM g GROUP BY doc_id)
+       SELECT d.doc_id,
+         CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+         CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+         CAST(ROUND(CAST(CASE WHEN COALESCE(a.n_grams, 0) > 0
+           THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_grams
+           ELSE 0.0 END AS DECIMAL(28,10)), 3) AS DOUBLE) AS dup_fraction
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       ORDER BY d.doc_id"""
+
+  /** Per-source quota sampling by deterministic hash order — the
+    * mixture-weighting step of a pretraining pipeline ("N_i docs from
+    * source i"): src0 upweighted, src1 downweighted, everything else
+    * at the default quota. */
+  def ppMixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 20, "src1" -> 5), defaultQuota = 10)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy(col("doc_id"))
+
+  private val ppMixtureSql =
+    """WITH ranked AS (
+         SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+         FROM documents)
+       SELECT doc_id, source, sample_rank FROM ranked
+       WHERE sample_rank <= CASE source WHEN 'src0' THEN 20
+                                        WHEN 'src1' THEN 5
+                                        ELSE 10 END
+       ORDER BY doc_id"""
+
+  /** End-to-end near-dup resolution: MinHash+LSH candidate pairs →
+    * connected components → one keeper per cluster — the full
+    * candidate-generation → clustering → resolution chain a dedup
+    * pipeline runs, with every stage scale-safe (bucketed LSH join,
+    * Pregel components). The oracle replays the whole chain: the
+    * dd_minhash band CTE feeding a recursive min-label CTE. */
+  def ppDedupE2e(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+    val pairs = Dedup.minHashCandidates(docs, "text", "doc_id")
+    Dedup.componentClusters(docs.select(col("doc_id")), "doc_id",
+        pairs, "key_a", "key_b")
+      .withColumn("is_keeper", col("doc_id") === col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ppDedupE2eSql =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+         FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\W+'),
+                             x -> x <> '') AS tk
+               FROM documents WHERE doc_id < 300)),
+       sh AS (
+         SELECT doc_id,
+           tok || ' ' || LEAD(tok,1) OVER w || ' ' || LEAD(tok,2) OVER w
+             AS shingle
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       sig AS (
+         SELECT doc_id,
+           MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+           MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+           MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5,
+           MIN(md5('6|' || shingle)) AS h6, MIN(md5('7|' || shingle)) AS h7
+         FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 0 AS band, md5(h0 || h1) AS band_hash FROM sig
+         UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS va, b.doc_id AS vb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+       edges AS (SELECT va AS src, vb AS dst FROM pairs
+                 UNION ALL SELECT vb, va FROM pairs),
+       universe AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+       reach(node, root) AS (
+         SELECT doc_id, doc_id FROM universe
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e
+           ON e.src = r.node)
+       SELECT node AS doc_id, MIN(root) AS component,
+         node = MIN(root) AS is_keeper
+       FROM reach GROUP BY node ORDER BY doc_id"""
+
   // --- multimodal -----------------------------------------------
 
   /** Binary-column pipeline summary: synthetic assets → partition-wise
@@ -647,6 +758,9 @@ object PipelineQueries {
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
+    "ta_repetition" -> (taRepetition _),
+    "pp_mixture" -> (ppMixture _),
+    "pp_dedup_e2e" -> (ppDedupE2e _),
     "mm_features" -> (mmFeatures _))
 
   val oracle: Map[String, String] = Map(
@@ -668,5 +782,8 @@ object PipelineQueries {
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,
+    "ta_repetition" -> taRepetitionSql,
+    "pp_mixture" -> ppMixtureSql,
+    "pp_dedup_e2e" -> ppDedupE2eSql,
     "mm_features" -> mmFeaturesSql)
 }

@@ -265,6 +265,42 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("centroidPred selects no corpus"))
   }
 
+  test("repetition stats: duplicate n-gram fraction follows definition") {
+    val r = Seq(
+      (1L, "spam spam spam spam spam spam"),   // 4 grams, 1 distinct
+      (2L, "one two three four five six"),     // 4 grams, all distinct
+      (3L, "too short"),                        // < 3 tokens → 0 grams
+      (4L, "a b a b a b"))                      // grams: aba,bab,aba,bab
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(r, "text", n = 3)
+      .select($"doc_id", $"n_grams", $"n_distinct", $"dup_fraction")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(got(1L) === ((4L, 1L, 0.75)))
+    assert(got(2L) === ((4L, 4L, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+    assert(got(4L) === ((4L, 2L, 0.5)))
+  }
+
+  test("mixture sample: quotas per group, deterministic, monotonic") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    def take(qs: Map[String, Int], dq: Int) =
+      Sampling.mixtureSample(d, "doc_id", "source", qs, dq)
+        .select($"source", $"doc_id").as[(String, Long)].collect()
+    val got = take(Map("src0" -> 7, "src1" -> 2), 4)
+    val bySrc = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySrc("src0").size === 7)
+    assert(bySrc("src1").size === 2)
+    assert(bySrc.filterNot(kv => Set("src0", "src1")(kv._1))
+      .forall(_._2.size === 4))
+    // deterministic: same call, same sample
+    assert(take(Map("src0" -> 7, "src1" -> 2), 4).toSet === got.toSet)
+    // monotonic: raising a quota keeps the previously chosen docs
+    val grown = take(Map("src0" -> 9, "src1" -> 2), 4)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySrc("src0").subsetOf(grown("src0")))
+  }
+
   test("language id picks the marker-heavy language") {
     val r = Seq(
       (1L, "the cat and the dog of the house"),
