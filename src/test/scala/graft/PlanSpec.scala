@@ -95,4 +95,34 @@ class PlanSpec extends SparkSpec {
     val p = plan("ann_ivf_topk")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
   }
+
+  test("dd_cosine_bucketed: pair generation is an equi-join, never a cross join") {
+    val p = plan("dd_cosine_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ta_repetition: the signal itself is shuffle-free (scan-local)") {
+    // repetitionStats before any ordering: one scan, zero Exchange —
+    // the property that makes it a free rider on any corpus pass
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val p = graft.pipeline.TextAnalysis.repetitionStats(d, "text", 3)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("pp_mixture: one window pass, no join for the quota lookup") {
+    val p = plan("pp_mixture")
+    assert(p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+    // the operator itself (before the gate's output ORDER BY) costs
+    // exactly one shuffle: the window's hash partition by source
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val op = graft.pipeline.Sampling.mixtureSample(d, "doc_id", "source",
+        Map("src0" -> 20, "src1" -> 5), defaultQuota = 10)
+      .queryExecution.explainString(FormattedMode)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(op).size === 1, op)
+  }
 }
