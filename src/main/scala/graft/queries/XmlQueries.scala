@@ -140,7 +140,30 @@ object XmlQueries {
       ((s: SparkSession, _: String) =>
         GraphQueries.pivotProperties(tables(s),
             Seq("name", "category", "rating"))
-          .orderBy(col("node_id"))))
+          .orderBy(col("node_id"))),
+    // S2's schema-on-read path: the widened per-rowTag read with an
+    // explicit schema (no inference pass), flattened to scalar columns
+    // so the driver comparator can hash it. Golden is hand-derived
+    // straight from sample_library.xml's three <book> elements.
+    "xml_widened_read" ->
+      ((s: SparkSession, _: String) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("_id", StringType),
+          StructField("_isbn", StringType),
+          StructField("title", StringType),
+          StructField("pages", LongType),
+          StructField("price", StructType(Seq(
+            StructField("_VALUE", DoubleType),
+            StructField("_currency", StringType))))))
+        graft.ingest.XmlIngest
+          .widenedRead(s, fixturesDir, "book", Some(schema))
+          .select(col("_id").as("id"), col("_isbn").as("isbn"),
+            col("title"), col("pages"),
+            col("price._currency").as("currency"),
+            col("price._VALUE").as("price"))
+          .orderBy(col("id"))
+      }))
 
   /** Golden outputs for the XML queries, expressed as VALUES relations
     * so the driver's DuckDB oracle can hash-verify every xml_* entry.
@@ -187,5 +210,17 @@ object XmlQueries {
          ('author_1', 2, 'books -> book_1 -> author_1'),
          ('author_2', 2, 'books -> book_2 -> author_2'),
          ('author_3', 2, 'books -> book_3 -> author_3'))
-         AS t(descendant_id, depth, path) ORDER BY depth, descendant_id""")
+         AS t(descendant_id, depth, path) ORDER BY depth, descendant_id""",
+    "xml_widened_read" ->
+      """SELECT CAST(c0 AS VARCHAR) AS id, CAST(c1 AS VARCHAR) AS isbn,
+         CAST(c2 AS VARCHAR) AS title, CAST(c3 AS BIGINT) AS pages,
+         CAST(c4 AS VARCHAR) AS currency, CAST(c5 AS DOUBLE) AS price
+         FROM (VALUES
+         ('book_1', '978-0-123456-47-2', 'The Quantum Garden', 342,
+          'USD', 24.99),
+         ('book_2', '978-0-987654-32-1', 'The Silent Echo', 298,
+          'USD', 19.99),
+         ('book_3', '978-0-555555-55-5', 'Ancient Civilizations', 456,
+          'USD', 34.99)) AS t(c0, c1, c2, c3, c4, c5)
+         ORDER BY id""")
 }
