@@ -133,6 +133,50 @@ object Similarity {
         r3(col("cos")).as("cos"))
   }
 
+  /** Multi-probe LSH top-k: like [[lshTopK]], but each query also
+    * probes every bucket at Hamming distance 1 from its own (one sign
+    * flip per hyperplane) — the standard recall knob that avoids
+    * shrinking the plane count (and so avoids growing every bucket)
+    * when near-boundary vectors land one bit apart. The query side
+    * explodes into `planes + 1` probe rows (queries are the small
+    * side — the corpus is still touched once per matching bucket via
+    * the same equi-join, so the scale shape is unchanged); ranking
+    * dedups nothing because probe buckets are distinct by
+    * construction. Output schema matches [[bruteForceTopK]]. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, keyCol: String, k: Int, planes: Int = 2,
+      dim: Int = 64): DataFrame = {
+    val probe = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("sz")).limit(1).collect()
+    require(probe.nonEmpty,
+      s"lshTopKMultiProbe: corpus has no non-null '$vecCol' vectors")
+    require(probe(0).getInt(0) == dim,
+      s"lshTopKMultiProbe dim=$dim but corpus vectors have length " +
+        s"${probe(0).getInt(0)}")
+    val hp = hyperplanes(planes, dim)
+    val nd = nativeDot(corpus) _
+    val nn = nativeNorm(corpus) _
+    val probeBuckets = array((col("bucket") +:
+      (0 until planes).map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i)))).toIndexedSeq: _*)
+    val q = broadcast(queries.select(col(keyCol).as("q_id"),
+      col(vecCol).as("q_vec"), nn(col(vecCol)).as("q_norm"),
+      srpBucket(col(vecCol), hp).as("bucket"))
+      .withColumn("bucket", explode(probeBuckets)))
+    val c = corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
+      nn(col(vecCol)).as("c_norm"),
+      srpBucket(col(vecCol), hp).as("bucket"))
+    q.join(c, Seq("bucket"))
+      .withColumn("cos",
+        nd(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        r3(col("cos")).as("cos"))
+  }
+
   /** IVF (inverted-file) approximate nearest neighbor: the corpus is
     * partitioned into clusters by nearest centroid, and each query
     * scores only the `nprobe` clusters whose centroids it is closest

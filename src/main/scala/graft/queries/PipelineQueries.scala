@@ -391,6 +391,56 @@ object PipelineQueries {
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
+  /** Multi-probe LSH top-k: 2 hyperplanes (4 buckets), each query
+    * probes its own bucket plus both 1-bit-flip neighbors — recall
+    * recovered without shrinking the plane count. The oracle embeds
+    * both fixed-seed hyperplanes and replays the probe-set membership
+    * with xor(). */
+  def annLshMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopKMultiProbe(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "embedding", "vec_id", k = 5, planes = 2, dim = 64)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private lazy val annLshMultiProbeSql = {
+    val hp = Similarity.hyperplanes(2, 64)
+    def lst(p: Array[Double]) =
+      p.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+    s"""WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm,
+           (CASE WHEN (SELECT SUM(CAST(x AS DOUBLE) * y)
+                       FROM (SELECT unnest(embedding) AS x,
+                                    unnest(${lst(hp(0))}) AS y) z0) >= 0
+                 THEN 1 ELSE 0 END) +
+           (CASE WHEN (SELECT SUM(CAST(x AS DOUBLE) * y)
+                       FROM (SELECT unnest(embedding) AS x,
+                                    unnest(${lst(hp(1))}) AS y) z1) >= 0
+                 THEN 2 ELSE 0 END) AS bucket
+         FROM embeddings),
+       q AS (SELECT * FROM n WHERE vec_id < 10),
+       c AS (SELECT * FROM n WHERE vec_id >= 10),
+       scored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(c.embedding) AS y) z) / (q.nrm * c.nrm)
+             AS cos
+         FROM q JOIN c
+           ON c.bucket IN (q.bucket, xor(q.bucket, 1), xor(q.bucket, 2))),
+       ranked AS (
+         SELECT q_id, c_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
   /** IVF approximate top-k: corpus vectors assigned to their nearest
     * centroid (a deterministic corpus subset, vec_id ≡ 0 mod 50 — 9
     * centroids), queries probe their 2 nearest centroids and score
@@ -753,6 +803,7 @@ object PipelineQueries {
     "dd_contamination" -> (ddContamination _),
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
+    "ann_lsh_multiprobe" -> (annLshMultiProbe _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "pp_retrieval" -> (ppRetrieval _),
     "ta_langid" -> (taLangid _),
@@ -777,6 +828,7 @@ object PipelineQueries {
     "dd_contamination" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_lsh_topk" -> annLshSql,
+    "ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "ann_ivf_topk" -> annIvfSql,
     "pp_retrieval" -> ppRetrievalSql,
     "ta_langid" -> taLangidSql,

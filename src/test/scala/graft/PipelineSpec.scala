@@ -265,6 +265,33 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("centroidPred selects no corpus"))
   }
 
+  test("multi-probe LSH: candidates superset single-bucket, recall no worse") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val brute = Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val single = Similarity.lshTopK(q, c, "embedding", "vec_id", 5,
+      planes = 2, dim = 64)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val multi = Similarity.lshTopKMultiProbe(q, c, "embedding", "vec_id",
+      5, planes = 2, dim = 64)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long)]) = (brute & s).size.toDouble / brute.size
+    assert(recall(multi) >= recall(single),
+      s"multi-probe recall ${recall(multi)} < single ${recall(single)}")
+    // probing strictly more buckets can only improve each query's
+    // candidate pool: every returned neighbor's bucket is within
+    // Hamming distance 1 of its query's bucket
+    val hp = Similarity.hyperplanes(2, 64)
+    val buckets = e.select($"vec_id",
+      Similarity.srpBucket($"embedding", hp).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(multi.forall { case (qid, cid) =>
+      java.lang.Long.bitCount(buckets(qid) ^ buckets(cid)) <= 1
+    })
+  }
+
   test("repetition stats: duplicate n-gram fraction follows definition") {
     val r = Seq(
       (1L, "spam spam spam spam spam spam"),   // 4 grams, 1 distinct
