@@ -132,6 +132,27 @@ object Dedup {
         .as("sig"))
   }
 
+  /** SimHash near-dup candidate pairs, Manku-style: two 64-bit
+    * signatures within Hamming distance 3 must agree exactly on at
+    * least one of the 4 16-bit parts (pigeonhole), so candidates are
+    * keys sharing any (part, sig) bucket — an equi-join on the part
+    * tables, never a pairwise signature scan. Exactly the LSH-banding
+    * shape [[minHashCandidates]] uses, so the same 100 TB profile:
+    * cost scales with bucket occupancy, not n². (Verification —
+    * computing the true Hamming distance on the survivors — is a
+    * cheap post-filter the caller applies when distance ≤ 3 must be
+    * exact rather than a recall bound.) */
+  def simHashCandidates(df: DataFrame, textCol: String,
+      keyCol: String): DataFrame = {
+    val parts = simHashParts(df, textCol, keyCol)
+    val a = parts.select(col(keyCol).as("key_a"), col("part"), col("sig"))
+    val b = parts.select(col(keyCol).as("key_b"), col("part"), col("sig"))
+    a.join(b, Seq("part", "sig"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"))
+      .distinct()
+  }
+
   /** Exact n-gram (token-set) Jaccard pairs via an inverted-index
     * self-join: |A∩B| from the token join, sizes from a per-key count,
     * similarity = inter / (|A|+|B|-inter). */

@@ -105,6 +105,45 @@ object PipelineQueries {
            AS BIGINT) AS sig
        FROM votes GROUP BY doc_id, part ORDER BY doc_id, part"""
 
+  /** SimHash candidate pairs (Manku pigeonhole banding on the 4×16-bit
+    * parts): keys sharing any exact signature part. The oracle extends
+    * the dd_simhash vote pipeline with the banding self-join. */
+  def ddSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashCandidates(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "text", "doc_id")
+      .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val ddSimhashPairsSql =
+    """WITH toks AS (
+         SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                              x -> x <> '')) AS tok
+         FROM documents WHERE doc_id < 200),
+       h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+       nib AS (
+         SELECT doc_id, hh, ni,
+           instr('0123456789abcdef', substr(hh, CAST(ni AS INT), 1)) - 1
+             AS nv
+         FROM h CROSS JOIN range(1, 17) r1(ni)),
+       bits AS (
+         SELECT doc_id, (ni-1)*4 + b AS bitpos,
+           ((nv >> CAST(b AS INT)) & 1) AS bit
+         FROM nib CROSS JOIN range(0, 4) r2(b)),
+       votes AS (
+         SELECT doc_id, bitpos,
+           CASE WHEN SUM(2*bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
+         FROM bits GROUP BY doc_id, bitpos),
+       parts AS (
+         SELECT doc_id, CAST(bitpos // 16 AS INT) AS part,
+           CAST(SUM(sbit * (1::BIGINT << CAST(bitpos % 16 AS INT)))
+             AS BIGINT) AS sig
+         FROM votes GROUP BY doc_id, part)
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       FROM parts a JOIN parts b
+         ON a.part = b.part AND a.sig = b.sig AND a.doc_id < b.doc_id
+       ORDER BY doc_a, doc_b"""
+
   /** Token-set Jaccard near-dup pairs (inverted-index join). */
   def ddJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(
@@ -796,6 +835,7 @@ object PipelineQueries {
     "dd_minhash_agg_expr" -> (ddMinhashExpr _),
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_native_expr" -> (ddSimhashExpr _),
+    "dd_simhash_pairs" -> (ddSimhashPairs _),
     "dd_jaccard" -> (ddJaccard _),
     "dd_cosine" -> (ddCosine _),
     "dd_cosine_bucketed" -> (ddCosineBucketed _),
@@ -821,6 +861,7 @@ object PipelineQueries {
     "dd_minhash_agg_expr" -> ddMinhashSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_simhash_native_expr" -> ddSimhashSql,
+    "dd_simhash_pairs" -> ddSimhashPairsSql,
     "dd_jaccard" -> ddJaccardSql,
     "dd_cosine" -> ddCosineSql,
     "dd_cosine_bucketed" -> ddCosineBucketedSql,

@@ -55,6 +55,18 @@ class PipelineSpec extends SparkSpec {
     assert(hammingNear < hammingFar)
   }
 
+  test("simhash candidates: identical docs pair via part collision") {
+    val pairs = Dedup.simHashCandidates(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    // 0, 1, 4 share the exact token stream → identical signatures →
+    // all three pairs; the near doc (2) may or may not collide, but
+    // the unrelated doc (3) must not pair with the 0/1/4 cluster
+    assert(Set((0L, 1L), (0L, 4L), (1L, 4L)).subsetOf(pairs))
+    assert(!pairs.exists(p =>
+      (p._1 == 3L && Set(0L, 1L, 4L)(p._2)) ||
+        (p._2 == 3L && Set(0L, 1L, 4L)(p._1))))
+  }
+
   test("jaccard pairs: inverted-index join matches definition") {
     val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", 0.5)
       .as[(Long, Long, Double)].collect()
