@@ -184,6 +184,44 @@ object Dedup {
           .cast("double").as("jaccard"))
   }
 
+  /** Sketch-then-verify Jaccard: exact token-set Jaccard computed ONLY
+    * for MinHash+LSH candidate pairs — the scale form of
+    * [[jaccardPairs]], whose inverted-index join must intersect every
+    * co-occurring pair. Here the expensive intersection count touches
+    * just the candidate set (join candidates → explode each side's
+    * distinct tokens → count matches), so cost follows LSH bucket
+    * occupancy while every SURVIVING pair still carries its exact
+    * similarity. Recall is the banding curve (a true near-dup pair
+    * missed by all bands is never verified); precision is exact.
+    * Output schema matches [[jaccardPairs]]. */
+  def sketchVerifiedJaccard(df: DataFrame, textCol: String, keyCol: String,
+      threshold: Double, numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val cands = minHashCandidates(df, textCol, keyCol, numHashes, bands)
+    val toks = df.select(col(keyCol),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+        .as("tok"))
+    val sizes = toks.groupBy(col(keyCol)).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(toks.select(col(keyCol).as("key_a"), col("tok")), Seq("key_a"))
+      .join(toks.select(col(keyCol).as("key_b"), col("tok")),
+        Seq("key_b", "tok"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(keyCol).as("key_a"), col("sz").as("sz_a")),
+        Seq("key_a"))
+      .join(sizes.select(col(keyCol).as("key_b"), col("sz").as("sz_b")),
+        Seq("key_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("key_a"), col("key_b"),
+        round(col("jaccard").cast(
+          org.apache.spark.sql.types.DecimalType(28, 10)), 3)
+          .cast("double").as("jaccard"))
+  }
+
   /** Benchmark-decontamination scan: flag corpus documents sharing any
     * word n-gram with a held-out (test) subset — the standard
     * contamination check run before training on scraped data. One

@@ -173,6 +173,70 @@ object PipelineQueries {
        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
        ORDER BY doc_a, doc_b"""
 
+  /** Sketch-then-verify Jaccard: exact similarity computed only on the
+    * MinHash+LSH candidate pairs — the scale form of dd_jaccard. Same
+    * bound as dd_minhash_lsh (so every banding candidate is verified)
+    * with a low verify threshold, so the gate exercises the whole
+    * candidate set; every surviving pair carries its exact token-set
+    * jaccard. */
+  def ddJaccardVerified(s: SparkSession, dir: String): DataFrame =
+    Dedup.sketchVerifiedJaccard(
+      t(s, dir, "documents").filter(col("doc_id") < 300), "text", "doc_id",
+      threshold = 0.1)
+      .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"),
+        col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val ddJaccardVerifiedSql =
+    """WITH stoks AS (
+         SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+         FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\W+'),
+                             x -> x <> '') AS tk
+               FROM documents WHERE doc_id < 300)),
+       sh AS (
+         SELECT doc_id,
+           tok || ' ' || LEAD(tok,1) OVER w || ' ' || LEAD(tok,2) OVER w
+             AS shingle
+         FROM stoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       sig AS (
+         SELECT doc_id,
+           MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
+           MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
+           MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5,
+           MIN(md5('6|' || shingle)) AS h6, MIN(md5('7|' || shingle)) AS h7
+         FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 0 AS band, md5(h0 || h1) AS band_hash FROM sig
+         UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+         UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+       cands AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+       toks AS (
+         SELECT DISTINCT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                              x -> x <> '')) AS tok
+         FROM documents WHERE doc_id < 300),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+         FROM cands c
+           JOIN toks a ON a.doc_id = c.doc_a
+           JOIN toks b ON b.doc_id = c.doc_b AND b.tok = a.tok
+         GROUP BY c.doc_a, c.doc_b)
+       SELECT doc_a, doc_b,
+         CAST(ROUND(CAST(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i)
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.1
+       ORDER BY doc_a, doc_b"""
+
   /** Embedding-cosine near-dup pairs. */
   def ddCosine(s: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairs(
@@ -837,6 +901,7 @@ object PipelineQueries {
     "dd_simhash_native_expr" -> (ddSimhashExpr _),
     "dd_simhash_pairs" -> (ddSimhashPairs _),
     "dd_jaccard" -> (ddJaccard _),
+    "dd_jaccard_verified" -> (ddJaccardVerified _),
     "dd_cosine" -> (ddCosine _),
     "dd_cosine_bucketed" -> (ddCosineBucketed _),
     "dd_components" -> (ddComponents _),
@@ -863,6 +928,7 @@ object PipelineQueries {
     "dd_simhash_native_expr" -> ddSimhashSql,
     "dd_simhash_pairs" -> ddSimhashPairsSql,
     "dd_jaccard" -> ddJaccardSql,
+    "dd_jaccard_verified" -> ddJaccardVerifiedSql,
     "dd_cosine" -> ddCosineSql,
     "dd_cosine_bucketed" -> ddCosineBucketedSql,
     "dd_components" -> ddComponentsSql,

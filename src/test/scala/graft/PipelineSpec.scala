@@ -55,6 +55,26 @@ class PipelineSpec extends SparkSpec {
     assert(hammingNear < hammingFar)
   }
 
+  test("sketch-verified jaccard: subset of exact pairs, same values") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .filter($"doc_id" < 300)
+    val exact = Dedup.jaccardPairs(d, "text", "doc_id", 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val verified = Dedup.sketchVerifiedJaccard(d, "text", "doc_id", 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // precision is exact: every surviving pair is a true pair with
+    // the true similarity; recall is the LSH banding curve
+    assert(verified.keySet.subsetOf(exact.keySet))
+    for ((k, j) <- verified) assert(j === exact(k))
+    assert(verified.nonEmpty)
+    // every banding candidate was verified (survivors ∪ sub-threshold)
+    val cands = Dedup.minHashCandidates(d, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(verified.keySet.subsetOf(cands))
+  }
+
   test("simhash candidates: identical docs pair via part collision") {
     val pairs = Dedup.simHashCandidates(docs, "text", "doc_id")
       .as[(Long, Long)].collect().toSet
