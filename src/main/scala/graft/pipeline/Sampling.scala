@@ -40,4 +40,36 @@ object Sampling {
           .orderBy(md5(col(keyCol).cast("string")), col(keyCol))))
       .filter(col("sample_rank") <= quotaCol)
   }
+
+  /** Concat-and-chunk packing spans: where each document lands when
+    * the corpus is concatenated in key order and cut into fixed
+    * `chunkTokens`-token blocks — the GPT-style pretraining packing.
+    * Per document: its token count, global start offset within its
+    * group's stream, and the first/last chunk it touches (a document
+    * spans `last_chunk - first_chunk + 1` blocks).
+    *
+    * Packing is PER GROUP (source/shard), matching how real pipelines
+    * shard the stream: the running-sum window partitions by group, so
+    * groups pack in parallel and the serial spine is one shard's
+    * cumulative sum — the unavoidable sequential dependency of
+    * order-preserving packing, confined to a shard. One shuffle (hash
+    * by group + sort by key). */
+  def concatChunkSpans(df: DataFrame, textCol: String, keyCol: String,
+      groupCol: String, chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "concatChunkSpans: chunkTokens must be > 0")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens",
+        size(TextAnalysis.tokens(col(textCol))).cast("long"))
+      .withColumn("start_token",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("first_chunk",
+        floor(col("start_token") / chunkTokens).cast("long"))
+      // empty documents occupy no tokens: they "touch" only the chunk
+      // they start in (last == first)
+      .withColumn("last_chunk",
+        floor(greatest(col("start_token"),
+          col("start_token") + col("n_tokens") - 1) / chunkTokens)
+          .cast("long"))
+  }
 }

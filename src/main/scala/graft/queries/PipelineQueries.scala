@@ -810,6 +810,33 @@ object PipelineQueries {
                                         ELSE 10 END
        ORDER BY doc_id"""
 
+  /** Concat-and-chunk packing spans per source shard (4096-token
+    * blocks): each document's global token offset and chunk range
+    * under GPT-style corpus packing. */
+  def ppPacking(s: SparkSession, dir: String): DataFrame =
+    Sampling.concatChunkSpans(t(s, dir, "documents"), "text", "doc_id",
+        "source", chunkTokens = 4096)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_token"), col("first_chunk"), col("last_chunk"))
+      .orderBy(col("doc_id"))
+
+  private val ppPackingSql =
+    """WITH counted AS (
+         SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+         FROM documents),
+       offs AS (
+         SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_token
+         FROM counted)
+       SELECT doc_id, source, n_tokens, start_token,
+         CAST(start_token // 4096 AS BIGINT) AS first_chunk,
+         CAST(GREATEST(start_token, start_token + n_tokens - 1) // 4096
+           AS BIGINT) AS last_chunk
+       FROM offs ORDER BY doc_id"""
+
   /** End-to-end near-dup resolution: MinHash+LSH candidate pairs →
     * connected components → one keeper per cluster — the full
     * candidate-generation → clustering → resolution chain a dedup
@@ -916,6 +943,7 @@ object PipelineQueries {
     "ta_tokens" -> (taTokens _),
     "ta_repetition" -> (taRepetition _),
     "pp_mixture" -> (ppMixture _),
+    "pp_packing" -> (ppPacking _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "mm_features" -> (mmFeatures _))
 
@@ -943,6 +971,7 @@ object PipelineQueries {
     "ta_tokens" -> taTokensSql,
     "ta_repetition" -> taRepetitionSql,
     "pp_mixture" -> ppMixtureSql,
+    "pp_packing" -> ppPackingSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "mm_features" -> mmFeaturesSql)
 }

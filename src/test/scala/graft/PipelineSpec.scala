@@ -360,6 +360,27 @@ class PipelineSpec extends SparkSpec {
     assert(bySrc("src0").subsetOf(grown("src0")))
   }
 
+  test("concat-chunk packing: offsets are contiguous per group, spans exact") {
+    val d = Seq(
+      (1L, "g1", Seq.fill(3000)("tok").mkString(" ")),   // [0, 3000)
+      (2L, "g1", Seq.fill(2000)("tok").mkString(" ")),   // [3000, 5000)
+      (3L, "g1", ""),                                    // empty at 5000
+      (4L, "g1", Seq.fill(100)("tok").mkString(" ")),    // [5000, 5100)
+      (5L, "g2", Seq.fill(5000)("tok").mkString(" ")))   // own stream
+      .toDF("doc_id", "source", "text")
+    val got = Sampling
+      .concatChunkSpans(d, "text", "doc_id", "source", chunkTokens = 4096)
+      .select($"doc_id", $"n_tokens", $"start_token", $"first_chunk",
+        $"last_chunk")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((3000L, 0L, 0L, 0L)))
+    assert(got(2L) === ((2000L, 3000L, 0L, 1L))) // straddles the cut
+    assert(got(3L) === ((0L, 5000L, 1L, 1L)))    // empty doc, no span
+    assert(got(4L) === ((100L, 5000L, 1L, 1L)))
+    assert(got(5L) === ((5000L, 0L, 0L, 1L)))    // g2 packs separately
+  }
+
   test("language id picks the marker-heavy language") {
     val r = Seq(
       (1L, "the cat and the dog of the house"),
