@@ -114,6 +114,44 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
+  /** The other Gopher repetition signal: the fraction of a document's
+    * word n-grams occupied by its single most frequent n-gram (high →
+    * boilerplate/spam). Ties break toward the lexicographically
+    * smallest gram for determinism. Two keyed aggregations — (key,
+    * gram) counts, then a max_by per key — both map-side combinable;
+    * documents with fewer than n tokens report zero counts and a null
+    * top gram. Output adds n_grams, top_gram, top_count, top_fraction. */
+  def topGramStats(df: DataFrame, textCol: String, keyCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, "topGramStats: n-gram size must be >= 1")
+    val terms = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
+    val counts = df
+      .withColumn("tk", tokens(col(textCol)))
+      .select(col(keyCol), explode(when(size(col("tk")) >= n, expr(
+        s"transform(sequence(0, size(tk) - $n)," +
+          s" i -> concat_ws(' ', $terms))"))
+        .otherwise(array())).as("gram"))
+      .groupBy(col(keyCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    // one pass per key: total mass, max count, and the smallest gram
+    // attaining it — min_by(gram, (-c, gram)) is the deterministic
+    // tie-break without a second join against the max
+    val top = counts.groupBy(col(keyCol))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_count"),
+        min_by(col("gram"), struct(-col("c"), col("gram")))
+          .as("top_gram"))
+    // keys whose documents yield no n-gram (under n tokens) keep a row
+    // with zero counts and a null top gram
+    df.select(col(keyCol)).join(top, Seq(keyCol), "left_outer")
+      .select(col(keyCol),
+        coalesce(col("n_grams"), lit(0L)).cast("long").as("n_grams"),
+        col("top_gram"),
+        coalesce(col("top_count"), lit(0L)).cast("long").as("top_count"),
+        r3(when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("top_count").cast("double") / col("n_grams"))
+          .otherwise(0.0)).as("top_fraction"))
+  }
+
   /** Within-document repetition signal (the Gopher-style duplicate
     * n-gram fraction): per document, the share of word n-grams that
     * are repeats of an earlier n-gram — `1 - distinct/total`, 0.0 for

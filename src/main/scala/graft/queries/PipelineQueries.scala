@@ -788,6 +788,45 @@ object PipelineQueries {
        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        ORDER BY d.doc_id"""
 
+  /** Gopher's other repetition signal: fraction of a document's
+    * bigrams occupied by its single most frequent bigram, smallest
+    * gram winning count ties. */
+  def taTopBigram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topGramStats(t(s, dir, "documents"), "text", "doc_id",
+        n = 2)
+      .orderBy(col("doc_id"))
+
+  private val taTopBigramSql =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       counts AS (
+         SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+       ranked AS (
+         SELECT doc_id, gram, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY c DESC, gram) AS rn
+         FROM counts),
+       agg AS (
+         SELECT doc_id, SUM(c) AS n_grams FROM counts GROUP BY doc_id)
+       SELECT d.doc_id,
+         CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+         r.gram AS top_gram,
+         CAST(COALESCE(r.c, 0) AS BIGINT) AS top_count,
+         CAST(ROUND(CAST(CASE WHEN COALESCE(a.n_grams, 0) > 0
+           THEN CAST(r.c AS DOUBLE) / a.n_grams ELSE 0.0 END
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS top_fraction
+       FROM documents d
+       LEFT JOIN agg a ON d.doc_id = a.doc_id
+       LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rn = 1
+       ORDER BY d.doc_id"""
+
   /** Per-source quota sampling by deterministic hash order — the
     * mixture-weighting step of a pretraining pipeline ("N_i docs from
     * source i"): src0 upweighted, src1 downweighted, everything else
@@ -942,6 +981,7 @@ object PipelineQueries {
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
     "ta_repetition" -> (taRepetition _),
+    "ta_top_bigram" -> (taTopBigram _),
     "pp_mixture" -> (ppMixture _),
     "pp_packing" -> (ppPacking _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
@@ -970,6 +1010,7 @@ object PipelineQueries {
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,
     "ta_repetition" -> taRepetitionSql,
+    "ta_top_bigram" -> taTopBigramSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_packing" -> ppPackingSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,

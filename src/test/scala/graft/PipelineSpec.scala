@@ -360,6 +360,26 @@ class PipelineSpec extends SparkSpec {
     assert(bySrc("src0").subsetOf(grown("src0")))
   }
 
+  test("top-bigram stats: max-mass gram, smallest-gram tie-break, short docs") {
+    val d = Seq(
+      (1L, "buy now buy now buy now totally organic prose"),
+      (2L, "one"),                      // < 2 tokens → no bigrams
+      (3L, "a b a b c d c d"))          // 'a b' and 'c d' tie at 2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topGramStats(d, "text", "doc_id", n = 2)
+      .select($"doc_id", $"n_grams", $"top_gram", $"top_count",
+        $"top_fraction")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(2)), r.getLong(3),
+          r.getDouble(4)))).toMap
+    // doc 1: 8 bigrams, 'buy now' ×3 → 0.375
+    assert(got(1L) === ((8L, Some("buy now"), 3L, 0.375)))
+    assert(got(2L) === ((0L, None, 0L, 0.0)))
+    // tie between 'a b'(2) and 'c d'(2): smallest gram wins
+    assert(got(3L) === ((7L, Some("a b"), 2L,
+      math.rint(2.0 / 7 * 1000) / 1000)))
+  }
+
   test("concat-chunk packing: offsets are contiguous per group, spans exact") {
     val d = Seq(
       (1L, "g1", Seq.fill(3000)("tok").mkString(" ")),   // [0, 3000)
