@@ -44,6 +44,20 @@ object GraftFunctions {
         "simhash64 expects exactly one string argument")
     }
 
+  private[functions] def buildGramStats(exprs: Seq[Expression]): Expression =
+    exprs match {
+      case Seq(child) => GramStats(child, 3)
+      case Seq(child, n) if n.foldable =>
+        val v = n.eval()
+        require(v != null && v.isInstanceOf[Number],
+          "gram_stats: n must be a non-null integer literal")
+        GramStats(child, v.asInstanceOf[Number].intValue())
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "gram_stats: n must be a foldable integer literal")
+      case _ => throw new IllegalArgumentException(
+        "gram_stats expects (text[, n]) arguments")
+    }
+
   /** Session-conf marker: set once graft's builders have been installed
     * in this session. Keyed per session (runtime conf), unlike a mere
     * name-exists check — so a foreign function that grabbed `vec_dot`
@@ -58,6 +72,7 @@ object GraftFunctions {
           builder: Seq[Expression] => Expression): Unit =
         registry.createOrReplaceTempFunction(name, builder, "built-in")
       install("simhash64", buildSimHash)
+      install("gram_stats", buildGramStats)
       install("minhash_agg", buildMinHashAgg)
       install("vec_dot", exprs => VecDot(exprs(0), exprs(1)))
       install("vec_norm", exprs => VecNorm(exprs.head))
@@ -73,6 +88,12 @@ object GraftFunctions {
   /** 64-bit SimHash of a string column (codegen'd native expression).
     * Requires [[register]] (or the extensions) on the session. */
   def simhash64(c: Column): Column = call_function("simhash64", c)
+
+  /** One-pass n-gram stats struct (n_grams, n_distinct) of a string
+    * column (codegen'd native expression). */
+  def gram_stats(c: Column, n: Int): Column =
+    call_function("gram_stats", c,
+      org.apache.spark.sql.functions.lit(n))
 
   /** k-hash MinHash signature aggregate over a (shingle) column. */
   def minhash_agg(c: Column, k: Int): Column =
@@ -93,6 +114,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       SimHash64.info,
       GraftFunctions.buildSimHash))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("gram_stats"),
+      GramStats.info,
+      GraftFunctions.buildGramStats))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

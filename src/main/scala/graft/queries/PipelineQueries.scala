@@ -788,6 +788,30 @@ object PipelineQueries {
        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        ORDER BY d.doc_id"""
 
+  /** The repetition signal via the native codegen'd [[graft.functions
+    * .GramStats]] expression: one streamed pass per row (hash-set
+    * distinct inside the generated loop) replacing the gram-array +
+    * array_distinct materialization of [[taRepetition]] — verified
+    * against the SAME oracle, proving the kernel equivalent to the
+    * relational form. Null texts yield 0 counts like the relational
+    * path. */
+  def taRepetitionExpr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.gram_stats(col("text"), 3).as("g"))
+      .select(col("doc_id"),
+        coalesce(col("g.n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("g.n_distinct"), lit(0L)).as("n_distinct"))
+      .withColumn("dup_fraction",
+        round(when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+          .otherwise(0.0)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10)), 3)
+          .cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher's other repetition signal: fraction of a document's
     * bigrams occupied by its single most frequent bigram, smallest
     * gram winning count ties. */
@@ -981,6 +1005,7 @@ object PipelineQueries {
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
     "ta_repetition" -> (taRepetition _),
+    "ta_repetition_native_expr" -> (taRepetitionExpr _),
     "ta_top_bigram" -> (taTopBigram _),
     "pp_mixture" -> (ppMixture _),
     "pp_packing" -> (ppPacking _),
@@ -1010,6 +1035,7 @@ object PipelineQueries {
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,
     "ta_repetition" -> taRepetitionSql,
+    "ta_repetition_native_expr" -> taRepetitionSql,
     "ta_top_bigram" -> taTopBigramSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_packing" -> ppPackingSql,

@@ -47,6 +47,52 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("gram_stats expression equals the relational repetition counts") {
+    GraftFunctions.register(spark)
+    val viaExpr = docs
+      .select($"doc_id", GraftFunctions.gram_stats($"text", 3).as("g"))
+      .select($"doc_id", $"g.n_grams", $"g.n_distinct")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaRelational = graft.pipeline.TextAnalysis
+      .repetitionStats(docs, "text", 3)
+      .select($"doc_id", $"n_grams", $"n_distinct")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaExpr === viaRelational)
+    // edge shapes: punctuation-only, short, repetitive, empty
+    val edge = Seq((1L, "!!! ... ???"), (2L, "one two"),
+      (3L, "x y x y x y x y"), (4L, ""))
+      .toDF("doc_id", "text")
+    val e1 = edge.select($"doc_id",
+        GraftFunctions.gram_stats($"text", 3).as("g"))
+      .select($"doc_id", $"g.n_grams", $"g.n_distinct")
+      .as[(Long, Long, Long)].collect().toSet
+    val e2 = graft.pipeline.TextAnalysis.repetitionStats(edge, "text", 3)
+      .select($"doc_id", $"n_grams", $"n_distinct")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(e1 === e2)
+    assert(e1.contains((3L, 6L, 2L))) // xyx / yxy alternate
+  }
+
+  test("gram_stats works from SQL text and inside codegen") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("fn_docs_gs")
+    val sqlRes = spark.sql(
+      "SELECT doc_id, gram_stats(text, 3).n_grams AS g FROM fn_docs_gs")
+    sqlRes.collect()
+    val executed = sqlRes.queryExecution.executedPlan.toString
+    assert(executed.contains("*("), executed)
+    // null-safety
+    assert(spark.sql("SELECT gram_stats(CAST(NULL AS STRING), 3)")
+      .collect().head.isNullAt(0))
+    // default n and type/arity errors surface at analysis
+    assert(spark.sql("SELECT gram_stats('a b c d').n_grams")
+      .collect().head.getLong(0) === 2)
+    intercept[Exception] { spark.sql("SELECT gram_stats(42, 3)").collect() }
+    intercept[Exception] {
+      spark.sql("SELECT gram_stats('x', text)").collect()
+    }
+  }
+
   test("minhash_agg equals the 8-way min() relational signature") {
     GraftFunctions.register(spark)
     val sh = Dedup.shingles(docs, "text", "doc_id")
