@@ -44,6 +44,20 @@ object GraftFunctions {
         "simhash64 expects exactly one string argument")
     }
 
+  private[functions] def buildMinHashSigs(exprs: Seq[Expression]): Expression =
+    exprs match {
+      case Seq(child) => MinHashSigs(child, 8)
+      case Seq(child, kk) if kk.foldable =>
+        val v = kk.eval()
+        require(v != null && v.isInstanceOf[Number],
+          "minhash_sigs: k must be a non-null integer literal")
+        MinHashSigs(child, v.asInstanceOf[Number].intValue())
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "minhash_sigs: k must be a foldable integer literal")
+      case _ => throw new IllegalArgumentException(
+        "minhash_sigs expects (text[, k]) arguments")
+    }
+
   private[functions] def buildGramStats(exprs: Seq[Expression]): Expression =
     exprs match {
       case Seq(child) => GramStats(child, 3)
@@ -73,6 +87,7 @@ object GraftFunctions {
         registry.createOrReplaceTempFunction(name, builder, "built-in")
       install("simhash64", buildSimHash)
       install("gram_stats", buildGramStats)
+      install("minhash_sigs", buildMinHashSigs)
       install("minhash_agg", buildMinHashAgg)
       install("vec_dot", exprs => VecDot(exprs(0), exprs(1)))
       install("vec_norm", exprs => VecNorm(exprs.head))
@@ -100,6 +115,12 @@ object GraftFunctions {
     call_function("minhash_agg", c,
       org.apache.spark.sql.functions.lit(k))
 
+  /** Scan-local k-hash MinHash signature of a raw text column (null
+    * when the text yields no shingle). */
+  def minhash_sigs(c: Column, k: Int): Column =
+    call_function("minhash_sigs", c,
+      org.apache.spark.sql.functions.lit(k))
+
   /** Native float-vector dot product (codegen'd kernel). */
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
@@ -118,6 +139,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("gram_stats"),
       GramStats.info,
       GraftFunctions.buildGramStats))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
+      MinHashSigs.info,
+      GraftFunctions.buildMinHashSigs))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

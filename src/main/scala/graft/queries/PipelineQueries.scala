@@ -351,6 +351,35 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** MinHash candidates via the scan-local scalar signature
+    * ([[graft.functions.MinHashSigs]]): signatures come straight off
+    * the document scan (no shingle explode, no window, no signature
+    * groupBy — the only shuffle left is the band candidate join).
+    * Same oracle as [[ddMinhash]], proving the scalar kernel
+    * equivalent to the fully relational pipeline. */
+  def ddMinhashScalar(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sigs = t(s, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhash_sigs(col("text"), 8)
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(b =>
+        md5(concat(element_at(col("sig"), b * 2 + 1),
+          element_at(col("sig"), b * 2 + 2)))): _*))
+        .as(Seq("band", "band_hash")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"),
+      col("band_hash"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"),
+      col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Decontamination scan: non-src0 documents sharing any 5-gram with
     * the held-out src0 subset. */
   def ddContamination(s: SparkSession, dir: String): DataFrame =
@@ -987,6 +1016,7 @@ object PipelineQueries {
     "dd_fingerprint" -> (ddFingerprint _),
     "dd_minhash_lsh" -> (ddMinhash _),
     "dd_minhash_agg_expr" -> (ddMinhashExpr _),
+    "dd_minhash_scalar_expr" -> (ddMinhashScalar _),
     "dd_simhash" -> (ddSimhash _),
     "dd_simhash_native_expr" -> (ddSimhashExpr _),
     "dd_simhash_pairs" -> (ddSimhashPairs _),
@@ -1017,6 +1047,7 @@ object PipelineQueries {
     "dd_fingerprint" -> ddFingerprintSql,
     "dd_minhash_lsh" -> ddMinhashSql,
     "dd_minhash_agg_expr" -> ddMinhashSql,
+    "dd_minhash_scalar_expr" -> ddMinhashSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_simhash_native_expr" -> ddSimhashSql,
     "dd_simhash_pairs" -> ddSimhashPairsSql,

@@ -93,6 +93,28 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("minhash_sigs scalar equals the relational signature pipeline") {
+    GraftFunctions.register(spark)
+    val viaScalar = docs
+      .select($"doc_id", GraftFunctions.minhash_sigs($"text", 8).as("sig"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[String])].collect().toMap
+    val viaRelational = Dedup.minHashSignatures(docs, "text", "doc_id")
+      .as[(Long, String, String, String, String, String, String, String,
+        String)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9))
+      .toMap
+    assert(viaScalar === viaRelational)
+    // a no-shingle document yields null, mirroring the groupBy's
+    // absent row; codegen path must agree with eval
+    val short = Seq((1L, "two words"), (2L, "a b c d")).toDF("doc_id", "text")
+    val r = short
+      .select($"doc_id", GraftFunctions.minhash_sigs($"text", 8).as("sig"))
+      .collect().map(x => x.getLong(0) -> x.isNullAt(1)).toMap
+    assert(r(1L) === true)
+    assert(r(2L) === false)
+  }
+
   test("minhash_agg equals the 8-way min() relational signature") {
     GraftFunctions.register(spark)
     val sh = Dedup.shingles(docs, "text", "doc_id")
