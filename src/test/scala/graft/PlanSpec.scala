@@ -113,6 +113,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("dd_minhash_scalar_expr: signatures are scan-local (no window)") {
+    // the relational pipeline needs a Window (shingle positions) and a
+    // signature groupBy; the scalar kernel needs neither — its only
+    // shuffles are the band join and the final distinct/sort
+    val relational = plan("dd_minhash_lsh")
+    val scalar = plan("dd_minhash_scalar_expr")
+    assert(relational.contains("Window"), relational)
+    assert(!scalar.contains("Window"), scalar)
+  }
+
   test("pp_mixture: one window pass, no join for the quota lookup") {
     val p = plan("pp_mixture")
     assert(p.contains("Window"), p)
