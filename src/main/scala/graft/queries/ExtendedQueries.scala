@@ -504,6 +504,27 @@ object ExtendedQueries {
          ',') AS top_keys
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Per-key top-k through the custom LogicalPlan/SparkStrategy/
+    * SparkPlan tier ([[graft.plans.TopKPerKey]]): bounded heaps
+    * instead of Window's full per-group sort — top 3 customers by
+    * account balance per market segment. The oracle runs the window
+    * formulation, proving the custom physical operator equivalent. */
+  def q39TopkPerKey(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey(
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal")),
+      keys = Seq("c_mktsegment"),
+      order = Seq(("c_acctbal", true), ("c_custkey", false)), k = 3)
+      .orderBy(col("c_mktsegment"), col("rank"))
+
+  private val q39Sql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rank FROM (
+         SELECT c_mktsegment, c_custkey, c_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey) AS rank
+         FROM customer)
+       WHERE rank <= 3 ORDER BY c_mktsegment, rank"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -519,6 +540,7 @@ object ExtendedQueries {
     "q36_ntile" -> (q36Ntile _),
     "q37_monthly" -> (q37Monthly _),
     "q38_collect_top" -> (q38CollectTop _),
+    "q39_topk_per_key" -> (q39TopkPerKey _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -537,6 +559,7 @@ object ExtendedQueries {
     "q36_ntile" -> q36Sql,
     "q37_monthly" -> q37Sql,
     "q38_collect_top" -> q38Sql,
+    "q39_topk_per_key" -> q39Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }

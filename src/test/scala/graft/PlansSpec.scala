@@ -1,0 +1,71 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom LogicalPlan/SparkStrategy/SparkPlan tier: per-key top-k
+  * must agree exactly with the window formulation it replaces, plan
+  * through the custom exec node, and keep bounded state semantics. */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowForm(df: org.apache.spark.sql.DataFrame,
+      key: String, order: Seq[org.apache.spark.sql.Column], k: Int) =
+    df.withColumn("rank", row_number().over(
+        Window.partitionBy(col(key)).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+
+  test("TopKPerKey equals the row_number window form on customer") {
+    val c = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+    val viaWindow = windowForm(c, "c_mktsegment",
+      Seq($"c_acctbal".desc, $"c_custkey"), 3)
+      .as[(String, Long, Double, Int)].collect().toSet
+    val viaCustom = TopKPerKey(c, Seq("c_mktsegment"),
+      Seq(("c_acctbal", true), ("c_custkey", false)), 3)
+      .as[(String, Long, Double, Int)].collect().toSet
+    assert(viaCustom === viaWindow)
+  }
+
+  test("TopKPerKey plans through the custom exec, not Window") {
+    val c = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+    val df = TopKPerKey(c, Seq("c_mktsegment"),
+      Seq(("c_acctbal", true), ("c_custkey", false)), 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    // EnsureRequirements inserted the key shuffle the semantics need
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("TopKPerKey: k larger than every group ranks all rows") {
+    val d = Seq(("a", 1), ("a", 2), ("b", 5)).toDF("g", "v")
+    val got = TopKPerKey(d, Seq("g"), Seq(("v", false)), 10)
+      .as[(String, Int, Int)].collect().toSet
+    assert(got === Set(("a", 1, 1), ("a", 2, 2), ("b", 5, 1)))
+  }
+
+  test("property: TopKPerKey equals window form on random frames") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genRows = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 4), Gen.choose(0L, 20L), Gen.choose(0L, 9L)))
+    val prop = Prop.forAll(genRows, Gen.choose(1, 5)) { (rows, k) =>
+      // (payload, tiebreak) is made unique per group so ranks are
+      // deterministic in both forms
+      val fact = rows.zipWithIndex
+        .map { case ((g, v, _), i) => (s"g$g", v, i.toLong) }
+        .toDF("g", "v", "tb")
+      val viaWindow = windowForm(fact, "g", Seq($"v".desc, $"tb"), k)
+        .as[(String, Long, Long, Int)].collect().toSet
+      val viaCustom = TopKPerKey(fact, Seq("g"),
+        Seq(("v", true), ("tb", false)), k)
+        .as[(String, Long, Long, Int)].collect().toSet
+      viaCustom === viaWindow
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
+    assert(SCTest.check(params, prop).passed)
+  }
+}
