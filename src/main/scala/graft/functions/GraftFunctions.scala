@@ -94,7 +94,11 @@ object GraftFunctions {
       spark.conf.set(RegisteredKey, "true")
     }
     // kernel fusion for sessions built without GraftExtensions —
-    // extraOptimizations is the per-session post-hoc injection point
+    // extraOptimizations is the per-session post-hoc injection point.
+    // (TopKRewriteRule is deliberately NOT auto-added here: register()
+    // is called lazily per operator, so plan shapes would depend on
+    // query execution order within a session. The rewrite is uniform
+    // via GraftExtensions, or per-DataFrame via TopKPerKey.rewrite.)
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(VecFusionRule))
       spark.experimental.extraOptimizations = extra :+ VecFusionRule
@@ -161,6 +165,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecNorm(exprs.head)))
     e.injectOptimizerRule(_ => VecFusionRule)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -157,4 +157,19 @@ object TopKPerKey {
     if (!extra.contains(TopKPerKeyStrategy))
       spark.experimental.extraStrategies = extra :+ TopKPerKeyStrategy
   }
+
+  /** Apply [[TopKRewriteRule]] to one DataFrame: if its optimized plan
+    * ends in the `Filter(rank <= k, Window(row_number))` idiom, return
+    * the same query through [[TopKPerKeyNode]]; otherwise return the
+    * input unchanged. Deterministic per-DataFrame opt-in — unlike a
+    * session-level rule, it cannot make other queries' plans depend on
+    * what ran earlier in the session. */
+  def rewrite(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val optimized = df.queryExecution.optimizedPlan
+    val rewritten = TopKRewriteRule(optimized)
+    if (rewritten eq optimized) df
+    else GraftPlanBridge.ofRows(spark, rewritten)
+  }
 }

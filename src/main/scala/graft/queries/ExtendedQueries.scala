@@ -525,6 +525,23 @@ object ExtendedQueries {
          FROM customer)
        WHERE rank <= 3 ORDER BY c_mktsegment, rank"""
 
+  /** The same top-k written in the WINDOW idiom and then passed
+    * through [[graft.plans.TopKRewriteRule]] — the optimizer-rule leg
+    * of the custom-operator tier: user code keeps the row_number
+    * pattern, the plan runs the bounded-heap exec. Same oracle as
+    * [[q39TopkPerKey]]. */
+  def q40TopkRewrite(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val windowForm = t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))))
+      .filter(col("rank") <= 3)
+    graft.plans.TopKPerKey.rewrite(windowForm)
+      .orderBy(col("c_mktsegment"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -541,6 +558,7 @@ object ExtendedQueries {
     "q37_monthly" -> (q37Monthly _),
     "q38_collect_top" -> (q38CollectTop _),
     "q39_topk_per_key" -> (q39TopkPerKey _),
+    "q40_topk_rewrite" -> (q40TopkRewrite _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -560,6 +578,7 @@ object ExtendedQueries {
     "q37_monthly" -> q37Sql,
     "q38_collect_top" -> q38Sql,
     "q39_topk_per_key" -> q39Sql,
+    "q40_topk_rewrite" -> q39Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }

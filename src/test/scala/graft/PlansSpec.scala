@@ -48,6 +48,34 @@ class PlansSpec extends SparkSpec {
     assert(got === Set(("a", 1, 1), ("a", 2, 2), ("b", 5, 1)))
   }
 
+  test("TopKRewriteRule: window idiom rewrites to the custom node; guards hold") {
+    val c = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+    val idiom = windowForm(c, "c_mktsegment",
+      Seq($"c_acctbal".desc, $"c_custkey"), 3)
+    // positive: the rewrite fires, results are identical, plan runs
+    // the custom exec instead of Window
+    val rewritten = TopKPerKey.rewrite(idiom)
+    assert(rewritten.queryExecution.optimizedPlan.collectFirst {
+      case n: graft.plans.TopKPerKeyNode => n }.nonEmpty)
+    rewritten.collect()
+    val plan = rewritten.queryExecution.executedPlan.toString
+    // the Window exec ("Window [...") must be gone; Spark's own
+    // map-side WindowGroupLimit prune is kept as the exec's child —
+    // the rewrite composes with InferWindowGroupLimit, so fewer rows
+    // even reach the shuffle
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window ["), plan)
+    assert(rewritten.as[(String, Long, Double, Int)].collect().toSet ===
+      idiom.as[(String, Long, Double, Int)].collect().toSet)
+    // negative guards: equality filter, global window → untouched
+    val eqFilter = c.withColumn("rank", row_number().over(
+        Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".desc, $"c_custkey")))
+      .filter($"rank" === 2)
+    assert(TopKPerKey.rewrite(eqFilter).queryExecution.optimizedPlan
+      .collectFirst { case n: graft.plans.TopKPerKeyNode => n }.isEmpty)
+  }
+
   test("property: TopKPerKey equals window form on random frames") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genRows = Gen.listOfN(60,
