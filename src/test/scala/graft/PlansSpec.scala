@@ -76,6 +76,24 @@ class PlansSpec extends SparkSpec {
       .collectFirst { case n: graft.plans.TopKPerKeyNode => n }.isEmpty)
   }
 
+  test("TopKPerKey: null keys and null sort values match the window form") {
+    val d = Seq[(Option[String], Option[java.lang.Double], Long)](
+      (Some("a"), Some(3.0), 1L), (Some("a"), None, 2L),
+      (Some("a"), Some(9.0), 3L), (None, Some(5.0), 4L),
+      (None, None, 5L), (Some("b"), None, 6L))
+      .toDF("g", "v", "tb")
+    val viaWindow = windowForm(d, "g", Seq($"v".desc, $"tb"), 2)
+      .as[(Option[String], Option[Double], Long, Int)].collect().toSet
+    val viaCustom = TopKPerKey(d, Seq("g"),
+      Seq(("v", true), ("tb", false)), 2)
+      .as[(Option[String], Option[Double], Long, Int)].collect().toSet
+    assert(viaCustom === viaWindow)
+    // null keys group together (one group), like the window's
+    // partitioning; DESC ranks nulls last, like SortOrder's default
+    assert(viaCustom.contains((None, Some(5.0), 4L, 1)))
+    assert(viaCustom.contains((None, None, 5L, 2)))
+  }
+
   test("property: TopKPerKey equals window form on random frames") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val genRows = Gen.listOfN(60,
