@@ -542,6 +542,27 @@ object ExtendedQueries {
       .orderBy(col("c_mktsegment"), col("rank"))
   }
 
+  /** Two-phase salted aggregation over the (skew-prone) lineitem
+    * return-flag rollup — saltedJoin's GROUP-BY counterpart; the
+    * oracle runs the plain single-phase aggregate, proving the
+    * partial/merge decomposition exact (decimal-routed sum). */
+  def q41SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("q"))
+    Skew.saltedAgg(li, "l_returnflag", "q", numSalts = 16)
+      .select(col("l_returnflag"),
+        col("sum_value").cast("double").as("sum_qty"), col("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q41Sql =
+    """SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS cnt
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -559,6 +580,7 @@ object ExtendedQueries {
     "q38_collect_top" -> (q38CollectTop _),
     "q39_topk_per_key" -> (q39TopkPerKey _),
     "q40_topk_rewrite" -> (q40TopkRewrite _),
+    "q41_salted_agg" -> (q41SaltedAgg _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -579,6 +601,7 @@ object ExtendedQueries {
     "q38_collect_top" -> q38Sql,
     "q39_topk_per_key" -> q39Sql,
     "q40_topk_rewrite" -> q39Sql,
+    "q41_salted_agg" -> q41Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }

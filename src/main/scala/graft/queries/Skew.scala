@@ -39,4 +39,29 @@ object Skew {
     saltedFact.join(expandedDim, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Two-phase salted aggregation — the skew tool for hot GROUP BY
+    * keys (saltedJoin's counterpart): phase 1 aggregates by
+    * (key, salt) so a dominant key's rows spread over `numSalts`
+    * reducers, phase 2 merges the partials by key. Only valid for
+    * aggregates with an associative merge — this helper does
+    * SUM/COUNT, the shapes that dominate skewed rollups (AVG = summed
+    * parts; MIN/MAX would merge the same way). Results equal the
+    * plain `groupBy(key).agg(sum, count)` exactly: integer/decimal
+    * sums are order-independent, and double sums should be routed
+    * through decimal by the caller (StarQueries.sumd) as everywhere
+    * else in the gate. */
+  def saltedAgg(df: DataFrame, key: String, valueCol: String,
+      numSalts: Int): DataFrame = {
+    require(numSalts > 0, "numSalts must be positive")
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+        lit(numSalts)).cast("int"))
+    salted
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("__psum")).as("sum_value"),
+        sum(col("__pcnt")).as("cnt"))
+  }
 }

@@ -37,6 +37,18 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("salted aggregation equals the plain groupBy on a skewed key") {
+    val fact = spark.range(0, 5000)
+      .select((when($"id" % 10 === 0, $"id" % 7).otherwise(0L))
+        .as("k"), ($"id" % 97).cast("decimal(18,2)").as("v"))
+    val plain = fact.groupBy($"k")
+      .agg(sum($"v").as("sum_value"), count(lit(1)).as("cnt"))
+      .as[(Long, BigDecimal, Long)].collect().toSet
+    val salted = Skew.saltedAgg(fact, "k", "v", numSalts = 8)
+      .as[(Long, BigDecimal, Long)].collect().toSet
+    assert(salted === plain)
+  }
+
   test("Pregel min-depth agrees with the iterative traversal") {
     val edges = StarQueries.t(spark, sf("sf0.001"), "nation")
       .select(concat(lit("r_"), $"n_regionkey").as("src"),
