@@ -542,6 +542,38 @@ object ExtendedQueries {
       .orderBy(col("c_mktsegment"), col("rank"))
   }
 
+  /** The other mergeable-sketch contract (q28's HLL sibling): at
+    * 100 TB exact per-group percentiles need a full sort per group,
+    * while `approx_percentile` merges fixed-size KLL-style sketches —
+    * this pins the ≤5%-of-range error contract that swap relies on.
+    * n_exact (the true median, exact interpolation) is hash-compared;
+    * approx_ok must be uniformly true. */
+  def q42PercentileContract(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val rng = li.agg((max(col("l_extendedprice")) -
+      min(col("l_extendedprice"))).as("rng"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+      .crossJoin(rng)
+      .select(col("l_returnflag"),
+        round(col("p50_exact")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10)), 2)
+          .cast("double").as("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          col("rng") * 0.05).as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q42Sql =
+    """SELECT l_returnflag,
+       CAST(ROUND(CAST(quantile_cont(l_extendedprice, 0.5)
+         AS DECIMAL(28,10)), 2) AS DOUBLE) AS p50_exact,
+       TRUE AS approx_ok
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** Two-phase salted aggregation over the (skew-prone) lineitem
     * return-flag rollup — saltedJoin's GROUP-BY counterpart; the
     * oracle runs the plain single-phase aggregate, proving the
@@ -581,6 +613,7 @@ object ExtendedQueries {
     "q39_topk_per_key" -> (q39TopkPerKey _),
     "q40_topk_rewrite" -> (q40TopkRewrite _),
     "q41_salted_agg" -> (q41SaltedAgg _),
+    "q42_percentile_contract" -> (q42PercentileContract _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -602,6 +635,7 @@ object ExtendedQueries {
     "q39_topk_per_key" -> q39Sql,
     "q40_topk_rewrite" -> q39Sql,
     "q41_salted_agg" -> q41Sql,
+    "q42_percentile_contract" -> q42Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }
