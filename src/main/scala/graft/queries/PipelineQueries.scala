@@ -44,18 +44,23 @@ object PipelineQueries {
       .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private val ddMinhashSql =
-    """WITH toks AS (
+  /** The MinHash band CTE chain (toks → shingles → 8-hash signature →
+    * 4 LSH bands), shared verbatim by every oracle that replays the
+    * banding: the three signature-form queries (relational, aggregate,
+    * scalar), the sketch-then-verify jaccard, and the e2e dedup
+    * resolution. One definition keeps the five provably in sync. */
+  private def minhashBandsCte(bound: Int): String =
+    s"""stoks AS (
          SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
          FROM (SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '\W+'),
+                 list_filter(string_split_regex(lower(text), '\\W+'),
                              x -> x <> '') AS tk
-               FROM documents WHERE doc_id < 300)),
+               FROM documents WHERE doc_id < $bound)),
        sh AS (
          SELECT doc_id,
            tok || ' ' || LEAD(tok,1) OVER w || ' ' || LEAD(tok,2) OVER w
              AS shingle
-         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         FROM stoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
        sig AS (
          SELECT doc_id,
            MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
@@ -67,7 +72,10 @@ object PipelineQueries {
          SELECT doc_id, 0 AS band, md5(h0 || h1) AS band_hash FROM sig
          UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
          UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig)
+         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig)"""
+
+  private val ddMinhashSql =
+    s"""WITH ${minhashBandsCte(300)}
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM bands a JOIN bands b
          ON a.band = b.band AND a.band_hash = b.band_hash
@@ -80,47 +88,17 @@ object PipelineQueries {
       t(s, dir, "documents").filter(col("doc_id") < 200), "text", "doc_id")
       .orderBy(col("doc_id"), col("part"))
 
-  private val ddSimhashSql =
-    """WITH toks AS (
+  /** The SimHash vote chain (distinct tokens → md5 nibbles → bit
+    * votes → 4×16-bit signature parts), shared by the relational and
+    * native-expression signature oracles and the candidate-pair
+    * oracle. */
+  private def simhashPartsCte(bound: Int): String =
+    s"""vtoks AS (
          SELECT DISTINCT doc_id,
-           unnest(list_filter(string_split_regex(lower(text), '\W+'),
+           unnest(list_filter(string_split_regex(lower(text), '\\W+'),
                               x -> x <> '')) AS tok
-         FROM documents WHERE doc_id < 200),
-       h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
-       nib AS (
-         SELECT doc_id, hh, ni,
-           instr('0123456789abcdef', substr(hh, CAST(ni AS INT), 1)) - 1
-             AS nv
-         FROM h CROSS JOIN range(1, 17) r1(ni)),
-       bits AS (
-         SELECT doc_id, (ni-1)*4 + b AS bitpos,
-           ((nv >> CAST(b AS INT)) & 1) AS bit
-         FROM nib CROSS JOIN range(0, 4) r2(b)),
-       votes AS (
-         SELECT doc_id, bitpos,
-           CASE WHEN SUM(2*bit - 1) > 0 THEN 1 ELSE 0 END AS sbit
-         FROM bits GROUP BY doc_id, bitpos)
-       SELECT doc_id, CAST(bitpos // 16 AS INT) AS part,
-         CAST(SUM(sbit * (1::BIGINT << CAST(bitpos % 16 AS INT)))
-           AS BIGINT) AS sig
-       FROM votes GROUP BY doc_id, part ORDER BY doc_id, part"""
-
-  /** SimHash candidate pairs (Manku pigeonhole banding on the 4×16-bit
-    * parts): keys sharing any exact signature part. The oracle extends
-    * the dd_simhash vote pipeline with the banding self-join. */
-  def ddSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashCandidates(
-      t(s, dir, "documents").filter(col("doc_id") < 200), "text", "doc_id")
-      .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
-      .orderBy(col("doc_a"), col("doc_b"))
-
-  private val ddSimhashPairsSql =
-    """WITH toks AS (
-         SELECT DISTINCT doc_id,
-           unnest(list_filter(string_split_regex(lower(text), '\W+'),
-                              x -> x <> '')) AS tok
-         FROM documents WHERE doc_id < 200),
-       h AS (SELECT doc_id, md5(tok) AS hh FROM toks),
+         FROM documents WHERE doc_id < $bound),
+       h AS (SELECT doc_id, md5(tok) AS hh FROM vtoks),
        nib AS (
          SELECT doc_id, hh, ni,
            instr('0123456789abcdef', substr(hh, CAST(ni AS INT), 1)) - 1
@@ -138,7 +116,23 @@ object PipelineQueries {
          SELECT doc_id, CAST(bitpos // 16 AS INT) AS part,
            CAST(SUM(sbit * (1::BIGINT << CAST(bitpos % 16 AS INT)))
              AS BIGINT) AS sig
-         FROM votes GROUP BY doc_id, part)
+         FROM votes GROUP BY doc_id, part)"""
+
+  private lazy val ddSimhashSql =
+    s"""WITH ${simhashPartsCte(200)}
+       SELECT doc_id, part, sig FROM parts ORDER BY doc_id, part"""
+
+  /** SimHash candidate pairs (Manku pigeonhole banding on the 4×16-bit
+    * parts): keys sharing any exact signature part. The oracle extends
+    * the dd_simhash vote pipeline with the banding self-join. */
+  def ddSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashCandidates(
+      t(s, dir, "documents").filter(col("doc_id") < 200), "text", "doc_id")
+      .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private lazy val ddSimhashPairsSql =
+    s"""WITH ${simhashPartsCte(200)}
        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        FROM parts a JOIN parts b
          ON a.part = b.part AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -187,30 +181,8 @@ object PipelineQueries {
         col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private val ddJaccardVerifiedSql =
-    """WITH stoks AS (
-         SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
-         FROM (SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '\W+'),
-                             x -> x <> '') AS tk
-               FROM documents WHERE doc_id < 300)),
-       sh AS (
-         SELECT doc_id,
-           tok || ' ' || LEAD(tok,1) OVER w || ' ' || LEAD(tok,2) OVER w
-             AS shingle
-         FROM stoks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-       sig AS (
-         SELECT doc_id,
-           MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
-           MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
-           MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5,
-           MIN(md5('6|' || shingle)) AS h6, MIN(md5('7|' || shingle)) AS h7
-         FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id),
-       bands AS (
-         SELECT doc_id, 0 AS band, md5(h0 || h1) AS band_hash FROM sig
-         UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-         UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+  private lazy val ddJaccardVerifiedSql =
+    s"""WITH ${minhashBandsCte(300)},
        cands AS (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
@@ -218,7 +190,7 @@ object PipelineQueries {
             AND a.doc_id < b.doc_id),
        toks AS (
          SELECT DISTINCT doc_id,
-           unnest(list_filter(string_split_regex(lower(text), '\W+'),
+           unnest(list_filter(string_split_regex(lower(text), '\\W+'),
                               x -> x <> '')) AS tok
          FROM documents WHERE doc_id < 300),
        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
@@ -944,30 +916,8 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val ppDedupE2eSql =
-    """WITH RECURSIVE toks AS (
-         SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
-         FROM (SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '\W+'),
-                             x -> x <> '') AS tk
-               FROM documents WHERE doc_id < 300)),
-       sh AS (
-         SELECT doc_id,
-           tok || ' ' || LEAD(tok,1) OVER w || ' ' || LEAD(tok,2) OVER w
-             AS shingle
-         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-       sig AS (
-         SELECT doc_id,
-           MIN(md5('0|' || shingle)) AS h0, MIN(md5('1|' || shingle)) AS h1,
-           MIN(md5('2|' || shingle)) AS h2, MIN(md5('3|' || shingle)) AS h3,
-           MIN(md5('4|' || shingle)) AS h4, MIN(md5('5|' || shingle)) AS h5,
-           MIN(md5('6|' || shingle)) AS h6, MIN(md5('7|' || shingle)) AS h7
-         FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id),
-       bands AS (
-         SELECT doc_id, 0 AS band, md5(h0 || h1) AS band_hash FROM sig
-         UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-         UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-         UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+  private lazy val ppDedupE2eSql =
+    s"""WITH RECURSIVE ${minhashBandsCte(300)},
        pairs AS (
          SELECT DISTINCT a.doc_id AS va, b.doc_id AS vb
          FROM bands a JOIN bands b
