@@ -542,6 +542,39 @@ object ExtendedQueries {
       .orderBy(col("c_mktsegment"), col("rank"))
   }
 
+  /** The SQL-TEXT entry surface: the same star-join rollup a
+    * DataFrame query would build, but authored as `spark.sql` text
+    * over temp views — the path a reference user speaking SQL takes
+    * (the engine's views + Catalyst parse/analyze/optimize pipeline,
+    * not just the DataFrame DSL). Deterministic: decimal-routed sum,
+    * total ORDER BY. */
+  def q43SqlTextEntry(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("v_orders")
+    t(s, dir, "customer").createOrReplaceTempView("v_customer")
+    t(s, dir, "nation").createOrReplaceTempView("v_nation")
+    s.sql(
+      """SELECT n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           COUNT(*) AS n_orders
+         FROM v_orders o
+         JOIN v_customer c ON o.o_custkey = c.c_custkey
+         JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name
+         ORDER BY nation""")
+  }
+
+  private val q43Sql =
+    """SELECT n.n_name AS nation,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       COUNT(*) AS n_orders
+       FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       GROUP BY n.n_name
+       ORDER BY nation"""
+
   /** The other mergeable-sketch contract (q28's HLL sibling): at
     * 100 TB exact per-group percentiles need a full sort per group,
     * while `approx_percentile` merges fixed-size KLL-style sketches —
@@ -614,6 +647,7 @@ object ExtendedQueries {
     "q40_topk_rewrite" -> (q40TopkRewrite _),
     "q41_salted_agg" -> (q41SaltedAgg _),
     "q42_percentile_contract" -> (q42PercentileContract _),
+    "q43_sql_text_entry" -> (q43SqlTextEntry _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -636,6 +670,7 @@ object ExtendedQueries {
     "q40_topk_rewrite" -> q39Sql,
     "q41_salted_agg" -> q41Sql,
     "q42_percentile_contract" -> q42Sql,
+    "q43_sql_text_entry" -> q43Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }
