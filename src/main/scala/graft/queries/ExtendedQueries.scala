@@ -542,6 +542,42 @@ object ExtendedQueries {
       .orderBy(col("c_mktsegment"), col("rank"))
   }
 
+  /** Explicit GROUPING SETS (the general form behind q24's CUBE and
+    * q25's ROLLUP): a hand-picked mix — (status, priority), (status),
+    * and the grand total — still one Expand + one hash aggregate, with
+    * `grouping_id` disambiguating the levels. */
+  def q44GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("v_orders_gs")
+    // Spark's multi-column grouping function is GROUPING_ID; DuckDB's
+    // variadic GROUPING produces the same bit encoding (first column =
+    // most significant bit), so the two sides agree on gid
+    s.sql(
+      """SELECT CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT)
+           AS gid,
+         o_orderstatus, o_orderpriority,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price,
+         COUNT(*) AS n
+         FROM v_orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())
+         ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""")
+  }
+
+  private val q44Sql =
+    """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+         AS gid,
+       o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       COUNT(*) AS n
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                               (o_orderstatus), ())
+       ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+                o_orderpriority ASC NULLS FIRST"""
+
   /** The SQL-TEXT entry surface: the same star-join rollup a
     * DataFrame query would build, but authored as `spark.sql` text
     * over temp views — the path a reference user speaking SQL takes
@@ -648,6 +684,7 @@ object ExtendedQueries {
     "q41_salted_agg" -> (q41SaltedAgg _),
     "q42_percentile_contract" -> (q42PercentileContract _),
     "q43_sql_text_entry" -> (q43SqlTextEntry _),
+    "q44_grouping_sets" -> (q44GroupingSets _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -671,6 +708,7 @@ object ExtendedQueries {
     "q41_salted_agg" -> q41Sql,
     "q42_percentile_contract" -> q42Sql,
     "q43_sql_text_entry" -> q43Sql,
+    "q44_grouping_sets" -> q44Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }
