@@ -51,6 +51,34 @@ object EventQueries {
          COUNT(*) AS n_events
        FROM flagged GROUP BY user_id ORDER BY user_id"""
 
+  /** Per-session rows via the native `session_window` primitive (gap
+    * 30 min; new session when the gap is >= the duration — see
+    * [[EventStream.sessionWindows]] for the boundary contrast with
+    * ev_sessions' lag-gap form). */
+  def evSessionNative(s: SparkSession, dir: String): DataFrame =
+    EventStream.sessionWindows(t(s, dir, "events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val evSessionNativeSql =
+    """WITH e AS (
+         SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         FROM events),
+       flagged AS (
+         SELECT user_id, ts_sec,
+           CASE WHEN LAG(ts_sec) OVER w IS NULL
+                  OR ts_sec - LAG(ts_sec) OVER w >= 1800
+                THEN 1 ELSE 0 END AS new_session
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
+       sess AS (
+         SELECT user_id, ts_sec,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+             ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged)
+       SELECT user_id, MIN(ts_sec) AS session_start,
+         MAX(ts_sec) + 1800 AS session_end, COUNT(*) AS n_events
+       FROM sess GROUP BY user_id, sid
+       ORDER BY user_id, session_start"""
+
   /** Sliding 10-minute windows advancing every 5 — each event lands in
     * exactly two windows (Spark's window(size, slide); the oracle
     * replicates membership by enumerating the two starts). */
@@ -136,6 +164,7 @@ object EventQueries {
     "ev_window" -> (evWindow _),
     "ev_sliding" -> (evSliding _),
     "ev_sessions" -> (evSessions _),
+    "ev_session_native" -> (evSessionNative _),
     "ev_interval_join" -> (evIntervalJoin _),
     "ev_dedup" -> (evDedup _),
     "ev_enrich" -> (evEnrich _))
@@ -144,6 +173,7 @@ object EventQueries {
     "ev_window" -> evWindowSql,
     "ev_sliding" -> evSlidingSql,
     "ev_sessions" -> evSessionsSql,
+    "ev_session_native" -> evSessionNativeSql,
     "ev_interval_join" -> evIntervalSql,
     "ev_dedup" -> evDedupSql,
     "ev_enrich" -> evEnrichSql)

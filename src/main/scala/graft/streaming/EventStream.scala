@@ -90,6 +90,26 @@ object EventStream {
   /** Batch sessionization — identical semantics to [[sessionize]],
     * expressed as windows (lag → gap flag → running sum), which is the
     * oracle-comparable form. */
+  /** Sessionization via Spark's native `session_window` — the
+    * built-in merging-window primitive (works identically over a
+    * watermarked stream, where state merges adjacent sessions). Note
+    * the boundary semantics differ from the lag-gap form by design:
+    * `session_window` starts a NEW session when the gap is >= the
+    * duration (a session spans [event, event + gap)), while the
+    * flagged form continues on an exactly-equal gap; each is gated
+    * against an oracle carrying its own boundary rule. Output: one
+    * row per (user, session) with start, end (last event + gap), and
+    * event count. */
+  def sessionWindows(events: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    withEventTime(events)
+      .groupBy(session_window(col("event_ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("session_window.end").cast("long").as("session_end"),
+        col("n_events"))
+
   def sessionizeBatch(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
