@@ -52,9 +52,10 @@ object EventQueries {
        FROM flagged GROUP BY user_id ORDER BY user_id"""
 
   /** Per-session rows via the native `session_window` primitive (gap
-    * 30 min; new session when the gap is >= the duration — see
-    * [[EventStream.sessionWindows]] for the boundary contrast with
-    * ev_sessions' lag-gap form). */
+    * 30 min). Boundary semantics, pinned at sf0.1 by a real
+    * exactly-1800s gap: an event landing exactly at the current
+    * session's end (gap == duration) MERGES — a new session needs a
+    * strictly greater gap, matching the lag-gap form's rule. */
   def evSessionNative(s: SparkSession, dir: String): DataFrame =
     EventStream.sessionWindows(t(s, dir, "events"))
       .orderBy(col("user_id"), col("session_start"))
@@ -66,7 +67,7 @@ object EventQueries {
        flagged AS (
          SELECT user_id, ts_sec,
            CASE WHEN LAG(ts_sec) OVER w IS NULL
-                  OR ts_sec - LAG(ts_sec) OVER w >= 1800
+                  OR ts_sec - LAG(ts_sec) OVER w > 1800
                 THEN 1 ELSE 0 END AS new_session
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec)),
        sess AS (

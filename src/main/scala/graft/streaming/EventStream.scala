@@ -92,14 +92,13 @@ object EventStream {
     * oracle-comparable form. */
   /** Sessionization via Spark's native `session_window` — the
     * built-in merging-window primitive (works identically over a
-    * watermarked stream, where state merges adjacent sessions). Note
-    * the boundary semantics differ from the lag-gap form by design:
-    * `session_window` starts a NEW session when the gap is >= the
-    * duration (a session spans [event, event + gap)), while the
-    * flagged form continues on an exactly-equal gap; each is gated
-    * against an oracle carrying its own boundary rule. Output: one
-    * row per (user, session) with start, end (last event + gap), and
-    * event count. */
+    * watermarked stream, where state merges adjacent sessions).
+    * Boundary semantics, pinned against the oracle by a real
+    * exactly-equal gap in the sf0.1 events: an event at precisely the
+    * current session's end (gap == duration) MERGES into it — a new
+    * session requires a strictly greater gap, the same rule as the
+    * lag-gap form. Output: one row per (user, session) with start,
+    * end (last event + gap), and event count. */
   def sessionWindows(events: DataFrame,
       gap: String = "30 minutes"): DataFrame =
     withEventTime(events)
