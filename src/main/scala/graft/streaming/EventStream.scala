@@ -101,7 +101,14 @@ object EventStream {
     * end (last event + gap), and event count. */
   def sessionWindows(events: DataFrame,
       gap: String = "30 minutes"): DataFrame =
-    withEventTime(events)
+    sessionWindowsTimed(withEventTime(events), gap)
+
+  /** [[sessionWindows]] over a frame already carrying `event_ts` —
+    * the entry point for streams, where the caller's watermark on
+    * `event_ts` must survive (re-deriving the column would drop it). */
+  def sessionWindowsTimed(timed: DataFrame,
+      gap: String = "30 minutes"): DataFrame =
+    timed
       .groupBy(session_window(col("event_ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
