@@ -231,6 +231,59 @@ object ExtendedQueries {
        COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** UNPIVOT — the inverse of q31: melt the wide per-status count
+    * columns back to (priority, status, n) long form via
+    * `DataFrame.unpivot` (Spark's native melt; one Expand, no join or
+    * shuffle beyond q31's aggregate). Round-tripping q31's own output
+    * keeps the oracle a plain conditional aggregate + UNION ALL. */
+  def q45Unpivot(s: SparkSession, dir: String): DataFrame =
+    q31Pivot(s, dir)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "o_orderstatus", "n")
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+
+  private val q45Sql =
+    """WITH wide AS (
+         SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_n
+         FROM orders GROUP BY o_orderpriority)
+       SELECT o_orderpriority, o_orderstatus, n FROM (
+         SELECT o_orderpriority, 'F' AS o_orderstatus, f_n AS n FROM wide
+         UNION ALL
+         SELECT o_orderpriority, 'O', o_n FROM wide
+         UNION ALL
+         SELECT o_orderpriority, 'P', p_n FROM wide)
+       ORDER BY o_orderpriority, o_orderstatus"""
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): null keys
+    * match each other — the join form a plain `=` silently drops.
+    * Key = NULLIF(priority, '1-URGENT'), so one real null group
+    * exercises the null-matching path on both sides. */
+  def q46NullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(nullif(col("o_orderpriority"), lit("1-URGENT")).as("k"),
+        col("o_orderkey"))
+    val counts = o.groupBy(col("k")).agg(count(lit(1)).as("grp_n"))
+    // derived-frame self-join: explicit aliases or the analyzer flags
+    // the shared lineage as ambiguous
+    o.alias("o").join(counts.alias("c"), col("o.k") <=> col("c.k"))
+      .groupBy(col("o.k").as("k"), col("grp_n"))
+      .agg(count(lit(1)).as("n_joined"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
+  private val q46Sql =
+    """WITH o AS (
+         SELECT NULLIF(o_orderpriority, '1-URGENT') AS k, o_orderkey
+         FROM orders),
+       counts AS (SELECT k, COUNT(*) AS grp_n FROM o GROUP BY k)
+       SELECT o.k, c.grp_n, COUNT(*) AS n_joined
+       FROM o JOIN counts c ON o.k IS NOT DISTINCT FROM c.k
+       GROUP BY o.k, c.grp_n
+       ORDER BY o.k ASC NULLS FIRST"""
+
   // ---------------------------------------------------------------
   // q32: deterministic hash sampling — an engine-portable ~2.3%
   // Bernoulli sample (md5 prefix < '06' ⇒ 6/256) keyed on the row
@@ -685,6 +738,8 @@ object ExtendedQueries {
     "q42_percentile_contract" -> (q42PercentileContract _),
     "q43_sql_text_entry" -> (q43SqlTextEntry _),
     "q44_grouping_sets" -> (q44GroupingSets _),
+    "q45_unpivot" -> (q45Unpivot _),
+    "q46_nullsafe_join" -> (q46NullsafeJoin _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -709,6 +764,8 @@ object ExtendedQueries {
     "q42_percentile_contract" -> q42Sql,
     "q43_sql_text_entry" -> q43Sql,
     "q44_grouping_sets" -> q44Sql,
+    "q45_unpivot" -> q45Sql,
+    "q46_nullsafe_join" -> q46Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }
