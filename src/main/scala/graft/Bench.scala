@@ -22,7 +22,14 @@ object Bench {
       }
       Right(samples.sorted.apply(Runs / 2))
     } catch {
-      case e: Throwable => Left(e.getClass.getSimpleName)
+      // class name alone ("AnalysisException") gives no hint which
+      // table/column broke at a new scale factor — carry a truncated,
+      // JSON-safe slice of the message too
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse("")
+          .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(80).trim
+        Left(e.getClass.getSimpleName +
+          (if (msg.nonEmpty) s": $msg" else ""))
     }
 
   def main(args: Array[String]): Unit = {

@@ -134,10 +134,20 @@ object TopKPerKey {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val analyzed = df.queryExecution.analyzed
+    // resolve like the analyzer would: honor the session's
+    // case-sensitivity conf and refuse ambiguous names (a join can
+    // carry duplicate column names; silently taking the first would
+    // pick a side arbitrarily)
+    val resolver = spark.sessionState.analyzer.resolver
     def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"TopKPerKey: no column '$name' in ${analyzed.output.map(_.name)}"))
+      analyzed.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"TopKPerKey: no column '$name' in ${analyzed.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"TopKPerKey: ambiguous column '$name' matches " +
+            s"${many.map(_.name)} — disambiguate with select/alias first")
+      }
     val sortOrder = order.map { case (name, desc) =>
       if (desc) SortOrder(attr(name), org.apache.spark.sql.catalyst
         .expressions.Descending)

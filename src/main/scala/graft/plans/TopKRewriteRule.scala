@@ -19,7 +19,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    row_number is nondeterministic under either operator, but the
   *    two operators would realize different arbitrary orders);
   *  - the filter is exactly `rank <= lit` / `rank < lit` on the
-  *    window output.
+  *    window output;
+  *  - `k` is at most `spark.graft.topk.maxK` (default 10000).
+  *    [[TopKPerKeyExec]] holds one size-k heap per distinct key per
+  *    partition on-heap with no spill path, so its memory bound is
+  *    O(keys-per-partition × k) rows; Window's sort spills. For a
+  *    large literal k the window form is the safe plan, so the
+  *    rewrite declines rather than trade a completed spilling sort
+  *    for a possible OOM.
   *
   * Runs in the user-provided optimizer batch (after the main batches
   * have collapsed pass-through projections, which is what exposes the
@@ -38,15 +45,20 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _))
           if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
         val rank = alias.toAttribute
-        val k = cond match {
+        // k as Long: `rank < Int.MinValue` would otherwise wrap to
+        // Int.MaxValue via `v - 1` and turn an always-false filter
+        // into return-everything
+        val k: Option[Long] = cond match {
           case LessThanOrEqual(a: AttributeReference, IntegerLiteral(v))
-              if a.semanticEquals(rank) => Some(v)
+              if a.semanticEquals(rank) => Some(v.toLong)
           case LessThan(a: AttributeReference, IntegerLiteral(v))
-              if a.semanticEquals(rank) => Some(v - 1)
+              if a.semanticEquals(rank) => Some(v.toLong - 1L)
           case _ => None
         }
-        k.filter(_ >= 1).map { kk =>
-          TopKPerKeyNode(w.partitionSpec, w.orderSpec, kk,
+        val maxK = conf.getConfString("spark.graft.topk.maxK", "10000")
+          .toLong
+        k.filter(kk => kk >= 1L && kk <= maxK).map { kk =>
+          TopKPerKeyNode(w.partitionSpec, w.orderSpec, kk.toInt,
             rank.asInstanceOf[AttributeReference], w.child)
         }
       case _ => None

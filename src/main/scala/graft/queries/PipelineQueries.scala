@@ -884,21 +884,41 @@ object PipelineQueries {
         col("start_token"), col("first_chunk"), col("last_chunk"))
       .orderBy(col("doc_id"))
 
+  // DuckDB-version-robust formulation (round-5 directive #1). Two
+  // changes vs the round-4 oracle that hash-red on the driver while
+  // passing bit-exact on local DuckDB 1.0.0 at all three scales:
+  // (a) THE FIX — `start_token` was emitted raw from
+  //     SUM(BIGINT) OVER (...), which DuckDB types as HUGEINT; how a
+  //     HUGEINT column crosses into the comparator (int64 vs
+  //     decimal128 vs float) is exactly the kind of
+  //     client-version-sensitive behavior that reproduces "values
+  //     diverge only on the driver's build". pp_packing was the ONLY
+  //     oracle in the corpus with an uncast windowed SUM in its
+  //     output. Now every output column is explicitly BIGINT.
+  // (b) belt-and-braces: regexp_extract_all on the positive token
+  //     class (never produces empty segments) instead of
+  //     string_split_regex+list_filter, FLOOR over DOUBLE (one
+  //     defined semantics everywhere; values ≪ 2^52 so the double
+  //     round-trip is exact) instead of `//`, and the window frame
+  //     spelled out in full.
   private val ppPackingSql =
     """WITH counted AS (
          SELECT doc_id, source,
-           CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
-                                x -> x <> '')) AS BIGINT) AS n_tokens
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+             AS BIGINT) AS n_tokens
          FROM documents),
        offs AS (
          SELECT doc_id, source, n_tokens,
-           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_token
+           CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS BIGINT) AS start_token
          FROM counted)
        SELECT doc_id, source, n_tokens, start_token,
-         CAST(start_token // 4096 AS BIGINT) AS first_chunk,
-         CAST(GREATEST(start_token, start_token + n_tokens - 1) // 4096
-           AS BIGINT) AS last_chunk
+         CAST(FLOOR(CAST(start_token AS DOUBLE) / 4096.0) AS BIGINT)
+           AS first_chunk,
+         CAST(FLOOR(CAST(GREATEST(start_token,
+             start_token + n_tokens - 1) AS DOUBLE) / 4096.0) AS BIGINT)
+           AS last_chunk
        FROM offs ORDER BY doc_id"""
 
   /** End-to-end near-dup resolution: MinHash+LSH candidate pairs →

@@ -87,9 +87,6 @@ object EventStream {
       }
   }
 
-  /** Batch sessionization — identical semantics to [[sessionize]],
-    * expressed as windows (lag → gap flag → running sum), which is the
-    * oracle-comparable form. */
   /** Sessionization via Spark's native `session_window` — the
     * built-in merging-window primitive (works identically over a
     * watermarked stream, where state merges adjacent sessions).
@@ -116,6 +113,9 @@ object EventStream {
         col("session_window.end").cast("long").as("session_end"),
         col("n_events"))
 
+  /** Batch sessionization — identical semantics to [[sessionize]],
+    * expressed as windows (lag → gap flag → running sum), which is the
+    * oracle-comparable form. */
   def sessionizeBatch(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))

@@ -401,6 +401,30 @@ class PipelineSpec extends SparkSpec {
     assert(got(5L) === ((5000L, 0L, 0L, 1L)))    // g2 packs separately
   }
 
+  test("concat-chunk packing: exact-4096 boundaries, single shard") {
+    // one shard; every boundary case of the chunk arithmetic:
+    // a doc filling chunk 0 exactly, an empty doc sitting exactly ON
+    // the cut, a second exact-chunk doc, and a 1-token doc opening
+    // chunk 2. last_chunk of an exact-filling doc must stay in its
+    // own chunk (start+n-1 = 4095 → 0), never spill to the next.
+    val d = Seq(
+      (1L, "s", Seq.fill(4096)("t").mkString(" ")), // [0, 4096) exact
+      (2L, "s", ""),                                // empty AT the cut
+      (3L, "s", Seq.fill(4096)("t").mkString(" ")), // [4096, 8192) exact
+      (4L, "s", "t"))                               // opens chunk 2
+      .toDF("doc_id", "source", "text")
+    val got = Sampling
+      .concatChunkSpans(d, "text", "doc_id", "source", chunkTokens = 4096)
+      .select($"doc_id", $"n_tokens", $"start_token", $"first_chunk",
+        $"last_chunk")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((4096L, 0L, 0L, 0L)))    // fills chunk 0 exactly
+    assert(got(2L) === ((0L, 4096L, 1L, 1L)))    // empty doc on boundary
+    assert(got(3L) === ((4096L, 4096L, 1L, 1L))) // fills chunk 1 exactly
+    assert(got(4L) === ((1L, 8192L, 2L, 2L)))
+  }
+
   test("language id picks the marker-heavy language") {
     val r = Seq(
       (1L, "the cat and the dog of the house"),

@@ -74,6 +74,26 @@ class PlansSpec extends SparkSpec {
       .filter($"rank" === 2)
     assert(TopKPerKey.rewrite(eqFilter).queryExecution.optimizedPlan
       .collectFirst { case n: graft.plans.TopKPerKeyNode => n }.isEmpty)
+    def nodeCount(df: org.apache.spark.sql.DataFrame): Int =
+      TopKPerKey.rewrite(df).queryExecution.optimizedPlan.collect {
+        case n: graft.plans.TopKPerKeyNode => n }.size
+    // memory guard: k above spark.graft.topk.maxK keeps the spillable
+    // window form (the heap exec holds keys×k rows on-heap, no spill)
+    spark.conf.set("spark.graft.topk.maxK", "2")
+    try {
+      assert(nodeCount(windowForm(c, "c_mktsegment",
+        Seq($"c_acctbal".desc, $"c_custkey"), 3)) === 0)
+      assert(nodeCount(windowForm(c, "c_mktsegment",
+        Seq($"c_acctbal".desc, $"c_custkey"), 2)) === 1)
+    } finally spark.conf.unset("spark.graft.topk.maxK")
+    // overflow guard: `rank < Int.MinValue` is always-false; the old
+    // `v - 1` Int arithmetic wrapped it to k = Int.MaxValue
+    val minLit = c.withColumn("rank", row_number().over(
+        Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".desc, $"c_custkey")))
+      .filter($"rank" < Int.MinValue)
+    assert(nodeCount(minLit) === 0)
+    assert(minLit.count() === 0L)
   }
 
   test("TopKPerKey: null keys and null sort values match the window form") {
