@@ -159,6 +159,17 @@ object XmlIngest {
     Option(doc.getDocumentElement).map(_ => doc)
   }
 
+  /** md5 of the raw file bytes as lowercase hex — fills the reference
+    * schema's `file_hash` column (001_create_base_schema.rb:14), which
+    * the reference declares but never populates. */
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new StringBuilder(32)
+    var i = 0
+    while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
+    sb.result()
+  }
+
   /** Parse one file; falls back to [[salvageParse]] on strict-parse
     * failure (error-tolerant source S5 + the reference's "process what
     * it can" recovery, test_edge_cases.rb:154-175), and None when
@@ -258,7 +269,7 @@ object XmlIngest {
 
       val root = dom.getDocumentElement
       if (root != null) walk(root, None, s"/${root.getNodeName}", 0)
-      Some(ParsedDocument(DocumentRow(docId, path, length),
+      Some(ParsedDocument(DocumentRow(docId, path, md5Hex(bytes), length),
         nodes.toSeq, props.toSeq))
     } catch {
       // StackOverflowError included: pathological nesting depth must
@@ -300,7 +311,7 @@ object XmlIngest {
 
     val documents = latest(parsed.select($"document.*"),
       Seq($"id"), $"filename")
-      .select($"id", $"filename", $"file_size",
+      .select($"id", $"filename", $"file_hash", $"file_size",
         current_timestamp().as("parsed_at"))
 
     val arrival = struct($"filename", $"ordinal")

@@ -14,10 +14,16 @@ import org.apache.spark.sql.types._
 object Schemas {
 
   /** One row per ingested XML file. `id` is the filename minus `.xml`
-    * (document_parser.rb:10); PK semantics = last write wins on `id`. */
+    * (document_parser.rb:10); PK semantics = last write wins on `id`.
+    * `file_hash` exists in the reference schema
+    * (001_create_base_schema.rb:14) but no reference write path ever
+    * populates it (database_writer.rb:47-49 omits the column); graft
+    * fills it with the md5 hex of the file bytes — column-for-column
+    * schema parity, strictly more useful content. */
   val documents: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("filename", StringType, nullable = false),
+    StructField("file_hash", StringType, nullable = false),
     StructField("file_size", LongType, nullable = false),
     StructField("parsed_at", TimestampType, nullable = false)
   ))
@@ -76,7 +82,8 @@ object Schemas {
   * [[RawNode]]/[[RawProperty]] is the within-file document-order index —
   * it does not survive into the public tables but makes duplicate-id
   * last-write-wins deterministic under parallelism (SURVEY.md §7.4). */
-final case class DocumentRow(id: String, filename: String, file_size: Long)
+final case class DocumentRow(id: String, filename: String,
+    file_hash: String, file_size: Long)
 
 final case class RawNode(
     id: String,

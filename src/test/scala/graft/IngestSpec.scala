@@ -295,14 +295,23 @@ class IngestSpec extends SparkSpec {
   test("end-to-end directory ingest of bundled fixtures") {
     import spark.implicits._
     val t = XmlIngest.ingest(spark, fixturesDir)
-    val docs = t.documents.as[(String, String, Long, java.sql.Timestamp)]
+    val docs = t.documents
+      .as[(String, String, String, Long, java.sql.Timestamp)]
       .collect()
     assert(docs.map(_._1).toSet === Set("simple", "sample_library"))
     // documents golden (test_basic_functionality.rb:49-53): filename is
-    // the full path, file_size the on-disk byte size
+    // the full path, file_size the on-disk byte size; file_hash (a
+    // column the reference schema declares but never populates,
+    // 001_create_base_schema.rb:14) is the md5 of the file bytes
     val simpleDoc = docs.find(_._1 == "simple").get
     assert(simpleDoc._2.endsWith("/simple.xml"))
-    assert(simpleDoc._3 ===
+    val simpleBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$fixturesDir/simple.xml"))
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(simpleBytes).map(b => f"${b & 0xff}%02x").mkString
+    assert(simpleDoc._3 === expectedMd5)
+    assert(simpleDoc._3.matches("[0-9a-f]{32}"))
+    assert(simpleDoc._4 ===
       new java.io.File(s"$fixturesDir/simple.xml").length())
     assert(t.nodes.filter($"document_id" === "sample_library").count() === 36)
     val sl = t.nodes.filter($"document_id" === "sample_library")
