@@ -27,7 +27,7 @@ object Bench {
       // JSON-safe slice of the message too
       case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse("")
-          .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(80).trim
+          .replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(80).trim
         Left(e.getClass.getSimpleName +
           (if (msg.nonEmpty) s": $msg" else ""))
     }

@@ -55,8 +55,11 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
               if a.semanticEquals(rank) => Some(v.toLong - 1L)
           case _ => None
         }
-        val maxK = conf.getConfString("spark.graft.topk.maxK", "10000")
-          .toLong
+        val maxKRaw = conf.getConfString("spark.graft.topk.maxK", "10000")
+        val maxK = try maxKRaw.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.topk.maxK must be a number, got '$maxKRaw'")
+        }
         k.filter(kk => kk >= 1L && kk <= maxK).map { kk =>
           TopKPerKeyNode(w.partitionSpec, w.orderSpec, kk.toInt,
             rank.asInstanceOf[AttributeReference], w.child)

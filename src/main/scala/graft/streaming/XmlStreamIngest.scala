@@ -98,7 +98,10 @@ object XmlStreamIngest {
     * deduplicated; across batches the highest `_batch` wins per key
     * (INSERT OR REPLACE arrival order). Writes clean tables (no
     * `_batch`) under `outDir/compacted` — the periodic-compaction leg
-    * of the streaming-upsert pattern for immutable stores. */
+    * of the streaming-upsert pattern for immutable stores. Reads with
+    * mergeSchema=true so output dirs whose early batches predate a
+    * column addition (e.g. documents.file_hash) union to the widest
+    * schema instead of silently taking one footer's view. */
   def compact(spark: SparkSession, outDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     def lastWins(df: org.apache.spark.sql.DataFrame,
@@ -111,15 +114,15 @@ object XmlStreamIngest {
     def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
       df.drop("_batch").write.mode("overwrite")
         .parquet(s"$outDir/compacted/$name")
-    write(lastWins(spark.read.parquet(s"$outDir/documents"), Seq("id")),
+    write(lastWins(spark.read.option("mergeSchema", "true").parquet(s"$outDir/documents"), Seq("id")),
       "documents")
     // nodes obey BOTH replace keys, like the batch ingest: PK id, then
     // UNIQUE(parent_id, position) for non-null parents
-    val byId = lastWins(spark.read.parquet(s"$outDir/nodes"), Seq("id"))
+    val byId = lastWins(spark.read.option("mergeSchema", "true").parquet(s"$outDir/nodes"), Seq("id"))
     val byPos = lastWins(byId.filter(col("parent_id").isNotNull),
       Seq("parent_id", "position"))
     write(byPos.unionByName(byId.filter(col("parent_id").isNull)), "nodes")
-    write(lastWins(spark.read.parquet(s"$outDir/node_properties"),
+    write(lastWins(spark.read.option("mergeSchema", "true").parquet(s"$outDir/node_properties"),
       Seq("node_id", "property_name")), "node_properties")
   }
 }
