@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN over a corpus partitioned **at rest** by its index key — the
+  * concrete form of the 100 TB story the [[Similarity]] scaladocs
+  * describe ("write the corpus partitioned by bucket once and every
+  * query probes one partition").
+  *
+  * Write once: [[writeSrpBucketed]] lays the corpus out as
+  * `bucket=<srp sign pattern>/part-*.parquet`; [[writeIvfPartitioned]]
+  * as `cent_id=<nearest centroid>/part-*.parquet` (with norms
+  * precomputed, so query time never re-norms the corpus).
+  *
+  * Query: the probe set is derived from the query batch — which is the
+  * small, broadcastable side by the same contract every Similarity
+  * search path already relies on — and pushed as a **literal partition
+  * filter**. That makes pruning happen at file-listing time, before a
+  * single task launches: the scan's `PartitionFilters` carries
+  * `bucket IN (…)`, and on a 1000-executor cluster a k-NN batch reads
+  * `probed/total` of the corpus bytes instead of all of them. PlanSpec
+  * pins the PartitionFilters shape; SCALE.md records measured
+  * files-read counts.
+  *
+  * Results are bit-identical to the in-memory [[Similarity.lshTopK]] /
+  * [[Similarity.ivfTopK]] at the same parameters (floats round-trip
+  * parquet exactly; both variants are driver-oracle-verified).
+  */
+object PartitionedAnn {
+
+  /** Partition values are written as INT directory names so the
+    * read-back partition column type-infers to IntegerType and the
+    * probe filter stays a cast-free `IN` the file index can apply.
+    * 2^20 directories is already far past a sane layout. */
+  private def requirePlanes(planes: Int): Unit =
+    require(planes >= 1 && planes <= 20,
+      s"partitioned SRP layout wants 1..20 planes (2^planes dirs), got $planes")
+
+  /** Write `corpus` partitioned by its `planes`-bit SRP sign bucket. */
+  def writeSrpBucketed(corpus: DataFrame, vecCol: String, keyCol: String,
+      outDir: String, planes: Int, dim: Int): Unit = {
+    requirePlanes(planes)
+    val hp = Similarity.hyperplanes(planes, dim)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
+        graft.functions.GraftFunctions.vec_norm(col(vecCol)).as("c_norm"),
+        Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+  }
+
+  /** [[Similarity.lshTopK]] against a [[writeSrpBucketed]] layout.
+    * The query batch's distinct buckets (≤ query count, tiny) become a
+    * literal `bucket IN (…)` partition filter on the corpus scan. */
+  def lshTopKPartitioned(spark: SparkSession, corpusDir: String,
+      queries: DataFrame, vecCol: String, keyCol: String, k: Int,
+      planes: Int, dim: Int): DataFrame = {
+    requirePlanes(planes)
+    val hp = Similarity.hyperplanes(planes, dim)
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.{vec_dot, vec_norm}
+    val q = queries.select(col(keyCol).as("q_id"), col(vecCol).as("q_vec"),
+      vec_norm(col(vecCol)).as("q_norm"),
+      Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket"))
+    // driver-bounded by the same small-query-side contract that lets
+    // bruteForceTopK broadcast the batch outright; collecting here is
+    // what turns pruning into a literal filter the file index applies
+    // during listing instead of a runtime subquery
+    val probed = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(corpusDir)
+      .filter(col("bucket").isin(probed.toIndexedSeq: _*))
+    broadcast(q).join(c, Seq("bucket"))
+      .withColumn("cos",
+        vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        Similarity.r3(col("cos")).as("cos"))
+  }
+
+  /** Write `corpus` partitioned by nearest centroid (the IVF index at
+    * rest): one [[Similarity.ivfAssign]] pass, `cent_id=` directories,
+    * norms precomputed in the files. */
+  def writeIvfPartitioned(corpus: DataFrame, vecCol: String,
+      keyCol: String, centroids: DataFrame, outDir: String): Unit =
+    Similarity.ivfAssign(corpus, vecCol, keyCol, centroids)
+      .withColumn("cent_id", col("cent_id").cast("int"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
+
+  /** [[Similarity.ivfTopK]] against a [[writeIvfPartitioned]] layout.
+    * The probe pass runs on the query batch only; its distinct probed
+    * centroids become the literal `cent_id IN (…)` partition filter. */
+  def ivfTopKPartitioned(spark: SparkSession, corpusDir: String,
+      queries: DataFrame, vecCol: String, keyCol: String, k: Int,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.functions.GraftFunctions.vec_dot
+    val probedQ = Similarity.ivfProbe(queries, vecCol, keyCol,
+      centroids, nprobe).withColumn("cent_id", col("cent_id").cast("int"))
+    val probed = probedQ.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(corpusDir)
+      .filter(col("cent_id").isin(probed.toIndexedSeq: _*))
+    broadcast(probedQ).join(c, Seq("cent_id"))
+      .withColumn("cos",
+        vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        Similarity.r3(col("cos")).as("cos"))
+  }
+}

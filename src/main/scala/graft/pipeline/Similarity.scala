@@ -46,7 +46,7 @@ object Similarity {
   }
 
   /** Decimal-routed rounding (see StarQueries.roundd). */
-  private def r3(c: Column): Column =
+  private[pipeline] def r3(c: Column): Column =
     round(c.cast(org.apache.spark.sql.types.DecimalType(28, 10)), 3)
       .cast("double")
 
@@ -209,56 +209,91 @@ object Similarity {
       keyCol: String, k: Int, centroidPred: Column): DataFrame =
     ivfTopK(queries, corpus, vecCol, keyCol, k, centroidPred, nprobe = 2)
 
+  /** Broadcast-prepared centroid table with precomputed norms. */
+  private def centPrep(df: DataFrame, centroids: DataFrame): DataFrame = {
+    val nn = nativeNorm(df) _
+    broadcast(centroids.select(col("cent_id"), col("cent_vec"),
+      nn(col("cent_vec")).as("cent_norm")))
+  }
+
+  private def centScored(df: DataFrame, cent: DataFrame, vec: String,
+      nrm: String): DataFrame = {
+    val nd = nativeDot(df) _
+    df.crossJoin(cent)
+      .withColumn("ccos",
+        nd(col(vec), col("cent_vec")) / (col(nrm) * col("cent_norm")))
+      // a null or NaN cosine (null embedding, or 0/0 from a
+      // zero-norm vector) can rank neither here nor meaningfully
+      // downstream — and NaN would sort OPPOSITE ways in the min_by
+      // and row_number branches below — so drop both uniformly
+      .filter(col("ccos").isNotNull && !isnan(col("ccos")))
+      .drop("cent_vec", "cent_norm")
+  }
+
+  // argmax (keep=1) as a min_by aggregate: partially combines
+  // map-side, so the corpus-sized assignment never shuffles the full
+  // (vector × centroid) score relation the window form would sort.
+  // min over (-ccos, cent_id) == row_number(ccos desc, cent_id asc)
+  // for any key type (the key itself is never negated).
+  private def nearestCent(df: DataFrame, cent: DataFrame, id: String,
+      vec: String, nrm: String, keep: Int): DataFrame =
+    if (keep == 1) {
+      val payload = df.columns.filterNot(_ == id) :+ "cent_id"
+      centScored(df, cent, vec, nrm)
+        .groupBy(col(id))
+        .agg(min_by(struct(payload.map(col).toIndexedSeq: _*),
+          struct(-col("ccos"), col("cent_id"))).as("w"))
+        .select((col(id) +: payload.map(c => col(s"w.$c"))).toIndexedSeq: _*)
+    } else
+      centScored(df, cent, vec, nrm)
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(col(id))
+            .orderBy(col("ccos").desc, col("cent_id"))))
+        .filter(col("crk") <= keep)
+        .drop("ccos", "crk")
+
+  /** The IVF index build, exposed for partitioned-at-rest layouts
+    * ([[PartitionedAnn]]): tag each corpus vector with its nearest
+    * centroid. One broadcast join + map-side `min_by` argmax — the
+    * corpus never shuffles its score relation. Returns
+    * `(c_id, c_vec, c_norm, cent_id)` with the norm precomputed, so a
+    * layout written from this output never recomputes norms at query
+    * time. */
+  def ivfAssign(corpus: DataFrame, vecCol: String, keyCol: String,
+      centroids: DataFrame): DataFrame = {
+    val nn = nativeNorm(corpus) _
+    nearestCent(
+      corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
+        nn(col(vecCol)).as("c_norm")),
+      centPrep(corpus, centroids), "c_id", "c_vec", "c_norm", keep = 1)
+  }
+
+  /** The IVF probe pass: per-query `nprobe` nearest centroids (the
+    * query side is the small side — a window rank is fine here).
+    * Returns `(q_id, q_vec, q_norm, cent_id)`, one row per probed
+    * cluster. */
+  def ivfProbe(queries: DataFrame, vecCol: String, keyCol: String,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    val nn = nativeNorm(queries) _
+    nearestCent(
+      queries.select(col(keyCol).as("q_id"), col(vecCol).as("q_vec"),
+        nn(col(vecCol)).as("q_norm")),
+      centPrep(queries, centroids), "q_id", "q_vec", "q_norm",
+      keep = nprobe)
+  }
+
   /** IVF over an explicit centroid table `(cent_id, cent_vec)` — e.g.
     * the output of [[kmeansCentroids]], or any externally-built
-    * codebook. The predicate overload above delegates here. */
+    * codebook. The predicate overload above delegates here. Probe and
+    * assignment are [[ivfProbe]]/[[ivfAssign]]; at rest the assignment
+    * is written once partitioned by `cent_id` (see [[PartitionedAnn]])
+    * and each query batch reads only its probed partitions. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
       keyCol: String, k: Int, centroids: DataFrame,
       nprobe: Int): DataFrame = {
     val nd = nativeDot(corpus) _
-    val nn = nativeNorm(corpus) _
-    val cent = broadcast(centroids
-      .select(col("cent_id"), col("cent_vec"),
-        nn(col("cent_vec")).as("cent_norm")))
-    def scored(df: DataFrame, vec: String, nrm: String): DataFrame =
-      df.crossJoin(cent)
-        .withColumn("ccos",
-          nd(col(vec), col("cent_vec")) / (col(nrm) * col("cent_norm")))
-        // a null or NaN cosine (null embedding, or 0/0 from a
-        // zero-norm vector) can rank neither here nor meaningfully
-        // downstream — and NaN would sort OPPOSITE ways in the min_by
-        // and row_number branches below — so drop both uniformly
-        .filter(col("ccos").isNotNull && !isnan(col("ccos")))
-        .drop("cent_vec", "cent_norm")
-    // argmax (keep=1) as a min_by aggregate: partially combines
-    // map-side, so the corpus-sized assignment never shuffles the full
-    // (vector × centroid) score relation the window form would sort.
-    // min over (-ccos, cent_id) == row_number(ccos desc, cent_id asc)
-    // for any key type (the key itself is never negated).
-    def nearest(df: DataFrame, id: String, vec: String, nrm: String,
-        keep: Int): DataFrame =
-      if (keep == 1) {
-        val payload = df.columns.filterNot(_ == id) :+ "cent_id"
-        scored(df, vec, nrm)
-          .groupBy(col(id))
-          .agg(min_by(struct(payload.map(col).toIndexedSeq: _*),
-            struct(-col("ccos"), col("cent_id"))).as("w"))
-          .select((col(id) +: payload.map(c => col(s"w.$c"))).toIndexedSeq: _*)
-      } else
-        scored(df, vec, nrm)
-          .withColumn("crk", row_number().over(
-            Window.partitionBy(col(id))
-              .orderBy(col("ccos").desc, col("cent_id"))))
-          .filter(col("crk") <= keep)
-          .drop("ccos", "crk")
-    val assigned = nearest(
-      corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
-        nn(col(vecCol)).as("c_norm")),
-      "c_id", "c_vec", "c_norm", keep = 1)
-    val probed = nearest(
-      queries.select(col(keyCol).as("q_id"), col(vecCol).as("q_vec"),
-        nn(col(vecCol)).as("q_norm")),
-      "q_id", "q_vec", "q_norm", keep = nprobe)
+    val assigned = ivfAssign(corpus, vecCol, keyCol, centroids)
+    val probed = ivfProbe(queries, vecCol, keyCol, centroids, nprobe)
     probed.join(assigned, Seq("cent_id"))
       .withColumn("cos",
         nd(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))

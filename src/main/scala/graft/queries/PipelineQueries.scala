@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, PartitionedAnn, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -612,6 +612,89 @@ object PipelineQueries {
          CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
+  /** Cache for partitioned-at-rest ANN layouts: written once per
+    * (sf dir, layout) and reused across Verify/Bench/test invocations
+    * in the same container — the "write the index once" half of the
+    * partitioned-ANN contract. The key encodes the layout parameters,
+    * so changing them invalidates the cache by construction. */
+  private[graft] def annLayoutDir(dir: String, layout: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"${sys.props("java.io.tmpdir")}/graft_ann_$key/$layout"
+  }
+
+  private def ensureLayout(out: String)(write: => Unit): Unit =
+    if (!new java.io.File(out, "_SUCCESS").exists()) write
+
+  /** LSH top-k against the SRP-partitioned-at-rest corpus layout —
+    * identical math to [[annLshTopK]] but with 4 planes (16 buckets)
+    * so the partition pruning is real: the corpus is written
+    * `bucket=N/` once and the query batch's buckets become a literal
+    * partition filter (PlanSpec pins the PartitionFilters; SCALE.md
+    * the measured file counts). */
+  def annLshPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val out = annLayoutDir(dir, "srp_p4_d64")
+    ensureLayout(out)(PartitionedAnn.writeSrpBucketed(
+      e.filter(col("vec_id") >= 10), "embedding", "vec_id", out,
+      planes = 4, dim = 64))
+    PartitionedAnn.lshTopKPartitioned(s, out, e.filter(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5, planes = 4, dim = 64)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private lazy val annLshPartitionedSql = {
+    val bucketExpr = Similarity.hyperplanes(4, 64).zipWithIndex.map {
+      case (p, i) =>
+        val lits = p.map(d => java.lang.Double.toString(d))
+          .mkString("[", ", ", "]")
+        s"""(CASE WHEN (SELECT SUM(CAST(x AS DOUBLE) * y)
+                        FROM (SELECT unnest(embedding) AS x,
+                                     unnest($lits) AS y) z) >= 0
+                  THEN ${1 << i} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm,
+           ($bucketExpr) AS bucket
+         FROM embeddings),
+       q AS (SELECT * FROM n WHERE vec_id < 10),
+       c AS (SELECT * FROM n WHERE vec_id >= 10),
+       scored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(c.embedding) AS y) z) / (q.nrm * c.nrm)
+             AS cos
+         FROM q JOIN c ON q.bucket = c.bucket),
+       ranked AS (
+         SELECT q_id, c_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
+  /** IVF top-k against the cent_id-partitioned-at-rest corpus layout —
+    * same centroids/nprobe as [[annIvfTopK]] (so the same oracle
+    * verifies both), but assignment happens once at write time and the
+    * probe pass prunes `cent_id=` partitions via a literal filter. */
+  def annIvfPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val out = annLayoutDir(dir, "ivf_mod50")
+    ensureLayout(out)(PartitionedAnn.writeIvfPartitioned(
+      corpus, "embedding", "vec_id", centroids, out))
+    PartitionedAnn.ivfTopKPartitioned(s, out, e.filter(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5, centroids, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Composite retrieval pipeline: ANN top-3 per query joined back to
     * the documents table (vec_id == doc_id in the synthetic corpus)
     * with a quality filter — the retrieve-then-enrich shape a
@@ -1000,6 +1083,8 @@ object PipelineQueries {
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_lsh_multiprobe" -> (annLshMultiProbe _),
     "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_lsh_partitioned" -> (annLshPartitioned _),
+    "ann_ivf_partitioned" -> (annIvfPartitioned _),
     "pp_retrieval" -> (ppRetrieval _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
@@ -1031,6 +1116,10 @@ object PipelineQueries {
     "ann_lsh_topk" -> annLshSql,
     "ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "ann_ivf_topk" -> annIvfSql,
+    "ann_lsh_partitioned" -> annLshPartitionedSql,
+    // the partitioned layout is an execution detail — the in-memory
+    // IVF oracle verifies the identical (centroids, nprobe) semantics
+    "ann_ivf_partitioned" -> annIvfSql,
     "pp_retrieval" -> ppRetrievalSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,

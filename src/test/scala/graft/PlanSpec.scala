@@ -123,6 +123,49 @@ class PlanSpec extends SparkSpec {
     assert(!scalar.contains("Window"), scalar)
   }
 
+  test("partitioned ANN: probe set becomes literal PartitionFilters and prunes the scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE materializes subtrees as QueryStageExec leaves whose inner
+    // plan is not a child — descend into them explicitly
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case s: FileSourceScanExec => Seq(s)
+                  case q: QueryStageExec => scans(q.plan) }.flatten
+    val tmp = java.nio.file.Files.createTempDirectory("annprune").toString
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    graft.pipeline.PartitionedAnn.writeSrpBucketed(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") >= 10),
+      "embedding", "vec_id", s"$tmp/srp", planes = 4, dim = 64)
+    val totalBuckets = new java.io.File(s"$tmp/srp").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    // 3 queries probe at most 3 of the written buckets
+    val df = graft.pipeline.PartitionedAnn.lshTopKPartitioned(spark,
+      s"$tmp/srp", e.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "embedding", "vec_id", k = 5, planes = 4, dim = 64)
+    // logical proof: the corpus scan carries the probed buckets as
+    // PartitionFilters (pruning at file-listing time, pre-task-launch)
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("bucket"), p)
+    assert(pf.contains(" IN "), pf)
+    // physical proof: the executed scan read fewer partitions than the
+    // layout holds
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scan = scans(finalPlan).find(
+      _.relation.location.rootPaths.exists(_.toString.contains("srp")))
+      .getOrElse(fail(s"no partitioned corpus scan in:\n$finalPlan"))
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead >= 1 && partsRead <= 3,
+      s"expected <=3 probed buckets read, got $partsRead of $totalBuckets")
+    assert(partsRead < totalBuckets,
+      s"no pruning: read $partsRead of $totalBuckets buckets")
+  }
+
   test("pp_mixture: one window pass, no join for the quota lookup") {
     val p = plan("pp_mixture")
     assert(p.contains("Window"), p)
