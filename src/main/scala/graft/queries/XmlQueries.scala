@@ -185,7 +185,34 @@ object XmlQueries {
     * + 3 reviewer + 3 award) + 3 category-carrying books + 3
     * rating-carrying reviews; eav_conjunction(rating=5 ∧ datetime
     * date) = {review_1, review_3}; properties_by_datatype(integer) =
-    * 9 = count×2 + depth + year×3 + rating×3). */
+    * 9 = count×2 + depth + year×3 + rating×3.
+    *
+    * Round-6 recounts for the remaining five, from sample_library.xml:
+    *  - siblings(book_1) = {book_2, book_3}: `books` has exactly three
+    *    id-carrying children, book_1 excluded from its own siblings.
+    *  - references_to(book_1) = 2: the only attributes anywhere whose
+    *    value is `book_1` are review_1.book_id and review_2.book_id;
+    *    `book_id` matches the `*_id` identifier pattern ⇒ confidence
+    *    1.0 exactly.
+    *  - relationships_of(book_1) = 17 = 2 (author_1 is book_1's only
+    *    id-carrying direct child: parent_child out + child_parent in)
+    *    + 2 (books: parent_child in + child_parent out) + 2 (book_2:
+    *    next_sibling out + previous_sibling in — book_3 is not
+    *    adjacent) + 4 (sibling in/out × {book_2, book_3}) + 4
+    *    (same_type 0.6 in/out × {book_2, book_3}) + 1 (category=
+    *    "cat_fiction": no identifier suffix ⇒ semantic base 0.8 + 0.05
+    *    existence bonus = 0.8500000000000001 in doubles) + 2
+    *    (review_1/review_2 book_id in at 1.0).
+    *  - content_search('quantum') = 6: descendant-concatenated content
+    *    contains lowercase "quantum" for tag_quantum
+    *    ("quantum-physics"), review_1 ("quantum mechanics"), book_1
+    *    (via its description), and their ancestors with ids — books,
+    *    reviews, main_library. "The Quantum Garden" alone would NOT
+    *    match (capital Q, LIKE is case-sensitive), and `title` carries
+    *    no id so it is never a node.
+    *  - properties_of_type(book, category) = 3: each of the three
+    *    books carries exactly one `category` attribute
+    *    (cat_fiction / cat_mystery / cat_history). */
   val oracle: Map[String, String] = XmlGoldens.oracle ++ Map(
     "xml_count_by_type" ->
       """SELECT node_type, CAST(cnt AS BIGINT) AS count FROM (VALUES
