@@ -86,6 +86,21 @@ class PlansSpec extends SparkSpec {
       assert(nodeCount(windowForm(c, "c_mktsegment",
         Seq($"c_acctbal".desc, $"c_custkey"), 2)) === 1)
     } finally spark.conf.unset("spark.graft.topk.maxK")
+    // misconfiguration guard: a non-numeric conf value must name the
+    // conf key instead of surfacing a bare NumberFormatException from
+    // inside the optimizer
+    spark.conf.set("spark.graft.topk.maxK", "lots")
+    try {
+      val e = intercept[Exception] {
+        TopKPerKey.rewrite(windowForm(c, "c_mktsegment",
+          Seq($"c_acctbal".desc, $"c_custkey"), 3)).queryExecution
+          .optimizedPlan
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("spark.graft.topk.maxK")), e)
+    } finally spark.conf.unset("spark.graft.topk.maxK")
     // overflow guard: `rank < Int.MinValue` is always-false; the old
     // `v - 1` Int arithmetic wrapped it to k = Int.MaxValue
     val minLit = c.withColumn("rank", row_number().over(
