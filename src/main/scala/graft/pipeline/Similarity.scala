@@ -419,4 +419,42 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("key_a"), col("key_b"), r3(col("cos")).as("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication (cluster first, dedup
+    * within clusters — Abbas et al. 2023): assign every corpus vector
+    * to its nearest centroid via [[ivfAssign]] (broadcast codebook,
+    * map-side `min_by` argmax — the corpus never shuffles its score
+    * relation), then mark any vector with a lower-keyed SAME-cluster
+    * neighbor at cosine ≥ `tau` as a duplicate of its smallest such
+    * neighbor. Clustering first is the entire scale story: pair
+    * enumeration becomes an equi-join on `cent_id` — per-cluster
+    * quadratic (AQE-splittable on an oversized cluster), never the
+    * global cross join a 100 TB corpus cannot afford.
+    *
+    * Output: one row per assigned vector — (`keyCol`, cent_id,
+    * dup_of), `dup_of` NULL for keepers. The smallest-lower-keyed-
+    * neighbor policy is deterministic and deliberately non-transitive
+    * (pairwise, like SemDeDup's per-cluster pruning); when transitive
+    * groups are wanted, feed the implied (dup_of, key) edges through
+    * the [[Dedup.componentClusters]]-style pass the e2e pipeline
+    * demonstrates. Zero-norm vectors are dropped by assignment
+    * (ivfAssign's NaN policy) and never reach the output. */
+  def semanticDedup(corpus: DataFrame, vecCol: String, keyCol: String,
+      centroids: DataFrame, tau: Double): DataFrame = {
+    val nd = nativeDot(corpus) _
+    val assigned = ivfAssign(corpus, vecCol, keyCol, centroids)
+    val a = assigned.select(col("cent_id"), col("c_id").as("a_id"),
+      col("c_vec").as("a_vec"), col("c_norm").as("a_norm"))
+    val b = assigned.select(col("cent_id"), col("c_id").as("b_id"),
+      col("c_vec").as("b_vec"), col("c_norm").as("b_norm"))
+    val dupOf = a.join(b, Seq("cent_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        nd(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    assigned.select(col("c_id"), col("cent_id"))
+      .join(dupOf, col("c_id") === col("b_id"), "left_outer")
+      .select(col("c_id").as(keyCol), col("cent_id"), col("dup_of"))
+  }
 }

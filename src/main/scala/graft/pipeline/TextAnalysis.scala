@@ -177,4 +177,77 @@ object TextAnalysis {
           .otherwise(0.0)))
       .drop("tk", "grams")
   }
+
+  /** CROSS-document duplicated n-gram fraction — the corpus-level
+    * companion to [[repetitionStats]]' within-document signal (the
+    * Gopher/Dolma "fraction of n-grams duplicated across documents"
+    * filter): per document, the share of its word n-gram occurrences
+    * whose gram also appears in at least `minDocs` distinct documents.
+    * High values flag boilerplate and template spam that only a
+    * corpus-wide view can see.
+    *
+    * Shuffle profile at scale: grams are built scan-local (the same
+    * array-slice expression as [[topGramStats]] — no window), then the
+    * raw occurrence stream is collapsed ONCE to per-(key, gram)
+    * occurrence counts — a map-side-combinable aggregate, and the only
+    * shuffle that ever carries an occurrence-sized relation. The
+    * distinct-doc count per gram and the join back both run over that
+    * collapsed relation (one row per document a gram appears in, not
+    * one per occurrence). Everything hashes on the gram or the key;
+    * nothing is quadratic. Hot grams (corpus-wide stop-phrases) are
+    * the skew risk — AQE's skew-join handles the midsize case, and a
+    * frequency cap on the docsPerGram side bounds the extreme (a gram
+    * in >minDocs docs only needs "many", not its exact count).
+    * Documents with fewer than `n` tokens yield no grams and drop from
+    * the output (their fraction is undefined).
+    *
+    * Output: (`keyCol`, n_grams, n_dup, dup_frac). */
+  def crossDocDupStats(df: DataFrame, textCol: String, keyCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 1,
+      "crossDocDupStats: n >= 1 and minDocs >= 1")
+    val terms = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
+    val occ = df
+      .withColumn("tk", tokens(col(textCol)))
+      .select(col(keyCol), explode(when(size(col("tk")) >= n, expr(
+        s"transform(sequence(0, size(tk) - $n)," +
+          s" i -> concat_ws(' ', $terms))"))
+        .otherwise(array())).as("gram"))
+      .groupBy(col(keyCol), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+    val docsPerGram = occ.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+    occ.alias("o").join(docsPerGram.alias("d"), Seq("gram"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("n_docs") >= minDocs, col("occ")).otherwise(0L))
+          .as("n_dup"))
+      .select(col(keyCol), col("n_grams"), col("n_dup"),
+        r3(col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+  }
+
+  /** PII patterns. Lookaround-free and `\b`-only so they compile
+    * identically under Java regex and RE2-based engines. The IPv4
+    * pattern is the standard cheap form (no 0-255 octet check — a
+    * redaction pass prefers false positives over leaks); the phone
+    * form targets +-prefixed international numbers. */
+  val piiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhonePattern = "\\+\\d[\\d-]{6,}\\d"
+
+  /** Occurrences of one PII pattern — `regexp_extract_all` size, so
+    * the count is codegen'd and scan-local. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact all three PII classes with typed placeholders. Email runs
+    * first (its local part may contain dots and digits), then IPv4,
+    * then phone — after email removal neither remaining pattern can
+    * match inside a placeholder. Scan-local, one projection. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailPattern, "<EMAIL>"),
+        piiIpv4Pattern, "<IP>"),
+      piiPhonePattern, "<PHONE>")
 }

@@ -1038,6 +1038,154 @@ object PipelineQueries {
          node = MIN(root) AS is_keeper
        FROM reach GROUP BY node ORDER BY doc_id"""
 
+  /** Cross-document duplicated 5-gram fraction — the corpus-level
+    * Gopher/Dolma boilerplate signal ([[TextAnalysis.crossDocDupStats]]):
+    * per document, the share of its 5-gram occurrences whose gram also
+    * appears in ≥2 distinct documents. Complements ta_repetition
+    * (within-doc) with the across-doc view only a corpus-wide
+    * aggregation can produce. */
+  def taDupNgrams(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.crossDocDupStats(t(s, dir, "documents"), "text",
+      "doc_id", n = 5, minDocs = 2)
+      .orderBy(col("doc_id"))
+
+  private val taDupNgramsSql =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+             tk[i+4] || ' ' || tk[i+5] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 4)) AS r(i)
+         WHERE len(tk) >= 5),
+       dpg AS (
+         SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+         FROM g GROUP BY gram)
+       SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN dpg.n_docs >= 2 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_dup,
+         CAST(ROUND(CAST(CAST(SUM(CASE WHEN dpg.n_docs >= 2 THEN 1
+               ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS dup_frac
+       FROM g JOIN dpg USING (gram)
+       GROUP BY g.doc_id ORDER BY g.doc_id"""
+
+  /** SemDeDup-style semantic dedup over the full embeddings table
+    * ([[Similarity.semanticDedup]]): the same deterministic codebook as
+    * ann_ivf_topk (vec_id ≡ 0 mod 50), τ = 0.35 (the corpus max
+    * cosine is ~0.51, so the threshold separates planted near-dups
+    * from background). The oracle replays centroid assignment,
+    * within-cluster pairing, and keeper resolution entirely in SQL. */
+  def ddSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.semanticDedup(e, "embedding", "vec_id",
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"),
+          col("embedding").as("cent_vec")),
+      tau = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
+  private val ddSemanticSql =
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+                FROM n WHERE vec_id % 50 = 0),
+       cscore AS (
+         SELECT n.vec_id, cent.cent_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(n.embedding) AS x,
+                         unnest(cent.cemb) AS y) z) / (n.nrm * cent.cnrm)
+             AS ccos
+         FROM n CROSS JOIN cent),
+       assigned AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+           FROM cscore) WHERE crk = 1),
+       av AS (
+         SELECT a.vec_id, a.cent_id, n.embedding, n.nrm
+         FROM assigned a JOIN n USING (vec_id)),
+       dup AS (
+         SELECT y.vec_id AS vec_id, MIN(x.vec_id) AS dup_of
+         FROM av x JOIN av y
+           ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+         WHERE (SELECT SUM(CAST(i AS DOUBLE)*CAST(j AS DOUBLE))
+                FROM (SELECT unnest(x.embedding) AS i,
+                             unnest(y.embedding) AS j) z)
+             / (x.nrm * y.nrm) >= 0.35
+         GROUP BY y.vec_id)
+       SELECT a.vec_id, a.cent_id, d.dup_of
+       FROM assigned a LEFT JOIN dup d USING (vec_id)
+       ORDER BY a.vec_id"""
+
+  /** PII detect + redact round-trip ([[TextAnalysis.redactPii]]). The
+    * synthetic corpus is PII-free word soup, so the query plants
+    * deterministic synthetic PII (an email for even doc_ids, an IPv4
+    * for multiples of 3, a +-prefixed phone for multiples of 5) and
+    * both engines must agree on every per-class count AND on the md5
+    * of the redacted text — the byte-exact proof that extraction and
+    * replacement behave identically under Java regex and RE2. */
+  def taPii(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val did = col("doc_id").cast("string")
+    val email = when(col("doc_id") % 2 === 0,
+      concat(lit(" contact user"), did, lit("@example.com")))
+      .otherwise(lit(""))
+    val ip = when(col("doc_id") % 3 === 0,
+      concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string")))
+      .otherwise(lit(""))
+    val phone = when(col("doc_id") % 5 === 0,
+      concat(lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(lit(""))
+    d.withColumn("itext", concat(col("text"), email, ip, phone))
+      .select(col("doc_id"),
+        TextAnalysis.piiCount(col("itext"),
+          TextAnalysis.piiEmailPattern).as("n_email"),
+        TextAnalysis.piiCount(col("itext"),
+          TextAnalysis.piiIpv4Pattern).as("n_ip"),
+        TextAnalysis.piiCount(col("itext"),
+          TextAnalysis.piiPhonePattern).as("n_phone"),
+        md5(TextAnalysis.redactPii(col("itext"))).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val taPiiSql =
+    """WITH inj AS (
+         SELECT doc_id, text ||
+           (CASE WHEN doc_id % 2 = 0 THEN ' contact user' ||
+              CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) ||
+           (CASE WHEN doc_id % 3 = 0 THEN ' from 10.' ||
+              CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+              CAST(doc_id % 100 AS VARCHAR) ELSE '' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END) AS itext
+         FROM documents)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(itext,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(itext,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           AS BIGINT) AS n_ip,
+         CAST(len(regexp_extract_all(itext, '\+\d[\d-]{6,}\d'))
+           AS BIGINT) AS n_phone,
+         md5(regexp_replace(regexp_replace(regexp_replace(itext,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+\d[\d-]{6,}\d', '<PHONE>', 'g')) AS redacted_hash
+       FROM inj ORDER BY doc_id"""
+
   // --- multimodal -----------------------------------------------
 
   /** Binary-column pipeline summary: synthetic assets → partition-wise
@@ -1090,6 +1238,9 @@ object PipelineQueries {
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
     "ta_repetition" -> (taRepetition _),
+    "ta_dup_ngrams" -> (taDupNgrams _),
+    "ta_pii" -> (taPii _),
+    "dd_semantic" -> (ddSemantic _),
     "ta_repetition_native_expr" -> (taRepetitionExpr _),
     "ta_top_bigram" -> (taTopBigram _),
     "pp_mixture" -> (ppMixture _),
@@ -1125,6 +1276,9 @@ object PipelineQueries {
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,
     "ta_repetition" -> taRepetitionSql,
+    "ta_dup_ngrams" -> taDupNgramsSql,
+    "ta_pii" -> taPiiSql,
+    "dd_semantic" -> ddSemanticSql,
     "ta_repetition_native_expr" -> taRepetitionSql,
     "ta_top_bigram" -> taTopBigramSql,
     "pp_mixture" -> ppMixtureSql,

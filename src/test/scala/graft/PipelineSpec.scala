@@ -491,4 +491,59 @@ class PipelineSpec extends SparkSpec {
       Multimodal.resizeImages(assets, 224, 224)).toDF()
     assert(feats.exceptAll(again).count() === 0)
   }
+
+  test("cross-doc dup n-grams: duplicated docs score 1.0, unique 0.0") {
+    val r = TextAnalysis.crossDocDupStats(docs, "text", "doc_id", n = 3)
+      .select($"doc_id", $"dup_frac").as[(Long, Double)].collect().toMap
+    // docs 0, 1 and 4 share an identical token stream → every 3-gram
+    // appears in >=2 distinct docs
+    assert(r(0L) === 1.0 && r(1L) === 1.0 && r(4L) === 1.0)
+    // doc 3 shares no 3-gram with anything
+    assert(r(3L) === 0.0)
+    // doc 2 differs only in its final token: 9 of its 10 3-grams are
+    // shared with docs 0/1/4
+    assert(r(2L) === 0.9)
+  }
+
+  test("semantic dedup: within-cluster near-dups marked, keepers null") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.99f, 0.01f)),
+      (12L, Array(0.6f, 0.8f)), (20L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("cent_id", "cent_vec")
+    val r = Similarity.semanticDedup(vecs, "embedding", "vec_id",
+      cents, tau = 0.95)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(10L) === (100L, None)) // cluster keeper
+    assert(r(11L) === (100L, Some(10L))) // near-dup of 10 in-cluster
+    assert(r(12L) === (200L, None)) // same cluster as 20 but cos 0.8 < τ
+    assert(r(20L) === (200L, None))
+  }
+
+  test("pii: counts find each class, versions and bare digits do not match") {
+    val rows = Seq(
+      (0L, "mail a@b.co and c.d+x@e.org now"),
+      (1L, "srv 192.168.0.1 up, release v1.2.3 done"),
+      (2L, "call +1-555-123-4567 or 1-555-1234"))
+      .toDF("id", "text")
+    val r = rows.select($"id",
+      TextAnalysis.piiCount($"text", TextAnalysis.piiEmailPattern),
+      TextAnalysis.piiCount($"text", TextAnalysis.piiIpv4Pattern),
+      TextAnalysis.piiCount($"text", TextAnalysis.piiPhonePattern))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    assert(r(0L) === (2L, 0L, 0L))
+    assert(r(1L) === (0L, 1L, 0L)) // v1.2.3 is not an IPv4
+    assert(r(2L) === (0L, 0L, 1L)) // un-prefixed number not matched
+  }
+
+  test("pii: redaction replaces every class with its placeholder") {
+    val red = Seq("write a@b.co from 10.0.0.7 or call +1-555-0042 twice: a@b.co")
+      .toDF("text")
+      .select(TextAnalysis.redactPii($"text")).as[String].head()
+    assert(red ===
+      "write <EMAIL> from <IP> or call <PHONE> twice: <EMAIL>")
+  }
 }
