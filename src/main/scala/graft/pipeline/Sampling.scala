@@ -72,4 +72,41 @@ object Sampling {
           col("start_token") + col("n_tokens") - 1) / chunkTokens)
           .cast("long"))
   }
+
+  /** Temperature-scaled mixture weights over a grouping column — the
+    * UniMax/multilingual-sampling recipe: flatten the group-size
+    * distribution by renormalizing share^(1/T), upweighting
+    * low-resource groups. T is pinned at 2 (share^(1/2) = sqrt):
+    * IEEE sqrt is correctly rounded, so both engines produce
+    * identical bits where a libm `pow` could drift an ulp — other
+    * temperatures plug into the same shape when bit-replay isn't
+    * required.
+    *
+    * Scale shape: the only corpus-sized work is one
+    * map-side-combinable (count, token-sum) aggregate; everything
+    * after runs on the group-cardinality relation (languages/
+    * sources — tens of rows at any corpus size), so the unpartitioned
+    * normalization windows are trivial by construction. The sqrt
+    * masses route through DECIMAL(28,15) before summing, making the
+    * normalizer order-independent and engine-exact ([[graft.queries
+    * .StarQueries.sumd]]'s trick). Output per group: n_docs,
+    * n_tokens, share, weight (share and weight rounded to 3). */
+  def temperatureWeights(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val all = Window.partitionBy()
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.whitespaceTokenCount(col(textCol)))
+          .as("n_tokens"))
+    perGroup
+      .withColumn("share_raw", col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(all))
+      .withColumn("wr", sqrt(col("share_raw")))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        Similarity.r3(col("share_raw")).as("share"),
+        Similarity.r3(col("wr") /
+          sum(col("wr").cast(
+            org.apache.spark.sql.types.DecimalType(28, 15))).over(all)
+            .cast("double")).as("weight"))
+  }
 }

@@ -957,6 +957,151 @@ object PipelineQueries {
                                         ELSE 10 END
        ORDER BY doc_id"""
 
+  /** Temperature-scaled language-mixture weights
+    * ([[Sampling.temperatureWeights]], T = 2): per language, token
+    * share and the renormalized sqrt(share) sampling weight — the
+    * UniMax-style rebalancing that upweights low-resource languages.
+    * sqrt is IEEE-correctly-rounded and the normalizer sum is
+    * decimal-routed, so the whole computation is bit-replayable in
+    * SQL. */
+  def ppTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureWeights(t(s, dir, "documents"), "text", "lang")
+      .orderBy(col("lang"))
+
+  private val ppTemperatureSql =
+    """WITH pl AS (
+         SELECT lang, COUNT(*) AS n_docs,
+           SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text),
+                         '[ \t\n\x0B\f\r]+')) END AS BIGINT))
+             AS n_tokens
+         FROM documents GROUP BY lang),
+       w AS (
+         SELECT lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share_raw,
+           sqrt(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER ()) AS wr
+         FROM pl)
+       SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(ROUND(CAST(share_raw AS DECIMAL(28,10)), 3) AS DOUBLE)
+           AS share,
+         CAST(ROUND(CAST(wr / CAST(SUM(CAST(wr AS DECIMAL(28,15)))
+               OVER () AS DOUBLE) AS DECIMAL(28,10)), 3) AS DOUBLE)
+           AS weight
+       FROM w ORDER BY lang"""
+
+  /** End-to-end RefinedWeb/Dolma-style curation pass — the full
+    * filter pipeline a pretraining corpus goes through, in one call:
+    * quality heuristics (score ≥ 0.65) → within-doc repetition
+    * (duplicate-3-gram fraction ≤ 0.01) → MinHash-LSH fuzzy dedup
+    * (drop any doc with a lower-keyed candidate partner). Emits the
+    * per-(lang, source) funnel: stage-attributed drop counts (each doc
+    * charged to the FIRST stage that rejects it, so drops + kept =
+    * input) and the surviving token budget — the numbers a mixture
+    * designer actually consumes.
+    *
+    * Plan shape: quality + repetition are scan-local projections
+    * (one corpus pass), dedup pairs come from the banded equi-join
+    * ([[Dedup.minHashCandidates]]), and the funnel is one final
+    * aggregate — no corpus-sized join except the hash-keyed
+    * candidate lookup. Thresholds compare the r3-ROUNDED scores both
+    * engines are proven to agree on (ta_quality / ta_repetition). */
+  def ppFilterE2e(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sig = TextAnalysis.repetitionStats(
+      TextAnalysis.qualityMetrics(d, "text"), "text", n = 3)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+        col("quality_score"), col("dup_fraction"))
+    val dupOf = Dedup.minHashCandidates(d, "text", "doc_id")
+      .groupBy(col("key_b")).agg(min(col("key_a")).as("near_dup_of"))
+    val flags = sig
+      .join(dupOf, sig("doc_id") === dupOf("key_b"), "left_outer")
+      .withColumn("pass_q", col("quality_score") >= 0.65)
+      .withColumn("pass_r", col("dup_fraction") <= 0.01)
+      .withColumn("pass_d", col("near_dup_of").isNull)
+    flags.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(!col("pass_q"), 1L).otherwise(0L)).as("drop_quality"),
+        sum(when(col("pass_q") && !col("pass_r"), 1L).otherwise(0L))
+          .as("drop_repetition"),
+        sum(when(col("pass_q") && col("pass_r") && !col("pass_d"), 1L)
+          .otherwise(0L)).as("drop_neardup"),
+        sum(when(col("pass_q") && col("pass_r") && col("pass_d"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("pass_q") && col("pass_r") && col("pass_d"),
+          col("ws_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val ppFilterE2eSql =
+    s"""WITH ${minhashBandsCte(Int.MaxValue)},
+       ndup AS (
+         SELECT b.doc_id, MIN(a.doc_id) AS near_dup_of
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+         GROUP BY b.doc_id),
+       m AS (
+         SELECT doc_id, lang, source,
+           len(list_filter(string_split_regex(lower(text), '\\W+'),
+                           x -> x <> '')) AS n_tokens,
+           length(regexp_replace(lower(text),
+             '[a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS n_punct,
+           length(text) AS n_len,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text),
+                         '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT)
+             AS ws_tokens
+         FROM documents),
+       q AS (
+         SELECT doc_id, lang, source, ws_tokens,
+           CAST(ROUND(CAST(GREATEST(0.0, LEAST(1.0,
+             CASE WHEN n_tokens > 0
+               THEN 0.5 + 0.5 * LEAST(1.0, n_tokens / 100.0) -
+                    (CASE WHEN n_len > 0
+                     THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END)
+               ELSE 0.0 END)) AS DECIMAL(28,10)), 3) AS DOUBLE) AS qs
+         FROM m),
+       rtoks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       rg AS (
+         SELECT doc_id,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM rtoks CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       ragg AS (
+         SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT gram) AS nd
+         FROM rg GROUP BY doc_id),
+       rep AS (
+         SELECT d.doc_id,
+           CAST(ROUND(CAST(CASE WHEN COALESCE(a.ng, 0) > 0
+             THEN 1.0 - CAST(a.nd AS DOUBLE) / a.ng
+             ELSE 0.0 END AS DECIMAL(28,10)), 3) AS DOUBLE) AS rf
+         FROM documents d LEFT JOIN ragg a ON d.doc_id = a.doc_id),
+       j AS (
+         SELECT q.lang, q.source, q.ws_tokens,
+           (q.qs >= 0.65) AS pass_q,
+           (rep.rf <= 0.01) AS pass_r,
+           (ndup.near_dup_of IS NULL) AS pass_d
+         FROM q JOIN rep ON q.doc_id = rep.doc_id
+           LEFT JOIN ndup ON q.doc_id = ndup.doc_id)
+       SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_in,
+         CAST(SUM(CASE WHEN NOT pass_q THEN 1 ELSE 0 END) AS BIGINT)
+           AS drop_quality,
+         CAST(SUM(CASE WHEN pass_q AND NOT pass_r THEN 1 ELSE 0 END)
+           AS BIGINT) AS drop_repetition,
+         CAST(SUM(CASE WHEN pass_q AND pass_r AND NOT pass_d
+           THEN 1 ELSE 0 END) AS BIGINT) AS drop_neardup,
+         CAST(SUM(CASE WHEN pass_q AND pass_r AND pass_d
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN pass_q AND pass_r AND pass_d
+           THEN ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       FROM j GROUP BY lang, source ORDER BY lang, source"""
+
   /** Concat-and-chunk packing spans per source shard (4096-token
     * blocks): each document's global token offset and chunk range
     * under GPT-style corpus packing. */
@@ -1244,8 +1389,10 @@ object PipelineQueries {
     "ta_repetition_native_expr" -> (taRepetitionExpr _),
     "ta_top_bigram" -> (taTopBigram _),
     "pp_mixture" -> (ppMixture _),
+    "pp_temperature" -> (ppTemperature _),
     "pp_packing" -> (ppPacking _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
+    "pp_filter_e2e" -> (ppFilterE2e _),
     "mm_features" -> (mmFeatures _))
 
   val oracle: Map[String, String] = Map(
@@ -1282,7 +1429,9 @@ object PipelineQueries {
     "ta_repetition_native_expr" -> taRepetitionSql,
     "ta_top_bigram" -> taTopBigramSql,
     "pp_mixture" -> ppMixtureSql,
+    "pp_temperature" -> ppTemperatureSql,
     "pp_packing" -> ppPackingSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
+    "pp_filter_e2e" -> ppFilterE2eSql,
     "mm_features" -> mmFeaturesSql)
 }

@@ -539,6 +539,34 @@ class PipelineSpec extends SparkSpec {
     assert(r(2L) === (0L, 0L, 1L)) // un-prefixed number not matched
   }
 
+  test("temperature weights: flatten shares, sum to one, keep order") {
+    val corpus = (0 until 90).map(i => (i.toLong, "w " * 50, "big")) ++
+      (0 until 10).map(i => (100L + i, "w " * 50, "small"))
+    val r = Sampling.temperatureWeights(
+      corpus.toDF("doc_id", "text", "lang"), "text", "lang")
+      .select($"lang", $"share", $"weight")
+      .as[(String, Double, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r("big")._1 === 0.9 && r("small")._1 === 0.1)
+    // temperature flattens: small group's weight exceeds its share,
+    // big group's shrinks, order is preserved
+    assert(r("small")._2 > 0.1 && r("big")._2 < 0.9)
+    assert(r("big")._2 > r("small")._2)
+    assert(math.abs(r("big")._2 + r("small")._2 - 1.0) < 0.002)
+  }
+
+  test("filter e2e: per-group funnel attribution is exhaustive") {
+    val f = graft.queries.PipelineQueries.ppFilterE2e(
+      spark, sf("sf0.001"))
+    val bad = f.filter($"drop_quality" + $"drop_repetition" +
+      $"drop_neardup" + $"n_kept" =!= $"n_in").count()
+    assert(bad === 0)
+    // the pipeline must actually keep something and drop something
+    val tot = f.agg(sum($"n_in"), sum($"n_kept"))
+      .as[(Long, Long)].head()
+    assert(tot._2 > 0 && tot._2 < tot._1)
+  }
+
   test("pii: redaction replaces every class with its placeholder") {
     val red = Seq("write a@b.co from 10.0.0.7 or call +1-555-0042 twice: a@b.co")
       .toDF("text")
