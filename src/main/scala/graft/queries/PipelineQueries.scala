@@ -428,6 +428,58 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Int8-quantized brute-force top-k ([[Similarity.int8TopK]]): the
+    * 4×-compressed at-rest form of the embedding corpus, scored in
+    * exact integer arithmetic (per-vector scales cancel out of
+    * cosine). The oracle replays quantization (floor(x·127/max|x| +
+    * 0.5)), integer norms, and integer dots — every intermediate is
+    * exact in both engines, so this is the one ANN variant with zero
+    * float-accumulation caveats. */
+  def annInt8TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.int8TopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "embedding", "vec_id", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annInt8Sql =
+    """WITH n AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       s AS (
+         SELECT vec_id, v,
+           (SELECT MAX(abs(x)) FROM unnest(v) t(x)) AS ma
+         FROM n),
+       qz AS (
+         SELECT vec_id,
+           list_transform(v,
+             x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) AS q
+         FROM s WHERE ma > 0),
+       qn AS (
+         SELECT vec_id, q,
+           (SELECT SUM(x * x) FROM unnest(q) t(x)) AS nrm2
+         FROM qz),
+       qq AS (SELECT * FROM qn WHERE vec_id < 10),
+       cc AS (SELECT * FROM qn WHERE vec_id >= 10),
+       scored AS (
+         SELECT qq.vec_id AS q_id, cc.vec_id AS c_id,
+           CAST((SELECT SUM(x * y)
+                 FROM (SELECT unnest(qq.q) AS x,
+                              unnest(cc.q) AS y) z) AS DOUBLE) /
+             (sqrt(CAST(qq.nrm2 AS DOUBLE)) *
+              sqrt(CAST(cc.nrm2 AS DOUBLE))) AS icos
+         FROM qq CROSS JOIN cc),
+       ranked AS (
+         SELECT q_id, c_id, icos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY icos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(icos AS DECIMAL(28,10)), 3) AS DOUBLE) AS icos
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   private val annBruteSql =
     """WITH n AS (
          SELECT vec_id, embedding,
@@ -1373,6 +1425,7 @@ object PipelineQueries {
     "dd_components" -> (ddComponents _),
     "dd_contamination" -> (ddContamination _),
     "ann_brute_topk" -> (annBruteTopK _),
+    "ann_int8_topk" -> (annInt8TopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_lsh_multiprobe" -> (annLshMultiProbe _),
     "ann_ivf_topk" -> (annIvfTopK _),
@@ -1411,6 +1464,7 @@ object PipelineQueries {
     "dd_components" -> ddComponentsSql,
     "dd_contamination" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,
+    "ann_int8_topk" -> annInt8Sql,
     "ann_lsh_topk" -> annLshSql,
     "ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "ann_ivf_topk" -> annIvfSql,

@@ -539,6 +539,27 @@ class PipelineSpec extends SparkSpec {
     assert(r(2L) === (0L, 0L, 1L)) // un-prefixed number not matched
   }
 
+  test("int8 ANN: quantized ranking tracks float ranking closely") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val exact = Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5)
+      .select($"q_id", $"rank", $"c_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect()
+    val i8 = Similarity.int8TopK(q, c, "embedding", "vec_id", 5)
+      .select($"q_id", $"rank", $"c_id", $"icos")
+      .as[(Long, Int, Long, Double)].collect()
+    // top-1 recall: int8 must preserve at least 8/10 exact top-1s
+    val ex1 = exact.filter(_._2 == 1).map(x => x._1 -> x._3).toMap
+    val i81 = i8.filter(_._2 == 1).map(x => x._1 -> x._3).toMap
+    assert(ex1.keys.count(k => i81(k) == ex1(k)) >= 8)
+    // per-pair cosine error bounded by dim-64 quantization noise
+    val exCos = exact.map(x => (x._1, x._3) -> x._4).toMap
+    val errs = i8.flatMap(x =>
+      exCos.get((x._1, x._3)).map(cos => math.abs(cos - x._4)))
+    assert(errs.nonEmpty && errs.max < 0.02)
+  }
+
   test("temperature weights: flatten shares, sum to one, keep order") {
     val corpus = (0 until 90).map(i => (i.toLong, "w " * 50, "big")) ++
       (0 until 10).map(i => (100L + i, "w " * 50, "small"))
