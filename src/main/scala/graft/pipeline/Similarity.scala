@@ -451,8 +451,9 @@ object Similarity {
     * result is bit-identical across engines and partitionings with no
     * float-accumulation caveats at all. Same join shape as
     * [[bruteForceTopK]] (broadcast queries, corpus streamed once);
-    * at rest the corpus stores only (key, q, qn) — a quarter of the
-    * float32 bytes, which at 100 TB is the difference between a
+    * at rest the corpus stores only (key, q, qn) — 4× fewer raw bytes
+    * per vector, measured 3.5× as parquet ([[graft.tools
+    * .QuantSizeProbe]]), which at 100 TB is the difference between a
     * memory-resident index shard and a spilling one. Approximation
     * error vs float cosine is the quantization error only (~1e-2 at
     * dim 64), bounded and measured in PipelineSpec. */
