@@ -430,17 +430,20 @@ object Similarity {
     * Java (HALF_UP on the decimal rendering) and RE2-era SQL engines.
     * Zero vectors (max|x| = 0) are dropped — they have no direction
     * to quantize, matching the NaN policy of the float paths.
-    * Output: (`keyCol`, q  — array<long> weights, qn — the integer
-    * L2 norm² as long). */
-  def quantizeInt8(df: DataFrame, vecCol: String, keyCol: String): DataFrame = {
+    * Output: (`keyCol`, `keep`*, q — array<long> weights, qn — the
+    * integer L2 norm² as long); `keep` lets layout writers carry a
+    * partition column through without a re-join. */
+  def quantizeInt8(df: DataFrame, vecCol: String, keyCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val v = transform(col(vecCol), _.cast("double"))
     val ma = array_max(transform(v, abs(_)))
-    df.select(col(keyCol), v.as("v"), ma.as("ma"))
+    val head = col(keyCol) +: keep.map(col)
+    df.select(head :+ v.as("v") :+ ma.as("ma"): _*)
       .filter(col("ma") > 0)
-      .select(col(keyCol),
+      .select(head :+
         transform(col("v"),
           x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("long"))
-          .as("q"))
+          .as("q"): _*)
       .withColumn("qn",
         aggregate(transform(col("q"), x => x * x), lit(0L), _ + _))
   }

@@ -695,8 +695,12 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  private lazy val annLshPartitionedSql = {
-    val bucketExpr = Similarity.hyperplanes(4, 64).zipWithIndex.map {
+  /** The SRP sign-bucket of `embedding` as a DuckDB expression — the
+    * SQL twin of [[Similarity.srpBucket]] over the same fixed-seed
+    * hyperplanes, shared by every oracle that replays a bucketed
+    * layout. */
+  private def srpBucketSqlExpr(planes: Int, dim: Int): String =
+    Similarity.hyperplanes(planes, dim).zipWithIndex.map {
       case (p, i) =>
         val lits = p.map(d => java.lang.Double.toString(d))
           .mkString("[", ", ", "]")
@@ -705,6 +709,9 @@ object PipelineQueries {
                                      unnest($lits) AS y) z) >= 0
                   THEN ${1 << i} ELSE 0 END)"""
     }.mkString(" + ")
+
+  private lazy val annLshPartitionedSql = {
+    val bucketExpr = srpBucketSqlExpr(4, 64)
     s"""WITH n AS (
          SELECT vec_id, embedding,
            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
@@ -745,6 +752,65 @@ object PipelineQueries {
     PartitionedAnn.ivfTopKPartitioned(s, out, e.filter(col("vec_id") < 10),
       "embedding", "vec_id", k = 5, centroids, nprobe = 2)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The fully-compounded 100 TB ANN form: SRP-partitioned at rest
+    * (file-listing-time pruning) AND int8-quantized pages (measured
+    * 3.5× smaller) AND exact-integer scoring
+    * ([[PartitionedAnn.writeSrpBucketedInt8]]). The oracle replays
+    * bucket assignment on the float vectors, quantization, and the
+    * integer bucket-join scoring — proving the layout lossless
+    * end-to-end. */
+  def annInt8Partitioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val out = annLayoutDir(dir, "srp_int8_p4_d64")
+    ensureLayout(out)(PartitionedAnn.writeSrpBucketedInt8(
+      e.filter(col("vec_id") >= 10), "embedding", "vec_id", out,
+      planes = 4, dim = 64))
+    PartitionedAnn.lshTopKPartitionedInt8(s, out,
+      e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+      planes = 4, dim = 64)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private lazy val annInt8PartitionedSql = {
+    val bucketExpr = srpBucketSqlExpr(4, 64)
+    s"""WITH base AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           ($bucketExpr) AS bucket
+         FROM embeddings),
+       s AS (
+         SELECT vec_id, v, bucket,
+           (SELECT MAX(abs(x)) FROM unnest(v) t(x)) AS ma
+         FROM base),
+       qz AS (
+         SELECT vec_id, bucket,
+           list_transform(v,
+             x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) AS q
+         FROM s WHERE ma > 0),
+       qn AS (
+         SELECT vec_id, bucket, q,
+           (SELECT SUM(x * x) FROM unnest(q) t(x)) AS nrm2
+         FROM qz),
+       qq AS (SELECT * FROM qn WHERE vec_id < 10),
+       cc AS (SELECT * FROM qn WHERE vec_id >= 10),
+       scored AS (
+         SELECT qq.vec_id AS q_id, cc.vec_id AS c_id,
+           CAST((SELECT SUM(x * y)
+                 FROM (SELECT unnest(qq.q) AS x,
+                              unnest(cc.q) AS y) z) AS DOUBLE) /
+             (sqrt(CAST(qq.nrm2 AS DOUBLE)) *
+              sqrt(CAST(cc.nrm2 AS DOUBLE))) AS icos
+         FROM qq JOIN cc ON qq.bucket = cc.bucket),
+       ranked AS (
+         SELECT q_id, c_id, icos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY icos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(icos AS DECIMAL(28,10)), 3) AS DOUBLE) AS icos
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
   /** Composite retrieval pipeline: ANN top-3 per query joined back to
@@ -1431,6 +1497,7 @@ object PipelineQueries {
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_lsh_partitioned" -> (annLshPartitioned _),
     "ann_ivf_partitioned" -> (annIvfPartitioned _),
+    "ann_int8_partitioned" -> (annInt8Partitioned _),
     "pp_retrieval" -> (ppRetrieval _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
@@ -1472,6 +1539,7 @@ object PipelineQueries {
     // the partitioned layout is an execution detail — the in-memory
     // IVF oracle verifies the identical (centroids, nprobe) semantics
     "ann_ivf_partitioned" -> annIvfSql,
+    "ann_int8_partitioned" -> annInt8PartitionedSql,
     "pp_retrieval" -> ppRetrievalSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,

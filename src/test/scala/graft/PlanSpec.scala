@@ -166,6 +166,24 @@ class PlanSpec extends SparkSpec {
       s"no pruning: read $partsRead of $totalBuckets buckets")
   }
 
+  test("int8 partitioned ANN: pruning survives the quantized layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("annprune8").toString
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    graft.pipeline.PartitionedAnn.writeSrpBucketedInt8(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") >= 10),
+      "embedding", "vec_id", s"$tmp/srp8", planes = 4, dim = 64)
+    val df = graft.pipeline.PartitionedAnn.lshTopKPartitionedInt8(spark,
+      s"$tmp/srp8", e.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "embedding", "vec_id", k = 5, planes = 4, dim = 64)
+    val pf = df.queryExecution.explainString(FormattedMode)
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("bucket") && pf.contains(" IN "), pf)
+    // the layout really stores tinyint weights (1 byte/dim pre-encoding)
+    val sch = spark.read.parquet(s"$tmp/srp8").schema("q").dataType
+    assert(sch === org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, true), sch.toString)
+  }
+
   test("pp_mixture: one window pass, no join for the quota lookup") {
     val p = plan("pp_mixture")
     assert(p.contains("Window"), p)
