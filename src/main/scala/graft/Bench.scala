@@ -49,9 +49,18 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     try graft.queries.XmlQueries.tables(spark).nodes.count()
     catch { case _: Throwable => () }
-    val results = (SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional comma-separated allowlist for targeted iteration runs;
+    // the default (unset) path is the full corpus plus the conversion
+    // bench, unchanged
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = (selected.map {
       case (name, fn) => name -> timeMedian(fn(spark, sfDir).count())
-    } :+ ("xml_convert_2000docs" -> xmlConvertBench(spark))).toMap
+    } ++ (if (only.isEmpty)
+            Seq("xml_convert_2000docs" -> xmlConvertBench(spark))
+          else Seq())).toMap
     val qs = results.map {
       case (k, Right(v)) => s"\"" + k + "\":" + v
       case (k, Left(_)) => s"\"" + k + "\":-1"

@@ -91,6 +91,9 @@ object GraftFunctions {
       install("minhash_agg", buildMinHashAgg)
       install("vec_dot", exprs => VecDot(exprs(0), exprs(1)))
       install("vec_norm", exprs => VecNorm(exprs.head))
+      install("vec_dot_long", exprs => VecDotLong(exprs(0), exprs(1)))
+      install("vec_dot_int8", exprs => VecDotInt8(exprs(0), exprs(1)))
+      install("vec_quantize_int8", exprs => VecQuantizeInt8(exprs.head))
       spark.conf.set(RegisteredKey, "true")
     }
     // kernel fusion for sessions built without GraftExtensions —
@@ -128,6 +131,21 @@ object GraftFunctions {
   /** Native float-vector dot product (codegen'd kernel). */
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
+  /** Native long-vector dot product — exact integer arithmetic
+    * (codegen'd kernel; the int8-quantized ANN scorer). */
+  def vec_dot_long(a: Column, b: Column): Column =
+    call_function("vec_dot_long", a, b)
+
+  /** Native tinyint-vector dot product — the form int8 parquet pages
+    * feed directly, no widening pass. */
+  def vec_dot_int8(a: Column, b: Column): Column =
+    call_function("vec_dot_int8", a, b)
+
+  /** One-pass symmetric int8 quantizer (array<float> →
+    * array<tinyint>; null for empty/null-slotted/all-zero vectors). */
+  def vec_quantize_int8(v: Column): Column =
+    call_function("vec_quantize_int8", v)
+
   /** Native float-vector L2 norm (codegen'd kernel). */
   def vec_norm(a: Column): Column = call_function("vec_norm", a)
 }
@@ -164,6 +182,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[VecNorm].getName, "vec_norm"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecNorm(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot_long"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDotLong].getName, "vec_dot_long"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDotLong(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot_int8"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDotInt8].getName, "vec_dot_int8"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDotInt8(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "vec_quantize_int8"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecQuantizeInt8].getName, "vec_quantize_int8"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecQuantizeInt8(exprs.head)))
     e.injectOptimizerRule(_ => VecFusionRule)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

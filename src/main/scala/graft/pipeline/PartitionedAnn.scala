@@ -96,15 +96,15 @@ object PartitionedAnn {
       corpus.select(col(keyCol).as("c_id"), col(vecCol),
         Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket")),
       vecCol, "c_id", keep = Seq("bucket"))
-      .select(col("c_id"), col("q").cast("array<tinyint>").as("q"),
-        col("qn"), col("bucket"))
+      .select(col("c_id"), col("q"), col("qn"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
   }
 
   /** Int8 LSH top-k against a [[writeSrpBucketedInt8]] layout: the
     * probe set prunes partitions exactly like [[lshTopKPartitioned]],
-    * and scoring is [[Similarity.int8TopK]]'s exact integer cosine
-    * (tinyint weights widen back to long losslessly). */
+    * and scoring is [[Similarity.int8TopK]]'s exact integer cosine —
+    * the tinyint pages feed the codegen'd `vec_dot_int8` kernel
+    * directly, no widening pass. */
   def lshTopKPartitionedInt8(spark: SparkSession, corpusDir: String,
       queries: DataFrame, vecCol: String, keyCol: String, k: Int,
       planes: Int, dim: Int): DataFrame = {
@@ -120,12 +120,11 @@ object PartitionedAnn {
       .collect().map(_.getInt(0)).sorted
     val c = spark.read.parquet(corpusDir)
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))
-      .select(col("c_id"), col("bucket"),
-        transform(col("q"), _.cast("long")).as("c_q"),
+      .select(col("c_id"), col("bucket"), col("q").as("c_q"),
         col("qn").as("c_qn"))
     broadcast(q).join(c, Seq("bucket"))
       .withColumn("icos",
-        aggregate(zip_with(col("q_q"), col("c_q"), _ * _), lit(0L), _ + _)
+        graft.functions.GraftFunctions.vec_dot_int8(col("q_q"), col("c_q"))
           .cast("double") /
           (sqrt(col("q_qn").cast("double")) *
             sqrt(col("c_qn").cast("double"))))

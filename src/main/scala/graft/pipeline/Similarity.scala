@@ -430,22 +430,22 @@ object Similarity {
     * Java (HALF_UP on the decimal rendering) and RE2-era SQL engines.
     * Zero vectors (max|x| = 0) are dropped — they have no direction
     * to quantize, matching the NaN policy of the float paths.
-    * Output: (`keyCol`, `keep`*, q — array<long> weights, qn — the
+    * Output: (`keyCol`, `keep`*, q — array<tinyint> weights, qn — the
     * integer L2 norm² as long); `keep` lets layout writers carry a
-    * partition column through without a re-join. */
+    * partition column through without a re-join. Runs as the one-pass
+    * codegen'd [[graft.functions.VecQuantizeInt8]] kernel; the
+    * relational `floor(x·127/max|x| + 0.5)` formulation it computes
+    * is pinned equivalent in FunctionsSpec and replayed verbatim by
+    * the ann_int8 oracles. */
   def quantizeInt8(df: DataFrame, vecCol: String, keyCol: String,
       keep: Seq[String] = Nil): DataFrame = {
-    val v = transform(col(vecCol), _.cast("double"))
-    val ma = array_max(transform(v, abs(_)))
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val head = col(keyCol) +: keep.map(col)
-    df.select(head :+ v.as("v") :+ ma.as("ma"): _*)
-      .filter(col("ma") > 0)
-      .select(head :+
-        transform(col("v"),
-          x => floor(x * lit(127.0) / col("ma") + lit(0.5)).cast("long"))
-          .as("q"): _*)
+    df.select(head :+ graft.functions.GraftFunctions
+        .vec_quantize_int8(col(vecCol)).as("q"): _*)
+      .filter(col("q").isNotNull)
       .withColumn("qn",
-        aggregate(transform(col("q"), x => x * x), lit(0L), _ + _))
+        graft.functions.GraftFunctions.vec_dot_int8(col("q"), col("q")))
   }
 
   /** Exact-integer brute-force top-k over int8-quantized vectors:
@@ -470,7 +470,7 @@ object Similarity {
         col("qn").as("c_qn"))
     q.crossJoin(c)
       .withColumn("icos",
-        aggregate(zip_with(col("q_q"), col("c_q"), _ * _), lit(0L), _ + _)
+        graft.functions.GraftFunctions.vec_dot_int8(col("q_q"), col("c_q"))
           .cast("double") /
           (sqrt(col("q_qn").cast("double")) *
             sqrt(col("c_qn").cast("double"))))

@@ -176,6 +176,52 @@ class FunctionsSpec extends SparkSpec {
     assert(native.sortBy(_._1).toSeq === hof.sortBy(_._1).toSeq)
   }
 
+  test("int8 kernels match the relational formulation exactly; null rules hold") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .filter($"vec_id" < 40)
+    // relational reference: floor(x*127/max|x| + 0.5) as longs
+    val v = transform($"embedding", _.cast("double"))
+    val ma = array_max(transform(v, abs(_)))
+    val rel = e.select($"vec_id", v.as("v"), ma.as("ma"))
+      .filter($"ma" > 0)
+      .select($"vec_id", transform($"v",
+        x => floor(x * lit(127.0) / $"ma" + lit(0.5)).cast("long")).as("q"))
+      .withColumn("d", aggregate(zip_with($"q", $"q", _ * _), lit(0L), _ + _))
+    val relRows = rel.select($"vec_id", $"q", $"d")
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    // native one-pass quantizer + integer dot kernels
+    val nat = graft.pipeline.Similarity.quantizeInt8(e, "embedding", "vec_id")
+    val natRows = nat.select($"vec_id",
+        transform($"q", _.cast("long")).as("q"),
+        GraftFunctions.vec_dot_int8($"q", $"q").as("d"))
+      .as[(Long, Seq[Long], Long)].collect().sortBy(_._1).toSeq
+    assert(natRows === relRows)
+    // vec_dot_long agrees with vec_dot_int8 on widened arrays
+    val viaLong = nat.select($"vec_id",
+        GraftFunctions.vec_dot_long(transform($"q", _.cast("long")),
+          transform($"q", _.cast("long"))).as("d"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaLong === relRows.map(r => (r._1, r._3)))
+    // null element and length mismatch both null-propagate
+    assert(spark.sql(
+      """SELECT vec_dot_long(array(1L, cast(null as bigint)),
+        |                    array(2L, 3L)) AS d""".stripMargin)
+      .collect().head.isNullAt(0))
+    assert(spark.sql(
+      "SELECT vec_dot_long(array(1L), array(2L, 3L)) AS d")
+      .collect().head.isNullAt(0))
+    // quantizer: all-zero and null-slotted vectors yield null
+    assert(spark.sql(
+      """SELECT vec_quantize_int8(array(cast(0.0 as float),
+        |                               cast(0.0 as float))) AS q"""
+        .stripMargin).collect().head.isNullAt(0))
+    assert(spark.sql(
+      """SELECT vec_quantize_int8(array(cast(1.0 as float),
+        |                               cast(null as float))) AS q"""
+        .stripMargin).collect().head.isNullAt(0))
+  }
+
   test("Graft.session returns a working session with functions available") {
     val s = graft.Graft.session()
     val r = s.sql(
