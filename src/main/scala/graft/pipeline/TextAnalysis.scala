@@ -207,6 +207,11 @@ object TextAnalysis {
     require(n >= 1 && minDocs >= 1,
       "crossDocDupStats: n >= 1 and minDocs >= 1")
     val terms = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
+    // localCheckpoint: both downstream aggregations (per-gram doc
+    // count, per-doc rollup via the join) consume this collapsed
+    // relation — without it Catalyst plans two full scan+explode
+    // trees of the corpus (the Recursion.scala lineage trick, applied
+    // to a DAG fork instead of a loop)
     val occ = df
       .withColumn("tk", tokens(col(textCol)))
       .select(col(keyCol), explode(when(size(col("tk")) >= n, expr(
@@ -215,6 +220,7 @@ object TextAnalysis {
         .otherwise(array())).as("gram"))
       .groupBy(col(keyCol), col("gram"))
       .agg(count(lit(1)).as("occ"))
+      .localCheckpoint(false)
     val docsPerGram = occ.groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
     occ.alias("o").join(docsPerGram.alias("d"), Seq("gram"))
