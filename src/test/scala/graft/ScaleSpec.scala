@@ -8,6 +8,35 @@ import org.apache.spark.sql.functions._
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("round-6 operators are partition-invariant") {
+    import graft.pipeline.{Sampling, Similarity, TextAnalysis}
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.exceptAll(b).count() === 0)
+      assert(b.exceptAll(a).count() === 0)
+    }
+    same(
+      TextAnalysis.crossDocDupStats(docs.repartition(1), "text", "doc_id"),
+      TextAnalysis.crossDocDupStats(docs.repartition(13), "text", "doc_id"))
+    val cents = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    same(
+      Similarity.semanticDedup(e.repartition(1), "embedding", "vec_id",
+        cents, 0.35),
+      Similarity.semanticDedup(e.repartition(13), "embedding", "vec_id",
+        cents, 0.35))
+    same(
+      Sampling.temperatureWeights(docs.repartition(1), "text", "lang"),
+      Sampling.temperatureWeights(docs.repartition(13), "text", "lang"))
+    same(
+      Similarity.int8TopK(e.filter($"vec_id" < 10),
+        e.filter($"vec_id" >= 10).repartition(7), "embedding", "vec_id", 5),
+      Similarity.int8TopK(e.filter($"vec_id" < 10).repartition(3),
+        e.filter($"vec_id" >= 10).repartition(1), "embedding", "vec_id", 5))
+  }
+
   test("salted join equals the plain join on a skewed key") {
     // 90% of fact rows share one key — the classic hot-key shape
     val fact = spark.range(0, 5000)
