@@ -89,7 +89,13 @@ object VecKernels {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return null
-      val v = math.abs(a.getFloat(i).toDouble)
+      val f = a.getFloat(i)
+      // a NaN/Inf element would otherwise quantize to 0 silently
+      // (NaN.toByte == 0) — a malformed vector must not become a
+      // valid-looking direction
+      if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+        return null
+      val v = math.abs(f.toDouble)
       if (v > ma) ma = v
       i += 1
     }

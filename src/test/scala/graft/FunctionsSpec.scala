@@ -222,6 +222,39 @@ class FunctionsSpec extends SparkSpec {
         .stripMargin).collect().head.isNullAt(0))
   }
 
+  test("vec_quantize_int8 properties: range, extremes, signs, non-finite") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)((rnd.nextFloat() - 0.5f) * 200f))
+    }
+    val out = vecs.toDF("id", "v")
+      .select($"id", $"v",
+        GraftFunctions.vec_quantize_int8($"v").as("q"))
+      .as[(Long, Seq[Float], Option[Seq[Byte]])].collect()
+    out.foreach { case (_, v, qo) =>
+      val q = qo.getOrElse(fail("finite non-zero vector quantized to null"))
+      assert(q.length === v.length)
+      assert(q.forall(b => b >= -127 && b <= 127))
+      // the max-|x| element maps to ±127 exactly
+      val mi = v.indices.maxBy(i => math.abs(v(i).toDouble))
+      assert(math.abs(q(mi).toInt) === 127, s"$v -> $q")
+      // quantization never flips a sign
+      v.indices.foreach { i =>
+        assert(q(i) == 0 || (q(i) > 0) == (v(i) > 0f), s"$v -> $q")
+      }
+    }
+    // NaN / Infinity elements poison the vector to null, never to 0s
+    assert(spark.sql(
+      """SELECT vec_quantize_int8(array(cast(1.0 as float),
+        |                               cast('NaN' as float))) AS q"""
+        .stripMargin).collect().head.isNullAt(0))
+    assert(spark.sql(
+      """SELECT vec_quantize_int8(array(cast(1.0 as float),
+        |                               cast('Infinity' as float))) AS q"""
+        .stripMargin).collect().head.isNullAt(0))
+  }
+
   test("Graft.session returns a working session with functions available") {
     val s = graft.Graft.session()
     val r = s.sql(
