@@ -503,20 +503,35 @@ object Similarity {
     * (ivfAssign's NaN policy) and never reach the output. */
   def semanticDedup(corpus: DataFrame, vecCol: String, keyCol: String,
       centroids: DataFrame, tau: Double): DataFrame = {
-    val nd = nativeDot(corpus) _
     val assigned = ivfAssign(corpus, vecCol, keyCol, centroids)
-    val a = assigned.select(col("cent_id"), col("c_id").as("a_id"),
+    val dupOf = pairsWithinCluster(assigned, tau)
+      .groupBy(col("key_b")).agg(min(col("key_a")).as("dup_of"))
+    assigned.select(col("c_id"), col("cent_id"))
+      .join(dupOf, col("c_id") === col("key_b"), "left_outer")
+      .select(col("c_id").as(keyCol), col("cent_id"), col("dup_of"))
+  }
+
+  /** The SemDeDup pairing stage on its own: within-cluster candidate
+    * pairs at cosine ≥ `tau` over an [[ivfAssign]] output — exposed so
+    * transitive resolution can feed the pairs through
+    * [[Dedup.componentClusters]] (the pp_semdedup_e2e composition).
+    * Output: (cent_id, key_a, key_b) with key_a < key_b. */
+  def semanticPairs(corpus: DataFrame, vecCol: String, keyCol: String,
+      centroids: DataFrame, tau: Double): DataFrame =
+    pairsWithinCluster(ivfAssign(corpus, vecCol, keyCol, centroids), tau)
+
+  private def pairsWithinCluster(assigned: DataFrame,
+      tau: Double): DataFrame = {
+    val nd = nativeDot(assigned) _
+    val a = assigned.select(col("cent_id"), col("c_id").as("key_a"),
       col("c_vec").as("a_vec"), col("c_norm").as("a_norm"))
-    val b = assigned.select(col("cent_id"), col("c_id").as("b_id"),
+    val b = assigned.select(col("cent_id"), col("c_id").as("key_b"),
       col("c_vec").as("b_vec"), col("c_norm").as("b_norm"))
-    val dupOf = a.join(b, Seq("cent_id"))
-      .filter(col("a_id") < col("b_id"))
+    a.join(b, Seq("cent_id"))
+      .filter(col("key_a") < col("key_b"))
       .withColumn("cos",
         nd(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
       .filter(col("cos") >= tau)
-      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
-    assigned.select(col("c_id"), col("cent_id"))
-      .join(dupOf, col("c_id") === col("b_id"), "left_outer")
-      .select(col("c_id").as(keyCol), col("cent_id"), col("dup_of"))
+      .select(col("cent_id"), col("key_a"), col("key_b"))
   }
 }

@@ -1301,6 +1301,69 @@ object PipelineQueries {
          node = MIN(root) AS is_keeper
        FROM reach GROUP BY node ORDER BY doc_id"""
 
+  /** Transitive SemDeDup resolution — the embedding twin of
+    * [[ppDedupE2e]]: within-cluster cosine pairs
+    * ([[Similarity.semanticPairs]], same codebook and τ as
+    * dd_semantic) feed GraphX connected components, labeling every
+    * vector with its cluster representative. Chains that dd_semantic's
+    * pairwise dup_of policy leaves implicit (a~b, b~c) collapse to one
+    * keeper here; the oracle replays assignment, pairing, AND the
+    * component closure via a recursive min-label CTE. */
+  def ppSemdedupE2e(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pairs = Similarity.semanticPairs(e, "embedding", "vec_id",
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"),
+          col("embedding").as("cent_vec")),
+      tau = 0.35)
+    Dedup.componentClusters(e.select(col("vec_id")), "vec_id",
+        pairs, "key_a", "key_b")
+      .withColumn("is_keeper", col("vec_id") === col("component"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val ppSemdedupE2eSql =
+    """WITH RECURSIVE n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+                FROM n WHERE vec_id % 50 = 0),
+       cscore AS (
+         SELECT n.vec_id, cent.cent_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(n.embedding) AS x,
+                         unnest(cent.cemb) AS y) z) / (n.nrm * cent.cnrm)
+             AS ccos
+         FROM n CROSS JOIN cent),
+       assigned AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+           FROM cscore) WHERE crk = 1),
+       av AS (
+         SELECT a.vec_id, a.cent_id, n.embedding, n.nrm
+         FROM assigned a JOIN n USING (vec_id)),
+       pairs AS (
+         SELECT x.vec_id AS va, y.vec_id AS vb
+         FROM av x JOIN av y
+           ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+         WHERE (SELECT SUM(CAST(i AS DOUBLE)*CAST(j AS DOUBLE))
+                FROM (SELECT unnest(x.embedding) AS i,
+                             unnest(y.embedding) AS j) z)
+             / (x.nrm * y.nrm) >= 0.35),
+       edges AS (SELECT va AS src, vb AS dst FROM pairs
+                 UNION ALL SELECT vb, va FROM pairs),
+       reach(node, root) AS (
+         SELECT vec_id, vec_id FROM embeddings
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e
+           ON e.src = r.node)
+       SELECT node AS vec_id, MIN(root) AS component,
+         node = MIN(root) AS is_keeper
+       FROM reach GROUP BY node ORDER BY vec_id"""
+
   /** Cross-document duplicated 5-gram fraction — the corpus-level
     * Gopher/Dolma boilerplate signal ([[TextAnalysis.crossDocDupStats]]):
     * per document, the share of its 5-gram occurrences whose gram also
@@ -1512,6 +1575,7 @@ object PipelineQueries {
     "pp_temperature" -> (ppTemperature _),
     "pp_packing" -> (ppPacking _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
+    "pp_semdedup_e2e" -> (ppSemdedupE2e _),
     "pp_filter_e2e" -> (ppFilterE2e _),
     "mm_features" -> (mmFeatures _))
 
@@ -1554,6 +1618,7 @@ object PipelineQueries {
     "pp_temperature" -> ppTemperatureSql,
     "pp_packing" -> ppPackingSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
+    "pp_semdedup_e2e" -> ppSemdedupE2eSql,
     "pp_filter_e2e" -> ppFilterE2eSql,
     "mm_features" -> mmFeaturesSql)
 }
