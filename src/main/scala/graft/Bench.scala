@@ -58,7 +58,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = (selected.map {
       case (name, fn) => name -> timeMedian(fn(spark, sfDir).count())
-    } ++ (if (only.isEmpty)
+    } ++ (if (only.forall(_.contains("xml_convert_2000docs")))
             Seq("xml_convert_2000docs" -> xmlConvertBench(spark))
           else Seq())).toMap
     val qs = results.map {

@@ -38,10 +38,25 @@ object PartitionedAnn {
     require(planes >= 1 && planes <= 20,
       s"partitioned SRP layout wants 1..20 planes (2^planes dirs), got $planes")
 
+  /** The same dim fail-fast every in-memory LSH path runs: a mismatch
+    * nulls the plane dot products and collapses every vector into
+    * bucket 0 — at write time that silently destroys pruning, at query
+    * time it probes the wrong buckets. One tiny head-probe job. */
+  private def requireDim(df: DataFrame, vecCol: String, dim: Int,
+      who: String): Unit = {
+    val probe = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("sz")).limit(1).collect()
+    require(probe.nonEmpty,
+      s"$who: no non-null '$vecCol' vectors to probe")
+    require(probe(0).getInt(0) == dim,
+      s"$who: dim=$dim but vectors have length ${probe(0).getInt(0)}")
+  }
+
   /** Write `corpus` partitioned by its `planes`-bit SRP sign bucket. */
   def writeSrpBucketed(corpus: DataFrame, vecCol: String, keyCol: String,
       outDir: String, planes: Int, dim: Int): Unit = {
     requirePlanes(planes)
+    requireDim(corpus, vecCol, dim, "writeSrpBucketed")
     val hp = Similarity.hyperplanes(planes, dim)
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
@@ -57,12 +72,16 @@ object PartitionedAnn {
       queries: DataFrame, vecCol: String, keyCol: String, k: Int,
       planes: Int, dim: Int): DataFrame = {
     requirePlanes(planes)
+    requireDim(queries, vecCol, dim, "lshTopKPartitioned")
     val hp = Similarity.hyperplanes(planes, dim)
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.{vec_dot, vec_norm}
+    // localCheckpoint: the tiny query relation is consumed twice
+    // (probe-set collect, then the broadcast join) — materialize once
     val q = queries.select(col(keyCol).as("q_id"), col(vecCol).as("q_vec"),
       vec_norm(col(vecCol)).as("q_norm"),
       Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket"))
+      .localCheckpoint()
     // driver-bounded by the same small-query-side contract that lets
     // bruteForceTopK broadcast the batch outright; collecting here is
     // what turns pruning into a literal filter the file index applies
@@ -91,6 +110,7 @@ object PartitionedAnn {
   def writeSrpBucketedInt8(corpus: DataFrame, vecCol: String,
       keyCol: String, outDir: String, planes: Int, dim: Int): Unit = {
     requirePlanes(planes)
+    requireDim(corpus, vecCol, dim, "writeSrpBucketedInt8")
     val hp = Similarity.hyperplanes(planes, dim)
     Similarity.quantizeInt8(
       corpus.select(col(keyCol).as("c_id"), col(vecCol),
@@ -109,6 +129,7 @@ object PartitionedAnn {
       queries: DataFrame, vecCol: String, keyCol: String, k: Int,
       planes: Int, dim: Int): DataFrame = {
     requirePlanes(planes)
+    requireDim(queries, vecCol, dim, "lshTopKPartitionedInt8")
     val hp = Similarity.hyperplanes(planes, dim)
     val q = Similarity.quantizeInt8(
       queries.select(col(keyCol).as("q_id"), col(vecCol),
@@ -116,6 +137,7 @@ object PartitionedAnn {
       vecCol, "q_id", keep = Seq("bucket"))
       .select(col("q_id"), col("bucket"), col("q").as("q_q"),
         col("qn").as("q_qn"))
+      .localCheckpoint()
     val probed = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     val c = spark.read.parquet(corpusDir)
@@ -136,14 +158,31 @@ object PartitionedAnn {
         Similarity.r3(col("icos")).as("icos"))
   }
 
+  /** Partition directories are INT-typed ([[requirePlanes]] note), so
+    * a long centroid id beyond Int range would WRAP under the cast —
+    * distinct centroids colliding into one directory and silently
+    * merging clusters. Fail fast; the centroid table is tiny. */
+  private def requireIntCentIds(centroids: DataFrame): Unit = {
+    val bad = centroids
+      .filter(col("cent_id") > Int.MaxValue.toLong ||
+        col("cent_id") < Int.MinValue.toLong)
+      .select(col("cent_id")).limit(1).collect()
+    require(bad.isEmpty,
+      s"IVF partitioned layout stores cent_id as an INT directory " +
+        s"name; centroid id ${bad.headOption.map(_.get(0)).orNull} " +
+        "exceeds Int range and would wrap")
+  }
+
   /** Write `corpus` partitioned by nearest centroid (the IVF index at
     * rest): one [[Similarity.ivfAssign]] pass, `cent_id=` directories,
     * norms precomputed in the files. */
   def writeIvfPartitioned(corpus: DataFrame, vecCol: String,
-      keyCol: String, centroids: DataFrame, outDir: String): Unit =
+      keyCol: String, centroids: DataFrame, outDir: String): Unit = {
+    requireIntCentIds(centroids)
     Similarity.ivfAssign(corpus, vecCol, keyCol, centroids)
       .withColumn("cent_id", col("cent_id").cast("int"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
+  }
 
   /** [[Similarity.ivfTopK]] against a [[writeIvfPartitioned]] layout.
     * The probe pass runs on the query batch only; its distinct probed
@@ -151,10 +190,13 @@ object PartitionedAnn {
   def ivfTopKPartitioned(spark: SparkSession, corpusDir: String,
       queries: DataFrame, vecCol: String, keyCol: String, k: Int,
       centroids: DataFrame, nprobe: Int): DataFrame = {
+    requireIntCentIds(centroids)
     graft.functions.GraftFunctions.register(spark)
     import graft.functions.GraftFunctions.vec_dot
+    // localCheckpoint: consumed by the probe-set collect AND the join
     val probedQ = Similarity.ivfProbe(queries, vecCol, keyCol,
       centroids, nprobe).withColumn("cent_id", col("cent_id").cast("int"))
+      .localCheckpoint()
     val probed = probedQ.select(col("cent_id")).distinct()
       .collect().map(_.getInt(0)).sorted
     val c = spark.read.parquet(corpusDir)

@@ -503,7 +503,12 @@ object Similarity {
     * (ivfAssign's NaN policy) and never reach the output. */
   def semanticDedup(corpus: DataFrame, vecCol: String, keyCol: String,
       centroids: DataFrame, tau: Double): DataFrame = {
+    // localCheckpoint: the assignment feeds the pair join twice (a/b
+    // sides) plus the final keeper join — without it Catalyst plans
+    // three full corpus×codebook assignment trees (the crossDocDupStats
+    // DAG-fork trick)
     val assigned = ivfAssign(corpus, vecCol, keyCol, centroids)
+      .localCheckpoint(false)
     val dupOf = pairsWithinCluster(assigned, tau)
       .groupBy(col("key_b")).agg(min(col("key_a")).as("dup_of"))
     assigned.select(col("c_id"), col("cent_id"))
@@ -518,7 +523,9 @@ object Similarity {
     * Output: (cent_id, key_a, key_b) with key_a < key_b. */
   def semanticPairs(corpus: DataFrame, vecCol: String, keyCol: String,
       centroids: DataFrame, tau: Double): DataFrame =
-    pairsWithinCluster(ivfAssign(corpus, vecCol, keyCol, centroids), tau)
+    pairsWithinCluster(
+      ivfAssign(corpus, vecCol, keyCol, centroids).localCheckpoint(false),
+      tau)
 
   private def pairsWithinCluster(assigned: DataFrame,
       tau: Double): DataFrame = {

@@ -667,11 +667,18 @@ object PipelineQueries {
   /** Cache for partitioned-at-rest ANN layouts: written once per
     * (sf dir, layout) and reused across Verify/Bench/test invocations
     * in the same container — the "write the index once" half of the
-    * partitioned-ANN contract. The key encodes the layout parameters,
-    * so changing them invalidates the cache by construction. */
+    * partitioned-ANN contract. The key encodes the layout parameters
+    * AND the source table's (length, mtime) fingerprint, so both a
+    * parameter change and a regenerated embeddings table invalidate
+    * the cache by construction. (Concurrent cold-cache writers can
+    * still race on the same directory — acceptable for a single-user
+    * gate cache, the production story being an explicitly-managed
+    * layout path.) */
   private[graft] def annLayoutDir(dir: String, layout: String): String = {
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val stamp = s"$dir|${src.length()}|${src.lastModified()}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft_ann_$key/$layout"
   }
 

@@ -24,6 +24,7 @@ object SkewBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // force the shuffle join skew actually hurts; broadcast would
       // sidestep the experiment (and is the right fix when it fits)
