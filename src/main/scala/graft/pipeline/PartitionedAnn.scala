@@ -52,6 +52,18 @@ object PartitionedAnn {
       s"$who: dim=$dim but vectors have length ${probe(0).getInt(0)}")
   }
 
+  /** Shared tail of every partitioned query path: per-query rank by
+    * score desc (corpus key tie-break), top-k, r3-rounded output. */
+  private def rankTopK(scored: DataFrame, scoreCol: String,
+      k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col(scoreCol).desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        Similarity.r3(col(scoreCol)).as(scoreCol))
+
   /** Write `corpus` partitioned by its `planes`-bit SRP sign bucket. */
   def writeSrpBucketed(corpus: DataFrame, vecCol: String, keyCol: String,
       outDir: String, planes: Int, dim: Int): Unit = {
@@ -90,15 +102,10 @@ object PartitionedAnn {
       .collect().map(_.getInt(0)).sorted
     val c = spark.read.parquet(corpusDir)
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))
-    broadcast(q).join(c, Seq("bucket"))
+    rankTopK(broadcast(q).join(c, Seq("bucket"))
       .withColumn("cos",
-        vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("c_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"),
-        Similarity.r3(col("cos")).as("cos"))
+        vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))),
+      "cos", k)
   }
 
   /** [[writeSrpBucketed]] with int8-quantized weights — the
@@ -144,18 +151,13 @@ object PartitionedAnn {
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))
       .select(col("c_id"), col("bucket"), col("q").as("c_q"),
         col("qn").as("c_qn"))
-    broadcast(q).join(c, Seq("bucket"))
+    rankTopK(broadcast(q).join(c, Seq("bucket"))
       .withColumn("icos",
         graft.functions.GraftFunctions.vec_dot_int8(col("q_q"), col("c_q"))
           .cast("double") /
           (sqrt(col("q_qn").cast("double")) *
-            sqrt(col("c_qn").cast("double"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("icos").desc, col("c_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"),
-        Similarity.r3(col("icos")).as("icos"))
+            sqrt(col("c_qn").cast("double")))),
+      "icos", k)
   }
 
   /** Partition directories are INT-typed ([[requirePlanes]] note), so
@@ -201,14 +203,9 @@ object PartitionedAnn {
       .collect().map(_.getInt(0)).sorted
     val c = spark.read.parquet(corpusDir)
       .filter(col("cent_id").isin(probed.toIndexedSeq: _*))
-    broadcast(probedQ).join(c, Seq("cent_id"))
+    rankTopK(broadcast(probedQ).join(c, Seq("cent_id"))
       .withColumn("cos",
-        vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("c_id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"),
-        Similarity.r3(col("cos")).as("cos"))
+        vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))),
+      "cos", k)
   }
 }
