@@ -72,6 +72,19 @@ object GraftFunctions {
         "gram_stats expects (text[, n]) arguments")
     }
 
+  private[functions] def buildWordNGrams(exprs: Seq[Expression]): Expression =
+    exprs match {
+      case Seq(child, n) if n.foldable =>
+        val v = n.eval()
+        require(v != null && v.isInstanceOf[Number],
+          "word_ngrams: n must be a non-null integer literal")
+        WordNGrams(child, v.asInstanceOf[Number].intValue())
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "word_ngrams: n must be a foldable integer literal")
+      case _ => throw new IllegalArgumentException(
+        "word_ngrams expects (text, n) arguments")
+    }
+
   /** Session-conf marker: set once graft's builders have been installed
     * in this session. Keyed per session (runtime conf), unlike a mere
     * name-exists check — so a foreign function that grabbed `vec_dot`
@@ -94,6 +107,7 @@ object GraftFunctions {
       install("vec_dot_long", exprs => VecDotLong(exprs(0), exprs(1)))
       install("vec_dot_int8", exprs => VecDotInt8(exprs(0), exprs(1)))
       install("vec_quantize_int8", exprs => VecQuantizeInt8(exprs.head))
+      install("word_ngrams", buildWordNGrams)
       spark.conf.set(RegisteredKey, "true")
     }
     // kernel fusion for sessions built without GraftExtensions —
@@ -145,6 +159,12 @@ object GraftFunctions {
     * array<tinyint>; null for empty/null-slotted/all-zero vectors). */
   def vec_quantize_int8(v: Column): Column =
     call_function("vec_quantize_int8", v)
+
+  /** One-pass word n-gram list of a text column (codegen'd native
+    * expression; empty array under n tokens). */
+  def word_ngrams(c: Column, n: Int): Column =
+    call_function("word_ngrams", c,
+      org.apache.spark.sql.functions.lit(n))
 
   /** Native float-vector L2 norm (codegen'd kernel). */
   def vec_norm(a: Column): Column = call_function("vec_norm", a)
@@ -201,6 +221,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[VecQuantizeInt8].getName, "vec_quantize_int8"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecQuantizeInt8(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams"),
+      WordNGrams.info,
+      GraftFunctions.buildWordNGrams))
     e.injectOptimizerRule(_ => VecFusionRule)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -206,18 +206,19 @@ object TextAnalysis {
       n: Int = 5, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1,
       "crossDocDupStats: n >= 1 and minDocs >= 1")
-    val terms = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // localCheckpoint: both downstream aggregations (per-gram doc
     // count, per-doc rollup via the join) consume this collapsed
     // relation — without it Catalyst plans two full scan+explode
     // trees of the corpus (the Recursion.scala lineage trick, applied
-    // to a DAG fork instead of a loop)
+    // to a DAG fork instead of a loop). Gram construction is the
+    // one-pass codegen'd word_ngrams kernel; the interpreted
+    // transform/concat_ws chain it replaces is pinned equivalent in
+    // FunctionsSpec and remains the form the oracle replays.
     val occ = df
-      .withColumn("tk", tokens(col(textCol)))
-      .select(col(keyCol), explode(when(size(col("tk")) >= n, expr(
-        s"transform(sequence(0, size(tk) - $n)," +
-          s" i -> concat_ws(' ', $terms))"))
-        .otherwise(array())).as("gram"))
+      .select(col(keyCol), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        .as("gram"))
       .groupBy(col(keyCol), col("gram"))
       .agg(count(lit(1)).as("occ"))
       .localCheckpoint(false)

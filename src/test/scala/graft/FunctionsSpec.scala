@@ -222,6 +222,29 @@ class FunctionsSpec extends SparkSpec {
         .stripMargin).collect().head.isNullAt(0))
   }
 
+  test("word_ngrams kernel matches the relational gram chain exactly") {
+    GraftFunctions.register(spark)
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val n = 5
+    val terms = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
+    val rel = d.withColumn("tk",
+        filter(split(lower($"text"), "\\W+"), _ =!= ""))
+      .select($"doc_id", when(size($"tk") >= n, expr(
+        s"transform(sequence(0, size(tk) - $n)," +
+          s" i -> concat_ws(' ', $terms))"))
+        .otherwise(array()).as("g"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val nat = d.select($"doc_id",
+        GraftFunctions.word_ngrams($"text", n).as("g"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(nat === rel)
+    // short and null texts: empty array / null, same as the guard
+    assert(spark.sql("SELECT word_ngrams('one two', 3) AS g")
+      .collect().head.getSeq[String](0).isEmpty)
+    assert(spark.sql("SELECT word_ngrams(cast(null as string), 3) AS g")
+      .collect().head.isNullAt(0))
+  }
+
   test("vec_quantize_int8 properties: range, extremes, signs, non-finite") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(7)
