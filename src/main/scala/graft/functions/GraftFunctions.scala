@@ -85,6 +85,25 @@ object GraftFunctions {
         "word_ngrams expects (text, n) arguments")
     }
 
+  /** Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    * internal runtime row-filtering but does not register them in the
+    * public function registry — graft exposes them for the
+    * decontamination prefilter. Item/bit counts must be foldable
+    * literals (the aggregate sizes its sketch at plan time). */
+  private[functions] def buildBloomAgg(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    exprs match {
+      case Seq(child) =>
+        new BloomFilterAggregate(child).toAggregateExpression()
+      case Seq(child, items) =>
+        new BloomFilterAggregate(child, items).toAggregateExpression()
+      case Seq(child, items, bits) =>
+        new BloomFilterAggregate(child, items, bits).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "bloom_agg expects (xxhash64-value[, items[, bits]]) arguments")
+    }
+  }
+
   /** Session-conf marker: set once graft's builders have been installed
     * in this session. Keyed per session (runtime conf), unlike a mere
     * name-exists check — so a foreign function that grabbed `vec_dot`
@@ -108,6 +127,10 @@ object GraftFunctions {
       install("vec_dot_int8", exprs => VecDotInt8(exprs(0), exprs(1)))
       install("vec_quantize_int8", exprs => VecQuantizeInt8(exprs.head))
       install("word_ngrams", buildWordNGrams)
+      install("bloom_agg", buildBloomAgg)
+      install("bloom_contains", exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)))
       spark.conf.set(RegisteredKey, "true")
     }
     // kernel fusion for sessions built without GraftExtensions —
@@ -165,6 +188,17 @@ object GraftFunctions {
   def word_ngrams(c: Column, n: Int): Column =
     call_function("word_ngrams", c,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Bloom-filter sketch aggregate over xxhash64 values (Spark's
+    * internal BloomFilterAggregate, surfaced). */
+  def bloom_agg(c: Column, items: Long, bits: Long): Column =
+    call_function("bloom_agg", c,
+      org.apache.spark.sql.functions.lit(items),
+      org.apache.spark.sql.functions.lit(bits))
+
+  /** Membership probe against a [[bloom_agg]] sketch. */
+  def bloom_contains(bloom: Column, c: Column): Column =
+    call_function("bloom_contains", bloom, c)
 
   /** Native float-vector L2 norm (codegen'd kernel). */
   def vec_norm(a: Column): Column = call_function("vec_norm", a)

@@ -259,6 +259,47 @@ object Dedup {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
+  /** [[contaminationHits]] behind a Bloom prefilter — the 100 TB
+    * decontamination shape: the held-out suite's gram set is sketched
+    * once into a Bloom filter (`bloom_agg` over xxhash64 — a few MB
+    * for millions of grams, broadcastable even when the exact distinct
+    * gram set is not), corpus grams that miss the sketch drop
+    * SCAN-SIDE, and only the tiny surviving fraction reaches the exact
+    * semi-join. The exact join removes every Bloom false positive and
+    * Bloom filters have no false negatives, so the output is
+    * IDENTICAL to [[contaminationHits]] — the gate runs both against
+    * the same oracle. `expectedItems`/`numBits` size the sketch
+    * (defaults give ~1% fpp at 1M grams; fpp only affects how much
+    * work the prefilter saves, never correctness). */
+  def contaminationBloomHits(docs: DataFrame, textCol: String,
+      keyCol: String, isTest: Column, n: Int,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8L * 1000000L): DataFrame = {
+    require(n >= 1, "contaminationBloomHits: n-gram size must be >= 1")
+    val fns = graft.functions.GraftFunctions
+    fns.register(docs.sparkSession)
+    val grams = docs.select(col(keyCol), isTest.as("is_test"),
+      explode(fns.word_ngrams(col(textCol), n)).as("gram"))
+    // the test gram set feeds BOTH the sketch and the exact verify —
+    // materialize the fork once (crossDocDupStats' DAG-fork trick)
+    val distinctTest = grams.filter(col("is_test"))
+      .select(col("gram")).distinct().localCheckpoint(false)
+    // might_contain requires a CONSTANT sketch: collect the bounded
+    // binary (numBits/8 bytes by construction — MBs, not data-scale)
+    // and embed it as a literal, the same driver-bounded move the
+    // partitioned-ANN probe sets make. The filter is then scan-side
+    // with no join at all.
+    val bf = distinctTest
+      .agg(fns.bloom_agg(xxhash64(col("gram")), expectedItems, numBits)
+        .as("bf"))
+      .collect().head.getAs[Array[Byte]]("bf")
+    val candidates = grams.filter(!col("is_test"))
+      .filter(fns.bloom_contains(lit(bf), xxhash64(col("gram"))))
+    candidates.join(broadcast(distinctTest), Seq("gram"))
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
   /** Dedup resolution: cluster near-duplicate pairs into connected
     * components and label every id with its component representative
     * (the smallest id in the component — singletons represent

@@ -359,6 +359,17 @@ object PipelineQueries {
       isTest = col("source") === "src0", n = 5)
       .orderBy(col("doc_id"))
 
+  /** The Bloom-prefiltered decontamination path
+    * ([[Dedup.contaminationBloomHits]]): the sketch drops non-matching
+    * corpus grams scan-side and the exact verify removes every false
+    * positive, so the output — and therefore the oracle — is
+    * IDENTICAL to dd_contamination. Running both against the same SQL
+    * proves the prefilter lossless. */
+  def ddContaminationBloom(s: SparkSession, dir: String): DataFrame =
+    Dedup.contaminationBloomHits(t(s, dir, "documents"), "text",
+      "doc_id", isTest = col("source") === "src0", n = 5)
+      .orderBy(col("doc_id"))
+
   private val ddContaminationSql =
     """WITH toks AS (
          SELECT doc_id, source,
@@ -1560,6 +1571,7 @@ object PipelineQueries {
     "dd_cosine_bucketed" -> (ddCosineBucketed _),
     "dd_components" -> (ddComponents _),
     "dd_contamination" -> (ddContamination _),
+    "dd_contamination_bloom" -> (ddContaminationBloom _),
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_int8_topk" -> (annInt8TopK _),
     "ann_lsh_topk" -> (annLshTopK _),
@@ -1601,6 +1613,7 @@ object PipelineQueries {
     "dd_cosine_bucketed" -> ddCosineBucketedSql,
     "dd_components" -> ddComponentsSql,
     "dd_contamination" -> ddContaminationSql,
+    "dd_contamination_bloom" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_int8_topk" -> annInt8Sql,
     "ann_lsh_topk" -> annLshSql,

@@ -560,6 +560,23 @@ class PipelineSpec extends SparkSpec {
     assert(errs.nonEmpty && errs.max < 0.02)
   }
 
+  test("bloom-prefiltered decontamination equals the exact path") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val exact = Dedup.contaminationHits(d, "text", "doc_id",
+      isTest = col("source") === "src0", n = 5)
+    val bloom = Dedup.contaminationBloomHits(d, "text", "doc_id",
+      isTest = col("source") === "src0", n = 5)
+    assert(exact.exceptAll(bloom).count() === 0)
+    assert(bloom.exceptAll(exact).count() === 0)
+    // a deliberately tiny sketch (high fpp) must still be lossless —
+    // false positives die in the exact verify
+    val tiny = Dedup.contaminationBloomHits(d, "text", "doc_id",
+      isTest = col("source") === "src0", n = 5,
+      expectedItems = 10L, numBits = 80L)
+    assert(exact.exceptAll(tiny).count() === 0)
+    assert(tiny.exceptAll(exact).count() === 0)
+  }
+
   test("temperature weights: flatten shares, sum to one, keep order") {
     val corpus = (0 until 90).map(i => (i.toLong, "w " * 50, "big")) ++
       (0 until 10).map(i => (100L + i, "w " * 50, "small"))
