@@ -20,8 +20,9 @@ object GramStatsKernel {
     * [[graft.pipeline.TextAnalysis.repetitionStats]] exactly (the
     * driver gate runs both against the same DuckDB oracle). */
   def gramStats(text: UTF8String, n: Int): InternalRow = {
-    val raw = text.toString.toLowerCase(java.util.Locale.ROOT)
-      .split("\\W+", -1)
+    // UTF8String.toLowerCase == Spark's lower() in every locale (see
+    // NGramKernels.wordNGrams)
+    val raw = text.toLowerCase.toString.split("\\W+", -1)
     // compact the non-empty tokens in place
     var m = 0
     var i = 0

@@ -21,8 +21,11 @@ object NGramKernels {
     * an empty array, matching the relational
     * `when(size(tk) >= n, ...).otherwise(array())` guard. */
   def wordNGrams(text: UTF8String, n: Int): ArrayData = {
-    val raw = text.toString.toLowerCase(java.util.Locale.ROOT)
-      .split("\\W+", -1)
+    // UTF8String.toLowerCase is what Spark's lower() itself calls, so
+    // the kernel matches the relational chain byte-for-byte in every
+    // locale (String.toLowerCase(ROOT) would diverge from lower() on
+    // e.g. Turkish dotted-I under a tr-TR default locale)
+    val raw = text.toLowerCase.toString.split("\\W+", -1)
     var m = 0
     var i = 0
     while (i < raw.length) {

@@ -270,11 +270,19 @@ object Dedup {
     * IDENTICAL to [[contaminationHits]] — the gate runs both against
     * the same oracle. `expectedItems`/`numBits` size the sketch
     * (defaults give ~1% fpp at 1M grams; fpp only affects how much
-    * work the prefilter saves, never correctness). */
+    * work the prefilter saves, never correctness). Spark caps the
+    * aggregate at `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    * (4M) / `.maxNumBits` (2^26) — raise both confs when sizing for a
+    * larger suite, or the aggregate fails analysis. For a test side
+    * too large even for the exact-verify broadcast, pass
+    * `broadcastTestSide = false` (the [[contaminationHits]] escape
+    * hatch — the bloom prefilter still shrinks the shuffle's probe
+    * side to the surviving grams). */
   def contaminationBloomHits(docs: DataFrame, textCol: String,
       keyCol: String, isTest: Column, n: Int,
       expectedItems: Long = 1000000L,
-      numBits: Long = 8L * 1000000L): DataFrame = {
+      numBits: Long = 8L * 1000000L,
+      broadcastTestSide: Boolean = true): DataFrame = {
     require(n >= 1, "contaminationBloomHits: n-gram size must be >= 1")
     val fns = graft.functions.GraftFunctions
     fns.register(docs.sparkSession)
@@ -295,7 +303,9 @@ object Dedup {
       .collect().head.getAs[Array[Byte]]("bf")
     val candidates = grams.filter(!col("is_test"))
       .filter(fns.bloom_contains(lit(bf), xxhash64(col("gram"))))
-    candidates.join(broadcast(distinctTest), Seq("gram"))
+    val verifySide =
+      if (broadcastTestSide) broadcast(distinctTest) else distinctTest
+    candidates.join(verifySide, Seq("gram"))
       .groupBy(col(keyCol))
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
