@@ -186,6 +186,57 @@ object PartitionedAnn {
       .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
   }
 
+  /** [[writeIvfPartitioned]] with int8 pages — the IVF half of the
+    * compounded at-rest form ([[writeSrpBucketedInt8]] being the SRP
+    * half): assignment runs on the float vectors (the codebook is
+    * float — the cluster boundary must not move), then the files
+    * store (c_id, tinyint weights, integer norm², cent_id=). */
+  def writeIvfPartitionedInt8(corpus: DataFrame, vecCol: String,
+      keyCol: String, centroids: DataFrame, outDir: String): Unit = {
+    requireIntCentIds(centroids)
+    val assigned = Similarity.ivfAssign(corpus, vecCol, keyCol, centroids)
+      .withColumn("cent_id", col("cent_id").cast("int"))
+    Similarity.quantizeInt8(
+      assigned.select(col("c_id"), col("c_vec"), col("cent_id")),
+      "c_vec", "c_id", keep = Seq("cent_id"))
+      .select(col("c_id"), col("q"), col("qn"), col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
+  }
+
+  /** Int8 IVF top-k against a [[writeIvfPartitionedInt8]] layout:
+    * centroid probing stays float (the codebook is float), the probed
+    * centroids prune partitions, and candidate scoring is the exact
+    * integer cosine straight off the tinyint pages. */
+  def ivfTopKPartitionedInt8(spark: SparkSession, corpusDir: String,
+      queries: DataFrame, vecCol: String, keyCol: String, k: Int,
+      centroids: DataFrame, nprobe: Int): DataFrame = {
+    requireIntCentIds(centroids)
+    graft.functions.GraftFunctions.register(spark)
+    val probedQ = Similarity.ivfProbe(queries, vecCol, keyCol,
+      centroids, nprobe).withColumn("cent_id", col("cent_id").cast("int"))
+    // quantize the (tiny, one row per probed cluster) query relation
+    // and materialize it once for the probe-set collect and the join
+    val qq = Similarity.quantizeInt8(
+      probedQ.select(col("q_id"), col("q_vec"), col("cent_id")),
+      "q_vec", "q_id", keep = Seq("cent_id"))
+      .select(col("q_id"), col("cent_id"), col("q").as("q_q"),
+        col("qn").as("q_qn"))
+      .localCheckpoint()
+    val probed = qq.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(corpusDir)
+      .filter(col("cent_id").isin(probed.toIndexedSeq: _*))
+      .select(col("c_id"), col("cent_id"), col("q").as("c_q"),
+        col("qn").as("c_qn"))
+    rankTopK(broadcast(qq).join(c, Seq("cent_id"))
+      .withColumn("icos",
+        graft.functions.GraftFunctions.vec_dot_int8(col("q_q"), col("c_q"))
+          .cast("double") /
+          (sqrt(col("q_qn").cast("double")) *
+            sqrt(col("c_qn").cast("double")))),
+      "icos", k)
+  }
+
   /** [[Similarity.ivfTopK]] against a [[writeIvfPartitioned]] layout.
     * The probe pass runs on the query batch only; its distinct probed
     * centroids become the literal `cent_id IN (…)` partition filter. */

@@ -831,6 +831,94 @@ object PipelineQueries {
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
+  /** The IVF half of the compounded at-rest form
+    * ([[PartitionedAnn.writeIvfPartitionedInt8]]): float centroid
+    * probing → cent_id partition pruning → exact-integer scoring off
+    * tinyint pages. Same codebook as ann_ivf_topk; the oracle replays
+    * assignment and probing in float and the candidate scoring in
+    * integers. */
+  def annInt8IvfPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val out = annLayoutDir(dir, "ivf_int8_mod50")
+    ensureLayout(out)(PartitionedAnn.writeIvfPartitionedInt8(
+      corpus, "embedding", "vec_id", centroids, out))
+    PartitionedAnn.ivfTopKPartitionedInt8(s, out,
+      e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+      centroids, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annInt8IvfPartitionedSql =
+    """WITH n AS (
+         SELECT vec_id, embedding,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       s AS (
+         SELECT vec_id, embedding, v, nrm,
+           (SELECT MAX(abs(x)) FROM unnest(v) t(x)) AS ma
+         FROM n),
+       qz AS (
+         SELECT vec_id, embedding, nrm,
+           list_transform(v,
+             x -> CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT)) AS qv
+         FROM s WHERE ma > 0),
+       qn AS (
+         SELECT vec_id, embedding, nrm, qv,
+           (SELECT SUM(x * x) FROM unnest(qv) t(x)) AS nrm2
+         FROM qz),
+       q AS (SELECT * FROM qn WHERE vec_id < 10),
+       c AS (SELECT * FROM qn WHERE vec_id >= 10),
+       cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+                FROM c WHERE vec_id % 50 = 0),
+       cscore AS (
+         SELECT c.vec_id, cent.cent_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(c.embedding) AS x,
+                         unnest(cent.cemb) AS y) z) / (c.nrm * cent.cnrm)
+             AS ccos
+         FROM c CROSS JOIN cent),
+       assigned AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+           FROM cscore) WHERE crk = 1),
+       qscore AS (
+         SELECT q.vec_id, cent.cent_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(cent.cemb) AS y) z) / (q.nrm * cent.cnrm)
+             AS ccos
+         FROM q CROSS JOIN cent),
+       probed AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+           FROM qscore) WHERE crk <= 2),
+       scored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           CAST((SELECT SUM(x * y)
+                 FROM (SELECT unnest(q.qv) AS x,
+                              unnest(c.qv) AS y) z) AS DOUBLE) /
+             (sqrt(CAST(q.nrm2 AS DOUBLE)) *
+              sqrt(CAST(c.nrm2 AS DOUBLE))) AS icos
+         FROM probed p
+           JOIN assigned a ON a.cent_id = p.cent_id
+           JOIN q ON q.vec_id = p.vec_id
+           JOIN c ON c.vec_id = a.vec_id),
+       ranked AS (
+         SELECT q_id, c_id, icos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY icos DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(icos AS DECIMAL(28,10)), 3) AS DOUBLE) AS icos
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** Composite retrieval pipeline: ANN top-3 per query joined back to
     * the documents table (vec_id == doc_id in the synthetic corpus)
     * with a quality filter — the retrieve-then-enrich shape a
@@ -1580,6 +1668,7 @@ object PipelineQueries {
     "ann_lsh_partitioned" -> (annLshPartitioned _),
     "ann_ivf_partitioned" -> (annIvfPartitioned _),
     "ann_int8_partitioned" -> (annInt8Partitioned _),
+    "ann_int8_ivf_partitioned" -> (annInt8IvfPartitioned _),
     "pp_retrieval" -> (ppRetrieval _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
@@ -1624,6 +1713,7 @@ object PipelineQueries {
     // IVF oracle verifies the identical (centroids, nprobe) semantics
     "ann_ivf_partitioned" -> annIvfSql,
     "ann_int8_partitioned" -> annInt8PartitionedSql,
+    "ann_int8_ivf_partitioned" -> annInt8IvfPartitionedSql,
     "pp_retrieval" -> ppRetrievalSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,

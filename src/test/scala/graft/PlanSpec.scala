@@ -184,6 +184,27 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.types.ByteType, true), sch.toString)
   }
 
+  test("int8 IVF partitioned ANN: probed centroids prune, pages are tinyint") {
+    val tmp = java.nio.file.Files.createTempDirectory("annprune8i").toString
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val corpus = e.filter(org.apache.spark.sql.functions.col("vec_id") >= 10)
+    val cents = corpus
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("cent_id"),
+        org.apache.spark.sql.functions.col("embedding").as("cent_vec"))
+    graft.pipeline.PartitionedAnn.writeIvfPartitionedInt8(
+      corpus, "embedding", "vec_id", cents, s"$tmp/ivf8")
+    val df = graft.pipeline.PartitionedAnn.ivfTopKPartitionedInt8(spark,
+      s"$tmp/ivf8", e.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "embedding", "vec_id", k = 5, cents, nprobe = 2)
+    val pf = df.queryExecution.explainString(FormattedMode)
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("cent_id") && pf.contains(" IN "), pf)
+    val sch = spark.read.parquet(s"$tmp/ivf8").schema("q").dataType
+    assert(sch === org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, true), sch.toString)
+  }
+
   test("pp_mixture: one window pass, no join for the quota lookup") {
     val p = plan("pp_mixture")
     assert(p.contains("Window"), p)
