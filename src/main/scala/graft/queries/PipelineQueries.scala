@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, Multimodal, PartitionedAnn, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Jsonl, Multimodal, PartitionedAnn, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -685,9 +685,13 @@ object PipelineQueries {
     * still race on the same directory — acceptable for a single-user
     * gate cache, the production story being an explicitly-managed
     * layout path.) */
-  private[graft] def annLayoutDir(dir: String, layout: String): String = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val stamp = s"$dir|${src.length()}|${src.lastModified()}"
+  private[graft] def annLayoutDir(dir: String, layout: String): String =
+    layoutDir(dir, "embeddings", layout)
+
+  private[graft] def layoutDir(dir: String, srcTable: String,
+      layout: String): String = {
+    val src = new java.io.File(s"$dir/$srcTable.parquet")
+    val stamp = s"$dir|$srcTable|${src.length()}|${src.lastModified()}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft_ann_$key/$layout"
@@ -918,6 +922,31 @@ object PipelineQueries {
        SELECT q_id, rank, c_id,
          CAST(ROUND(CAST(icos AS DECIMAL(28,10)), 3) AS DOUBLE) AS icos
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  /** JSONL interchange round-trip ([[Jsonl]]): documents → JSON Lines
+    * → read back schema-first → per-language profile (row count, char
+    * mass, distinct text-hash cardinality). The oracle computes the
+    * SAME profile from the parquet original, so a hash match proves
+    * the round-trip byte-lossless — the contract that makes JSONL
+    * safe as the pipeline's interchange format. The written layout is
+    * cached like the ANN layouts (same mtime-fingerprinted key). */
+  def ppJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val out = layoutDir(dir, "documents", "jsonl_docs")
+    ensureLayout(out)(Jsonl.write(docs, out))
+    Jsonl.read(s, out, docs.schema, failFast = true)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("char_mass"),
+        countDistinct(md5(col("text"))).as("distinct_texts"))
+      .orderBy(col("lang"))
+  }
+
+  private val ppJsonlRoundtripSql =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS char_mass,
+         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts
+       FROM documents GROUP BY lang ORDER BY lang"""
 
   /** Composite retrieval pipeline: ANN top-3 per query joined back to
     * the documents table (vec_id == doc_id in the synthetic corpus)
@@ -1684,6 +1713,7 @@ object PipelineQueries {
     "pp_packing" -> (ppPacking _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
+    "pp_jsonl_roundtrip" -> (ppJsonlRoundtrip _),
     "pp_filter_e2e" -> (ppFilterE2e _),
     "mm_features" -> (mmFeatures _))
 
@@ -1729,6 +1759,7 @@ object PipelineQueries {
     "pp_packing" -> ppPackingSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,
+    "pp_jsonl_roundtrip" -> ppJsonlRoundtripSql,
     "pp_filter_e2e" -> ppFilterE2eSql,
     "mm_features" -> mmFeaturesSql)
 }

@@ -560,6 +560,15 @@ class PipelineSpec extends SparkSpec {
     assert(errs.nonEmpty && errs.max < 0.02)
   }
 
+  test("jsonl round-trip is row-for-row lossless on the documents table") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val out = java.nio.file.Files.createTempDirectory("jsonl").toString
+    Jsonl.write(d, s"$out/docs")
+    val back = Jsonl.read(spark, s"$out/docs", d.schema, failFast = true)
+    assert(back.exceptAll(d).count() === 0)
+    assert(d.exceptAll(back).count() === 0)
+  }
+
   test("bloom-prefiltered decontamination equals the exact path") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val exact = Dedup.contaminationHits(d, "text", "doc_id",
