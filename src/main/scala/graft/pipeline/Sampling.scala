@@ -73,6 +73,54 @@ object Sampling {
           .cast("long"))
   }
 
+  /** Length-bucketed batch assignment — the padding-minimization step
+    * of a training data loader: documents are bucketed by token-count
+    * magnitude (bucket = bit-length of the count — an INTEGER
+    * `floor(log2)+1`, computed as `length(bin(n))` so both engines
+    * agree exactly where a float log2 could straddle a power-of-two
+    * boundary), then batched `batchSize` at a time in deterministic
+    * md5 hash order within the bucket. Same-bucket documents differ
+    * in length by at most 2×, bounding padding waste per batch.
+    *
+    * One shuffle (the per-bucket window); bucket cardinality is
+    * log(max tokens) — tiny — so at corpus scale each bucket's sort
+    * spills like any window, and the hash order keeps batches
+    * reproducible across runs and partitionings. Output adds
+    * n_tokens, bucket, batch_idx. */
+  def lengthBucketBatches(df: DataFrame, textCol: String,
+      keyCol: String, batchSize: Int): DataFrame = {
+    require(batchSize > 0, "lengthBucketBatches: batchSize must be > 0")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("n_tokens",
+        TextAnalysis.whitespaceTokenCount(col(textCol)))
+      .withColumn("bucket",
+        length(bin(greatest(col("n_tokens"), lit(1)))).cast("long"))
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - lit(1)).cast("double") / batchSize)
+          .cast("long"))
+  }
+
+  /** Token-budget-capped selection — the data-constrained subsetting
+    * step ("take at most `budget` tokens per group"): documents are
+    * consumed in deterministic md5 hash order within each group and
+    * kept while the running token total stays within budget. The hash
+    * order makes the selection reproducible AND monotonic in the
+    * budget (a bigger budget keeps a superset — what an iterative
+    * data-mix search needs). One window pass per group, same shuffle
+    * shape as [[mixtureSample]]. Output adds n_tokens, cum_tokens. */
+  def budgetSelect(df: DataFrame, textCol: String, keyCol: String,
+      groupCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budgetSelect: budget must be >= 0")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens",
+        TextAnalysis.whitespaceTokenCount(col(textCol)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Temperature-scaled mixture weights over a grouping column — the
     * UniMax/multilingual-sampling recipe: flatten the group-size
     * distribution by renormalizing share^(1/T), upweighting

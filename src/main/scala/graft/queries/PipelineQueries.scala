@@ -1210,6 +1210,68 @@ object PipelineQueries {
                                         ELSE 10 END
        ORDER BY doc_id"""
 
+  /** Length-bucketed batch assignment
+    * ([[Sampling.lengthBucketBatches]], batches of 32): the
+    * padding-minimization step of a data loader, bucket = bit-length
+    * of the whitespace token count (integer log2 — engine-exact). */
+  def ppLengthBuckets(s: SparkSession, dir: String): DataFrame =
+    Sampling.lengthBucketBatches(t(s, dir, "documents"), "text",
+      "doc_id", batchSize = 32)
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        col("batch_idx"))
+      .orderBy(col("doc_id"))
+
+  private val ppLengthBucketsSql =
+    """WITH m AS (
+         SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text),
+                         '[ \t\n\x0B\f\r]+')) END AS BIGINT)
+             AS n_tokens
+         FROM documents),
+       b AS (
+         SELECT doc_id, n_tokens,
+           CAST(length(bin(GREATEST(n_tokens, 1))) AS BIGINT) AS bucket
+         FROM m),
+       r AS (
+         SELECT doc_id, n_tokens, bucket,
+           ROW_NUMBER() OVER (PARTITION BY bucket
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM b)
+       SELECT doc_id, n_tokens, bucket,
+         CAST(FLOOR(CAST(rn - 1 AS DOUBLE) / 32) AS BIGINT) AS batch_idx
+       FROM r ORDER BY doc_id"""
+
+  /** Token-budget-capped per-source selection
+    * ([[Sampling.budgetSelect]], 500 tokens per source — tight enough
+    * that the cap genuinely truncates every source): documents
+    * consumed in deterministic hash order until the budget fills —
+    * the data-constrained subsetting step of a mix search. */
+  def ppBudgetSelect(s: SparkSession, dir: String): DataFrame =
+    Sampling.budgetSelect(t(s, dir, "documents"), "text", "doc_id",
+      "source", budget = 500L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val ppBudgetSelectSql =
+    """WITH m AS (
+         SELECT doc_id, source,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text),
+                         '[ \t\n\x0B\f\r]+')) END AS BIGINT)
+             AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_tokens
+         FROM m)
+       SELECT doc_id, source, n_tokens, cum_tokens
+       FROM c WHERE cum_tokens <= 500 ORDER BY doc_id"""
+
   /** Temperature-scaled language-mixture weights
     * ([[Sampling.temperatureWeights]], T = 2): per language, token
     * share and the renormalized sqrt(share) sampling weight — the
@@ -1710,6 +1772,8 @@ object PipelineQueries {
     "ta_top_bigram" -> (taTopBigram _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
+    "pp_length_buckets" -> (ppLengthBuckets _),
+    "pp_budget_select" -> (ppBudgetSelect _),
     "pp_packing" -> (ppPacking _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
@@ -1756,6 +1820,8 @@ object PipelineQueries {
     "ta_top_bigram" -> taTopBigramSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
+    "pp_length_buckets" -> ppLengthBucketsSql,
+    "pp_budget_select" -> ppBudgetSelectSql,
     "pp_packing" -> ppPackingSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,

@@ -560,6 +560,34 @@ class PipelineSpec extends SparkSpec {
     assert(errs.nonEmpty && errs.max < 0.02)
   }
 
+  test("length buckets bound lengths within 2x; batches respect size") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
+      .select($"n_tokens", $"bucket", $"batch_idx")
+      .as[(Long, Long, Long)].collect()
+    r.foreach { case (nt, b, _) =>
+      val n = math.max(nt, 1L)
+      // bucket = bit length: 2^(b-1) <= n < 2^b
+      assert(n >= (1L << (b - 1).toInt) && n < (1L << b.toInt), (nt, b))
+    }
+    // no (bucket, batch) holds more than batchSize docs
+    val over = r.groupBy(x => (x._2, x._3)).values.count(_.length > 8)
+    assert(over === 0)
+  }
+
+  test("budget select: within budget, hash-deterministic, monotonic") {
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val small = Sampling.budgetSelect(d, "text", "doc_id", "source", 300L)
+    val big = Sampling.budgetSelect(d, "text", "doc_id", "source", 900L)
+    // every kept row's running total respects the budget
+    assert(small.filter($"cum_tokens" > 300).count() === 0)
+    // monotonic: the bigger budget keeps a superset of the smaller
+    val smallIds = small.select($"doc_id").as[Long].collect().toSet
+    val bigIds = big.select($"doc_id").as[Long].collect().toSet
+    assert(smallIds.subsetOf(bigIds))
+    assert(bigIds.size > smallIds.size)
+  }
+
   test("jsonl round-trip is row-for-row lossless on the documents table") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val out = java.nio.file.Files.createTempDirectory("jsonl").toString
