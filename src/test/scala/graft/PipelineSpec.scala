@@ -597,6 +597,30 @@ class PipelineSpec extends SparkSpec {
     assert(d.exceptAll(back).count() === 0)
   }
 
+  test("jsonl: malformed lines null under PERMISSIVE, throw under FAILFAST") {
+    val out = java.nio.file.Files.createTempDirectory("jsonlbad").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/part-0.json"),
+      """{"doc_id": 1, "text": "ok"}
+        |not json at all
+        |{"doc_id": 2, "text": "also ok"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // PERMISSIVE default: the bad line becomes an all-null row, good
+    // rows survive — the salvage behavior a large crawl load needs
+    val permissive = Jsonl.read(spark, out, schema).collect()
+    assert(permissive.length === 3)
+    assert(permissive.count(r => !r.isNullAt(0)) === 2)
+    // FAILFAST: strict loads refuse the file
+    intercept[org.apache.spark.SparkException] {
+      Jsonl.read(spark, out, schema, failFast = true).collect()
+    }
+  }
+
   test("bloom-prefiltered decontamination equals the exact path") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val exact = Dedup.contaminationHits(d, "text", "doc_id",
