@@ -23,9 +23,12 @@ import org.apache.spark.sql.types.StructType
   */
 object Jsonl {
 
-  /** Write `df` as JSON Lines under `path` (one object per row). */
-  def write(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(path)
+  /** Write `df` as JSON Lines under `path` (one object per row);
+    * `options` pass through to the writer (`compression`,
+    * `maxRecordsPerFile`, ...). */
+  def write(df: DataFrame, path: String,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(SaveMode.Overwrite).options(options).json(path)
 
   /** Read a JSONL directory with an explicit schema (see class doc —
     * never schema-infer a corpus-sized read). Malformed lines follow

@@ -152,11 +152,8 @@ object PartitionedAnn {
       .select(col("c_id"), col("bucket"), col("q").as("c_q"),
         col("qn").as("c_qn"))
     rankTopK(broadcast(q).join(c, Seq("bucket"))
-      .withColumn("icos",
-        graft.functions.GraftFunctions.vec_dot_int8(col("q_q"), col("c_q"))
-          .cast("double") /
-          (sqrt(col("q_qn").cast("double")) *
-            sqrt(col("c_qn").cast("double")))),
+      .withColumn("icos", Similarity.int8Cos(col("q_q"), col("q_qn"),
+        col("c_q"), col("c_qn"))),
       "icos", k)
   }
 
@@ -212,15 +209,18 @@ object PartitionedAnn {
       centroids: DataFrame, nprobe: Int): DataFrame = {
     requireIntCentIds(centroids)
     graft.functions.GraftFunctions.register(spark)
-    val probedQ = Similarity.ivfProbe(queries, vecCol, keyCol,
-      centroids, nprobe).withColumn("cent_id", col("cent_id").cast("int"))
-    // quantize the (tiny, one row per probed cluster) query relation
-    // and materialize it once for the probe-set collect and the join
-    val qq = Similarity.quantizeInt8(
-      probedQ.select(col("q_id"), col("q_vec"), col("cent_id")),
-      "q_vec", "q_id", keep = Seq("cent_id"))
-      .select(col("q_id"), col("cent_id"), col("q").as("q_q"),
-        col("qn").as("q_qn"))
+    // quantize each query ONCE (ivfProbe emits one row per probed
+    // centroid — quantizing those rows would redo the work nprobe
+    // times), then attach the probe set; materialize the tiny result
+    // for the probe-set collect and the join
+    val qz = Similarity.quantizeInt8(
+      queries.select(col(keyCol).as("q_id"), col(vecCol)),
+      vecCol, "q_id")
+      .select(col("q_id"), col("q").as("q_q"), col("qn").as("q_qn"))
+    val qq = Similarity.ivfProbe(queries, vecCol, keyCol,
+      centroids, nprobe)
+      .select(col("q_id"), col("cent_id").cast("int").as("cent_id"))
+      .join(qz, Seq("q_id"))
       .localCheckpoint()
     val probed = qq.select(col("cent_id")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -229,11 +229,8 @@ object PartitionedAnn {
       .select(col("c_id"), col("cent_id"), col("q").as("c_q"),
         col("qn").as("c_qn"))
     rankTopK(broadcast(qq).join(c, Seq("cent_id"))
-      .withColumn("icos",
-        graft.functions.GraftFunctions.vec_dot_int8(col("q_q"), col("c_q"))
-          .cast("double") /
-          (sqrt(col("q_qn").cast("double")) *
-            sqrt(col("c_qn").cast("double")))),
+      .withColumn("icos", Similarity.int8Cos(col("q_q"), col("q_qn"),
+        col("c_q"), col("c_qn"))),
       "icos", k)
   }
 

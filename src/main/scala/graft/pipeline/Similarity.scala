@@ -469,11 +469,8 @@ object Similarity {
       .select(col(keyCol).as("c_id"), col("q").as("c_q"),
         col("qn").as("c_qn"))
     q.crossJoin(c)
-      .withColumn("icos",
-        graft.functions.GraftFunctions.vec_dot_int8(col("q_q"), col("c_q"))
-          .cast("double") /
-          (sqrt(col("q_qn").cast("double")) *
-            sqrt(col("c_qn").cast("double"))))
+      .withColumn("icos", int8Cos(col("q_q"), col("q_qn"),
+        col("c_q"), col("c_qn")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("icos").desc, col("c_id"))))
@@ -481,6 +478,15 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"),
         r3(col("icos")).as("icos"))
   }
+
+  /** The one exact-integer cosine formula every int8 path scores with
+    * (brute, SRP-partitioned, IVF-partitioned) — a single definition
+    * so the bit-exactness contract cannot silently diverge between
+    * them. */
+  private[pipeline] def int8Cos(qq: Column, qqn: Column, cq: Column,
+      cqn: Column): Column =
+    graft.functions.GraftFunctions.vec_dot_int8(qq, cq).cast("double") /
+      (sqrt(qqn.cast("double")) * sqrt(cqn.cast("double")))
 
   /** SemDeDup-style semantic deduplication (cluster first, dedup
     * within clusters — Abbas et al. 2023): assign every corpus vector

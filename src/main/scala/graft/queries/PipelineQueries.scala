@@ -1264,10 +1264,10 @@ object PipelineQueries {
          FROM documents),
        c AS (
          SELECT doc_id, source, n_tokens,
-           SUM(n_tokens) OVER (PARTITION BY source
+           CAST(SUM(n_tokens) OVER (PARTITION BY source
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS cum_tokens
+             AS BIGINT) AS cum_tokens
          FROM m)
        SELECT doc_id, source, n_tokens, cum_tokens
        FROM c WHERE cum_tokens <= 500 ORDER BY doc_id"""
