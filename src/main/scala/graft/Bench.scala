@@ -8,19 +8,22 @@ object Bench {
     * plan changes instead of noise. */
   private val Runs = 3
 
-  /** Time `body` [[Runs]] times and return Right(median seconds), or
-    * Left(error) if any run throws — a failure must surface as an
-    * explicit red flag in the JSON, never as a silently-booked elapsed
-    * time (a missing table at a new sf would otherwise look like a
-    * normal timing). */
-  private[graft] def timeMedian(body: => Unit): Either[String, Double] =
+  /** Time `body` [[Runs]] times and return Right(all raw samples, in
+    * run order), or Left(error) if any run throws — a failure must
+    * surface as an explicit red flag in the JSON, never as a
+    * silently-booked elapsed time (a missing table at a new sf would
+    * otherwise look like a normal timing). All raw samples are kept
+    * (not just the median) so a load-inflated run is diagnosable from
+    * the artifact alone: sustained machine load shows up as *every*
+    * sample elevated, while a one-off GC/compile hiccup shows one
+    * outlier the median already discards (BENCH_r06 was the former). */
+  private[graft] def timeRuns(body: => Unit): Either[String, Seq[Double]] =
     try {
-      val samples = Seq.fill(Runs) {
+      Right(Seq.fill(Runs) {
         val t0 = System.nanoTime()
         body
         (System.nanoTime() - t0) / 1e9
-      }
-      Right(samples.sorted.apply(Runs / 2))
+      })
     } catch {
       // class name alone ("AnalysisException") gives no hint which
       // table/column broke at a new scale factor — carry a truncated,
@@ -57,17 +60,26 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = (selected.map {
-      case (name, fn) => name -> timeMedian(fn(spark, sfDir).count())
+      case (name, fn) => name -> timeRuns(fn(spark, sfDir).count())
     } ++ (if (only.forall(_.contains("xml_convert_2000docs")))
             Seq("xml_convert_2000docs" -> xmlConvertBench(spark))
           else Seq())).toMap
+    def median(rs: Seq[Double]): Double = rs.sorted.apply(rs.size / 2)
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Right(rs)) => s"\"" + k + "\":" + fmt(median(rs))
       case (k, Left(_)) => s"\"" + k + "\":-1"
     }.mkString("{", ",", "}")
+    // all raw per-run times, run order preserved — the self-diagnosing
+    // record the median alone can't be (see timeRuns scaladoc)
+    val raw = results.collect {
+      case (k, Right(rs)) =>
+        s"\"" + k + "\":" + rs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(e)) => s"\"$k:$e\"" }.toSeq
-    val total = results.values.collect { case Right(v) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$Runs,"errors":${failed.size},"failed":${failed.sorted.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val total = results.values.collect { case Right(rs) => median(rs) }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_s":$raw,"runs":$Runs,"errors":${failed.size},"failed":${failed.sorted.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -76,12 +88,18 @@ object Bench {
     * 2000-file corpus (12 identified nodes + ~40 attributes each).
     * Reported like any query (median of [[Runs]] full conversions);
     * docs/sec = 2000 / seconds. */
-  private def xmlConvertBench(spark: SparkSession): Either[String, Double] = {
+  private def xmlConvertBench(spark: SparkSession): Either[String, Seq[Double]] = {
     val dir = graft.tools.BenchCorpus.generate(2000)
-    timeMedian {
+    def convert(): Unit = {
       val tables = new graft.engine.Converter(spark).convert(dir.toString)
       tables.crossReferences.count()
       tables.properties.count()
     }
+    // one untimed warmup conversion: first-touch costs (directory
+    // listing, ingest codegen, parser classloading) previously landed
+    // on sample 1 and made the reported median swing 4.7s cold vs 1.9s
+    // warm across back-to-back bench invocations
+    try convert() catch { case _: Throwable => () }
+    timeRuns(convert())
   }
 }

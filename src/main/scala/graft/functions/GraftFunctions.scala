@@ -259,6 +259,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams"),
       WordNGrams.info,
       GraftFunctions.buildWordNGrams))
+    // keep the extension surface identical to register(): a SQL-only
+    // session built via GraftExtensions must see every graft function
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      GraftFunctions.buildBloomAgg))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_contains"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => VecFusionRule)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -46,19 +46,25 @@ object VecKernels {
   }
 
   /** Exact integer dot over two `array<long>` columns (the int8-ANN
-    * scoring kernel — quantized weights are tiny, so no overflow for
-    * any dim < 2^47). Null on length mismatch or null slot, like
-    * [[dotF]]. */
+    * scoring kernel — quantized weights are tiny, so overflow is
+    * impossible for any dim < 2^47). Null on length mismatch or null
+    * slot, like [[dotF]], and also null on Long overflow: the function
+    * is registered for general SQL use, where a caller with
+    * full-magnitude bigints must get an explicit null, never a
+    * silently-wrapped wrong product. Math.*Exact is branch-predicted
+    * free on the in-range hot path. */
   def dotL(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getLong(i) * b.getLong(i)
-      i += 1
-    }
+    try {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+        i += 1
+      }
+    } catch { case _: ArithmeticException => return null }
     java.lang.Long.valueOf(s)
   }
 
@@ -174,7 +180,9 @@ case class VecNorm(child: Expression) extends UnaryExpression {
 }
 
 /** `vec_dot_long(a, b)` over two `array<long>` columns → long (exact
-  * integer arithmetic — the int8-quantized ANN scoring kernel). */
+  * integer arithmetic — the int8-quantized ANN scoring kernel). Null
+  * (never a wrapped value) if the exact product or running sum would
+  * overflow Long — see [[VecKernels.dotL]]. */
 case class VecDotLong(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -269,8 +269,9 @@ object Dedup {
     * Bloom filters have no false negatives, so the output is
     * IDENTICAL to [[contaminationHits]] — the gate runs both against
     * the same oracle. `expectedItems`/`numBits` size the sketch
-    * (defaults give ~1% fpp at 1M grams; fpp only affects how much
-    * work the prefilter saves, never correctness). Spark caps the
+    * (defaults give 8 bits/item ≈ 2% fpp at 1M grams — ~1% would need
+    * ~9.6 bits/item; fpp only affects how much work the prefilter
+    * saves, never correctness). Spark caps the
     * aggregate at `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
     * (4M) / `.maxNumBits` (2^26) — raise both confs when sizing for a
     * larger suite, or the aggregate fails analysis. For a test side

@@ -41,15 +41,22 @@ object PartitionedAnn {
   /** The same dim fail-fast every in-memory LSH path runs: a mismatch
     * nulls the plane dot products and collapses every vector into
     * bucket 0 — at write time that silently destroys pruning, at query
-    * time it probes the wrong buckets. One tiny head-probe job. */
+    * time it probes the wrong buckets. min/max of size(vec) in one
+    * tiny aggregate job, so a RAGGED corpus (where a head-probe's
+    * arbitrary first row might happen to match `dim`) also fails fast
+    * at write time instead of silently collapsing the mismatched tail
+    * into bucket 0. Runs once per index build — the full-scan cost is
+    * the build's own scan, not a per-query tax. */
   private def requireDim(df: DataFrame, vecCol: String, dim: Int,
       who: String): Unit = {
     val probe = df.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol)).as("sz")).limit(1).collect()
-    require(probe.nonEmpty,
+      .agg(min(size(col(vecCol))).as("lo"), max(size(col(vecCol))).as("hi"))
+      .collect()(0)
+    require(!probe.isNullAt(0),
       s"$who: no non-null '$vecCol' vectors to probe")
-    require(probe(0).getInt(0) == dim,
-      s"$who: dim=$dim but vectors have length ${probe(0).getInt(0)}")
+    val (lo, hi) = (probe.getInt(0), probe.getInt(1))
+    require(lo == dim && hi == dim,
+      s"$who: dim=$dim but vector lengths span [$lo, $hi]")
   }
 
   /** Shared tail of every partitioned query path: per-query rank by

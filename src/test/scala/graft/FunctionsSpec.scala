@@ -158,6 +158,36 @@ class FunctionsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT simhash64('hello world') AS h")
       .collect().head.getLong(0)
     assert(viaSql === e.eval(null))
+    // bloom_agg/bloom_contains ride the same builders from register()
+    // and GraftExtensions (once register()-only — ADVICE r6); prove the
+    // shared builders produce a working sketch + probe from SQL text
+    val bf = spark.sql(
+      """SELECT bloom_agg(xxhash64(g), 10L, 1024L) AS bf
+        |FROM VALUES ('a'), ('b') AS t(g)""".stripMargin)
+      .collect().head.getAs[Array[Byte]](0)
+    assert(bf.nonEmpty)
+    val hit = spark.sql(
+      "SELECT bloom_contains(x'" + bf.map("%02x".format(_)).mkString +
+        "', xxhash64('a')) AS hit").collect().head.getBoolean(0)
+    assert(hit)
+    // pin extension/register() surface parity by name so a function
+    // added to one path can never silently miss the other again
+    val injected = classOf[org.apache.spark.sql.SparkSessionExtensions]
+      .getDeclaredFields.find(_.getName.contains("injectedFunctions"))
+      .map { f =>
+        f.setAccessible(true)
+        f.get(ext).asInstanceOf[scala.collection.mutable.Buffer[
+          (org.apache.spark.sql.catalyst.FunctionIdentifier, _, _)]]
+          .map(_._1.funcName).toSet
+      }
+    // reflection target present in Spark 4.1; skip-proof if renamed
+    injected.foreach { names =>
+      val expected = Set("simhash64", "gram_stats", "minhash_sigs",
+        "minhash_agg", "vec_dot", "vec_norm", "vec_dot_long",
+        "vec_dot_int8", "vec_quantize_int8", "word_ngrams",
+        "bloom_agg", "bloom_contains")
+      assert(names === expected)
+    }
   }
 
   test("vec_dot/vec_norm kernels match the higher-order formulation bit-for-bit") {
@@ -210,6 +240,15 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.isNullAt(0))
     assert(spark.sql(
       "SELECT vec_dot_long(array(1L), array(2L, 3L)) AS d")
+      .collect().head.isNullAt(0))
+    // Long overflow nulls (never wraps): 2^62 * 4 overflows the product
+    assert(spark.sql(
+      s"SELECT vec_dot_long(array(${1L << 62}L), array(4L)) AS d")
+      .collect().head.isNullAt(0))
+    // ... and the running-sum overflow path too
+    assert(spark.sql(
+      s"""SELECT vec_dot_long(array(${Long.MaxValue}L, ${Long.MaxValue}L),
+         |                    array(1L, 1L)) AS d""".stripMargin)
       .collect().head.isNullAt(0))
     // quantizer: all-zero and null-slotted vectors yield null
     assert(spark.sql(
