@@ -35,12 +35,14 @@ final case class MediaFeatures(
   * per *partition*, streaming over rows, so decoder initialization
   * amortizes and memory stays bounded by one asset at a time.
   *
-  * The decoders themselves are STUBBED — media codecs are not
-  * available in this environment — behind [[MediaCodec]], with a
-  * deterministic fake keyed on the content hash. Everything Spark-side
-  * (schema, binary handling, partitioning, batch iteration, per-frame
-  * explode) is real and tested; swapping in a real codec changes only
-  * the body of `MediaCodec.decode`.
+  * Image decode is REAL: [[ImageIoCodec]] decodes PNG/JPEG/GIF/BMP
+  * bytes with the JDK's `javax.imageio` (always present — no external
+  * codec needed) into width/height/channels plus exact per-channel
+  * means, and [[ImageIoResizer]] does a real pixel resize + PNG
+  * re-encode. Audio and video remain STUBBED behind [[MediaCodec]]
+  * (the JDK ships no audio/video codec), with a deterministic fake
+  * keyed on the content hash; swapping in a real codec changes only
+  * the body of `MediaCodec.decode` — the pipeline shape is fixed.
   */
 object Multimodal {
 
@@ -73,6 +75,47 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Real image decode on the JDK's built-in `javax.imageio` readers
+    * (PNG/JPEG/GIF/BMP). One frame per image:
+    * `[width, height, channels, meanR, meanG, meanB]` — the means are
+    * computed over the sRGB int raster with exact integer sums, so a
+    * losslessly-encoded image decodes to analytically predictable
+    * values (the mm_decode oracle recomputes them from first
+    * principles). Undecodable bytes emit NO frame rather than a fake
+    * one — at 100 TB a corrupt blob must drop out of the feature
+    * table, not poison it. Non-image modalities delegate to
+    * [[StubCodec]] (no JDK audio/video codec exists). */
+  object ImageIoCodec extends MediaCodec {
+    def decode(asset: MediaAsset, maxFrames: Int): Seq[Array[Float]] =
+      if (asset.modality != "image") StubCodec.decode(asset, maxFrames)
+      else {
+        javax.imageio.ImageIO.setUseCache(false) // no temp files on executors
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(asset.content))
+        if (img == null) Seq.empty
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val channels = img.getColorModel.getNumComponents
+          // one bulk sRGB conversion, then exact integer channel sums
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            i += 1
+          }
+          val n = w.toLong * h
+          Seq(Array(w.toFloat, h.toFloat, channels.toFloat,
+            (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
+            (sb.toDouble / n).toFloat))
+        }
+      }
   }
 
   def hashHex(bytes: Array[Byte]): String =
@@ -111,6 +154,37 @@ object Multimodal {
     def resize(a: MediaAsset, w: Int, h: Int): MediaAsset =
       a.copy(width = Some(w), height = Some(h),
         content = s"resized:${w}x$h:".getBytes("UTF-8") ++ a.content)
+  }
+
+  /** Real pixel resize: decode with `javax.imageio`, scale through a
+    * `Graphics2D` bilinear draw, re-encode as PNG (lossless, so a
+    * solid-color input resizes to exactly the same color — the
+    * mm_resize_decode oracle leans on that invariant). Undecodable
+    * bytes pass through unchanged (same drop-don't-poison stance as
+    * [[ImageIoCodec]]; the downstream decode emits no frame for
+    * them). */
+  object ImageIoResizer extends MediaResizer {
+    def resize(a: MediaAsset, w: Int, h: Int): MediaAsset = {
+      javax.imageio.ImageIO.setUseCache(false)
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(a.content))
+      if (src == null) a
+      else {
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", out)
+        a.copy(width = Some(w), height = Some(h),
+          content = out.toByteArray, mime_type = "image/png")
+      }
+    }
   }
 
   /** Partition-iterator resize pass over image assets; non-image rows
@@ -154,5 +228,95 @@ object Multimodal {
   def featureTable(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     decodeAndFeaturize(syntheticAssets(spark, documents)).toDF()
+  }
+
+  /** Deterministic PNG fixture for asset `i` with ANALYTICALLY known
+    * pixel statistics: dimensions `w = 16 + (i mod 8) * 4`,
+    * `h = 12 + (i mod 5) * 4`; every third asset is a horizontal
+    * gradient (pixel value = column index on all three channels, so
+    * each channel mean is exactly `(w-1)/2`), the rest are solid
+    * `rgb((37i) mod 256, (59i) mod 256, (83i) mod 256)` (each channel
+    * mean is exactly its component). PNG is lossless, so the decoded
+    * means match the formulas bit-for-bit — which is what lets a
+    * DuckDB oracle verify a REAL image decode from `range()` alone. */
+  def fixturePng(i: Long): (Int, Int, Array[Byte]) = {
+    val w = 16 + (i % 8).toInt * 4
+    val h = 12 + (i % 5).toInt * 4
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb =
+          if (i % 3 == 0) (x << 16) | (x << 8) | x
+          else {
+            val r = (37 * i % 256).toInt
+            val g = (59 * i % 256).toInt
+            val b = (83 * i % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    (w, h, out.toByteArray)
+  }
+
+  /** `n` real PNG assets, encoded DISTRIBUTED (one task per range
+    * partition, encoder state amortized per partition — the same
+    * boundary discipline as [[decodeAndFeaturize]]). */
+  def imageAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { i =>
+        val (w, h, bytes) = fixturePng(i)
+        MediaAsset(i, "image", bytes, "image/png",
+          Some(w), Some(h), None, None)
+      }
+    }
+  }
+
+  /** Real-decode feature table over [[imageAssets]]: PNG bytes →
+    * [[ImageIoCodec]] → one row per image with decoded dimensions,
+    * channel count, and exact per-channel means. Deterministic output
+    * (total order on asset_id). */
+  def decodeTable(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    decodeAndFeaturize(imageAssets(spark, n), ImageIoCodec).toDF()
+      .select(col("asset_id"),
+        element_at(col("feature"), 1).cast("int").as("width"),
+        element_at(col("feature"), 2).cast("int").as("height"),
+        element_at(col("feature"), 3).cast("int").as("channels"),
+        element_at(col("feature"), 4).cast("double").as("mean_r"),
+        element_at(col("feature"), 5).cast("double").as("mean_g"),
+        element_at(col("feature"), 6).cast("double").as("mean_b"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Real resize proof: solid-color assets → [[ImageIoResizer]] to
+    * `(w, h)` → [[ImageIoCodec]] decode of the re-encoded bytes.
+    * Solid colors survive any interpolation exactly, so the decoded
+    * means must still equal the generator formulas while the decoded
+    * dimensions become the resize targets. Gradient assets (i%3==0)
+    * are excluded — their resized means depend on the interpolator,
+    * which is not part of the contract. */
+  def resizeDecodeTable(spark: SparkSession, n: Int,
+      w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    val solid = imageAssets(spark, n).filter(_.asset_id % 3 != 0)
+    decodeAndFeaturize(resizeImages(solid, w, h, ImageIoResizer),
+        ImageIoCodec).toDF()
+      .select(col("asset_id"),
+        element_at(col("feature"), 1).cast("int").as("width"),
+        element_at(col("feature"), 2).cast("int").as("height"),
+        element_at(col("feature"), 4).cast("double").as("mean_r"),
+        element_at(col("feature"), 5).cast("double").as("mean_g"),
+        element_at(col("feature"), 6).cast("double").as("mean_b"))
+      .orderBy(col("asset_id"))
   }
 }

@@ -1733,6 +1733,50 @@ object PipelineQueries {
        md5(text) AS content_hash
        FROM documents WHERE text IS NOT NULL ORDER BY asset_id"""
 
+  /** REAL image decode, oracle-verified from first principles: 24
+    * deterministic PNGs (solid colors + gradients with analytically
+    * known channel means — [[Multimodal.fixturePng]]) are encoded
+    * distributed, decoded through `javax.imageio`
+    * ([[Multimodal.ImageIoCodec]]), and the decoded width/height/
+    * channels/means must equal what DuckDB recomputes from `range()`
+    * and the generator formulas alone. A wrong decode (or a lossy
+    * encode) hash-mismatches — nothing here is stubbed. */
+  def mmDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeTable(s, 24)
+
+  private val mmDecodeSql =
+    """SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(16 + (i % 8) * 4 AS INT) AS width,
+       CAST(12 + (i % 5) * 4 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CASE WHEN i % 3 = 0
+            THEN CAST(16 + (i % 8) * 4 - 1 AS DOUBLE) / 2
+            ELSE CAST((37 * i) % 256 AS DOUBLE) END AS mean_r,
+       CASE WHEN i % 3 = 0
+            THEN CAST(16 + (i % 8) * 4 - 1 AS DOUBLE) / 2
+            ELSE CAST((59 * i) % 256 AS DOUBLE) END AS mean_g,
+       CASE WHEN i % 3 = 0
+            THEN CAST(16 + (i % 8) * 4 - 1 AS DOUBLE) / 2
+            ELSE CAST((83 * i) % 256 AS DOUBLE) END AS mean_b
+       FROM range(24) t(i) ORDER BY asset_id"""
+
+  /** Real pixel resize + re-encode + re-decode: solid-color assets
+    * scaled to 10x7 must decode to the resize target dimensions with
+    * channel means still exactly the generator colors (solid colors
+    * survive any interpolation; PNG re-encode is lossless). Gradients
+    * are excluded — their resized means are interpolator-dependent. */
+  def mmResizeDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeDecodeTable(s, 24, 10, 7)
+
+  private val mmResizeDecodeSql =
+    """SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(10 AS INT) AS width,
+       CAST(7 AS INT) AS height,
+       CAST((37 * i) % 256 AS DOUBLE) AS mean_r,
+       CAST((59 * i) % 256 AS DOUBLE) AS mean_g,
+       CAST((83 * i) % 256 AS DOUBLE) AS mean_b
+       FROM range(24) t(i) WHERE i % 3 <> 0 ORDER BY asset_id"""
+
   // --- registry -------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1779,7 +1823,9 @@ object PipelineQueries {
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
     "pp_jsonl_roundtrip" -> (ppJsonlRoundtrip _),
     "pp_filter_e2e" -> (ppFilterE2e _),
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_decode" -> (mmDecode _),
+    "mm_resize_decode" -> (mmResizeDecode _))
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -1827,5 +1873,7 @@ object PipelineQueries {
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,
     "pp_jsonl_roundtrip" -> ppJsonlRoundtripSql,
     "pp_filter_e2e" -> ppFilterE2eSql,
-    "mm_features" -> mmFeaturesSql)
+    "mm_features" -> mmFeaturesSql,
+    "mm_decode" -> mmDecodeSql,
+    "mm_resize_decode" -> mmResizeDecodeSql)
 }

@@ -492,6 +492,47 @@ class PipelineSpec extends SparkSpec {
     assert(feats.exceptAll(again).count() === 0)
   }
 
+  test("multimodal: real javax.imageio decode recovers known dims and means") {
+    // asset 7: solid rgb(259%256=3, 413%256=157, 581%256=69),
+    // w=16+(7%8)*4=44, h=12+(7%5)*4=20
+    val (w7, h7, png7) = Multimodal.fixturePng(7)
+    assert((w7, h7) === (44, 20))
+    val a7 = MediaAsset(7, "image", png7, "image/png",
+      Some(w7), Some(h7), None, None)
+    val f7 = Multimodal.ImageIoCodec.decode(a7, 4)
+    assert(f7.size === 1)
+    assert(f7.head.toSeq === Seq(44f, 20f, 3f, 3f, 157f, 69f))
+    // asset 0: gradient, w=16, h=12 → every channel mean = 15/2 = 7.5
+    val (w0, h0, png0) = Multimodal.fixturePng(0)
+    val f0 = Multimodal.ImageIoCodec.decode(
+      MediaAsset(0, "image", png0, "image/png",
+        Some(w0), Some(h0), None, None), 4)
+    assert(f0.head.toSeq === Seq(16f, 12f, 3f, 7.5f, 7.5f, 7.5f))
+    // undecodable bytes emit no frame (drop, don't poison)
+    val junk = MediaAsset(99, "image", "not a png".getBytes("UTF-8"),
+      "image/png", None, None, None, None)
+    assert(Multimodal.ImageIoCodec.decode(junk, 4).isEmpty)
+    // non-image modality delegates to the stub
+    val audio = MediaAsset(98, "audio", Array[Byte](1, 2, 3),
+      "application/octet-stream", None, None, Some(16000), Some(2000))
+    assert(Multimodal.ImageIoCodec.decode(audio, 4).map(_.toSeq)
+      === Multimodal.StubCodec.decode(audio, 4).map(_.toSeq))
+  }
+
+  test("multimodal: real resize preserves solid colors at the new dims") {
+    val (w, h, png) = Multimodal.fixturePng(5) // solid rgb(185, 39, 159)
+    val a = MediaAsset(5, "image", png, "image/png",
+      Some(w), Some(h), None, None)
+    val r = Multimodal.ImageIoResizer.resize(a, 10, 7)
+    assert(r.width.contains(10) && r.height.contains(7))
+    val f = Multimodal.ImageIoCodec.decode(r, 4)
+    assert(f.head.toSeq === Seq(10f, 7f, 3f, 185f, 39f, 159f))
+    // undecodable bytes pass through the resizer untouched
+    val junk = MediaAsset(99, "image", "junk".getBytes("UTF-8"),
+      "image/png", None, None, None, None)
+    assert(Multimodal.ImageIoResizer.resize(junk, 10, 7) === junk)
+  }
+
   test("cross-doc dup n-grams: duplicated docs score 1.0, unique 0.0") {
     val r = TextAnalysis.crossDocDupStats(docs, "text", "doc_id", n = 3)
       .select($"doc_id", $"dup_frac").as[(Long, Double)].collect().toMap
