@@ -1417,6 +1417,94 @@ object PipelineQueries {
            THEN ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
        FROM j GROUP BY lang, source ORDER BY lang, source"""
 
+  /** Per-document stage attribution of the EXACT-dedup curation
+    * funnel ([[graft.streaming.CurationStream.batchVerdicts]]) — the
+    * batch reference the incremental readStream/foreachBatch funnel is
+    * proven equal to in StreamingSpec, so this oracle transitively
+    * gates the streaming path too. Doc-granular (one verdict row per
+    * document) — a misattributed stage on ANY document
+    * hash-mismatches, which an aggregated funnel could mask.
+    *
+    * The synthetic corpus has no byte-identical texts at the gate
+    * scales, so (ta_pii's injection precedent) every 11th document is
+    * unioned back in as a deterministic "recrawl" duplicate
+    * (doc_id + 1,000,000, source 'recrawl') — replayed identically in
+    * the oracle — so the dedup stage provably fires: each recrawl of a
+    * quality-passing original must land in drop_dup. */
+  def ppCurationVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val recrawl = d.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("source", lit("recrawl"))
+    graft.streaming.CurationStream.batchVerdicts(d.unionByName(recrawl))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("ws_tokens").cast("long").as("ws_tokens"), col("stage"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ppCurationVerdictsSql =
+    """WITH docs AS (
+         SELECT doc_id, lang, source, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, lang,
+           'recrawl' AS source, text
+         FROM documents WHERE doc_id % 11 = 0),
+       m AS (
+         SELECT doc_id, lang, source, md5(text) AS fp,
+           len(list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '')) AS n_tokens,
+           length(regexp_replace(lower(text),
+             '[a-z0-9 \t\n\x0B\f\r]', '', 'g')) AS n_punct,
+           length(text) AS n_len,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text),
+                         '[ \t\n\x0B\f\r]+')) END AS BIGINT)
+             AS ws_tokens
+         FROM docs),
+       q AS (
+         SELECT doc_id, lang, source, ws_tokens, fp,
+           CAST(ROUND(CAST(GREATEST(0.0, LEAST(1.0,
+             CASE WHEN n_tokens > 0
+               THEN 0.5 + 0.5 * LEAST(1.0, n_tokens / 100.0) -
+                    (CASE WHEN n_len > 0
+                     THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END)
+               ELSE 0.0 END)) AS DECIMAL(28,10)), 3) AS DOUBLE) AS qs
+         FROM m),
+       rtoks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM docs),
+       rg AS (
+         SELECT doc_id,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM rtoks CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       ragg AS (
+         SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT gram) AS nd
+         FROM rg GROUP BY doc_id),
+       rep AS (
+         SELECT d.doc_id,
+           CAST(ROUND(CAST(CASE WHEN COALESCE(a.ng, 0) > 0
+             THEN 1.0 - CAST(a.nd AS DOUBLE) / a.ng
+             ELSE 0.0 END AS DECIMAL(28,10)), 3) AS DOUBLE) AS rf
+         FROM docs d LEFT JOIN ragg a ON d.doc_id = a.doc_id),
+       v AS (
+         SELECT q.doc_id, q.lang, q.source, q.ws_tokens, q.fp,
+           (q.qs >= 0.65) AS pass_q, (rep.rf <= 0.01) AS pass_r
+         FROM q JOIN rep ON q.doc_id = rep.doc_id),
+       keep AS (
+         SELECT fp, MIN(doc_id) AS keep_id
+         FROM v WHERE pass_q AND pass_r GROUP BY fp)
+       SELECT v.doc_id, v.lang, v.source,
+         CAST(v.ws_tokens AS BIGINT) AS ws_tokens,
+         CASE WHEN NOT pass_q THEN 'drop_quality'
+              WHEN NOT pass_r THEN 'drop_repetition'
+              WHEN v.doc_id <> keep.keep_id THEN 'drop_dup'
+              ELSE 'kept' END AS stage
+       FROM v LEFT JOIN keep ON v.fp = keep.fp
+       ORDER BY doc_id"""
+
   /** Concat-and-chunk packing spans per source shard (4096-token
     * blocks): each document's global token offset and chunk range
     * under GPT-style corpus packing. */
@@ -1823,6 +1911,7 @@ object PipelineQueries {
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
     "pp_jsonl_roundtrip" -> (ppJsonlRoundtrip _),
     "pp_filter_e2e" -> (ppFilterE2e _),
+    "pp_curation_verdicts" -> (ppCurationVerdicts _),
     "mm_features" -> (mmFeatures _),
     "mm_decode" -> (mmDecode _),
     "mm_resize_decode" -> (mmResizeDecode _))
@@ -1873,6 +1962,7 @@ object PipelineQueries {
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,
     "pp_jsonl_roundtrip" -> ppJsonlRoundtripSql,
     "pp_filter_e2e" -> ppFilterE2eSql,
+    "pp_curation_verdicts" -> ppCurationVerdictsSql,
     "mm_features" -> mmFeaturesSql,
     "mm_decode" -> mmDecodeSql,
     "mm_resize_decode" -> mmResizeDecodeSql)

@@ -396,4 +396,66 @@ class StreamingSpec extends SparkSpec {
     // exactly-once: no session emitted twice across the restart
     assert(got.map(t => (t._1, t._2)).distinct.size === got.size)
   }
+
+  test("incremental curation funnel equals the batch funnel, dedup across batches") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft-cur-in")
+    val out = Files.createTempDirectory("graft-cur-out").toString
+    val ckpt = Files.createTempDirectory("graft-cur-ckpt").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    // three chunks ascending in doc_id, with "recrawl" duplicates of
+    // CHUNK-1 documents arriving in chunks 2 and 3 — the cross-batch
+    // state path must drop them, not the within-batch window
+    val c1 = docs.filter($"doc_id" < 200)
+    def recrawl(ids: Seq[Long], offset: Long) =
+      docs.filter($"doc_id".isin(ids: _*))
+        .withColumn("doc_id", $"doc_id" + lit(offset))
+        .withColumn("source", lit("recrawl"))
+    val c2 = docs.filter($"doc_id" >= 200 && $"doc_id" < 400)
+      .unionByName(recrawl(Seq(0L, 11L, 22L), 1000))
+    val c3 = docs.filter($"doc_id" >= 400)
+      .unionByName(recrawl(Seq(33L, 44L), 2000))
+    val full = docs.unionByName(recrawl(Seq(0L, 11L, 22L), 1000))
+      .unionByName(recrawl(Seq(33L, 44L), 2000))
+    // one parquet file per chunk, moved into the watched dir in order
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-cur-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(c1, "c1.parquet")
+    val q = graft.streaming.CurationStream.run(spark, in.toString, out,
+      ckpt, trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(c2, "c2.parquet")
+      q.processAllAvailable()
+      addChunk(c3, "c3.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$out/verdicts")
+      .select($"doc_id", $"lang", $"source", $"ws_tokens", $"stage")
+      .as[(Long, String, String, Long, String)].collect().toSet
+    val expected = graft.streaming.CurationStream.batchVerdicts(full)
+      .select($"doc_id", $"lang", $"source", $"ws_tokens", $"stage")
+      .as[(Long, String, String, Long, String)].collect().toSet
+    assert(got === expected)
+    // the parity is not vacuous: every funnel stage fired, and each
+    // recrawl of a passing original was dropped by CROSS-BATCH state
+    // (its keeper arrived in an earlier micro-batch)
+    val byStage = got.toSeq.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(byStage.keySet.contains("kept"))
+    assert(byStage.getOrElse("drop_quality", 0)
+      + byStage.getOrElse("drop_repetition", 0) > 0)
+    val keptIds = got.filter(_._5 == "kept").map(_._1)
+    val crossBatchDups = Seq(0L, 11L, 22L, 33L, 44L).filter(keptIds)
+    assert(crossBatchDups.nonEmpty, "no recrawled original survived to test dedup")
+    for (id <- crossBatchDups; dupId <- Seq(id + 1000, id + 2000)
+         if got.exists(_._1 == dupId))
+      assert(got.find(_._1 == dupId).get._5 === "drop_dup",
+        s"recrawl $dupId of kept original $id must drop as a duplicate")
+  }
 }
