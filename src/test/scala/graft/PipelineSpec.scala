@@ -714,4 +714,77 @@ class PipelineSpec extends SparkSpec {
     assert(red ===
       "write <EMAIL> from <IP> or call <PHONE> twice: <EMAIL>")
   }
+
+  // random corpora for the sampler properties: (doc_id, text of n
+  // whitespace tokens, group) — n spans empty through a few hundred so
+  // bucket boundaries (powers of two) and budget edges both get hit
+  private def genCorpus = {
+    import org.scalacheck.Gen
+    Gen.listOfN(40, Gen.zip(Gen.choose(0, 300), Gen.choose(0, 2)))
+      .map(_.zipWithIndex.map { case ((n, g), i) =>
+        (i.toLong, Seq.fill(n)("tok").mkString(" "), s"g$g")
+      })
+  }
+
+  test("property: length buckets bound same-bucket length ratio by 2x") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(genCorpus, Gen.choose(1, 7)) { (rows, bs) =>
+      val out = Sampling.lengthBucketBatches(
+        rows.toDF("doc_id", "text", "g"), "text", "doc_id", bs)
+        .select($"bucket", $"n_tokens", $"batch_idx")
+        .as[(Long, Long, Long)].collect()
+      // bucket = bit length of max(n_tokens, 1): members sit in
+      // [2^(b-1), 2^b), so max < 2 * min — the padding-waste bound
+      val twoX = out.groupBy(_._1).forall { case (_, xs) =>
+        val lens = xs.map(x => math.max(x._2, 1L))
+        lens.max < 2 * lens.min
+      }
+      // no batch overfills, and batch indices are dense from 0
+      val batches = out.groupBy(x => (x._1, x._3)).forall(_._2.size <= bs)
+      val dense = out.groupBy(_._1).forall { case (_, xs) =>
+        val idx = xs.map(_._3).distinct.sorted
+        idx === (0L until idx.size).toSeq
+      }
+      twoX && batches && dense
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("property: budget selection is monotone in the budget") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(genCorpus, Gen.choose(0L, 400L),
+        Gen.choose(0L, 400L)) { (rows, b1, extra) =>
+      val df = rows.toDF("doc_id", "text", "g")
+      def kept(b: Long) = Sampling.budgetSelect(df, "text", "doc_id",
+        "g", b).select($"doc_id").as[Long].collect().toSet
+      val small = kept(b1)
+      val large = kept(b1 + extra)
+      // a bigger budget keeps a superset (hash order is fixed), and
+      // every group stays within its budget
+      val within = Sampling.budgetSelect(df, "text", "doc_id", "g",
+          b1 + extra)
+        .groupBy($"g").agg(max($"cum_tokens").as("m"))
+        .as[(String, Long)].collect().forall(_._2 <= b1 + extra)
+      small.subsetOf(large) && within
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("property: packing spans are partition-invariant") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(genCorpus, Gen.choose(1, 64),
+        Gen.oneOf(1, 3, 7)) { (rows, chunk, parts) =>
+      val df = rows.toDF("doc_id", "text", "g")
+      def spans(d: org.apache.spark.sql.DataFrame) =
+        Sampling.concatChunkSpans(d, "text", "doc_id", "g", chunk)
+          .select($"doc_id", $"n_tokens", $"start_token",
+            $"first_chunk", $"last_chunk")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+      spans(df) === spans(df.repartition(parts))
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
+    assert(SCTest.check(params, prop).passed)
+  }
 }
