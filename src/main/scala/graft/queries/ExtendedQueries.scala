@@ -136,11 +136,16 @@ object ExtendedQueries {
   // fixed-size mergeable sketch.
   // ---------------------------------------------------------------
 
+  // rsd pinned at 0.02, not the 0.05 default: the contract asserts a
+  // 10% band, and a 5%-rsd sketch sits only ~2 sigma inside it — at
+  // sf1 (~130k distinct per group) one group's estimate drifted to
+  // 11% and failed the gate. 2% rsd keeps the band a 5-sigma margin
+  // at every scale while the sketch stays a few KB.
   def q28HllContract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("o_custkey")).as("n_exact"),
-        approx_count_distinct(col("o_custkey")).as("n_approx"))
+        approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"))
       .select(col("o_orderpriority"), col("n_exact"),
         (abs(col("n_approx") - col("n_exact")) <=
           col("n_exact") * 0.10).as("approx_ok"))

@@ -8,10 +8,20 @@ oracle SQL from oracle_sql.json in DuckDB (tables registered as views
 over <sf_dir>/*.parquet), and compares: columns sorted by name, rows
 sorted by all columns, exact value equality (floats compared exactly —
 the queries are designed to be bit-deterministic).
+
+An optional third argument sets a per-query ORACLE timeout in seconds
+(default: none). A replay that exceeds it reports SKIP, not FAIL: at
+large scale factors some oracle SQL is inherently super-linear even
+though the engine side is not (the gram-join replays materialize all
+doc pairs per gram, quadratic in docs-per-gram over this corpus's
+fixed ~40-word vocabulary), so the oracle — single-node DuckDB —
+becomes the bottleneck long before the Spark side does. SKIPs count
+toward neither pass nor fail and are listed in the summary.
 """
 import json
 import math
 import sys
+import threading
 
 import duckdb
 import pyarrow.parquet as pq
@@ -39,14 +49,43 @@ def norm(rows):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+def run_with_timeout(con, sql, timeout):
+    """Execute sql; on timeout interrupt DuckDB and raise TimeoutError."""
+    if not timeout:
+        cur = con.execute(sql)
+        return cur, cur.fetchall()
+    timed_out = threading.Event()
+
+    def watchdog():
+        timed_out.set()
+        con.interrupt()
+
+    t = threading.Timer(timeout, watchdog)
+    t.start()
+    try:
+        cur = con.execute(sql)
+        rows = cur.fetchall()
+    except duckdb.InterruptException:
+        raise TimeoutError(f"oracle exceeded {timeout}s")
+    except duckdb.Error:
+        if timed_out.is_set():
+            raise TimeoutError(f"oracle exceeded {timeout}s")
+        raise
+    finally:
+        t.cancel()
+    return cur, rows
+
+
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    skipped = []
     for name, sql in sorted(oracles.items()):
         try:
             spark_tbl = ds.dataset(f"{outdir}/{name}").to_table()
@@ -58,14 +97,17 @@ def main():
             n_fail += 1
             continue
         try:
-            cur = con.execute(sql)
+            cur, duck_all = run_with_timeout(con, sql, timeout)
             duck_cols_raw = [d[0] for d in cur.description]
-            duck_all = cur.fetchall()
             order = sorted(range(len(duck_cols_raw)),
                            key=lambda i: duck_cols_raw[i])
             duck_cols = [duck_cols_raw[i] for i in order]
             duck_rows = norm([tuple(row[i] for i in order)
                               for row in duck_all])
+        except TimeoutError as e:
+            print(f"SKIP {name}: {e}", flush=True)
+            skipped.append(name)
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
@@ -85,9 +127,11 @@ def main():
                   f"spark={bad[0][0]} duck={bad[0][1]}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(spark_rows)} rows)")
+            print(f"PASS {name} ({len(spark_rows)} rows)", flush=True)
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    skip_note = (f" / {len(skipped)} oracle-timeout skipped "
+                 f"({','.join(skipped)})" if skipped else "")
+    print(f"== {n_pass} pass / {n_fail} fail =={skip_note}")
     sys.exit(1 if n_fail else 0)
 
 
