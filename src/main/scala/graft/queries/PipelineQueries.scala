@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.pipeline.{Dedup, Jsonl, Multimodal, PartitionedAnn, Sampling, Similarity, TextAnalysis}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-verified corpus for the training-data pipeline operators
@@ -608,9 +608,29 @@ object PipelineQueries {
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
+  /** Scale-aware IVF codebook rule shared by the ivf/semdedup queries:
+    * the deterministic mod-50 key subset, capped at the first
+    * 50*ceil(sqrt(n)) keys so the codebook grows as sqrt(corpus).
+    * A pure mod rule degrades assignment to O(n^2/50) — 10x data
+    * means 10x centroids x 10x vectors = 100x work (measured: 15 s
+    * ann_ivf_topk at sf1 vs 1.2 s at sf0.1) — while sqrt sizing keeps
+    * both assignment and within-cluster pairing at the classic IVF
+    * O(n^1.5). Below ~2,500 vectors the cap exceeds the mod-50 key
+    * range entirely, so sf0.01/sf0.1 results are bit-identical with
+    * or without it. The count is one parquet-metadata job; the oracle
+    * expresses the identical rule as a scalar subquery
+    * ([[codebookCapSql]]). */
+  private def codebookPred(e: DataFrame): Column = {
+    val cap = 50L * math.ceil(math.sqrt(e.count().toDouble)).toLong
+    col("vec_id") % 50 === 0 && col("vec_id") < cap
+  }
+
+  private val codebookCapSql =
+    "50 * (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM embeddings)"
+
   /** IVF approximate top-k: corpus vectors assigned to their nearest
-    * centroid (a deterministic corpus subset, vec_id ≡ 0 mod 50 — 9
-    * centroids), queries probe their 2 nearest centroids and score
+    * centroid (the deterministic sqrt-sized [[codebookPred]] subset),
+    * queries probe their 2 nearest centroids and score
     * only those clusters. The oracle replays the whole index build in
     * SQL, proving assignment, probing, and scoring engine-neutral. */
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
@@ -618,12 +638,12 @@ object PipelineQueries {
     Similarity.ivfTopK(
       e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
       "embedding", "vec_id", k = 5,
-      centroidPred = col("vec_id") % 50 === 0, nprobe = 2)
+      centroidPred = codebookPred(e), nprobe = 2)
       .orderBy(col("q_id"), col("rank"))
   }
 
-  private val annIvfSql =
-    """WITH n AS (
+  private lazy val annIvfSql =
+    s"""WITH n AS (
          SELECT vec_id, embedding,
            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
                  FROM (SELECT unnest(embedding) AS x) u)) AS nrm
@@ -631,7 +651,8 @@ object PipelineQueries {
        q AS (SELECT * FROM n WHERE vec_id < 10),
        c AS (SELECT * FROM n WHERE vec_id >= 10),
        cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-                FROM c WHERE vec_id % 50 = 0),
+                FROM c WHERE vec_id % 50 = 0
+                  AND vec_id < $codebookCapSql),
        cscore AS (
          SELECT c.vec_id, cent.cent_id,
            (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
@@ -766,9 +787,9 @@ object PipelineQueries {
   def annIvfPartitioned(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val corpus = e.filter(col("vec_id") >= 10)
-    val centroids = corpus.filter(col("vec_id") % 50 === 0)
+    val centroids = corpus.filter(codebookPred(e))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-    val out = annLayoutDir(dir, "ivf_mod50")
+    val out = annLayoutDir(dir, "ivf_sqrt50")
     ensureLayout(out)(PartitionedAnn.writeIvfPartitioned(
       corpus, "embedding", "vec_id", centroids, out))
     PartitionedAnn.ivfTopKPartitioned(s, out, e.filter(col("vec_id") < 10),
@@ -844,9 +865,9 @@ object PipelineQueries {
   def annInt8IvfPartitioned(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val corpus = e.filter(col("vec_id") >= 10)
-    val centroids = corpus.filter(col("vec_id") % 50 === 0)
+    val centroids = corpus.filter(codebookPred(e))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-    val out = annLayoutDir(dir, "ivf_int8_mod50")
+    val out = annLayoutDir(dir, "ivf_int8_sqrt50")
     ensureLayout(out)(PartitionedAnn.writeIvfPartitionedInt8(
       corpus, "embedding", "vec_id", centroids, out))
     PartitionedAnn.ivfTopKPartitionedInt8(s, out,
@@ -855,8 +876,8 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  private val annInt8IvfPartitionedSql =
-    """WITH n AS (
+  private lazy val annInt8IvfPartitionedSql =
+    s"""WITH n AS (
          SELECT vec_id, embedding,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
@@ -878,7 +899,8 @@ object PipelineQueries {
        q AS (SELECT * FROM qn WHERE vec_id < 10),
        c AS (SELECT * FROM qn WHERE vec_id >= 10),
        cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-                FROM c WHERE vec_id % 50 = 0),
+                FROM c WHERE vec_id % 50 = 0
+                  AND vec_id < $codebookCapSql),
        cscore AS (
          SELECT c.vec_id, cent.cent_id,
            (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
@@ -1597,7 +1619,7 @@ object PipelineQueries {
   def ppSemdedupE2e(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val pairs = Similarity.semanticPairs(e, "embedding", "vec_id",
-      e.filter(col("vec_id") % 50 === 0)
+      e.filter(codebookPred(e))
         .select(col("vec_id").as("cent_id"),
           col("embedding").as("cent_vec")),
       tau = 0.35)
@@ -1607,14 +1629,15 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
-  private val ppSemdedupE2eSql =
-    """WITH RECURSIVE n AS (
+  private lazy val ppSemdedupE2eSql =
+    s"""WITH RECURSIVE n AS (
          SELECT vec_id, embedding,
            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
                  FROM (SELECT unnest(embedding) AS x) u)) AS nrm
          FROM embeddings),
        cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-                FROM n WHERE vec_id % 50 = 0),
+                FROM n WHERE vec_id % 50 = 0
+                  AND vec_id < $codebookCapSql),
        cscore AS (
          SELECT n.vec_id, cent.cent_id,
            (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
@@ -1686,28 +1709,30 @@ object PipelineQueries {
 
   /** SemDeDup-style semantic dedup over the full embeddings table
     * ([[Similarity.semanticDedup]]): the same deterministic codebook as
-    * ann_ivf_topk (vec_id ≡ 0 mod 50), τ = 0.35 (the corpus max
+    * ann_ivf_topk (the sqrt-sized [[codebookPred]] subset), τ = 0.35
+    * (the corpus max
     * cosine is ~0.51, so the threshold separates planted near-dups
     * from background). The oracle replays centroid assignment,
     * within-cluster pairing, and keeper resolution entirely in SQL. */
   def ddSemantic(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.semanticDedup(e, "embedding", "vec_id",
-      e.filter(col("vec_id") % 50 === 0)
+      e.filter(codebookPred(e))
         .select(col("vec_id").as("cent_id"),
           col("embedding").as("cent_vec")),
       tau = 0.35)
       .orderBy(col("vec_id"))
   }
 
-  private val ddSemanticSql =
-    """WITH n AS (
+  private lazy val ddSemanticSql =
+    s"""WITH n AS (
          SELECT vec_id, embedding,
            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
                  FROM (SELECT unnest(embedding) AS x) u)) AS nrm
          FROM embeddings),
        cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
-                FROM n WHERE vec_id % 50 = 0),
+                FROM n WHERE vec_id % 50 = 0
+                  AND vec_id < $codebookCapSql),
        cscore AS (
          SELECT n.vec_id, cent.cent_id,
            (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
