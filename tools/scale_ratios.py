@@ -9,6 +9,7 @@ time ratio big/small, sorted by ratio descending, plus a summary.
 queries whose time ratio exceeds it are scaling super-linearly.
 """
 import json
+import math
 import sys
 
 
@@ -30,16 +31,19 @@ def main():
         rows.append((q, a, b, b / a))
     rows.sort(key=lambda r: -r[3])
     print(f"| query | {sys.argv[1].split('/')[-1]} s | "
-          f"{sys.argv[2].split('/')[-1]} s | ratio |")
-    print("|---|---|---|---|")
+          f"{sys.argv[2].split('/')[-1]} s | ratio | exponent |")
+    print("|---|---|---|---|---|")
     for q, a, b, r in rows:
         flag = " **super-linear**" if r > factor else ""
-        print(f"| {q} | {a:.3f} | {b:.3f} | {r:.2f}{flag} |")
+        exp = math.log(r) / math.log(factor)
+        print(f"| {q} | {a:.3f} | {b:.3f} | {r:.2f}{flag} | {exp:.2f} |")
     ratios = sorted(r[3] for r in rows)
     med = ratios[len(ratios) // 2]
     over = [r for r in rows if r[3] > factor]
-    print(f"\n{len(rows)} queries; median ratio {med:.2f}; "
-          f"{len(over)} over the {factor:g}x data factor")
+    print(f"\n{len(rows)} queries; median ratio {med:.2f} "
+          f"(exponent {math.log(med) / math.log(factor):.2f}); "
+          f"{len(over)} over the {factor:g}x data factor "
+          f"(exponent > 1)")
 
 
 if __name__ == "__main__":
