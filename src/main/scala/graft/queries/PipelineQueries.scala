@@ -1761,6 +1761,28 @@ object PipelineQueries {
        FROM assigned a LEFT JOIN dup d USING (vec_id)
        ORDER BY a.vec_id"""
 
+  /** SemDeDup over the at-rest IVF index
+    * ([[Similarity.semanticDedupAssigned]]): the cluster assignment —
+    * the n^1.5 build that dominates dd_semantic's scaling — is
+    * written once as a cent_id-partitioned layout
+    * ([[PartitionedAnn.writeIvfPartitioned]] over the FULL table) and
+    * dedup passes read it back, paying only the within-cluster
+    * pairing. Gated against ddSemantic's oracle VERBATIM — the same
+    * replay proving both paths compute the same thing is the proof
+    * the at-rest layout is lossless (the dd_contamination_bloom
+    * pattern). */
+  def ddSemanticAtRest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = e.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val out = annLayoutDir(dir, "ivf_all_sqrt50")
+    ensureLayout(out)(PartitionedAnn.writeIvfPartitioned(
+      e, "embedding", "vec_id", centroids, out))
+    Similarity.semanticDedupAssigned(s.read.parquet(out), "vec_id",
+      tau = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
   /** PII detect + redact round-trip ([[TextAnalysis.redactPii]]). The
     * synthetic corpus is PII-free word soup, so the query plants
     * deterministic synthetic PII (an email for even doc_ids, an IPv4
@@ -1925,6 +1947,7 @@ object PipelineQueries {
     "ta_dup_ngrams" -> (taDupNgrams _),
     "ta_pii" -> (taPii _),
     "dd_semantic" -> (ddSemantic _),
+    "dd_semantic_at_rest" -> (ddSemanticAtRest _),
     "ta_repetition_native_expr" -> (taRepetitionExpr _),
     "ta_top_bigram" -> (taTopBigram _),
     "pp_mixture" -> (ppMixture _),
@@ -1976,6 +1999,9 @@ object PipelineQueries {
     "ta_dup_ngrams" -> taDupNgramsSql,
     "ta_pii" -> taPiiSql,
     "dd_semantic" -> ddSemanticSql,
+    // at-rest form shares the in-memory form's oracle verbatim: one
+    // replay proves both paths equal AND the layout lossless
+    "dd_semantic_at_rest" -> ddSemanticSql,
     "ta_repetition_native_expr" -> taRepetitionSql,
     "ta_top_bigram" -> taTopBigramSql,
     "pp_mixture" -> ppMixtureSql,

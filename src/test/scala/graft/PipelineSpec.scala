@@ -563,6 +563,27 @@ class PipelineSpec extends SparkSpec {
     assert(r(20L) === (200L, None))
   }
 
+  test("semantic dedup at rest: dedup from the written IVF layout equals in-memory") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.99f, 0.01f)),
+      (12L, Array(0.6f, 0.8f)), (20L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1.0f, 0.0f)), (200L, Array(0.0f, 1.0f)))
+      .toDF("cent_id", "cent_vec")
+    val inMem = Similarity.semanticDedup(vecs, "embedding", "vec_id",
+      cents, tau = 0.95)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("semdedup_at_rest").toString + "/ivf"
+    PartitionedAnn.writeIvfPartitioned(vecs, "embedding", "vec_id",
+      cents, dir)
+    val atRest = Similarity.semanticDedupAssigned(
+      spark.read.parquet(dir), "vec_id", tau = 0.95)
+      .select($"vec_id", $"cent_id".cast("long"), $"dup_of")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(atRest === inMem)
+  }
+
   test("pii: counts find each class, versions and bare digits do not match") {
     val rows = Seq(
       (0L, "mail a@b.co and c.d+x@e.org now"),
