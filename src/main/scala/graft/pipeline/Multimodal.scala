@@ -39,10 +39,13 @@ final case class MediaFeatures(
   * bytes with the JDK's `javax.imageio` (always present — no external
   * codec needed) into width/height/channels plus exact per-channel
   * means, and [[ImageIoResizer]] does a real pixel resize + PNG
-  * re-encode. Audio and video remain STUBBED behind [[MediaCodec]]
-  * (the JDK ships no audio/video codec), with a deterministic fake
-  * keyed on the content hash; swapping in a real codec changes only
-  * the body of `MediaCodec.decode` — the pipeline shape is fixed.
+  * re-encode. Audio decode is REAL too: [[WavCodec]] decodes WAV/PCM
+  * bytes with the JDK's `javax.sound.sampled` into per-second windows
+  * of exact mean amplitude. Only video remains STUBBED behind
+  * [[MediaCodec]] (the JDK ships no video codec), with a
+  * deterministic fake keyed on the content hash; swapping in a real
+  * codec changes only the body of `MediaCodec.decode` — the pipeline
+  * shape is fixed.
   */
 object Multimodal {
 
@@ -115,6 +118,63 @@ object Multimodal {
             (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
             (sb.toDouble / n).toFloat))
         }
+      }
+  }
+
+  /** Real audio decode on the JDK's built-in `javax.sound.sampled`
+    * WAV/PCM reader. Any PCM-representable input is normalized to
+    * 16-bit signed little-endian at its native rate/channel count,
+    * then windowed into one-second frames (capped at `maxFrames`):
+    * `[sample_rate, channels, samples_in_window, mean_amplitude]`,
+    * the mean computed with exact integer sums over the interleaved
+    * 16-bit samples — so a losslessly-encoded fixture decodes to
+    * analytically predictable values (the mm_audio_decode oracle
+    * recomputes them from first principles). Undecodable bytes emit
+    * NO frame (same drop-don't-poison stance as [[ImageIoCodec]]).
+    * Non-audio modalities delegate to [[ImageIoCodec]] — chaining the
+    * two gives one codec that is real for image+audio and stubbed
+    * only for video. */
+  object WavCodec extends MediaCodec {
+    def decode(asset: MediaAsset, maxFrames: Int): Seq[Array[Float]] =
+      if (asset.modality != "audio") ImageIoCodec.decode(asset, maxFrames)
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(asset.content))
+        try {
+          val base = in.getFormat
+          val fmt = new javax.sound.sampled.AudioFormat(
+            base.getSampleRate, 16, base.getChannels,
+            /* signed = */ true, /* bigEndian = */ false)
+          val pcm =
+            if (base.matches(fmt)) in
+            else javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+          val bytes = pcm.readAllBytes()
+          val rate = fmt.getSampleRate.toInt
+          val channels = fmt.getChannels
+          val total = bytes.length / 2 // interleaved 16-bit samples
+          val perWindow = rate * channels // one-second windows
+          if (total == 0 || perWindow <= 0) Seq.empty
+          else {
+            val nWin = math.min(maxFrames.toLong,
+              (total.toLong + perWindow - 1) / perWindow).toInt
+            (0 until nWin).map { k =>
+              val lo = k * perWindow
+              val hi = math.min(total, lo + perWindow)
+              var sum = 0L
+              var s = lo
+              while (s < hi) {
+                // little-endian signed 16-bit: high byte keeps its sign
+                sum += (bytes(2 * s + 1).toInt << 8) | (bytes(2 * s) & 0xff)
+                s += 1
+              }
+              Array(rate.toFloat, channels.toFloat, (hi - lo).toFloat,
+                (sum.toDouble / (hi - lo)).toFloat)
+            }
+          }
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException
+           | _: java.io.IOException => Seq.empty
       }
   }
 
@@ -296,6 +356,71 @@ object Multimodal {
         element_at(col("feature"), 5).cast("double").as("mean_g"),
         element_at(col("feature"), 6).cast("double").as("mean_b"))
       .orderBy(col("asset_id"))
+  }
+
+  /** Deterministic 16-bit PCM WAV fixture for asset `i` with
+    * ANALYTICALLY known sample statistics: 8 kHz,
+    * `channels = 1 + (i mod 2)`, `seconds = 1 + (i mod 3)`; every
+    * interleaved sample in one-second window `k` (all channels) holds
+    * the constant `((31i + 17k) mod 200 − 100) · 100`, so each
+    * window's mean amplitude is exactly that value. WAV PCM is
+    * lossless, so the decoded means match the formulas bit-for-bit —
+    * which is what lets a DuckDB oracle verify a REAL audio decode
+    * from `range()` alone. Returns (channels, seconds, wavBytes). */
+  def fixtureWav(i: Long): (Int, Int, Array[Byte]) = {
+    val rate = 8000
+    val channels = 1 + (i % 2).toInt
+    val seconds = 1 + (i % 3).toInt
+    val pcm = new Array[Byte](rate * seconds * channels * 2)
+    var off = 0
+    var k = 0
+    while (k < seconds) {
+      val amp = (((31 * i + 17 * k) % 200) - 100).toInt * 100
+      var s = 0
+      while (s < rate * channels) {
+        pcm(off) = (amp & 0xff).toByte
+        pcm(off + 1) = ((amp >> 8) & 0xff).toByte
+        off += 2
+        s += 1
+      }
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (rate * seconds).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    (channels, seconds, out.toByteArray)
+  }
+
+  /** `n` real WAV assets, encoded DISTRIBUTED (same per-partition
+    * boundary discipline as [[imageAssets]]). */
+  def audioAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { i =>
+        val (channels, seconds, bytes) = fixtureWav(i)
+        MediaAsset(i, "audio", bytes, "audio/wav",
+          None, None, Some(8000), Some(seconds * 1000L))
+      }
+    }
+  }
+
+  /** Real-decode feature table over [[audioAssets]]: WAV bytes →
+    * [[WavCodec]] → one row per one-second window with the decoded
+    * rate, channel count, window size, and exact mean amplitude.
+    * Deterministic output (total order on asset_id, frame_index). */
+  def audioDecodeTable(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    decodeAndFeaturize(audioAssets(spark, n), WavCodec).toDF()
+      .select(col("asset_id"), col("frame_index"),
+        element_at(col("feature"), 1).cast("int").as("sample_rate"),
+        element_at(col("feature"), 2).cast("int").as("channels"),
+        element_at(col("feature"), 3).cast("int").as("n_samples"),
+        element_at(col("feature"), 4).cast("double").as("mean_amp"))
+      .orderBy(col("asset_id"), col("frame_index"))
   }
 
   /** Real resize proof: solid-color assets → [[ImageIoResizer]] to

@@ -1895,6 +1895,27 @@ object PipelineQueries {
             ELSE CAST((83 * i) % 256 AS DOUBLE) END AS mean_b
        FROM range(24) t(i) ORDER BY asset_id"""
 
+  /** REAL audio decode, oracle-verified from first principles: 24
+    * deterministic WAVs (1-2 channels, 1-3 s, constant amplitude per
+    * one-second window — [[Multimodal.fixtureWav]]) are encoded
+    * distributed, decoded through `javax.sound.sampled`
+    * ([[Multimodal.WavCodec]]), and the decoded rate/channels/window
+    * size/mean amplitude must equal what DuckDB recomputes from
+    * `range()` and the generator formulas alone. PCM is lossless, so
+    * a wrong decode hash-mismatches — nothing here is stubbed. */
+  def mmAudioDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioDecodeTable(s, 24)
+
+  private val mmAudioDecodeSql =
+    """SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(k AS INT) AS frame_index,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 + i % 2 AS INT) AS channels,
+       CAST(8000 * (1 + i % 2) AS INT) AS n_samples,
+       CAST(((31 * i + 17 * k) % 200 - 100) * 100 AS DOUBLE) AS mean_amp
+       FROM range(24) t(i), range(3) s(k) WHERE k < 1 + i % 3
+       ORDER BY asset_id, frame_index"""
+
   /** Real pixel resize + re-encode + re-decode: solid-color assets
     * scaled to 10x7 must decode to the resize target dimensions with
     * channel means still exactly the generator colors (solid colors
@@ -1962,6 +1983,7 @@ object PipelineQueries {
     "pp_curation_verdicts" -> (ppCurationVerdicts _),
     "mm_features" -> (mmFeatures _),
     "mm_decode" -> (mmDecode _),
+    "mm_audio_decode" -> (mmAudioDecode _),
     "mm_resize_decode" -> (mmResizeDecode _))
 
   val oracle: Map[String, String] = Map(
@@ -2016,5 +2038,6 @@ object PipelineQueries {
     "pp_curation_verdicts" -> ppCurationVerdictsSql,
     "mm_features" -> mmFeaturesSql,
     "mm_decode" -> mmDecodeSql,
+    "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_resize_decode" -> mmResizeDecodeSql)
 }

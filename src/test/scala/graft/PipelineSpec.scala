@@ -533,6 +533,40 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.ImageIoResizer.resize(junk, 10, 7) === junk)
   }
 
+  test("multimodal: real javax.sound WAV decode recovers known windows") {
+    // asset 7: channels = 1+(7%2) = 2, seconds = 1+(7%3) = 2
+    // window amps: k=0 → (217%200-100)*100 = -8300; k=1 → (234%200-100)*100 = -6600
+    val (ch7, sec7, wav7) = Multimodal.fixtureWav(7)
+    assert((ch7, sec7) === (2, 2))
+    val a7 = MediaAsset(7, "audio", wav7, "audio/wav",
+      None, None, Some(8000), Some(2000L))
+    val f7 = Multimodal.WavCodec.decode(a7, 4)
+    assert(f7.map(_.toSeq) === Seq(
+      Seq(8000f, 2f, 16000f, -8300f), Seq(8000f, 2f, 16000f, -6600f)))
+    // asset 0: mono, 1 s, amp = (0%200-100)*100 = -10000
+    val (_, _, wav0) = Multimodal.fixtureWav(0)
+    val f0 = Multimodal.WavCodec.decode(
+      MediaAsset(0, "audio", wav0, "audio/wav",
+        None, None, Some(8000), Some(1000L)), 4)
+    assert(f0.map(_.toSeq) === Seq(Seq(8000f, 1f, 8000f, -10000f)))
+    // maxFrames caps the window count (asset 2: 3 s → 2 frames)
+    val (_, sec2, wav2) = Multimodal.fixtureWav(2)
+    assert(sec2 === 3)
+    assert(Multimodal.WavCodec.decode(
+      MediaAsset(2, "audio", wav2, "audio/wav",
+        None, None, Some(8000), Some(3000L)), 2).size === 2)
+    // undecodable bytes emit no frame (drop, don't poison)
+    val junk = MediaAsset(99, "audio", "not a wav".getBytes("UTF-8"),
+      "audio/wav", None, None, None, None)
+    assert(Multimodal.WavCodec.decode(junk, 4).isEmpty)
+    // image modality delegates to the real image codec
+    val (w5, h5, png5) = Multimodal.fixturePng(5)
+    val img = MediaAsset(5, "image", png5, "image/png",
+      Some(w5), Some(h5), None, None)
+    assert(Multimodal.WavCodec.decode(img, 4).map(_.toSeq)
+      === Multimodal.ImageIoCodec.decode(img, 4).map(_.toSeq))
+  }
+
   test("cross-doc dup n-grams: duplicated docs score 1.0, unique 0.0") {
     val r = TextAnalysis.crossDocDupStats(docs, "text", "doc_id", n = 3)
       .select($"doc_id", $"dup_frac").as[(Long, Double)].collect().toMap
