@@ -41,11 +41,13 @@ final case class MediaFeatures(
   * means, and [[ImageIoResizer]] does a real pixel resize + PNG
   * re-encode. Audio decode is REAL too: [[WavCodec]] decodes WAV/PCM
   * bytes with the JDK's `javax.sound.sampled` into per-second windows
-  * of exact mean amplitude. Only video remains STUBBED behind
-  * [[MediaCodec]] (the JDK ships no video codec), with a
-  * deterministic fake keyed on the content hash; swapping in a real
-  * codec changes only the body of `MediaCodec.decode` — the pipeline
-  * shape is fixed.
+  * of exact mean amplitude. Video decode is REAL for the one
+  * multi-frame container the JDK ships a codec for: [[GifCodec]]
+  * frame-samples animated GIFs through `javax.imageio`'s GIF reader.
+  * Other video containers (mp4/webm — no JDK codec) fall back to the
+  * deterministic [[StubCodec]] fake keyed on the content hash;
+  * swapping in a production codec changes only the body of
+  * `MediaCodec.decode` — the pipeline shape is fixed.
   */
 object Multimodal {
 
@@ -176,6 +178,59 @@ object Multimodal {
         case _: javax.sound.sampled.UnsupportedAudioFileException
            | _: java.io.IOException => Seq.empty
       }
+  }
+
+  /** Real video-frame decode for animated GIF — the one multi-frame
+    * container `javax.imageio` can read out of the box. Frames are
+    * sampled EVENLY across the animation (index `⌊j·n/maxFrames⌋` for
+    * `j < min(n, maxFrames)` — the standard fixed-budget frame-sample
+    * a video pipeline runs, not "first k"), each decoded to
+    * `[width, height, total_frames, meanR, meanG, meanB]` with the
+    * same exact integer channel sums as [[ImageIoCodec]]. GIF is
+    * palette-based and lossless, so solid-color fixture frames decode
+    * to analytically predictable means. Undecodable bytes emit NO
+    * frame; non-GIF video bytes have no JDK codec and also emit none
+    * (a production deployment swaps in mp4/webm here). Non-video
+    * modalities delegate to [[WavCodec]] → [[ImageIoCodec]], so this
+    * is the fully-real codec for all three modalities. */
+  object GifCodec extends MediaCodec {
+    def decode(asset: MediaAsset, maxFrames: Int): Seq[Array[Float]] =
+      if (asset.modality != "video") WavCodec.decode(asset, maxFrames)
+      else try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(asset.content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, /* seekForwardOnly = */ false)
+            val n = reader.getNumImages(/* allowSearch = */ true)
+            val picks = math.min(n, maxFrames)
+            (0 until picks).map { j =>
+              val idx = (j.toLong * n / picks).toInt
+              val img = reader.read(idx)
+              val w = img.getWidth
+              val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                sr += (p >> 16) & 0xff
+                sg += (p >> 8) & 0xff
+                sb += p & 0xff
+                i += 1
+              }
+              val cnt = w.toLong * h
+              Array(w.toFloat, h.toFloat, n.toFloat,
+                (sr.toDouble / cnt).toFloat, (sg.toDouble / cnt).toFloat,
+                (sb.toDouble / cnt).toFloat)
+            }
+          } finally reader.dispose()
+        }
+      } catch { case _: java.io.IOException => Seq.empty }
   }
 
   def hashHex(bytes: Array[Byte]): String =
@@ -420,6 +475,78 @@ object Multimodal {
         element_at(col("feature"), 2).cast("int").as("channels"),
         element_at(col("feature"), 3).cast("int").as("n_samples"),
         element_at(col("feature"), 4).cast("double").as("mean_amp"))
+      .orderBy(col("asset_id"), col("frame_index"))
+  }
+
+  /** Deterministic animated-GIF fixture for asset `i` with
+    * ANALYTICALLY known per-frame statistics: dimensions
+    * `w = 16 + (i mod 4) · 4`, `h = 12 + (i mod 3) · 4`,
+    * `frames = 1 + (i mod 4)`, frame `k` solid
+    * `rgb((29i+11k) mod 256, (53i+7k) mod 256, (71i+13k) mod 256)`.
+    * GIF's palette encoding is lossless for ≤256 distinct colors, so
+    * each decoded frame's channel means equal its generator color
+    * exactly — a DuckDB oracle can verify a REAL multi-frame video
+    * decode from `range()` alone. Returns (w, h, frames, gifBytes). */
+  def fixtureGif(i: Long): (Int, Int, Int, Array[Byte]) = {
+    val w = 16 + (i % 4).toInt * 4
+    val h = 12 + (i % 3).toInt * 4
+    val frames = 1 + (i % 4).toInt
+    javax.imageio.ImageIO.setUseCache(false)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var k = 0
+      while (k < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val r = ((29 * i + 11 * k) % 256).toInt
+        val g = ((53 * i + 7 * k) % 256).toInt
+        val b = ((71 * i + 13 * k) % 256).toInt
+        val gr = img.createGraphics()
+        try {
+          gr.setColor(new java.awt.Color(r, g, b))
+          gr.fillRect(0, 0, w, h)
+        } finally gr.dispose()
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        k += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    (w, h, frames, out.toByteArray)
+  }
+
+  /** `n` real animated-GIF assets, encoded DISTRIBUTED (same
+    * per-partition boundary discipline as [[imageAssets]]). */
+  def videoAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { i =>
+        val (w, h, frames, bytes) = fixtureGif(i)
+        MediaAsset(i, "video", bytes, "image/gif",
+          Some(w), Some(h), None, Some(frames * 100L))
+      }
+    }
+  }
+
+  /** Real-decode feature table over [[videoAssets]]: GIF bytes →
+    * [[GifCodec]] → one row per sampled frame with decoded dims,
+    * total frame count, and exact per-channel means. Deterministic
+    * output (total order on asset_id, frame_index). */
+  def videoDecodeTable(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    decodeAndFeaturize(videoAssets(spark, n), GifCodec).toDF()
+      .select(col("asset_id"), col("frame_index"),
+        element_at(col("feature"), 1).cast("int").as("width"),
+        element_at(col("feature"), 2).cast("int").as("height"),
+        element_at(col("feature"), 3).cast("int").as("n_frames"),
+        element_at(col("feature"), 4).cast("double").as("mean_r"),
+        element_at(col("feature"), 5).cast("double").as("mean_g"),
+        element_at(col("feature"), 6).cast("double").as("mean_b"))
       .orderBy(col("asset_id"), col("frame_index"))
   }
 

@@ -1916,6 +1916,30 @@ object PipelineQueries {
        FROM range(24) t(i), range(3) s(k) WHERE k < 1 + i % 3
        ORDER BY asset_id, frame_index"""
 
+  /** REAL video-frame decode, oracle-verified from first principles:
+    * 24 deterministic animated GIFs (1-4 solid-color frames each —
+    * [[Multimodal.fixtureGif]]) are encoded distributed, frame-
+    * sampled through `javax.imageio`'s GIF reader
+    * ([[Multimodal.GifCodec]]), and the decoded dims/frame count/
+    * per-channel means must equal what DuckDB recomputes from
+    * `range()` and the generator formulas alone. GIF's palette
+    * encoding is lossless, so a wrong decode hash-mismatches —
+    * nothing here is stubbed. */
+  def mmVideoDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoDecodeTable(s, 24)
+
+  private val mmVideoDecodeSql =
+    """SELECT CAST(i AS BIGINT) AS asset_id,
+       CAST(k AS INT) AS frame_index,
+       CAST(16 + (i % 4) * 4 AS INT) AS width,
+       CAST(12 + (i % 3) * 4 AS INT) AS height,
+       CAST(1 + i % 4 AS INT) AS n_frames,
+       CAST((29 * i + 11 * k) % 256 AS DOUBLE) AS mean_r,
+       CAST((53 * i + 7 * k) % 256 AS DOUBLE) AS mean_g,
+       CAST((71 * i + 13 * k) % 256 AS DOUBLE) AS mean_b
+       FROM range(24) t(i), range(4) s(k) WHERE k < 1 + i % 4
+       ORDER BY asset_id, frame_index"""
+
   /** Real pixel resize + re-encode + re-decode: solid-color assets
     * scaled to 10x7 must decode to the resize target dimensions with
     * channel means still exactly the generator colors (solid colors
@@ -1984,6 +2008,7 @@ object PipelineQueries {
     "mm_features" -> (mmFeatures _),
     "mm_decode" -> (mmDecode _),
     "mm_audio_decode" -> (mmAudioDecode _),
+    "mm_video_decode" -> (mmVideoDecode _),
     "mm_resize_decode" -> (mmResizeDecode _))
 
   val oracle: Map[String, String] = Map(
@@ -2039,5 +2064,6 @@ object PipelineQueries {
     "mm_features" -> mmFeaturesSql,
     "mm_decode" -> mmDecodeSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
+    "mm_video_decode" -> mmVideoDecodeSql,
     "mm_resize_decode" -> mmResizeDecodeSql)
 }

@@ -567,6 +567,36 @@ class PipelineSpec extends SparkSpec {
       === Multimodal.ImageIoCodec.decode(img, 4).map(_.toSeq))
   }
 
+  test("multimodal: real animated-GIF frame decode recovers known frames") {
+    // asset 7: w=16+(7%4)*4=28, h=12+(7%3)*4=16, frames=1+(7%4)=4
+    val (w7, h7, n7, gif7) = Multimodal.fixtureGif(7)
+    assert((w7, h7, n7) === (28, 16, 4))
+    val a7 = MediaAsset(7, "video", gif7, "image/gif",
+      Some(w7), Some(h7), None, Some(400L))
+    val f7 = Multimodal.GifCodec.decode(a7, 4)
+    assert(f7.size === 4)
+    // frame k solid rgb((203+11k)%256, (371+7k)%256, (497+13k)%256)
+    (0 until 4).foreach { k =>
+      assert(f7(k).toSeq === Seq(28f, 16f, 4f,
+        ((203 + 11 * k) % 256).toFloat, ((371 + 7 * k) % 256).toFloat,
+        ((497 + 13 * k) % 256).toFloat))
+    }
+    // even frame sampling under a tighter budget: 4 frames, budget 2
+    // → indices 0 and 2
+    val f2 = Multimodal.GifCodec.decode(a7, 2)
+    assert(f2.map(_.toSeq) === Seq(f7(0).toSeq, f7(2).toSeq))
+    // undecodable bytes emit no frame (drop, don't poison)
+    val junk = MediaAsset(99, "video", "not a gif".getBytes("UTF-8"),
+      "image/gif", None, None, None, None)
+    assert(Multimodal.GifCodec.decode(junk, 4).isEmpty)
+    // audio modality delegates through to the real WAV codec
+    val (_, _, wav0) = Multimodal.fixtureWav(0)
+    val audio = MediaAsset(0, "audio", wav0, "audio/wav",
+      None, None, Some(8000), Some(1000L))
+    assert(Multimodal.GifCodec.decode(audio, 4).map(_.toSeq)
+      === Multimodal.WavCodec.decode(audio, 4).map(_.toSeq))
+  }
+
   test("cross-doc dup n-grams: duplicated docs score 1.0, unique 0.0") {
     val r = TextAnalysis.crossDocDupStats(docs, "text", "doc_id", n = 3)
       .select($"doc_id", $"dup_frac").as[(Long, Double)].collect().toMap
