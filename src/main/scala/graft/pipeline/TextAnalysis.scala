@@ -257,4 +257,63 @@ object TextAnalysis {
         regexp_replace(text, piiEmailPattern, "<EMAIL>"),
         piiIpv4Pattern, "<IP>"),
       piiPhonePattern, "<PHONE>")
+
+  /** Corpus-trained word-bigram language-model quality score — the
+    * CCNet-style perplexity-proxy signal, relational end to end. The
+    * MLE transition model is trained on the corpus itself:
+    * `p(w2|w1) = c(w1 w2) / c(w1 ·)` with `c(w1 ·)` the number of
+    * bigram occurrences starting with `w1`. Each document (≥2 tokens;
+    * shorter docs have no bigram and drop out, like
+    * [[crossDocDupStats]]' short docs) scores the arithmetic mean of
+    * its bigram probabilities — text whose transitions the corpus has
+    * seen often scores high, token salad scores low. The canonical
+    * avg-log-likelihood variant plugs into the same shape; the
+    * arithmetic mean keeps the whole gate on IEEE-exact division plus
+    * decimal-routed rounding (`ln` is not correctly-rounded across
+    * engines — the same bit-replay discipline that picked sqrt for
+    * [[Sampling]]'s temperature weights). Per-gram probabilities are
+    * rounded to 9 decimals IN DECIMAL and summed exactly, so the
+    * result is partition-order-invariant.
+    *
+    * 100 TB shape: gram construction is the codegen'd word_ngrams
+    * scan; counts are map-side-partial aggregations keyed on gram /
+    * first word; the scoring join is gram-keyed — exactly
+    * [[crossDocDupStats]]' proven shuffle pattern, plus one
+    * first-word-keyed join of vocabulary size. */
+  def bigramLmScore(df: DataFrame, textCol: String,
+      keyCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // localCheckpoint: pair counts, first-word counts, and the scoring
+    // join all consume this collapsed relation (the crossDocDupStats
+    // DAG-fork trick — without it Catalyst plans three scan+explode
+    // trees of the corpus).
+    val occ = df
+      .select(col(keyCol), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
+        .as("gram"))
+      .groupBy(col(keyCol), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+      .localCheckpoint(false)
+    val pair = occ.groupBy(col("gram"))
+      .agg(sum(col("occ")).as("c_pair"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .localCheckpoint(false)
+    val first = pair.groupBy(col("w1"))
+      .agg(sum(col("c_pair")).as("c_first"))
+    import org.apache.spark.sql.types.DecimalType
+    // probability rounded to 9 decimals IN DECIMAL, then an exact
+    // (18,9)×(10,0) decimal product/sum — types pinned explicitly so
+    // neither engine hits precision-loss scale reduction
+    val p9 = round((col("c_pair").cast("double") / col("c_first"))
+      .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9))
+    occ.alias("o")
+      .join(pair.alias("p"), Seq("gram"))
+      .join(first.alias("f"), Seq("w1"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(p9 * col("occ").cast(DecimalType(10, 0))).as("p_sum"))
+      .select(col(keyCol), col("n_bigrams"),
+        r3(col("p_sum").cast("double") / col("n_bigrams"))
+          .as("lm_score"))
+  }
 }

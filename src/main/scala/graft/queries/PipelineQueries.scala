@@ -1707,6 +1707,44 @@ object PipelineQueries {
        FROM g JOIN dpg USING (gram)
        GROUP BY g.doc_id ORDER BY g.doc_id"""
 
+  /** Corpus-trained word-bigram LM quality score
+    * ([[TextAnalysis.bigramLmScore]]) — the CCNet-style
+    * perplexity-proxy: MLE transition probabilities trained on the
+    * corpus itself, each document scored by the mean probability of
+    * its bigrams. The oracle replays training and scoring entirely in
+    * SQL over the same tokenizer. */
+  def taBigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val taBigramLmSql =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       occ AS (
+         SELECT doc_id, gram, COUNT(*) AS occ
+         FROM g GROUP BY doc_id, gram),
+       pair AS (
+         SELECT gram, split_part(gram, ' ', 1) AS w1,
+           SUM(occ) AS c_pair
+         FROM occ GROUP BY gram),
+       fw AS (
+         SELECT w1, SUM(c_pair) AS c_first FROM pair GROUP BY w1)
+       SELECT o.doc_id, CAST(SUM(o.occ) AS BIGINT) AS n_bigrams,
+         CAST(ROUND(CAST(CAST(SUM(
+             CAST(ROUND(CAST(CAST(p.c_pair AS DOUBLE) / f.c_first
+               AS DECIMAL(28,10)), 9) AS DECIMAL(18,9))
+             * CAST(o.occ AS DECIMAL(10,0))) AS DOUBLE) / SUM(o.occ)
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS lm_score
+       FROM occ o JOIN pair p USING (gram) JOIN fw f ON p.w1 = f.w1
+       GROUP BY o.doc_id ORDER BY o.doc_id"""
+
   /** SemDeDup-style semantic dedup over the full embeddings table
     * ([[Similarity.semanticDedup]]): the same deterministic codebook as
     * ann_ivf_topk (the sqrt-sized [[codebookPred]] subset), τ = 0.35
@@ -1990,6 +2028,7 @@ object PipelineQueries {
     "ta_tokens" -> (taTokens _),
     "ta_repetition" -> (taRepetition _),
     "ta_dup_ngrams" -> (taDupNgrams _),
+    "ta_bigram_lm" -> (taBigramLm _),
     "ta_pii" -> (taPii _),
     "dd_semantic" -> (ddSemantic _),
     "dd_semantic_at_rest" -> (ddSemanticAtRest _),
@@ -2044,6 +2083,7 @@ object PipelineQueries {
     "ta_tokens" -> taTokensSql,
     "ta_repetition" -> taRepetitionSql,
     "ta_dup_ngrams" -> taDupNgramsSql,
+    "ta_bigram_lm" -> taBigramLmSql,
     "ta_pii" -> taPiiSql,
     "dd_semantic" -> ddSemanticSql,
     // at-rest form shares the in-memory form's oracle verbatim: one

@@ -533,6 +533,23 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.ImageIoResizer.resize(junk, 10, 7) === junk)
   }
 
+  test("bigram LM score: corpus-trained transition means, by hand") {
+    val df = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "z"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(df, "text", "doc_id")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // corpus: c(a b)=3, c(b a)=1, c(b c)=1; c(a .)=3, c(b .)=2
+    // doc 0: grams a b ×2 (p=1.0), b a ×1 (p=0.5) → (2+0.5)/3 = 0.833
+    // doc 1: a b (1.0), b c (0.5) → 0.75
+    // doc 2: single token → no bigram → absent
+    assert(r === Seq((0L, 3L, 0.833), (1L, 2L, 0.75)))
+    // partition-order invariance: exact decimal sums, not double sums
+    val wide = TextAnalysis.bigramLmScore(df.repartition(7), "text",
+      "doc_id").orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(wide === r)
+  }
+
   test("multimodal: real javax.sound WAV decode recovers known windows") {
     // asset 7: channels = 1+(7%2) = 2, seconds = 1+(7%3) = 2
     // window amps: k=0 → (217%200-100)*100 = -8300; k=1 → (234%200-100)*100 = -6600
