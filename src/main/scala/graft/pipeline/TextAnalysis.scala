@@ -258,6 +258,67 @@ object TextAnalysis {
         piiIpv4Pattern, "<IP>"),
       piiPhonePattern, "<PHONE>")
 
+  /** Span-level exact-substring dedup — the token-stream form of Lee
+    * et al.'s "Deduplicating Training Data Makes Language Models
+    * Better" suffix-array scrub, relational end to end. Every n-token
+    * window that occurs more than once in the corpus (any doc,
+    * including within-doc repeats) is a duplicated span; the operator
+    * removes every token covered by at least one such span and
+    * re-joins the survivors, returning per-doc
+    * `(n_tokens, n_removed, clean_text)`. Tokenization is the
+    * pipeline's standard lowercase `\W+` stream, so "removal" is
+    * token-level (the pre-tokenizer representation a training
+    * pipeline actually dedups), not raw-byte surgery.
+    *
+    * 100 TB shape: gram occurrence counting is a map-side-partial
+    * aggregation keyed on gram; duplicated-gram starts join back
+    * gram-keyed ([[crossDocDupStats]]' proven shape); span coverage
+    * explodes each dup start into ≤ n positions (bounded ×n, no
+    * quadratics); the rebuild is one per-doc aggregation. Every
+    * intermediate is integer/string-exact — no float anywhere. */
+  def exactSubstringScrub(df: DataFrame, textCol: String, keyCol: String,
+      n: Int = 5, minCount: Int = 2): DataFrame = {
+    require(n >= 1 && minCount >= 2,
+      "exactSubstringScrub: n >= 1 and minCount >= 2")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // one tokenization, consumed by both the gram pass and the rebuild
+    val toks = df
+      .select(col(keyCol), posexplode(tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+      .localCheckpoint(false)
+    // n-gram at start position i: the codegen'd word_ngrams kernel on
+    // the original text — posexplode index == token start position
+    val grams = df
+      .select(col(keyCol), posexplode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        .as(Seq("start", "gram")))
+      .localCheckpoint(false)
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minCount)
+    // covered (doc, pos) set: each duplicated start spreads over its
+    // n positions; distinct-ify because overlapping spans re-cover
+    val covered = grams.alias("g")
+      .join(dupGrams.alias("d"), Seq("gram"), "left_semi")
+      .select(col(keyCol), explode(sequence(col("start"),
+        col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.alias("t")
+      .join(covered.alias("c"), Seq(keyCol, "pos"), "left_anti")
+    val removedCnt = toks.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_tokens"))
+      .join(covered.groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n_removed")), Seq(keyCol), "left")
+      .na.fill(0L, Seq("n_removed"))
+    val rebuilt = kept.groupBy(col(keyCol))
+      .agg(array_join(transform(array_sort(
+        collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ").as("clean_text"))
+    removedCnt.join(rebuilt, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_tokens"), col("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Corpus-trained word-bigram language-model quality score — the
     * CCNet-style perplexity-proxy signal, relational end to end. The
     * MLE transition model is trained on the corpus itself:

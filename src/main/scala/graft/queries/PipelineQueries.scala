@@ -1707,6 +1707,58 @@ object PipelineQueries {
        FROM g JOIN dpg USING (gram)
        GROUP BY g.doc_id ORDER BY g.doc_id"""
 
+  /** Span-level exact-substring dedup
+    * ([[TextAnalysis.exactSubstringScrub]]) — Lee et al.'s
+    * suffix-array scrub in token-stream form: every 5-token window
+    * occurring ≥2 times in the corpus is a duplicated span; covered
+    * tokens are removed and the survivors re-joined. The oracle
+    * replays gram counting, span coverage, and the per-doc rebuild
+    * (including the reconstructed clean_text strings, compared
+    * byte-for-byte) entirely in SQL. */
+  def ddExactSubstring(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.exactSubstringScrub(t(s, dir, "documents"), "text",
+      "doc_id", n = 5, minCount = 2)
+      .orderBy(col("doc_id"))
+
+  private val ddExactSubstringSql =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       tpos AS (
+         SELECT doc_id, i AS pos, tk[i+1] AS tok
+         FROM toks CROSS JOIN unnest(range(len(tk))) AS r(i)),
+       g AS (
+         SELECT doc_id, i AS start,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+             tk[i+4] || ' ' || tk[i+5] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 4)) AS r(i)
+         WHERE len(tk) >= 5),
+       dup AS (
+         SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+       cov AS (
+         SELECT DISTINCT g.doc_id, g.start + j AS pos
+         FROM g JOIN dup USING (gram)
+         CROSS JOIN unnest(range(5)) AS s(j)),
+       cnt AS (
+         SELECT doc_id, COUNT(*) AS n_tokens FROM tpos GROUP BY doc_id),
+       rem AS (
+         SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+       kept AS (
+         SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos)
+           AS clean_text
+         FROM tpos t
+         WHERE NOT EXISTS (SELECT 1 FROM cov c
+           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+         GROUP BY t.doc_id)
+       SELECT cnt.doc_id, CAST(cnt.n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_removed,
+         COALESCE(kept.clean_text, '') AS clean_text
+       FROM cnt LEFT JOIN rem USING (doc_id)
+         LEFT JOIN kept USING (doc_id)
+       ORDER BY doc_id"""
+
   /** Corpus-trained word-bigram LM quality score
     * ([[TextAnalysis.bigramLmScore]]) — the CCNet-style
     * perplexity-proxy: MLE transition probabilities trained on the
@@ -2029,6 +2081,7 @@ object PipelineQueries {
     "ta_repetition" -> (taRepetition _),
     "ta_dup_ngrams" -> (taDupNgrams _),
     "ta_bigram_lm" -> (taBigramLm _),
+    "dd_exact_substring" -> (ddExactSubstring _),
     "ta_pii" -> (taPii _),
     "dd_semantic" -> (ddSemantic _),
     "dd_semantic_at_rest" -> (ddSemanticAtRest _),
@@ -2084,6 +2137,7 @@ object PipelineQueries {
     "ta_repetition" -> taRepetitionSql,
     "ta_dup_ngrams" -> taDupNgramsSql,
     "ta_bigram_lm" -> taBigramLmSql,
+    "dd_exact_substring" -> ddExactSubstringSql,
     "ta_pii" -> taPiiSql,
     "dd_semantic" -> ddSemanticSql,
     // at-rest form shares the in-memory form's oracle verbatim: one

@@ -533,6 +533,31 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.ImageIoResizer.resize(junk, 10, 7) === junk)
   }
 
+  test("exact-substring scrub: duplicated 5-token spans removed, by hand") {
+    val df = Seq(
+      (0L, "one two three four five six"),
+      (1L, "zero one two three four five end"),
+      (2L, "alpha beta gamma"),
+      (3L, "a b a b a b a b"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.exactSubstringScrub(df, "text", "doc_id", n = 5)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(r === Seq(
+      // "one two three four five" appears in docs 0 and 1 → dup span
+      (0L, 6L, 5L, "six"),
+      (1L, 7L, 5L, "zero end"),
+      // too short for any 5-gram → untouched
+      (2L, 3L, 0L, "alpha beta gamma"),
+      // within-doc repeats: every 5-gram occurs twice → fully scrubbed
+      (3L, 8L, 8L, "")))
+    // partition invariance
+    val wide = TextAnalysis.exactSubstringScrub(df.repartition(7), "text",
+      "doc_id", n = 5).orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(wide === r)
+  }
+
   test("bigram LM score: corpus-trained transition means, by hand") {
     val df = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "z"))
       .toDF("doc_id", "text")
