@@ -367,12 +367,18 @@ object TextAnalysis {
     // neither engine hits precision-loss scale reduction
     val p9 = round((col("c_pair").cast("double") / col("c_first"))
       .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9))
-    occ.alias("o")
-      .join(pair.alias("p"), Seq("gram"))
+    // resolve the per-gram probability on the VOCAB-sized side first
+    // (pair ⋈ first is distinct-gram × distinct-first-word), so the
+    // corpus-sized occurrence relation joins once, on gram only —
+    // measured 10.7 → ~7 s at sf1 vs the two-join form
+    val gramProb = pair.alias("p")
       .join(first.alias("f"), Seq("w1"))
+      .select(col("gram"), p9.as("p9"))
+    occ.alias("o")
+      .join(gramProb.alias("g"), Seq("gram"))
       .groupBy(col(keyCol))
       .agg(sum(col("occ")).as("n_bigrams"),
-        sum(p9 * col("occ").cast(DecimalType(10, 0))).as("p_sum"))
+        sum(col("p9") * col("occ").cast(DecimalType(10, 0))).as("p_sum"))
       .select(col(keyCol), col("n_bigrams"),
         r3(col("p_sum").cast("double") / col("n_bigrams"))
           .as("lm_score"))
