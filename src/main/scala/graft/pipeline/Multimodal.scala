@@ -175,8 +175,12 @@ object Multimodal {
           }
         } finally in.close()
       } catch {
+        // IllegalArgumentException: AudioSystem throws it for a valid
+        // file whose encoding has no PCM16 conversion path — that
+        // asset must drop out like any other undecodable one
         case _: javax.sound.sampled.UnsupportedAudioFileException
-           | _: java.io.IOException => Seq.empty
+           | _: java.io.IOException
+           | _: IllegalArgumentException => Seq.empty
       }
   }
 
@@ -200,37 +204,46 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(asset.content))
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) Seq.empty
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis, /* seekForwardOnly = */ false)
-            val n = reader.getNumImages(/* allowSearch = */ true)
-            val picks = math.min(n, maxFrames)
-            (0 until picks).map { j =>
-              val idx = (j.toLong * n / picks).toInt
-              val img = reader.read(idx)
-              val w = img.getWidth
-              val h = img.getHeight
-              val px = img.getRGB(0, 0, w, h, null, 0, w)
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var i = 0
-              while (i < px.length) {
-                val p = px(i)
-                sr += (p >> 16) & 0xff
-                sg += (p >> 8) & 0xff
-                sb += p & 0xff
-                i += 1
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, /* seekForwardOnly = */ false)
+              val n = reader.getNumImages(/* allowSearch = */ true)
+              val picks = math.min(n, maxFrames)
+              (0 until picks).map { j =>
+                val idx = (j.toLong * n / picks).toInt
+                val img = reader.read(idx)
+                val w = img.getWidth
+                val h = img.getHeight
+                val px = img.getRGB(0, 0, w, h, null, 0, w)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var i = 0
+                while (i < px.length) {
+                  val p = px(i)
+                  sr += (p >> 16) & 0xff
+                  sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  i += 1
+                }
+                val cnt = w.toLong * h
+                Array(w.toFloat, h.toFloat, n.toFloat,
+                  (sr.toDouble / cnt).toFloat, (sg.toDouble / cnt).toFloat,
+                  (sb.toDouble / cnt).toFloat)
               }
-              val cnt = w.toLong * h
-              Array(w.toFloat, h.toFloat, n.toFloat,
-                (sr.toDouble / cnt).toFloat, (sg.toDouble / cnt).toFloat,
-                (sb.toDouble / cnt).toFloat)
-            }
-          } finally reader.dispose()
-        }
-      } catch { case _: java.io.IOException => Seq.empty }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
+      } catch {
+        // a malformed container can also surface as IIOException's
+        // unchecked cousins from deep in the reader — drop, don't
+        // poison the partition
+        case _: java.io.IOException
+           | _: IllegalArgumentException
+           | _: IndexOutOfBoundsException => Seq.empty
+      }
   }
 
   def hashHex(bytes: Array[Byte]): String =
