@@ -78,7 +78,10 @@ object PartitionedAnn {
     requireDim(corpus, vecCol, dim, "writeSrpBucketed")
     val hp = Similarity.hyperplanes(planes, dim)
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
+    // buildParallel: see Similarity — a one-row-group source file
+    // must not serialize the whole bucket-hash pass onto one task
+    Similarity.buildParallel(corpus)
+      .select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
         graft.functions.GraftFunctions.vec_norm(col(vecCol)).as("c_norm"),
         Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
@@ -127,8 +130,9 @@ object PartitionedAnn {
     requireDim(corpus, vecCol, dim, "writeSrpBucketedInt8")
     val hp = Similarity.hyperplanes(planes, dim)
     Similarity.quantizeInt8(
-      corpus.select(col(keyCol).as("c_id"), col(vecCol),
-        Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket")),
+      Similarity.buildParallel(corpus)
+        .select(col(keyCol).as("c_id"), col(vecCol),
+          Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket")),
       vecCol, "c_id", keep = Seq("bucket"))
       .select(col("c_id"), col("q"), col("qn"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)

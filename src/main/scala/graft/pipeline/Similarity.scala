@@ -252,10 +252,24 @@ object Similarity {
         .filter(col("crk") <= keep)
         .drop("ccos", "crk")
 
+  /** Corpus-wide index builds must take their parallelism from the
+    * cluster, not from however few splits the source file happens to
+    * offer: a single-row-group parquet export (common from
+    * single-writer tools) scans as ONE task, and a 1024-dim centroid
+    * assignment on one core is the difference between minutes and
+    * days at scale — found live when the sf10 embeddings file (one
+    * 800 MB row group) pinned the IVF build to a single core for
+    * half an hour. One explicit round-robin shuffle; the bytes it
+    * moves are noise against the O(n·√n) scoring it parallelizes,
+    * and the build runs once per layout. */
+  private[pipeline] def buildParallel(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** The IVF index build, exposed for partitioned-at-rest layouts
     * ([[PartitionedAnn]]): tag each corpus vector with its nearest
     * centroid. One broadcast join + map-side `min_by` argmax — the
-    * corpus never shuffles its score relation. Returns
+    * corpus's score relation never shuffles (only the pre-scoring
+    * [[buildParallel]] spread of the raw vectors). Returns
     * `(c_id, c_vec, c_norm, cent_id)` with the norm precomputed, so a
     * layout written from this output never recomputes norms at query
     * time. */
@@ -263,8 +277,9 @@ object Similarity {
       centroids: DataFrame): DataFrame = {
     val nn = nativeNorm(corpus) _
     nearestCent(
-      corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
-        nn(col(vecCol)).as("c_norm")),
+      buildParallel(
+        corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
+          nn(col(vecCol)).as("c_norm"))),
       centPrep(corpus, centroids), "c_id", "c_vec", "c_norm", keep = 1)
   }
 

@@ -90,7 +90,9 @@ def gen_documents(src, out, factor):
         "n_chars": pa.array(new_chars, pa.int64()),
     }).cast(t.schema.remove_metadata())
     merged = pa.concat_tables([t.replace_schema_metadata(None), fresh])
-    pq.write_table(merged, f"{out}/documents.parquet")
+    # same splittability concern as embeddings (docs are ~1 KB rows)
+    pq.write_table(merged, f"{out}/documents.parquet",
+                   row_group_size=65536)
     print(f"documents: {n} -> {merged.num_rows}")
 
 
@@ -110,7 +112,14 @@ def gen_embeddings(src, out, factor):
         "label": pa.array(labels, pa.int32()),
     }).cast(t.schema.remove_metadata())
     merged = pa.concat_tables([t.replace_schema_metadata(None), fresh])
-    pq.write_table(merged, f"{out}/embeddings.parquet")
+    # Bounded row groups: a 1024-dim float row is ~4 KB, so arrow's
+    # default 1M-row group would be one unsplittable multi-GB block —
+    # Spark schedules at most one task per row group start, and a
+    # single-row-group embeddings file pins every corpus-wide vector
+    # pass to ONE core (observed live at sf10: the IVF build sat on a
+    # single task for 30+ minutes). 8192 rows ≈ 33 MB per group.
+    pq.write_table(merged, f"{out}/embeddings.parquet",
+                   row_group_size=8192)
     print(f"embeddings: {n} -> {merged.num_rows}")
 
 
