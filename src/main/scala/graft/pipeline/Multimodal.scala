@@ -95,7 +95,7 @@ object Multimodal {
   object ImageIoCodec extends MediaCodec {
     def decode(asset: MediaAsset, maxFrames: Int): Seq[Array[Float]] =
       if (asset.modality != "image") StubCodec.decode(asset, maxFrames)
-      else {
+      else try {
         javax.imageio.ImageIO.setUseCache(false) // no temp files on executors
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(asset.content))
@@ -120,6 +120,12 @@ object Multimodal {
             (sr.toDouble / n).toFloat, (sg.toDouble / n).toFloat,
             (sb.toDouble / n).toFloat))
         }
+      } catch {
+        // a truncated/corrupt image whose header a reader DOES
+        // recognize makes ImageIO.read throw IIOException instead of
+        // returning null — same drop-don't-poison contract
+        case _: java.io.IOException
+           | _: IllegalArgumentException => Seq.empty
       }
   }
 
@@ -292,7 +298,7 @@ object Multimodal {
     * [[ImageIoCodec]]; the downstream decode emits no frame for
     * them). */
   object ImageIoResizer extends MediaResizer {
-    def resize(a: MediaAsset, w: Int, h: Int): MediaAsset = {
+    def resize(a: MediaAsset, w: Int, h: Int): MediaAsset = try {
       javax.imageio.ImageIO.setUseCache(false)
       val src = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(a.content))
@@ -312,6 +318,10 @@ object Multimodal {
         a.copy(width = Some(w), height = Some(h),
           content = out.toByteArray, mime_type = "image/png")
       }
+    } catch {
+      // truncated-but-recognized bytes throw from ImageIO.read rather
+      // than returning null — same pass-through as the null path
+      case _: java.io.IOException | _: IllegalArgumentException => a
     }
   }
 

@@ -80,7 +80,7 @@ object CurationStream {
     * anti-joins the accumulated kept-fingerprint state. Writes this
     * batch's verdicts and its newly-kept fingerprints to their
     * `batch=<id>` partitions (overwrite ⇒ replay-idempotent). */
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
       verdictsDir: String, seenDir: String,
       qMin: Double, rMax: Double): Unit = {
     val spark = batch.sparkSession
@@ -90,9 +90,26 @@ object CurationStream {
     val passers = v.filter(col("pass_q") && col("pass_r"))
     val batchKeep = passers.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"))
-    val seen = scala.util.Try(spark.read.parquet(seenDir).select(col("fp")))
-      .getOrElse(spark.emptyDataFrame.withColumn("fp", lit("")))
-      .select(col("fp"))
+    // Cross-batch state read, with two replay-safety properties:
+    //  1. EXCLUDE this batch's own partition — a batch replayed after
+    //     a crash that landed both writes would otherwise see the
+    //     fingerprints it itself kept, demote every keeper to
+    //     drop_dup, and overwrite its state partition empty (losing
+    //     those fingerprints from dedup state forever).
+    //  2. Only a MISSING state directory falls back to empty (first
+    //     batch); any other read failure (partial file from a crash
+    //     mid-write, transient IO) must fail the batch loudly — a
+    //     swallowed error here would silently reset dedup state and
+    //     record cross-batch duplicates as kept.
+    val seenPath = new org.apache.hadoop.fs.Path(seenDir)
+    val fs = seenPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen =
+      if (!fs.exists(seenPath))
+        spark.emptyDataFrame.withColumn("fp", lit("")).select(col("fp"))
+      else
+        spark.read.parquet(seenDir)
+          .filter(col("batch") =!= lit(batchId))
+          .select(col("fp"))
     val newKeep = batchKeep.join(seen, Seq("fp"), "left_anti")
       .localCheckpoint(true) // fix the winner set BEFORE state advances
     val verdicts = v.join(newKeep, Seq("fp"), "left_outer")

@@ -512,6 +512,13 @@ class PipelineSpec extends SparkSpec {
     val junk = MediaAsset(99, "image", "not a png".getBytes("UTF-8"),
       "image/png", None, None, None, None)
     assert(Multimodal.ImageIoCodec.decode(junk, 4).isEmpty)
+    // TRUNCATED bytes are the nastier case: a reader recognizes the
+    // header, so ImageIO.read throws instead of returning null — must
+    // also drop, and the resizer must pass the asset through
+    val truncated = MediaAsset(97, "image", png0.take(png0.length / 2),
+      "image/png", None, None, None, None)
+    assert(Multimodal.ImageIoCodec.decode(truncated, 4).isEmpty)
+    assert(Multimodal.ImageIoResizer.resize(truncated, 10, 7) === truncated)
     // non-image modality delegates to the stub
     val audio = MediaAsset(98, "audio", Array[Byte](1, 2, 3),
       "application/octet-stream", None, None, Some(16000), Some(2000))

@@ -397,6 +397,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).distinct.size === got.size)
   }
 
+  test("curation funnel batch replay is idempotent, state survives") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-cur-replay").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val b0 = docs.filter($"doc_id" < 100)
+    val b1 = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
+    def snap() = spark.read.parquet(s"$out/verdicts")
+      .select($"doc_id", $"stage").as[(Long, String)].collect().toSet
+    def seenFps() = spark.read.parquet(s"$out/seen")
+      .select($"fp").as[String].collect().toSet
+    graft.streaming.CurationStream.processBatch(b0, 0L,
+      s"$out/verdicts", s"$out/seen", 0.65, 0.01)
+    graft.streaming.CurationStream.processBatch(b1, 1L,
+      s"$out/verdicts", s"$out/seen", 0.65, 0.01)
+    val verdicts = snap()
+    val fps = seenFps()
+    assert(verdicts.exists(_._2 == "kept"))
+    // a crash after both of batch 1's writes but before the
+    // checkpoint commit replays the SAME batch: the replay must see
+    // neither its own prior verdicts nor its own prior state (else
+    // every keeper demotes to drop_dup and the state partition is
+    // overwritten empty)
+    graft.streaming.CurationStream.processBatch(b1, 1L,
+      s"$out/verdicts", s"$out/seen", 0.65, 0.01)
+    assert(snap() === verdicts)
+    assert(seenFps() === fps)
+  }
+
   test("incremental curation funnel equals the batch funnel, dedup across batches") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("graft-cur-in")

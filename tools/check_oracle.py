@@ -50,30 +50,40 @@ def norm(rows):
 
 
 def run_with_timeout(con, sql, timeout):
-    """Execute sql; on timeout interrupt DuckDB and raise TimeoutError."""
+    """Execute sql; on timeout interrupt DuckDB and raise TimeoutError.
+
+    A prior query's watchdog can fire in the gap between its query
+    finishing and the timer being cancelled; that interrupt then lands
+    on THIS query (shared connection) even though it is healthy. Such a
+    stale interrupt is recognizable because this call's own timed_out
+    flag is still clear — retry once on a clean timer instead of
+    mis-reporting a SKIP.
+    """
     if not timeout:
         cur = con.execute(sql)
         return cur, cur.fetchall()
-    timed_out = threading.Event()
+    for attempt in (0, 1):
+        timed_out = threading.Event()
 
-    def watchdog():
-        timed_out.set()
-        con.interrupt()
+        def watchdog():
+            timed_out.set()
+            con.interrupt()
 
-    t = threading.Timer(timeout, watchdog)
-    t.start()
-    try:
-        cur = con.execute(sql)
-        rows = cur.fetchall()
-    except duckdb.InterruptException:
-        raise TimeoutError(f"oracle exceeded {timeout}s")
-    except duckdb.Error:
-        if timed_out.is_set():
-            raise TimeoutError(f"oracle exceeded {timeout}s")
-        raise
-    finally:
-        t.cancel()
-    return cur, rows
+        t = threading.Timer(timeout, watchdog)
+        t.start()
+        try:
+            cur = con.execute(sql)
+            return cur, cur.fetchall()
+        except duckdb.InterruptException:
+            if timed_out.is_set() or attempt == 1:
+                raise TimeoutError(f"oracle exceeded {timeout}s")
+            # stale interrupt from the previous query's watchdog
+        except duckdb.Error:
+            if timed_out.is_set():
+                raise TimeoutError(f"oracle exceeded {timeout}s")
+            raise
+        finally:
+            t.cancel()
 
 
 def main():

@@ -29,6 +29,9 @@ def main():
         if a is None or b is None or a <= 0 or b <= 0:
             continue
         rows.append((q, a, b, b / a))
+    if not rows:
+        sys.exit("no comparable queries between the two bench files "
+                 "(disjoint query sets, or all common entries errored)")
     rows.sort(key=lambda r: -r[3])
     print(f"| query | {sys.argv[1].split('/')[-1]} s | "
           f"{sys.argv[2].split('/')[-1]} s | ratio | exponent |")
