@@ -342,43 +342,62 @@ object TextAnalysis {
     * [[crossDocDupStats]]' proven shuffle pattern, plus one
     * first-word-keyed join of vocabulary size. */
   def bigramLmScore(df: DataFrame, textCol: String,
-      keyCol: String): DataFrame = {
+      keyCol: String): DataFrame =
+    scoreWithBigramModel(df, bigramModel(df, textCol), textCol, keyCol)
+
+  /** Train the bigram transition model: one row per distinct corpus
+    * bigram with its 9-decimal probability (see [[bigramLmScore]] for
+    * the arithmetic contract). The result is VOCABULARY-sized —
+    * distinct bigrams, not corpus occurrences — which is what makes
+    * the train-once / score-anywhere split work: the model broadcasts
+    * to a scoring join over any other relation, including a stream
+    * ([[graft.streaming.LmStream]]). */
+  def bigramModel(df: DataFrame, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // localCheckpoint: pair counts, first-word counts, and the scoring
-    // join all consume this collapsed relation (the crossDocDupStats
-    // DAG-fork trick — without it Catalyst plans three scan+explode
-    // trees of the corpus).
-    val occ = df
+    import org.apache.spark.sql.types.DecimalType
+    val pair = df
+      .select(explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
+        .as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("c_pair"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .localCheckpoint(false)
+    val first = pair.groupBy(col("w1"))
+      .agg(sum(col("c_pair")).as("c_first"))
+    // probability rounded to 9 decimals IN DECIMAL — and resolved on
+    // the VOCAB-sized side (pair ⋈ first is distinct-gram ×
+    // distinct-first-word), so scoring joins the corpus once, on gram
+    // only — measured 10.7 → ~7 s at sf1 vs the two-join form
+    val p9 = round((col("c_pair").cast("double") / col("c_first"))
+      .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9))
+    pair.alias("p")
+      .join(first.alias("f"), Seq("w1"))
+      .select(col("gram"), p9.as("p9"))
+  }
+
+  /** Score any document relation against a trained [[bigramModel]].
+    * Bigrams absent from the model contribute probability 0 (the doc
+    * still pays for them in the mean — unseen transitions are exactly
+    * what should drag a score down), so scoring a corpus against its
+    * own model reproduces [[bigramLmScore]] bit-for-bit while new
+    * documents score honestly against the trained distribution. */
+  def scoreWithBigramModel(docs: DataFrame, model: DataFrame,
+      textCol: String, keyCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.types.DecimalType
+    val occ = docs
       .select(col(keyCol), explode(
         graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
         .as("gram"))
       .groupBy(col(keyCol), col("gram"))
       .agg(count(lit(1)).as("occ"))
-      .localCheckpoint(false)
-    val pair = occ.groupBy(col("gram"))
-      .agg(sum(col("occ")).as("c_pair"))
-      .withColumn("w1", substring_index(col("gram"), " ", 1))
-      .localCheckpoint(false)
-    val first = pair.groupBy(col("w1"))
-      .agg(sum(col("c_pair")).as("c_first"))
-    import org.apache.spark.sql.types.DecimalType
-    // probability rounded to 9 decimals IN DECIMAL, then an exact
-    // (18,9)×(10,0) decimal product/sum — types pinned explicitly so
-    // neither engine hits precision-loss scale reduction
-    val p9 = round((col("c_pair").cast("double") / col("c_first"))
-      .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9))
-    // resolve the per-gram probability on the VOCAB-sized side first
-    // (pair ⋈ first is distinct-gram × distinct-first-word), so the
-    // corpus-sized occurrence relation joins once, on gram only —
-    // measured 10.7 → ~7 s at sf1 vs the two-join form
-    val gramProb = pair.alias("p")
-      .join(first.alias("f"), Seq("w1"))
-      .select(col("gram"), p9.as("p9"))
     occ.alias("o")
-      .join(gramProb.alias("g"), Seq("gram"))
+      .join(model.alias("g"), Seq("gram"), "left_outer")
       .groupBy(col(keyCol))
       .agg(sum(col("occ")).as("n_bigrams"),
-        sum(col("p9") * col("occ").cast(DecimalType(10, 0))).as("p_sum"))
+        sum(coalesce(col("p9"), lit(0).cast(DecimalType(18, 9)))
+          * col("occ").cast(DecimalType(10, 0))).as("p_sum"))
       .select(col(keyCol), col("n_bigrams"),
         r3(col("p_sum").cast("double") / col("n_bigrams"))
           .as("lm_score"))

@@ -582,6 +582,27 @@ class PipelineSpec extends SparkSpec {
     assert(wide === r)
   }
 
+  test("bigram LM model split: self-scoring matches, unseen grams score 0") {
+    val corpus = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(corpus, "text")
+    // trained probs: c(a b)=2, c(b a)=1; c(a .)=2, c(b .)=1 → both 1.0
+    val m = model.as[(String, java.math.BigDecimal)].collect().toMap
+    assert(m.keySet === Set("a b", "b a"))
+    assert(m.values.forall(_.doubleValue === 1.0))
+    // scoring the corpus against its own model == the one-shot form
+    val self = TextAnalysis.scoreWithBigramModel(corpus, model,
+      "text", "doc_id").as[(Long, Long, Double)].collect().toSeq
+    val oneShot = TextAnalysis.bigramLmScore(corpus, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(self === oneShot)
+    // new docs: unseen transitions drag the mean down, fully-unseen = 0
+    val fresh = Seq((1L, "a b x"), (2L, "x y")).toDF("doc_id", "text")
+    val scored = TextAnalysis.scoreWithBigramModel(fresh, model,
+      "text", "doc_id").orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(scored === Seq((1L, 2L, 0.5), (2L, 1L, 0.0)))
+  }
+
   test("multimodal: real javax.sound WAV decode recovers known windows") {
     // asset 7: channels = 1+(7%2) = 2, seconds = 1+(7%3) = 2
     // window amps: k=0 → (217%200-100)*100 = -8300; k=1 → (234%200-100)*100 = -6600

@@ -397,6 +397,52 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).distinct.size === got.size)
   }
 
+  test("stream LM scoring equals batch scoring with the same trained model") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft-lm-in")
+    val out = Files.createTempDirectory("graft-lm-out").toString
+    val ckpt = Files.createTempDirectory("graft-lm-ckpt").toString
+    val train = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    // stream input: fresh docs from the same distribution plus one
+    // whose bigrams the model has never seen
+    val c1 = train.filter($"doc_id" < 250)
+      .withColumn("doc_id", $"doc_id" + lit(10000))
+    val c2 = train.filter($"doc_id" >= 250)
+      .withColumn("doc_id", $"doc_id" + lit(10000))
+      .unionByName(train.limit(1)
+        .withColumn("doc_id", lit(99999L))
+        .withColumn("text", lit("zebra quark zebra quark")))
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-lm-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(c1, "c1.parquet")
+    val q = graft.streaming.LmStream.run(spark, train, in.toString, out,
+      ckpt, trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(c2, "c2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"n_bigrams", $"lm_score")
+      .as[(Long, Long, Double)].collect().toSet
+    val model = graft.pipeline.TextAnalysis.bigramModel(train, "text")
+    val expected = graft.pipeline.TextAnalysis.scoreWithBigramModel(
+      c1.unionByName(c2), model, "text", "doc_id")
+      .select($"doc_id", $"n_bigrams", $"lm_score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    // parity is not vacuous: known docs score like the corpus, the
+    // unseen-bigram doc scores exactly 0
+    assert(got.exists(r => r._1 == 99999L && r._3 === 0.0))
+    assert(got.exists(_._3 > 0.0))
+  }
+
   test("curation funnel batch replay is idempotent, state survives") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft-cur-replay").toString
