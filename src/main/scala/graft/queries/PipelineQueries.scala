@@ -1707,6 +1707,64 @@ object PipelineQueries {
        FROM g JOIN dpg USING (gram)
        GROUP BY g.doc_id ORDER BY g.doc_id"""
 
+  /** Model-apply form of the bigram LM
+    * ([[TextAnalysis.scoreWithBigramModel]]): the model trains on the
+    * documents corpus, then scores a DIFFERENT relation — every doc
+    * with two out-of-vocabulary tokens appended, so each document
+    * carries exactly two zero-probability transitions alongside its
+    * in-model grams. Gates the unseen-gram (left-join + coalesce 0)
+    * path the self-scoring query can never exercise; the oracle
+    * replays train and apply over both relations. */
+  def taBigramLmApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = TextAnalysis.bigramModel(docs, "text")
+    val target = docs.select(col("doc_id"),
+      concat_ws(" ", col("text"), lit("qq7 qq7")).as("text"))
+    TextAnalysis.scoreWithBigramModel(target, model, "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private val taBigramLmApplySql =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       g AS (
+         SELECT tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       pair AS (
+         SELECT gram, split_part(gram, ' ', 1) AS w1,
+           COUNT(*) AS c_pair
+         FROM g GROUP BY gram),
+       fw AS (
+         SELECT w1, SUM(c_pair) AS c_first FROM pair GROUP BY w1),
+       model AS (
+         SELECT p.gram,
+           CAST(ROUND(CAST(CAST(p.c_pair AS DOUBLE) / f.c_first
+             AS DECIMAL(28,10)), 9) AS DECIMAL(18,9)) AS p9
+         FROM pair p JOIN fw f ON p.w1 = f.w1),
+       ttoks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(
+             lower(text || ' qq7 qq7'), '\W+'), x -> x <> '') AS tk
+         FROM documents),
+       tg AS (
+         SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM ttoks CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       occ AS (
+         SELECT doc_id, gram, COUNT(*) AS occ
+         FROM tg GROUP BY doc_id, gram)
+       SELECT o.doc_id, CAST(SUM(o.occ) AS BIGINT) AS n_bigrams,
+         CAST(ROUND(CAST(CAST(SUM(
+             COALESCE(m.p9, CAST(0 AS DECIMAL(18,9)))
+             * CAST(o.occ AS DECIMAL(10,0))) AS DOUBLE) / SUM(o.occ)
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS lm_score
+       FROM occ o LEFT JOIN model m ON o.gram = m.gram
+       GROUP BY o.doc_id ORDER BY o.doc_id"""
+
   /** Span-level exact-substring dedup
     * ([[TextAnalysis.exactSubstringScrub]]) — Lee et al.'s
     * suffix-array scrub in token-stream form: every 5-token window
@@ -2081,6 +2139,7 @@ object PipelineQueries {
     "ta_repetition" -> (taRepetition _),
     "ta_dup_ngrams" -> (taDupNgrams _),
     "ta_bigram_lm" -> (taBigramLm _),
+    "ta_bigram_lm_apply" -> (taBigramLmApply _),
     "dd_exact_substring" -> (ddExactSubstring _),
     "ta_pii" -> (taPii _),
     "dd_semantic" -> (ddSemantic _),
@@ -2137,6 +2196,7 @@ object PipelineQueries {
     "ta_repetition" -> taRepetitionSql,
     "ta_dup_ngrams" -> taDupNgramsSql,
     "ta_bigram_lm" -> taBigramLmSql,
+    "ta_bigram_lm_apply" -> taBigramLmApplySql,
     "dd_exact_substring" -> ddExactSubstringSql,
     "ta_pii" -> taPiiSql,
     "dd_semantic" -> ddSemanticSql,
