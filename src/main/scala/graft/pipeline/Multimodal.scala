@@ -330,6 +330,9 @@ object Multimodal {
     * [[decodeAndFeaturize]]: swap the resizer, keep the plan. */
   def resizeImages(assets: Dataset[MediaAsset], w: Int, h: Int,
       resizer: MediaResizer = StubResizer): Dataset[MediaAsset] = {
+    // caller bug, not a poison asset — must fail here, not be
+    // swallowed by the per-asset decode guards into a silent no-op
+    require(w > 0 && h > 0, s"resizeImages: target ${w}x$h must be > 0")
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>

@@ -84,6 +84,10 @@ object PartitionedAnn {
       .select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
         graft.functions.GraftFunctions.vec_norm(col(vecCol)).as("c_norm"),
         Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket"))
+      // cluster the write on the layout key: the hash pass above runs
+      // wide, then each bucket lands in exactly one task → one file
+      // per bucket dir instead of tasks × buckets small files
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
   }
 
@@ -135,6 +139,7 @@ object PartitionedAnn {
           Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket")),
       vecCol, "c_id", keep = Seq("bucket"))
       .select(col("c_id"), col("q"), col("qn"), col("bucket"))
+      .repartition(col("bucket")) // one file per bucket dir (see above)
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
   }
 
@@ -191,6 +196,9 @@ object PartitionedAnn {
     requireIntCentIds(centroids)
     Similarity.ivfAssign(corpus, vecCol, keyCol, centroids)
       .withColumn("cent_id", col("cent_id").cast("int"))
+      // cluster the write on the layout key: one file per cent_id dir
+      // instead of (shuffle partitions) × centroids small files
+      .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
   }
 
@@ -208,6 +216,7 @@ object PartitionedAnn {
       assigned.select(col("c_id"), col("c_vec"), col("cent_id")),
       "c_vec", "c_id", keep = Seq("cent_id"))
       .select(col("c_id"), col("q"), col("qn"), col("cent_id"))
+      .repartition(col("cent_id")) // one file per cent_id dir (see above)
       .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
   }
 

@@ -260,10 +260,15 @@ object Similarity {
     * days at scale — found live when the sf10 embeddings file (one
     * 800 MB row group) pinned the IVF build to a single core for
     * half an hour. One explicit round-robin shuffle; the bytes it
-    * moves are noise against the O(n·√n) scoring it parallelizes,
-    * and the build runs once per layout. */
-  private[pipeline] def buildParallel(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * moves are noise against the O(n·√n) scoring it parallelizes.
+    * Guarded: a source that already scans at cluster parallelism (a
+    * many-split corpus — the common case at real scale) passes
+    * through untouched, so the per-query rebuild paths that share
+    * [[ivfAssign]] don't pay a pointless corpus shuffle. */
+  private[pipeline] def buildParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** The IVF index build, exposed for partitioned-at-rest layouts
     * ([[PartitionedAnn]]): tag each corpus vector with its nearest

@@ -96,20 +96,25 @@ object CurationStream {
     //     fingerprints it itself kept, demote every keeper to
     //     drop_dup, and overwrite its state partition empty (losing
     //     those fingerprints from dedup state forever).
-    //  2. Only a MISSING state directory falls back to empty (first
-    //     batch); any other read failure (partial file from a crash
-    //     mid-write, transient IO) must fail the batch loudly — a
-    //     swallowed error here would silently reset dedup state and
-    //     record cross-batch duplicates as kept.
-    val seenPath = new org.apache.hadoop.fs.Path(seenDir)
-    val fs = seenPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    //  2. Empty state is assumed ONLY when schema inference finds no
+    //     committed data files at all — the first batch, or a crash
+    //     that left nothing but an uncommitted _temporary dir (both
+    //     provably-empty states; a bare existence check would turn
+    //     the latter into a permanent replay crash loop, since the
+    //     repairing overwrite happens after the failing read). A
+    //     committed-but-corrupt file still fails the batch loudly at
+    //     execution time — a swallowed error there would silently
+    //     reset dedup state and record cross-batch duplicates as
+    //     kept.
     val seen =
-      if (!fs.exists(seenPath))
-        spark.emptyDataFrame.withColumn("fp", lit("")).select(col("fp"))
-      else
+      try
         spark.read.parquet(seenDir)
           .filter(col("batch") =!= lit(batchId))
           .select(col("fp"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.emptyDataFrame.withColumn("fp", lit("")).select(col("fp"))
+      }
     val newKeep = batchKeep.join(seen, Seq("fp"), "left_anti")
       .localCheckpoint(true) // fix the winner set BEFORE state advances
     val verdicts = v.join(newKeep, Seq("fp"), "left_outer")

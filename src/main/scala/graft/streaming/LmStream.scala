@@ -30,15 +30,20 @@ object LmStream {
 
   /** Start scoring a parquet document directory as files arrive.
     * `trainDocs` is the reference corpus; the model is trained ONCE
-    * here and frozen (localCheckpoint) so micro-batches reuse the
-    * computed relation instead of re-training per trigger. Read the
-    * verdicts with plain partition discovery over `outDir`. */
+    * here and persisted to parquet under `outDir/_model` (an
+    * underscore path, so verdict partition discovery skips it), then
+    * read back — durable storage rather than executor-memory
+    * checkpoint blocks, because the stream runs indefinitely and a
+    * single executor loss must not poison every later micro-batch.
+    * Read the verdicts with plain partition discovery over `outDir`. */
   def run(spark: SparkSession, trainDocs: DataFrame, inputDir: String,
       outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val model = TextAnalysis.bigramModel(trainDocs, "text")
-      .localCheckpoint(true)
+    val modelDir = s"$outDir/_model"
+    TextAnalysis.bigramModel(trainDocs, "text")
+      .write.mode("overwrite").parquet(modelDir)
+    val model = spark.read.parquet(modelDir)
     val schema = spark.read.parquet(inputDir).schema
     spark.readStream
       .schema(schema)
