@@ -881,6 +881,62 @@ class PipelineSpec extends SparkSpec {
       })
   }
 
+  // random word corpora over a small vocabulary — small enough that
+  // bigram collisions (the interesting LM/scrub cases) actually occur
+  private def genWordCorpus = {
+    import org.scalacheck.Gen
+    Gen.listOfN(12, Gen.listOf(Gen.oneOf("a", "b", "c", "d")))
+      .map(_.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "))
+      })
+  }
+
+  test("property: bigram model is a probability distribution per first word") {
+    import org.scalacheck.{Prop, Test => SCTest}
+    val prop = Prop.forAll(genWordCorpus) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val m = TextAnalysis.bigramModel(df, "text")
+        .as[(String, java.math.BigDecimal)].collect()
+      // per first word, transition probs sum to 1 within the 9-decimal
+      // per-gram rounding (≤ vocab · 5e-10 drift), and each p ∈ (0, 1]
+      val byW1 = m.groupBy(_._1.split(" ")(0))
+      byW1.forall { case (_, grams) =>
+        val s = grams.map(_._2.doubleValue).sum
+        math.abs(s - 1.0) <= grams.length * 5e-10 &&
+          grams.forall(g => g._2.doubleValue > 0 && g._2.doubleValue <= 1.0)
+      }
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("property: LM scores are means in [0,1]; scrub counts conserve") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(genWordCorpus, Gen.choose(2, 4)) { (rows, n) =>
+      val df = rows.toDF("doc_id", "text")
+      val scored = TextAnalysis.bigramLmScore(df, "text", "doc_id")
+        .as[(Long, Long, Double)].collect()
+      val toks = rows.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).length }.toMap
+      // self-scoring: every doc with >=2 tokens appears, scores in
+      // [0,1], and n_bigrams == token count - 1
+      val lmOk = scored.forall { case (id, nb, s) =>
+        nb == toks(id) - 1 && s >= 0.0 && s <= 1.0
+      } && scored.map(_._1).toSet === toks.filter(_._2 >= 2).keySet
+      val scrub = TextAnalysis.exactSubstringScrub(df, "text",
+        "doc_id", n = n).as[(Long, Long, Long, String)].collect()
+      // every tokenized doc appears; removal is bounded; the rebuilt
+      // text holds exactly the surviving token count
+      val scrubOk = scrub.forall { case (id, nt, nr, clean) =>
+        val kept = clean.split("\\s+").filter(_.nonEmpty).length
+        nt == toks(id) && nr >= 0 && nr <= nt && kept == nt - nr
+      } && scrub.map(_._1).toSet === toks.filter(_._2 >= 1).keySet
+      lmOk && scrubOk
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
+    assert(SCTest.check(params, prop).passed)
+  }
+
   test("property: length buckets bound same-bucket length ratio by 2x") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val prop = Prop.forAll(genCorpus, Gen.choose(1, 7)) { (rows, bs) =>
