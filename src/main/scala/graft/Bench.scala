@@ -99,7 +99,7 @@ object Bench {
     // listing, ingest codegen, parser classloading) previously landed
     // on sample 1 and made the reported median swing 4.7s cold vs 1.9s
     // warm across back-to-back bench invocations
-    try convert() catch { case _: Throwable => () }
+    try convert() catch { case scala.util.control.NonFatal(_) => () }
     timeRuns(convert())
   }
 }

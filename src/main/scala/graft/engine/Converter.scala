@@ -107,6 +107,83 @@ class Converter(
     tables.write(outDir)
     tables
   }
+
+  /** Re-conversion into an existing database — the reference's
+    * incremental path: a second run against a db that already holds a
+    * conversion (main.rb opens the SQLite file in place; every write is
+    * INSERT OR REPLACE, database_writer.rb:47-59, with foreign_keys OFF
+    * during the write phase, main.rb:87). Merge semantics:
+    *
+    *  - documents / nodes / properties: the new batch wins on each
+    *    table's replace keys — nodes on PK `id` and then
+    *    UNIQUE(parent_id, position), so a patch node can EVICT a
+    *    previous batch's node that occupied its sibling slot
+    *    (001_create_base_schema.rb:29).
+    *  - cross_references: previous rows are never replaced (the table's
+    *    synthetic autoincrement PK means INSERT OR REPLACE never
+    *    conflicts); detection re-runs over ALL documents against the
+    *    merged final state (relationship_processor.rb:20-39 iterates
+    *    the whole documents table) and appends. The engine keeps set
+    *    semantics — a re-detected edge equal to a previous row dedups —
+    *    where the reference accumulates byte-identical rows under fresh
+    *    synthetic ids, an autoincrement artifact its own corpus queries
+    *    paper over with DISTINCT.
+    *
+    * This is the one path that can strand a reference: a previous
+    * batch's edge whose target node the new batch evicted keeps its
+    * row. That is by design — the schema deliberately puts no FK on
+    * target_node_id (001_create_base_schema.rb:40-48) and ships a
+    * broken-references health check for exactly this state
+    * (sql_queries.md:193-199). Detection input properties are scoped to
+    * surviving nodes (the reference joins node_properties to nodes,
+    * attribute_reference_adapter.rb:14-19), while the STORED properties
+    * table keeps orphans of evicted nodes, exactly as SQLite does with
+    * foreign_keys OFF during writes. */
+  def upsert(prev: GraphTables, inputDir: String): GraphTables = {
+    import org.apache.spark.sql.functions._
+    val t2 = XmlIngest.ingest(spark, inputDir, parseFailures)
+
+    // Last-write-wins across batches with the same max_by shape as
+    // ingest's intra-batch dedup (XmlIngest.tables): batch rank is the
+    // arrival order — the new conversion strictly follows the old one.
+    def lastBatchWins(old: DataFrame, fresh: DataFrame,
+        keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val u = old.withColumn("batch", lit(0))
+        .unionByName(fresh.withColumn("batch", lit(1)))
+      val payload = struct(old.columns.map(col).toIndexedSeq: _*)
+      u.groupBy(keys: _*).agg(max_by(payload, col("batch")).as("w"))
+        .select(col("w.*"))
+    }
+
+    val documents = lastBatchWins(prev.documents, t2.documents,
+      Seq(col("id")))
+    val byId = lastBatchWins(prev.nodes, t2.nodes, Seq(col("id")))
+    // UNIQUE(parent_id, position) with SQLite's multi-NULL exemption:
+    // null-parent rows each keep their own slot (third key = id). The
+    // slot pass re-ranks the id-survivors by batch: rows whose id came
+    // from the new conversion win their slots, evicting previous-batch
+    // occupants — the reference's INSERT OR REPLACE eviction.
+    val nodes = lastBatchWins(
+      byId.join(t2.nodes.select(col("id")), Seq("id"), "left_anti"),
+      byId.join(t2.nodes.select(col("id")), Seq("id"), "left_semi"),
+      Seq(col("parent_id"), col("position"),
+        when(col("parent_id").isNull, col("id"))))
+      .cache()
+    val properties = lastBatchWins(prev.properties, t2.properties,
+      Seq(col("node_id"), col("property_name"))).cache()
+
+    // Detection sees only surviving nodes' properties (np JOIN nodes);
+    // the stored table above keeps orphans like the reference does.
+    val liveProps = properties.join(nodes.select(col("id")),
+      properties("node_id") === nodes("id"), "left_semi")
+    val fresh =
+      if (detectRelationships)
+        RelationshipAdapter.detectAll(adapters, nodes, liveProps)
+      else
+        RelationshipAdapter.detectAll(Nil, nodes, liveProps)
+    val xrefs = prev.crossReferences.unionByName(fresh).distinct()
+    GraphTables(documents, nodes, properties, xrefs)
+  }
 }
 
 object Converter {

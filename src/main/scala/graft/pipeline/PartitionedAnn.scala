@@ -45,8 +45,12 @@ object PartitionedAnn {
     * tiny aggregate job, so a RAGGED corpus (where a head-probe's
     * arbitrary first row might happen to match `dim`) also fails fast
     * at write time instead of silently collapsing the mismatched tail
-    * into bucket 0. Runs once per index build — the full-scan cost is
-    * the build's own scan, not a per-query tax. */
+    * into bucket 0. On the write paths it runs once per index build —
+    * the full-scan cost is the build's own scan. The query paths
+    * (lshTopKPartitioned / lshTopKPartitionedInt8) call it on the
+    * QUERIES relation too: that is a full scan of the query batch per
+    * call, acceptable because query batches are small by contract
+    * (they are collected to the driver for the probe set anyway). */
   private def requireDim(df: DataFrame, vecCol: String, dim: Int,
       who: String): Unit = {
     val probe = df.filter(col(vecCol).isNotNull)

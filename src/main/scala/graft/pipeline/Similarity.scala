@@ -568,6 +568,17 @@ object Similarity {
       ivfAssign(corpus, vecCol, keyCol, centroids).localCheckpoint(false),
       tau)
 
+  /** [[semanticPairs]] over an EXISTING assignment relation
+    * `(c_id, c_vec, c_norm, cent_id)` — the at-rest twin, same
+    * relationship [[semanticDedupAssigned]] has to [[semanticDedup]]:
+    * reading a [[graft.pipeline.PartitionedAnn.writeIvfPartitioned]]
+    * layout back skips the n^1.5 assignment rebuild and pays only the
+    * within-cluster pairing, and because the layout is partitioned by
+    * `cent_id` the equi-join key is already co-located on disk. */
+  def semanticPairsAssigned(assigned: DataFrame,
+      tau: Double): DataFrame =
+    pairsWithinCluster(assigned, tau)
+
   private def pairsWithinCluster(assigned: DataFrame,
       tau: Double): DataFrame = {
     val nd = nativeDot(assigned) _

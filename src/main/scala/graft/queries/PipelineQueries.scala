@@ -1629,8 +1629,39 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Unrolled min-label + pointer-jumping closure for oracle SQL —
+    * replaces the `WITH RECURSIVE reach(node, root)` transitive-closure
+    * CTE, whose row count is Σ component_size² and which DuckDB could
+    * not finish inside the sf1 oracle timeout (the one documented SKIP
+    * of round 7). Each round k takes, per node, the min of (a) its
+    * label's own label (pointer jump — label chains halve, so reach
+    * doubles along sorted chains) and (b) its neighbors' labels
+    * (guaranteed one-hop spread per round, any id ordering). Rounds
+    * rows stay O(nodes + edges) per round instead of quadratic in
+    * component size. `rounds` must cover the similarity graph's
+    * diameter in the worst case; non-convergence cannot pass silently —
+    * unconverged labels hash-mismatch the engine's exact GraphX
+    * components and the gate reports FAIL. Expects CTEs `edges(src,
+    * dst)` (both directions) and `l0(node, lab)` (identity seed) in
+    * scope; leaves `l<rounds>` as the converged (node, lab) relation. */
+  private def minLabelRoundsSql(rounds: Int): String =
+    (1 to rounds).map { k =>
+      val p = s"l${k - 1}"
+      // MATERIALIZED is load-bearing: each round references the
+      // previous one three times, and DuckDB's default CTE inlining
+      // would re-expand the whole chain exponentially (observed as
+      // "Too many open files" on the base parquet scan at 20 rounds)
+      s"""l$k AS MATERIALIZED (
+         SELECT p.node, LEAST(j.lab, COALESCE(nm.nlab, j.lab)) AS lab
+         FROM $p p
+         JOIN $p j ON j.node = p.lab
+         LEFT JOIN (SELECT e.dst AS node, MIN(l.lab) AS nlab
+                    FROM edges e JOIN $p l ON l.node = e.src
+                    GROUP BY e.dst) nm ON nm.node = p.node)"""
+    }.mkString(",\n       ")
+
   private lazy val ppSemdedupE2eSql =
-    s"""WITH RECURSIVE n AS (
+    s"""WITH n AS (
          SELECT vec_id, embedding,
            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
                  FROM (SELECT unnest(embedding) AS x) u)) AS nrm
@@ -1661,16 +1692,15 @@ object PipelineQueries {
                 FROM (SELECT unnest(x.embedding) AS i,
                              unnest(y.embedding) AS j) z)
              / (x.nrm * y.nrm) >= 0.35),
-       edges AS (SELECT va AS src, vb AS dst FROM pairs
-                 UNION ALL SELECT vb, va FROM pairs),
-       reach(node, root) AS (
-         SELECT vec_id, vec_id FROM embeddings
-         UNION
-         SELECT e.dst, r.root FROM reach r JOIN edges e
-           ON e.src = r.node)
-       SELECT node AS vec_id, MIN(root) AS component,
-         node = MIN(root) AS is_keeper
-       FROM reach GROUP BY node ORDER BY vec_id"""
+       edges AS MATERIALIZED (
+         SELECT va AS src, vb AS dst FROM pairs
+         UNION ALL SELECT vb, va FROM pairs),
+       l0 AS MATERIALIZED (
+         SELECT vec_id AS node, vec_id AS lab FROM embeddings),
+       ${minLabelRoundsSql(20)}
+       SELECT node AS vec_id, lab AS component,
+         node = lab AS is_keeper
+       FROM l20 ORDER BY vec_id"""
 
   /** Cross-document duplicated 5-gram fraction — the corpus-level
     * Gopher/Dolma boilerplate signal ([[TextAnalysis.crossDocDupStats]]):
@@ -1718,8 +1748,12 @@ object PipelineQueries {
   def taBigramLmApply(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val model = TextAnalysis.bigramModel(docs, "text")
+    // concat (not concat_ws): a NULL text must propagate NULL so the
+    // doc drops out of tokenization, matching the oracle's
+    // `text || ' qq7 qq7'` NULL semantics — concat_ws would skip the
+    // NULL and score a phantom "qq7 qq7" document.
     val target = docs.select(col("doc_id"),
-      concat_ws(" ", col("text"), lit("qq7 qq7")).as("text"))
+      concat(col("text"), lit(" qq7 qq7")).as("text"))
     TextAnalysis.scoreWithBigramModel(target, model, "text", "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -1928,6 +1962,30 @@ object PipelineQueries {
       e, "embedding", "vec_id", centroids, out))
     Similarity.semanticDedupAssigned(s.read.parquet(out), "vec_id",
       tau = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Transitive SemDeDup over the at-rest IVF index — the e2e twin of
+    * [[ddSemanticAtRest]]: where [[ppSemdedupE2e]] rebuilds codebook +
+    * assignment per run (the n^1.5 stage that dominated its sf10 time,
+    * 96 s median), this form reads the cent_id-partitioned layout
+    * ([[PartitionedAnn.writeIvfPartitioned]], written once and shared
+    * with dd_semantic_at_rest) and pays only within-cluster pairing +
+    * GraphX components. Gated against ppSemdedupE2e's oracle VERBATIM:
+    * the same replay hash-matching both paths is the proof the at-rest
+    * division of labor loses nothing. */
+  def ppSemdedupAtRest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = e.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val out = annLayoutDir(dir, "ivf_all_sqrt50")
+    ensureLayout(out)(PartitionedAnn.writeIvfPartitioned(
+      e, "embedding", "vec_id", centroids, out))
+    val pairs = Similarity.semanticPairsAssigned(
+      s.read.parquet(out), tau = 0.35)
+    Dedup.componentClusters(e.select(col("vec_id")), "vec_id",
+        pairs, "key_a", "key_b")
+      .withColumn("is_keeper", col("vec_id") === col("component"))
       .orderBy(col("vec_id"))
   }
 
@@ -2153,6 +2211,7 @@ object PipelineQueries {
     "pp_packing" -> (ppPacking _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
+    "pp_semdedup_at_rest" -> (ppSemdedupAtRest _),
     "pp_jsonl_roundtrip" -> (ppJsonlRoundtrip _),
     "pp_filter_e2e" -> (ppFilterE2e _),
     "pp_curation_verdicts" -> (ppCurationVerdicts _),
@@ -2212,6 +2271,9 @@ object PipelineQueries {
     "pp_packing" -> ppPackingSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,
+    // at-rest e2e shares the rebuild form's oracle verbatim — same
+    // lossless-layout proof pattern as dd_semantic_at_rest
+    "pp_semdedup_at_rest" -> ppSemdedupE2eSql,
     "pp_jsonl_roundtrip" -> ppJsonlRoundtripSql,
     "pp_filter_e2e" -> ppFilterE2eSql,
     "pp_curation_verdicts" -> ppCurationVerdictsSql,

@@ -20,7 +20,17 @@ object XmlQueries {
   val fixturesDir: String = sys.env.getOrElse("GRAFT_FIXTURES",
     "/root/repo/src/test/resources/fixtures")
 
+  /** A one-document patch corpus applied ON TOP of [[fixturesDir]] via
+    * [[Converter.upsert]] — the reference's incremental re-conversion
+    * path, and the only way a conversion can strand cross-references
+    * (see upsert's scaladoc). Drives the non-empty branch of the
+    * broken-references health query. */
+  val updateDir: String = sys.env.getOrElse("GRAFT_FIXTURES_UPDATE",
+    "/root/repo/src/test/resources/fixtures_update")
+
   @volatile private var cached: Option[(SparkSession, GraphTables)] = None
+  @volatile private var cachedUpsert: Option[(SparkSession, GraphTables)] =
+    None
 
   /** Convert once per session and reuse across the query map. */
   def tables(spark: SparkSession): GraphTables = synchronized {
@@ -46,7 +56,36 @@ object XmlQueries {
     }
   }
 
+  /** Upsert the patch corpus onto the cached base conversion, once per
+    * session (same materialization treatment as [[tables]]). */
+  def upsertTables(spark: SparkSession): GraphTables = synchronized {
+    cachedUpsert match {
+      case Some((s, t)) if s eq spark => t
+      case _ =>
+        val t = new Converter(spark, Converter.allAdapters)
+          .upsert(tables(spark), updateDir)
+        val materialized = GraphTables(
+          t.documents.coalesce(1).localCheckpoint(),
+          t.nodes.coalesce(1).localCheckpoint(),
+          t.properties.coalesce(1).localCheckpoint(),
+          t.crossReferences.coalesce(1).localCheckpoint())
+        cachedUpsert = Some((spark, materialized))
+        materialized
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The broken-references health query (sql_queries.md:193-199) over
+    // the one state that can strand a reference: the incremental
+    // re-conversion ([[Converter.upsert]] of [[updateDir]]'s patch,
+    // which evicts book_1 from its (books, 0) sibling slot while the
+    // base conversion's edges to it persist). Golden is hand-derived:
+    // the patch removes exactly book_1, so the distinct dangling target
+    // set is {book_1}.
+    "xml_broken_references" ->
+      ((s: SparkSession, _: String) =>
+        GraphQueries.brokenReferences(upsertTables(s))
+          .orderBy(col("missing_node_id"))),
     "xml_count_by_type" ->
       ((s: SparkSession, _: String) => GraphQueries.countByType(tables(s))),
     // The gate entry projects away `created_at` (an ingest wall-clock
@@ -214,6 +253,9 @@ object XmlQueries {
     *    books carries exactly one `category` attribute
     *    (cat_fiction / cat_mystery / cat_history). */
   val oracle: Map[String, String] = XmlGoldens.oracle ++ Map(
+    "xml_broken_references" ->
+      """SELECT CAST(c0 AS VARCHAR) AS missing_node_id FROM (VALUES
+         ('book_1')) AS t(c0) ORDER BY missing_node_id""",
     "xml_count_by_type" ->
       """SELECT node_type, CAST(cnt AS BIGINT) AS count FROM (VALUES
          ('tag', 9), ('subcategory', 4), ('author', 3), ('award', 3),

@@ -175,8 +175,33 @@ class CorpusSpec extends SparkSpec {
     assert(d1 === t.nodes.filter($"parent_id".isNotNull).count())
   }
 
-  test("broken references: none in the fixture corpus (sql_queries.md:193-199)") {
+  test("broken references: single-shot conversion cannot dangle (sql_queries.md:193-199)") {
+    // By construction: adapters detect over the FINAL node set (the
+    // reference also runs detection after all writes,
+    // relationship_processor.rb:20-39), so every target resolves.
     assert(GraphQueries.brokenReferences(t).count() === 0)
+  }
+
+  test("broken references: incremental upsert strands edges to an evicted node (sql_queries.md:193-199, 001_create_base_schema.rb:40-48)") {
+    val up = graft.queries.XmlQueries.upsertTables(spark)
+    // The patch's pamphlet_1 takes book_1's (books, position 0) slot —
+    // the UNIQUE(parent_id, position) INSERT OR REPLACE eviction — so
+    // book_1 is gone from nodes while the base conversion's edges to it
+    // persist (no FK on target_node_id, by design).
+    assert(up.nodes.filter($"id" === "book_1").count() === 0)
+    assert(up.nodes.filter($"id" === "pamphlet_1").count() === 1)
+    val missing = GraphQueries.brokenReferences(up)
+      .as[String].collect().toSet
+    assert(missing === Set("book_1"))
+    // The stranded rows include the review attribute references at
+    // their original confidence 1.0 (book_id matches the identifier
+    // indicators) — the exact rows the base corpus asserted live.
+    val stranded = up.crossReferences
+      .filter($"target_node_id" === "book_1" &&
+        $"reference_type" === "attribute_reference")
+      .select($"source_node_id", $"confidence")
+      .as[(String, Double)].collect().toSet
+    assert(stranded === Set(("review_1", 1.0), ("review_2", 1.0)))
   }
 
   test("relationship counts with COALESCE (sql_queries.md:123-141)") {

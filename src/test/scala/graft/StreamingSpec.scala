@@ -443,6 +443,81 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._3 > 0.0))
   }
 
+  test("incremental LSH batch replay is idempotent, band state survives") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-lsh-replay").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val b0 = docs.filter($"doc_id" < 100)
+    val b1 = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
+    def pairSnap() = spark.read.parquet(s"$out/pairs")
+      .select($"key_a", $"key_b").as[(Long, Long)].collect().toSet
+    def bandSnap() = spark.read.parquet(s"$out/bands")
+      .select($"doc_id", $"band", $"band_hash")
+      .as[(Long, Int, String)].collect().toSet
+    graft.streaming.LshStream.processBatch(b0, 0L,
+      s"$out/pairs", s"$out/bands", "text", "doc_id", 8, 4)
+    graft.streaming.LshStream.processBatch(b1, 1L,
+      s"$out/pairs", s"$out/bands", "text", "doc_id", 8, 4)
+    val pairs = pairSnap()
+    val bandState = bandSnap()
+    // a crash after both of batch 1's writes but before the checkpoint
+    // commit replays the SAME batch: the replay must not join against
+    // its own band partition (else every batch-1 doc pairs with itself
+    // shifted into a phantom cross-batch candidate set)
+    graft.streaming.LshStream.processBatch(b1, 1L,
+      s"$out/pairs", s"$out/bands", "text", "doc_id", 8, 4)
+    assert(pairSnap() === pairs)
+    assert(bandSnap() === bandState)
+  }
+
+  test("incremental LSH equals the batch form, candidates across batches") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft-lsh-in")
+    val out = Files.createTempDirectory("graft-lsh-out").toString
+    val ckpt = Files.createTempDirectory("graft-lsh-ckpt").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    // near-dup "recrawls" of chunk-1 documents arrive in chunks 2 and 3
+    // (identical text ⇒ identical signatures ⇒ all bands collide), so
+    // the pairs MUST come from the cross-batch band store
+    def recrawl(ids: Seq[Long], offset: Long) =
+      docs.filter($"doc_id".isin(ids: _*))
+        .withColumn("doc_id", $"doc_id" + lit(offset))
+    val c1 = docs.filter($"doc_id" < 200)
+    val c2 = docs.filter($"doc_id" >= 200 && $"doc_id" < 400)
+      .unionByName(recrawl(Seq(0L, 11L, 22L), 1000))
+    val c3 = docs.filter($"doc_id" >= 400)
+      .unionByName(recrawl(Seq(33L, 44L), 2000))
+    val full = docs.unionByName(recrawl(Seq(0L, 11L, 22L), 1000))
+      .unionByName(recrawl(Seq(33L, 44L), 2000))
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-lsh-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(c1, "c1.parquet")
+    val q = graft.streaming.LshStream.run(spark, in.toString, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(c2, "c2.parquet")
+      q.processAllAvailable()
+      addChunk(c3, "c3.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.streaming.LshStream.pairs(spark, out)
+      .as[(Long, Long)].collect().toSet
+    val expected = graft.pipeline.Dedup.minHashCandidates(full, "text",
+      "doc_id").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    // parity is not vacuous: every recrawl pairs with its original, and
+    // those pairs span micro-batches (original in chunk 1, copy later)
+    for (id <- Seq(0L, 11L, 22L)) assert(got.contains((id, id + 1000)))
+    for (id <- Seq(33L, 44L)) assert(got.contains((id, id + 2000)))
+    assert(expected.nonEmpty)
+  }
+
   test("curation funnel batch replay is idempotent, state survives") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft-cur-replay").toString

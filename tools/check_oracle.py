@@ -75,8 +75,13 @@ def run_with_timeout(con, sql, timeout):
             cur = con.execute(sql)
             return cur, cur.fetchall()
         except duckdb.InterruptException:
-            if timed_out.is_set() or attempt == 1:
+            if timed_out.is_set():
                 raise TimeoutError(f"oracle exceeded {timeout}s")
+            if attempt == 1:
+                # second interrupt with OUR timer still clear: not a
+                # timeout — surface the real interrupt as a failure
+                # rather than mislabeling it a SKIP
+                raise
             # stale interrupt from the previous query's watchdog
         except duckdb.Error:
             if timed_out.is_set():

@@ -41,6 +41,15 @@ SHIFT = 10_000_000
 
 def tile(src, out, name, keycols, factor):
     t = pq.read_table(f"{src}/{name}.parquet")
+    # Key shifting is only collision-free while every source key fits
+    # below SHIFT. Re-tiling an already-scaled dataset (keys >= SHIFT)
+    # would alias copy i's shifted keys onto copy i+k's originals and
+    # silently corrupt every join fan-out — fail loudly instead.
+    for c in keycols:
+        mx = pc.max(t.column(c)).as_py()
+        assert mx is not None and mx < SHIFT, (
+            f"{name}.{c}: max key {mx} >= SHIFT {SHIFT}; source already "
+            f"scaled — always tile from the base sf dir (see CLAUDE.md)")
     parts = [t]
     for i in range(1, factor):
         ti = t
@@ -57,6 +66,14 @@ def tile(src, out, name, keycols, factor):
 
 def gen_documents(src, out, factor):
     t = pq.read_table(f"{src}/documents.parquet")
+    # Fresh rows are appended with ids n..factor*n-1, which is only a
+    # valid (collision-free, gap-free) id space if the source is the
+    # contiguous base corpus 0..n-1.
+    ids = t.column("doc_id")
+    assert pc.min(ids).as_py() == 0 and \
+        pc.max(ids).as_py() == t.num_rows - 1, (
+        f"documents.doc_id not contiguous 0..{t.num_rows - 1}; source "
+        f"already scaled — always generate from the base sf dir")
     texts = t.column("text").to_pylist()
     langs = t.column("lang").to_pylist()
     sources = t.column("source").to_pylist()
