@@ -998,4 +998,88 @@ class PipelineSpec extends SparkSpec {
     val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
     assert(SCTest.check(params, prop).passed)
   }
+
+  // random unit-ish float corpora for the layout-writer properties:
+  // (vec_id, dim-8 vector), sizes spanning fewer-buckets-than-rows
+  // through more-buckets-than-rows so both occupancy regimes get hit
+  private val layoutDim = 8
+  private def genVecCorpus = {
+    import org.scalacheck.Gen
+    Gen.choose(15, 45).flatMap(n =>
+      Gen.listOfN(n * layoutDim, Gen.choose(-1.0, 1.0)).map(_
+        .grouped(layoutDim).toList.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v.map(_.toFloat).toArray)
+        }))
+  }
+
+  /** Census of a partitioned layout dir: (partition dirs, data files). */
+  private def layoutCensus(dir: String, prefix: String): (Int, Int) = {
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix + "="))
+    (dirs.length,
+      dirs.map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum)
+  }
+
+  /** Re-write a layout with the PRE-FIX (unkeyed) writer shape — a
+    * wide repartition before partitionBy, so every task contributes a
+    * file to every bucket dir it touches (the many-small-files layout
+    * the keyed writer replaced). Same rows, different file layout. */
+  private def sprayLayout(src: String, dst: String): Unit =
+    spark.read.parquet(src).repartition(5)
+      .write.mode("overwrite")
+      .partitionBy(new java.io.File(src).listFiles()
+        .filter(_.isDirectory).head.getName.split("=")(0))
+      .parquet(dst)
+
+  test("property: keyed SRP layout writes one file per bucket dir; probes are file-layout-independent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(genVecCorpus, Gen.choose(1, 4)) { (rows, planes) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-srp-prop")
+      val keyed = s"$dir/keyed"
+      val sprayed = s"$dir/sprayed"
+      val df = rows.toDF("vec_id", "embedding")
+      val corpus = df.filter($"vec_id" >= 3)
+      PartitionedAnn.writeSrpBucketed(corpus, "embedding", "vec_id",
+        keyed, planes, layoutDim)
+      val (dirs, files) = layoutCensus(keyed, "bucket")
+      sprayLayout(keyed, sprayed)
+      val q = df.filter($"vec_id" < 3)
+      def probe(d: String) =
+        PartitionedAnn.lshTopKPartitioned(spark, d, q, "embedding",
+          "vec_id", 3, planes, layoutDim)
+          .as[(Long, Int, Long, Double)].collect().toSet
+      files == dirs &&
+        spark.read.parquet(keyed).count() == corpus.count() &&
+        probe(keyed) === probe(sprayed)
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    assert(SCTest.check(params, prop).passed)
+  }
+
+  test("property: keyed IVF layout writes one file per centroid dir; probes are file-layout-independent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val prop = Prop.forAll(genVecCorpus, Gen.choose(2, 5)) { (rows, nCent) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-prop")
+      val keyed = s"$dir/keyed"
+      val sprayed = s"$dir/sprayed"
+      val df = rows.toDF("vec_id", "embedding")
+      val corpus = df.filter($"vec_id" >= 3)
+      val centroids = corpus.filter($"vec_id" < 3 + nCent)
+        .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+      PartitionedAnn.writeIvfPartitioned(corpus, "embedding", "vec_id",
+        centroids, keyed)
+      val (dirs, files) = layoutCensus(keyed, "cent_id")
+      sprayLayout(keyed, sprayed)
+      val q = df.filter($"vec_id" < 3)
+      def probe(d: String) =
+        PartitionedAnn.ivfTopKPartitioned(spark, d, q, "embedding",
+          "vec_id", 3, centroids, nprobe = 2)
+          .as[(Long, Int, Long, Double)].collect().toSet
+      files == dirs &&
+        spark.read.parquet(keyed).count() == corpus.count() &&
+        probe(keyed) === probe(sprayed)
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    assert(SCTest.check(params, prop).passed)
+  }
 }

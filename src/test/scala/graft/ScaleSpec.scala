@@ -283,4 +283,33 @@ class ScaleSpec extends SparkSpec {
       .detect(t.nodes, t.properties)
     assert(edges.count() === 200)
   }
+
+  test("partitioned input dirs bound the listing to the slice read") {
+    // The SCALE.md ingest claim behind graft.tools.ListingBench: a
+    // date-partitioned layout lets a slice read list ONLY its
+    // directory, where the flat layout's filename-glob slice still
+    // lists every file. inputFiles is the driver's own file index —
+    // the assertion is on what the driver actually listed/kept.
+    val (flat, part) = graft.tools.ListingCorpus.generate(1000, 10)
+    def read(path: String, glob: Option[String]) = {
+      val r = spark.read.format("binaryFile")
+      glob.foreach(g => r.option("pathGlobFilter", g))
+      r.load(path)
+    }
+    assert(read(flat.toString, None).inputFiles.length === 1000)
+    assert(read(part.toString, None).inputFiles.length === 1000)
+    // slice = one of the 10 partitions (100 files)
+    val flatSlice = read(flat.toString, Some("*_p005.xml"))
+    val partSlice = read(s"$part/date=p005", None)
+    assert(flatSlice.inputFiles.length === 100)
+    assert(partSlice.inputFiles.length === 100)
+    assert(flatSlice.select("path").count() === 100)
+    assert(partSlice.select("path").count() === 100)
+    // both slices read the same 100 logical files; only the
+    // partitioned form got there without enumerating the other 900
+    // (ListingBench measures that wall-clock asymmetry at 200k files)
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.inputFiles.map(_.split("/").last.replaceAll("_p\\d+", "")).toSet
+    assert(names(flatSlice) === names(partSlice))
+  }
 }
