@@ -1641,9 +1641,15 @@ object PipelineQueries {
     * component size. `rounds` must cover the similarity graph's
     * diameter in the worst case; non-convergence cannot pass silently —
     * unconverged labels hash-mismatch the engine's exact GraphX
-    * components and the gate reports FAIL. Expects CTEs `edges(src,
-    * dst)` (both directions) and `l0(node, lab)` (identity seed) in
-    * scope; leaves `l<rounds>` as the converged (node, lab) relation. */
+    * components and the gate reports FAIL. Measured at sf1 (20 k
+    * vectors, 26 804 pairs): convergence by round 8 (rounds 8 and 12
+    * produce identical output; round 6 differs), each round ≈ 3 s of
+    * DuckDB time on top of the ~40 s assignment+pairing replay — 14
+    * rounds keeps 2⁶× doubling margin over the observed diameter while
+    * holding the whole replay near 85 s quiet (240 s gate budget).
+    * Expects CTEs `edges(src, dst)` (both directions) and `l0(node,
+    * lab)` (identity seed) in scope; leaves `l<rounds>` as the
+    * converged (node, lab) relation. */
   private def minLabelRoundsSql(rounds: Int): String =
     (1 to rounds).map { k =>
       val p = s"l${k - 1}"
@@ -1697,10 +1703,10 @@ object PipelineQueries {
          UNION ALL SELECT vb, va FROM pairs),
        l0 AS MATERIALIZED (
          SELECT vec_id AS node, vec_id AS lab FROM embeddings),
-       ${minLabelRoundsSql(20)}
+       ${minLabelRoundsSql(14)}
        SELECT node AS vec_id, lab AS component,
          node = lab AS is_keeper
-       FROM l20 ORDER BY vec_id"""
+       FROM l14 ORDER BY vec_id"""
 
   /** Cross-document duplicated 5-gram fraction — the corpus-level
     * Gopher/Dolma boilerplate signal ([[TextAnalysis.crossDocDupStats]]):
