@@ -29,6 +29,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * keeper-choice ordering contract). Proven stream==batch in
   * StreamingSpec over a corpus with cross-batch near-dups.
   *
+  * Re-arrival (recrawl) semantics: LAST WRITE WINS per key, matching
+  * the ingest tier's upsert contract. When a key re-arrives with
+  * updated text, the prior-state read keeps only each key's
+  * LATEST-batch bands (max-batch supersede below), so future batches
+  * join against the current version, never a stale signature. This is
+  * deliberately NOT the batch form's behavior on a corpus that still
+  * contains both versions as separate rows (there, groupBy merges both
+  * versions' shingles into one signature); the stream equals the batch
+  * form run over the latest-version-per-key corpus — the corpus a
+  * last-write-wins pipeline would actually have at rest. Pairs emitted
+  * in earlier batches against a since-replaced version are candidates,
+  * not verdicts; the exact-similarity verify stage re-checks them
+  * against current text (same sketch-then-verify contract as
+  * [[Dedup.verifiedJaccard]]).
+  *
   * Exactly-once: both writes are overwrite-mode `batch=<id>` partition
   * directories, and the prior-state read EXCLUDES the batch's own
   * partition, so a replayed batch regenerates identical output instead
@@ -60,11 +75,18 @@ object LshStream {
       Dedup.minHashSignatures(batch, textCol, keyCol, numHashes),
       keyCol, numHashes, bands).localCheckpoint(true)
     val prior =
-      try
+      try {
+        // supersede: a re-arrived key's stale bands must not join —
+        // keep only each key's latest-batch rows (one shuffle on key;
+        // the band store is bands×keys rows, same scale as the join
+        // it feeds)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
         spark.read.parquet(bandsDir)
           .filter(col("batch") =!= lit(batchId))
+          .withColumn("latest_batch", max(col("batch")).over(w))
+          .filter(col("batch") === col("latest_batch"))
           .select(col(keyCol), col("band"), col("band_hash"))
-      catch {
+      } catch {
         case _: org.apache.spark.sql.AnalysisException =>
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -91,15 +113,23 @@ object LshStream {
   /** Start incremental LSH over a parquet document directory: new files
     * → shingle → minhash → band → join against the accumulated band
     * store. Candidates land under `outDir/pairs`, band state under
-    * `outDir/bands`; read results with [[pairs]]. */
+    * `outDir/bands`; read results with [[pairs]].
+    *
+    * Pass `schema` explicitly to start the stream BEFORE the first
+    * document lands (an empty/not-yet-created input dir has nothing to
+    * infer from); when omitted, the schema is inferred from the files
+    * already present. */
   def run(spark: SparkSession, inputDir: String, outDir: String,
       checkpointDir: String, textCol: String = "text",
       keyCol: String = "doc_id", numHashes: Int = 8, bands: Int = 4,
       maxFilesPerTrigger: Int = 1,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
+      trigger: Trigger = Trigger.AvailableNow(),
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
+    val inputSchema =
+      schema.getOrElse(spark.read.parquet(inputDir).schema)
     spark.readStream
-      .schema(schema)
+      .schema(inputSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(inputDir)
       .writeStream
