@@ -12,7 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — read as nanos-long
+      // older testdata generations carried TIMESTAMP(NANOS) — read
+      // those as nanos-long; inert (harmless) on timestamp[us] data.
+      // EventStream's ts helpers dispatch on the arriving type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 /** Oracle-verified batch forms of the streaming operators: the same
   * transforms StreamingSpec drives through MemoryStream, here executed
   * over the events table so the DuckDB oracle can pin their semantics.
-  * `ts` arrives as nanos-long (see the nanosAsLong session config);
-  * the oracle reads the same parquet as TIMESTAMP_NS and goes through
-  * `epoch()`.
+  * `ts` arrives as nanos-long OR TimestampType depending on the
+  * dataset generation (EventStream.tsSecCol dispatches on the type);
+  * the oracle reads the same parquet natively and goes through
+  * `epoch()`, which covers both contracts.
   */
 object EventQueries {
   import StarQueries.t

@@ -54,13 +54,14 @@ object ExtendedQueries {
   // ---------------------------------------------------------------
 
   def q26AsofJoin(s: SparkSession, dir: String): DataFrame = {
-    // µs precision: Spark reads the nanos-long raw (nanosAsLong conf)
-    // but DuckDB's parquet reader coerces TIMESTAMP_NS to µs, so the
-    // comparable timeline is microseconds
-    val e = t(s, dir, "events")
+    // µs precision is the comparable timeline under BOTH physical ts
+    // contracts (DuckDB coerces TIMESTAMP_NS to µs; timestamp[us] is
+    // already there) — EventStream.tsMicrosCol dispatches on the type
+    val raw = t(s, dir, "events")
+    val e = raw
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), // integral div: no double rounding
+        graft.streaming.EventStream.tsMicrosCol(raw).as("ts_us"),
         when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("kind"), col("event_id"))

@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** One event after timestamp normalization (`ts` arrives as
-  * TIMESTAMP(NANOS) parquet → nanos-long; `event_ts` is the
-  * seconds-precision Spark timestamp). */
+/** One event after timestamp normalization (`ts_sec` is the
+  * floor-seconds epoch regardless of the physical `ts` type — see
+  * [[EventStream.tsSecCol]]). */
 final case class NormalizedEvent(
     event_id: Long,
     user_id: Long,
@@ -32,10 +32,56 @@ private final case class SessionState(lastTsSec: Long, sessions: Long,
   */
 object EventStream {
 
-  /** Nanos-long ts → seconds-precision event-time column. */
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+  /** The driver's `events.parquet` has shipped `ts` under different
+    * physical contracts across dataset generations: TIMESTAMP(NANOS),
+    * which Spark reads as a nanos **LongType** under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, and plain
+    * tz-less timestamp[us], which arrives as **TimestampNTZType**
+    * (the legacy conf is inert there). Every event-time consumer
+    * dispatches on the arriving type through these two helpers so all
+    * contracts produce the same integer timeline; an unrecognized type
+    * fails loudly with a pointed message instead of a scattered
+    * DATATYPE_MISMATCH. NTZ values are interpreted in the session time
+    * zone (pinned to UTC by every builder in this project), matching
+    * the DuckDB oracle's `epoch()`, which reads naive timestamps
+    * as-is. */
+  private def unsupportedTs(dt: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"events.ts arrived as $dt — expected nanos LongType (TIMESTAMP(" +
+        "NANOS) under nanosAsLong), TimestampType, or TimestampNTZType " +
+        "(timestamp[us]). The driver's events.parquet physical type " +
+        "changed again: extend EventStream.tsSecCol/tsMicrosCol for " +
+        "the new contract.")
+
+  /** Exact microseconds epoch column for `df.ts`, whatever its
+    * physical type — the native precision of every contract's
+    * comparable timeline (DuckDB coerces TIMESTAMP_NS to µs too). */
+  def tsMicrosCol(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000") // integral div: no double rounding
+    case TimestampType => expr("unix_micros(ts)")
+    case TimestampNTZType =>
+      expr("unix_micros(cast(ts as timestamp_ltz))")
+    case other => unsupportedTs(other)
+  }
+
+  /** Floor-seconds epoch column for `df.ts`, whatever its physical
+    * type. (All branches truncate toward zero; the corpus is entirely
+    * post-epoch, so truncation == floor, matching the oracle's
+    * `floor(epoch(ts))`.) */
+  def tsSecCol(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000000")
+    case TimestampType => expr("unix_micros(ts) div 1000000")
+    case TimestampNTZType =>
+      expr("unix_micros(cast(ts as timestamp_ltz)) div 1000000")
+    case other => unsupportedTs(other)
+  }
+
+  /** Raw ts → seconds-precision event-time column. */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_ts",
-      timestamp_seconds(expr("ts div 1000000000")))
+    events.withColumn("event_ts", timestamp_seconds(tsSecCol(events)))
 
   /** Tumbling 5-minute event-time windows per event_type with a
     * 10-minute watermark: counts + exact value sums. Works identically
@@ -185,13 +231,13 @@ object EventStream {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
-  /** Normalize the raw events frame (nanos-long ts) into
+  /** Normalize the raw events frame (either ts contract) into
     * [[NormalizedEvent]]s. */
   def normalize(events: DataFrame): Dataset[NormalizedEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("event_id"), col("user_id"), col("event_type"),
-      col("value"), expr("ts div 1000000000").as("ts_sec"))
+      col("value"), tsSecCol(events).as("ts_sec"))
       .as[NormalizedEvent]
   }
 }

@@ -9,6 +9,40 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The driver's events.parquet `ts` physical type has changed across
+    * dataset generations (TIMESTAMP(NANOS) → nanos-long under the
+    * nanosAsLong conf, vs plain timestamp[us]). MemoryStream fixtures
+    * feed nanos-longs, so the stream side reads through this normalizer
+    * while the batch `expected` side consumes the RAW frame — every
+    * stream-vs-batch parity case below therefore also pins that the two
+    * type paths of EventStream.tsSecCol agree. */
+  private def nanosTs(df: org.apache.spark.sql.DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        expr("unix_micros(cast(ts as timestamp_ltz)) * 1000"))
+    }
+
+  test("events.parquet physical ts contract is one the engine handles") {
+    // A pointed canary: if the driver regenerates testdata with a THIRD
+    // physical type for events.ts, this fails with one clear message
+    // instead of five scattered DATATYPE_MISMATCH analysis errors
+    // (exactly what happened when TIMESTAMP(NANOS) became
+    // timestamp[us] between rounds 8 and 9).
+    for (dir <- Seq("sf0.001")) {
+      val df = spark.read.parquet(sf(dir) + "/events.parquet")
+      val dt = df.schema("ts").dataType
+      assert(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType,
+        s"events.ts arrived as $dt — extend EventStream.tsSecCol/" +
+          "tsMicrosCol (and the nanosTs test helper) for the new contract")
+      // and the adaptive reader actually works on the real file
+      val n = EventStream.normalize(df).filter($"ts_sec" > 0).count()
+      assert(n > 0, "normalize produced no positive ts_sec rows")
+    }
+  }
+
   test("windowed aggregates over a stream match the batch run") {
     implicit val sqlCtx = spark.sqlContext
     val batchDf = spark.read.parquet(sf("sf0.001") + "/events.parquet")
@@ -23,7 +57,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("win_out")
       .outputMode("append").start()
     try {
-      val rows = batchDf
+      val rows = nanosTs(batchDf)
         .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
         .as[(Long, Long, Long, String, Double)].collect()
       source.addData(rows.toSeq)
@@ -213,7 +247,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sess_native_out")
       .outputMode("append").start()
     try {
-      source.addData(batchDf
+      source.addData(nanosTs(batchDf)
         .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
         .as[(Long, Long, Long, String, Double)].collect().toSeq)
       q.processAllAvailable()
@@ -276,7 +310,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("ivj_out")
       .outputMode("append").start()
     try {
-      val rows = batchDf
+      val rows = nanosTs(batchDf)
         .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
         .as[(Long, Long, Long, String, Double)].collect()
       source.addData(rows.toSeq)
