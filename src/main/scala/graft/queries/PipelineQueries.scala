@@ -2227,6 +2227,19 @@ object PipelineQueries {
     "mm_video_decode" -> (mmVideoDecode _),
     "mm_resize_decode" -> (mmResizeDecode _))
 
+  /** Queries whose FIRST run may pay a one-time partitioned-at-rest
+    * layout write ([[ensureLayout]]) when the tmpdir cache is cold —
+    * i.e. after a testdata regeneration re-fingerprints [[layoutDir]].
+    * Bench warms exactly these before timing, so a cache-invalidating
+    * data change can never masquerade as a query regression in the
+    * recorded artifact (BENCH_r09 booked the post-regen layout rebuild
+    * as an apparent 12× ann_int8_ivf_partitioned slowdown). Keep in
+    * sync with the [[ensureLayout]] call sites. */
+  val layoutBacked: Set[String] = Set(
+    "ann_lsh_partitioned", "ann_ivf_partitioned", "ann_int8_partitioned",
+    "ann_int8_ivf_partitioned", "dd_semantic_at_rest",
+    "pp_semdedup_at_rest", "pp_jsonl_roundtrip")
+
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_fingerprint" -> ddFingerprintSql,
