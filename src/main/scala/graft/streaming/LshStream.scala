@@ -31,32 +31,45 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Re-arrival (recrawl) semantics: LAST WRITE WINS per key, matching
   * the ingest tier's upsert contract. When a key re-arrives with
-  * updated text, the prior-state read keeps only each key's
-  * LATEST-batch bands (max-batch supersede below), so future batches
-  * join against the current version, never a stale signature. This is
-  * deliberately NOT the batch form's behavior on a corpus that still
-  * contains both versions as separate rows (there, groupBy merges both
-  * versions' shingles into one signature); the stream equals the batch
-  * form run over the latest-version-per-key corpus — the corpus a
-  * last-write-wins pipeline would actually have at rest. Pairs emitted
-  * in earlier batches against a since-replaced version are candidates,
-  * not verdicts; the exact-similarity verify stage re-checks them
-  * against current text (same sketch-then-verify contract as
-  * [[Dedup.verifiedJaccard]]).
+  * updated text, its older bands are superseded IMMEDIATELY — the
+  * prior-state read anti-joins away the current batch's keys (so the
+  * re-arrival batch's other documents never join the stale signature)
+  * and records the superseded (key, batch) rows in a sidecar that
+  * every later batch's prior-state read also anti-joins. A stale
+  * signature therefore never joins, in the re-arrival batch or after
+  * it. This is deliberately NOT the batch form's behavior on a corpus
+  * that still contains both versions as separate rows (there, groupBy
+  * merges both versions' shingles into one signature); the stream
+  * equals the batch form run over the latest-version-per-key corpus —
+  * the corpus a last-write-wins pipeline would actually have at rest.
+  * Pairs emitted in batches BEFORE the re-arrival were computed
+  * against the then-current version and remain in the store as
+  * candidates, not verdicts; the exact-similarity verify stage
+  * re-checks them against current text (same sketch-then-verify
+  * contract as [[Dedup.verifiedJaccard]]).
   *
-  * Exactly-once: both writes are overwrite-mode `batch=<id>` partition
-  * directories, and the prior-state read EXCLUDES the batch's own
-  * partition, so a replayed batch regenerates identical output instead
-  * of double-joining against its own bands (the [[CurationStream]]
-  * replay-safety discipline; same AnalysisException-means-empty
-  * first-batch contract).
+  * Exactly-once: all three writes (pairs, bands, superseded sidecar)
+  * are overwrite-mode `batch=<id>` partition directories, and every
+  * prior-state read EXCLUDES the batch's own partition, so a replayed
+  * batch regenerates identical output instead of double-joining
+  * against its own bands (the [[CurationStream]] replay-safety
+  * discipline; same AnalysisException-means-empty first-batch
+  * contract).
   *
   * 100 TB shape: per batch the work is bands(batch) ⨝ bands(seen) on
   * (band, band_hash) — bucket-local like the batch form, with the
-  * stream's own bands on the (small) probe side. The state store only
-  * ever grows by appending partitions; compaction of many small batch
-  * partitions into fewer files is the same maintenance story as
-  * [[XmlStreamIngest]] compaction and orthogonal to correctness. */
+  * stream's own bands on the (small) probe side. The accumulated band
+  * store is only ever SCANNED, never shuffled: supersede filtering is
+  * two broadcast anti-joins (the current batch's keys, bounded by the
+  * micro-batch; the superseded sidecar, proportional to total
+  * re-arrivals — not corpus size). A recrawl-heavy corpus grows the
+  * sidecar, so its maintenance story is periodic compaction: rewrite
+  * the store dropping superseded rows and reset the sidecar — the same
+  * offline maintenance as [[XmlStreamIngest]] compaction of many small
+  * batch partitions, orthogonal to correctness. (The previous design
+  * superseded via a per-key max-batch window, which re-shuffled the
+  * ENTIRE store on every micro-batch — a per-batch cost growing with
+  * corpus size, exactly what a 1000-executor deployment cannot pay.) */
 object LshStream {
 
   /** Read the accumulated candidate pairs (union of all batch
@@ -64,6 +77,13 @@ object LshStream {
   def pairs(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/pairs")
       .select(col("key_a"), col("key_b")).distinct()
+
+  /** Sidecar directory recording superseded band rows: one
+    * `batch=<id>` partition per micro-batch holding the (key,
+    * stale_batch) pairs whose store rows that batch's re-arrivals
+    * made stale. Rows ∝ total re-arrivals, not corpus size. */
+  private[graft] def supersededDir(bandsDir: String): String =
+    bandsDir.stripSuffix("/") + "_superseded"
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       pairsDir: String, bandsDir: String, textCol: String, keyCol: String,
@@ -74,24 +94,42 @@ object LshStream {
     val myBands = Dedup.lshBands(
       Dedup.minHashSignatures(batch, textCol, keyCol, numHashes),
       keyCol, numHashes, bands).localCheckpoint(true)
-    val prior =
-      try {
-        // supersede: a re-arrived key's stale bands must not join —
-        // keep only each key's latest-batch rows (one shuffle on key;
-        // the band store is bands×keys rows, same scale as the join
-        // it feeds)
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
-        spark.read.parquet(bandsDir)
-          .filter(col("batch") =!= lit(batchId))
-          .withColumn("latest_batch", max(col("batch")).over(w))
-          .filter(col("batch") === col("latest_batch"))
-          .select(col(keyCol), col("band"), col("band_hash"))
-      } catch {
+    val myKeys = myBands.select(col(keyCol)).distinct()
+    val staleDir = supersededDir(bandsDir)
+    // the raw store, batch provenance retained for supersede filtering
+    val rawPrior =
+      try spark.read.parquet(bandsDir)
+        .filter(col("batch") =!= lit(batchId))
+        .select(col(keyCol), col("band"), col("band_hash"), col("batch"))
+      catch {
         case _: org.apache.spark.sql.AnalysisException =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            myBands.schema)
+          myBands.limit(0).withColumn("batch", lit(0L))
       }
+    val superseded =
+      try spark.read.parquet(staleDir)
+        .filter(col("batch") =!= lit(batchId))
+        .select(col(keyCol).as("s_key"), col("stale_batch"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          myBands.select(col(keyCol).as("s_key")).limit(0)
+            .withColumn("stale_batch", lit(0L))
+      }
+    // rows this batch's re-arrivals make stale, recorded for every
+    // later batch (the store scan here is the same scan the candidate
+    // join pays; the result is tiny — re-arrived keys only)
+    rawPrior.join(broadcast(myKeys), Seq(keyCol))
+      .select(col(keyCol), col("batch").as("stale_batch")).distinct()
+      .write.mode("overwrite").parquet(s"$staleDir/batch=$batchId")
+    // live prior state: drop rows superseded by earlier batches, then
+    // rows superseded by THIS batch's own keys (immediate supersede —
+    // the re-arrival batch's other docs must not see the stale bands).
+    // Both anti-join sides broadcast; the store itself never shuffles.
+    val prior = rawPrior
+      .join(broadcast(superseded),
+        col(keyCol) === col("s_key") &&
+          col("batch") === col("stale_batch"), "left_anti")
+      .join(broadcast(myKeys), Seq(keyCol), "left_anti")
+      .select(col(keyCol), col("band"), col("band_hash"))
     val within = myBands
       .select(col(keyCol).as("key_a"), col("band"), col("band_hash"))
       .join(myBands.select(col(keyCol).as("key_b"), col("band"),

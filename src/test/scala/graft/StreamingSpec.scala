@@ -552,6 +552,65 @@ class StreamingSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("incremental LSH last-write-wins: a re-arrived key joins as its new version only") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft-lsh-lww-in")
+    val out = Files.createTempDirectory("graft-lsh-lww-out").toString
+    val ckpt = Files.createTempDirectory("graft-lsh-lww-ckpt").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    def asId(srcId: Long, newId: Long) =
+      docs.filter($"doc_id" === srcId).withColumn("doc_id", lit(newId))
+    // chunk 1: docs 0-199, including doc 7 with its ORIGINAL text.
+    // chunk 2: docs 200-399, plus doc 7 RE-ARRIVING with doc 11's text
+    // (changed content), plus doc 6000 carrying doc 7's ORIGINAL text —
+    // the probe for the stale signature: it must NOT pair with key 7,
+    // because 7's old bands are superseded in the very batch it
+    // re-arrives.
+    // chunk 3: the remaining docs, plus doc 5000 also carrying doc 11's
+    // text — the probe that later batches join the NEW version.
+    val c1 = docs.filter($"doc_id" < 200)
+    val c2 = docs.filter($"doc_id" >= 200 && $"doc_id" < 400)
+      .unionByName(asId(11L, 7L)).unionByName(asId(7L, 6000L))
+    val c3 = docs.filter($"doc_id" >= 400).unionByName(asId(11L, 5000L))
+    // the corpus a last-write-wins pipeline has at rest: latest version
+    // per key (doc 7 = doc 11's text)
+    val latest = docs.filter($"doc_id" =!= 7L).unionByName(asId(11L, 7L))
+      .unionByName(asId(7L, 6000L)).unionByName(asId(11L, 5000L))
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-lsh-lww-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(c1, "c1.parquet")
+    val q = graft.streaming.LshStream.run(spark, in.toString, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(c2, "c2.parquet")
+      q.processAllAvailable()
+      addChunk(c3, "c3.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.streaming.LshStream.pairs(spark, out)
+      .as[(Long, Long)].collect().toSet
+    val expected = graft.pipeline.Dedup.minHashCandidates(latest, "text",
+      "doc_id").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    // the parity is not vacuous:
+    // - the re-arrival batch itself paired key 7's NEW version with
+    //   doc 11 (already in the store from chunk 1)
+    assert(got.contains((7L, 11L)))
+    // - a batch AFTER the re-arrival paired key 7 as its new version
+    assert(got.contains((7L, 5000L)) && got.contains((11L, 5000L)))
+    // - the stale signature never joined: doc 6000 carries key 7's
+    //   ORIGINAL text, arrives alongside the re-arrival, and must pair
+    //   with nothing (without immediate supersede it pairs with 7)
+    assert(!got.contains((7L, 6000L)))
+    assert(!got.exists(p => p._1 == 6000L || p._2 == 6000L))
+  }
+
   test("curation funnel batch replay is idempotent, state survives") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft-cur-replay").toString
