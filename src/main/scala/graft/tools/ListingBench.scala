@@ -80,7 +80,14 @@ object ListingBench {
       r.load(path).select("path").count()
     }
 
-    // cold-listing measurements: each read builds a fresh file index
+    // warm both trees' dentry/inode caches with one untimed listing
+    // pass each BEFORE any timed measurement: previously the flat tree
+    // was listed first on a cold fs cache and the partitioned tree
+    // after the JVM+cache warmup it provided, biasing the comparison
+    // toward the partitioned layout. All four timed measurements below
+    // are now warm-cache and mutually comparable.
+    listCount(flat.toString, None)
+    listCount(part.toString, None)
     val (tFlatFull, nFlatFull) = timed(listCount(flat.toString, None))
     val (tPartFull, nPartFull) = timed(listCount(part.toString, None))
     val slice = f"p${nParts / 2}%03d"
