@@ -4,7 +4,8 @@
 Usage: python3 tools/gen_scale.py <src_sf_dir> <out_dir> <factor>
 
 Produces a dataset `factor` times the source with the same schemas,
-physical parquet types (including events.ts TIMESTAMP(NANOS)), key
+physical parquet types (events.ts preserved as whatever the source
+generation used — TIMESTAMP(NANOS) or timestamp[us]), key
 relationships, and join fan-outs:
 
 - region/nation: copied unchanged (fixed dimensions).
@@ -154,9 +155,14 @@ def main():
     tile(src, out, "events", ["event_id", "user_id"], factor)
     gen_documents(src, out, factor)
     gen_embeddings(src, out, factor)
-    # the one physical-type contract Spark sessions depend on
+    # the physical-type contract the engine's schema-adaptive reader
+    # handles (EventStream.tsSecCol): the driver's datasets have
+    # shipped both TIMESTAMP(NANOS) and tz-less timestamp[us]; the
+    # scaled copy must preserve whichever the source used
+    src_ts = pq.read_schema(f"{src}/events.parquet").field("ts").type
     ts_type = pq.read_schema(f"{out}/events.parquet").field("ts").type
-    assert str(ts_type) == "timestamp[ns]", ts_type
+    assert str(ts_type) == str(src_ts), (ts_type, src_ts)
+    assert str(ts_type) in ("timestamp[ns]", "timestamp[us]"), ts_type
     print("events.ts physical type preserved:", ts_type)
 
 
