@@ -85,6 +85,48 @@ object LshStream {
   private[graft] def supersededDir(bandsDir: String): String =
     bandsDir.stripSuffix("/") + "_superseded"
 
+  /** The accumulated band store minus the current batch's own
+    * partition (replay safety), batch provenance retained for
+    * supersede filtering. `emptyLike` supplies the (key, band,
+    * band_hash) schema for the nothing-written-yet first batch. */
+  private[graft] def storeBands(spark: SparkSession, bandsDir: String,
+      batchId: Long, keyCol: String, emptyLike: DataFrame): DataFrame =
+    try spark.read.parquet(bandsDir)
+      .filter(col("batch") =!= lit(batchId))
+      .select(col(keyCol), col("band"), col("band_hash"), col("batch"))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        emptyLike.select(col(keyCol), col("band"), col("band_hash"))
+          .limit(0).withColumn("batch", lit(0L))
+    }
+
+  /** The LIVE prior-state relation for `batchId`: [[storeBands]] minus
+    * rows superseded by earlier batches' re-arrivals (sidecar
+    * anti-join) minus rows for keys in `myKeys` (immediate supersede —
+    * the re-arrival batch's other documents must not see stale bands).
+    * Both anti-join sides broadcast, so the store is only ever
+    * SCANNED, never shuffled — the plan shape StreamingSpec pins. */
+  private[graft] def livePrior(spark: SparkSession, bandsDir: String,
+      batchId: Long, keyCol: String, myKeys: DataFrame,
+      emptyLike: DataFrame): DataFrame = {
+    val staleDir = supersededDir(bandsDir)
+    val superseded =
+      try spark.read.parquet(staleDir)
+        .filter(col("batch") =!= lit(batchId))
+        .select(col(keyCol).as("s_key"), col("stale_batch"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          emptyLike.select(col(keyCol).as("s_key")).limit(0)
+            .withColumn("stale_batch", lit(0L))
+      }
+    storeBands(spark, bandsDir, batchId, keyCol, emptyLike)
+      .join(broadcast(superseded),
+        col(keyCol) === col("s_key") &&
+          col("batch") === col("stale_batch"), "left_anti")
+      .join(broadcast(myKeys), Seq(keyCol), "left_anti")
+      .select(col(keyCol), col("band"), col("band_hash"))
+  }
+
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
       pairsDir: String, bandsDir: String, textCol: String, keyCol: String,
       numHashes: Int, bands: Int): Unit = {
@@ -96,40 +138,14 @@ object LshStream {
       keyCol, numHashes, bands).localCheckpoint(true)
     val myKeys = myBands.select(col(keyCol)).distinct()
     val staleDir = supersededDir(bandsDir)
-    // the raw store, batch provenance retained for supersede filtering
-    val rawPrior =
-      try spark.read.parquet(bandsDir)
-        .filter(col("batch") =!= lit(batchId))
-        .select(col(keyCol), col("band"), col("band_hash"), col("batch"))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          myBands.limit(0).withColumn("batch", lit(0L))
-      }
-    val superseded =
-      try spark.read.parquet(staleDir)
-        .filter(col("batch") =!= lit(batchId))
-        .select(col(keyCol).as("s_key"), col("stale_batch"))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          myBands.select(col(keyCol).as("s_key")).limit(0)
-            .withColumn("stale_batch", lit(0L))
-      }
     // rows this batch's re-arrivals make stale, recorded for every
     // later batch (the store scan here is the same scan the candidate
     // join pays; the result is tiny — re-arrived keys only)
-    rawPrior.join(broadcast(myKeys), Seq(keyCol))
+    storeBands(spark, bandsDir, batchId, keyCol, myBands)
+      .join(broadcast(myKeys), Seq(keyCol))
       .select(col(keyCol), col("batch").as("stale_batch")).distinct()
       .write.mode("overwrite").parquet(s"$staleDir/batch=$batchId")
-    // live prior state: drop rows superseded by earlier batches, then
-    // rows superseded by THIS batch's own keys (immediate supersede —
-    // the re-arrival batch's other docs must not see the stale bands).
-    // Both anti-join sides broadcast; the store itself never shuffles.
-    val prior = rawPrior
-      .join(broadcast(superseded),
-        col(keyCol) === col("s_key") &&
-          col("batch") === col("stale_batch"), "left_anti")
-      .join(broadcast(myKeys), Seq(keyCol), "left_anti")
-      .select(col(keyCol), col("band"), col("band_hash"))
+    val prior = livePrior(spark, bandsDir, batchId, keyCol, myKeys, myBands)
     val within = myBands
       .select(col(keyCol).as("key_a"), col("band"), col("band_hash"))
       .join(myBands.select(col(keyCol).as("key_b"), col("band"),

@@ -611,6 +611,36 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 6000L || p._2 == 6000L))
   }
 
+  test("incremental LSH prior state scans the band store without shuffling it") {
+    // The 100 TB contract of the sidecar supersede design: per batch
+    // the accumulated band store is SCANNED and filtered by two
+    // broadcast anti-joins — never re-shuffled or windowed (the
+    // previous per-key max-batch window moved the whole store through
+    // an exchange every micro-batch, a cost growing with corpus size).
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-lsh-plan").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    graft.streaming.LshStream.processBatch(docs.filter($"doc_id" < 50),
+      0L, s"$out/pairs", s"$out/bands", "text", "doc_id", 8, 4)
+    graft.streaming.LshStream.processBatch(
+      docs.filter($"doc_id" >= 50 && $"doc_id" < 80),
+      1L, s"$out/pairs", s"$out/bands", "text", "doc_id", 8, 4)
+    val myKeys = docs.filter($"doc_id" >= 80 && $"doc_id" < 90)
+      .select($"doc_id").distinct()
+    val prior = graft.streaming.LshStream.livePrior(spark,
+      s"$out/bands", 2L, "doc_id", myKeys,
+      docs.select($"doc_id", lit(0).as("band"), lit("").as("band_hash")))
+    val p = prior.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Broadcast"), p)
+    // no shuffle exchange and no window over the store
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    // and the relation is the right one: batch-0 + batch-1 keys
+    assert(prior.select($"doc_id").distinct().count() === 80L)
+  }
+
   test("curation funnel batch replay is idempotent, state survives") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft-cur-replay").toString
