@@ -341,8 +341,19 @@ object Dedup {
     val vertices = universe.as[Long].rdd.map(id => (id: VertexId, ()))
     val edgeRdd = cleanPairs
       .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
-    Graph(vertices, edgeRdd).connectedComponents()
-      .vertices.map { case (id, comp) => (id, comp) }
-      .toDF(idCol, "component")
+    // GraphX caches the graph's vertex/edge RDDs internally and the
+    // result graph stays cached too; in a long-lived session (a bench
+    // loop, a service) those blocks accumulate across calls and the
+    // growing memory pressure taxes every LATER query (observed as
+    // 3-14× inflation of unrelated queries late in the round-10 sf10
+    // bench). Materialize the one-row-per-id result eagerly, then
+    // release every graph block before returning.
+    val graph = Graph(vertices, edgeRdd)
+    val cc = graph.connectedComponents()
+    val out = cc.vertices.map { case (id, comp) => (id, comp) }
+      .toDF(idCol, "component").localCheckpoint(true)
+    cc.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    out
   }
 }

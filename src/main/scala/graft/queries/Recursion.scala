@@ -165,11 +165,19 @@ object Recursion {
           Iterator((t.dstId, t.srcAttr + 1))
         else Iterator.empty,
       mergeMsg = math.min)
-    result.vertices
+    // same block-release discipline as Dedup.componentClusters: GraphX
+    // leaves the input and result graphs cached — materialize the
+    // small depth table, then free them so repeated calls in one
+    // session don't accumulate blocks
+    val out = result.vertices
       .join(idOf)
       .map { case (_, (depth, name)) => (name, depth) }
       .toDF("node", "depth")
       .filter(col("depth") <= maxDepth)
+      .localCheckpoint(true)
+    result.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    out
   }
 
   private def expand(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
