@@ -200,6 +200,26 @@ class PipelineSpec extends SparkSpec {
     assert(got2 === got)
   }
 
+  test("component clustering releases its GraphX blocks (no session leak)") {
+    // Regression pin for the round-10 finding: GraphX leaves the input
+    // and result graphs cached, and across many calls in one session
+    // the accumulated blocks inflated UNRELATED queries up to 14x in
+    // the sf10 bench. componentClusters must unpersist both graphs
+    // after materializing its result.
+    val ids = (1L to 100L).toDF("id")
+    val pairs = (1L to 99L).map(i => (i, i + 1)).toDF("a", "b")
+    Dedup.componentClusters(ids, "id", pairs, "a", "b").count()
+    def graphBlocks() = spark.sparkContext.getPersistentRDDs.values
+      .filter(r => r.isInstanceOf[org.apache.spark.graphx.VertexRDD[_]] ||
+        r.isInstanceOf[org.apache.spark.graphx.EdgeRDD[_]])
+    // unpersist(blocking = false) completes asynchronously
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (graphBlocks().nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    assert(graphBlocks().isEmpty,
+      s"GraphX blocks still cached: ${graphBlocks().map(_.name)}")
+  }
+
   test("IVF ANN: results come only from probed clusters; recall is sane") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)
