@@ -125,6 +125,30 @@ object EventQueries {
          AND c.ts_sec BETWEEN p.ts_sec - 1800 AND p.ts_sec
        ORDER BY purchase_id, click_id"""
 
+  /** Batch form of the stream-stream LEFT OUTER interval join — every
+    * purchase, attributed clicks or NULL (the attribution-gap query).
+    * Same StreamingSpec-driven transform as the inner form. */
+  def evIntervalLeft(s: SparkSession, dir: String): DataFrame =
+    EventStream.purchaseClickJoinOuter(t(s, dir, "events"))
+      .select(col("purchase_id"), col("user_id"),
+        col("purchase_ts").cast("long").as("purchase_sec"),
+        col("click_id"), col("click_ts").cast("long").as("click_sec"))
+      .orderBy(col("purchase_id"), col("click_id"))
+
+  private val evIntervalLeftSql =
+    """WITH e AS (
+         SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT)
+           AS ts_sec, event_type
+         FROM events),
+       c AS (SELECT * FROM e WHERE event_type = 'click'),
+       p AS (SELECT * FROM e WHERE event_type = 'purchase')
+       SELECT p.event_id AS purchase_id, p.user_id,
+         p.ts_sec AS purchase_sec, c.event_id AS click_id,
+         c.ts_sec AS click_sec
+       FROM p LEFT JOIN c ON c.user_id = p.user_id
+         AND c.ts_sec BETWEEN p.ts_sec - 1800 AND p.ts_sec
+       ORDER BY purchase_id, click_id"""
+
   /** Batch form of watermarked streaming dedup, keyed on
     * (user_id, event_type). A kept row's non-key columns are
     * pick-dependent (whichever row the state store saw first), so the
@@ -168,6 +192,7 @@ object EventQueries {
     "ev_sessions" -> (evSessions _),
     "ev_session_native" -> (evSessionNative _),
     "ev_interval_join" -> (evIntervalJoin _),
+    "ev_interval_left" -> (evIntervalLeft _),
     "ev_dedup" -> (evDedup _),
     "ev_enrich" -> (evEnrich _))
 
@@ -177,6 +202,7 @@ object EventQueries {
     "ev_sessions" -> evSessionsSql,
     "ev_session_native" -> evSessionNativeSql,
     "ev_interval_join" -> evIntervalSql,
+    "ev_interval_left" -> evIntervalLeftSql,
     "ev_dedup" -> evDedupSql,
     "ev_enrich" -> evEnrichSql)
 }

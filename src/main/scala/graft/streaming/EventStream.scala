@@ -204,6 +204,36 @@ object EventStream {
         col("purchase_ts"), col("click_id"), col("click_ts"))
   }
 
+  /** Left-outer variant of [[purchaseClickJoin]]: EVERY purchase is
+    * emitted — paired with each same-user click in the preceding 30
+    * minutes, or with NULL click columns when none exists (the
+    * attribution-gap query: unattributed purchases are exactly the
+    * click_id-NULL rows). Over a stream this is Spark's watermarked
+    * stream-stream LEFT OUTER join: the null row for an unmatched
+    * purchase is emitted once the watermark passes its join window,
+    * and state stays bounded exactly as in the inner form. In batch
+    * it is a plain left outer join — the oracle-comparable twin
+    * (ev_interval_left). */
+  def purchaseClickJoinOuter(events: DataFrame): DataFrame = {
+    val base = withEventTime(events)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"),
+        col("event_ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"),
+      "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exact deduplication on event_id:
     * dropDuplicatesWithinWatermark keeps per-key state only until the
     * watermark passes the key's event time, so the state store stays

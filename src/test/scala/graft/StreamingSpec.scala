@@ -324,6 +324,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched purchases with nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val expected = EventStream.purchaseClickJoinOuter(batchDf)
+      .select($"purchase_id", $"click_id")
+      .as[(Long, Option[Long])].collect().toSet
+    val unmatched = expected.collect { case (p, None) => p }
+    assert(unmatched.nonEmpty, "fixture has no attribution-gap purchases")
+    assert(expected.exists(_._2.isDefined), "fixture has no matched pairs")
+
+    val source = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = source.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.purchaseClickJoinOuter(streamDf)
+      .writeStream.format("memory").queryName("ivjl_out")
+      .outputMode("append").start()
+    try {
+      source.addData(nanosTs(batchDf)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+        .as[(Long, Long, Long, String, Double)].collect().toSeq)
+      q.processAllAvailable()
+      // far-future ticks on BOTH sides push both event-time watermarks
+      // (the global watermark is their min) past every join window so
+      // the null rows for unmatched purchases flush; a filtered-out
+      // event type would advance neither. The tick user (-1) matches
+      // nothing, and the tick purchase itself stays unflushed at the
+      // stream tail — excluded below by purchase_id >= 0.
+      val maxNs = nanosTs(batchDf).agg(max($"ts")).as[Long].head()
+      val far = maxNs + 10L * 3600 * 1000000000L
+      source.addData(Seq((-1L, far, -1L, "click", 0.0),
+        (-2L, far, -1L, "purchase", 0.0)))
+      q.processAllAvailable()
+      source.addData(Seq.empty)
+      q.processAllAvailable()
+      val got = spark.table("ivjl_out")
+        .filter($"purchase_id" >= 0)
+        .select($"purchase_id", $"click_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment matches the batch join, keeps unmatched") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
