@@ -44,6 +44,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // localCheckpoint blocks are freed by the ContextCleaner only
+      // after a DRIVER GC makes their weak references collectable, and
+      // Spark's safety-net GC fires every 30 MINUTES by default —
+      // far longer than a bench run, so checkpoint blocks from earlier
+      // queries accumulated until the store thrashed (round-10 sf10:
+      // ann_ivf_topk samples [68, 178, 199] s under pressure vs 16 s
+      // clean). A long-lived production driver tunes this the same way.
+      .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT + parquet footer caches on a small query so
@@ -70,7 +78,12 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = (selected.map {
-      case (name, fn) => name -> timeRuns(fn(spark, sfDir).count())
+      case (name, fn) =>
+        // release the previous query's checkpoint/broadcast blocks
+        // before timing the next (see periodicGC.interval above) so
+        // each entry measures the query, not the allocator's history
+        System.gc()
+        name -> timeRuns(fn(spark, sfDir).count())
     } ++ (if (only.forall(_.contains("xml_convert_2000docs")))
             Seq("xml_convert_2000docs" -> xmlConvertBench(spark))
           else Seq())).toMap

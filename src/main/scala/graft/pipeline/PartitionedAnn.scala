@@ -263,6 +263,18 @@ object PartitionedAnn {
     * centroids become the literal `cent_id IN (…)` partition filter. */
   def ivfTopKPartitioned(spark: SparkSession, corpusDir: String,
       queries: DataFrame, vecCol: String, keyCol: String, k: Int,
+      centroids: DataFrame, nprobe: Int): DataFrame =
+    ivfTopKFrames(spark, spark.read.parquet(corpusDir), queries,
+      vecCol, keyCol, k, centroids, nprobe)
+
+  /** [[ivfTopKPartitioned]] over an explicit corpus frame carrying
+    * `(c_id, c_vec, c_norm, cent_id)` — e.g. the union of a base
+    * layout and its streamed deltas ([[graft.streaming.IvfStream]]).
+    * The probed-centroid filter is applied to the frame, so each
+    * underlying parquet relation still prunes its own `cent_id=`
+    * partitions. */
+  def ivfTopKFrames(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, keyCol: String, k: Int,
       centroids: DataFrame, nprobe: Int): DataFrame = {
     requireIntCentIds(centroids)
     graft.functions.GraftFunctions.register(spark)
@@ -273,7 +285,7 @@ object PartitionedAnn {
       .localCheckpoint()
     val probed = probedQ.select(col("cent_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val c = spark.read.parquet(corpusDir)
+    val c = corpus
       .filter(col("cent_id").isin(probed.toIndexedSeq: _*))
     rankTopK(broadcast(probedQ).join(c, Seq("cent_id"))
       .withColumn("cos",

@@ -797,6 +797,39 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF top-k against an INCREMENTALLY-built at-rest layout: a base
+    * build over a third of the corpus plus two streamed delta appends
+    * ([[graft.streaming.IvfStream.appendBatch]] — the exact code path
+    * `IvfStream.run` drives per micro-batch) covering the rest.
+    * Same corpus/centroids/nprobe as [[annIvfPartitioned]], and gated
+    * against the SAME oracle verbatim: assignment under a fixed
+    * codebook is deterministic, so the incremental layout must be
+    * row-for-row what a full rebuild writes — the hash match is the
+    * losslessness proof (the dd_contamination_bloom pattern). */
+  def annIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = corpus.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val root = annLayoutDir(dir, "ivf_incr_sqrt50")
+    ensureLayout(s"$root/base")(PartitionedAnn.writeIvfPartitioned(
+      corpus.filter(col("vec_id") % 3 === 0), "embedding", "vec_id",
+      centroids, s"$root/base"))
+    ensureLayout(s"$root/delta/batch=1")(
+      graft.streaming.IvfStream.appendBatch(
+        corpus.filter(col("vec_id") % 3 === 1), 1L, root, centroids,
+        "embedding", "vec_id"))
+    ensureLayout(s"$root/delta/batch=2")(
+      graft.streaming.IvfStream.appendBatch(
+        corpus.filter(col("vec_id") % 3 === 2), 2L, root, centroids,
+        "embedding", "vec_id"))
+    PartitionedAnn.ivfTopKFrames(s,
+        graft.streaming.IvfStream.layout(s, root),
+        e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+        centroids, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The fully-compounded 100 TB ANN form: SRP-partitioned at rest
     * (file-listing-time pruning) AND int8-quantized pages (measured
     * 3.5× smaller) AND exact-integer scoring
@@ -2194,6 +2227,7 @@ object PipelineQueries {
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_lsh_partitioned" -> (annLshPartitioned _),
     "ann_ivf_partitioned" -> (annIvfPartitioned _),
+    "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_int8_partitioned" -> (annInt8Partitioned _),
     "ann_int8_ivf_partitioned" -> (annInt8IvfPartitioned _),
     "pp_retrieval" -> (ppRetrieval _),
@@ -2265,6 +2299,7 @@ object PipelineQueries {
     // the partitioned layout is an execution detail — the in-memory
     // IVF oracle verifies the identical (centroids, nprobe) semantics
     "ann_ivf_partitioned" -> annIvfSql,
+    "ann_ivf_incremental" -> annIvfSql,
     "ann_int8_partitioned" -> annInt8PartitionedSql,
     "ann_int8_ivf_partitioned" -> annInt8IvfPartitionedSql,
     "pp_retrieval" -> ppRetrievalSql,

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.pipeline.{PartitionedAnn, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental maintenance of the cent_id-partitioned at-rest IVF ANN
+  * layout — the streaming half of the "build once, probe cheap"
+  * contract. [[PartitionedAnn.writeIvfPartitioned]] builds the base
+  * layout; this module keeps it fresh as new embeddings arrive,
+  * without rebuilding: per micro-batch, assign each new vector to its
+  * nearest centroid (the SAME [[Similarity.ivfAssign]] rule the base
+  * writer uses, against the SAME fixed codebook) and write the rows as
+  * a `delta/batch=<id>/cent_id=<c>/` mini-layout next to `base/`.
+  *
+  * Probes read base ∪ deltas ([[layout]] +
+  * [[PartitionedAnn.ivfTopKFrames]]): the probe set prunes `cent_id=`
+  * partitions in every delta exactly as in the base, so a query pays
+  * listing+scan proportional to probed clusters, never corpus size.
+  * Because assignment is deterministic under a fixed codebook, the
+  * incremental layout holds row-for-row the SAME (vector, cent_id)
+  * pairs a full rebuild would — the ann_ivf_incremental gate proves it
+  * by hash-matching the full-rebuild oracle verbatim.
+  *
+  * Replay safety: each delta write overwrites its own `batch=<id>`
+  * subtree, so a crash-replay regenerates identical files instead of
+  * appending duplicates (the [[LshStream]]/[[CurationStream]]
+  * discipline).
+  *
+  * 100 TB shape: assignment is a broadcast of the codebook against the
+  * micro-batch (both small) — nothing corpus-sized shuffles, and the
+  * accumulated layout is only ever APPENDED to, one new directory
+  * level per batch. Two maintenance jobs own the rest, both offline
+  * and orthogonal to correctness: compaction folds deltas into base
+  * when small files accumulate (same story as [[XmlStreamIngest]]
+  * compaction), and codebook refresh re-clusters when drift degrades
+  * recall — until then new vectors get exactly the recall the base
+  * build would give them, since both use one codebook. */
+object IvfStream {
+
+  /** The live layout: base ∪ all streamed deltas, as the
+    * `(c_id, c_vec, c_norm, cent_id)` relation probes consume. */
+  def layout(spark: SparkSession, root: String): DataFrame = {
+    val cols = Seq(col("c_id"), col("c_vec"), col("c_norm"),
+      col("cent_id").cast("int").as("cent_id"))
+    val base = spark.read.parquet(s"$root/base").select(cols: _*)
+    try base.unionByName(
+      spark.read.parquet(s"$root/delta").select(cols: _*))
+    catch {
+      // no delta written yet — the base alone is the layout
+      case _: org.apache.spark.sql.AnalysisException => base
+    }
+  }
+
+  /** Assign one micro-batch against the fixed codebook and write it
+    * as the `delta/batch=<id>` mini-layout (overwrite ⇒ replay-safe). */
+  private[graft] def appendBatch(batch: DataFrame, batchId: Long,
+      root: String, centroids: DataFrame, vecCol: String,
+      keyCol: String): Unit =
+    Similarity.ivfAssign(batch, vecCol, keyCol, centroids)
+      .withColumn("cent_id", col("cent_id").cast("int"))
+      // one file per cent_id dir, as in the base writer
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$root/delta/batch=$batchId")
+
+  /** Start incremental IVF maintenance over a parquet embedding
+    * directory: new files → nearest-centroid assignment → delta
+    * append. Pass `schema` to start before the first file lands. */
+  def run(spark: SparkSession, inputDir: String, root: String,
+      checkpointDir: String, centroids: DataFrame,
+      vecCol: String = "embedding", keyCol: String = "vec_id",
+      maxFilesPerTrigger: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow(),
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
+    val inputSchema =
+      schema.getOrElse(spark.read.parquet(inputDir).schema)
+    spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendBatch(b, id, root, centroids, vecCol, keyCol)
+      }
+      .start()
+  }
+}

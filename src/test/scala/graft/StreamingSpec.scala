@@ -683,6 +683,73 @@ class StreamingSpec extends SparkSpec {
     assert(prior.select($"doc_id").distinct().count() === 80L)
   }
 
+  test("incremental IVF layout equals a full rebuild, replay-safe") {
+    import java.nio.file.Files
+    import graft.pipeline.{PartitionedAnn, Similarity}
+    val in = Files.createTempDirectory("graft-ivf-in")
+    val root = Files.createTempDirectory("graft-ivf-root").toString
+    val ckpt = Files.createTempDirectory("graft-ivf-ckpt").toString
+    val full = Files.createTempDirectory("graft-ivf-full").toString
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val corpus = e.filter($"vec_id" >= 10)
+    val centroids = corpus.filter($"vec_id" < 60)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    val queries = e.filter($"vec_id" < 10)
+    // base over the first third; the rest arrives as two streamed files
+    PartitionedAnn.writeIvfPartitioned(
+      corpus.filter($"vec_id" < 700), "embedding", "vec_id", centroids,
+      s"$root/base")
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ivf-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(corpus.filter($"vec_id" >= 700 && $"vec_id" < 1400),
+      "c1.parquet")
+    val q = graft.streaming.IvfStream.run(spark, in.toString, root,
+      ckpt, centroids,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(corpus.filter($"vec_id" >= 1400), "c2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // 1. the incremental layout holds exactly the full rebuild's
+    //    (vector, centroid) assignment — fixed codebook ⇒ deterministic
+    val gotAssign = graft.streaming.IvfStream.layout(spark, root)
+      .select($"c_id", $"cent_id".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val fullAssign = Similarity.ivfAssign(corpus, "embedding", "vec_id",
+        centroids)
+      .select($"c_id", $"cent_id".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(gotAssign === fullAssign)
+    assert(gotAssign.size === corpus.count())
+    // 2. probes against base∪deltas equal probes against a full rebuild
+    PartitionedAnn.writeIvfPartitioned(corpus, "embedding", "vec_id",
+      centroids, full)
+    val gotTop = PartitionedAnn.ivfTopKFrames(spark,
+        graft.streaming.IvfStream.layout(spark, root), queries,
+        "embedding", "vec_id", k = 5, centroids, nprobe = 2)
+      .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val fullTop = PartitionedAnn.ivfTopKPartitioned(spark, full, queries,
+        "embedding", "vec_id", k = 5, centroids, nprobe = 2)
+      .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(gotTop === fullTop)
+    assert(gotTop.nonEmpty)
+    // 3. a crash-replay of a delta batch regenerates, never duplicates
+    graft.streaming.IvfStream.appendBatch(
+      corpus.filter($"vec_id" >= 1400), 1L, root, centroids,
+      "embedding", "vec_id")
+    assert(graft.streaming.IvfStream.layout(spark, root)
+      .select($"c_id", $"cent_id".cast("long"))
+      .as[(Long, Long)].collect().toSet === fullAssign)
+  }
+
   test("curation funnel batch replay is idempotent, state survives") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft-cur-replay").toString
