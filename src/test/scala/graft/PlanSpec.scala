@@ -123,6 +123,19 @@ class PlanSpec extends SparkSpec {
     assert(!scalar.contains("Window"), scalar)
   }
 
+  test("incremental IVF: BOTH base and delta scans prune on the probed cent_ids") {
+    // The union of base/ and delta/ layouts must prune cent_id=
+    // partitions on each side independently — if either scan read all
+    // partitions, the incremental form would silently pay corpus-scan
+    // cost per probe at scale.
+    val p = plan("ann_ivf_incremental")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .filter(_.contains("cent_id")).toSeq
+    assert(pf.size >= 2,
+      s"expected cent_id PartitionFilters on base AND delta scans:\n$p")
+    assert(pf.forall(_.contains(" IN ")), pf.mkString("\n"))
+  }
+
   test("partitioned ANN: probe set becomes literal PartitionFilters and prunes the scan") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
