@@ -230,6 +230,16 @@ object PartitionedAnn {
     * integer cosine straight off the tinyint pages. */
   def ivfTopKPartitionedInt8(spark: SparkSession, corpusDir: String,
       queries: DataFrame, vecCol: String, keyCol: String, k: Int,
+      centroids: DataFrame, nprobe: Int): DataFrame =
+    ivfTopKFramesInt8(spark, spark.read.parquet(corpusDir), queries,
+      vecCol, keyCol, k, centroids, nprobe)
+
+  /** [[ivfTopKPartitionedInt8]] over an explicit corpus frame carrying
+    * `(c_id, q, qn, cent_id)` — e.g. base ∪ streamed deltas
+    * ([[graft.streaming.IvfStream.layoutInt8]]); each underlying
+    * parquet relation prunes its own `cent_id=` partitions. */
+  def ivfTopKFramesInt8(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, keyCol: String, k: Int,
       centroids: DataFrame, nprobe: Int): DataFrame = {
     requireIntCentIds(centroids)
     graft.functions.GraftFunctions.register(spark)
@@ -248,7 +258,7 @@ object PartitionedAnn {
       .localCheckpoint()
     val probed = qq.select(col("cent_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val c = spark.read.parquet(corpusDir)
+    val c = corpus
       .filter(col("cent_id").isin(probed.toIndexedSeq: _*))
       .select(col("c_id"), col("cent_id"), col("q").as("c_q"),
         col("qn").as("c_qn"))

@@ -909,6 +909,37 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** [[annInt8IvfPartitioned]]'s layout built INCREMENTALLY — base
+    * over a third of the corpus plus two int8 delta appends
+    * ([[graft.streaming.IvfStream.appendBatchInt8]]). Per-vector
+    * max-abs quantization is corpus-independent and assignment runs
+    * under the fixed float codebook, so the streamed pages are
+    * bit-identical to a full rebuild's — proven by sharing that
+    * form's oracle verbatim. */
+  def annInt8IvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = corpus.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val root = annLayoutDir(dir, "ivf_int8_incr_sqrt50")
+    ensureLayout(s"$root/base")(PartitionedAnn.writeIvfPartitionedInt8(
+      corpus.filter(col("vec_id") % 3 === 0), "embedding", "vec_id",
+      centroids, s"$root/base"))
+    ensureLayout(s"$root/delta/batch=1")(
+      graft.streaming.IvfStream.appendBatchInt8(
+        corpus.filter(col("vec_id") % 3 === 1), 1L, root, centroids,
+        "embedding", "vec_id"))
+    ensureLayout(s"$root/delta/batch=2")(
+      graft.streaming.IvfStream.appendBatchInt8(
+        corpus.filter(col("vec_id") % 3 === 2), 2L, root, centroids,
+        "embedding", "vec_id"))
+    PartitionedAnn.ivfTopKFramesInt8(s,
+        graft.streaming.IvfStream.layoutInt8(s, root),
+        e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+        centroids, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private lazy val annInt8IvfPartitionedSql =
     s"""WITH n AS (
          SELECT vec_id, embedding,
@@ -2230,6 +2261,7 @@ object PipelineQueries {
     "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_int8_partitioned" -> (annInt8Partitioned _),
     "ann_int8_ivf_partitioned" -> (annInt8IvfPartitioned _),
+    "ann_int8_ivf_incremental" -> (annInt8IvfIncremental _),
     "pp_retrieval" -> (ppRetrieval _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
@@ -2302,6 +2334,7 @@ object PipelineQueries {
     "ann_ivf_incremental" -> annIvfSql,
     "ann_int8_partitioned" -> annInt8PartitionedSql,
     "ann_int8_ivf_partitioned" -> annInt8IvfPartitionedSql,
+    "ann_int8_ivf_incremental" -> annInt8IvfPartitionedSql,
     "pp_retrieval" -> ppRetrievalSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,

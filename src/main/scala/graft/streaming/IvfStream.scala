@@ -65,6 +65,41 @@ object IvfStream {
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$root/delta/batch=$batchId")
 
+  /** The live INT8 layout: base ∪ deltas as the `(c_id, q, qn,
+    * cent_id)` relation [[PartitionedAnn.ivfTopKFramesInt8]] scores
+    * with exact integer cosines. */
+  def layoutInt8(spark: SparkSession, root: String): DataFrame = {
+    val cols = Seq(col("c_id"), col("q"), col("qn"),
+      col("cent_id").cast("int").as("cent_id"))
+    val base = spark.read.parquet(s"$root/base").select(cols: _*)
+    try base.unionByName(
+      spark.read.parquet(s"$root/delta").select(cols: _*))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => base
+    }
+  }
+
+  /** [[appendBatch]] for the int8-quantized layout
+    * ([[PartitionedAnn.writeIvfPartitionedInt8]] as the base writer):
+    * assignment runs on the float vectors against the float codebook
+    * (the cluster boundary must not move), the delta files store
+    * tinyint pages. Per-vector quantization is corpus-independent
+    * (each vector scales by its own max-abs), so streamed pages are
+    * bit-identical to what a full rebuild writes. */
+  private[graft] def appendBatchInt8(batch: DataFrame, batchId: Long,
+      root: String, centroids: DataFrame, vecCol: String,
+      keyCol: String): Unit = {
+    val assigned = Similarity.ivfAssign(batch, vecCol, keyCol, centroids)
+      .withColumn("cent_id", col("cent_id").cast("int"))
+    Similarity.quantizeInt8(
+      assigned.select(col("c_id"), col("c_vec"), col("cent_id")),
+      "c_vec", "c_id", keep = Seq("cent_id"))
+      .select(col("c_id"), col("q"), col("qn"), col("cent_id"))
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$root/delta/batch=$batchId")
+  }
+
   /** Start incremental IVF maintenance over a parquet embedding
     * directory: new files → nearest-centroid assignment → delta
     * append. Pass `schema` to start before the first file lands. */
@@ -73,8 +108,8 @@ object IvfStream {
       vecCol: String = "embedding", keyCol: String = "vec_id",
       maxFilesPerTrigger: Int = 1,
       trigger: Trigger = Trigger.AvailableNow(),
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
-      : StreamingQuery = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      int8: Boolean = false): StreamingQuery = {
     val inputSchema =
       schema.getOrElse(spark.read.parquet(inputDir).schema)
     spark.readStream
@@ -85,7 +120,8 @@ object IvfStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        appendBatch(b, id, root, centroids, vecCol, keyCol)
+        if (int8) appendBatchInt8(b, id, root, centroids, vecCol, keyCol)
+        else appendBatch(b, id, root, centroids, vecCol, keyCol)
       }
       .start()
   }

@@ -748,6 +748,39 @@ class StreamingSpec extends SparkSpec {
     assert(graft.streaming.IvfStream.layout(spark, root)
       .select($"c_id", $"cent_id".cast("long"))
       .as[(Long, Long)].collect().toSet === fullAssign)
+    // 4. the int8 twin: streamed tinyint pages are BIT-identical to a
+    //    full int8 rebuild (per-vector max-abs quantization is
+    //    corpus-independent; assignment shares the float codebook)
+    val root8 = Files.createTempDirectory("graft-ivf8-root").toString
+    val full8 = Files.createTempDirectory("graft-ivf8-full").toString
+    PartitionedAnn.writeIvfPartitionedInt8(
+      corpus.filter($"vec_id" < 700), "embedding", "vec_id", centroids,
+      s"$root8/base")
+    graft.streaming.IvfStream.appendBatchInt8(
+      corpus.filter($"vec_id" >= 700 && $"vec_id" < 1400), 0L, root8,
+      centroids, "embedding", "vec_id")
+    graft.streaming.IvfStream.appendBatchInt8(
+      corpus.filter($"vec_id" >= 1400), 1L, root8, centroids,
+      "embedding", "vec_id")
+    PartitionedAnn.writeIvfPartitionedInt8(corpus, "embedding",
+      "vec_id", centroids, full8)
+    def pages(df: org.apache.spark.sql.DataFrame) = df
+      .select($"c_id", $"cent_id".cast("long"), $"qn",
+        $"q".cast("string"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(pages(graft.streaming.IvfStream.layoutInt8(spark, root8)) ===
+      pages(spark.read.parquet(full8)))
+    val got8 = PartitionedAnn.ivfTopKFramesInt8(spark,
+        graft.streaming.IvfStream.layoutInt8(spark, root8), queries,
+        "embedding", "vec_id", k = 5, centroids, nprobe = 2)
+      .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val full8Top = PartitionedAnn.ivfTopKPartitionedInt8(spark, full8,
+        queries, "embedding", "vec_id", k = 5, centroids, nprobe = 2)
+      .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got8 === full8Top)
+    assert(got8.nonEmpty)
   }
 
   test("curation funnel batch replay is idempotent, state survives") {
