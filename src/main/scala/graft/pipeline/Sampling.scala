@@ -121,6 +121,70 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Sliding-window chunking with overlap — the retrieval-indexing /
+    * long-context-training cut: each document's token stream is cut
+    * into `chunkTokens`-token windows starting every `stride` tokens
+    * (stride < chunkTokens ⇒ adjacent chunks share
+    * `chunkTokens - stride` tokens of context). Differs from
+    * [[concatChunkSpans]] (the GPT-style cross-document packing) in
+    * that chunks never cross document boundaries and may overlap.
+    *
+    * Chunk i covers tokens [i·stride, i·stride + chunkTokens); the
+    * count is 1 for docs at most one window long (an empty document
+    * still yields one empty chunk, so every input row is represented
+    * downstream), else floor((n − chunk + stride − 1)/stride) + 1 —
+    * FLOOR over DOUBLE rather than integer `div` because that is the
+    * one division both engines define identically (values ≪ 2^52, so
+    * the double round-trip is exact; the pp_packing lesson).
+    *
+    * Purely scan-local: tokenize, per-row `sequence` explode, array
+    * slice — no shuffle, no state, so it maps over 100 TB at input
+    * parallelism and the output is at most ⌈chunk/stride⌉× the input
+    * tokens. All output columns are integers/strings — no float
+    * determinism caveats at all. */
+  def chunkWithOverlap(df: DataFrame, textCol: String, keyCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "chunkWithOverlap: need 0 < stride <= chunkTokens")
+    df.withColumn("tk", TextAnalysis.tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= chunkTokens, lit(1L))
+          .otherwise(floor(
+            (col("n_tokens") - chunkTokens + stride - 1).cast("double")
+              / stride).cast("long") + 1L))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("start_token", col("chunk_idx") * stride)
+      .withColumn("chunk_tokens",
+        least(col("n_tokens") - col("start_token"),
+          lit(chunkTokens.toLong)))
+      .withColumn("chunk_text",
+        array_join(slice(col("tk"),
+          (col("start_token") + 1).cast("int"), lit(chunkTokens)), " "))
+      .select(col(keyCol), col("n_tokens"), col("chunk_idx"),
+        col("start_token"), col("chunk_tokens"), col("chunk_text"))
+  }
+
+  /** Leakage-safe train/eval split: every id in a near-duplicate
+    * cluster goes to the SAME side, so a train document can never be
+    * a near-copy of an eval document — the contamination failure mode
+    * of naive per-document hash splits (near-dup pairs straddle the
+    * split ~2·p·(1−p) of the time). Input is a `(id, component)`
+    * cluster relation (e.g. [[Dedup.componentClusters]] over MinHash
+    * LSH candidates); the side is decided by the md5 of the CLUSTER
+    * label, compared against a hex-prefix ceiling (`"2"` ⇒ 2/16 of
+    * clusters → eval), the same engine-portable thresholding as the
+    * q32 Bernoulli sample. Deterministic across runs, partitionings,
+    * and engines; scan-local over the cluster relation (the expensive
+    * part — clustering — is the upstream dedup pass a pipeline has
+    * already paid for). */
+  def leakageSafeSplit(clusters: DataFrame, componentCol: String,
+      evalHexCeil: String = "2"): DataFrame =
+    clusters.withColumn("split",
+      when(md5(col(componentCol).cast("string")) < evalHexCeil, "eval")
+        .otherwise("train"))
+
   /** Temperature-scaled mixture weights over a grouping column — the
     * UniMax/multilingual-sampling recipe: flatten the group-size
     * distribution by renormalizing share^(1/T), upweighting

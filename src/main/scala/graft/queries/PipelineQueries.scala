@@ -1638,6 +1638,85 @@ object PipelineQueries {
            AS last_chunk
        FROM offs ORDER BY doc_id"""
 
+  /** Sliding-window chunking with overlap
+    * ([[Sampling.chunkWithOverlap]], 16-token windows every 8): the
+    * retrieval-indexing cut, one row per (doc, window). Scan-local
+    * explode — the whole query is a map; every output column is an
+    * integer or string, so the hash comparison is exact by
+    * construction. */
+  def ppChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    Sampling.chunkWithOverlap(t(s, dir, "documents"), "text", "doc_id",
+      chunkTokens = 16, stride = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  // n_chunks mirrors the engine's FLOOR-over-DOUBLE form (pp_packing's
+  // engine-portable division); list_slice truncates at the list end
+  // exactly like Spark's slice, but array_to_string of an empty slice
+  // is NULL where array_join gives '' — hence the COALESCE.
+  private val ppChunkOverlapSql =
+    """WITH toks AS (
+         SELECT doc_id,
+           regexp_extract_all(lower(text), '[a-z0-9_]+') AS tk,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+             AS BIGINT) AS n_tokens
+         FROM documents),
+       nc AS (
+         SELECT doc_id, tk, n_tokens,
+           CASE WHEN n_tokens <= 16 THEN CAST(1 AS BIGINT)
+                ELSE CAST(FLOOR(CAST(n_tokens - 16 + 8 - 1 AS DOUBLE)
+                       / 8.0) AS BIGINT) + 1
+           END AS n_chunks
+         FROM toks),
+       ch AS (
+         SELECT doc_id, tk, n_tokens,
+           CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_idx
+         FROM nc)
+       SELECT doc_id, n_tokens, chunk_idx,
+         CAST(chunk_idx * 8 AS BIGINT) AS start_token,
+         CAST(LEAST(n_tokens - chunk_idx * 8, 16) AS BIGINT)
+           AS chunk_tokens,
+         COALESCE(array_to_string(list_slice(tk,
+           chunk_idx * 8 + 1, chunk_idx * 8 + 16), ' '), '')
+           AS chunk_text
+       FROM ch ORDER BY doc_id, chunk_idx"""
+
+  /** Leakage-safe train/eval split ([[Sampling.leakageSafeSplit]]):
+    * the near-dup clusters of pp_dedup_e2e assigned ATOMICALLY to a
+    * side by hashing the cluster label — no eval document has a
+    * near-duplicate in train. The oracle replays the full chain:
+    * banding → components → md5 split. */
+  def ppSplitClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+    val pairs = Dedup.minHashCandidates(docs, "text", "doc_id")
+    Sampling.leakageSafeSplit(
+      Dedup.componentClusters(docs.select(col("doc_id")), "doc_id",
+        pairs, "key_a", "key_b"), "component")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val ppSplitClustersSql =
+    s"""WITH RECURSIVE ${minhashBandsCte(300)},
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS va, b.doc_id AS vb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id),
+       edges AS (SELECT va AS src, vb AS dst FROM pairs
+                 UNION ALL SELECT vb, va FROM pairs),
+       universe AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+       reach(node, root) AS (
+         SELECT doc_id, doc_id FROM universe
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN edges e
+           ON e.src = r.node),
+       comp AS (
+         SELECT node AS doc_id, MIN(root) AS component
+         FROM reach GROUP BY node)
+       SELECT doc_id, component,
+         CASE WHEN md5(CAST(component AS VARCHAR)) < '2' THEN 'eval'
+              ELSE 'train' END AS split
+       FROM comp ORDER BY doc_id"""
+
   /** End-to-end near-dup resolution: MinHash+LSH candidate pairs →
     * connected components → one keeper per cluster — the full
     * candidate-generation → clustering → resolution chain a dedup
@@ -2281,6 +2360,8 @@ object PipelineQueries {
     "pp_length_buckets" -> (ppLengthBuckets _),
     "pp_budget_select" -> (ppBudgetSelect _),
     "pp_packing" -> (ppPacking _),
+    "pp_chunk_overlap" -> (ppChunkOverlap _),
+    "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
     "pp_semdedup_at_rest" -> (ppSemdedupAtRest _),
@@ -2356,6 +2437,8 @@ object PipelineQueries {
     "pp_length_buckets" -> ppLengthBucketsSql,
     "pp_budget_select" -> ppBudgetSelectSql,
     "pp_packing" -> ppPackingSql,
+    "pp_chunk_overlap" -> ppChunkOverlapSql,
+    "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,
     // at-rest e2e shares the rebuild form's oracle verbatim — same

@@ -421,6 +421,64 @@ class PipelineSpec extends SparkSpec {
     assert(got(5L) === ((5000L, 0L, 0L, 1L)))    // g2 packs separately
   }
 
+  test("chunk-with-overlap: windows cover every token, overlap exact") {
+    val words = (0 until 37).map(i => s"w$i")
+    val d = Seq(
+      (1L, words.mkString(" ")),   // 37 tokens, chunk 16 / stride 8
+      (2L, "a b c"),               // shorter than one window
+      (3L, ""))                    // empty doc still yields one chunk
+      .toDF("doc_id", "text")
+    val got = Sampling.chunkWithOverlap(d, "text", "doc_id",
+        chunkTokens = 16, stride = 8)
+      .select($"doc_id", $"n_tokens", $"chunk_idx", $"start_token",
+        $"chunk_tokens", $"chunk_text")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1)
+    // 37 tokens: chunks start at 0,8,16,24 → floor((37-16+7)/8)+1 = 4
+    val c1 = got(1L).sortBy(_._3)
+    assert(c1.map(r => (r._3, r._4, r._5)).toSeq ===
+      Seq((0L, 0L, 16L), (1L, 8L, 16L), (2L, 16L, 16L), (3L, 24L, 13L)))
+    // every token appears in some chunk; adjacent chunks share 8
+    assert(c1(0)._6 === words.slice(0, 16).mkString(" "))
+    assert(c1(1)._6 === words.slice(8, 24).mkString(" "))
+    assert(c1(3)._6 === words.slice(24, 37).mkString(" "))
+    assert(got(2L).map(r => (r._3, r._5, r._6)).toSeq ===
+      Seq((0L, 3L, "a b c")))
+    assert(got(3L).map(r => (r._3, r._5, r._6)).toSeq ===
+      Seq((0L, 0L, "")))
+    // exact multiple: 24 tokens → chunks at 0,8 (last fills exactly)
+    val e = Seq((9L, (0 until 24).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ce = Sampling.chunkWithOverlap(e, "text", "doc_id", 16, 8)
+      .select($"start_token", $"chunk_tokens")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(ce.toSeq === Seq((0L, 16L), (8L, 16L)))
+  }
+
+  test("leakage-safe split: clusters are atomic and deterministic") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (7L, 1L),   // one cluster of three
+      (3L, 3L), (4L, 4L), (5L, 5L), (6L, 6L), (8L, 8L))
+      .toDF("doc_id", "component")
+    val got = Sampling.leakageSafeSplit(clusters, "component")
+      .select($"doc_id", $"component", $"split")
+      .as[(Long, Long, String)].collect()
+    // atomicity: every member of a component gets the same side
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length === 1)
+    }
+    // determinism: md5(component) < "2" — replay the rule directly
+    got.foreach { case (_, comp, split) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(comp.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(split === (if (h < "2") "eval" else "train"))
+    }
+    // both sides occur over a spread of labels (1/8 eval in
+    // expectation; these 6 labels were chosen to hit both)
+    assert(got.map(_._3).distinct.sorted.toSeq === Seq("eval", "train"))
+  }
+
   test("concat-chunk packing: exact-4096 boundaries, single shard") {
     // one shard; every boundary case of the chunk arithmetic:
     // a doc filling chunk 0 exactly, an empty doc sitting exactly ON
