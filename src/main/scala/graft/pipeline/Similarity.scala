@@ -508,6 +508,128 @@ object Similarity {
     graft.functions.GraftFunctions.vec_dot_int8(qq, cq).cast("double") /
       (sqrt(qqn.cast("double")) * sqrt(cqn.cast("double")))
 
+  /** Product-quantization codeword table: each codebook vector is cut
+    * into `numSub` contiguous `subDim`-dim subvectors, giving per
+    * subspace `m` the codeword set the encoder quantizes against.
+    * Output `(m, code_id, w, cwn2)` — the subvector slice and its
+    * exact squared norm (double, [[graft.functions.VecDot]]). The
+    * table is O(codebook × numSub) rows — broadcast-sized by
+    * construction (the codebook is the √n-capped subset the IVF tier
+    * already uses; at real scale it comes from per-subspace k-means
+    * and the structure is identical). */
+  def pqCodewords(codebook: DataFrame, vecCol: String, keyCol: String,
+      numSub: Int, subDim: Int): DataFrame = {
+    val nd = nativeDot(codebook) _
+    codebook
+      .select(col(keyCol).as("code_id"), col(vecCol).as("cb_vec"))
+      .withColumn("m", explode(array((0 until numSub).map(lit): _*)))
+      .withColumn("w", slice(col("cb_vec"),
+        (col("m") * subDim + 1).cast("int"), lit(subDim)))
+      .withColumn("cwn2", nd(col("w"), col("w")))
+      .select(col("m"), col("code_id"), col("w"), col("cwn2"))
+  }
+
+  /** PQ encoding: per corpus vector and subspace, the L2-nearest
+    * codeword — the lossy compression step that turns a
+    * `numSub·subDim`-float vector into `numSub` small integer codes
+    * (the at-rest form: 8 codes replace 64 floats — 32× smaller than
+    * float32 pages, 8× smaller than the int8 tier, which is what lets
+    * a 100 TB embedding corpus keep its search structure
+    * memory-resident). Distance uses the expanded form
+    * `(‖s‖² − 2·s·w) + ‖w‖²` so every term is one codegen'd
+    * [[graft.functions.VecDot]] call and the oracle can replay the
+    * identical operation sequence bit-for-bit.
+    *
+    * Plan shape: one corpus scan exploded ×numSub (scan-local slice),
+    * broadcast join against the codeword table, then a map-side
+    * combinable `min_by` argmin per (vector, subspace) — the same
+    * shuffle discipline as [[ivfAssign]]; the score relation itself
+    * never shuffles. Ties break on ascending code_id. Output
+    * `(c_id, m, code_id, cwn2)` carries the chosen codeword's squared
+    * norm so scoring never rejoins the codebook. */
+  def pqEncode(corpus: DataFrame, vecCol: String, keyCol: String,
+      codewords: DataFrame, numSub: Int, subDim: Int): DataFrame = {
+    val nd = nativeDot(corpus) _
+    val sub = buildParallel(
+      corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec")))
+      .withColumn("m", explode(array((0 until numSub).map(lit): _*)))
+      .withColumn("s", slice(col("c_vec"),
+        (col("m") * subDim + 1).cast("int"), lit(subDim)))
+      .withColumn("csub2", nd(col("s"), col("s")))
+    sub.join(broadcast(codewords), Seq("m"))
+      .withColumn("d",
+        (col("csub2") - lit(2) * nd(col("s"), col("w"))) + col("cwn2"))
+      .groupBy(col("c_id"), col("m"))
+      .agg(min_by(struct(col("code_id"), col("cwn2")),
+        struct(col("d"), col("code_id"))).as("pick"))
+      .select(col("c_id"), col("m"), col("pick.code_id").as("code_id"),
+        col("pick.cwn2").as("cwn2"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    * a `numSub × |codebook|` lookup table of partial dots against the
+    * UNquantized query subvectors (the asymmetric trick — only the
+    * corpus side pays quantization error), and every corpus vector is
+    * scored as the sum of `numSub` table lookups — no float vector is
+    * ever read at query time. Approximate cosine:
+    * `Σₘ q_subₘ·w[codeₘ] / (‖q‖ · √Σₘ‖w[codeₘ]‖²)` — the corpus norm
+    * is reconstructed from the codes too, so scoring touches ONLY the
+    * code relation.
+    *
+    * Determinism: the cross-subspace sums route through
+    * DECIMAL(28,15) (exact, order-independent addition — the
+    * temperature-weights normalizer trick), because a double `sum`
+    * across `numSub` rows would be partition-order-sensitive; the
+    * per-subspace dots are the codegen'd left-to-right kernels the
+    * oracles replay. Plan shape: the LUT is queries × codewords —
+    * broadcast; the code relation streams through one equi-join +
+    * one aggregation; the only corpus-sized shuffle is the
+    * (q_id, c_id) partial-sum combine, on rows of a few bytes. */
+  def pqTopKAdc(queries: DataFrame, codes: DataFrame,
+      codewords: DataFrame, vecCol: String, keyCol: String,
+      k: Int, subDim: Int): DataFrame = {
+    val nd = nativeDot(queries) _
+    val nn = nativeNorm(queries) _
+    val dec = org.apache.spark.sql.types.DecimalType(28, 15)
+    val lut = broadcast(
+      queries.select(col(keyCol).as("q_id"), col(vecCol).as("q_vec"),
+          nn(col(vecCol)).as("q_norm"))
+        .crossJoin(codewords.select(col("m"), col("code_id"), col("w")))
+        .withColumn("qs", slice(col("q_vec"),
+          (col("m") * subDim + 1).cast("int"), lit(subDim)))
+        .withColumn("pdot", nd(col("qs"), col("w")))
+        .select(col("q_id"), col("q_norm"), col("m"), col("code_id"),
+          col("pdot")))
+    codes.join(lut, Seq("m", "code_id"))
+      .groupBy(col("q_id"), col("q_norm"), col("c_id"))
+      .agg(sum(col("pdot").cast(dec)).as("adc_d"),
+        sum(col("cwn2").cast(dec)).as("cn2_d"))
+      .withColumn("cos", col("adc_d").cast("double") /
+        (col("q_norm") * sqrt(col("cn2_d").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        r3(col("cos")).as("cos"))
+  }
+
+  /** PQ end-to-end: codeword table → corpus encoding → ADC top-k.
+    * `codebook` is any `(key, vec)` relation (here the deterministic
+    * √n-capped subset; per-subspace [[kmeansCentroids]] at real
+    * scale). The encoding is what a 100 TB deployment writes at rest
+    * once ([[pqEncode]]'s output is the index); this composition
+    * rebuilds it inline the way the non-partitioned IVF/LSH queries
+    * do. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      keyCol: String, k: Int, codebook: DataFrame, numSub: Int,
+      subDim: Int): DataFrame = {
+    val cw = pqCodewords(codebook, vecCol, keyCol, numSub, subDim)
+      .localCheckpoint(false)
+    val codes = pqEncode(corpus, vecCol, keyCol, cw, numSub, subDim)
+    pqTopKAdc(queries, codes, cw, vecCol, keyCol, k, subDim)
+  }
+
   /** SemDeDup-style semantic deduplication (cluster first, dedup
     * within clusters — Abbas et al. 2023): assign every corpus vector
     * to its nearest centroid via [[ivfAssign]] (broadcast codebook,

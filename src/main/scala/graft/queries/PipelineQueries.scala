@@ -696,6 +696,87 @@ object PipelineQueries {
          CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
+  /** Product-quantization ADC top-k ([[Similarity.pqTopK]]): the
+    * corpus compressed to 8 one-byte-range codes per 64-float vector
+    * (the same deterministic √n-capped codebook as the IVF tier, cut
+    * into 8 subspaces), queries scored via asymmetric lookup tables —
+    * no float corpus vector read at query time. The oracle replays the
+    * ENTIRE structure in SQL — subvector slicing, per-subspace L2
+    * argmin encoding, LUT partial dots, decimal-routed ADC sums —
+    * proving the compression pipeline engine-neutral end to end. */
+  def annPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    Similarity.pqTopK(
+      e.filter(col("vec_id") < 10), corpus, "embedding", "vec_id",
+      k = 5, codebook = corpus.filter(codebookPred(e)), numSub = 8,
+      subDim = 8)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private lazy val annPqSql =
+    s"""WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       q AS (SELECT * FROM n WHERE vec_id < 10),
+       c AS (SELECT vec_id, embedding FROM n WHERE vec_id >= 10),
+       cb AS (SELECT vec_id AS code_id, embedding AS cemb FROM n
+              WHERE vec_id >= 10 AND vec_id % 50 = 0
+                AND vec_id < $codebookCapSql),
+       ms AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS m),
+       cw AS (
+         SELECT ms.m, cb.code_id,
+           list_slice(cb.cemb, ms.m*8 + 1, ms.m*8 + 8) AS w
+         FROM cb CROSS JOIN ms),
+       cwn AS (
+         SELECT m, code_id, w,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+            FROM (SELECT unnest(w) AS x) u) AS cwn2
+         FROM cw),
+       csub AS (
+         SELECT c.vec_id, ms.m,
+           list_slice(c.embedding, ms.m*8 + 1, ms.m*8 + 8) AS s
+         FROM c CROSS JOIN ms),
+       cdist AS (
+         SELECT cs.vec_id, cs.m, cwn.code_id, cwn.cwn2,
+           ((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+             FROM (SELECT unnest(cs.s) AS x) u)
+            - 2 * (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+                   FROM (SELECT unnest(cs.s) AS x,
+                                unnest(cwn.w) AS y) z))
+            + cwn.cwn2 AS d
+         FROM csub cs JOIN cwn ON cwn.m = cs.m),
+       codes AS (
+         SELECT vec_id, m, code_id, cwn2 FROM (
+           SELECT vec_id, m, code_id, cwn2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+               ORDER BY d, code_id) AS rk
+           FROM cdist) WHERE rk = 1),
+       lut AS (
+         SELECT q.vec_id AS q_id, q.nrm AS q_nrm, cwn.m, cwn.code_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(list_slice(q.embedding, cwn.m*8 + 1,
+                                           cwn.m*8 + 8)) AS x,
+                         unnest(cwn.w) AS y) z) AS pdot
+         FROM q CROSS JOIN cwn),
+       scored AS (
+         SELECT l.q_id, l.q_nrm, k.vec_id AS c_id,
+           CAST(SUM(CAST(l.pdot AS DECIMAL(28,15))) AS DOUBLE) AS adc,
+           CAST(SUM(CAST(k.cwn2 AS DECIMAL(28,15))) AS DOUBLE) AS cn2
+         FROM codes k JOIN lut l
+           ON l.m = k.m AND l.code_id = k.code_id
+         GROUP BY l.q_id, l.q_nrm, k.vec_id),
+       ranked AS (
+         SELECT q_id, c_id, adc / (q_nrm * sqrt(cn2)) AS cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY adc / (q_nrm * sqrt(cn2)) DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** Cache for partitioned-at-rest ANN layouts: written once per
     * (sf dir, layout) and reused across Verify/Bench/test invocations
     * in the same container — the "write the index once" half of the
@@ -2335,6 +2416,7 @@ object PipelineQueries {
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_lsh_multiprobe" -> (annLshMultiProbe _),
     "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_pq_topk" -> (annPqTopK _),
     "ann_lsh_partitioned" -> (annLshPartitioned _),
     "ann_ivf_partitioned" -> (annIvfPartitioned _),
     "ann_ivf_incremental" -> (annIvfIncremental _),
@@ -2408,6 +2490,7 @@ object PipelineQueries {
     "ann_lsh_topk" -> annLshSql,
     "ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "ann_ivf_topk" -> annIvfSql,
+    "ann_pq_topk" -> annPqSql,
     "ann_lsh_partitioned" -> annLshPartitionedSql,
     // the partitioned layout is an execution detail — the in-memory
     // IVF oracle verifies the identical (centroids, nprobe) semantics

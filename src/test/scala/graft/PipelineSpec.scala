@@ -834,6 +834,64 @@ class PipelineSpec extends SparkSpec {
     assert(errs.nonEmpty && errs.max < 0.02)
   }
 
+  test("PQ ADC: codes valid; reported cosine is exact vs reconstruction") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter($"vec_id" < 5)
+    val c = e.filter($"vec_id" >= 10 && $"vec_id" < 210)
+    val cb = c.filter($"vec_id" % 20 === 0)
+    val cw = Similarity.pqCodewords(cb, "embedding", "vec_id",
+      numSub = 8, subDim = 8)
+    val codes = Similarity
+      .pqEncode(c, "embedding", "vec_id", cw, numSub = 8, subDim = 8)
+      .select($"c_id", $"m", $"code_id")
+      .as[(Long, Int, Long)].collect()
+    // every corpus vector carries exactly one code per subspace, and
+    // every code names a codebook member
+    val cbIds = cb.select($"vec_id").as[Long].collect().toSet
+    val byVec = codes.groupBy(_._1)
+    assert(byVec.size === c.count())
+    byVec.values.foreach { cs =>
+      assert(cs.map(_._2).sorted.toSeq === (0 until 8))
+      assert(cs.forall(x => cbIds(x._3)))
+    }
+    // ADC's cosine must be EXACTLY cos(query, reconstructed-vector):
+    // the asymmetric trick changes which vector is scored, never how
+    val vecs = e.filter($"vec_id" < 210)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val reconOf = byVec.map { case (cid, cs) =>
+      cid -> cs.sortBy(_._2).flatMap { case (_, m, code) =>
+        vecs(code).slice(m * 8, m * 8 + 8).map(_.toDouble)
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val topk = Similarity.pqTopKAdc(q,
+      Similarity.pqEncode(c, "embedding", "vec_id", cw, 8, 8), cw,
+      "embedding", "vec_id", k = 3, subDim = 8)
+      .select($"q_id", $"rank", $"c_id", $"cos")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(topk.length === 5 * 3)
+    topk.foreach { case (qid, _, cid, reported) =>
+      val expect = cos(vecs(qid).map(_.toDouble), reconOf(cid))
+      // reported is rounded to 3 decimals; allow only that rounding
+      assert(math.abs(reported - expect) <= 5e-4 + 1e-9,
+        s"q=$qid c=$cid reported=$reported exact=$expect")
+    }
+    // ranks are dense and cosine-descending per query
+    topk.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to 3))
+      assert(sorted.map(_._4).toSeq ===
+        sorted.map(_._4).sortBy(-(_: Double)).toSeq)
+    }
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
