@@ -28,7 +28,13 @@ object Verify {
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
-    val dumps = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional comma-separated subset (mirrors SPARK_GRAFT_BENCH_ONLY)
+    // for fast single-query iteration; the driver gate leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val dumps = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -52,6 +58,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

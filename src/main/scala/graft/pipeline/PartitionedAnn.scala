@@ -268,6 +268,88 @@ object PartitionedAnn {
       "icos", k)
   }
 
+  /** Same INT-directory wrap hazard as [[requireIntCentIds]], for the
+    * PQ codeword ids a [[writeIvfPqPartitioned]] layout stores in its
+    * code arrays. The codeword table is broadcast-sized; the check is
+    * one tiny job. */
+  private def requireIntCodeIds(codewords: DataFrame): Unit = {
+    val bad = codewords
+      .filter(col("code_id") > Int.MaxValue.toLong ||
+        col("code_id") < Int.MinValue.toLong)
+      .select(col("code_id")).limit(1).collect()
+    require(bad.isEmpty,
+      s"IVF+PQ layout stores codes as INT; codeword id " +
+        s"${bad.headOption.map(_.get(0)).orNull} exceeds Int range " +
+        "and would wrap")
+  }
+
+  /** Write the IVF+PQ index at rest — the canonical web-scale ANN
+    * layout (the FAISS IVFADC shape): every corpus vector is assigned
+    * to its nearest IVF centroid AND compressed to `numSub` PQ
+    * codeword ids ([[Similarity.pqEncode]]); the files store ONLY
+    * `(c_id, codes: array<int>)` under `cent_id=` directories. At
+    * 64-dim float32 that is 8 ints standing in for 256 vector bytes —
+    * the form that keeps a 100 TB embedding corpus's entire search
+    * structure small enough to stay hot while the raw vectors are
+    * never re-read at query time. Code position = subspace `m`. */
+  def writeIvfPqPartitioned(corpus: DataFrame, vecCol: String,
+      keyCol: String, centroids: DataFrame, codewords: DataFrame,
+      outDir: String, numSub: Int, subDim: Int): Unit = {
+    requireIntCentIds(centroids)
+    requireIntCodeIds(codewords)
+    val assigned = Similarity.ivfAssign(corpus, vecCol, keyCol, centroids)
+      .withColumn("cent_id", col("cent_id").cast("int"))
+      .select(col("c_id"), col("c_vec"), col("cent_id"))
+      // consumed twice below (encode scan + cent_id join)
+      .localCheckpoint(false)
+    val codes = Similarity
+      .pqEncode(assigned, "c_vec", "c_id", codewords, numSub, subDim)
+      .groupBy(col("c_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("code_id")))),
+        x => x.getField("code_id").cast("int")).as("codes"))
+    assigned.select(col("c_id"), col("cent_id"))
+      .join(codes, Seq("c_id"))
+      .repartition(col("cent_id")) // one file per cent_id dir (see above)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
+  }
+
+  /** IVF+PQ query against a [[writeIvfPqPartitioned]] layout: float
+    * centroids drive probing (literal `cent_id IN (…)` partition
+    * pruning, like every IVF path here), then candidates are scored
+    * by asymmetric-distance lookup ([[Similarity.pqRankAdc]]) — the
+    * corpus scan reads ONLY the code arrays; no float corpus vector
+    * is touched anywhere in the plan (PlanSpec pins both the pruning
+    * and the codes-only read schema). Results are bit-identical to
+    * running [[Similarity.pqTopKAdc]] restricted to each query's
+    * probed clusters (the driver oracle replays exactly that). */
+  def ivfPqTopKPartitioned(spark: SparkSession, corpusDir: String,
+      queries: DataFrame, vecCol: String, keyCol: String, k: Int,
+      centroids: DataFrame, codewords: DataFrame, nprobe: Int,
+      subDim: Int): DataFrame = {
+    requireIntCentIds(centroids)
+    graft.functions.GraftFunctions.register(spark)
+    // localCheckpoint: consumed by the probe-set collect AND the join
+    val probedQ = Similarity
+      .ivfProbe(queries, vecCol, keyCol, centroids, nprobe)
+      .select(col("q_id"), col("cent_id").cast("int").as("cent_id"))
+      .localCheckpoint()
+    val probed = probedQ.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lut = Similarity.pqLut(queries, codewords, vecCol, keyCol, subDim)
+    val cwn = broadcast(
+      codewords.select(col("m"), col("code_id"), col("cwn2")))
+    val c = spark.read.parquet(corpusDir)
+      .filter(col("cent_id").isin(probed.toIndexedSeq: _*))
+      .select(col("c_id"), col("cent_id"),
+        posexplode(col("codes")).as(Seq("m", "code_id")))
+      .withColumn("code_id", col("code_id").cast("long"))
+    Similarity.pqRankAdc(
+      c.join(broadcast(probedQ), Seq("cent_id"))
+        .join(lut, Seq("q_id", "m", "code_id"))
+        .join(cwn, Seq("m", "code_id")), k)
+  }
+
   /** [[Similarity.ivfTopK]] against a [[writeIvfPartitioned]] layout.
     * The probe pass runs on the query batch only; its distinct probed
     * centroids become the literal `cent_id IN (…)` partition filter. */

@@ -587,11 +587,22 @@ object Similarity {
     * (q_id, c_id) partial-sum combine, on rows of a few bytes. */
   def pqTopKAdc(queries: DataFrame, codes: DataFrame,
       codewords: DataFrame, vecCol: String, keyCol: String,
-      k: Int, subDim: Int): DataFrame = {
+      k: Int, subDim: Int): DataFrame =
+    pqRankAdc(
+      codes.join(pqLut(queries, codewords, vecCol, keyCol, subDim),
+        Seq("m", "code_id")), k)
+
+  /** The per-query ADC lookup table: one row per (query, subspace,
+    * codeword) holding the UNquantized query subvector's dot with that
+    * codeword — queries × codewords rows, broadcast by the same
+    * small-query-batch contract every search path relies on. Shared by
+    * [[pqTopKAdc]] and the IVF-partitioned composition
+    * ([[PartitionedAnn.ivfPqTopKPartitioned]]). */
+  private[pipeline] def pqLut(queries: DataFrame, codewords: DataFrame,
+      vecCol: String, keyCol: String, subDim: Int): DataFrame = {
     val nd = nativeDot(queries) _
     val nn = nativeNorm(queries) _
-    val dec = org.apache.spark.sql.types.DecimalType(28, 15)
-    val lut = broadcast(
+    broadcast(
       queries.select(col(keyCol).as("q_id"), col(vecCol).as("q_vec"),
           nn(col(vecCol)).as("q_norm"))
         .crossJoin(codewords.select(col("m"), col("code_id"), col("w")))
@@ -600,7 +611,16 @@ object Similarity {
         .withColumn("pdot", nd(col("qs"), col("w")))
         .select(col("q_id"), col("q_norm"), col("m"), col("code_id"),
           col("pdot")))
-    codes.join(lut, Seq("m", "code_id"))
+  }
+
+  /** The ADC scoring tail over candidate rows
+    * `(q_id, q_norm, c_id, pdot, cwn2)` — one row per (query, corpus
+    * vector, subspace): decimal-routed partial-sum combine (the only
+    * corpus-sized shuffle, on rows of a few bytes), reconstructed-norm
+    * cosine, per-query rank. */
+  private[pipeline] def pqRankAdc(cand: DataFrame, k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 15)
+    cand
       .groupBy(col("q_id"), col("q_norm"), col("c_id"))
       .agg(sum(col("pdot").cast(dec)).as("adc_d"),
         sum(col("cwn2").cast(dec)).as("cn2_d"))

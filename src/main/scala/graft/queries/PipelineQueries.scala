@@ -878,6 +878,121 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF+PQ against the at-rest layout — the FAISS-IVFADC shape
+    * ([[PartitionedAnn.writeIvfPqPartitioned]]): the deterministic
+    * √n-capped subset plays both index roles (IVF centroids and PQ
+    * codebook), queries probe their 2 nearest clusters, and the
+    * probed candidates are scored by ADC lookup over the stored
+    * 8-int code arrays. The oracle replays BOTH index builds and the
+    * cluster-restricted ADC scoring end to end in SQL. */
+  def annPqIvfPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = corpus.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val cw = Similarity.pqCodewords(corpus.filter(codebookPred(e)),
+      "embedding", "vec_id", numSub = 8, subDim = 8)
+      .localCheckpoint(false)
+    val out = annLayoutDir(dir, "ivfpq_sqrt50_m8")
+    ensureLayout(out)(PartitionedAnn.writeIvfPqPartitioned(
+      corpus, "embedding", "vec_id", centroids, cw, out,
+      numSub = 8, subDim = 8))
+    PartitionedAnn.ivfPqTopKPartitioned(s, out,
+      e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+      centroids, cw, nprobe = 2, subDim = 8)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private lazy val annPqIvfSql =
+    s"""WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       q AS (SELECT * FROM n WHERE vec_id < 10),
+       c AS (SELECT * FROM n WHERE vec_id >= 10),
+       cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+                FROM c WHERE vec_id % 50 = 0
+                  AND vec_id < $codebookCapSql),
+       cscore AS (
+         SELECT c.vec_id, cent.cent_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(c.embedding) AS x,
+                         unnest(cent.cemb) AS y) z) / (c.nrm * cent.cnrm)
+             AS ccos
+         FROM c CROSS JOIN cent),
+       assigned AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+           FROM cscore) WHERE crk = 1),
+       qscore AS (
+         SELECT q.vec_id, cent.cent_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(cent.cemb) AS y) z) / (q.nrm * cent.cnrm)
+             AS ccos
+         FROM q CROSS JOIN cent),
+       probed AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+           FROM qscore) WHERE crk <= 2),
+       ms AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS m),
+       cw AS (
+         SELECT ms.m, cent.cent_id AS code_id,
+           list_slice(cent.cemb, ms.m*8 + 1, ms.m*8 + 8) AS w
+         FROM cent CROSS JOIN ms),
+       cwn AS (
+         SELECT m, code_id, w,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+            FROM (SELECT unnest(w) AS x) u) AS cwn2
+         FROM cw),
+       csub AS (
+         SELECT c.vec_id, ms.m,
+           list_slice(c.embedding, ms.m*8 + 1, ms.m*8 + 8) AS s
+         FROM c CROSS JOIN ms),
+       cdist AS (
+         SELECT cs.vec_id, cs.m, cwn.code_id, cwn.cwn2,
+           ((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+             FROM (SELECT unnest(cs.s) AS x) u)
+            - 2 * (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+                   FROM (SELECT unnest(cs.s) AS x,
+                                unnest(cwn.w) AS y) z))
+            + cwn.cwn2 AS d
+         FROM csub cs JOIN cwn ON cwn.m = cs.m),
+       codes AS (
+         SELECT vec_id, m, code_id, cwn2 FROM (
+           SELECT vec_id, m, code_id, cwn2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, m
+               ORDER BY d, code_id) AS rk
+           FROM cdist) WHERE rk = 1),
+       lut AS (
+         SELECT q.vec_id AS q_id, q.nrm AS q_nrm, cwn.m, cwn.code_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(list_slice(q.embedding, cwn.m*8 + 1,
+                                           cwn.m*8 + 8)) AS x,
+                         unnest(cwn.w) AS y) z) AS pdot
+         FROM q CROSS JOIN cwn),
+       scored AS (
+         SELECT l.q_id, l.q_nrm, k.vec_id AS c_id,
+           CAST(SUM(CAST(l.pdot AS DECIMAL(28,15))) AS DOUBLE) AS adc,
+           CAST(SUM(CAST(k.cwn2 AS DECIMAL(28,15))) AS DOUBLE) AS cn2
+         FROM codes k
+           JOIN assigned a ON a.vec_id = k.vec_id
+           JOIN probed p ON p.cent_id = a.cent_id
+           JOIN lut l ON l.q_id = p.vec_id
+             AND l.m = k.m AND l.code_id = k.code_id
+         GROUP BY l.q_id, l.q_nrm, k.vec_id),
+       ranked AS (
+         SELECT q_id, c_id, adc / (q_nrm * sqrt(cn2)) AS cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY adc / (q_nrm * sqrt(cn2)) DESC, c_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** IVF top-k against an INCREMENTALLY-built at-rest layout: a base
     * build over a third of the corpus plus two streamed delta appends
     * ([[graft.streaming.IvfStream.appendBatch]] — the exact code path
@@ -2419,6 +2534,7 @@ object PipelineQueries {
     "ann_pq_topk" -> (annPqTopK _),
     "ann_lsh_partitioned" -> (annLshPartitioned _),
     "ann_ivf_partitioned" -> (annIvfPartitioned _),
+    "ann_pq_ivf_partitioned" -> (annPqIvfPartitioned _),
     "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_int8_partitioned" -> (annInt8Partitioned _),
     "ann_int8_ivf_partitioned" -> (annInt8IvfPartitioned _),
@@ -2491,6 +2607,7 @@ object PipelineQueries {
     "ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_pq_topk" -> annPqSql,
+    "ann_pq_ivf_partitioned" -> annPqIvfSql,
     "ann_lsh_partitioned" -> annLshPartitionedSql,
     // the partitioned layout is an execution detail — the in-memory
     // IVF oracle verifies the identical (centroids, nprobe) semantics

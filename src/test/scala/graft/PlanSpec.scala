@@ -218,6 +218,34 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.types.ByteType, true), sch.toString)
   }
 
+  test("IVF+PQ partitioned ANN: probed centroids prune; files hold only code arrays") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("annpq").toString
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val cents = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val cw = graft.pipeline.Similarity.pqCodewords(
+      corpus.filter(col("vec_id") % 50 === 0), "embedding", "vec_id",
+      numSub = 8, subDim = 8).localCheckpoint()
+    graft.pipeline.PartitionedAnn.writeIvfPqPartitioned(
+      corpus, "embedding", "vec_id", cents, cw, s"$tmp/ivfpq",
+      numSub = 8, subDim = 8)
+    val df = graft.pipeline.PartitionedAnn.ivfPqTopKPartitioned(spark,
+      s"$tmp/ivfpq", e.filter(col("vec_id") < 3),
+      "embedding", "vec_id", k = 5, cents, cw, nprobe = 2, subDim = 8)
+    val pf = df.queryExecution.explainString(FormattedMode)
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("cent_id") && pf.contains(" IN "), pf)
+    // the at-rest index is codes-only: 8 ints per vector, NO float
+    // vector column anywhere in the layout
+    val sch = spark.read.parquet(s"$tmp/ivfpq").schema
+    assert(sch.fieldNames.sorted.toSeq === Seq("c_id", "cent_id", "codes"),
+      sch.treeString)
+    assert(sch("codes").dataType === org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, true), sch.treeString)
+  }
+
   test("pp_mixture: one window pass, no join for the quota lookup") {
     val p = plan("pp_mixture")
     assert(p.contains("Window"), p)
