@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Lexical ranked retrieval over a document corpus — the search-side
+  * complement to the embedding ANN tier ([[Similarity]]): BM25, the
+  * standard quality-retrieval primitive a curation pipeline uses to
+  * mine targeted subsets ("find the docs most about X") before any
+  * embedding model exists.
+  *
+  * Scale shape: the postings relation (doc, term, tf) is built
+  * scan-local per document (array functions over the token list — no
+  * explode-then-count shuffle of raw tokens), then immediately
+  * restricted to the query vocabulary by a broadcast join, so the only
+  * corpus-sized shuffles are over matched postings: one tiny per-term
+  * document-frequency aggregate and the final (query, doc) score
+  * combine — both map-side combinable, both rows of a few bytes. The
+  * query batch and its derived tables (terms, dfs, corpus stats) are
+  * all broadcast; nothing about the corpus is ever collected.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k: for each query, the `k` highest-scoring
+    * documents under
+    * `score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with the Lucene idf `ln(1 + (N−df+0.5)/(df+0.5))` (always
+    * positive), summing over the query's DISTINCT terms. Tokenization
+    * is [[TextAnalysis.tokens]] — the same `\w+` runs every text
+    * operator here shares, so the oracle replays it verbatim.
+    *
+    * Determinism: per-term weights are fixed-order double arithmetic
+    * (engine-portable bit-for-bit); the cross-term sum routes through
+    * DECIMAL(28,15) so partial-aggregation order cannot perturb the
+    * last bits; ties rank by ascending doc key. `avgdl` divides an
+    * exact integral token-count sum — no floating accumulation.
+    *
+    * Output `(q_id, rank, doc_id, score)`, score rounded to 3 decimals
+    * AFTER ranking. */
+  def bm25TopK(docs: DataFrame, textCol: String, keyCol: String,
+      queries: DataFrame, qKeyCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dec = DecimalType(28, 15)
+    def d(x: Double): Column = lit(x).cast("double")
+    // scan-local postings: each doc's distinct terms with in-doc counts
+    val postings = docs
+      .select(col(keyCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("dl", size(col("tk")).cast("double"))
+      .select(col("doc_id"), col("dl"),
+        explode(transform(array_distinct(col("tk")), t =>
+          struct(t.as("term"),
+            size(filter(col("tk"), x => x === t)).cast("double")
+              .as("tf")))).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.term"), col("p.tf"))
+    val qterms = queries
+      .select(col(qKeyCol).as("q_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(qTextCol))))
+          .as("term"))
+      .localCheckpoint() // consumed by the df restriction AND scoring
+    // df per query term over the full corpus: restrict the postings
+    // stream FIRST (broadcast vocab), then a tiny keyed count
+    val dfs = postings
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    // corpus-level constants: one row, exact integral sums
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(size(TextAnalysis.tokens(col(textCol)))).as("avgdl"))
+    val matched = postings
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(d(1.0) +
+        (col("n_docs") - col("df") + d(0.5)) / (col("df") + d(0.5))))
+      .withColumn("w",
+        col("idf") * col("tf") * (d(k1) + d(1.0)) /
+          (col("tf") +
+            d(k1) * (d(1.0) - d(b) + d(b) * col("dl") / col("avgdl"))))
+    matched
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("w").cast(dec)).cast("double").as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        Similarity.r3(col("score")).as("score"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, Jsonl, Multimodal, PartitionedAnn, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1277,6 +1277,78 @@ object PipelineQueries {
          ON h.c_id = d.doc_id AND d.n_chars > 100
        ORDER BY h.q_id, h.rank"""
 
+  /** BM25 lexical search ([[Retrieval.bm25TopK]]): three literal
+    * query strings ranked over the documents corpus, k1=1.2 b=0.75,
+    * Lucene idf. The oracle replays tokenization, the scan-local
+    * postings build, per-term document frequencies, the fixed-order
+    * per-term weight arithmetic, and the decimal-routed cross-term
+    * sum — the complete scoring pipeline, engine-neutral. */
+  def ppBm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (0L, "spark join window"),
+      (1L, "fast table scan"),
+      (2L, "stream batch query filter")).toDF("q_id", "q_text")
+    Retrieval.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+      qs, "q_id", "q_text", k = 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val ppBm25SearchSql =
+    """WITH qs AS (
+         SELECT * FROM (VALUES
+           (0, 'spark join window'),
+           (1, 'fast table scan'),
+           (2, 'stream batch query filter')) v(q_id, q_text)),
+       qt AS (
+         SELECT DISTINCT q_id, term FROM (
+           SELECT q_id,
+             unnest(list_filter(string_split_regex(lower(q_text), '\W+'),
+               t -> t <> '')) AS term
+           FROM qs)),
+       tok AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             t -> t <> '') AS tk
+         FROM documents),
+       post AS (
+         SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM tok)
+         GROUP BY doc_id, term),
+       dls AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tok),
+       stats AS (
+         SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           AVG(len(tk)) AS avgdl
+         FROM tok),
+       dfs AS (
+         SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+         WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       scored AS (
+         SELECT qt.q_id, p.doc_id,
+           CAST(SUM(CAST(
+             ln(CAST(1.0 AS DOUBLE) +
+                (s.n_docs - d.df + CAST(0.5 AS DOUBLE)) /
+                (d.df + CAST(0.5 AS DOUBLE)))
+             * p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (p.tf + CAST(1.2 AS DOUBLE) *
+                (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))
+           AS DECIMAL(28,15))) AS DOUBLE) AS score
+         FROM post p
+           JOIN qt ON qt.term = p.term
+           JOIN dfs d ON d.term = p.term
+           JOIN dls l ON l.doc_id = p.doc_id
+           CROSS JOIN stats s
+         GROUP BY qt.q_id, p.doc_id),
+       ranked AS (
+         SELECT q_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY score DESC, doc_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, doc_id,
+         CAST(ROUND(CAST(score AS DECIMAL(28,10)), 3) AS DOUBLE) AS score
+       FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
+
   // --- text analysis --------------------------------------------
 
   /** Language-ID heuristic vs the labeled lang column. */
@@ -2540,6 +2612,7 @@ object PipelineQueries {
     "ann_int8_ivf_partitioned" -> (annInt8IvfPartitioned _),
     "ann_int8_ivf_incremental" -> (annInt8IvfIncremental _),
     "pp_retrieval" -> (ppRetrieval _),
+    "pp_bm25_search" -> (ppBm25Search _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
@@ -2617,6 +2690,7 @@ object PipelineQueries {
     "ann_int8_ivf_partitioned" -> annInt8IvfPartitionedSql,
     "ann_int8_ivf_incremental" -> annInt8IvfPartitionedSql,
     "pp_retrieval" -> ppRetrievalSql,
+    "pp_bm25_search" -> ppBm25SearchSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,

@@ -892,6 +892,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("BM25: hand-computed fixture scores; duplicate query terms count once") {
+    val corpus = Seq(
+      (0L, "spark join join window"),
+      (1L, "spark"),
+      (2L, "table scan fast fast fast"),
+      (3L, "the quick fox")).toDF("doc_id", "text")
+    // "join" twice in the query: distinct-term semantics → counts once
+    val qs = Seq((0L, "spark join join")).toDF("q_id", "q_text")
+    val got = Retrieval.bm25TopK(corpus, "text", "doc_id",
+      qs, "q_id", "q_text", k = 10)
+      .select($"doc_id", $"rank", $"score")
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    // replicate the scoring by hand: N=4, dl=[4,1,5,3], avgdl=13/4
+    val n = 4.0; val avgdl = 13.0 / 4.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(df: Double, tf: Double, dl: Double) =
+      idf(df) * tf * (1.2 + 1.0) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    val exp0 = w(2, 1, 4) + w(1, 2, 4) // doc0: spark tf=1, join tf=2
+    val exp1 = w(2, 1, 1)              // doc1: spark tf=1
+    // only the two matching docs appear, ranked doc0 first
+    assert(got.map(x => (x._1, x._2)).toSeq === Seq((0L, 1), (1L, 2)))
+    assert(math.abs(got(0)._3 - exp0) <= 5e-4 + 1e-9, s"${got(0)._3} vs $exp0")
+    assert(math.abs(got(1)._3 - exp1) <= 5e-4 + 1e-9, s"${got(1)._3} vs $exp1")
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
