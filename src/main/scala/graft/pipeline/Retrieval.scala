@@ -90,4 +90,38 @@ object Retrieval {
       .select(col("q_id"), col("rank"), col("doc_id"),
         Similarity.r3(col("score")).as("score"))
   }
+
+  /** RRF scores live around 1/60 — three decimals would flatten them. */
+  private def r6(c: Column): Column =
+    round(c.cast(DecimalType(28, 10)), 6).cast("double")
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists
+    * `(q_id, rank, doc_id)`: `rrf(d) = Σ_lists 1/(kk + rank_l(d))`,
+    * the standard score-free way to combine lexical ([[bm25TopK]]) and
+    * embedding ([[Similarity]] ANN) retrieval into one hybrid list —
+    * rank positions only, so the two scorers' incomparable score
+    * scales never meet.
+    *
+    * Each doc appears at most once per list, so the fusion is a full
+    * outer join + one fixed-order two-term sum — no aggregation, hence
+    * nothing order-sensitive. Inputs are per-query top-N lists (tiny
+    * by construction); the fusion costs nothing next to producing
+    * them, and at scale inherits the input operators' plans. */
+  def rrfFuse(a: DataFrame, b: DataFrame, kk: Int, k: Int): DataFrame = {
+    def d(x: Double): Column = lit(x).cast("double")
+    val left = a.select(col("q_id"), col("doc_id"),
+      col("rank").as("rank_a"))
+    val right = b.select(col("q_id"), col("doc_id"),
+      col("rank").as("rank_b"))
+    left.join(right, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(d(1.0) / (lit(kk) + col("rank_a")), d(0.0)) +
+          coalesce(d(1.0) / (lit(kk) + col("rank_b")), d(0.0)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        r6(col("rrf")).as("rrf"))
+  }
 }

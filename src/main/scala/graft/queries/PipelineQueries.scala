@@ -1349,6 +1349,114 @@ object PipelineQueries {
          CAST(ROUND(CAST(score AS DECIMAL(28,10)), 3) AS DOUBLE) AS score
        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** Hybrid search: BM25 ([[Retrieval.bm25TopK]]) and exact cosine
+    * ANN ([[Similarity.bruteForceTopK]]) top-20 lists for the SAME
+    * three query documents (doc 0-2's text and embedding — the
+    * documents and embeddings tables share the id space), fused by
+    * reciprocal-rank fusion ([[Retrieval.rrfFuse]], kk=60). The
+    * oracle replays both retrievers and the fusion arithmetic. */
+  def ppHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val e = t(s, dir, "embeddings")
+    val qd = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    val bm = Retrieval.bm25TopK(docs.filter(col("doc_id") >= 10),
+      "text", "doc_id", qd, "q_id", "q_text", k = 20)
+      .select(col("q_id"), col("rank"), col("doc_id"))
+    val ann = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 3), e.filter(col("vec_id") >= 10),
+      "embedding", "vec_id", k = 20)
+      .select(col("q_id"), col("rank"), col("c_id").as("doc_id"))
+    Retrieval.rrfFuse(bm, ann, kk = 60, k = 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val ppHybridSearchSql =
+    """WITH qs AS (
+         SELECT doc_id AS q_id, text AS q_text FROM documents
+         WHERE doc_id < 3),
+       qt AS (
+         SELECT DISTINCT q_id, term FROM (
+           SELECT q_id,
+             unnest(list_filter(string_split_regex(lower(q_text), '\W+'),
+               t -> t <> '')) AS term
+           FROM qs)),
+       tok AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             t -> t <> '') AS tk
+         FROM documents WHERE doc_id >= 10),
+       post AS (
+         SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM tok)
+         GROUP BY doc_id, term),
+       dls AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tok),
+       stats AS (
+         SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           AVG(len(tk)) AS avgdl
+         FROM tok),
+       dfs AS (
+         SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+         WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       bmscored AS (
+         SELECT qt.q_id, p.doc_id,
+           CAST(SUM(CAST(
+             ln(CAST(1.0 AS DOUBLE) +
+                (s.n_docs - d.df + CAST(0.5 AS DOUBLE)) /
+                (d.df + CAST(0.5 AS DOUBLE)))
+             * p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (p.tf + CAST(1.2 AS DOUBLE) *
+                (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))
+           AS DECIMAL(28,15))) AS DOUBLE) AS score
+         FROM post p
+           JOIN qt ON qt.term = p.term
+           JOIN dfs d ON d.term = p.term
+           JOIN dls l ON l.doc_id = p.doc_id
+           CROSS JOIN stats s
+         GROUP BY qt.q_id, p.doc_id),
+       bmranked AS (
+         SELECT q_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY score DESC, doc_id) AS rank
+         FROM bmscored QUALIFY rank <= 20),
+       n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       vq AS (SELECT * FROM n WHERE vec_id < 3),
+       vc AS (SELECT * FROM n WHERE vec_id >= 10),
+       vscored AS (
+         SELECT vq.vec_id AS q_id, vc.vec_id AS doc_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(vq.embedding) AS x,
+                         unnest(vc.embedding) AS y) z) / (vq.nrm * vc.nrm)
+             AS cos
+         FROM vq CROSS JOIN vc),
+       annranked AS (
+         SELECT q_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, doc_id) AS rank
+         FROM vscored QUALIFY rank <= 20),
+       fused AS (
+         SELECT COALESCE(b.q_id, a.q_id) AS q_id,
+           COALESCE(b.doc_id, a.doc_id) AS doc_id,
+           COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.rank),
+                    CAST(0.0 AS DOUBLE)) +
+           COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.rank),
+                    CAST(0.0 AS DOUBLE)) AS rrf
+         FROM bmranked b FULL OUTER JOIN annranked a
+           ON a.q_id = b.q_id AND a.doc_id = b.doc_id),
+       franked AS (
+         SELECT q_id, doc_id, rrf,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY rrf DESC, doc_id) AS rank
+         FROM fused)
+       SELECT q_id, rank, doc_id,
+         CAST(ROUND(CAST(rrf AS DECIMAL(28,10)), 6) AS DOUBLE) AS rrf
+       FROM franked WHERE rank <= 10 ORDER BY q_id, rank"""
+
   // --- text analysis --------------------------------------------
 
   /** Language-ID heuristic vs the labeled lang column. */
@@ -2613,6 +2721,7 @@ object PipelineQueries {
     "ann_int8_ivf_incremental" -> (annInt8IvfIncremental _),
     "pp_retrieval" -> (ppRetrieval _),
     "pp_bm25_search" -> (ppBm25Search _),
+    "pp_hybrid_search" -> (ppHybridSearch _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
@@ -2691,6 +2800,7 @@ object PipelineQueries {
     "ann_int8_ivf_incremental" -> annInt8IvfPartitionedSql,
     "pp_retrieval" -> ppRetrievalSql,
     "pp_bm25_search" -> ppBm25SearchSql,
+    "pp_hybrid_search" -> ppHybridSearchSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,

@@ -918,6 +918,20 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(got(1)._3 - exp1) <= 5e-4 + 1e-9, s"${got(1)._3} vs $exp1")
   }
 
+  test("RRF fusion: overlapping docs sum both lists, singles keep one term") {
+    val a = Seq((0L, 1, 10L), (0L, 2, 11L)).toDF("q_id", "rank", "doc_id")
+    val b = Seq((0L, 1, 11L), (0L, 2, 12L)).toDF("q_id", "rank", "doc_id")
+    val r = Retrieval.rrfFuse(a, b, kk = 60, k = 10)
+      .select($"rank", $"doc_id", $"rrf")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    // doc 11 is in both lists (ranks 2 and 1) → 1/62 + 1/61 wins;
+    // then doc 10 (1/61 alone), then doc 12 (1/62 alone)
+    assert(r.map(x => (x._1, x._2)).toSeq === Seq((1, 11L), (2, 10L), (3, 12L)))
+    assert(math.abs(r(0)._3 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    assert(math.abs(r(1)._3 - 1.0 / 61) < 1e-6)
+    assert(math.abs(r(2)._3 - 1.0 / 62) < 1e-6)
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
