@@ -221,4 +221,72 @@ object Sampling {
             org.apache.spark.sql.types.DecimalType(28, 15))).over(all)
             .cast("double")).as("weight"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank raw-corpus
+    * documents by how target-like their n-gram distribution is, using
+    * two MLE occurrence models over the SAME gram space —
+    * `p_t(g) = c_t(g)/N_t` on the `targetPred` subset and
+    * `p_r(g) = c_r(g)/N_r` on the full corpus, both rounded to 9
+    * decimals IN DECIMAL (the house bit-replay contract,
+    * [[TextAnalysis.bigramModel]]). A document's weight is the
+    * occurrence-weighted mean of the per-gram ratio `p_t/p_r`: > 1
+    * means its grams are over-represented in the target. The
+    * canonical multiplicative weight `exp Σ log(p_t/p_r)` needs `ln`,
+    * which is not correctly rounded across engines; the ratio mean
+    * keeps the whole gate on IEEE-exact division + exact decimal
+    * sums while preserving the ordering the resampling step consumes
+    * (take the top-N by weight, or threshold — both downstream of
+    * this relation). Grams unseen in the target contribute ratio 0 —
+    * evidence against target-likeness; every scored gram has
+    * `p_r > 0` because the raw model is trained on the same corpus.
+    * Documents with no gram (< n tokens) drop out, like every gram
+    * operator here.
+    *
+    * 100 TB shape: gram construction is the codegen'd `word_ngrams`
+    * scan; both models are vocabulary-sized aggregates that broadcast
+    * to the scoring join; the per-doc combine is the same gram-keyed
+    * map-side-partial pattern as [[TextAnalysis.scoreWithBigramModel]].
+    * The two global totals are each one scalar aggregate. */
+  def dsirWeights(docs: DataFrame, textCol: String, keyCol: String,
+      targetPred: org.apache.spark.sql.Column, n: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.types.DecimalType
+    def model(src: DataFrame): DataFrame = {
+      val cnt = src
+        .select(explode(
+          graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+          .as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // consumed by the total AND the join
+      val total = cnt.agg(sum(col("c")).cast("double").as("n_total"))
+      cnt.crossJoin(broadcast(total))
+        .select(col("gram"),
+          round((col("c").cast("double") / col("n_total"))
+            .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9))
+            .as("p9"))
+    }
+    val tModel = model(docs.filter(targetPred))
+      .withColumnRenamed("p9", "p9_t")
+    val rModel = model(docs).withColumnRenamed("p9", "p9_r")
+    val occ = docs
+      .select(col(keyCol), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        .as("gram"))
+      .groupBy(col(keyCol), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+    val ratio9 = round(
+      (coalesce(col("p9_t"), lit(0).cast(DecimalType(18, 9)))
+        .cast("double") / col("p9_r").cast("double"))
+        .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9))
+    occ
+      .join(broadcast(tModel), Seq("gram"), "left_outer")
+      .join(broadcast(rModel), Seq("gram"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(ratio9 * col("occ").cast(DecimalType(10, 0))).as("r_sum"))
+      .select(col(keyCol), col("n_grams"),
+        Similarity.r3(col("r_sum").cast("double") / col("n_grams"))
+          .as("dsir_weight"))
+  }
 }

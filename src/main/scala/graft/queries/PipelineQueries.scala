@@ -1457,6 +1457,58 @@ object PipelineQueries {
          CAST(ROUND(CAST(rrf AS DECIMAL(28,10)), 6) AS DOUBLE) AS rrf
        FROM franked WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** DSIR importance weights ([[Sampling.dsirWeights]]): every
+    * document scored by how English-target-like its bigram
+    * distribution is (target model = `lang = 'en'` subset, raw model
+    * = full corpus). The oracle replays both MLE models, the
+    * 9-decimal ratio rounding, and the occurrence-weighted decimal
+    * mean. */
+  def ppDsirWeights(s: SparkSession, dir: String): DataFrame =
+    Sampling.dsirWeights(t(s, dir, "documents"), "text", "doc_id",
+      targetPred = col("lang") === "en", n = 2)
+      .orderBy(col("doc_id"))
+
+  private val ppDsirWeightsSql =
+    """WITH toks AS (
+         SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id, lang, tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       tc AS (SELECT gram, COUNT(*) AS c FROM g
+              WHERE lang = 'en' GROUP BY gram),
+       tn AS (SELECT CAST(SUM(c) AS DOUBLE) AS nt FROM tc),
+       tm AS (SELECT gram,
+                CAST(ROUND(CAST(CAST(c AS DOUBLE) / nt
+                  AS DECIMAL(28,10)), 9) AS DECIMAL(18,9)) AS p9t
+              FROM tc CROSS JOIN tn),
+       rc AS (SELECT gram, COUNT(*) AS c FROM g GROUP BY gram),
+       rn AS (SELECT CAST(SUM(c) AS DOUBLE) AS nr FROM rc),
+       rm AS (SELECT gram,
+                CAST(ROUND(CAST(CAST(c AS DOUBLE) / nr
+                  AS DECIMAL(28,10)), 9) AS DECIMAL(18,9)) AS p9r
+              FROM rc CROSS JOIN rn),
+       occ AS (SELECT doc_id, gram, COUNT(*) AS occ FROM g
+               GROUP BY doc_id, gram),
+       sc AS (
+         SELECT o.doc_id, SUM(o.occ) AS n_grams,
+           SUM(CAST(ROUND(CAST(
+                 CAST(COALESCE(t.p9t, CAST(0 AS DECIMAL(18,9)))
+                   AS DOUBLE) / CAST(r.p9r AS DOUBLE)
+               AS DECIMAL(28,10)), 9) AS DECIMAL(18,9))
+             * CAST(o.occ AS DECIMAL(10,0))) AS r_sum
+         FROM occ o
+           LEFT JOIN tm t ON t.gram = o.gram
+           JOIN rm r ON r.gram = o.gram
+         GROUP BY o.doc_id)
+       SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         CAST(ROUND(CAST(CAST(r_sum AS DOUBLE) / n_grams
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS dsir_weight
+       FROM sc ORDER BY doc_id"""
+
   // --- text analysis --------------------------------------------
 
   /** Language-ID heuristic vs the labeled lang column. */
@@ -2722,6 +2774,7 @@ object PipelineQueries {
     "pp_retrieval" -> (ppRetrieval _),
     "pp_bm25_search" -> (ppBm25Search _),
     "pp_hybrid_search" -> (ppHybridSearch _),
+    "pp_dsir_weights" -> (ppDsirWeights _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
@@ -2801,6 +2854,7 @@ object PipelineQueries {
     "pp_retrieval" -> ppRetrievalSql,
     "pp_bm25_search" -> ppBm25SearchSql,
     "pp_hybrid_search" -> ppHybridSearchSql,
+    "pp_dsir_weights" -> ppDsirWeightsSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,

@@ -932,6 +932,22 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r(2)._3 - 1.0 / 62) < 1e-6)
   }
 
+  test("DSIR weights: target-only grams score ~ratio, foreign grams zero") {
+    val d = Seq(
+      (0L, "a b a b", "en"),
+      (1L, "c d c d", "zh")).toDF("doc_id", "text", "lang")
+    val r = Sampling.dsirWeights(d, "text", "doc_id",
+      $"lang" === "en", n = 2)
+      .select($"doc_id", $"n_grams", $"dsir_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // doc0's grams: "a b"×2 (p_t=2/3, p_r=2/6 → ratio 2), "b a"×1
+    // (p_t=1/3, p_r=1/6 → ratio 2) → weight 2.0; doc1's grams never
+    // appear in the target model → ratio 0 everywhere → weight 0
+    assert(r.map(x => (x._1, x._2)).toSeq === Seq((0L, 3L), (1L, 3L)))
+    assert(math.abs(r(0)._3 - 2.0) <= 1e-3, r(0).toString)
+    assert(r(1)._3 === 0.0, r(1).toString)
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
