@@ -376,6 +376,31 @@ object TextAnalysis {
       .select(col("gram"), p9.as("p9"))
   }
 
+  /** Per-group corpus profile: doc/token counts and EXACT token-length
+    * percentiles (p50/p90/p99, linearly interpolated — the definition
+    * `percentile` and DuckDB's `quantile_cont` share, so the oracle
+    * replays it directly). The profiling report that sizes a training
+    * mix: how long are documents per source, where is the tail.
+    *
+    * Scale note: the exact form needs a per-group sort — fine for the
+    * small-group-cardinality profiling report this is (sources/langs:
+    * tens of groups, and Spark's percentile buffers per GROUP, not per
+    * corpus). For percentiles OVER DOCUMENTS at unbounded cardinality
+    * swap `percentile` for `percentile_approx` (t-digest sketch,
+    * map-side combinable) — same call shape, no longer bit-replayable
+    * by an oracle, which is why the gated form is the exact one. */
+  def corpusProfile(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol),
+        whitespaceTokenCount(col(textCol)).cast("long").as("nt"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        r3(expr("percentile(nt, 0.5)")).as("p50_tokens"),
+        r3(expr("percentile(nt, 0.9)")).as("p90_tokens"),
+        r3(expr("percentile(nt, 0.99)")).as("p99_tokens"),
+        max(col("nt")).as("max_tokens"))
+
   /** Score any document relation against a trained [[bigramModel]].
     * Bigrams absent from the model contribute probability 0 (the doc
     * still pays for them in the mean — unseen transitions are exactly

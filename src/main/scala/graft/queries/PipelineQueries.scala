@@ -1509,6 +1509,31 @@ object PipelineQueries {
            AS DECIMAL(28,10)), 3) AS DOUBLE) AS dsir_weight
        FROM sc ORDER BY doc_id"""
 
+  /** Corpus profiling report ([[TextAnalysis.corpusProfile]]): per
+    * source, doc/token counts and exact interpolated token-length
+    * percentiles — `percentile` and DuckDB `quantile_cont` share the
+    * same linear-interpolation definition, replayed directly. */
+  def ppProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.corpusProfile(t(s, dir, "documents"), "text", "source")
+      .orderBy(col("source"))
+
+  private val ppProfileSql =
+    """WITH t AS (
+         SELECT source,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text),
+                         '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS nt
+         FROM documents)
+       SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+         CAST(ROUND(CAST(quantile_cont(nt, 0.5) AS DECIMAL(28,10)), 3)
+           AS DOUBLE) AS p50_tokens,
+         CAST(ROUND(CAST(quantile_cont(nt, 0.9) AS DECIMAL(28,10)), 3)
+           AS DOUBLE) AS p90_tokens,
+         CAST(ROUND(CAST(quantile_cont(nt, 0.99) AS DECIMAL(28,10)), 3)
+           AS DOUBLE) AS p99_tokens,
+         MAX(nt) AS max_tokens
+       FROM t GROUP BY source ORDER BY source"""
+
   // --- text analysis --------------------------------------------
 
   /** Language-ID heuristic vs the labeled lang column. */
@@ -2775,6 +2800,7 @@ object PipelineQueries {
     "pp_bm25_search" -> (ppBm25Search _),
     "pp_hybrid_search" -> (ppHybridSearch _),
     "pp_dsir_weights" -> (ppDsirWeights _),
+    "pp_profile" -> (ppProfile _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
@@ -2855,6 +2881,7 @@ object PipelineQueries {
     "pp_bm25_search" -> ppBm25SearchSql,
     "pp_hybrid_search" -> ppHybridSearchSql,
     "pp_dsir_weights" -> ppDsirWeightsSql,
+    "pp_profile" -> ppProfileSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,

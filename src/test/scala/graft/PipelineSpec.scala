@@ -948,6 +948,16 @@ class PipelineSpec extends SparkSpec {
     assert(r(1)._3 === 0.0, r(1).toString)
   }
 
+  test("corpus profile: percentiles interpolate linearly") {
+    val d = Seq((0L, "a", "s"), (1L, "a b", "s"), (2L, "a b c", "s"),
+      (3L, "a b c d", "s")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.corpusProfile(d, "text", "source")
+      .select($"n_docs", $"n_tokens", $"p50_tokens", $"max_tokens")
+      .as[(Long, Long, Double, Long)].collect()
+    // lengths 1,2,3,4 → p50 = (2+3)/2 = 2.5 (linear interpolation)
+    assert(r.toSeq === Seq((4L, 10L, 2.5, 4L)))
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
