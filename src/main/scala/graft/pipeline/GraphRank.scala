@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph centrality over pair relations the pipeline already produces
+  * (near-dup candidate pairs, cross-references): which nodes sit at
+  * the center of a duplication cluster or reference web. The classic
+  * use in a curation pipeline is canonical-document selection — rank
+  * the members of a dup cluster and keep the most central — and
+  * template-farm detection (hub pages rank far above their cluster's
+  * median).
+  */
+object GraphRank {
+
+  /** Deterministic damped PageRank over an undirected pair relation
+    * `(aCol, bCol)`: a fixed number of power iterations of
+    * `r(v) ← (1−d)/N + d·Σ_{u~v} r(u)/deg(u)` over the symmetrized
+    * edge set, N = number of distinct endpoints (isolated vertices
+    * carry no edge and are out of scope — their rank is the floor
+    * `(1−d)/N` by definition). Fixed iterations, no convergence
+    * collect — the same budget discipline as
+    * [[Similarity.kmeansCentroids]].
+    *
+    * Determinism (the oracle-replay contract): per-edge contributions
+    * `r/deg` are exact double divisions routed through DECIMAL(28,15)
+    * so the per-vertex sum is partition-order-invariant; the damping
+    * update is fixed-order double arithmetic. This is why the
+    * relational form gates instead of GraphX's `staticPageRank`,
+    * whose float message sums are combine-order-dependent — the
+    * GraphX path is the drop-in for when bit-replay is not required.
+    *
+    * Scale shape: per iteration one src-keyed join (edges × ranks)
+    * and one dst-keyed partial-sum aggregate — identical to GraphX's
+    * message/combine structure. The edge relation is the loop
+    * invariant: checkpointed once here; at real scale written
+    * pre-partitioned by src so every iteration's join is co-located
+    * (the degree table rides along keyed the same way). Ranks are
+    * vertex-sized. `localCheckpoint` per iteration truncates lineage
+    * (the iterative-loop Catalyst trap). Output `(id, pr)` rounded to
+    * 6 decimals. */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank: iters >= 1")
+    val dec = DecimalType(28, 15)
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(false) // loop invariant — scanned every iteration
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(false)
+    val n = deg.count()
+    require(n > 0, "pageRank: empty edge relation")
+    val base = (1.0 - damping) / n
+    var r = deg.select(col("src").as("id"), col("outdeg"),
+      lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = sym
+        .join(r.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst"),
+          (col("rank") / col("outdeg")).cast(dec).as("c"))
+      r = contrib.groupBy(col("dst"))
+        .agg(sum(col("c")).as("csum"))
+        .join(deg.withColumnRenamed("src", "dst"), Seq("dst"))
+        .select(col("dst").as("id"), col("outdeg"),
+          (lit(base) + lit(damping) * col("csum").cast("double"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    r.select(col("id"), Similarity.r6(col("rank")).as("pr"))
+  }
+}

@@ -91,9 +91,7 @@ object Retrieval {
         Similarity.r3(col("score")).as("score"))
   }
 
-  /** RRF scores live around 1/60 — three decimals would flatten them. */
-  private def r6(c: Column): Column =
-    round(c.cast(DecimalType(28, 10)), 6).cast("double")
+  private def r6(c: Column): Column = Similarity.r6(c)
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists
     * `(q_id, rank, doc_id)`: `rrf(d) = Σ_lists 1/(kk + rank_l(d))`,

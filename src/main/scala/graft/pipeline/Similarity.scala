@@ -50,6 +50,12 @@ object Similarity {
     round(c.cast(org.apache.spark.sql.types.DecimalType(28, 10)), 3)
       .cast("double")
 
+  /** 6-decimal variant for scores that live near zero (RRF terms,
+    * PageRank mass) — three decimals would flatten them. */
+  private[pipeline] def r6(c: Column): Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(28, 10)), 6)
+      .cast("double")
+
   private def nativeNorm(df: DataFrame)(a: Column): Column = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     graft.functions.GraftFunctions.vec_norm(a)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, GraphRank, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -426,6 +426,59 @@ object PipelineQueries {
        SELECT node AS vec_id, MIN(root) AS component,
          node = MIN(root) AS is_keeper
        FROM reach GROUP BY node ORDER BY vec_id"""
+
+  /** PageRank centrality over the SAME cosine-pair graph as
+    * [[ddComponents]] ([[GraphRank.pageRank]], 5 iterations, d=0.85):
+    * the canonical-document signal — within a dup cluster the most
+    * central member ranks highest. The oracle unrolls all five power
+    * iterations in SQL with the identical decimal-routed contribution
+    * sums, proving the iterative operator engine-neutral end to
+    * end. */
+  def ddPagerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 120)
+    val pairs = Similarity.cosinePairs(emb, "embedding", "vec_id",
+      threshold = 0.3)
+    GraphRank.pageRank(pairs, "key_a", "key_b", iters = 5,
+      damping = 0.85)
+      .select(col("id").as("vec_id"), col("pr"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val ddPagerankSql = {
+    val steps = (1 to 5).map { i =>
+      s"""c$i AS (
+           SELECT e.dst, CAST(r.rank / r.outdeg AS DECIMAL(28,15)) AS c
+           FROM edges e JOIN r${i - 1} r ON r.id = e.src),
+         r$i AS (
+           SELECT c.dst AS id, d.outdeg,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE) * CAST(SUM(c.c) AS DOUBLE) AS rank
+           FROM c$i c JOIN deg d ON d.src = c.dst CROSS JOIN nn
+           GROUP BY c.dst, d.outdeg, nn.n)"""
+    }.mkString(",\n       ")
+    s"""WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings WHERE vec_id < 120),
+       pairs AS (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+                FROM (SELECT unnest(a.embedding) AS x,
+                             unnest(b.embedding) AS y) z)
+           / (a.nrm * b.nrm) >= 0.3),
+       edges AS (SELECT va AS src, vb AS dst FROM pairs
+                 UNION ALL SELECT vb, va FROM pairs),
+       deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+       r0 AS (SELECT src AS id, outdeg, CAST(1.0 AS DOUBLE) / nn.n AS rank
+              FROM deg CROSS JOIN nn),
+       $steps
+       SELECT id AS vec_id,
+         CAST(ROUND(CAST(rank AS DECIMAL(28,10)), 6) AS DOUBLE) AS pr
+       FROM r5 ORDER BY vec_id"""
+  }
 
   // --- similarity search ----------------------------------------
 
@@ -2781,6 +2834,7 @@ object PipelineQueries {
     "dd_cosine" -> (ddCosine _),
     "dd_cosine_bucketed" -> (ddCosineBucketed _),
     "dd_components" -> (ddComponents _),
+    "dd_pagerank" -> (ddPagerank _),
     "dd_contamination" -> (ddContamination _),
     "dd_contamination_bloom" -> (ddContaminationBloom _),
     "ann_brute_topk" -> (annBruteTopK _),
@@ -2860,6 +2914,7 @@ object PipelineQueries {
     "dd_cosine" -> ddCosineSql,
     "dd_cosine_bucketed" -> ddCosineBucketedSql,
     "dd_components" -> ddComponentsSql,
+    "dd_pagerank" -> ddPagerankSql,
     "dd_contamination" -> ddContaminationSql,
     "dd_contamination_bloom" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,

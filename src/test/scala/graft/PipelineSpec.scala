@@ -958,6 +958,23 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq === Seq((4L, 10L, 2.5, 4L)))
   }
 
+  test("PageRank: hub outranks leaves, mass conserved on dangling-free graphs") {
+    // star: 0-1, 0-2 — symmetrized, no dangling nodes, so total mass
+    // stays exactly 1 every iteration
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("key_a", "key_b")
+    val r = GraphRank.pageRank(pairs, "key_a", "key_b", iters = 5)
+      .select($"id", $"pr").as[(Long, Double)].collect().toMap
+    assert(r.keySet === Set(0L, 1L, 2L))
+    assert(r(1L) === r(2L))
+    assert(r(0L) > r(1L))
+    assert(math.abs(r.values.sum - 1.0) < 1e-4, r.toString)
+    // two disconnected pairs: perfect symmetry → uniform 1/4
+    val sq = Seq((0L, 1L), (2L, 3L)).toDF("key_a", "key_b")
+    val u = GraphRank.pageRank(sq, "key_a", "key_b", iters = 3)
+      .select($"pr").as[Double].collect()
+    assert(u.forall(x => math.abs(x - 0.25) < 1e-9), u.toSeq.toString)
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
