@@ -186,7 +186,74 @@ object EventQueries {
        FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
        ORDER BY e.event_id"""
 
+  /** Ordered funnel view → click → purchase
+    * ([[EventStream.funnelReport]]): per step, users whose step event
+    * falls strictly after their earliest completion of the previous
+    * prefix. The oracle replays the sequential min-then-filter
+    * derivation at microsecond precision. */
+  def evFunnel(s: SparkSession, dir: String): DataFrame =
+    EventStream.funnelReport(t(s, dir, "events"),
+      Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+
+  private val evFunnelSql =
+    """WITH e AS (
+         SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+              FROM e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts_us > s1.t
+              GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+              FROM e JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts_us > s2.t
+              GROUP BY e.user_id),
+       r AS (
+         SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users
+         FROM s1
+         UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+         UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+       SELECT step, event_type, n_users,
+         CAST(ROUND(CAST(
+           CASE WHEN LAG(n_users) OVER (ORDER BY step) IS NULL
+                THEN CAST(1.0 AS DOUBLE)
+                ELSE CAST(n_users AS DOUBLE) /
+                     LAG(n_users) OVER (ORDER BY step) END
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS conversion
+       FROM r ORDER BY step"""
+
+  /** Day-granularity cohort retention
+    * ([[EventStream.cohortRetention]]): users cohorted by first
+    * active day, activity counted per day offset — a pure integer
+    * pipeline the oracle replays with epoch-day arithmetic. */
+  def evRetention(s: SparkSession, dir: String): DataFrame =
+    EventStream.cohortRetention(t(s, dir, "events"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+
+  private val evRetentionSql =
+    """WITH ud AS (
+         SELECT DISTINCT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+         FROM events),
+       cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM ud
+                   GROUP BY user_id),
+       sizes AS (SELECT cohort_day, COUNT(*) AS cohort_users
+                 FROM cohorts GROUP BY cohort_day),
+       act AS (
+         SELECT c.cohort_day, u.day - c.cohort_day AS day_offset,
+           COUNT(*) AS n_active
+         FROM ud u JOIN cohorts c ON c.user_id = u.user_id
+         GROUP BY c.cohort_day, u.day - c.cohort_day)
+       SELECT a.cohort_day, a.day_offset, a.n_active,
+         CAST(ROUND(CAST(CAST(a.n_active AS DOUBLE) / s.cohort_users
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS retention
+       FROM act a JOIN sizes s ON s.cohort_day = a.cohort_day
+       ORDER BY a.cohort_day, a.day_offset"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel" -> (evFunnel _),
+    "ev_retention" -> (evRetention _),
     "ev_window" -> (evWindow _),
     "ev_sliding" -> (evSliding _),
     "ev_sessions" -> (evSessions _),
@@ -197,6 +264,8 @@ object EventQueries {
     "ev_enrich" -> (evEnrich _))
 
   val oracle: Map[String, String] = Map(
+    "ev_funnel" -> evFunnelSql,
+    "ev_retention" -> evRetentionSql,
     "ev_window" -> evWindowSql,
     "ev_sliding" -> evSlidingSql,
     "ev_sessions" -> evSessionsSql,

@@ -1,8 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
 
 /** One event after timestamp normalization (`ts_sec` is the
   * floor-seconds epoch regardless of the physical `ts` type — see
@@ -260,6 +262,88 @@ object EventStream {
     * side never grows state. */
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
+
+  /** Ordered funnel report: how many users complete each step of
+    * `steps` IN ORDER — step i counts a user only if some step-i event
+    * falls strictly after their earliest completion of step i−1
+    * (earliest-completion semantics: the first time the prefix could
+    * have completed, the standard unordered-window-free funnel
+    * definition). Output one row per step: `(step, event_type,
+    * n_users, conversion)` with conversion relative to the previous
+    * step (1.0 for the first), microsecond event-time precision via
+    * the schema-adaptive [[tsMicrosCol]].
+    *
+    * Scale shape: one filtered keyed `min` aggregate + one
+    * user_id-keyed join per step — every shuffle is keyed on user_id,
+    * so after the first exchange the per-step frames stay co-located;
+    * the final report is |steps| rows (the window over it is
+    * trivial). Nothing collects: the counts are a relational
+    * group-by over the unioned step frames. */
+  def funnelReport(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelReport: at least one step")
+    val e = events.select(col("user_id"), col("event_type"),
+      tsMicrosCol(events).as("ts_us"))
+      .localCheckpoint(false) // scanned once per step
+    var reached: List[(Int, String, DataFrame)] = Nil
+    var prev: Option[DataFrame] = None
+    steps.zipWithIndex.foreach { case (step, i) =>
+      val mine = e.filter(col("event_type") === step)
+      val cur = (prev match {
+        case None => mine
+        case Some(p) => mine.join(p.select(col("user_id"), col("t")),
+          Seq("user_id")).filter(col("ts_us") > col("t"))
+      }).groupBy(col("user_id")).agg(min(col("ts_us")).as("t"))
+        .localCheckpoint(false) // feeds the next step AND the report
+      reached ::= ((i + 1, step, cur))
+      prev = Some(cur)
+    }
+    val unioned = reached.reverse.map { case (i, step, f) =>
+      f.select(lit(i).as("step"), lit(step).as("event_type"),
+        col("user_id"))
+    }.reduce(_ union _)
+    val w = Window.orderBy(col("step"))
+    unioned.groupBy(col("step"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("conversion",
+        when(lag(col("n_users"), 1).over(w).isNull,
+          lit(1.0).cast("double"))
+          .otherwise(col("n_users").cast("double") /
+            lag(col("n_users"), 1).over(w)))
+      .select(col("step"), col("event_type"), col("n_users"),
+        round(col("conversion").cast(DecimalType(28, 10)), 3)
+          .cast("double").as("conversion"))
+  }
+
+  /** Day-granularity cohort retention: users cohorted by their first
+    * active day, then counted per (cohort_day, day offset) they were
+    * active again. The single most-asked engagement query over an
+    * event log, and a pure integer pipeline — epoch-day arithmetic,
+    * distinct user-days, exact count ratios.
+    *
+    * Scale shape: the user-day dedup and the cohort min are both
+    * user_id-keyed aggregates (one exchange, reused); the matrix agg
+    * is keyed on (cohort_day, offset) — tiny cardinality; cohort
+    * sizes broadcast back onto it. Output `(cohort_day, day_offset,
+    * n_active, retention)`, retention = n_active / cohort size. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val userDays = events.select(col("user_id"),
+      (tsSecCol(events) / 86400).cast("long").as("day"))
+      .distinct()
+      .localCheckpoint(false) // cohort min AND activity join
+    val cohorts = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+      .localCheckpoint(false) // activity join AND cohort sizes
+    val sizes = cohorts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_users"))
+    userDays.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        round((col("n_active").cast("double") / col("cohort_users"))
+          .cast(DecimalType(28, 10)), 3).cast("double").as("retention"))
+  }
 
   /** Normalize the raw events frame (either ts contract) into
     * [[NormalizedEvent]]s. */

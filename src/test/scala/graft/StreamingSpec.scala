@@ -108,6 +108,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel: a step only counts strictly after the previous step") {
+    def ns(sec: Long): Long = sec * 1000000000L
+    // user 1 completes in order; user 2's click PRECEDES their view
+    // (must not count); user 3 stops at view
+    val ev = Seq(
+      (0L, ns(1), 1L, "view", 0.0), (1L, ns(2), 1L, "click", 0.0),
+      (2L, ns(3), 1L, "purchase", 0.0),
+      (3L, ns(1), 2L, "click", 0.0), (4L, ns(2), 2L, "view", 0.0),
+      (5L, ns(1), 3L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.funnelReport(ev, Seq("view", "click", "purchase"))
+      .orderBy($"step")
+      .select($"step", $"event_type", $"n_users", $"conversion")
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(r === Seq((1, "view", 3L, 1.0), (2, "click", 1L, 0.333),
+      (3, "purchase", 1L, 1.0)))
+  }
+
+  test("cohort retention: first active day cohorts, exact offset counts") {
+    def ns(day: Long): Long = day * 86400L * 1000000000L
+    // users 1,2 start day 0 (1 returns day 1); user 3 starts day 1
+    val ev = Seq(
+      (0L, ns(0), 1L, "view", 0.0), (1L, ns(1), 1L, "view", 0.0),
+      (2L, ns(0), 2L, "view", 0.0),
+      (3L, ns(1), 3L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.cohortRetention(ev)
+      .orderBy($"cohort_day", $"day_offset")
+      .select($"cohort_day", $"day_offset", $"n_active", $"retention")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq((0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5),
+      (1L, 0L, 1L, 1.0)))
+  }
+
   test("streaming XML ingest converts files as they appear") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val in = Files.createTempDirectory("graft-stream-in")
