@@ -104,6 +104,46 @@ object Similarity {
         r3(col("cos")).as("cos"))
   }
 
+  /** kNN-classifier evaluation — the standard embedding-quality
+    * harness: classify each labeled query vector by majority vote
+    * over its k nearest labeled corpus vectors and report the
+    * confusion matrix. A falling kNN accuracy is the canonical canary
+    * for a degraded embedding model or a corrupted index.
+    *
+    * `topk` is any `(q_id, rank, c_id, …)` neighbor list — plug in
+    * [[bruteForceTopK]] for the exact eval or any ANN variant to
+    * measure THE INDEX's end-to-end quality (index error then shows
+    * up as accuracy loss, which is the number a deployment actually
+    * cares about). Votes tie-break on (count desc, best rank asc,
+    * label asc) — fully deterministic. Output one row per observed
+    * `(true_label, pred_label)` pair with its count; accuracy is the
+    * diagonal mass over the total, computable downstream.
+    *
+    * Scale shape: the neighbor list is queries×k rows; everything
+    * after it is keyed on q_id — broadcast-scale joins against the
+    * label side of the corpus (labels project out of the same at-rest
+    * relation the index reads). */
+  def knnConfusion(topk: DataFrame, queryLabels: DataFrame,
+      corpusLabels: DataFrame, labelCol: String,
+      keyCol: String): DataFrame = {
+    val cl = corpusLabels.select(col(keyCol).as("c_id"),
+      col(labelCol).as("vote"))
+    val ql = queryLabels.select(col(keyCol).as("q_id"),
+      col(labelCol).as("true_label"))
+    val votes = topk.join(cl, Seq("c_id"))
+      .groupBy(col("q_id"), col("vote"))
+      .agg(count(lit(1)).as("n_votes"), min(col("rank")).as("best"))
+    val pred = votes
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("n_votes").desc, col("best"), col("vote"))))
+      .filter(col("vrank") === 1)
+      .select(col("q_id"), col("vote").as("pred_label"))
+    pred.join(ql, Seq("q_id"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Approximate top-k: score only corpus vectors sharing the query's
     * SRP bucket. Recall is tunable via plane count (fewer planes →
     * bigger buckets → higher recall, more compute). */

@@ -492,6 +492,56 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** kNN-classifier eval over the labeled embeddings
+    * ([[Similarity.knnConfusion]]): the first 50 vectors classified
+    * by majority vote of their 5 exact nearest labeled neighbors from
+    * the rest; output is the confusion matrix. The oracle replays
+    * neighbor search, the deterministic vote tie-break, and the
+    * matrix counts. */
+  def annKnnEval(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+    val c = e.filter(col("vec_id") >= 50)
+    val topk = Similarity.bruteForceTopK(q, c, "embedding", "vec_id",
+      k = 5)
+    Similarity.knnConfusion(topk, q, c, "label", "vec_id")
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  private val annKnnEvalSql =
+    """WITH n AS (
+         SELECT vec_id, embedding, label,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       q AS (SELECT * FROM n WHERE vec_id < 50),
+       c AS (SELECT * FROM n WHERE vec_id >= 50),
+       scored AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS vote,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(c.embedding) AS y) z) / (q.nrm * c.nrm)
+             AS cos
+         FROM q CROSS JOIN c),
+       topk AS (
+         SELECT q_id, c_id, vote,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, c_id) AS rank
+         FROM scored QUALIFY rank <= 5),
+       votes AS (
+         SELECT q_id, vote, COUNT(*) AS n_votes, MIN(rank) AS best
+         FROM topk GROUP BY q_id, vote),
+       pred AS (
+         SELECT q_id, vote AS pred_label FROM (
+           SELECT q_id, vote, n_votes, best,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY n_votes DESC, best, vote) AS vrank
+           FROM votes) WHERE vrank = 1)
+       SELECT q.label AS true_label, p.pred_label, COUNT(*) AS n
+       FROM pred p JOIN q ON q.vec_id = p.q_id
+       GROUP BY q.label, p.pred_label
+       ORDER BY true_label, pred_label"""
+
   /** Int8-quantized brute-force top-k ([[Similarity.int8TopK]]): the
     * 4×-compressed at-rest form of the embedding corpus, scored in
     * exact integer arithmetic (per-vector scales cancel out of
@@ -2838,6 +2888,7 @@ object PipelineQueries {
     "dd_contamination" -> (ddContamination _),
     "dd_contamination_bloom" -> (ddContaminationBloom _),
     "ann_brute_topk" -> (annBruteTopK _),
+    "ann_knn_eval" -> (annKnnEval _),
     "ann_int8_topk" -> (annInt8TopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_lsh_multiprobe" -> (annLshMultiProbe _),
@@ -2918,6 +2969,7 @@ object PipelineQueries {
     "dd_contamination" -> ddContaminationSql,
     "dd_contamination_bloom" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,
+    "ann_knn_eval" -> annKnnEvalSql,
     "ann_int8_topk" -> annInt8Sql,
     "ann_lsh_topk" -> annLshSql,
     "ann_lsh_multiprobe" -> annLshMultiProbeSql,

@@ -975,6 +975,23 @@ class PipelineSpec extends SparkSpec {
     assert(u.forall(x => math.abs(x - 0.25) < 1e-9), u.toSeq.toString)
   }
 
+  test("kNN confusion: majority wins; ties fall to best rank then label") {
+    val topk = Seq(
+      // q0: labels B,B,A,A,A → A by count
+      (0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L), (0L, 4, 13L), (0L, 5, 14L),
+      // q1: 2×A vs 2×B, B holds rank 1 → B by best rank
+      (1L, 1, 15L), (1L, 2, 12L), (1L, 3, 13L), (1L, 4, 16L))
+      .toDF("q_id", "rank", "c_id")
+    val clabels = Seq((10L, "B"), (11L, "B"), (12L, "A"), (13L, "A"),
+      (14L, "A"), (15L, "B"), (16L, "B")).toDF("vec_id", "label")
+    val qlabels = Seq((0L, "A"), (1L, "A")).toDF("vec_id", "label")
+    val r = Similarity.knnConfusion(topk, qlabels, clabels,
+      "label", "vec_id")
+      .select($"true_label", $"pred_label", $"n")
+      .as[(String, String, Long)].collect().toSet
+    assert(r === Set(("A", "A", 1L), ("A", "B", 1L)))
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
