@@ -376,6 +376,66 @@ object TextAnalysis {
       .select(col("gram"), p9.as("p9"))
   }
 
+  /** Snorkel-style weak supervision (Ratner et al. 2017): three
+    * heuristic labeling functions vote keep(+1) / abstain(0) /
+    * drop(−1) per document, combined by majority into a weak label —
+    * the standard way to bootstrap a quality-classifier training set
+    * when no human labels exist. The LFs are the house quality
+    * signals, thresholded in INTEGER arithmetic (ratio cutoffs as
+    * cross-multiplications), so the whole operator is exact — no
+    * float anywhere:
+    *
+    *  - `lf_len`: ≥ 60 word tokens → +1; < 20 → −1.
+    *  - `lf_stop`: stopword ratio ≥ 0.2 (5·n_stop ≥ n_tokens) → +1;
+    *    zero stopwords in a non-empty doc → −1.
+    *  - `lf_rep`: within-doc 3-gram dup fraction ≤ 0.2
+    *    (5·(n_grams − n_distinct) ≤ n_grams) → +1; > 0.5
+    *    (2·(n_grams − n_distinct) > n_grams) → −1. No gram (< 3
+    *    tokens) abstains.
+    *
+    * Output per doc: the three votes, `n_voting` (non-abstaining LF
+    * count — coverage), `conflict` (some +1 AND some −1 — where a
+    * learned label model beats the majority vote), and `weak_label` ∈
+    * {keep, abstain, drop} by vote-sum sign. Everything is one
+    * scan-local pass over [[repetitionStats]]' output — a free rider
+    * on any corpus scan, like the signals it thresholds. */
+  def weakLabels(df: DataFrame, textCol: String, keyCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"))
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    val dup = col("n_grams") - col("n_distinct")
+    repetitionStats(df, textCol, 3)
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("n_stop", size(filter(toks,
+        tok => array_contains(stopArr, tok))).cast("long"))
+      .withColumn("lf_len",
+        when(col("n_tok") >= 60, 1).when(col("n_tok") < 20, -1)
+          .otherwise(0))
+      .withColumn("lf_stop",
+        when(col("n_stop") * 5 >= col("n_tok") && col("n_tok") > 0, 1)
+          .when(col("n_stop") === 0 && col("n_tok") > 0, -1)
+          .otherwise(0))
+      .withColumn("lf_rep",
+        when(col("n_grams") > 0 && dup * 5 <= col("n_grams"), 1)
+          .when(col("n_grams") > 0 && dup * 2 > col("n_grams"), -1)
+          .otherwise(0))
+      .withColumn("vote_sum",
+        col("lf_len") + col("lf_stop") + col("lf_rep"))
+      .withColumn("n_voting",
+        (col("lf_len") =!= 0).cast("int") +
+          (col("lf_stop") =!= 0).cast("int") +
+          (col("lf_rep") =!= 0).cast("int"))
+      .withColumn("conflict",
+        greatest(col("lf_len"), col("lf_stop"), col("lf_rep")) === 1 &&
+          least(col("lf_len"), col("lf_stop"), col("lf_rep")) === -1)
+      .withColumn("weak_label",
+        when(col("vote_sum") > 0, "keep")
+          .when(col("vote_sum") < 0, "drop").otherwise("abstain"))
+      .select(col(keyCol), col("lf_len"), col("lf_stop"), col("lf_rep"),
+        col("n_voting"), col("conflict"), col("weak_label"))
+  }
+
   /** Per-group corpus profile: doc/token counts and EXACT token-length
     * percentiles (p50/p90/p99, linearly interpolated — the definition
     * `percentile` and DuckDB's `quantile_cont` share, so the oracle

@@ -1710,6 +1710,62 @@ object PipelineQueries {
            AS quality_score
        FROM m ORDER BY doc_id"""
 
+  /** Weak-supervision labels ([[TextAnalysis.weakLabels]]): three
+    * integer-exact labeling functions (length, stopword ratio,
+    * repetition) voting keep/abstain/drop per document, with
+    * coverage and conflict flags. The oracle replays every LF
+    * threshold as the same integer cross-multiplications. */
+  def ppWeakLabels(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.weakLabels(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val ppWeakLabelsSql =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       gc AS (
+         SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT gram) AS n_distinct
+         FROM g GROUP BY doc_id),
+       base AS (
+         SELECT t.doc_id, len(t.tk) AS n_tok,
+           len(list_filter(t.tk,
+             x -> list_contains(['the','a','and','of','to'], x)))
+             AS n_stop,
+           COALESCE(gc.n_grams, 0) AS n_grams,
+           COALESCE(gc.n_distinct, 0) AS n_distinct
+         FROM toks t LEFT JOIN gc ON gc.doc_id = t.doc_id),
+       lf AS (
+         SELECT doc_id,
+           CASE WHEN n_tok >= 60 THEN 1
+                WHEN n_tok < 20 THEN -1 ELSE 0 END AS lf_len,
+           CASE WHEN n_stop * 5 >= n_tok AND n_tok > 0 THEN 1
+                WHEN n_stop = 0 AND n_tok > 0 THEN -1
+                ELSE 0 END AS lf_stop,
+           CASE WHEN n_grams > 0
+                  AND (n_grams - n_distinct) * 5 <= n_grams THEN 1
+                WHEN n_grams > 0
+                  AND (n_grams - n_distinct) * 2 > n_grams THEN -1
+                ELSE 0 END AS lf_rep
+         FROM base)
+       SELECT doc_id, lf_len, lf_stop, lf_rep,
+         (CASE WHEN lf_len <> 0 THEN 1 ELSE 0 END
+          + CASE WHEN lf_stop <> 0 THEN 1 ELSE 0 END
+          + CASE WHEN lf_rep <> 0 THEN 1 ELSE 0 END) AS n_voting,
+         (GREATEST(lf_len, lf_stop, lf_rep) = 1
+          AND LEAST(lf_len, lf_stop, lf_rep) = -1) AS conflict,
+         CASE WHEN lf_len + lf_stop + lf_rep > 0 THEN 'keep'
+              WHEN lf_len + lf_stop + lf_rep < 0 THEN 'drop'
+              ELSE 'abstain' END AS weak_label
+       FROM lf ORDER BY doc_id"""
+
   /** Token counting three ways: whitespace, regex word, BPE-ish. */
   def taTokens(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -2906,6 +2962,7 @@ object PipelineQueries {
     "pp_hybrid_search" -> (ppHybridSearch _),
     "pp_dsir_weights" -> (ppDsirWeights _),
     "pp_profile" -> (ppProfile _),
+    "pp_weak_labels" -> (ppWeakLabels _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
@@ -2989,6 +3046,7 @@ object PipelineQueries {
     "pp_hybrid_search" -> ppHybridSearchSql,
     "pp_dsir_weights" -> ppDsirWeightsSql,
     "pp_profile" -> ppProfileSql,
+    "pp_weak_labels" -> ppWeakLabelsSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,

@@ -992,6 +992,24 @@ class PipelineSpec extends SparkSpec {
     assert(r === Set(("A", "A", 1L), ("A", "B", 1L)))
   }
 
+  test("weak labels: LF thresholds, conflict flag, majority sign") {
+    val a = (1 to 70).map(i => if (i % 5 == 0) "the" else s"w$i")
+      .mkString(" ") // 70 tokens, 14 stops (ratio 0.2), no repetition
+    val b = "x y z w v" // short, zero stopwords, but gram-clean
+    val c = ("the " * 2) + (1 to 28).map(i => s"u$i").mkString(" ")
+    val d = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    val r = TextAnalysis.weakLabels(d, "text", "doc_id")
+      .select($"doc_id", $"lf_len", $"lf_stop", $"lf_rep", $"n_voting",
+        $"conflict", $"weak_label")
+      .as[(Long, Int, Int, Int, Int, Boolean, String)]
+      .collect().sortBy(_._1)
+    assert(r(0) === ((0L, 1, 1, 1, 3, false, "keep")))
+    // b: −1 len, −1 stop, +1 rep → drop, and the mix IS a conflict
+    assert(r(1) === ((1L, -1, -1, 1, 3, true, "drop")))
+    // c: 30 tokens (abstain), 2 stops of 30 (abstain), clean grams
+    assert(r(2) === ((2L, 0, 0, 1, 1, false, "keep")))
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
