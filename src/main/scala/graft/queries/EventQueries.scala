@@ -251,8 +251,32 @@ object EventQueries {
        FROM act a JOIN sizes s ON s.cohort_day = a.cohort_day
        ORDER BY a.cohort_day, a.day_offset"""
 
+  /** Feature-store projection ([[EventStream.userFeatures]]): per
+    * user, counts, exact decimal-routed purchase value, first/last
+    * seen, active days, distinct event types. */
+  def evUserFeatures(s: SparkSession, dir: String): DataFrame =
+    EventStream.userFeatures(t(s, dir, "events"))
+      .orderBy(col("user_id"))
+
+  private val evUserFeaturesSql =
+    """WITH e AS (
+         SELECT user_id, event_type, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+         FROM events)
+       SELECT user_id, COUNT(*) AS n_events,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+           AS n_purchases,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE)
+           AS purchase_value,
+         MIN(ts_sec) AS first_seen, MAX(ts_sec) AS last_seen,
+         COUNT(DISTINCT ts_sec // 86400) AS active_days,
+         COUNT(DISTINCT event_type) AS n_event_types
+       FROM e GROUP BY user_id ORDER BY user_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_funnel" -> (evFunnel _),
+    "ev_user_features" -> (evUserFeatures _),
     "ev_retention" -> (evRetention _),
     "ev_window" -> (evWindow _),
     "ev_sliding" -> (evSliding _),
@@ -265,6 +289,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "ev_funnel" -> evFunnelSql,
+    "ev_user_features" -> evUserFeaturesSql,
     "ev_retention" -> evRetentionSql,
     "ev_window" -> evWindowSql,
     "ev_sliding" -> evSlidingSql,

@@ -345,6 +345,34 @@ object EventStream {
           .cast(DecimalType(28, 10)), 3).cast("double").as("retention"))
   }
 
+  /** Per-user feature materialization — the feature-store projection
+    * of the raw event log: activity counts, exact purchase value
+    * (decimal-routed), first/last seen, active-day count, distinct
+    * event types. One user_id-keyed aggregate with map-side partials
+    * (the count-distincts expand to two-phase aggs on the same key),
+    * which is the whole plan — this is the table a training pipeline
+    * joins user features from, materialized once per day at scale.
+    * Value sums route through DECIMAL(18,4) like
+    * [[windowedAggregates]], so partial-combine order can't perturb
+    * them. */
+  def userFeatures(events: DataFrame): DataFrame = {
+    val sec = tsSecCol(events)
+    events
+      .select(col("user_id"), col("event_type"), col("value"),
+        sec.as("ts_sec"), (sec / 86400).cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 4)))).cast("double")
+          .as("purchase_value"),
+        min(col("ts_sec")).as("first_seen"),
+        max(col("ts_sec")).as("last_seen"),
+        countDistinct(col("day")).as("active_days"),
+        countDistinct(col("event_type")).as("n_event_types"))
+  }
+
   /** Normalize the raw events frame (either ts contract) into
     * [[NormalizedEvent]]s. */
   def normalize(events: DataFrame): Dataset[NormalizedEvent] = {
