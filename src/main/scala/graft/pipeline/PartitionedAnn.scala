@@ -300,8 +300,9 @@ object PartitionedAnn {
     val assigned = Similarity.ivfAssign(corpus, vecCol, keyCol, centroids)
       .withColumn("cent_id", col("cent_id").cast("int"))
       .select(col("c_id"), col("c_vec"), col("cent_id"))
-      // consumed twice below (encode scan + cent_id join)
-      .localCheckpoint(false)
+      // consumed twice below (encode scan + cent_id join) — eager,
+      // or both consumers re-derive the assignment in the same action
+      .localCheckpoint()
     val codes = Similarity
       .pqEncode(assigned, "c_vec", "c_id", codewords, numSub, subDim)
       .groupBy(col("c_id"))

@@ -44,10 +44,15 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dec = DecimalType(28, 15)
     def d(x: Double): Column = lit(x).cast("double")
-    // scan-local postings: each doc's distinct terms with in-doc counts
-    val postings = docs
+    // tokenize ONCE: every downstream relation (postings, dfs, corpus
+    // stats) derives from this frame, so the regex split — the
+    // dominant scan cost — is paid a single time
+    val tk = docs
       .select(col(keyCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
+      .localCheckpoint()
+    // scan-local postings: each doc's distinct terms with in-doc counts
+    val postings = tk
       .withColumn("dl", size(col("tk")).cast("double"))
       .select(col("doc_id"), col("dl"),
         explode(transform(array_distinct(col("tk")), t =>
@@ -55,6 +60,7 @@ object Retrieval {
             size(filter(col("tk"), x => x === t)).cast("double")
               .as("tf")))).as("p"))
       .select(col("doc_id"), col("dl"), col("p.term"), col("p.tf"))
+      .localCheckpoint() // df restriction AND scoring
     val qterms = queries
       .select(col(qKeyCol).as("q_id"),
         explode(array_distinct(TextAnalysis.tokens(col(qTextCol))))
@@ -66,10 +72,11 @@ object Retrieval {
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    // corpus-level constants: one row, exact integral sums
-    val stats = docs.agg(
+    // corpus-level constants: one row, exact integral sums — over the
+    // tokenized frame so zero-token docs still count (oracle parity)
+    val stats = tk.agg(
       count(lit(1)).cast("double").as("n_docs"),
-      avg(size(TextAnalysis.tokens(col(textCol)))).as("avgdl"))
+      avg(size(col("tk"))).as("avgdl"))
     val matched = postings
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfs), Seq("term"))

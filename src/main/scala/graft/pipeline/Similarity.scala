@@ -690,8 +690,11 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
       keyCol: String, k: Int, codebook: DataFrame, numSub: Int,
       subDim: Int): DataFrame = {
+    // EAGER checkpoint: the codeword table feeds both the encode join
+    // and the ADC lookup table inside one action — a lazy checkpoint
+    // would leave two live copies of its lineage in the same plan
     val cw = pqCodewords(codebook, vecCol, keyCol, numSub, subDim)
-      .localCheckpoint(false)
+      .localCheckpoint()
     val codes = pqEncode(corpus, vecCol, keyCol, cw, numSub, subDim)
     pqTopKAdc(queries, codes, cw, vecCol, keyCol, k, subDim)
   }

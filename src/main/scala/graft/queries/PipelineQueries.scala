@@ -995,7 +995,7 @@ object PipelineQueries {
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
     val cw = Similarity.pqCodewords(corpus.filter(codebookPred(e)),
       "embedding", "vec_id", numSub = 8, subDim = 8)
-      .localCheckpoint(false)
+      .localCheckpoint()
     val out = annLayoutDir(dir, "ivfpq_sqrt50_m8")
     ensureLayout(out)(PartitionedAnn.writeIvfPqPartitioned(
       corpus, "embedding", "vec_id", centroids, cw, out,
