@@ -222,6 +222,38 @@ object Sampling {
             .cast("double")).as("weight"))
   }
 
+  /** Curriculum staging: assign every document to one of `nStages`
+    * difficulty stages by token-length quartile (length is the
+    * classic zero-model difficulty proxy — short docs first). The
+    * thresholds are exact interpolated percentiles computed in ONE
+    * tiny aggregate row that broadcasts back onto the scan, so stage
+    * assignment is scan-local — no global sort, no ntile window over
+    * the corpus (the trap a naive curriculum shard falls into: a
+    * total order of 100 TB for what is really an n-way CASE). A
+    * stage-then-shard materialization downstream writes
+    * `stage=N/` partitioned output exactly like the other at-rest
+    * layouts. Boundary rule: stage i+1 starts strictly ABOVE the
+    * i-th threshold, so ties at a percentile land in the lower
+    * stage. */
+  def curriculumStages(df: DataFrame, textCol: String, keyCol: String,
+      nStages: Int = 4): DataFrame = {
+    require(nStages >= 2 && nStages <= 100,
+      "curriculumStages: 2..100 stages")
+    val nt = TextAnalysis.whitespaceTokenCount(col(textCol))
+    val base = df.select(col(keyCol), nt.cast("long").as("n_tokens"))
+    val qs = (1 until nStages).map(i => i.toDouble / nStages)
+    val thresholds = base.agg(
+      expr(s"percentile(n_tokens, ${qs.head})").as("t1"),
+      qs.tail.zipWithIndex.map { case (q, i) =>
+        expr(s"percentile(n_tokens, $q)").as(s"t${i + 2}")
+      }: _*)
+    base.crossJoin(broadcast(thresholds))
+      .select(col(keyCol), col("n_tokens"),
+        (1 until nStages).map(i =>
+          (col("n_tokens") > col(s"t$i")).cast("int"))
+          .reduce(_ + _).+(lit(1)).as("stage"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): rank raw-corpus
     * documents by how target-like their n-gram distribution is, using

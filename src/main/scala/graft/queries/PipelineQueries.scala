@@ -1766,6 +1766,34 @@ object PipelineQueries {
               ELSE 'abstain' END AS weak_label
        FROM lf ORDER BY doc_id"""
 
+  /** Curriculum staging ([[Sampling.curriculumStages]]): every doc
+    * assigned to a token-length quartile stage via broadcast exact
+    * percentile thresholds — scan-local assignment, no global sort.
+    * The oracle replays the identical thresholds and the
+    * strictly-above boundary rule. */
+  def ppCurriculum(s: SparkSession, dir: String): DataFrame =
+    Sampling.curriculumStages(t(s, dir, "documents"), "text", "doc_id",
+      nStages = 4)
+      .orderBy(col("doc_id"))
+
+  private val ppCurriculumSql =
+    """WITH t AS (
+         SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text),
+                         '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS n_tokens
+         FROM documents),
+       th AS (
+         SELECT quantile_cont(n_tokens, 0.25) AS t1,
+           quantile_cont(n_tokens, 0.5) AS t2,
+           quantile_cont(n_tokens, 0.75) AS t3
+         FROM t)
+       SELECT doc_id, n_tokens,
+         1 + CAST(n_tokens > t1 AS INTEGER)
+           + CAST(n_tokens > t2 AS INTEGER)
+           + CAST(n_tokens > t3 AS INTEGER) AS stage
+       FROM t CROSS JOIN th ORDER BY doc_id"""
+
   /** Token counting three ways: whitespace, regex word, BPE-ish. */
   def taTokens(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
@@ -2963,6 +2991,7 @@ object PipelineQueries {
     "pp_dsir_weights" -> (ppDsirWeights _),
     "pp_profile" -> (ppProfile _),
     "pp_weak_labels" -> (ppWeakLabels _),
+    "pp_curriculum" -> (ppCurriculum _),
     "ta_langid" -> (taLangid _),
     "ta_quality" -> (taQuality _),
     "ta_tokens" -> (taTokens _),
@@ -3047,6 +3076,7 @@ object PipelineQueries {
     "pp_dsir_weights" -> ppDsirWeightsSql,
     "pp_profile" -> ppProfileSql,
     "pp_weak_labels" -> ppWeakLabelsSql,
+    "pp_curriculum" -> ppCurriculumSql,
     "ta_langid" -> taLangidSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,

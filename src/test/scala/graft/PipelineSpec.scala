@@ -1010,6 +1010,18 @@ class PipelineSpec extends SparkSpec {
     assert(r(2) === ((2L, 0, 0, 1, 1, false, "keep")))
   }
 
+  test("curriculum stages: quartile thresholds, ties land low, monotone") {
+    // lengths 1..8 → quartile thresholds 2.75 / 4.5 / 6.25
+    val d = (1 to 8).map(i => (i.toLong, ("w " * i).trim))
+      .toDF("doc_id", "text")
+    val r = Sampling.curriculumStages(d, "text", "doc_id", nStages = 4)
+      .select($"doc_id", $"n_tokens", $"stage")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(r.map(_._3).toSeq === Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    // stage is monotone in length
+    assert(r.sortBy(_._2).map(_._3).toSeq === r.map(_._3).toSeq.sorted)
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
