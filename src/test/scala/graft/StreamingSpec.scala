@@ -264,6 +264,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("weak labels run unchanged on a stream (== batch)") {
+    // weakLabels is a stateless column program over repetitionStats —
+    // the LF votes attach to a continuous ingestion path for free
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text")
+    def label(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.weakLabels(df, "text", "doc_id")
+        .select($"doc_id", $"lf_len", $"lf_stop", $"lf_rep",
+          $"weak_label")
+    val expected = label(batchDf)
+      .as[(Long, Int, Int, Int, String)].collect().toSet
+    val source = MemoryStream[(Long, String)]
+    val q = label(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("wl_stream_out")
+      .outputMode("append").start()
+    try {
+      source.addData(batchDf.as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      val got = spark.table("wl_stream_out")
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("native session_window over a stream matches the batch run") {
     implicit val sqlCtx = spark.sqlContext
     val batchDf = spark.read.parquet(sf("sf0.001") + "/events.parquet")
