@@ -284,13 +284,21 @@ object Sampling {
       targetPred: org.apache.spark.sql.Column, n: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     import org.apache.spark.sql.types.DecimalType
-    def model(src: DataFrame): DataFrame = {
-      val cnt = src
-        .select(explode(
-          graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
-          .as("gram"))
-        .groupBy(col("gram")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // consumed by the total AND the join
+    // ONE corpus-sized gram shuffle: per-(doc, gram) occurrence counts
+    // with the target flag riding along (constant per doc, so it joins
+    // the group key for free). Both models are vocabulary-sized
+    // re-aggregations of this relation — they never rescan the corpus.
+    val occ = docs
+      .select(col(keyCol), targetPred.as("is_t"), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        .as("gram"))
+      .groupBy(col(keyCol), col("is_t"), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+    // no checkpoint: the three consumers (both models + scoring) share
+    // one IDENTICAL aggregation subplan, which Catalyst dedupes via
+    // ReusedExchange — materializing it eagerly was measured SLOWER
+    // (it writes the corpus-sized relation to checkpoint blocks)
+    def model(cnt: DataFrame): DataFrame = {
       val total = cnt.agg(sum(col("c")).cast("double").as("n_total"))
       cnt.crossJoin(broadcast(total))
         .select(col("gram"),
@@ -298,15 +306,12 @@ object Sampling {
             .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9))
             .as("p9"))
     }
-    val tModel = model(docs.filter(targetPred))
+    val tModel = model(occ.filter(col("is_t"))
+      .groupBy(col("gram")).agg(sum(col("occ")).as("c")))
       .withColumnRenamed("p9", "p9_t")
-    val rModel = model(docs).withColumnRenamed("p9", "p9_r")
-    val occ = docs
-      .select(col(keyCol), explode(
-        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
-        .as("gram"))
-      .groupBy(col(keyCol), col("gram"))
-      .agg(count(lit(1)).as("occ"))
+    val rModel = model(occ
+      .groupBy(col("gram")).agg(sum(col("occ")).as("c")))
+      .withColumnRenamed("p9", "p9_r")
     val ratio9 = round(
       (coalesce(col("p9_t"), lit(0).cast(DecimalType(18, 9)))
         .cast("double") / col("p9_r").cast("double"))

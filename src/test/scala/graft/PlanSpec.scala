@@ -246,6 +246,18 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType, true), sch.treeString)
   }
 
+  test("pp_dsir_weights: one corpus gram shuffle, shared by both models") {
+    // the (doc, is_t, gram) occurrence aggregation feeds the target
+    // model, the raw model, and the scoring join — AQE must dedupe
+    // the identical shuffle at execution, not recompute the corpus
+    // scan (reuse only materializes in the EXECUTED plan)
+    val df = SparkEntry.queries("pp_dsir_weights")(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("pp_mixture: one window pass, no join for the quota lookup") {
     val p = plan("pp_mixture")
     assert(p.contains("Window"), p)
