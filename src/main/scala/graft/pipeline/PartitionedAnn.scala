@@ -294,7 +294,21 @@ object PartitionedAnn {
     * never re-read at query time. Code position = subspace `m`. */
   def writeIvfPqPartitioned(corpus: DataFrame, vecCol: String,
       keyCol: String, centroids: DataFrame, codewords: DataFrame,
-      outDir: String, numSub: Int, subDim: Int): Unit = {
+      outDir: String, numSub: Int, subDim: Int): Unit =
+    ivfPqRows(corpus, vecCol, keyCol, centroids, codewords, numSub,
+      subDim)
+      .repartition(col("cent_id")) // one file per cent_id dir (see above)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
+
+  /** The IVF+PQ index relation `(c_id, codes, cent_id)` for any
+    * corpus slice — shared by the base writer above and the streaming
+    * delta appender ([[graft.streaming.IvfStream.appendBatchPq]]).
+    * Both assignment and encoding are per-vector deterministic under
+    * fixed centroids/codewords, so a streamed delta holds
+    * row-for-row what a full rebuild would write. */
+  private[graft] def ivfPqRows(corpus: DataFrame, vecCol: String,
+      keyCol: String, centroids: DataFrame, codewords: DataFrame,
+      numSub: Int, subDim: Int): DataFrame = {
     requireIntCentIds(centroids)
     requireIntCodeIds(codewords)
     val assigned = Similarity.ivfAssign(corpus, vecCol, keyCol, centroids)
@@ -311,8 +325,7 @@ object PartitionedAnn {
         x => x.getField("code_id").cast("int")).as("codes"))
     assigned.select(col("c_id"), col("cent_id"))
       .join(codes, Seq("c_id"))
-      .repartition(col("cent_id")) // one file per cent_id dir (see above)
-      .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
+      .select(col("c_id"), col("codes"), col("cent_id"))
   }
 
   /** IVF+PQ query against a [[writeIvfPqPartitioned]] layout: float
@@ -325,6 +338,17 @@ object PartitionedAnn {
     * running [[Similarity.pqTopKAdc]] restricted to each query's
     * probed clusters (the driver oracle replays exactly that). */
   def ivfPqTopKPartitioned(spark: SparkSession, corpusDir: String,
+      queries: DataFrame, vecCol: String, keyCol: String, k: Int,
+      centroids: DataFrame, codewords: DataFrame, nprobe: Int,
+      subDim: Int): DataFrame =
+    ivfPqTopKFrames(spark, spark.read.parquet(corpusDir), queries,
+      vecCol, keyCol, k, centroids, codewords, nprobe, subDim)
+
+  /** [[ivfPqTopKPartitioned]] over an explicit `(c_id, codes,
+    * cent_id)` frame — e.g. base ∪ streamed deltas
+    * ([[graft.streaming.IvfStream.layoutPq]]); each underlying
+    * parquet relation prunes its own `cent_id=` partitions. */
+  def ivfPqTopKFrames(spark: SparkSession, corpus: DataFrame,
       queries: DataFrame, vecCol: String, keyCol: String, k: Int,
       centroids: DataFrame, codewords: DataFrame, nprobe: Int,
       subDim: Int): DataFrame = {
@@ -340,7 +364,7 @@ object PartitionedAnn {
     val lut = Similarity.pqLut(queries, codewords, vecCol, keyCol, subDim)
     val cwn = broadcast(
       codewords.select(col("m"), col("code_id"), col("cwn2")))
-    val c = spark.read.parquet(corpusDir)
+    val c = corpus
       .filter(col("cent_id").isin(probed.toIndexedSeq: _*))
       .select(col("c_id"), col("cent_id"),
         posexplode(col("codes")).as(Seq("m", "code_id")))

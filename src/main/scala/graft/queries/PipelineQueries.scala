@@ -1006,6 +1006,41 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF+PQ against an INCREMENTALLY-built layout: a base build over
+    * a third of the corpus plus two streamed delta appends
+    * ([[graft.streaming.IvfStream.appendBatchPq]] — the code path
+    * `IvfStream.run` drives per micro-batch). Assignment and PQ
+    * encoding are both per-vector deterministic under the FIXED
+    * centroids/codewords, so the streamed layout holds bit-identical
+    * codes to a full rebuild — gated against the SAME full-rebuild
+    * oracle verbatim. */
+  def annPqIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = corpus.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val cw = Similarity.pqCodewords(corpus.filter(codebookPred(e)),
+      "embedding", "vec_id", numSub = 8, subDim = 8)
+      .localCheckpoint()
+    val root = annLayoutDir(dir, "ivfpq_incr_sqrt50_m8")
+    ensureLayout(s"$root/base")(PartitionedAnn.writeIvfPqPartitioned(
+      corpus.filter(col("vec_id") % 3 === 0), "embedding", "vec_id",
+      centroids, cw, s"$root/base", numSub = 8, subDim = 8))
+    ensureLayout(s"$root/delta/batch=1")(
+      graft.streaming.IvfStream.appendBatchPq(
+        corpus.filter(col("vec_id") % 3 === 1), 1L, root, centroids,
+        cw, "embedding", "vec_id", numSub = 8, subDim = 8))
+    ensureLayout(s"$root/delta/batch=2")(
+      graft.streaming.IvfStream.appendBatchPq(
+        corpus.filter(col("vec_id") % 3 === 2), 2L, root, centroids,
+        cw, "embedding", "vec_id", numSub = 8, subDim = 8))
+    PartitionedAnn.ivfPqTopKFrames(s,
+        graft.streaming.IvfStream.layoutPq(s, root),
+        e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+        centroids, cw, nprobe = 2, subDim = 8)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private lazy val annPqIvfSql =
     s"""WITH n AS (
          SELECT vec_id, embedding,
@@ -2981,6 +3016,7 @@ object PipelineQueries {
     "ann_lsh_partitioned" -> (annLshPartitioned _),
     "ann_ivf_partitioned" -> (annIvfPartitioned _),
     "ann_pq_ivf_partitioned" -> (annPqIvfPartitioned _),
+    "ann_pq_ivf_incremental" -> (annPqIvfIncremental _),
     "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_int8_partitioned" -> (annInt8Partitioned _),
     "ann_int8_ivf_partitioned" -> (annInt8IvfPartitioned _),
@@ -3062,6 +3098,7 @@ object PipelineQueries {
     "ann_ivf_topk" -> annIvfSql,
     "ann_pq_topk" -> annPqSql,
     "ann_pq_ivf_partitioned" -> annPqIvfSql,
+    "ann_pq_ivf_incremental" -> annPqIvfSql,
     "ann_lsh_partitioned" -> annLshPartitionedSql,
     // the partitioned layout is an execution detail — the in-memory
     // IVF oracle verifies the identical (centroids, nprobe) semantics

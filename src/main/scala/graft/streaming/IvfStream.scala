@@ -100,6 +100,38 @@ object IvfStream {
       .parquet(s"$root/delta/batch=$batchId")
   }
 
+  /** The live PQ layout: base ∪ deltas as the `(c_id, codes, cent_id)`
+    * relation [[PartitionedAnn.ivfPqTopKFrames]] scores via ADC
+    * lookup — the maximally-compressed streamed form (8 ints per
+    * vector at rest). */
+  def layoutPq(spark: SparkSession, root: String): DataFrame = {
+    val cols = Seq(col("c_id"), col("codes"),
+      col("cent_id").cast("int").as("cent_id"))
+    val base = spark.read.parquet(s"$root/base").select(cols: _*)
+    try base.unionByName(
+      spark.read.parquet(s"$root/delta").select(cols: _*))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => base
+    }
+  }
+
+  /** [[appendBatch]] for the IVF+PQ layout
+    * ([[PartitionedAnn.writeIvfPqPartitioned]] as the base writer):
+    * assignment AND encoding run against the FIXED float
+    * centroids/codewords (neither boundary may move), and both are
+    * per-vector deterministic, so the streamed codes are bit-identical
+    * to a full rebuild's — the ann_pq_ivf_incremental gate proves it
+    * against the full-rebuild oracle verbatim. */
+  private[graft] def appendBatchPq(batch: DataFrame, batchId: Long,
+      root: String, centroids: DataFrame, codewords: DataFrame,
+      vecCol: String, keyCol: String, numSub: Int,
+      subDim: Int): Unit =
+    PartitionedAnn.ivfPqRows(batch, vecCol, keyCol, centroids,
+      codewords, numSub, subDim)
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$root/delta/batch=$batchId")
+
   /** Start incremental IVF maintenance over a parquet embedding
     * directory: new files → nearest-centroid assignment → delta
     * append. Pass `schema` to start before the first file lands. */

@@ -840,6 +840,43 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet
     assert(got8 === full8Top)
     assert(got8.nonEmpty)
+    // 5. the PQ twin: streamed code arrays are BIT-identical to a full
+    //    PQ rebuild (assignment and per-subspace argmin are both
+    //    per-vector deterministic under fixed centroids/codewords)
+    val rootPq = Files.createTempDirectory("graft-ivfpq-root").toString
+    val fullPq = Files.createTempDirectory("graft-ivfpq-full").toString
+    val cw = Similarity.pqCodewords(
+      corpus.filter($"vec_id" < 60), "embedding", "vec_id",
+      numSub = 8, subDim = 8).localCheckpoint()
+    PartitionedAnn.writeIvfPqPartitioned(
+      corpus.filter($"vec_id" < 700), "embedding", "vec_id", centroids,
+      cw, s"$rootPq/base", numSub = 8, subDim = 8)
+    graft.streaming.IvfStream.appendBatchPq(
+      corpus.filter($"vec_id" >= 700 && $"vec_id" < 1400), 0L, rootPq,
+      centroids, cw, "embedding", "vec_id", numSub = 8, subDim = 8)
+    graft.streaming.IvfStream.appendBatchPq(
+      corpus.filter($"vec_id" >= 1400), 1L, rootPq, centroids, cw,
+      "embedding", "vec_id", numSub = 8, subDim = 8)
+    PartitionedAnn.writeIvfPqPartitioned(corpus, "embedding", "vec_id",
+      centroids, cw, fullPq, numSub = 8, subDim = 8)
+    def codes(df: org.apache.spark.sql.DataFrame) = df
+      .select($"c_id", $"cent_id".cast("long"), $"codes".cast("string"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(codes(graft.streaming.IvfStream.layoutPq(spark, rootPq)) ===
+      codes(spark.read.parquet(fullPq)))
+    val gotPq = PartitionedAnn.ivfPqTopKFrames(spark,
+        graft.streaming.IvfStream.layoutPq(spark, rootPq), queries,
+        "embedding", "vec_id", k = 5, centroids, cw, nprobe = 2,
+        subDim = 8)
+      .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val fullPqTop = PartitionedAnn.ivfPqTopKPartitioned(spark, fullPq,
+        queries, "embedding", "vec_id", k = 5, centroids, cw,
+        nprobe = 2, subDim = 8)
+      .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(gotPq === fullPqTop)
+    assert(gotPq.nonEmpty)
   }
 
   test("curation funnel batch replay is idempotent, state survives") {
