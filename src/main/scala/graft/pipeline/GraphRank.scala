@@ -70,4 +70,36 @@ object GraphRank {
     }
     r.select(col("id"), Similarity.r6(col("rank")).as("pr"))
   }
+
+  /** The GraphX path for the same computation — `staticPageRank` over
+    * the symmetrized pair graph, rescaled from GraphX's
+    * sum-N convention to the probability-mass convention
+    * [[pageRank]] uses. Float message combines make it
+    * combine-order-dependent (NOT oracle-replayable — PipelineSpec
+    * pins agreement with the relational form to 1e-6 instead), but at
+    * extreme scale its Pregel runtime owns vertex/edge placement and
+    * in-place state. Same block-release discipline as
+    * [[Dedup.componentClusters]]: materialize, then unpersist both
+    * graphs. */
+  def pageRankGraphX(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .rdd.flatMap { r =>
+        Seq(Edge(r.getLong(0), r.getLong(1), 1.0),
+          Edge(r.getLong(1), r.getLong(0), 1.0))
+      }.distinct()
+    val g = Graph.fromEdges(edges, 0.0)
+    val ranked = g.staticPageRank(iters, 1.0 - damping)
+    val n = g.numVertices
+    val out = spark.createDataFrame(
+      ranked.vertices.map { case (id, pr) => (id, pr / n) })
+      .toDF("id", "pr_graphx")
+      .localCheckpoint() // materialize BEFORE releasing graph blocks
+    ranked.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    out
+  }
 }

@@ -1022,6 +1022,23 @@ class PipelineSpec extends SparkSpec {
     assert(r.sortBy(_._2).map(_._3).toSeq === r.map(_._3).toSeq.sorted)
   }
 
+  test("PageRank GraphX twin converges to the relational fixed point") {
+    // run both long enough that initialization residue dies
+    // (0.85^50 ≈ 3e-4); GraphX's float combine order costs a few ulps,
+    // the convention rescale the rest — 1e-3 agreement proves it's
+    // the same computation
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L))
+      .toDF("key_a", "key_b")
+    val rel = GraphRank.pageRank(pairs, "key_a", "key_b", iters = 50)
+      .select($"id", $"pr").as[(Long, Double)].collect().toMap
+    val gx = GraphRank.pageRankGraphX(pairs, "key_a", "key_b", iters = 50)
+      .select($"id", $"pr_graphx").as[(Long, Double)].collect().toMap
+    assert(rel.keySet === gx.keySet)
+    rel.foreach { case (id, pr) =>
+      assert(math.abs(pr - gx(id)) < 1e-3, s"id=$id rel=$pr gx=${gx(id)}")
+    }
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
