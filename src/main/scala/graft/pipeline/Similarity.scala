@@ -104,6 +104,53 @@ object Similarity {
         r3(col("cos")).as("cos"))
   }
 
+  /** Contrastive triplet mining — the training-data op for embedding
+    * models: per anchor, one POSITIVE (its most-similar same-cluster
+    * neighbor at or above `posT` — a near-dup) and one HARD NEGATIVE
+    * (its most-similar same-cluster neighbor strictly below `negT` —
+    * same region of space, provably not a duplicate: the negatives
+    * that actually teach a margin, unlike random ones). Anchors with
+    * no qualifying positive or negative drop out.
+    *
+    * Candidate generation is the SemDeDup shape: one broadcast
+    * [[ivfAssign]] pass, then pairing strictly WITHIN clusters — at
+    * scale the anchor relation is a shard of the corpus and each
+    * shard mines against its own clusters, so nothing all-pairs ever
+    * materializes. Ranking ties break on ascending candidate id;
+    * output cosines are r3-rounded AFTER ranking. */
+  def contrastiveTriplets(anchors: DataFrame, corpus: DataFrame,
+      vecCol: String, keyCol: String, centroids: DataFrame,
+      posT: Double, negT: Double): DataFrame = {
+    val nd = nativeDot(corpus) _
+    val a = ivfAssign(anchors, vecCol, keyCol, centroids)
+      .select(col("cent_id"), col("c_id").as("a_id"),
+        col("c_vec").as("a_vec"), col("c_norm").as("a_norm"))
+    val c = ivfAssign(corpus, vecCol, keyCol, centroids)
+      .select(col("cent_id"), col("c_id").as("b_id"),
+        col("c_vec").as("b_vec"), col("c_norm").as("b_norm"))
+    val pairs = broadcast(a).join(c, Seq("cent_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos",
+        nd(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .localCheckpoint() // positives AND negatives rank over it
+    def top1(cands: DataFrame): DataFrame = cands
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("a_id"))
+          .orderBy(col("cos").desc, col("b_id"))))
+      .filter(col("rk") === 1).drop("rk")
+    val pos = top1(pairs.filter(col("cos") >= posT))
+      .select(col("a_id"), col("b_id").as("positive"),
+        col("cos").as("pos_cos"))
+    val neg = top1(pairs.filter(col("cos") < negT))
+      .select(col("a_id"), col("b_id").as("negative"),
+        col("cos").as("neg_cos"))
+    pos.join(neg, Seq("a_id"))
+      .select(col("a_id").as("anchor"), col("positive"),
+        r3(col("pos_cos")).as("pos_cos"), col("negative"),
+        r3(col("neg_cos")).as("neg_cos"))
+  }
+
   /** kNN-classifier evaluation — the standard embedding-quality
     * harness: classify each labeled query vector by majority vote
     * over its k nearest labeled corpus vectors and report the

@@ -352,6 +352,71 @@ object PipelineQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Contrastive triplet mining ([[Similarity.contrastiveTriplets]]):
+    * for each of the first 200 vectors, its hardest same-cluster
+    * positive (cos ≥ 0.2) and hardest same-cluster negative
+    * (cos < 0.1) under the deterministic √n codebook. The oracle
+    * replays assignment, within-cluster pairing, and both ranked
+    * picks. */
+  def ddTriplets(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = e.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    Similarity.contrastiveTriplets(
+      e.filter(col("vec_id") < 200), e, "embedding", "vec_id",
+      centroids, posT = 0.2, negT = 0.1)
+      .orderBy(col("anchor"))
+  }
+
+  private lazy val ddTripletsSql =
+    s"""WITH n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+                FROM n WHERE vec_id % 50 = 0
+                  AND vec_id < $codebookCapSql),
+       assigned AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT nn.vec_id, cent.cent_id, ROW_NUMBER() OVER
+             (PARTITION BY nn.vec_id ORDER BY
+               ((SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+                 FROM (SELECT unnest(nn.embedding) AS x,
+                              unnest(cent.cemb) AS y) z)
+                / (nn.nrm * cent.cnrm)) DESC, cent.cent_id) AS crk
+           FROM n nn CROSS JOIN cent) WHERE crk = 1),
+       prs AS (
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(na.embedding) AS x,
+                         unnest(nb.embedding) AS y) z)
+             / (na.nrm * nb.nrm) AS cos
+         FROM assigned a
+           JOIN assigned b ON a.cent_id = b.cent_id
+             AND a.vec_id <> b.vec_id
+           JOIN n na ON na.vec_id = a.vec_id
+           JOIN n nb ON nb.vec_id = b.vec_id
+         WHERE a.vec_id < 200),
+       pos AS (
+         SELECT a_id, b_id AS positive, cos AS pos_cos FROM (
+           SELECT a_id, b_id, cos, ROW_NUMBER() OVER
+             (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+           FROM prs WHERE cos >= CAST(0.2 AS DOUBLE)) WHERE rk = 1),
+       neg AS (
+         SELECT a_id, b_id AS negative, cos AS neg_cos FROM (
+           SELECT a_id, b_id, cos, ROW_NUMBER() OVER
+             (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+           FROM prs WHERE cos < CAST(0.1 AS DOUBLE)) WHERE rk = 1)
+       SELECT p.a_id AS anchor, p.positive,
+         CAST(ROUND(CAST(p.pos_cos AS DECIMAL(28,10)), 3) AS DOUBLE)
+           AS pos_cos,
+         g.negative,
+         CAST(ROUND(CAST(g.neg_cos AS DECIMAL(28,10)), 3) AS DOUBLE)
+           AS neg_cos
+       FROM pos p JOIN neg g ON g.a_id = p.a_id
+       ORDER BY anchor"""
+
   /** Decontamination scan: non-src0 documents sharing any 5-gram with
     * the held-out src0 subset. */
   def ddContamination(s: SparkSession, dir: String): DataFrame =
@@ -3004,6 +3069,7 @@ object PipelineQueries {
     "dd_cosine_bucketed" -> (ddCosineBucketed _),
     "dd_components" -> (ddComponents _),
     "dd_pagerank" -> (ddPagerank _),
+    "dd_triplets" -> (ddTriplets _),
     "dd_contamination" -> (ddContamination _),
     "dd_contamination_bloom" -> (ddContaminationBloom _),
     "ann_brute_topk" -> (annBruteTopK _),
@@ -3088,6 +3154,7 @@ object PipelineQueries {
     "dd_cosine_bucketed" -> ddCosineBucketedSql,
     "dd_components" -> ddComponentsSql,
     "dd_pagerank" -> ddPagerankSql,
+    "dd_triplets" -> ddTripletsSql,
     "dd_contamination" -> ddContaminationSql,
     "dd_contamination_bloom" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,

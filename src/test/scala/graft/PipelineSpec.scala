@@ -1039,6 +1039,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("contrastive triplets: margin holds, picks come from the anchor's cluster") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val cents = e.filter($"vec_id" % 50 === 0 && $"vec_id" < 1000)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    val t = Similarity.contrastiveTriplets(
+      e.filter($"vec_id" < 100), e, "embedding", "vec_id", cents,
+      posT = 0.2, negT = 0.1)
+      .select($"anchor", $"positive", $"pos_cos", $"negative", $"neg_cos")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(t.nonEmpty)
+    val assign = Similarity.ivfAssign(e, "embedding", "vec_id", cents)
+      .select($"c_id", $"cent_id").as[(Long, Long)].collect().toMap
+    t.foreach { case (a, p, pc, n, nc) =>
+      // the contrastive margin (raw filters; display is r3-rounded)
+      assert(pc >= 0.2 - 5e-4 && nc < 0.1 + 5e-4, (a, pc, nc))
+      assert(p != n && p != a && n != a)
+      // both picks share the anchor's cluster
+      assert(assign(p) === assign(a) && assign(n) === assign(a))
+    }
+  }
+
   test("length buckets bound lengths within 2x; batches respect size") {
     val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val r = Sampling.lengthBucketBatches(d, "text", "doc_id", 8)
