@@ -132,6 +132,47 @@ object IvfStream {
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$root/delta/batch=$batchId")
 
+  /** Compaction — the offline maintenance job the delta design
+    * defers to: fold base ∪ all deltas into a fresh single-level
+    * base (one file per `cent_id=` dir again) and drop the delta
+    * tree. Layout-format agnostic: pass the matching reader
+    * ([[layout]], [[layoutInt8]], [[layoutPq]]) and the live relation
+    * is rewritten as-is — assignment/pages/codes are already final,
+    * so compaction never recomputes anything, it only re-clusters
+    * files.
+    *
+    * Crash safety (swap ordering): the compacted copy is FULLY
+    * written to `base_compact/` first; only then are `base/` and
+    * `delta/` deleted and the staging dir moved into place. A crash
+    * before the move leaves a complete `base_compact/` — the next
+    * [[compact]] call detects the interrupted swap (staging present,
+    * base absent) and completes the move before doing anything else.
+    * A crash before the deletes leaves the old tree intact and a
+    * stale staging dir that the next run overwrites. */
+  def compact(spark: SparkSession, root: String,
+      layoutOf: (SparkSession, String) => DataFrame = layout): Unit = {
+    import java.io.File
+    import java.nio.file.{Files, Paths}
+    def rm(f: File): Unit = if (f.exists()) {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    val staging = new File(s"$root/base_compact")
+    val base = new File(s"$root/base")
+    // complete an interrupted swap before touching anything
+    if (staging.exists() && !base.exists()) {
+      Files.move(staging.toPath, base.toPath)
+      return
+    }
+    layoutOf(spark, root)
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(staging.toString)
+    rm(base)
+    rm(new File(s"$root/delta"))
+    Files.move(staging.toPath, Paths.get(s"$root/base"))
+  }
+
   /** Start incremental IVF maintenance over a parquet embedding
     * directory: new files → nearest-centroid assignment → delta
     * append. Pass `schema` to start before the first file lands. */

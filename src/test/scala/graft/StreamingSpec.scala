@@ -742,6 +742,44 @@ class StreamingSpec extends SparkSpec {
     assert(prior.select($"doc_id").distinct().count() === 80L)
   }
 
+  test("IVF delta compaction: single level, layout-identical, crash-recoverable") {
+    import java.nio.file.Files
+    import graft.pipeline.PartitionedAnn
+    val root = Files.createTempDirectory("graft-compact").toString
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val corpus = e.filter($"vec_id" >= 10)
+    val centroids = corpus.filter($"vec_id" < 60)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    PartitionedAnn.writeIvfPartitioned(
+      corpus.filter($"vec_id" < 700), "embedding", "vec_id", centroids,
+      s"$root/base")
+    graft.streaming.IvfStream.appendBatch(
+      corpus.filter($"vec_id" >= 700 && $"vec_id" < 1400), 0L, root,
+      centroids, "embedding", "vec_id")
+    graft.streaming.IvfStream.appendBatch(
+      corpus.filter($"vec_id" >= 1400), 1L, root, centroids,
+      "embedding", "vec_id")
+    def rows() = graft.streaming.IvfStream.layout(spark, root)
+      .select($"c_id", $"cent_id".cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val before = rows()
+    graft.streaming.IvfStream.compact(spark, root)
+    // single level: deltas and staging gone, base carries everything
+    assert(!new java.io.File(s"$root/delta").exists())
+    assert(!new java.io.File(s"$root/base_compact").exists())
+    assert(rows() === before)
+    // idempotent: compacting a compacted layout is a no-op rewrite
+    graft.streaming.IvfStream.compact(spark, root)
+    assert(rows() === before)
+    // interrupted swap (staging complete, base deleted): next call
+    // completes the move instead of recomputing
+    val base = new java.io.File(s"$root/base")
+    Files.move(base.toPath,
+      new java.io.File(s"$root/base_compact").toPath)
+    graft.streaming.IvfStream.compact(spark, root)
+    assert(base.exists() && rows() === before)
+  }
+
   test("incremental IVF layout equals a full rebuild, replay-safe") {
     import java.nio.file.Files
     import graft.pipeline.{PartitionedAnn, Similarity}
