@@ -150,7 +150,47 @@ object IvfStream {
     * A crash before the deletes leaves the old tree intact and a
     * stale staging dir that the next run overwrites. */
   def compact(spark: SparkSession, root: String,
-      layoutOf: (SparkSession, String) => DataFrame = layout): Unit = {
+      layoutOf: (SparkSession, String) => DataFrame = layout): Unit =
+    stagedSwap(root) { staging =>
+      layoutOf(spark, root)
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(staging)
+    }
+
+  /** Codebook refresh — the other offline maintenance job the delta
+    * design defers to: when drift degrades recall, re-cluster the
+    * LIVE corpus (base ∪ deltas) with spherical k-means
+    * ([[Similarity.kmeansCentroids]]) and rewrite the layout
+    * partitioned by the NEW assignment, via the same staged swap as
+    * [[compact]]. Float layout only — re-assignment needs the raw
+    * vectors; the int8/PQ forms re-derive from a refreshed float
+    * corpus through their own writers, codebooks being format-
+    * independent. Returns the new `(cent_id, cent_vec)` table, which
+    * all subsequent probes and delta appends MUST use (one codebook
+    * per layout generation — the invariant every incremental path
+    * relies on). */
+  def refreshCodebook(spark: SparkSession, root: String, k: Int,
+      iters: Int = 5): DataFrame = {
+    val live = layout(spark, root)
+      .select(col("c_id"), col("c_vec"))
+      .localCheckpoint() // consumed by k-means AND the rewrite
+    val cents = Similarity.kmeansCentroids(live, "c_vec", "c_id", k,
+      iters) // already checkpointed per iteration
+    stagedSwap(root) { staging =>
+      PartitionedAnn.writeIvfPartitioned(live, "c_vec", "c_id", cents,
+        staging)
+    }
+    cents
+  }
+
+  /** The staged base swap shared by [[compact]] and
+    * [[refreshCodebook]]: write the replacement fully into
+    * `base_compact/`, then delete `base/` + `delta/`, then move. A
+    * crash before the move leaves a complete staging dir; the next
+    * call detects staging-present/base-absent and completes the move
+    * before doing anything else. */
+  private def stagedSwap(root: String)(write: String => Unit): Unit = {
     import java.io.File
     import java.nio.file.{Files, Paths}
     def rm(f: File): Unit = if (f.exists()) {
@@ -159,15 +199,11 @@ object IvfStream {
     }
     val staging = new File(s"$root/base_compact")
     val base = new File(s"$root/base")
-    // complete an interrupted swap before touching anything
     if (staging.exists() && !base.exists()) {
       Files.move(staging.toPath, base.toPath)
       return
     }
-    layoutOf(spark, root)
-      .repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id")
-      .parquet(staging.toString)
+    write(staging.toString)
     rm(base)
     rm(new File(s"$root/delta"))
     Files.move(staging.toPath, Paths.get(s"$root/base"))

@@ -780,6 +780,45 @@ class StreamingSpec extends SparkSpec {
     assert(base.exists() && rows() === before)
   }
 
+  test("codebook refresh re-partitions the live layout by the new assignment") {
+    import java.nio.file.Files
+    import graft.pipeline.{PartitionedAnn, Similarity}
+    val root = Files.createTempDirectory("graft-refresh").toString
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val corpus = e.filter($"vec_id" >= 10)
+    val oldCents = corpus.filter($"vec_id" < 60)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    PartitionedAnn.writeIvfPartitioned(
+      corpus.filter($"vec_id" < 1000), "embedding", "vec_id", oldCents,
+      s"$root/base")
+    graft.streaming.IvfStream.appendBatch(
+      corpus.filter($"vec_id" >= 1000), 0L, root, oldCents,
+      "embedding", "vec_id")
+    val newCents = graft.streaming.IvfStream
+      .refreshCodebook(spark, root, k = 8, iters = 3)
+    // single level again, same vector population
+    assert(!new java.io.File(s"$root/delta").exists())
+    val layout = graft.streaming.IvfStream.layout(spark, root)
+    assert(layout.select($"c_id").as[Long].collect().toSet ===
+      corpus.select($"vec_id").as[Long].collect().toSet)
+    // every row sits in the partition the NEW codebook assigns it to
+    val expect = Similarity.ivfAssign(
+        corpus, "embedding", "vec_id", newCents)
+      .select($"c_id", $"cent_id".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    layout.select($"c_id", $"cent_id".cast("long")).as[(Long, Long)]
+      .collect().foreach { case (id, c) => assert(expect(id) === c, id) }
+    // probes against the refreshed layout still find true neighbors
+    val queries = e.filter($"vec_id" < 5)
+    val got = PartitionedAnn.ivfTopKPartitioned(spark, s"$root/base",
+        queries, "embedding", "vec_id", k = 5, newCents, nprobe = 2)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, corpus,
+        "embedding", "vec_id", k = 5)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    assert((got & brute).size.toDouble / brute.size >= 0.3)
+  }
+
   test("incremental IVF layout equals a full rebuild, replay-safe") {
     import java.nio.file.Files
     import graft.pipeline.{PartitionedAnn, Similarity}
