@@ -38,7 +38,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EXTENSIONS=1: install GraftExtensions so the bench
+    // measures the optimizer-rule path (TopKRewriteRule/VecFusionRule)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -52,7 +54,10 @@ object Bench {
       // ann_ivf_topk samples [68, 178, 199] s under pressure vs 16 s
       // clean). A long-lived production driver tunes this the same way.
       .config("spark.cleaner.periodicGC.interval", "15s")
-      .getOrCreate()
+    val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("1"))
+      builder.config("spark.sql.extensions",
+        "graft.functions.GraftExtensions")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up codegen/JIT + parquet footer caches on a small query so
     // one-time JVM costs don't land on the first timed query; likewise

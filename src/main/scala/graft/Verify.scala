@@ -7,7 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_EXTENSIONS=1 installs GraftExtensions (native
+    // expression registry + VecFusionRule + TopKRewriteRule) into the
+    // session, so the SAME oracle gate proves the optimizer rules
+    // equivalence-preserving across the whole corpus
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -16,7 +20,10 @@ object Verify {
       // those as nanos-long; inert (harmless) on timestamp[us] data.
       // EventStream's ts helpers dispatch on the arriving type.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark = (if (sys.env.get("SPARK_GRAFT_EXTENSIONS").contains("1"))
+      builder.config("spark.sql.extensions",
+        "graft.functions.GraftExtensions")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // queries are independent; overlapping a few keeps the scheduler

@@ -28,6 +28,22 @@ class PlansSpec extends SparkSpec {
     assert(viaCustom === viaWindow)
   }
 
+  test("TopKRewriteRule fires on the ANN/retrieval row_number idiom") {
+    // the injected optimizer rule must recognize the per-query top-k
+    // shape every search operator emits (the full oracle gate runs
+    // green with SPARK_GRAFT_EXTENSIONS=1, proving the rewrite
+    // equivalence-preserving corpus-wide; this pins that it actually
+    // FIRES there rather than silently declining)
+    for (q <- Seq("ann_brute_topk", "pp_bm25_search")) {
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      val rewritten =
+        graft.plans.TopKRewriteRule(df.queryExecution.optimizedPlan)
+      assert(rewritten.exists(
+        _.isInstanceOf[graft.plans.TopKPerKeyNode]),
+        s"$q: rule declined on\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("TopKPerKey plans through the custom exec, not Window") {
     val c = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
       .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
