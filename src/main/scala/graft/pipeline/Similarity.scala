@@ -128,12 +128,48 @@ object Similarity {
     val c = ivfAssign(corpus, vecCol, keyCol, centroids)
       .select(col("cent_id"), col("c_id").as("b_id"),
         col("c_vec").as("b_vec"), col("c_norm").as("b_norm"))
-    val pairs = broadcast(a).join(c, Seq("cent_id"))
+    tripletPick(broadcast(a).join(c, Seq("cent_id"))
       .filter(col("a_id") =!= col("b_id"))
       .withColumn("cos",
         nd(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
-      .select(col("a_id"), col("b_id"), col("cos"))
-      .localCheckpoint() // positives AND negatives rank over it
+      .select(col("a_id"), col("b_id"), col("cos")), posT, negT)
+  }
+
+  /** [[contrastiveTriplets]] against a [[PartitionedAnn
+    * .writeIvfPartitioned]] layout — the at-rest twin: corpus
+    * assignment is already materialized in the `cent_id=` directories
+    * with norms precomputed, so mining reads ONLY the anchors' probed
+    * partitions instead of re-assigning the whole corpus (the inline
+    * form's O(n·√n) rebuild — measured 68 s vs 5 s at sf10). Same
+    * semantics, same oracle. */
+  def contrastiveTripletsAtRest(spark: org.apache.spark.sql.SparkSession,
+      corpusDir: String, anchors: DataFrame, vecCol: String,
+      keyCol: String, centroids: DataFrame, posT: Double,
+      negT: Double): DataFrame = {
+    val nd = nativeDot(anchors) _
+    val a = ivfAssign(anchors, vecCol, keyCol, centroids)
+      .withColumn("cent_id", col("cent_id").cast("int"))
+      .select(col("cent_id"), col("c_id").as("a_id"),
+        col("c_vec").as("a_vec"), col("c_norm").as("a_norm"))
+      .localCheckpoint() // probe-set collect AND the join
+    val probed = a.select(col("cent_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(corpusDir)
+      .filter(col("cent_id").isin(probed.toIndexedSeq: _*))
+      .select(col("cent_id"), col("c_id").as("b_id"),
+        col("c_vec").as("b_vec"), col("c_norm").as("b_norm"))
+    tripletPick(broadcast(a).join(c, Seq("cent_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos",
+        nd(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+      .select(col("a_id"), col("b_id"), col("cos")), posT, negT)
+  }
+
+  /** Shared pick tail: hardest positive (≥ posT) and hardest negative
+    * (< negT) per anchor over a scored pair relation. */
+  private def tripletPick(scored: DataFrame, posT: Double,
+      negT: Double): DataFrame = {
+    val pairs = scored.localCheckpoint() // both ranks consume it
     def top1(cands: DataFrame): DataFrame = cands
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("a_id"))

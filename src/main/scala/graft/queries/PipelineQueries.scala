@@ -368,6 +368,26 @@ object PipelineQueries {
       .orderBy(col("anchor"))
   }
 
+  /** The at-rest twin ([[Similarity.contrastiveTripletsAtRest]]):
+    * identical triplets mined from a full-corpus `cent_id=`
+    * partitioned layout — assignment read from the directories, only
+    * the anchors' clusters scanned. Gated against the SAME oracle
+    * verbatim ([[ddTriplets]] mines over the whole embeddings table,
+    * so this layout covers it all — unlike the query-corpus split the
+    * ann_* layouts use). */
+  def ddTripletsAtRest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = e.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val out = annLayoutDir(dir, "ivf_sqrt50_all")
+    ensureLayout(out)(PartitionedAnn.writeIvfPartitioned(
+      e, "embedding", "vec_id", centroids, out))
+    Similarity.contrastiveTripletsAtRest(s, out,
+      e.filter(col("vec_id") < 200), "embedding", "vec_id", centroids,
+      posT = 0.2, negT = 0.1)
+      .orderBy(col("anchor"))
+  }
+
   private lazy val ddTripletsSql =
     s"""WITH n AS (
          SELECT vec_id, embedding,
@@ -3070,6 +3090,7 @@ object PipelineQueries {
     "dd_components" -> (ddComponents _),
     "dd_pagerank" -> (ddPagerank _),
     "dd_triplets" -> (ddTriplets _),
+    "dd_triplets_at_rest" -> (ddTripletsAtRest _),
     "dd_contamination" -> (ddContamination _),
     "dd_contamination_bloom" -> (ddContaminationBloom _),
     "ann_brute_topk" -> (annBruteTopK _),
@@ -3155,6 +3176,7 @@ object PipelineQueries {
     "dd_components" -> ddComponentsSql,
     "dd_pagerank" -> ddPagerankSql,
     "dd_triplets" -> ddTripletsSql,
+    "dd_triplets_at_rest" -> ddTripletsSql,
     "dd_contamination" -> ddContaminationSql,
     "dd_contamination_bloom" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,
