@@ -437,29 +437,57 @@ object TextAnalysis {
   }
 
   /** Per-group corpus profile: doc/token counts and EXACT token-length
-    * percentiles (p50/p90/p99, linearly interpolated — the definition
-    * `percentile` and DuckDB's `quantile_cont` share, so the oracle
-    * replays it directly). The profiling report that sizes a training
-    * mix: how long are documents per source, where is the tail.
+    * percentiles (p50/p90/p99, linearly interpolated). The profiling
+    * report that sizes a training mix: how long are documents per
+    * source, where is the tail.
+    *
+    * The interpolation is ENGINE-EXACT, not floating-point: the gate
+    * percentile ranks have at most two decimal digits, so with pnum =
+    * p·100 the rank `h = (n−1)·p` satisfies `h·100 = (n−1)·pnum` — an
+    * integer. The interpolated value `a + frac·(b−a)` over the sorted
+    * INTEGER token counts a, b therefore satisfies `value·100 =
+    * a·100 + ((n−1)·pnum mod 100)·(b−a)` — pure long arithmetic with
+    * no rounding anywhere. The single float step is the final
+    * `v100 / 100.0` double division, which IEEE 754 defines exactly
+    * (correctly rounded), so Spark and any replaying engine produce
+    * bit-identical doubles. This replaces the previous
+    * `percentile(nt, p)` form, whose double lerp could disagree with a
+    * replay engine's `quantile_cont` by one ulp exactly at a
+    * round-to-3 tie (the round-10 driver-gate flake).
     *
     * Scale note: the exact form needs a per-group sort — fine for the
     * small-group-cardinality profiling report this is (sources/langs:
-    * tens of groups, and Spark's percentile buffers per GROUP, not per
-    * corpus). For percentiles OVER DOCUMENTS at unbounded cardinality
-    * swap `percentile` for `percentile_approx` (t-digest sketch,
-    * map-side combinable) — same call shape, no longer bit-replayable
-    * by an oracle, which is why the gated form is the exact one. */
+    * tens of groups; the sort buffers per GROUP, exactly like Spark's
+    * own `percentile`, not per corpus). For percentiles OVER DOCUMENTS
+    * at unbounded cardinality swap in `percentile_approx` (t-digest
+    * sketch, map-side combinable) — same call shape, no longer
+    * bit-replayable by an oracle, which is why the gated form is the
+    * exact one. */
   def corpusProfile(df: DataFrame, textCol: String,
-      groupCol: String): DataFrame =
+      groupCol: String): DataFrame = {
+    // value·100 at percentile pnum/100 over the sorted counts; lo is
+    // the 0-based lower index, frac·100 the integer remainder. All
+    // long arithmetic — exact while a·100 + 100·(b−a) < 2^63.
+    def pct(pnum: Int, name: String): Column = {
+      val h100 = (col("n_docs") - 1) * lit(pnum.toLong)
+      val fr = pmod(h100, lit(100L))
+      val lo = ((h100 - fr) / 100).cast("long")
+      val a = element_at(col("sorted"), (lo + 1).cast("int"))
+      val b = element_at(col("sorted"),
+        (least(lo + 1, col("n_docs") - 1) + 1).cast("int"))
+      (((a * 100 + fr * (b - a)).cast("double")) / lit(100.0)).as(name)
+    }
     df.select(col(groupCol),
         whitespaceTokenCount(col(textCol)).cast("long").as("nt"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nt")).as("n_tokens"),
-        r3(expr("percentile(nt, 0.5)")).as("p50_tokens"),
-        r3(expr("percentile(nt, 0.9)")).as("p90_tokens"),
-        r3(expr("percentile(nt, 0.99)")).as("p99_tokens"),
+        sort_array(collect_list(col("nt"))).as("sorted"),
         max(col("nt")).as("max_tokens"))
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        pct(50, "p50_tokens"), pct(90, "p90_tokens"),
+        pct(99, "p99_tokens"), col("max_tokens"))
+  }
 
   /** Score any document relation against a trained [[bigramModel]].
     * Bigrams absent from the model contribute probability 0 (the doc

@@ -1734,8 +1734,13 @@ object PipelineQueries {
 
   /** Corpus profiling report ([[TextAnalysis.corpusProfile]]): per
     * source, doc/token counts and exact interpolated token-length
-    * percentiles — `percentile` and DuckDB `quantile_cont` share the
-    * same linear-interpolation definition, replayed directly. */
+    * percentiles. The replay mirrors the engine's integer-exact
+    * interpolation verbatim — `value·100 = a·100 + ((n−1)·pnum mod
+    * 100)·(b−a)` over the per-group sorted counts, pure BIGINT
+    * arithmetic, one final IEEE-exact `/100.0` — rather than
+    * `quantile_cont`, whose double lerp can differ from any other
+    * engine's by one ulp exactly at a rounding tie (the round-10
+    * driver-gate flake). */
   def ppProfile(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.corpusProfile(t(s, dir, "documents"), "text", "source")
       .orderBy(col("source"))
@@ -1746,16 +1751,34 @@ object PipelineQueries {
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(string_split_regex(trim(text),
                          '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS nt
-         FROM documents)
-       SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
-         CAST(ROUND(CAST(quantile_cont(nt, 0.5) AS DECIMAL(28,10)), 3)
-           AS DOUBLE) AS p50_tokens,
-         CAST(ROUND(CAST(quantile_cont(nt, 0.9) AS DECIMAL(28,10)), 3)
-           AS DOUBLE) AS p90_tokens,
-         CAST(ROUND(CAST(quantile_cont(nt, 0.99) AS DECIMAL(28,10)), 3)
-           AS DOUBLE) AS p99_tokens,
-         MAX(nt) AS max_tokens
-       FROM t GROUP BY source ORDER BY source"""
+         FROM documents),
+       g AS (
+         SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+           list(nt ORDER BY nt) AS sorted, MAX(nt) AS max_tokens
+         FROM t GROUP BY source),
+       p AS (
+         SELECT source, n_docs, n_tokens, max_tokens,
+           (n_docs - 1) * 50 AS h50, (n_docs - 1) * 90 AS h90,
+           (n_docs - 1) * 99 AS h99, sorted
+         FROM g)
+       SELECT source, n_docs, n_tokens,
+         CAST(sorted[CAST(h50 // 100 AS INT) + 1] * 100
+            + (h50 % 100) * (sorted[CAST(LEAST(h50 // 100 + 1,
+                  n_docs - 1) AS INT) + 1]
+               - sorted[CAST(h50 // 100 AS INT) + 1])
+           AS DOUBLE) / 100.0 AS p50_tokens,
+         CAST(sorted[CAST(h90 // 100 AS INT) + 1] * 100
+            + (h90 % 100) * (sorted[CAST(LEAST(h90 // 100 + 1,
+                  n_docs - 1) AS INT) + 1]
+               - sorted[CAST(h90 // 100 AS INT) + 1])
+           AS DOUBLE) / 100.0 AS p90_tokens,
+         CAST(sorted[CAST(h99 // 100 AS INT) + 1] * 100
+            + (h99 % 100) * (sorted[CAST(LEAST(h99 // 100 + 1,
+                  n_docs - 1) AS INT) + 1]
+               - sorted[CAST(h99 // 100 AS INT) + 1])
+           AS DOUBLE) / 100.0 AS p99_tokens,
+         max_tokens
+       FROM p ORDER BY source"""
 
   // --- text analysis --------------------------------------------
 

@@ -958,6 +958,45 @@ class PipelineSpec extends SparkSpec {
     assert(r.toSeq === Seq((4L, 10L, 2.5, 4L)))
   }
 
+  test("corpus profile: integer-exact percentiles across group sizes (tie sweep)") {
+    // Sweep every group size 1..60 — covering every (n−1)·p mod 100
+    // residue class the gate percentiles produce, the exact spots
+    // where a double-lerp oracle could disagree by one ulp (the
+    // round-10 driver flake). The reference below is computed in pure
+    // BigInt arithmetic: agreement proves the engine value ·100 is an
+    // integer and equals a·100 + ((n−1)·pnum mod 100)·(b−a).
+    val rows = for {
+      n <- 1 to 60
+      i <- 0 until n
+    } yield {
+      val toks = (i * 37) % (n + 13) + 1 // varied, collision-rich
+      (n.toLong * 1000 + i, Seq.fill(toks)("w").mkString(" "), f"g$n%02d")
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val got = TextAnalysis.corpusProfile(d, "text", "source")
+      .select($"source", $"p50_tokens", $"p90_tokens", $"p99_tokens")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def ref(counts: Seq[Long], pnum: Int): Double = {
+      val s = counts.sorted
+      val h = BigInt(s.length - 1) * pnum
+      val lo = (h / 100).toInt
+      val fr = (h % 100).toLong
+      val a = s(lo)
+      val b = s(math.min(lo + 1, s.length - 1))
+      val v100 = a * 100 + fr * (b - a)
+      assert(v100 % 1 == 0) // integral by construction
+      v100.toDouble / 100.0
+    }
+    for (n <- 1 to 60) {
+      val counts = (0 until n).map(i => ((i * 37) % (n + 13) + 1).toLong)
+      val (p50, p90, p99) = got(f"g$n%02d")
+      assert(p50 === ref(counts, 50), s"p50 n=$n")
+      assert(p90 === ref(counts, 90), s"p90 n=$n")
+      assert(p99 === ref(counts, 99), s"p99 n=$n")
+    }
+  }
+
   test("PageRank: hub outranks leaves, mass conserved on dangling-free graphs") {
     // star: 0-1, 0-2 — symmetrized, no dangling nodes, so total mass
     // stays exactly 1 every iteration
