@@ -270,8 +270,12 @@ object Sampling {
     * sums while preserving the ordering the resampling step consumes
     * (take the top-N by weight, or threshold — both downstream of
     * this relation). Grams unseen in the target contribute ratio 0 —
-    * evidence against target-likeness; every scored gram has
-    * `p_r > 0` because the raw model is trained on the same corpus.
+    * evidence against target-likeness. Every scored gram has
+    * `p_r > 0` pre-rounding (the raw model is trained on the same
+    * corpus), but the 9-decimal model rounding can zero a rare gram's
+    * `p_r` once total occurrences exceed ~2×10^9 — those grams score
+    * ratio 0, like unseen ones, instead of Infinity/NaN (guarded in
+    * both the engine and the oracle).
     * Documents with no gram (< n tokens) drop out, like every gram
     * operator here.
     *
@@ -312,10 +316,17 @@ object Sampling {
     val rModel = model(occ
       .groupBy(col("gram")).agg(sum(col("occ")).as("c")))
       .withColumnRenamed("p9", "p9_r")
-    val ratio9 = round(
+    // p_r > 0 holds for every scored gram PRE-rounding only: past
+    // ~2×10^9 total occurrences a rare gram's p9_r rounds to exactly
+    // 0 and the ratio would go Infinity (or NaN when p9_t is also 0),
+    // poisoning the document's weight. A zero-ROUNDED p_r is treated
+    // like an unseen gram — ratio 0 — which is also the limit of the
+    // true ratio's contribution at that precision.
+    val ratio9 = when(col("p9_r") > 0, round(
       (coalesce(col("p9_t"), lit(0).cast(DecimalType(18, 9)))
         .cast("double") / col("p9_r").cast("double"))
-        .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9))
+        .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9)))
+      .otherwise(lit(0).cast(DecimalType(18, 9)))
     occ
       .join(broadcast(tModel), Seq("gram"), "left_outer")
       .join(broadcast(rModel), Seq("gram"))

@@ -218,6 +218,8 @@ object EventQueries {
          CAST(ROUND(CAST(
            CASE WHEN LAG(n_users) OVER (ORDER BY step) IS NULL
                 THEN CAST(1.0 AS DOUBLE)
+                WHEN LAG(n_users) OVER (ORDER BY step) = 0
+                THEN CAST(0.0 AS DOUBLE)
                 ELSE CAST(n_users AS DOUBLE) /
                      LAG(n_users) OVER (ORDER BY step) END
            AS DECIMAL(28,10)), 3) AS DOUBLE) AS conversion

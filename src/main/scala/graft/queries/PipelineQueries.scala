@@ -1718,10 +1718,12 @@ object PipelineQueries {
                GROUP BY doc_id, gram),
        sc AS (
          SELECT o.doc_id, SUM(o.occ) AS n_grams,
-           SUM(CAST(ROUND(CAST(
-                 CAST(COALESCE(t.p9t, CAST(0 AS DECIMAL(18,9)))
-                   AS DOUBLE) / CAST(r.p9r AS DOUBLE)
-               AS DECIMAL(28,10)), 9) AS DECIMAL(18,9))
+           SUM(CASE WHEN r.p9r > 0 THEN
+                 CAST(ROUND(CAST(
+                   CAST(COALESCE(t.p9t, CAST(0 AS DECIMAL(18,9)))
+                     AS DOUBLE) / CAST(r.p9r AS DOUBLE)
+                 AS DECIMAL(28,10)), 9) AS DECIMAL(18,9))
+               ELSE CAST(0 AS DECIMAL(18,9)) END
              * CAST(o.occ AS DECIMAL(10,0))) AS r_sum
          FROM occ o
            LEFT JOIN tm t ON t.gram = o.gram

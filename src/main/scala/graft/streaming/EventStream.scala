@@ -271,14 +271,24 @@ object EventStream {
     * definition). Output one row per step: `(step, event_type,
     * n_users, conversion)` with conversion relative to the previous
     * step (1.0 for the first), microsecond event-time precision via
-    * the schema-adaptive [[tsMicrosCol]].
+    * the schema-adaptive [[tsMicrosCol]]. Every configured step gets
+    * a row even when no user reaches it — `n_users` 0, conversion 0.0
+    * when the previous step is empty (the step list is left-joined
+    * against the counts, so the report shape is a function of the
+    * CONFIGURATION, not the data).
     *
     * Scale shape: one filtered keyed `min` aggregate + one
     * user_id-keyed join per step — every shuffle is keyed on user_id,
     * so after the first exchange the per-step frames stay co-located;
     * the final report is |steps| rows (the window over it is
     * trivial). Nothing collects: the counts are a relational
-    * group-by over the unioned step frames. */
+    * group-by over the unioned step frames. The per-step user frames
+    * are EAGER localCheckpoints: each feeds the next step AND the
+    * final report, and the lazy form does not dedupe consumers within
+    * one action (each step would re-derive the whole prefix, an
+    * O(steps²) events scan); the frames are user-cardinality-bounded
+    * and shrink monotonically, so materializing them is the cheap
+    * side of that trade. */
   def funnelReport(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnelReport: at least one step")
     val e = events.select(col("user_id"), col("event_type"),
@@ -293,7 +303,7 @@ object EventStream {
         case Some(p) => mine.join(p.select(col("user_id"), col("t")),
           Seq("user_id")).filter(col("ts_us") > col("t"))
       }).groupBy(col("user_id")).agg(min(col("ts_us")).as("t"))
-        .localCheckpoint(false) // feeds the next step AND the report
+        .localCheckpoint() // eager: next step + report both consume it
       reached ::= ((i + 1, step, cur))
       prev = Some(cur)
     }
@@ -301,12 +311,22 @@ object EventStream {
       f.select(lit(i).as("step"), lit(step).as("event_type"),
         col("user_id"))
     }.reduce(_ union _)
+    val stepList = events.sparkSession
+      .createDataFrame(steps.zipWithIndex.map { case (s, i) =>
+        (i + 1, s)
+      })
+      .toDF("step", "event_type")
     val w = Window.orderBy(col("step"))
-    unioned.groupBy(col("step"), col("event_type"))
-      .agg(count(lit(1)).as("n_users"))
+    stepList
+      .join(unioned.groupBy(col("step"), col("event_type"))
+          .agg(count(lit(1)).as("n_raw")),
+        Seq("step", "event_type"), "left")
+      .withColumn("n_users", coalesce(col("n_raw"), lit(0L)))
       .withColumn("conversion",
         when(lag(col("n_users"), 1).over(w).isNull,
           lit(1.0).cast("double"))
+          .when(lag(col("n_users"), 1).over(w) === 0,
+            lit(0.0).cast("double"))
           .otherwise(col("n_users").cast("double") /
             lag(col("n_users"), 1).over(w)))
       .select(col("step"), col("event_type"), col("n_users"),

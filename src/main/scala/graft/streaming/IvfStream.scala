@@ -200,6 +200,13 @@ object IvfStream {
     val staging = new File(s"$root/base_compact")
     val base = new File(s"$root/base")
     if (staging.exists() && !base.exists()) {
+      // Interrupted between rm(base) and the move. The staged copy
+      // already CONTAINS the delta contents, so a surviving delta/
+      // (crash landed between rm(base) and rm(delta)) would duplicate
+      // every delta vector in the recovered layout — double top-k
+      // candidates in the float form, doubled ADC partial sums in the
+      // PQ form. Remove it before completing the move.
+      rm(new File(s"$root/delta"))
       Files.move(staging.toPath, base.toPath)
       return
     }

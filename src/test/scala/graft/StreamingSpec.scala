@@ -126,6 +126,23 @@ class StreamingSpec extends SparkSpec {
       (3, "purchase", 1L, 1.0)))
   }
 
+  test("funnel: unreached steps emit zero rows, conversion 0.0 after an empty step") {
+    def ns(sec: Long): Long = sec * 1000000000L
+    // nobody clicks: steps 2 and 3 must still appear (report shape is
+    // a function of the configuration), with n_users 0 and conversion
+    // 0/3 → 0.0, then 0-after-empty → 0.0 (not a missing row, not 0/0)
+    val ev = Seq(
+      (0L, ns(1), 1L, "view", 0.0), (1L, ns(2), 2L, "view", 0.0),
+      (2L, ns(3), 3L, "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.funnelReport(ev, Seq("view", "click", "purchase"))
+      .orderBy($"step")
+      .select($"step", $"event_type", $"n_users", $"conversion")
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(r === Seq((1, "view", 3L, 1.0), (2, "click", 0L, 0.0),
+      (3, "purchase", 0L, 0.0)))
+  }
+
   test("cohort retention: first active day cohorts, exact offset counts") {
     def ns(day: Long): Long = day * 86400L * 1000000000L
     // users 1,2 start day 0 (1 returns day 1); user 3 starts day 1
@@ -778,6 +795,24 @@ class StreamingSpec extends SparkSpec {
       new java.io.File(s"$root/base_compact").toPath)
     graft.streaming.IvfStream.compact(spark, root)
     assert(base.exists() && rows() === before)
+    // interrupted swap with a SURVIVING delta (crash landed between
+    // rm(base) and rm(delta)): the staged copy already contains the
+    // delta contents, so recovery must drop delta/ — otherwise every
+    // delta vector appears twice (duplicate top-k candidates; doubled
+    // ADC partial sums in the PQ layout). Simulate: staging = the
+    // folded layout (current base), base absent, delta holding
+    // vectors the fold already absorbed.
+    Files.move(base.toPath,
+      new java.io.File(s"$root/base_compact").toPath)
+    graft.streaming.IvfStream.appendBatch(
+      corpus.filter($"vec_id" >= 1400), 2L, root, centroids,
+      "embedding", "vec_id")
+    graft.streaming.IvfStream.compact(spark, root)
+    assert(!new java.io.File(s"$root/delta").exists())
+    val dupes = graft.streaming.IvfStream.layout(spark, root)
+      .groupBy($"c_id").count().filter($"count" > 1).count()
+    assert(dupes === 0L, "recovery left duplicated delta vectors")
+    assert(rows() === before)
   }
 
   test("codebook refresh re-partitions the live layout by the new assignment") {
