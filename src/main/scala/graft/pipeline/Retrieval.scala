@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -85,6 +85,20 @@ object Retrieval {
     val stats = tk.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(size(col("tk"))).as("avgdl"))
+    scoreTail(postings, qterms, dfs, stats, k, k1, b)
+  }
+
+  /** The shared BM25 scoring tail — one body for the inline and
+    * at-rest paths, so their arithmetic is identical by construction
+    * (which is what lets [[bm25TopKAtRest]] share [[bm25TopK]]'s
+    * oracle verbatim): per-(term, doc) weight in fixed-order double
+    * arithmetic, cross-term sum routed through DECIMAL(28,15),
+    * per-query rank with ascending-doc tie-break, r3-rounded score. */
+  private def scoreTail(postings: DataFrame, qterms: DataFrame,
+      dfs: DataFrame, stats: DataFrame, k: Int, k1: Double,
+      b: Double): DataFrame = {
+    val dec = DecimalType(28, 15)
+    def d(x: Double): Column = lit(x).cast("double")
     val matched = postings
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfs), Seq("term"))
@@ -104,6 +118,102 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc_id"),
         Similarity.r3(col("score")).as("score"))
+  }
+
+  /** The term→partition bucket shared by [[writeBm25Index]] and
+    * [[bm25TopKAtRest]]: xxhash64 (fixed seed, stable across sessions
+    * and releases) mod the bucket count, as INT so the read-back
+    * partition column type-infers cast-free. */
+  private def termBucket(term: Column, buckets: Int): Column =
+    pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
+
+  /** Build the BM25 inverted index **at rest** — the "write once,
+    * probe cheap" twin every ANN family already has
+    * ([[PartitionedAnn]]), closing the one pipeline family that paid
+    * its postings build per query batch (measured as the highest
+    * decade-2 scaling exponent in SCALE.md: the per-batch build is
+    * corpus-sized regardless of the query).
+    *
+    * Layout:
+    * {{{
+    *   outDir/postings/term_bucket=N/…  (term, doc_id, dl, tf)
+    *   outDir/stats/…                   (n_docs, avgdl) — one row
+    *   outDir/_SUCCESS                  completeness marker
+    * }}}
+    * Postings carry the document length so scoring never rejoins the
+    * corpus; per-term document frequency is NOT materialized because
+    * a term's postings live in exactly one bucket — a probe recounts
+    * df from the rows it already read, by construction the same
+    * number the full corpus would give. `stats` is computed over the
+    * tokenized corpus INCLUDING zero-token documents (n_docs/avgdl
+    * parity with the inline path).
+    *
+    * 100 TB shape: one tokenize scan (eager-checkpointed — the
+    * postings and stats writes are separate ACTIONS, so exchange
+    * reuse cannot dedupe them), one term_bucket-keyed shuffle
+    * clustering the write so each bucket lands as one file run. A
+    * probe then reads `|query-term buckets| / buckets` of the index
+    * bytes at file-listing time. */
+  def writeBm25Index(docs: DataFrame, textCol: String, keyCol: String,
+      outDir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1 && buckets <= 4096,
+      s"writeBm25Index: 1..4096 term buckets, got $buckets")
+    val tk = docs
+      .select(col(keyCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .localCheckpoint()
+    tk.select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("term_bucket", termBucket(col("term"), buckets))
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$outDir/postings")
+    tk.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("tk"))).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$outDir/stats")
+    new java.io.File(outDir, "_SUCCESS").createNewFile(): Unit
+  }
+
+  /** [[bm25TopK]] against a [[writeBm25Index]] layout: the query
+    * batch's distinct term buckets become a literal
+    * `term_bucket IN (…)` partition filter (pruned at file-listing
+    * time, before a task launches — PlanSpec pins the
+    * PartitionFilters shape), non-query terms sharing those buckets
+    * drop via the broadcast vocabulary join, df is recounted from the
+    * probed rows, and the [[scoreTail]] arithmetic is shared code —
+    * so the result is bit-identical to the inline path and the gate
+    * replays the SAME oracle SQL (the dd_semantic_at_rest
+    * lossless-layout proof pattern).
+    *
+    * The only `.collect()` is the probe set — bounded by the query
+    * batch's distinct terms, the same small-query-side contract every
+    * partitioned ANN probe relies on. */
+  def bm25TopKAtRest(spark: SparkSession, indexDir: String,
+      queries: DataFrame, qKeyCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, buckets: Int = 64): DataFrame = {
+    val qterms = queries
+      .select(col(qKeyCol).as("q_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(qTextCol))))
+          .as("term"))
+      .localCheckpoint() // probe set, vocab restriction, scoring
+    val probed = qterms
+      .select(termBucket(col("term"), buckets).as("tb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val vocab = broadcast(qterms.select(col("term")).distinct())
+    // deliberately NOT checkpointed: both consumers (df recount and
+    // scoring) re-read the PRUNED scan — query-vocabulary buckets
+    // only, tiny by construction — which keeps the whole probe plan
+    // declarative (PlanSpec pins the PartitionFilters on this very
+    // frame's lineage; a checkpoint would hide them behind blocks)
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("term_bucket").isin(probed.toIndexedSeq: _*))
+      .join(vocab, Seq("term"))
+    val dfs = post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    scoreTail(post, qterms, dfs, stats, k, k1, b)
   }
 
   private def r6(c: Column): Column = Similarity.r6(c)

@@ -1572,6 +1572,28 @@ object PipelineQueries {
          CAST(ROUND(CAST(score AS DECIMAL(28,10)), 3) AS DOUBLE) AS score
        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** [[ppBm25Search]] against the at-rest inverted index
+    * ([[Retrieval.writeBm25Index]] / [[Retrieval.bm25TopKAtRest]]):
+    * same queries, same k — and the SAME oracle SQL verbatim, so one
+    * replay proves the probe path equals the inline path AND the
+    * postings layout is lossless (the dd_semantic_at_rest proof
+    * pattern). The index is written once per corpus fingerprint
+    * ([[layoutDir]]); a probe reads only the query terms' buckets
+    * (PlanSpec pins the PartitionFilters). */
+  def ppBm25AtRest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (0L, "spark join window"),
+      (1L, "fast table scan"),
+      (2L, "stream batch query filter")).toDF("q_id", "q_text")
+    val out = layoutDir(dir, "documents", "bm25_b64")
+    ensureLayout(out)(Retrieval.writeBm25Index(
+      t(s, dir, "documents"), "text", "doc_id", out, buckets = 64))
+    Retrieval.bm25TopKAtRest(s, out, qs, "q_id", "q_text", k = 10,
+      buckets = 64)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Hybrid search: BM25 ([[Retrieval.bm25TopK]]) and exact cosine
     * ANN ([[Similarity.bruteForceTopK]]) top-20 lists for the SAME
     * three query documents (doc 0-2's text and embedding — the
@@ -3135,6 +3157,7 @@ object PipelineQueries {
     "ann_int8_ivf_incremental" -> (annInt8IvfIncremental _),
     "pp_retrieval" -> (ppRetrieval _),
     "pp_bm25_search" -> (ppBm25Search _),
+    "pp_bm25_at_rest" -> (ppBm25AtRest _),
     "pp_hybrid_search" -> (ppHybridSearch _),
     "pp_dsir_weights" -> (ppDsirWeights _),
     "pp_profile" -> (ppProfile _),
@@ -3183,7 +3206,7 @@ object PipelineQueries {
   val layoutBacked: Set[String] = Set(
     "ann_lsh_partitioned", "ann_ivf_partitioned", "ann_int8_partitioned",
     "ann_int8_ivf_partitioned", "dd_semantic_at_rest",
-    "pp_semdedup_at_rest", "pp_jsonl_roundtrip")
+    "pp_semdedup_at_rest", "pp_jsonl_roundtrip", "pp_bm25_at_rest")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -3223,6 +3246,9 @@ object PipelineQueries {
     "ann_int8_ivf_incremental" -> annInt8IvfPartitionedSql,
     "pp_retrieval" -> ppRetrievalSql,
     "pp_bm25_search" -> ppBm25SearchSql,
+    // at-rest probe shares the inline oracle verbatim: one replay
+    // proves probe == inline AND the postings layout lossless
+    "pp_bm25_at_rest" -> ppBm25SearchSql,
     "pp_hybrid_search" -> ppHybridSearchSql,
     "pp_dsir_weights" -> ppDsirWeightsSql,
     "pp_profile" -> ppProfileSql,

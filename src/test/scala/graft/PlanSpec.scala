@@ -179,6 +179,47 @@ class PlanSpec extends SparkSpec {
       s"no pruning: read $partsRead of $totalBuckets buckets")
   }
 
+  test("at-rest BM25: a probe reads only the query terms' buckets") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions.col
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case s: FileSourceScanExec => Seq(s)
+                  case q: QueryStageExec => scans(q.plan) }.flatten
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    graft.pipeline.Retrieval.writeBm25Index(docs, "text", "doc_id",
+      tmp, buckets = 64)
+    val totalBuckets = new java.io.File(s"$tmp/postings").listFiles()
+      .count(_.getName.startsWith("term_bucket="))
+    val qs = spark.createDataFrame(Seq((0L, "spark join window")))
+      .toDF("q_id", "q_text")
+    val df = graft.pipeline.Retrieval.bm25TopKAtRest(spark, tmp, qs,
+      "q_id", "q_text", k = 5, buckets = 64)
+    // logical proof: the postings scan in the probe's own lineage
+    // carries the probed term buckets as literal PartitionFilters
+    // (pruning at file-listing time, pre-task-launch)
+    val pf = df.queryExecution.explainString(FormattedMode)
+      .linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("term_bucket") && pf.contains(" IN "), pf)
+    // physical proof: the executed postings scan read at most the 3
+    // query terms' buckets, strictly fewer than the layout holds
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scan = scans(finalPlan).find(
+      _.relation.location.rootPaths.exists(_.toString.contains("postings")))
+      .getOrElse(fail(s"no postings scan in:\n$finalPlan"))
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead >= 1 && partsRead <= 3,
+      s"expected <=3 probed buckets read, got $partsRead of $totalBuckets")
+    assert(partsRead < totalBuckets,
+      s"no pruning: read $partsRead of $totalBuckets buckets")
+  }
+
   test("int8 partitioned ANN: pruning survives the quantized layout") {
     val tmp = java.nio.file.Files.createTempDirectory("annprune8").toString
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
