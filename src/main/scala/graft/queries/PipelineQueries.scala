@@ -1702,6 +1702,158 @@ object PipelineQueries {
          CAST(ROUND(CAST(rrf AS DECIMAL(28,10)), 6) AS DOUBLE) AS rrf
        FROM franked WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** Hybrid search in its 100 TB form: BOTH retriever legs probe
+    * at-rest indexes — BM25 against a [[Retrieval.writeBm25Index]]
+    * postings layout over the corpus documents, ANN against the
+    * cent_id-partitioned IVF layout ([[annIvfPartitioned]]'s, reused —
+    * same centroids/nprobe) — fused by the same RRF arithmetic as
+    * [[ppHybridSearch]]. Each leg reads only its probed partitions
+    * (PlanSpec pins PartitionFilters on BOTH scans). The ANN leg is
+    * IVF-approximate rather than [[ppHybridSearch]]'s brute-force, so
+    * the oracle replays the IVF index build (the [[annIvfTopK]]
+    * replay, k=20) composed with the BM25 replay and the fusion. */
+  def ppHybridAtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val e = t(s, dir, "embeddings")
+    val qd = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    val bmOut = layoutDir(dir, "documents", "bm25_b64_ge10")
+    ensureLayout(bmOut)(Retrieval.writeBm25Index(
+      docs.filter(col("doc_id") >= 10), "text", "doc_id", bmOut,
+      buckets = 64))
+    val bm = Retrieval.bm25TopKAtRest(s, bmOut, qd, "q_id", "q_text",
+      k = 20, buckets = 64)
+      .select(col("q_id"), col("rank"), col("doc_id"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = corpus.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val ivfOut = annLayoutDir(dir, "ivf_sqrt50")
+    ensureLayout(ivfOut)(PartitionedAnn.writeIvfPartitioned(
+      corpus, "embedding", "vec_id", centroids, ivfOut))
+    val ann = PartitionedAnn.ivfTopKPartitioned(s, ivfOut,
+      e.filter(col("vec_id") < 3), "embedding", "vec_id", k = 20,
+      centroids, nprobe = 2)
+      .select(col("q_id"), col("rank"), col("c_id").as("doc_id"))
+    Retrieval.rrfFuse(bm, ann, kk = 60, k = 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private lazy val ppHybridAtRestSql =
+    s"""WITH qs AS (
+         SELECT doc_id AS q_id, text AS q_text FROM documents
+         WHERE doc_id < 3),
+       qt AS (
+         SELECT DISTINCT q_id, term FROM (
+           SELECT q_id,
+             unnest(list_filter(string_split_regex(lower(q_text), '\\W+'),
+               t -> t <> '')) AS term
+           FROM qs)),
+       tok AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             t -> t <> '') AS tk
+         FROM documents WHERE doc_id >= 10),
+       post AS (
+         SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM tok)
+         GROUP BY doc_id, term),
+       dls AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tok),
+       stats AS (
+         SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           AVG(len(tk)) AS avgdl
+         FROM tok),
+       dfs AS (
+         SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+         WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       bmscored AS (
+         SELECT qt.q_id, p.doc_id,
+           CAST(SUM(CAST(
+             ln(CAST(1.0 AS DOUBLE) +
+                (s.n_docs - d.df + CAST(0.5 AS DOUBLE)) /
+                (d.df + CAST(0.5 AS DOUBLE)))
+             * p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (p.tf + CAST(1.2 AS DOUBLE) *
+                (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))
+           AS DECIMAL(28,15))) AS DOUBLE) AS score
+         FROM post p
+           JOIN qt ON qt.term = p.term
+           JOIN dfs d ON d.term = p.term
+           JOIN dls l ON l.doc_id = p.doc_id
+           CROSS JOIN stats s
+         GROUP BY qt.q_id, p.doc_id),
+       bmranked AS (
+         SELECT q_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY score DESC, doc_id) AS rank
+         FROM bmscored QUALIFY rank <= 20),
+       n AS (
+         SELECT vec_id, embedding,
+           sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+                 FROM (SELECT unnest(embedding) AS x) u)) AS nrm
+         FROM embeddings),
+       vq AS (SELECT * FROM n WHERE vec_id < 3),
+       vc AS (SELECT * FROM n WHERE vec_id >= 10),
+       cent AS (SELECT vec_id AS cent_id, embedding AS cemb, nrm AS cnrm
+                FROM vc WHERE vec_id % 50 = 0
+                  AND vec_id < $codebookCapSql),
+       cscore AS (
+         SELECT vc.vec_id, cent.cent_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(vc.embedding) AS x,
+                         unnest(cent.cemb) AS y) z) / (vc.nrm * cent.cnrm)
+             AS ccos
+         FROM vc CROSS JOIN cent),
+       assigned AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+           FROM cscore) WHERE crk = 1),
+       qscore AS (
+         SELECT vq.vec_id, cent.cent_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(vq.embedding) AS x,
+                         unnest(cent.cemb) AS y) z) / (vq.nrm * cent.cnrm)
+             AS ccos
+         FROM vq CROSS JOIN cent),
+       probedc AS (
+         SELECT vec_id, cent_id FROM (
+           SELECT vec_id, cent_id, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+           FROM qscore) WHERE crk <= 2),
+       vscored AS (
+         SELECT vq.vec_id AS q_id, vc.vec_id AS doc_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(vq.embedding) AS x,
+                         unnest(vc.embedding) AS y) z) / (vq.nrm * vc.nrm)
+             AS cos
+         FROM probedc p
+           JOIN assigned a ON a.cent_id = p.cent_id
+           JOIN vq ON vq.vec_id = p.vec_id
+           JOIN vc ON vc.vec_id = a.vec_id),
+       annranked AS (
+         SELECT q_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, doc_id) AS rank
+         FROM vscored QUALIFY rank <= 20),
+       fused AS (
+         SELECT COALESCE(b.q_id, a.q_id) AS q_id,
+           COALESCE(b.doc_id, a.doc_id) AS doc_id,
+           COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.rank),
+                    CAST(0.0 AS DOUBLE)) +
+           COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.rank),
+                    CAST(0.0 AS DOUBLE)) AS rrf
+         FROM bmranked b FULL OUTER JOIN annranked a
+           ON a.q_id = b.q_id AND a.doc_id = b.doc_id),
+       franked AS (
+         SELECT q_id, doc_id, rrf,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY rrf DESC, doc_id) AS rank
+         FROM fused)
+       SELECT q_id, rank, doc_id,
+         CAST(ROUND(CAST(rrf AS DECIMAL(28,10)), 6) AS DOUBLE) AS rrf
+       FROM franked WHERE rank <= 10 ORDER BY q_id, rank"""
+
   /** DSIR importance weights ([[Sampling.dsirWeights]]): every
     * document scored by how English-target-like its bigram
     * distribution is (target model = `lang = 'en'` subset, raw model
@@ -3159,6 +3311,7 @@ object PipelineQueries {
     "pp_bm25_search" -> (ppBm25Search _),
     "pp_bm25_at_rest" -> (ppBm25AtRest _),
     "pp_hybrid_search" -> (ppHybridSearch _),
+    "pp_hybrid_at_rest" -> (ppHybridAtRest _),
     "pp_dsir_weights" -> (ppDsirWeights _),
     "pp_profile" -> (ppProfile _),
     "pp_weak_labels" -> (ppWeakLabels _),
@@ -3206,7 +3359,8 @@ object PipelineQueries {
   val layoutBacked: Set[String] = Set(
     "ann_lsh_partitioned", "ann_ivf_partitioned", "ann_int8_partitioned",
     "ann_int8_ivf_partitioned", "dd_semantic_at_rest",
-    "pp_semdedup_at_rest", "pp_jsonl_roundtrip", "pp_bm25_at_rest")
+    "pp_semdedup_at_rest", "pp_jsonl_roundtrip", "pp_bm25_at_rest",
+    "pp_hybrid_at_rest")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -3250,6 +3404,7 @@ object PipelineQueries {
     // proves probe == inline AND the postings layout lossless
     "pp_bm25_at_rest" -> ppBm25SearchSql,
     "pp_hybrid_search" -> ppHybridSearchSql,
+    "pp_hybrid_at_rest" -> ppHybridAtRestSql,
     "pp_dsir_weights" -> ppDsirWeightsSql,
     "pp_profile" -> ppProfileSql,
     "pp_weak_labels" -> ppWeakLabelsSql,

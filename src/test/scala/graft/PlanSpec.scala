@@ -220,6 +220,23 @@ class PlanSpec extends SparkSpec {
       s"no pruning: read $partsRead of $totalBuckets buckets")
   }
 
+  test("at-rest hybrid: BOTH retriever legs prune their partitioned scans") {
+    // the fused plan carries two partitioned reads — the BM25
+    // postings layout (term_bucket=) and the IVF corpus layout
+    // (cent_id=) — and each must show a literal IN PartitionFilter;
+    // a regression on either leg silently degrades the probe to a
+    // full index scan
+    val p = plan("pp_hybrid_at_rest")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    // a literal membership filter spells IN or INSET depending on
+    // the probe-set size — accept either, per leg
+    def pruned(col: String) = pf.linesIterator.exists(l =>
+      l.contains(col) && (l.contains(" IN ") || l.contains("INSET")))
+    assert(pruned("term_bucket"), s"BM25 leg not pruned:\n$pf")
+    assert(pruned("cent_id"), s"IVF leg not pruned:\n$pf")
+  }
+
   test("int8 partitioned ANN: pruning survives the quantized layout") {
     val tmp = java.nio.file.Files.createTempDirectory("annprune8").toString
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
