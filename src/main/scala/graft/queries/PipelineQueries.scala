@@ -1249,6 +1249,76 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Build base + two deltas exactly like [[annIvfIncremental]], in
+    * `root`, guarded by `marker` so a warm cache skips the build (the
+    * maintenance gates mutate the tree, so base/_SUCCESS alone cannot
+    * key the cache). Runs `maintain` once after the build. */
+  private def incrementalIvfThen(s: SparkSession, dir: String,
+      root: String, marker: String)(maintain: => Unit): Unit = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = corpus.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val m = new java.io.File(root, marker)
+    if (!m.exists()) {
+      PartitionedAnn.writeIvfPartitioned(
+        corpus.filter(col("vec_id") % 3 === 0), "embedding", "vec_id",
+        centroids, s"$root/base")
+      graft.streaming.IvfStream.appendBatch(
+        corpus.filter(col("vec_id") % 3 === 1), 1L, root, centroids,
+        "embedding", "vec_id")
+      graft.streaming.IvfStream.appendBatch(
+        corpus.filter(col("vec_id") % 3 === 2), 2L, root, centroids,
+        "embedding", "vec_id")
+      maintain
+      m.createNewFile(): Unit
+    }
+  }
+
+  /** [[annIvfIncremental]]'s layout folded by [[IvfStream.compact]],
+    * then probed with the SAME centroids/nprobe — and the SAME
+    * full-rebuild oracle verbatim ([[annIvfSql]]): one replay proves
+    * compaction preserved every vector and assignment (offline
+    * maintenance is now driver-gated, not just spec-gated). */
+  def annIvfCompacted(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = corpus.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val root = annLayoutDir(dir, "ivf_cpt_sqrt50")
+    incrementalIvfThen(s, dir, root, "_COMPACTED")(
+      graft.streaming.IvfStream.compact(s, root))
+    PartitionedAnn.ivfTopKFrames(s,
+        graft.streaming.IvfStream.layout(s, root),
+        e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+        centroids, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** [[annIvfIncremental]]'s layout re-clustered by
+    * [[IvfStream.refreshCodebook]] (spherical k-means, k=8), then
+    * probed through the persisted new codebook with nprobe=k — ALL
+    * clusters, which makes IVF exact regardless of the codebook — so
+    * the result must equal brute-force cosine top-k over the same
+    * corpus and the gate replays [[annBruteSql]] verbatim. That
+    * proves the refresh swap lossless end-to-end (every vector
+    * present exactly once under the new partitioning) without
+    * needing a (non-bit-replayable) k-means oracle; the refreshed
+    * PRUNING path is pinned by the codebook-refresh StreamingSpec. */
+  def annIvfRefreshed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val root = annLayoutDir(dir, "ivf_rfr_sqrt50")
+    incrementalIvfThen(s, dir, root, "_REFRESHED")(
+      graft.streaming.IvfStream.refreshCodebook(s, root, k = 8,
+        iters = 3): Unit)
+    val newCents = s.read.parquet(s"$root/codebook")
+    PartitionedAnn.ivfTopKFrames(s,
+        graft.streaming.IvfStream.layout(s, root),
+        e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+        newCents, nprobe = 8)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The fully-compounded 100 TB ANN form: SRP-partitioned at rest
     * (file-listing-time pruning) AND int8-quantized pages (measured
     * 3.5× smaller) AND exact-integer scoring
@@ -3304,6 +3374,8 @@ object PipelineQueries {
     "ann_pq_ivf_partitioned" -> (annPqIvfPartitioned _),
     "ann_pq_ivf_incremental" -> (annPqIvfIncremental _),
     "ann_ivf_incremental" -> (annIvfIncremental _),
+    "ann_ivf_compacted" -> (annIvfCompacted _),
+    "ann_ivf_refreshed" -> (annIvfRefreshed _),
     "ann_int8_partitioned" -> (annInt8Partitioned _),
     "ann_int8_ivf_partitioned" -> (annInt8IvfPartitioned _),
     "ann_int8_ivf_incremental" -> (annInt8IvfIncremental _),
@@ -3360,7 +3432,7 @@ object PipelineQueries {
     "ann_lsh_partitioned", "ann_ivf_partitioned", "ann_int8_partitioned",
     "ann_int8_ivf_partitioned", "dd_semantic_at_rest",
     "pp_semdedup_at_rest", "pp_jsonl_roundtrip", "pp_bm25_at_rest",
-    "pp_hybrid_at_rest")
+    "pp_hybrid_at_rest", "ann_ivf_compacted", "ann_ivf_refreshed")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -3395,6 +3467,13 @@ object PipelineQueries {
     // IVF oracle verifies the identical (centroids, nprobe) semantics
     "ann_ivf_partitioned" -> annIvfSql,
     "ann_ivf_incremental" -> annIvfSql,
+    // post-compaction probe must STILL match the full rebuild —
+    // compaction is lossless or this hash diverges
+    "ann_ivf_compacted" -> annIvfSql,
+    // post-refresh probe with nprobe = all clusters is exact cosine
+    // top-k, codebook-independent — the brute oracle proves the
+    // re-clustered layout holds every vector exactly once
+    "ann_ivf_refreshed" -> annBruteSql,
     "ann_int8_partitioned" -> annInt8PartitionedSql,
     "ann_int8_ivf_partitioned" -> annInt8IvfPartitionedSql,
     "ann_int8_ivf_incremental" -> annInt8IvfPartitionedSql,

@@ -169,7 +169,14 @@ object IvfStream {
     * independent. Returns the new `(cent_id, cent_vec)` table, which
     * all subsequent probes and delta appends MUST use (one codebook
     * per layout generation — the invariant every incremental path
-    * relies on). */
+    * relies on); the same table is also PERSISTED to
+    * `root/codebook/` after the swap, so a later session (or a
+    * warm-cache gate replay) can probe the refreshed layout without
+    * re-deriving the centroids. Write ordering: layout first, then
+    * codebook — a crash between the two leaves a refreshed base with
+    * the previous on-disk codebook, which a re-run of refresh
+    * repairs; the reverse order could pair a NEW codebook with the
+    * OLD partitioning, mis-pruning every probe until repair. */
   def refreshCodebook(spark: SparkSession, root: String, k: Int,
       iters: Int = 5): DataFrame = {
     val live = layout(spark, root)
@@ -181,7 +188,8 @@ object IvfStream {
       PartitionedAnn.writeIvfPartitioned(live, "c_vec", "c_id", cents,
         staging)
     }
-    cents
+    cents.write.mode("overwrite").parquet(s"$root/codebook")
+    spark.read.parquet(s"$root/codebook")
   }
 
   /** The staged base swap shared by [[compact]] and
