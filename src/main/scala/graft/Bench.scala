@@ -107,13 +107,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(e)) => s"\"$k:$e\"" }.toSeq
     val total = results.values.collect { case Right(rs) => median(rs) }.sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_s":$raw,"runs":$Runs,"errors":${failed.size},"failed":${failed.sorted.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    println(line)
-    // the driver's artifact capture keeps only the tail of stdout,
-    // which truncated the r8/r9 records mid-JSON — also persist the
-    // complete line to a file (overwritten per invocation)
+    // the driver's artifact capture keeps only the TAIL of stdout,
+    // which truncated the r8/r9 records mid-JSON — the complete line
+    // is also persisted to a file (overwritten per invocation), and
+    // the stdout JSON ENDS with that path so even a tail-truncated
+    // capture still names where the full record lives
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_last.json")
+    val record = new java.io.File(outFile).getAbsolutePath
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_s":$raw,"runs":$Runs,"errors":${failed.size},"failed":${failed.sorted.mkString("[", ",", "]")},"sf":"$sfDir","record":"$record"}"""
+    println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }

@@ -91,9 +91,19 @@ def run_with_timeout(con, sql, timeout):
             t.cancel()
 
 
+def first_diff(cols, a, b):
+    """Name the exact cell where two normalized rows diverge."""
+    for c, x, y in zip(cols, a, b):
+        if x != y:
+            return (f"col '{c}': spark={x!r} ({type(x).__name__}) "
+                    f"!= duck={y!r} ({type(y).__name__})")
+    return "rows equal after zip (length mismatch?)"
+
+
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    print(f"duckdb {duckdb.__version__}", flush=True)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -139,7 +149,8 @@ def main():
         bad = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b]
         if bad:
             print(f"FAIL {name}: {len(bad)} differing rows; first: "
-                  f"spark={bad[0][0]} duck={bad[0][1]}")
+                  f"spark={bad[0][0]} duck={bad[0][1]}; "
+                  f"{first_diff(spark_cols, bad[0][0], bad[0][1])}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(spark_rows)} rows)", flush=True)
