@@ -120,12 +120,43 @@ object Retrieval {
         Similarity.r3(col("score")).as("score"))
   }
 
-  /** The term→partition bucket shared by [[writeBm25Index]] and
-    * [[bm25TopKAtRest]]: xxhash64 (fixed seed, stable across sessions
-    * and releases) mod the bucket count, as INT so the read-back
-    * partition column type-infers cast-free. */
-  private def termBucket(term: Column, buckets: Int): Column =
+  /** The term→partition bucket shared by [[writeBm25Index]],
+    * [[bm25TopKAtRest]], and the streamed delta writer
+    * ([[graft.streaming.Bm25Stream]]): xxhash64 (fixed seed, stable
+    * across sessions and releases) mod the bucket count, as INT so
+    * the read-back partition column type-infers cast-free. */
+  private[graft] def termBucket(term: Column, buckets: Int): Column =
     pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
+
+  /** The tokenized `(doc_id, tk)` frame every index writer derives
+    * from — one definition so base and delta generations tokenize
+    * identically. */
+  private[graft] def tokenized(docs: DataFrame, textCol: String,
+      keyCol: String): DataFrame =
+    docs.select(col(keyCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+
+  /** One generation's postings rows `(doc_id, dl, term, tf,
+    * term_bucket)` from a [[tokenized]] frame — the shared derivation
+    * for the base writer and every streamed delta, so a delta batch's
+    * rows are bit-identical to what a full rebuild would produce for
+    * those documents (tf and dl are per-document quantities; a
+    * document lives entirely inside its generation). */
+  private[graft] def postingsFromTok(tok: DataFrame,
+      buckets: Int): DataFrame =
+    tok
+      .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("term_bucket", termBucket(col("term"), buckets))
+
+  /** One generation's integral stats `(n, sdl)` = (docs INCLUDING
+    * zero-token ones, Σ document length) from a [[tokenized]] frame —
+    * exactly combinable across generations. */
+  private[graft] def genStatsFromTok(tok: DataFrame): DataFrame =
+    tok.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("tk")).cast("long")), lit(0L)).as("sdl"))
 
   /** Build the BM25 inverted index **at rest** — the "write once,
     * probe cheap" twin every ANN family already has
@@ -158,20 +189,20 @@ object Retrieval {
       outDir: String, buckets: Int = 64): Unit = {
     require(buckets >= 1 && buckets <= 4096,
       s"writeBm25Index: 1..4096 term buckets, got $buckets")
-    val tk = docs
-      .select(col(keyCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("tk"))
-      .localCheckpoint()
-    tk.select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
-        explode(col("tk")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("term_bucket", termBucket(col("term"), buckets))
+    val tk = tokenized(docs, textCol, keyCol).localCheckpoint()
+    postingsFromTok(tk, buckets)
       .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$outDir/postings")
-    tk.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(size(col("tk"))).as("avgdl"))
+    // n/sdl are the INTEGRAL generation stats the incremental tier
+    // ([[graft.streaming.Bm25Stream]]) combines exactly across
+    // base + deltas: n_docs = Σn and avgdl = Σsdl/Σn reproduce the
+    // inline avg() bit-for-bit (integer-valued double sums < 2^53
+    // are exact, so accumulation order cannot perturb them)
+    genStatsFromTok(tk)
+      .select(col("n").cast("double").as("n_docs"),
+        (col("sdl").cast("double") / col("n")).as("avgdl"),
+        col("n"), col("sdl"))
       .write.mode("overwrite").parquet(s"$outDir/stats")
     new java.io.File(outDir, "_SUCCESS").createNewFile(): Unit
   }
@@ -192,6 +223,22 @@ object Retrieval {
     * partitioned ANN probe relies on. */
   def bm25TopKAtRest(spark: SparkSession, indexDir: String,
       queries: DataFrame, qKeyCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, buckets: Int = 64): DataFrame =
+    bm25TopKFrames(spark.read.parquet(s"$indexDir/postings"),
+      spark.read.parquet(s"$indexDir/stats")
+        .select(col("n_docs"), col("avgdl")),
+      queries, qKeyCol, qTextCol, k, k1, b, buckets)
+
+  /** The probe body over EXPLICIT layout frames — shared by
+    * [[bm25TopKAtRest]] (single base) and
+    * [[graft.streaming.Bm25Stream]] (base ∪ streamed deltas): the
+    * probe-set filter is applied to the `postings` frame as given, so
+    * when it is a union the literal `term_bucket IN (…)` pushes into
+    * EVERY underlying scan (base and each delta prune independently —
+    * the same both-sides pruning ann_ivf_incremental pins).
+    * `stats` must be one `(n_docs, avgdl)` row. */
+  def bm25TopKFrames(postings: DataFrame, stats: DataFrame,
+      queries: DataFrame, qKeyCol: String, qTextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75, buckets: Int = 64): DataFrame = {
     val qterms = queries
       .select(col(qKeyCol).as("q_id"),
@@ -207,12 +254,11 @@ object Retrieval {
     // only, tiny by construction — which keeps the whole probe plan
     // declarative (PlanSpec pins the PartitionFilters on this very
     // frame's lineage; a checkpoint would hide them behind blocks)
-    val post = spark.read.parquet(s"$indexDir/postings")
+    val post = postings
       .filter(col("term_bucket").isin(probed.toIndexedSeq: _*))
       .join(vocab, Seq("term"))
     val dfs = post.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val stats = spark.read.parquet(s"$indexDir/stats")
     scoreTail(post, qterms, dfs, stats, k, k1, b)
   }
 

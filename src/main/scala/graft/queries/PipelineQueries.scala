@@ -1772,6 +1772,67 @@ object PipelineQueries {
          CAST(ROUND(CAST(rrf AS DECIMAL(28,10)), 6) AS DOUBLE) AS rrf
        FROM franked WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** [[ppBm25Search]] against the INCREMENTALLY-maintained postings
+    * index ([[graft.streaming.Bm25Stream]]): base indexed from a
+    * third of the corpus, two streamed delta batches for the rest,
+    * probe over base ∪ deltas with the exact generation-stats
+    * combine — and the SAME inline oracle SQL verbatim, proving the
+    * streamed index equals a full rebuild (the ann_ivf_incremental
+    * proof pattern, lexical tier). */
+  def ppBm25Incremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (0L, "spark join window"),
+      (1L, "fast table scan"),
+      (2L, "stream batch query filter")).toDF("q_id", "q_text")
+    val root = layoutDir(dir, "documents", "bm25_incr_b64")
+    bm25IncrementalLayout(s, dir, root, "_DELTAS_DONE")(())
+    graft.streaming.Bm25Stream.bm25TopKIncremental(s, root, qs,
+      "q_id", "q_text", k = 10, buckets = 64)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** [[ppBm25Incremental]]'s layout folded by
+    * [[graft.streaming.Bm25Stream.compact]], then probed — still the
+    * inline oracle verbatim, proving compaction lossless for the
+    * lexical tier (tf/dl/df evidence and the corpus scalars all
+    * survive the fold). */
+  def ppBm25Compacted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (0L, "spark join window"),
+      (1L, "fast table scan"),
+      (2L, "stream batch query filter")).toDF("q_id", "q_text")
+    val root = layoutDir(dir, "documents", "bm25_cpt_b64")
+    bm25IncrementalLayout(s, dir, root, "_COMPACTED")(
+      graft.streaming.Bm25Stream.compact(s, root))
+    graft.streaming.Bm25Stream.bm25TopKIncremental(s, root, qs,
+      "q_id", "q_text", k = 10, buckets = 64)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Base (doc_id ≡ 0 mod 3) + two delta batches over the documents
+    * table, guarded by `marker` (the maintenance gates mutate the
+    * tree, so base/_SUCCESS alone cannot key the cache); `maintain`
+    * runs once after the build. */
+  private def bm25IncrementalLayout(s: SparkSession, dir: String,
+      root: String, marker: String)(maintain: => Unit): Unit = {
+    val docs = t(s, dir, "documents")
+    val m = new java.io.File(root, marker)
+    if (!m.exists()) {
+      Retrieval.writeBm25Index(docs.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", s"$root/base", buckets = 64)
+      graft.streaming.Bm25Stream.appendBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, root, "text",
+        "doc_id", buckets = 64)
+      graft.streaming.Bm25Stream.appendBatch(
+        docs.filter(col("doc_id") % 3 === 2), 2L, root, "text",
+        "doc_id", buckets = 64)
+      maintain
+      m.createNewFile(): Unit
+    }
+  }
+
   /** Hybrid search in its 100 TB form: BOTH retriever legs probe
     * at-rest indexes — BM25 against a [[Retrieval.writeBm25Index]]
     * postings layout over the corpus documents, ANN against the
@@ -3382,6 +3443,8 @@ object PipelineQueries {
     "pp_retrieval" -> (ppRetrieval _),
     "pp_bm25_search" -> (ppBm25Search _),
     "pp_bm25_at_rest" -> (ppBm25AtRest _),
+    "pp_bm25_incremental" -> (ppBm25Incremental _),
+    "pp_bm25_compacted" -> (ppBm25Compacted _),
     "pp_hybrid_search" -> (ppHybridSearch _),
     "pp_hybrid_at_rest" -> (ppHybridAtRest _),
     "pp_dsir_weights" -> (ppDsirWeights _),
@@ -3432,7 +3495,8 @@ object PipelineQueries {
     "ann_lsh_partitioned", "ann_ivf_partitioned", "ann_int8_partitioned",
     "ann_int8_ivf_partitioned", "dd_semantic_at_rest",
     "pp_semdedup_at_rest", "pp_jsonl_roundtrip", "pp_bm25_at_rest",
-    "pp_hybrid_at_rest", "ann_ivf_compacted", "ann_ivf_refreshed")
+    "pp_hybrid_at_rest", "ann_ivf_compacted", "ann_ivf_refreshed",
+    "pp_bm25_incremental", "pp_bm25_compacted")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -3482,6 +3546,11 @@ object PipelineQueries {
     // at-rest probe shares the inline oracle verbatim: one replay
     // proves probe == inline AND the postings layout lossless
     "pp_bm25_at_rest" -> ppBm25SearchSql,
+    // streamed base∪delta probe and the post-compaction probe must
+    // STILL match the inline form — incremental maintenance is
+    // lossless or these hashes diverge
+    "pp_bm25_incremental" -> ppBm25SearchSql,
+    "pp_bm25_compacted" -> ppBm25SearchSql,
     "pp_hybrid_search" -> ppHybridSearchSql,
     "pp_hybrid_at_rest" -> ppHybridAtRestSql,
     "pp_dsir_weights" -> ppDsirWeightsSql,

@@ -192,13 +192,19 @@ object IvfStream {
     spark.read.parquet(s"$root/codebook")
   }
 
-  /** The staged base swap shared by [[compact]] and
-    * [[refreshCodebook]]: write the replacement fully into
-    * `base_compact/`, then delete `base/` + `delta/`, then move. A
-    * crash before the move leaves a complete staging dir; the next
-    * call detects staging-present/base-absent and completes the move
-    * before doing anything else. */
-  private def stagedSwap(root: String)(write: String => Unit): Unit = {
+  /** The staged base swap shared by [[compact]], [[refreshCodebook]],
+    * and [[Bm25Stream.compact]]: write the replacement fully into
+    * `base_compact/`, then delete `base/` + every delta tree in
+    * `clear`, then move. A crash before the move leaves a complete
+    * staging dir; the next call detects staging-present/base-absent
+    * and completes the move before doing anything else — REMOVING the
+    * delta trees first, because the staged copy already contains
+    * their contents and a survivor (crash between rm(base) and the
+    * delta deletes) would duplicate every delta row in the recovered
+    * layout: double top-k candidates in the float ANN form, doubled
+    * ADC partial sums in PQ, doubled tf/df evidence in BM25. */
+  private[streaming] def stagedSwap(root: String,
+      clear: Seq[String] = Seq("delta"))(write: String => Unit): Unit = {
     import java.io.File
     import java.nio.file.{Files, Paths}
     def rm(f: File): Unit = if (f.exists()) {
@@ -208,19 +214,13 @@ object IvfStream {
     val staging = new File(s"$root/base_compact")
     val base = new File(s"$root/base")
     if (staging.exists() && !base.exists()) {
-      // Interrupted between rm(base) and the move. The staged copy
-      // already CONTAINS the delta contents, so a surviving delta/
-      // (crash landed between rm(base) and rm(delta)) would duplicate
-      // every delta vector in the recovered layout — double top-k
-      // candidates in the float form, doubled ADC partial sums in the
-      // PQ form. Remove it before completing the move.
-      rm(new File(s"$root/delta"))
+      clear.foreach(d => rm(new File(s"$root/$d")))
       Files.move(staging.toPath, base.toPath)
       return
     }
     write(staging.toString)
     rm(base)
-    rm(new File(s"$root/delta"))
+    clear.foreach(d => rm(new File(s"$root/$d")))
     Files.move(staging.toPath, Paths.get(s"$root/base"))
   }
 

@@ -220,6 +220,32 @@ class PlanSpec extends SparkSpec {
       s"no pruning: read $partsRead of $totalBuckets buckets")
   }
 
+  test("incremental BM25: probes prune base AND delta scans") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("bm25incr").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    graft.pipeline.Retrieval.writeBm25Index(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+      s"$tmp/base", buckets = 16)
+    graft.streaming.Bm25Stream.appendBatch(
+      docs.filter(col("doc_id") % 2 === 1), 1L, tmp, "text", "doc_id",
+      buckets = 16)
+    val qs = spark.createDataFrame(Seq((0L, "spark join window")))
+      .toDF("q_id", "q_text")
+    val df = graft.streaming.Bm25Stream.bm25TopKIncremental(spark, tmp,
+      qs, "q_id", "q_text", k = 5, buckets = 16)
+    // the probe filter must push through the union into BOTH
+    // generations' scans — base and delta each carry a literal
+    // term_bucket membership PartitionFilter
+    val pf = df.queryExecution.explainString(FormattedMode)
+      .linesIterator.filter(l => l.contains("PartitionFilters") &&
+        l.contains("term_bucket") &&
+        (l.contains(" IN ") || l.contains("INSET"))).toSeq
+    assert(pf.size >= 2,
+      s"expected pruned base AND delta postings scans:\n${pf.mkString("\n")}\n" +
+        df.queryExecution.explainString(FormattedMode))
+  }
+
   test("at-rest hybrid: BOTH retriever legs prune their partitioned scans") {
     // the fused plan carries two partitioned reads — the BM25
     // postings layout (term_bucket=) and the IVF corpus layout

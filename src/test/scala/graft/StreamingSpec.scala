@@ -1080,4 +1080,76 @@ class StreamingSpec extends SparkSpec {
       assert(got.find(_._1 == dupId).get._5 === "drop_dup",
         s"recrawl $dupId of kept original $id must drop as a duplicate")
   }
+
+  test("incremental BM25 index equals a full rebuild; compaction lossless, crash-recoverable") {
+    import java.nio.file.Files
+    import graft.pipeline.Retrieval
+    import graft.streaming.Bm25Stream
+    val in = Files.createTempDirectory("graft-bm25-in")
+    val root = Files.createTempDirectory("graft-bm25-root").toString
+    val ckpt = Files.createTempDirectory("graft-bm25-ckpt").toString
+    val full = Files.createTempDirectory("graft-bm25-full").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val qs = spark.createDataFrame(Seq(
+      (0L, "spark join window"), (1L, "fast table scan")))
+      .toDF("q_id", "q_text")
+    // base over a third; the rest arrives as two streamed files
+    Retrieval.writeBm25Index(docs.filter($"doc_id" % 3 === 0),
+      "text", "doc_id", s"$root/base", buckets = 16)
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-bm25-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(docs.filter($"doc_id" % 3 === 1), "c1.parquet")
+    val q = Bm25Stream.run(spark, in.toString, root, ckpt,
+      buckets = 16,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(docs.filter($"doc_id" % 3 === 2), "c2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // 1. probes over base∪deltas equal probes over a full rebuild
+    Retrieval.writeBm25Index(docs, "text", "doc_id", full, buckets = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"rank", $"doc_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val fullTop = rows(Retrieval.bm25TopKAtRest(spark, full, qs,
+      "q_id", "q_text", k = 10, buckets = 16))
+    val gotTop = rows(Bm25Stream.bm25TopKIncremental(spark, root, qs,
+      "q_id", "q_text", k = 10, buckets = 16))
+    assert(gotTop === fullTop)
+    assert(gotTop.nonEmpty)
+    // 2. replaying a delta batch regenerates, never duplicates
+    Bm25Stream.appendBatch(docs.filter($"doc_id" % 3 === 2), 1L, root,
+      "text", "doc_id", buckets = 16)
+    assert(rows(Bm25Stream.bm25TopKIncremental(spark, root, qs,
+      "q_id", "q_text", k = 10, buckets = 16)) === fullTop)
+    // 3. compaction folds to single level, probe unchanged; idempotent
+    Bm25Stream.compact(spark, root)
+    assert(!new java.io.File(s"$root/delta").exists())
+    assert(!new java.io.File(s"$root/delta_stats").exists())
+    assert(rows(Bm25Stream.bm25TopKIncremental(spark, root, qs,
+      "q_id", "q_text", k = 10, buckets = 16)) === fullTop)
+    Bm25Stream.compact(spark, root)
+    assert(rows(Bm25Stream.bm25TopKIncremental(spark, root, qs,
+      "q_id", "q_text", k = 10, buckets = 16)) === fullTop)
+    // 4. interrupted swap with a SURVIVING delta: the staged copy
+    //    already contains those rows — recovery must drop the delta
+    //    trees or tf/df evidence doubles
+    val base = new java.io.File(s"$root/base")
+    Files.move(base.toPath,
+      new java.io.File(s"$root/base_compact").toPath)
+    Bm25Stream.appendBatch(docs.filter($"doc_id" % 3 === 2), 2L, root,
+      "text", "doc_id", buckets = 16)
+    Bm25Stream.compact(spark, root)
+    assert(base.exists())
+    assert(!new java.io.File(s"$root/delta").exists())
+    assert(!new java.io.File(s"$root/delta_stats").exists())
+    assert(rows(Bm25Stream.bm25TopKIncremental(spark, root, qs,
+      "q_id", "q_text", k = 10, buckets = 16)) === fullTop)
+  }
 }
