@@ -204,6 +204,11 @@ object Retrieval {
         (col("sdl").cast("double") / col("n")).as("avgdl"),
         col("n"), col("sdl"))
       .write.mode("overwrite").parquet(s"$outDir/stats")
+    // (doc_id, dl) registry — the tiny per-generation document list
+    // the incremental tier's supersede bookkeeping scans to detect
+    // re-crawled doc_ids ([[graft.streaming.Bm25Stream]])
+    tk.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$outDir/docs")
     new java.io.File(outDir, "_SUCCESS").createNewFile(): Unit
   }
 

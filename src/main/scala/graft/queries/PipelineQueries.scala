@@ -1811,6 +1811,101 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Re-crawl/update support ([[graft.streaming.Bm25Stream]]'s
+    * supersede sidecar): the FULL corpus is indexed as base, then one
+    * streamed batch re-indexes every doc_id ≡ 0 mod 7 with updated
+    * text (a deterministic suffix the oracle replays). The probe must
+    * score ONLY the latest versions — stale postings anti-joined via
+    * the sidecar, corpus scalars corrected by exact integer
+    * subtraction — so the oracle is the inline BM25 replay over a
+    * `latest` relation, with a fourth query targeting the suffix
+    * terms so the update is visible in the ranking, not just the
+    * stats. */
+  def ppBm25Updated(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq(
+      (0L, "spark join window"),
+      (1L, "fast table scan"),
+      (2L, "stream batch query filter"),
+      (3L, "graft refresh probe")).toDF("q_id", "q_text")
+    val root = layoutDir(dir, "documents", "bm25_upd_b64")
+    val docs = t(s, dir, "documents")
+    val m = new java.io.File(root, "_UPDATED")
+    if (!m.exists()) {
+      Retrieval.writeBm25Index(docs, "text", "doc_id", s"$root/base",
+        buckets = 64)
+      graft.streaming.Bm25Stream.appendBatch(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("text",
+            concat(col("text"), lit(" graft refresh probe"))),
+        1L, root, "text", "doc_id", buckets = 64)
+      m.createNewFile(): Unit
+    }
+    graft.streaming.Bm25Stream.bm25TopKIncremental(s, root, qs,
+      "q_id", "q_text", k = 10, buckets = 64)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val ppBm25UpdatedSql =
+    """WITH latest AS (
+         SELECT doc_id, CASE WHEN doc_id % 7 = 0
+           THEN text || ' graft refresh probe' ELSE text END AS text
+         FROM documents),
+       qs AS (
+         SELECT * FROM (VALUES
+           (0, 'spark join window'),
+           (1, 'fast table scan'),
+           (2, 'stream batch query filter'),
+           (3, 'graft refresh probe')) v(q_id, q_text)),
+       qt AS (
+         SELECT DISTINCT q_id, term FROM (
+           SELECT q_id,
+             unnest(list_filter(string_split_regex(lower(q_text), '\W+'),
+               t -> t <> '')) AS term
+           FROM qs)),
+       tok AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             t -> t <> '') AS tk
+         FROM latest),
+       post AS (
+         SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+           SELECT doc_id, unnest(tk) AS term FROM tok)
+         GROUP BY doc_id, term),
+       dls AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tok),
+       stats AS (
+         SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           AVG(len(tk)) AS avgdl
+         FROM tok),
+       dfs AS (
+         SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post
+         WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       scored AS (
+         SELECT qt.q_id, p.doc_id,
+           CAST(SUM(CAST(
+             ln(CAST(1.0 AS DOUBLE) +
+                (s.n_docs - d.df + CAST(0.5 AS DOUBLE)) /
+                (d.df + CAST(0.5 AS DOUBLE)))
+             * p.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+             / (p.tf + CAST(1.2 AS DOUBLE) *
+                (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * l.dl / s.avgdl))
+           AS DECIMAL(28,15))) AS DOUBLE) AS score
+         FROM post p
+           JOIN qt ON qt.term = p.term
+           JOIN dfs d ON d.term = p.term
+           JOIN dls l ON l.doc_id = p.doc_id
+           CROSS JOIN stats s
+         GROUP BY qt.q_id, p.doc_id),
+       ranked AS (
+         SELECT q_id, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY score DESC, doc_id) AS rank
+         FROM scored)
+       SELECT q_id, rank, doc_id,
+         CAST(ROUND(CAST(score AS DECIMAL(28,10)), 3) AS DOUBLE) AS score
+       FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
+
   /** Base (doc_id ≡ 0 mod 3) + two delta batches over the documents
     * table, guarded by `marker` (the maintenance gates mutate the
     * tree, so base/_SUCCESS alone cannot key the cache); `maintain`
@@ -3445,6 +3540,7 @@ object PipelineQueries {
     "pp_bm25_at_rest" -> (ppBm25AtRest _),
     "pp_bm25_incremental" -> (ppBm25Incremental _),
     "pp_bm25_compacted" -> (ppBm25Compacted _),
+    "pp_bm25_updated" -> (ppBm25Updated _),
     "pp_hybrid_search" -> (ppHybridSearch _),
     "pp_hybrid_at_rest" -> (ppHybridAtRest _),
     "pp_dsir_weights" -> (ppDsirWeights _),
@@ -3496,7 +3592,7 @@ object PipelineQueries {
     "ann_int8_ivf_partitioned", "dd_semantic_at_rest",
     "pp_semdedup_at_rest", "pp_jsonl_roundtrip", "pp_bm25_at_rest",
     "pp_hybrid_at_rest", "ann_ivf_compacted", "ann_ivf_refreshed",
-    "pp_bm25_incremental", "pp_bm25_compacted")
+    "pp_bm25_incremental", "pp_bm25_compacted", "pp_bm25_updated")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -3551,6 +3647,9 @@ object PipelineQueries {
     // lossless or these hashes diverge
     "pp_bm25_incremental" -> ppBm25SearchSql,
     "pp_bm25_compacted" -> ppBm25SearchSql,
+    // re-crawl supersede: the probe over base ∪ update-delta must
+    // match the inline replay over the LATEST document versions
+    "pp_bm25_updated" -> ppBm25UpdatedSql,
     "pp_hybrid_search" -> ppHybridSearchSql,
     "pp_hybrid_at_rest" -> ppHybridAtRestSql,
     "pp_dsir_weights" -> ppDsirWeightsSql,

@@ -12,12 +12,15 @@ import graft.pipeline.Retrieval
   * a live corpus keeps "write once, probe cheap" without re-indexing
   * per batch.
   *
-  * Layout (one generation per directory, append-only documents):
+  * Layout (one generation per directory):
   * {{{
   *   root/base/postings/term_bucket=N/…   (doc_id, dl, term, tf)
   *   root/base/stats/                     (n_docs, avgdl, n, sdl)
+  *   root/base/docs/                      (doc_id, dl) registry
   *   root/delta/batch=B/term_bucket=N/…   postings rows per batch
   *   root/delta_stats/batch=B/            (n, sdl) per batch
+  *   root/delta_docs/batch=B/             (doc_id, dl) per batch
+  *   root/superseded/batch=B/             (doc_id, gen, dl) sidecar
   * }}}
   *
   * Why this is correct without any merge logic: BM25's corpus state
@@ -35,37 +38,62 @@ import graft.pipeline.Retrieval
   * order cannot perturb them). The pp_bm25_incremental gate proves
   * the whole chain against the INLINE oracle SQL verbatim.
   *
-  * Contract: documents are append-only across batches (a doc_id
-  * lives in exactly one generation). Re-crawled/updated documents
-  * need the supersede-sidecar pattern [[LshStream]] implements;
-  * composing it here is mechanical (broadcast stale-key sidecar,
-  * anti-join at probe time) and deliberately out of scope until a
-  * gate needs it.
+  * RE-CRAWLED / UPDATED documents (same doc_id arriving again) use
+  * the supersede-sidecar pattern [[LshStream]] established: each
+  * generation also writes a tiny `(doc_id, dl)` registry, and an
+  * append that re-indexes known documents records the STALE
+  * `(doc_id, gen, dl)` versions in the sidecar — deduplicated
+  * against earlier sidecar rows, so a twice-updated document's first
+  * version is recorded stale exactly once. Probes anti-join postings
+  * rows against the broadcast sidecar on (doc_id, gen) and subtract
+  * the stale `(count, Σdl)` from the corpus scalars — both exact
+  * integer arithmetic, so a probe over base ∪ deltas ∪ updates still
+  * hash-matches an inline rebuild over the LATEST versions
+  * (pp_bm25_updated). Sidecar and registry rows are ∝ corpus +
+  * re-arrivals, never shuffled (registry is scanned once per append;
+  * sidecar broadcasts); [[compact]] folds everything to a fresh base
+  * and resets both.
   *
-  * 100 TB shape: a delta append tokenizes ONLY the batch and shuffles
-  * on term_bucket once; probes prune `term_bucket=` partitions on the
-  * base AND every delta (the union pushes the literal IN into each
-  * scan — PlanSpec-pinned), so steady-state probe cost tracks the
-  * query vocabulary, not the corpus or the batch count. When small
-  * delta files accumulate, [[compact]] folds them into a fresh base
-  * via the crash-safe staged swap shared with [[IvfStream]].
+  * 100 TB shape: a delta append tokenizes ONLY the batch, shuffles
+  * once on term_bucket, and scans the doc_id registry (key + length
+  * columns only — the same order of work [[LshStream]] pays for its
+  * store scan, and far smaller than the postings). Probes prune
+  * `term_bucket=` partitions on the base AND every delta (the union
+  * pushes the literal IN into each scan — PlanSpec-pinned), so
+  * steady-state probe cost tracks the query vocabulary, not the
+  * corpus or the batch count.
   */
 object Bm25Stream {
 
-  /** The live postings relation: base ∪ all streamed deltas, with
-    * `term_bucket` as a partition column on every generation so a
-    * probe filter prunes each scan at file-listing time. */
+  /** Generation id of the base layout in the postings `gen` column
+    * and the sidecar (deltas use their batch id ≥ 0). */
+  private val BaseGen = -1L
+
+  /** The live postings relation: base ∪ all streamed deltas minus
+    * superseded document versions, with `term_bucket` as a partition
+    * column on every generation so a probe filter prunes each scan
+    * at file-listing time. `gen` tags each row's generation for the
+    * sidecar anti-join (broadcast — rows ∝ re-arrivals). */
   def layout(spark: SparkSession, root: String): DataFrame = {
-    val cols = Seq(col("doc_id"), col("dl"), col("term"), col("tf"),
-      col("term_bucket").cast("int").as("term_bucket"))
     val base = spark.read.parquet(s"$root/base/postings")
-      .select(cols: _*)
-    try base.unionByName(
-      spark.read.parquet(s"$root/delta").select(cols: _*))
-    catch {
-      // no delta written yet — the base alone is the layout
-      case _: org.apache.spark.sql.AnalysisException => base
-    }
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+        col("term_bucket").cast("int").as("term_bucket"),
+        lit(BaseGen).as("gen"))
+    val all =
+      try base.unionByName(
+        spark.read.parquet(s"$root/delta")
+          .select(col("doc_id"), col("dl"), col("term"), col("tf"),
+            col("term_bucket").cast("int").as("term_bucket"),
+            col("batch").cast("long").as("gen")))
+      catch {
+        // no delta written yet — the base alone is the layout
+        case _: org.apache.spark.sql.AnalysisException => base
+      }
+    all.join(broadcast(sidecar(spark, root)
+        .select(col("doc_id").as("s_doc"), col("gen").as("s_gen"))),
+      col("doc_id") === col("s_doc") && col("gen") === col("s_gen"),
+      "left_anti")
+      .drop("gen")
   }
 
   /** Every generation's integral `(n, sdl)` stats rows:
@@ -81,27 +109,104 @@ object Bm25Stream {
     }
   }
 
+  /** The accumulated supersede sidecar `(doc_id, gen, dl)`; empty
+    * frame when nothing was ever superseded (append-only roots, or
+    * roots written before the registry existed). `excludeBatch`
+    * drops that batch's own partition — REQUIRED when computing a
+    * batch's stale set during append: a crash-REPLAYED batch must
+    * not anti-join against its own previous sidecar write, or the
+    * replay records an empty stale set and overwrites the real one
+    * (resurrecting the versions it had superseded). */
+  private def sidecar(spark: SparkSession, root: String,
+      excludeBatch: Option[Long] = None): DataFrame =
+    try {
+      val all = spark.read.parquet(s"$root/superseded")
+      excludeBatch
+        .map(b => all.filter(col("batch").cast("long") =!= lit(b)))
+        .getOrElse(all)
+        .select(col("doc_id"), col("gen").cast("long").as("gen"),
+          col("dl"))
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.range(0).select(col("id").as("doc_id"),
+          col("id").as("gen"), col("id").as("dl"))
+    }
+
+  /** The per-generation `(doc_id, dl)` registry, tagged with `gen`;
+    * empty for pre-registry roots (which are append-only by
+    * construction — the registry writer and the supersede path
+    * shipped together). */
+  private def registry(spark: SparkSession, root: String): DataFrame = {
+    val base =
+      try spark.read.parquet(s"$root/base/docs")
+        .select(col("doc_id"), col("dl"), lit(BaseGen).as("gen"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.range(0).select(col("id").as("doc_id"),
+            col("id").as("dl"), col("id").as("gen"))
+      }
+    try base.unionByName(
+      spark.read.parquet(s"$root/delta_docs")
+        .select(col("doc_id"), col("dl"),
+          col("batch").cast("long").as("gen")))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => base
+    }
+  }
+
   /** The live corpus scalars as one `(n_docs, avgdl)` row: exact
-    * integral combine over base + delta generation stats. */
-  def stats(spark: SparkSession, root: String): DataFrame =
-    genStats(spark, root)
+    * integral combine over generation stats MINUS the superseded
+    * versions' exact `(count, Σdl)` — still pure integer arithmetic,
+    * so the result is bit-identical to an inline rebuild over the
+    * latest document versions. */
+  def stats(spark: SparkSession, root: String): DataFrame = {
+    val gens = genStats(spark, root)
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+    val stale = sidecar(spark, root)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("sn"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("ssdl"))
+    gens.crossJoin(broadcast(stale))
+      .select((col("n") - col("sn")).as("n"),
+        (col("sdl") - col("ssdl")).as("sdl"))
       .select(col("n").cast("double").as("n_docs"),
         (col("sdl").cast("double") / col("n")).as("avgdl"))
+  }
 
   /** Index one micro-batch: tokenize the batch alone, write its
-    * postings as the `delta/batch=<id>` mini-layout and its integral
-    * stats next to it (overwrite ⇒ replay-safe — a crash-replayed
-    * batch regenerates byte-identical files instead of duplicating
-    * evidence). */
+    * postings as the `delta/batch=<id>` mini-layout, its integral
+    * stats and its `(doc_id, dl)` registry next to it, and record in
+    * the sidecar every OLDER version this batch's documents
+    * supersede (registry semi-join, deduplicated against earlier
+    * sidecar rows so each stale version is subtracted exactly once).
+    * Every write is overwrite-per-batch ⇒ replay-safe — a
+    * crash-replayed batch regenerates byte-identical files instead
+    * of duplicating evidence. */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, textCol: String, keyCol: String,
       buckets: Int): Unit = {
-    // eager: the postings and stats writes are two ACTIONS; the lazy
-    // form would tokenize the batch twice (micro-batch-sized, so the
-    // materialization is the cheap side — the PQ-codewords rule)
+    val spark = batch.sparkSession
+    // eager: the four writes below are separate ACTIONS; the lazy
+    // form would tokenize the batch once per write (micro-batch-
+    // sized, so the materialization is the cheap side — the
+    // PQ-codewords rule)
     val tok = Retrieval.tokenized(batch, textCol, keyCol)
       .localCheckpoint()
+    // sidecar FIRST: it reads the registry excluding this batch's own
+    // partition (replay safety), so it must run before this batch's
+    // registry write on the happy path too, keeping replay and first
+    // run identical
+    val myKeys = tok.select(col("doc_id")).distinct()
+    val prior = registry(spark, root)
+      .filter(col("gen") =!= lit(batchId))
+      .join(broadcast(myKeys), Seq("doc_id"))
+    val alreadyStale = sidecar(spark, root, excludeBatch = Some(batchId))
+      .select(col("doc_id").as("s_doc"), col("gen").as("s_gen"))
+    prior
+      .join(broadcast(alreadyStale),
+        col("doc_id") === col("s_doc") && col("gen") === col("s_gen"),
+        "left_anti")
+      .select(col("doc_id"), col("gen"), col("dl"))
+      .write.mode("overwrite").parquet(s"$root/superseded/batch=$batchId")
     Retrieval.postingsFromTok(tok, buckets)
       .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
@@ -109,13 +214,19 @@ object Bm25Stream {
     Retrieval.genStatsFromTok(tok)
       .write.mode("overwrite")
       .parquet(s"$root/delta_stats/batch=$batchId")
+    tok.select(col("doc_id"),
+        size(col("tk")).cast("long").as("dl"))
+      .write.mode("overwrite")
+      .parquet(s"$root/delta_docs/batch=$batchId")
   }
 
-  /** [[Retrieval.bm25TopK]] against the live base ∪ delta layout:
-    * the probe-set filter pushes into every generation's scan, df is
-    * recounted from the probed rows, the corpus scalars are the exact
-    * generation combine — bit-identical to a full rebuild, which the
-    * pp_bm25_incremental gate replays with the inline oracle SQL. */
+  /** [[Retrieval.bm25TopK]] against the live base ∪ delta layout
+    * (superseded versions filtered, corpus scalars corrected): the
+    * probe-set filter pushes into every generation's scan, df is
+    * recounted from the live probed rows — bit-identical to a full
+    * rebuild over the latest document versions, which the
+    * pp_bm25_incremental / pp_bm25_updated gates replay with the
+    * inline oracle SQL. */
   def bm25TopKIncremental(spark: SparkSession, root: String,
       queries: DataFrame, qKeyCol: String, qTextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
@@ -123,26 +234,44 @@ object Bm25Stream {
     Retrieval.bm25TopKFrames(layout(spark, root), stats(spark, root),
       queries, qKeyCol, qTextCol, k, k1, b, buckets)
 
-  /** Fold base ∪ deltas into a fresh single-level base and drop the
-    * delta trees — same crash-safe staged swap as [[IvfStream]]
-    * (staging fully written first; interrupted-swap recovery removes
-    * surviving delta trees before completing the move, since the
-    * staged copy already contains their rows — a survivor would
-    * double tf/df evidence). Postings are re-clustered one file per
-    * bucket; the combined stats are rewritten in the base format. */
+  /** Fold base ∪ deltas (minus superseded versions) into a fresh
+    * single-level base and drop the delta + sidecar trees — same
+    * crash-safe staged swap as [[IvfStream]] (staging fully written
+    * first; interrupted-swap recovery removes surviving delta trees
+    * before completing the move, since the staged copy already
+    * contains their rows — a survivor would double tf/df evidence).
+    * Postings are re-clustered one file per bucket; the LIVE stats
+    * and registry are rewritten in the base format, so supersede
+    * bookkeeping restarts empty. */
   def compact(spark: SparkSession, root: String): Unit =
     // every read happens INSIDE the write lambda: stagedSwap only
     // invokes it outside the interrupted-swap recovery branch, where
     // base/ is guaranteed present (reading the layout up front would
     // crash recovery itself — base absent, only staging complete)
     IvfStream.stagedSwap(root,
-      clear = Seq("delta", "delta_stats")) { staging =>
+      clear = Seq("delta", "delta_stats", "delta_docs",
+        "superseded")) { staging =>
       val posts = layout(spark, root).localCheckpoint()
-      // integral combine, collected as longs — no double round-trip
+      val live = registry(spark, root)
+        .join(broadcast(sidecar(spark, root)
+            .select(col("doc_id").as("s_doc"), col("gen").as("s_gen"))),
+          col("doc_id") === col("s_doc") && col("gen") === col("s_gen"),
+          "left_anti")
+        .select(col("doc_id"), col("dl"))
+        .localCheckpoint()
+      // integral live totals, collected as longs — no double
+      // round-trip; equals genStats − sidecar by construction, but
+      // derived from the registry so pre-registry roots (empty
+      // registry) fall back to the generation stats
       val t = genStats(spark, root)
         .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
         .collect()(0)
-      val (n, sdl) = (t.getLong(0), t.getLong(1))
+      val s = sidecar(spark, root)
+        .agg(coalesce(count(lit(1)), lit(0L)).as("sn"),
+          coalesce(sum(col("dl").cast("long")), lit(0L)).as("ssdl"))
+        .collect()(0)
+      val n = t.getLong(0) - s.getLong(0)
+      val sdl = t.getLong(1) - s.getLong(1)
       posts
         .repartition(col("term_bucket"))
         .write.mode("overwrite").partitionBy("term_bucket")
@@ -152,12 +281,14 @@ object Bm25Stream {
           (lit(sdl).cast("double") / lit(n).cast("double")).as("avgdl"),
           lit(n).as("n"), lit(sdl).as("sdl"))
         .write.mode("overwrite").parquet(s"$staging/stats")
+      live.write.mode("overwrite").parquet(s"$staging/docs")
       new java.io.File(staging, "_SUCCESS").createNewFile(): Unit
     }
 
   /** Start incremental BM25 maintenance over a parquet document
-    * directory: new files → tokenize → delta postings append. Pass
-    * `schema` to start before the first file lands. */
+    * directory: new files → tokenize → delta postings append (with
+    * supersede bookkeeping for re-crawled doc_ids). Pass `schema` to
+    * start before the first file lands. */
   def run(spark: SparkSession, inputDir: String, root: String,
       checkpointDir: String, textCol: String = "text",
       keyCol: String = "doc_id", buckets: Int = 64,

@@ -1152,4 +1152,67 @@ class StreamingSpec extends SparkSpec {
     assert(rows(Bm25Stream.bm25TopKIncremental(spark, root, qs,
       "q_id", "q_text", k = 10, buckets = 16)) === fullTop)
   }
+
+  test("incremental BM25: re-crawled docs supersede exactly, twice-updated once each") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{concat, lit}
+    import graft.pipeline.Retrieval
+    import graft.streaming.Bm25Stream
+    val root = Files.createTempDirectory("graft-bm25-upd").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val qs = spark.createDataFrame(Seq(
+      (0L, "spark join window"), (1L, "alpha beta gamma")))
+      .toDF("q_id", "q_text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"rank", $"doc_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    def probe() = rows(Bm25Stream.bm25TopKIncremental(spark, root, qs,
+      "q_id", "q_text", k = 10, buckets = 16))
+    def rebuildOver(latest: org.apache.spark.sql.DataFrame) = {
+      val tmp = Files.createTempDirectory("graft-bm25-upd-full").toString
+      Retrieval.writeBm25Index(latest, "text", "doc_id", tmp,
+        buckets = 16)
+      rows(Retrieval.bm25TopKAtRest(spark, tmp, qs, "q_id", "q_text",
+        k = 10, buckets = 16))
+    }
+    Retrieval.writeBm25Index(docs, "text", "doc_id", s"$root/base",
+      buckets = 16)
+    // batch 1 re-crawls every 7th doc with new terms
+    val upd1 = docs.filter($"doc_id" % 7 === 0)
+      .withColumn("text", concat($"text", lit(" alpha beta")))
+    Bm25Stream.appendBatch(upd1, 1L, root, "text", "doc_id",
+      buckets = 16)
+    val latest1 = docs.filter($"doc_id" % 7 =!= 0).unionByName(upd1)
+    assert(probe() === rebuildOver(latest1))
+    // batch 2 re-crawls a SUBSET of the same docs AGAIN (every 14th):
+    // their batch-1 version must supersede too, and their base
+    // version must be recorded stale exactly once (sidecar dedup) —
+    // a double-subtraction would corrupt n_docs/avgdl for everyone
+    val upd2 = docs.filter($"doc_id" % 14 === 0)
+      .withColumn("text", concat($"text", lit(" alpha beta gamma")))
+    Bm25Stream.appendBatch(upd2, 2L, root, "text", "doc_id",
+      buckets = 16)
+    val latest2 = docs.filter($"doc_id" % 7 =!= 0)
+      .unionByName(upd1.filter($"doc_id" % 14 =!= 0))
+      .unionByName(upd2)
+    val expect2 = rebuildOver(latest2)
+    assert(probe() === expect2)
+    // replaying update batch 2 changes nothing (idempotent sidecar +
+    // overwrite-per-batch postings)
+    Bm25Stream.appendBatch(upd2, 2L, root, "text", "doc_id",
+      buckets = 16)
+    assert(probe() === expect2)
+    // compaction folds to a live single level and resets bookkeeping
+    Bm25Stream.compact(spark, root)
+    assert(!new java.io.File(s"$root/superseded").exists())
+    assert(!new java.io.File(s"$root/delta_docs").exists())
+    assert(probe() === expect2)
+    // post-compaction re-crawls still supersede (registry rewritten)
+    val upd3 = docs.filter($"doc_id" % 21 === 0)
+      .withColumn("text", concat($"text", lit(" gamma gamma")))
+    Bm25Stream.appendBatch(upd3, 3L, root, "text", "doc_id",
+      buckets = 16)
+    val latest3 = latest2.filter($"doc_id" % 21 =!= 0).unionByName(upd3)
+    assert(probe() === rebuildOver(latest3))
+  }
 }
