@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -308,6 +308,73 @@ object Dedup {
       if (broadcastTestSide) broadcast(distinctTest) else distinctTest
     candidates.join(verifySide, Seq("gram"))
       .groupBy(col(keyCol))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /** Write the corpus n-gram inverted index **at rest** — the
+    * decontamination twin of [[graft.pipeline.Retrieval.writeBm25Index]]:
+    * distinct `(doc_id, gram)` rows partitioned by `gram_bucket`
+    * (same xxhash64-mod bucketing as the BM25 term index), so a
+    * decontamination run stops paying the corpus gram explode —
+    * measured as the heaviest non-ANN gate at sf10 (43 s, the corpus
+    * scan+explode dominating) — and instead reads only the buckets
+    * the benchmark's grams hash into. The gram derivation is
+    * `word_ngrams`, identical to [[contaminationBloomHits]]' stream
+    * (which shares [[contaminationHits]]' oracle), so the probe is
+    * provably the same relation.
+    *
+    * The index stores ALL documents (no is_test baked in): which
+    * held-out suite to decontaminate against is a QUERY-time choice —
+    * benchmarks rotate, the corpus index doesn't. Rows are distinct
+    * per (doc, gram); `n_shared` is a countDistinct so dedup at
+    * write time only shrinks the files. */
+  def writeGramIndex(docs: DataFrame, textCol: String, keyCol: String,
+      outDir: String, n: Int, buckets: Int = 64): Unit = {
+    require(n >= 1 && buckets >= 1 && buckets <= 4096,
+      s"writeGramIndex: n >= 1, 1..4096 buckets; got n=$n buckets=$buckets")
+    val fns = graft.functions.GraftFunctions
+    fns.register(docs.sparkSession)
+    docs.select(col(keyCol).as("doc_id"),
+        explode(fns.word_ngrams(col(textCol), n)).as("gram"))
+      .distinct()
+      .withColumn("gram_bucket",
+        graft.pipeline.Retrieval.termBucket(col("gram"), buckets))
+      .repartition(col("gram_bucket"))
+      .write.mode("overwrite").partitionBy("gram_bucket")
+      .parquet(s"$outDir/grams")
+    new java.io.File(outDir, "_SUCCESS").createNewFile(): Unit
+  }
+
+  /** [[contaminationHits]] against a [[writeGramIndex]] layout: the
+    * held-out suite is still tokenized inline (it is the small side
+    * by the same contract that lets the inline path broadcast it),
+    * its grams' buckets become a literal `gram_bucket IN (…)`
+    * partition filter on the index scan, suite documents are dropped
+    * from the hit side via a broadcast anti-join on doc_id, and the
+    * exact gram join + per-doc countDistinct are unchanged — so the
+    * gate shares dd_contamination's oracle SQL verbatim (lossless-
+    * layout proof). Steady-state decontamination cost tracks the
+    * BENCHMARK's gram vocabulary, not the corpus. */
+  def contaminationHitsAtRest(spark: SparkSession, indexDir: String,
+      testDocs: DataFrame, textCol: String, keyCol: String, n: Int,
+      buckets: Int = 64): DataFrame = {
+    val fns = graft.functions.GraftFunctions
+    fns.register(spark)
+    val testGrams = testDocs
+      .select(col(keyCol).as("t_doc"),
+        explode(fns.word_ngrams(col(textCol), n)).as("gram"))
+      .localCheckpoint() // probe set, doc exclusion, gram join
+    val probed = testGrams
+      .select(graft.pipeline.Retrieval.termBucket(col("gram"), buckets)
+        .as("gb"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val testKeys = testGrams.select(col("t_doc").as("doc_id")).distinct()
+    val distinctTest = testGrams.select(col("gram")).distinct()
+    spark.read.parquet(s"$indexDir/grams")
+      .filter(col("gram_bucket").isin(probed.toIndexedSeq: _*))
+      .join(broadcast(testKeys), Seq("doc_id"), "left_anti")
+      .join(broadcast(distinctTest), Seq("gram"))
+      .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 

@@ -444,6 +444,25 @@ object PipelineQueries {
       isTest = col("source") === "src0", n = 5)
       .orderBy(col("doc_id"))
 
+  /** Decontamination against the at-rest corpus gram index
+    * ([[Dedup.writeGramIndex]] / [[Dedup.contaminationHitsAtRest]]):
+    * the corpus' distinct (doc, 5-gram) rows are written
+    * gram_bucket-partitioned ONCE, and a run probes only the
+    * benchmark grams' buckets — same output, same oracle SQL
+    * verbatim as dd_contamination, so one replay proves the layout
+    * lossless. The steady-state run stops paying the corpus gram
+    * explode (the heaviest non-ANN cost at sf10). */
+  def ddContaminationAtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val out = layoutDir(dir, "documents", "gram5_b64")
+    ensureLayout(out)(Dedup.writeGramIndex(docs, "text", "doc_id",
+      out, n = 5, buckets = 64))
+    Dedup.contaminationHitsAtRest(s, out,
+      docs.filter(col("source") === "src0"), "text", "doc_id", n = 5,
+      buckets = 64)
+      .orderBy(col("doc_id"))
+  }
+
   /** The Bloom-prefiltered decontamination path
     * ([[Dedup.contaminationBloomHits]]): the sketch drops non-matching
     * corpus grams scan-side and the exact verify removes every false
@@ -3517,6 +3536,7 @@ object PipelineQueries {
     "dd_triplets" -> (ddTriplets _),
     "dd_triplets_at_rest" -> (ddTripletsAtRest _),
     "dd_contamination" -> (ddContamination _),
+    "dd_contamination_at_rest" -> (ddContaminationAtRest _),
     "dd_contamination_bloom" -> (ddContaminationBloom _),
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_knn_eval" -> (annKnnEval _),
@@ -3592,7 +3612,8 @@ object PipelineQueries {
     "ann_int8_ivf_partitioned", "dd_semantic_at_rest",
     "pp_semdedup_at_rest", "pp_jsonl_roundtrip", "pp_bm25_at_rest",
     "pp_hybrid_at_rest", "ann_ivf_compacted", "ann_ivf_refreshed",
-    "pp_bm25_incremental", "pp_bm25_compacted", "pp_bm25_updated")
+    "pp_bm25_incremental", "pp_bm25_compacted", "pp_bm25_updated",
+    "dd_contamination_at_rest")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -3612,6 +3633,9 @@ object PipelineQueries {
     "dd_triplets" -> ddTripletsSql,
     "dd_triplets_at_rest" -> ddTripletsSql,
     "dd_contamination" -> ddContaminationSql,
+    // at-rest gram-index probe shares the inline oracle verbatim:
+    // one replay proves probe == inline AND the layout lossless
+    "dd_contamination_at_rest" -> ddContaminationSql,
     "dd_contamination_bloom" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_knn_eval" -> annKnnEvalSql,

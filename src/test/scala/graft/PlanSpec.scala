@@ -220,6 +220,24 @@ class PlanSpec extends SparkSpec {
       s"no pruning: read $partsRead of $totalBuckets buckets")
   }
 
+  test("at-rest decontamination: the probe reads only the benchmark grams' buckets") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("gramidx").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    graft.pipeline.Dedup.writeGramIndex(docs, "text", "doc_id", tmp,
+      n = 5, buckets = 64)
+    val df = graft.pipeline.Dedup.contaminationHitsAtRest(spark, tmp,
+      docs.filter(col("source") === "src0"), "text", "doc_id", n = 5,
+      buckets = 64)
+    val pf = df.queryExecution.explainString(FormattedMode)
+      .linesIterator.filter(l => l.contains("PartitionFilters") &&
+        l.contains("gram_bucket") &&
+        (l.contains(" IN ") || l.contains("INSET"))).toSeq
+    assert(pf.nonEmpty,
+      s"gram index scan not pruned:\n" +
+        df.queryExecution.explainString(FormattedMode))
+  }
+
   test("incremental BM25: probes prune base AND delta scans") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("bm25incr").toString
