@@ -49,8 +49,6 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, textCol: String, keyCol: String,
       queries: DataFrame, qKeyCol: String, qTextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dec = DecimalType(28, 15)
-    def d(x: Double): Column = lit(x).cast("double")
     // tokenize ONCE: every downstream relation (postings, dfs, corpus
     // stats) derives from this frame, so the regex split — the
     // dominant scan cost — is paid a single time
@@ -201,7 +199,11 @@ object Retrieval {
     // are exact, so accumulation order cannot perturb them)
     genStatsFromTok(tk)
       .select(col("n").cast("double").as("n_docs"),
-        (col("sdl").cast("double") / col("n")).as("avgdl"),
+        // n = 0 (empty corpus) would make avgdl 0/0 = NaN; probes
+        // over an empty index return no rows regardless, so pin 0.0
+        // rather than letting NaN sit in the stats file
+        when(col("n") > 0, col("sdl").cast("double") / col("n"))
+          .otherwise(lit(0.0)).as("avgdl"),
         col("n"), col("sdl"))
       .write.mode("overwrite").parquet(s"$outDir/stats")
     // (doc_id, dl) registry — the tiny per-generation document list

@@ -455,38 +455,57 @@ object TextAnalysis {
     * replay engine's `quantile_cont` by one ulp exactly at a
     * round-to-3 tie (the round-10 driver-gate flake).
     *
-    * Scale note: the exact form needs a per-group sort — fine for the
-    * small-group-cardinality profiling report this is (sources/langs:
-    * tens of groups; the sort buffers per GROUP, exactly like Spark's
-    * own `percentile`, not per corpus). For percentiles OVER DOCUMENTS
-    * at unbounded cardinality swap in `percentile_approx` (t-digest
-    * sketch, map-side combinable) — same call shape, no longer
-    * bit-replayable by an oracle, which is why the gated form is the
-    * exact one. */
+    * Scale shape: the distribution is COUNT-COMPRESSED before any
+    * per-group state exists — one `(group, nt)` keyed aggregate (map-
+    * side combinable), a running-count window partitioned by group
+    * over the DISTINCT token counts, and a final group aggregate
+    * selecting the rank-straddling values — so state is O(distinct
+    * token lengths) per group, never O(documents) (token-length
+    * distributions are duplicate-heavy: millions of docs share a
+    * bounded length range). Spark's own `percentile` buffers the same
+    * value→count map per group; this is that layout, relationally. */
   def corpusProfile(df: DataFrame, textCol: String,
       groupCol: String): DataFrame = {
-    // value·100 at percentile pnum/100 over the sorted counts; lo is
-    // the 0-based lower index, frac·100 the integer remainder. All
-    // long arithmetic — exact while a·100 + 100·(b−a) < 2^63.
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol), whitespaceTokenCount(col(textCol))
+        .cast("long").as("nt"))
+      .groupBy(col(groupCol), col("nt"))
+      .agg(count(lit(1)).as("c"))
+    // running count of documents with token length <= nt, per group
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col(groupCol))
+        .orderBy(col("nt"))))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("nt") * col("c")).as("n_tokens"),
+        max(col("nt")).as("max_tokens"))
+    // value·100 at percentile pnum/100: with h100 = (n−1)·pnum, the
+    // 0-based straddling ranks are lo = h100 div 100 and
+    // hi = min(lo+1, n−1); the value at rank r is the smallest nt
+    // whose running count exceeds r. All long arithmetic — exact.
+    def rankVal(rank0: Column): Column =
+      min(when(col("cum") >= rank0 + 1, col("nt")))
     def pct(pnum: Int, name: String): Column = {
       val h100 = (col("n_docs") - 1) * lit(pnum.toLong)
       val fr = pmod(h100, lit(100L))
       val lo = ((h100 - fr) / 100).cast("long")
-      val a = element_at(col("sorted"), (lo + 1).cast("int"))
-      val b = element_at(col("sorted"),
-        (least(lo + 1, col("n_docs") - 1) + 1).cast("int"))
-      (((a * 100 + fr * (b - a)).cast("double")) / lit(100.0)).as(name)
+      val a = rankVal(lo)
+      val b = rankVal(least(lo + 1, col("n_docs") - 1))
+      (((a * 100 + max(fr) * (b - a)).cast("double")) / lit(100.0))
+        .as(name)
     }
-    df.select(col(groupCol),
-        whitespaceTokenCount(col(textCol)).cast("long").as("nt"))
+    cum.join(totals, Seq(groupCol))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("nt")).as("n_tokens"),
-        sort_array(collect_list(col("nt"))).as("sorted"),
-        max(col("nt")).as("max_tokens"))
-      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+      .agg(max(col("n_docs")).as("nd"),
+        max(col("n_tokens")).as("ntok"),
         pct(50, "p50_tokens"), pct(90, "p90_tokens"),
-        pct(99, "p99_tokens"), col("max_tokens"))
+        pct(99, "p99_tokens"),
+        max(col("max_tokens")).as("mx"))
+      .select(col(groupCol), col("nd").as("n_docs"),
+        col("ntok").as("n_tokens"), col("p50_tokens"),
+        col("p90_tokens"), col("p99_tokens"),
+        col("mx").as("max_tokens"))
   }
 
   /** Score any document relation against a trained [[bigramModel]].

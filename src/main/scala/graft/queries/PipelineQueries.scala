@@ -1326,11 +1326,14 @@ object PipelineQueries {
     * PRUNING path is pinned by the codebook-refresh StreamingSpec. */
   def annIvfRefreshed(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val root = annLayoutDir(dir, "ivf_rfr_sqrt50")
+    // rfr2: the codebook moved INSIDE the layout (base/_codebook,
+    // swap-atomic with the partitioning) — new name invalidates
+    // pre-move cached roots
+    val root = annLayoutDir(dir, "ivf_rfr2_sqrt50")
     incrementalIvfThen(s, dir, root, "_REFRESHED")(
       graft.streaming.IvfStream.refreshCodebook(s, root, k = 8,
         iters = 3): Unit)
-    val newCents = s.read.parquet(s"$root/codebook")
+    val newCents = s.read.parquet(s"$root/base/_codebook")
     PartitionedAnn.ivfTopKFrames(s,
         graft.streaming.IvfStream.layout(s, root),
         e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
@@ -2173,33 +2176,50 @@ object PipelineQueries {
                 ELSE len(string_split_regex(trim(text),
                          '[ \t\n\x0B\f\r]+')) END AS BIGINT) AS nt
          FROM documents),
-       g AS (
-         SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
-           list(nt ORDER BY nt) AS sorted, MAX(nt) AS max_tokens
-         FROM t GROUP BY source),
-       p AS (
-         SELECT source, n_docs, n_tokens, max_tokens,
-           (n_docs - 1) * 50 AS h50, (n_docs - 1) * 90 AS h90,
-           (n_docs - 1) * 99 AS h99, sorted
-         FROM g)
-       SELECT source, n_docs, n_tokens,
-         CAST(sorted[CAST(h50 // 100 AS INT) + 1] * 100
-            + (h50 % 100) * (sorted[CAST(LEAST(h50 // 100 + 1,
-                  n_docs - 1) AS INT) + 1]
-               - sorted[CAST(h50 // 100 AS INT) + 1])
-           AS DOUBLE) / 100.0 AS p50_tokens,
-         CAST(sorted[CAST(h90 // 100 AS INT) + 1] * 100
-            + (h90 % 100) * (sorted[CAST(LEAST(h90 // 100 + 1,
-                  n_docs - 1) AS INT) + 1]
-               - sorted[CAST(h90 // 100 AS INT) + 1])
-           AS DOUBLE) / 100.0 AS p90_tokens,
-         CAST(sorted[CAST(h99 // 100 AS INT) + 1] * 100
-            + (h99 % 100) * (sorted[CAST(LEAST(h99 // 100 + 1,
-                  n_docs - 1) AS INT) + 1]
-               - sorted[CAST(h99 // 100 AS INT) + 1])
-           AS DOUBLE) / 100.0 AS p99_tokens,
+       cnts AS (
+         SELECT source, nt, COUNT(*) AS c FROM t GROUP BY source, nt),
+       cum AS (
+         SELECT source, nt, c,
+           SUM(c) OVER (PARTITION BY source ORDER BY nt) AS cum
+         FROM cnts),
+       tot AS (
+         SELECT source, SUM(c) AS n_docs, SUM(nt * c) AS n_tokens,
+           MAX(nt) AS max_tokens
+         FROM cnts GROUP BY source),
+       j AS (
+         SELECT cum.source, cum.nt, cum.cum,
+           tot.n_docs, tot.n_tokens, tot.max_tokens,
+           (tot.n_docs - 1) * 50 AS h50,
+           (tot.n_docs - 1) * 90 AS h90,
+           (tot.n_docs - 1) * 99 AS h99
+         FROM cum JOIN tot ON tot.source = cum.source),
+       agg AS (
+         SELECT source,
+           MAX(n_docs) AS n_docs, MAX(n_tokens) AS n_tokens,
+           MAX(max_tokens) AS max_tokens,
+           MIN(CASE WHEN cum >= h50 // 100 + 1 THEN nt END) AS a50,
+           MIN(CASE WHEN cum >= LEAST(h50 // 100 + 1, n_docs - 1) + 1
+                    THEN nt END) AS b50,
+           MAX(h50 % 100) AS f50,
+           MIN(CASE WHEN cum >= h90 // 100 + 1 THEN nt END) AS a90,
+           MIN(CASE WHEN cum >= LEAST(h90 // 100 + 1, n_docs - 1) + 1
+                    THEN nt END) AS b90,
+           MAX(h90 % 100) AS f90,
+           MIN(CASE WHEN cum >= h99 // 100 + 1 THEN nt END) AS a99,
+           MIN(CASE WHEN cum >= LEAST(h99 // 100 + 1, n_docs - 1) + 1
+                    THEN nt END) AS b99,
+           MAX(h99 % 100) AS f99
+         FROM j GROUP BY source)
+       SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(a50 * 100 + f50 * (b50 - a50) AS DOUBLE) / 100.0
+           AS p50_tokens,
+         CAST(a90 * 100 + f90 * (b90 - a90) AS DOUBLE) / 100.0
+           AS p90_tokens,
+         CAST(a99 * 100 + f99 * (b99 - a99) AS DOUBLE) / 100.0
+           AS p99_tokens,
          max_tokens
-       FROM p ORDER BY source"""
+       FROM agg ORDER BY source"""
 
   // --- text analysis --------------------------------------------
 

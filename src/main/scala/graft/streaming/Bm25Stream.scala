@@ -87,7 +87,8 @@ object Bm25Stream {
             col("batch").cast("long").as("gen")))
       catch {
         // no delta written yet — the base alone is the layout
-        case _: org.apache.spark.sql.AnalysisException => base
+        case e: org.apache.spark.sql.AnalysisException
+          if IvfStream.missingPath(e) => base
       }
     all.join(broadcast(sidecar(spark, root)
         .select(col("doc_id").as("s_doc"), col("gen").as("s_gen"))),
@@ -105,7 +106,8 @@ object Bm25Stream {
       spark.read.parquet(s"$root/delta_stats")
         .select(col("n"), col("sdl")))
     catch {
-      case _: org.apache.spark.sql.AnalysisException => base
+      case e: org.apache.spark.sql.AnalysisException
+          if IvfStream.missingPath(e) => base
     }
   }
 
@@ -127,7 +129,8 @@ object Bm25Stream {
         .select(col("doc_id"), col("gen").cast("long").as("gen"),
           col("dl"))
     } catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      case e: org.apache.spark.sql.AnalysisException
+          if IvfStream.missingPath(e) =>
         spark.range(0).select(col("id").as("doc_id"),
           col("id").as("gen"), col("id").as("dl"))
     }
@@ -141,7 +144,8 @@ object Bm25Stream {
       try spark.read.parquet(s"$root/base/docs")
         .select(col("doc_id"), col("dl"), lit(BaseGen).as("gen"))
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException
+            if IvfStream.missingPath(e) =>
           spark.range(0).select(col("id").as("doc_id"),
             col("id").as("dl"), col("id").as("gen"))
       }
@@ -150,7 +154,8 @@ object Bm25Stream {
         .select(col("doc_id"), col("dl"),
           col("batch").cast("long").as("gen")))
     catch {
-      case _: org.apache.spark.sql.AnalysisException => base
+      case e: org.apache.spark.sql.AnalysisException
+          if IvfStream.missingPath(e) => base
     }
   }
 
@@ -169,7 +174,10 @@ object Bm25Stream {
       .select((col("n") - col("sn")).as("n"),
         (col("sdl") - col("ssdl")).as("sdl"))
       .select(col("n").cast("double").as("n_docs"),
-        (col("sdl").cast("double") / col("n")).as("avgdl"))
+        // an all-superseded (or empty) live corpus would make this
+        // 0/0 = NaN; probes over it return no rows regardless
+        when(col("n") > 0, col("sdl").cast("double") / col("n"))
+          .otherwise(lit(0.0)).as("avgdl"))
   }
 
   /** Index one micro-batch: tokenize the batch alone, write its
@@ -278,7 +286,7 @@ object Bm25Stream {
         .parquet(s"$staging/postings")
       spark.range(1)
         .select(lit(n).cast("double").as("n_docs"),
-          (lit(sdl).cast("double") / lit(n).cast("double")).as("avgdl"),
+          lit(if (n > 0) sdl.toDouble / n else 0.0).as("avgdl"),
           lit(n).as("n"), lit(sdl).as("sdl"))
         .write.mode("overwrite").parquet(s"$staging/stats")
       live.write.mode("overwrite").parquet(s"$staging/docs")

@@ -39,6 +39,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * build would give them, since both use one codebook. */
 object IvfStream {
 
+  /** True only for the analysis failures that mean "this generation
+    * tree was never written" (missing path, or a dir with nothing to
+    * infer a schema from). Catching AnalysisException any wider than
+    * this turns a GENUINELY broken delta (half-written batch, schema
+    * drift) into a silent base-only fallback: probes return
+    * plausible top-k missing every streamed row, with no error
+    * anywhere — so every base∪delta reader narrows on this. */
+  private[streaming] def missingPath(
+      e: org.apache.spark.sql.AnalysisException): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("PATH_NOT_FOUND") || m.contains("UNABLE_TO_INFER_SCHEMA")
+  }
+
   /** The live layout: base ∪ all streamed deltas, as the
     * `(c_id, c_vec, c_norm, cent_id)` relation probes consume. */
   def layout(spark: SparkSession, root: String): DataFrame = {
@@ -49,7 +62,8 @@ object IvfStream {
       spark.read.parquet(s"$root/delta").select(cols: _*))
     catch {
       // no delta written yet — the base alone is the layout
-      case _: org.apache.spark.sql.AnalysisException => base
+      case e: org.apache.spark.sql.AnalysisException
+          if missingPath(e) => base
     }
   }
 
@@ -75,7 +89,8 @@ object IvfStream {
     try base.unionByName(
       spark.read.parquet(s"$root/delta").select(cols: _*))
     catch {
-      case _: org.apache.spark.sql.AnalysisException => base
+      case e: org.apache.spark.sql.AnalysisException
+          if missingPath(e) => base
     }
   }
 
@@ -111,7 +126,8 @@ object IvfStream {
     try base.unionByName(
       spark.read.parquet(s"$root/delta").select(cols: _*))
     catch {
-      case _: org.apache.spark.sql.AnalysisException => base
+      case e: org.apache.spark.sql.AnalysisException
+          if missingPath(e) => base
     }
   }
 
@@ -156,6 +172,14 @@ object IvfStream {
         .repartition(col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id")
         .parquet(staging)
+      // carry the generation's codebook forward: a refreshed layout
+      // keeps `_codebook/` inside base ([[refreshCodebook]]); folding
+      // the deltas must not detach the partitioning from the codebook
+      // that defines it
+      val cb = new java.io.File(s"$root/base/_codebook")
+      if (cb.exists())
+        spark.read.parquet(cb.toString)
+          .write.mode("overwrite").parquet(s"$staging/_codebook")
     }
 
   /** Codebook refresh — the other offline maintenance job the delta
@@ -169,40 +193,64 @@ object IvfStream {
     * independent. Returns the new `(cent_id, cent_vec)` table, which
     * all subsequent probes and delta appends MUST use (one codebook
     * per layout generation — the invariant every incremental path
-    * relies on); the same table is also PERSISTED to
-    * `root/codebook/` after the swap, so a later session (or a
-    * warm-cache gate replay) can probe the refreshed layout without
-    * re-deriving the centroids. Write ordering: layout first, then
-    * codebook — a crash between the two leaves a refreshed base with
-    * the previous on-disk codebook, which a re-run of refresh
-    * repairs; the reverse order could pair a NEW codebook with the
-    * OLD partitioning, mis-pruning every probe until repair. */
+    * relies on). The table is PERSISTED as `_codebook/` INSIDE the
+    * staged layout — the underscore prefix hides it from Spark's
+    * file index, so base scans ignore it — which makes codebook and
+    * partitioning atomic under the swap: they move together, so no
+    * crash ordering can pair a new codebook with an old partitioning
+    * (or vice versa) and silently mis-prune every probe. All reads
+    * happen inside the swap lambda, so a call on a root left
+    * mid-swap by a crashed predecessor first completes that swap,
+    * then re-clusters the recovered layout. */
   def refreshCodebook(spark: SparkSession, root: String, k: Int,
       iters: Int = 5): DataFrame = {
-    val live = layout(spark, root)
-      .select(col("c_id"), col("c_vec"))
-      .localCheckpoint() // consumed by k-means AND the rewrite
-    val cents = Similarity.kmeansCentroids(live, "c_vec", "c_id", k,
-      iters) // already checkpointed per iteration
     stagedSwap(root) { staging =>
+      val live = layout(spark, root)
+        .select(col("c_id"), col("c_vec"))
+        .localCheckpoint() // consumed by k-means AND the rewrite
+      val cents = Similarity.kmeansCentroids(live, "c_vec", "c_id", k,
+        iters) // already checkpointed per iteration
       PartitionedAnn.writeIvfPartitioned(live, "c_vec", "c_id", cents,
         staging)
+      cents.write.mode("overwrite").parquet(s"$staging/_codebook")
     }
-    cents.write.mode("overwrite").parquet(s"$root/codebook")
-    spark.read.parquet(s"$root/codebook")
+    spark.read.parquet(s"$root/base/_codebook")
   }
 
   /** The staged base swap shared by [[compact]], [[refreshCodebook]],
     * and [[Bm25Stream.compact]]: write the replacement fully into
-    * `base_compact/`, then delete `base/` + every delta tree in
-    * `clear`, then move. A crash before the move leaves a complete
-    * staging dir; the next call detects staging-present/base-absent
-    * and completes the move before doing anything else — REMOVING the
-    * delta trees first, because the staged copy already contains
-    * their contents and a survivor (crash between rm(base) and the
-    * delta deletes) would duplicate every delta row in the recovered
-    * layout: double top-k candidates in the float ANN form, doubled
-    * ADC partial sums in PQ, doubled tf/df evidence in BM25. */
+    * `base_compact/`, stamp it complete (`_SWAP_READY`, whose body is
+    * the MANIFEST of delta entries the staged copy folded), then
+    * delete `base/` + exactly the manifested delta entries, then
+    * move.
+    *
+    * Crash matrix, all replay-safe by calling ANY swap-based
+    * maintenance op again:
+    *  - during `write`: staging exists without the marker — it is an
+    *    incomplete artifact and is DISCARDED; base and deltas are
+    *    untouched, the op simply re-runs. (Treating an unmarked
+    *    staging as authoritative was the old hazard's mirror image.)
+    *  - during `rm(base)` (even partway — base still present but
+    *    missing files): the marker makes staging authoritative, so
+    *    recovery finishes removing base rather than REBUILDING
+    *    staging from the half-deleted base, which would silently drop
+    *    the already-removed rows.
+    *  - between the delta deletes: recovery removes only the
+    *    MANIFESTED entries. Delta batches appended AFTER the crash
+    *    (a streaming job resumed while the layout sat mid-swap) are
+    *    not in the manifest and SURVIVE — deleting them would lose
+    *    committed batches structured streaming will never replay. A
+    *    survivor that IS manifested is removed, because the staged
+    *    copy already contains its rows and keeping it would double
+    *    top-k candidates / ADC partial sums / tf-df evidence.
+    *  - after the move: only the marker cleanup remains; a stale
+    *    in-base marker is removed on the next call (Spark ignores
+    *    underscore files).
+    *
+    * The maintenance CALL itself still requires the offline contract
+    * (no appends racing the `write` lambda's layout read — an append
+    * in that window may or may not be folded); the manifest protects
+    * the arbitrarily-long CRASH-RECOVERY window, not the write. */
   private[streaming] def stagedSwap(root: String,
       clear: Seq[String] = Seq("delta"))(write: String => Unit): Unit = {
     import java.io.File
@@ -213,15 +261,45 @@ object IvfStream {
     }
     val staging = new File(s"$root/base_compact")
     val base = new File(s"$root/base")
-    if (staging.exists() && !base.exists()) {
-      clear.foreach(d => rm(new File(s"$root/$d")))
-      Files.move(staging.toPath, base.toPath)
-      return
+    val marker = new File(staging, "_SWAP_READY")
+    def finishSwap(folded: Seq[String]): Unit = {
+      rm(base)
+      folded.foreach(p => rm(new File(s"$root/$p")))
+      // drop clear roots left empty (readers treat them as absent)
+      clear.map(d => new File(s"$root/$d")).foreach { dir =>
+        if (dir.exists() && Option(dir.listFiles()).forall(_.isEmpty))
+          rm(dir)
+      }
+      Files.move(staging.toPath, Paths.get(s"$root/base"))
+      rm(new File(base, "_SWAP_READY"))
+    }
+    // complete a crashed predecessor's swap FIRST, then still run
+    // this call's own op over the recovered layout (the caller asked
+    // for a compact/refresh and gets one — recovery is a preamble,
+    // not a substitute)
+    if (staging.exists() && marker.exists()) {
+      val folded = new String(
+        Files.readAllBytes(marker.toPath), "UTF-8")
+        .linesIterator.filter(_.nonEmpty).toSeq
+      finishSwap(folded)
+    } else if (staging.exists() && !base.exists()) {
+      // pre-manifest staging from an older crashed swap (complete by
+      // the old ordering: base was only removed after a full write) —
+      // honor the legacy recovery: whole clear trees were folded
+      finishSwap(clear)
+    }
+    rm(staging) // unmarked staging next to a live base: incomplete
+    rm(new File(base, "_SWAP_READY")) // stale marker from a post-move crash
+    // snapshot the delta entries this swap folds — under the offline
+    // contract this is exactly what the write lambda will read
+    val folded = clear.flatMap { d =>
+      Option(new File(s"$root/$d").listFiles()).toSeq.flatten
+        .map(f => s"$d/${f.getName}")
     }
     write(staging.toString)
-    rm(base)
-    clear.foreach(d => rm(new File(s"$root/$d")))
-    Files.move(staging.toPath, Paths.get(s"$root/base"))
+    Files.write(marker.toPath,
+      folded.mkString("\n").getBytes("UTF-8"))
+    finishSwap(folded)
   }
 
   /** Start incremental IVF maintenance over a parquet embedding

@@ -815,6 +815,67 @@ class StreamingSpec extends SparkSpec {
     assert(rows() === before)
   }
 
+  test("staged swap: authoritative staging survives a partial base delete; unmanifested deltas survive recovery") {
+    import java.nio.file.Files
+    import graft.pipeline.PartitionedAnn
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).foreach(_.foreach(f =>
+          copyTree(f, new java.io.File(dst, f.getName))))
+      } else Files.copy(src.toPath, dst.toPath): Unit
+    }
+    val root = Files.createTempDirectory("graft-swap").toString
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val corpus = e.filter($"vec_id" >= 10)
+    val centroids = corpus.filter($"vec_id" < 60)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    PartitionedAnn.writeIvfPartitioned(
+      corpus.filter($"vec_id" < 1000), "embedding", "vec_id", centroids,
+      s"$root/base")
+    graft.streaming.IvfStream.appendBatch(
+      corpus.filter($"vec_id" >= 1000 && $"vec_id" < 1500), 1L, root,
+      centroids, "embedding", "vec_id")
+    def rows() = graft.streaming.IvfStream.layout(spark, root)
+      .select($"c_id").as[Long].collect().toSet
+    graft.streaming.IvfStream.compact(spark, root)
+    val before = rows()
+    val base = new java.io.File(s"$root/base")
+    val staging = new java.io.File(s"$root/base_compact")
+    // SCENARIO A — crash PARTWAY through rm(base): staging is
+    // complete and marked, base still exists but is missing most of
+    // its files. The old code saw base-present and REBUILT staging
+    // from the half-deleted base, silently dropping the removed rows;
+    // the marker must make the staged copy authoritative instead.
+    Files.move(base.toPath, staging.toPath)
+    Files.write(new java.io.File(staging, "_SWAP_READY").toPath,
+      Array.emptyByteArray)
+    val oneCent = staging.listFiles()
+      .filter(_.getName.startsWith("cent_id=")).head
+    copyTree(oneCent, new java.io.File(base, oneCent.getName))
+    assert(base.exists()) // the partial survivor
+    graft.streaming.IvfStream.compact(spark, root)
+    assert(rows() === before, "partial base survived as authority")
+    // SCENARIO B — crash after the marker, streaming resumes and
+    // appends batch 2, THEN recovery runs: batch 2 is not in the
+    // manifest (staging predates it) and must survive — the old
+    // recovery rm'd the whole delta tree, losing a committed batch
+    // structured streaming never replays.
+    Files.move(base.toPath, staging.toPath)
+    Files.write(new java.io.File(staging, "_SWAP_READY").toPath,
+      Array.emptyByteArray) // empty manifest: nothing was folded
+    graft.streaming.IvfStream.appendBatch(
+      corpus.filter($"vec_id" >= 1500 && $"vec_id" < 1800), 2L, root,
+      centroids, "embedding", "vec_id")
+    val withB2 = before ++ corpus
+      .filter($"vec_id" >= 1500 && $"vec_id" < 1800)
+      .select($"vec_id").as[Long].collect().toSet
+    graft.streaming.IvfStream.compact(spark, root)
+    assert(rows() === withB2, "post-crash delta batch was lost")
+    assert(!new java.io.File(s"$root/delta").exists()) // folded by the
+    // complete-then-continue op, not deleted by recovery
+  }
+
   test("codebook refresh re-partitions the live layout by the new assignment") {
     import java.nio.file.Files
     import graft.pipeline.{PartitionedAnn, Similarity}
