@@ -332,6 +332,20 @@ object Dedup {
       outDir: String, n: Int, buckets: Int = 64): Unit = {
     require(n >= 1 && buckets >= 1 && buckets <= 4096,
       s"writeGramIndex: n >= 1, 1..4096 buckets; got n=$n buckets=$buckets")
+    gramIndexRows(docs, textCol, keyCol, n, buckets)
+      .repartition(col("gram_bucket"))
+      .write.mode("overwrite").partitionBy("gram_bucket")
+      .parquet(s"$outDir/grams")
+    new java.io.File(outDir, "_SUCCESS").createNewFile(): Unit
+  }
+
+  /** One generation's index rows `(doc_id, gram, gram_bucket)` — the
+    * single derivation shared by the base writer and every streamed
+    * delta ([[graft.streaming.GramStream]]), so a delta batch's rows
+    * are bit-identical to a full rebuild's for those documents (a
+    * document's gram set is a function of that document alone). */
+  private[graft] def gramIndexRows(docs: DataFrame, textCol: String,
+      keyCol: String, n: Int, buckets: Int): DataFrame = {
     val fns = graft.functions.GraftFunctions
     fns.register(docs.sparkSession)
     docs.select(col(keyCol).as("doc_id"),
@@ -339,10 +353,6 @@ object Dedup {
       .distinct()
       .withColumn("gram_bucket",
         graft.pipeline.Retrieval.termBucket(col("gram"), buckets))
-      .repartition(col("gram_bucket"))
-      .write.mode("overwrite").partitionBy("gram_bucket")
-      .parquet(s"$outDir/grams")
-    new java.io.File(outDir, "_SUCCESS").createNewFile(): Unit
   }
 
   /** [[contaminationHits]] against a [[writeGramIndex]] layout: the
@@ -357,7 +367,20 @@ object Dedup {
     * BENCHMARK's gram vocabulary, not the corpus. */
   def contaminationHitsAtRest(spark: SparkSession, indexDir: String,
       testDocs: DataFrame, textCol: String, keyCol: String, n: Int,
+      buckets: Int = 64): DataFrame =
+    contaminationHitsFrames(spark.read.parquet(s"$indexDir/grams"),
+      testDocs, textCol, keyCol, n, buckets)
+
+  /** The probe body over an EXPLICIT gram-index frame — shared by
+    * [[contaminationHitsAtRest]] (single base) and
+    * [[graft.streaming.GramStream]] (base ∪ streamed deltas): the
+    * benchmark grams' buckets filter is applied to the frame as
+    * given, so when it is a union the literal `gram_bucket IN (…)`
+    * pushes into EVERY underlying scan. */
+  def contaminationHitsFrames(index: DataFrame, testDocs: DataFrame,
+      textCol: String, keyCol: String, n: Int,
       buckets: Int = 64): DataFrame = {
+    val spark = testDocs.sparkSession
     val fns = graft.functions.GraftFunctions
     fns.register(spark)
     val testGrams = testDocs
@@ -370,7 +393,7 @@ object Dedup {
       .distinct().collect().map(_.getInt(0)).sorted
     val testKeys = testGrams.select(col("t_doc").as("doc_id")).distinct()
     val distinctTest = testGrams.select(col("gram")).distinct()
-    spark.read.parquet(s"$indexDir/grams")
+    index
       .filter(col("gram_bucket").isin(probed.toIndexedSeq: _*))
       .join(broadcast(testKeys), Seq("doc_id"), "left_anti")
       .join(broadcast(distinctTest), Seq("gram"))

@@ -463,6 +463,53 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Decontamination against the INCREMENTALLY-maintained gram index
+    * ([[graft.streaming.GramStream]]): base over a third of the
+    * corpus, two streamed delta batches for the rest, probe over
+    * base ∪ deltas — the SAME inline oracle SQL verbatim. */
+  def ddContaminationIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = layoutDir(dir, "documents", "gram5_incr_b64")
+    gramIncrementalLayout(s, dir, root, "_DELTAS_DONE")(())
+    graft.streaming.GramStream.contaminationHitsIncremental(s, root,
+      docs.filter(col("source") === "src0"), "text", "doc_id", n = 5,
+      buckets = 64)
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[ddContaminationIncremental]]'s layout folded by
+    * [[graft.streaming.GramStream.compact]], then probed — still the
+    * inline oracle verbatim: compaction preserved every (doc, gram)
+    * evidence row. */
+  def ddContaminationCompacted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = layoutDir(dir, "documents", "gram5_cpt_b64")
+    gramIncrementalLayout(s, dir, root, "_COMPACTED")(
+      graft.streaming.GramStream.compact(s, root))
+    graft.streaming.GramStream.contaminationHitsIncremental(s, root,
+      docs.filter(col("source") === "src0"), "text", "doc_id", n = 5,
+      buckets = 64)
+      .orderBy(col("doc_id"))
+  }
+
+  private def gramIncrementalLayout(s: SparkSession, dir: String,
+      root: String, marker: String)(maintain: => Unit): Unit = {
+    val docs = t(s, dir, "documents")
+    val m = new java.io.File(root, marker)
+    if (!m.exists()) {
+      Dedup.writeGramIndex(docs.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", s"$root/base", n = 5, buckets = 64)
+      graft.streaming.GramStream.appendBatch(
+        docs.filter(col("doc_id") % 3 === 1), 1L, root, "text",
+        "doc_id", n = 5, buckets = 64)
+      graft.streaming.GramStream.appendBatch(
+        docs.filter(col("doc_id") % 3 === 2), 2L, root, "text",
+        "doc_id", n = 5, buckets = 64)
+      maintain
+      m.createNewFile(): Unit
+    }
+  }
+
   /** The Bloom-prefiltered decontamination path
     * ([[Dedup.contaminationBloomHits]]): the sketch drops non-matching
     * corpus grams scan-side and the exact verify removes every false
@@ -3557,6 +3604,8 @@ object PipelineQueries {
     "dd_triplets_at_rest" -> (ddTripletsAtRest _),
     "dd_contamination" -> (ddContamination _),
     "dd_contamination_at_rest" -> (ddContaminationAtRest _),
+    "dd_contamination_incremental" -> (ddContaminationIncremental _),
+    "dd_contamination_compacted" -> (ddContaminationCompacted _),
     "dd_contamination_bloom" -> (ddContaminationBloom _),
     "ann_brute_topk" -> (annBruteTopK _),
     "ann_knn_eval" -> (annKnnEval _),
@@ -3633,7 +3682,8 @@ object PipelineQueries {
     "pp_semdedup_at_rest", "pp_jsonl_roundtrip", "pp_bm25_at_rest",
     "pp_hybrid_at_rest", "ann_ivf_compacted", "ann_ivf_refreshed",
     "pp_bm25_incremental", "pp_bm25_compacted", "pp_bm25_updated",
-    "dd_contamination_at_rest")
+    "dd_contamination_at_rest", "dd_contamination_incremental",
+    "dd_contamination_compacted")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -3654,8 +3704,11 @@ object PipelineQueries {
     "dd_triplets_at_rest" -> ddTripletsSql,
     "dd_contamination" -> ddContaminationSql,
     // at-rest gram-index probe shares the inline oracle verbatim:
-    // one replay proves probe == inline AND the layout lossless
+    // one replay proves probe == inline AND the layout lossless;
+    // the streamed and post-compaction probes must STILL match it
     "dd_contamination_at_rest" -> ddContaminationSql,
+    "dd_contamination_incremental" -> ddContaminationSql,
+    "dd_contamination_compacted" -> ddContaminationSql,
     "dd_contamination_bloom" -> ddContaminationSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_knn_eval" -> annKnnEvalSql,

@@ -238,6 +238,27 @@ class PlanSpec extends SparkSpec {
         df.queryExecution.explainString(FormattedMode))
   }
 
+  test("incremental gram index: probes prune base AND delta scans") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("gramincr").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    graft.pipeline.Dedup.writeGramIndex(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+      s"$tmp/base", n = 5, buckets = 16)
+    graft.streaming.GramStream.appendBatch(
+      docs.filter(col("doc_id") % 2 === 1), 1L, tmp, "text", "doc_id",
+      n = 5, buckets = 16)
+    val df = graft.streaming.GramStream.contaminationHitsIncremental(
+      spark, tmp, docs.filter(col("source") === "src0"), "text",
+      "doc_id", n = 5, buckets = 16)
+    val pf = df.queryExecution.explainString(FormattedMode)
+      .linesIterator.filter(l => l.contains("PartitionFilters") &&
+        l.contains("gram_bucket") &&
+        (l.contains(" IN ") || l.contains("INSET"))).toSeq
+    assert(pf.size >= 2,
+      s"expected pruned base AND delta gram scans:\n${pf.mkString("\n")}")
+  }
+
   test("incremental BM25: probes prune base AND delta scans") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("bm25incr").toString

@@ -1276,4 +1276,55 @@ class StreamingSpec extends SparkSpec {
     val latest3 = latest2.filter($"doc_id" % 21 =!= 0).unionByName(upd3)
     assert(probe() === rebuildOver(latest3))
   }
+
+  test("incremental gram index equals a full rebuild; compaction lossless; streaming-driven") {
+    import java.nio.file.Files
+    import graft.pipeline.Dedup
+    import graft.streaming.GramStream
+    val in = Files.createTempDirectory("graft-gram-in")
+    val root = Files.createTempDirectory("graft-gram-root").toString
+    val ckpt = Files.createTempDirectory("graft-gram-ckpt").toString
+    val full = Files.createTempDirectory("graft-gram-full").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val test = docs.filter($"source" === "src0")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_shared")
+      .as[(Long, Long)].collect().toSet
+    Dedup.writeGramIndex(docs.filter($"doc_id" % 3 === 0),
+      "text", "doc_id", s"$root/base", n = 5, buckets = 16)
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-gram-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(docs.filter($"doc_id" % 3 === 1), "c1.parquet")
+    val q = GramStream.run(spark, in.toString, root, ckpt, n = 5,
+      buckets = 16,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(docs.filter($"doc_id" % 3 === 2), "c2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    Dedup.writeGramIndex(docs, "text", "doc_id", full, n = 5,
+      buckets = 16)
+    val fullHits = rows(Dedup.contaminationHitsAtRest(spark, full,
+      test, "text", "doc_id", n = 5, buckets = 16))
+    def probe() = rows(GramStream.contaminationHitsIncremental(spark,
+      root, test, "text", "doc_id", n = 5, buckets = 16))
+    assert(probe() === fullHits)
+    assert(fullHits.nonEmpty)
+    // replaying a delta batch regenerates, never duplicates evidence
+    GramStream.appendBatch(docs.filter($"doc_id" % 3 === 2), 1L, root,
+      "text", "doc_id", n = 5, buckets = 16)
+    assert(probe() === fullHits)
+    // compaction: single level, probe unchanged, idempotent
+    GramStream.compact(spark, root)
+    assert(!new java.io.File(s"$root/delta").exists())
+    assert(probe() === fullHits)
+    GramStream.compact(spark, root)
+    assert(probe() === fullHits)
+  }
 }
