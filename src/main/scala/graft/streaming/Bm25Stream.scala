@@ -65,20 +65,32 @@ import graft.pipeline.Retrieval
   */
 object Bm25Stream {
 
-  /** Generation id of the base layout in the postings `gen` column
-    * and the sidecar (deltas use their batch id ≥ 0). */
+  /** Generation id of rows whose generation is unknown (an original
+    * [[graft.pipeline.Retrieval.writeBm25Index]] base, which carries
+    * no `gen` column). Rows that pass through [[compact]] KEEP their
+    * original generation as a data column — gen identity must
+    * survive folds, because supersede-sidecar rows written after a
+    * crashed swap reference the generation a delta HAD, and a fold
+    * that collapsed gens would dangle those references (the stale
+    * version would silently resurrect). */
   private val BaseGen = -1L
 
-  /** The live postings relation: base ∪ all streamed deltas minus
-    * superseded document versions, with `term_bucket` as a partition
-    * column on every generation so a probe filter prunes each scan
-    * at file-listing time. `gen` tags each row's generation for the
-    * sidecar anti-join (broadcast — rows ∝ re-arrivals). */
-  def layout(spark: SparkSession, root: String): DataFrame = {
-    val base = spark.read.parquet(s"$root/base/postings")
+  /** Base postings/registry reads: folded bases carry the preserved
+    * `gen` data column; an original writeBm25Index base does not —
+    * tag its rows [[BaseGen]]. */
+  private def genOf(df: DataFrame) =
+    if (df.schema.fieldNames.contains("gen")) col("gen").cast("long")
+    else lit(BaseGen)
+
+  /** The live postings relation WITH generation identity — the form
+    * [[compact]] folds (gen must survive the rewrite, see
+    * [[BaseGen]]); probes use [[layout]], which drops it. */
+  private def liveWithGen(spark: SparkSession, root: String): DataFrame = {
+    val baseRaw = spark.read.parquet(s"$root/base/postings")
+    val base = baseRaw
       .select(col("doc_id"), col("dl"), col("term"), col("tf"),
         col("term_bucket").cast("int").as("term_bucket"),
-        lit(BaseGen).as("gen"))
+        genOf(baseRaw).as("gen"))
     val all =
       try base.unionByName(
         spark.read.parquet(s"$root/delta")
@@ -94,8 +106,14 @@ object Bm25Stream {
         .select(col("doc_id").as("s_doc"), col("gen").as("s_gen"))),
       col("doc_id") === col("s_doc") && col("gen") === col("s_gen"),
       "left_anti")
-      .drop("gen")
   }
+
+  /** The live postings relation: base ∪ all streamed deltas minus
+    * superseded document versions, with `term_bucket` as a partition
+    * column on every generation so a probe filter prunes each scan
+    * at file-listing time. */
+  def layout(spark: SparkSession, root: String): DataFrame =
+    liveWithGen(spark, root).drop("gen")
 
   /** Every generation's integral `(n, sdl)` stats rows:
     * base + streamed deltas. */
@@ -141,9 +159,10 @@ object Bm25Stream {
     * shipped together). */
   private def registry(spark: SparkSession, root: String): DataFrame = {
     val base =
-      try spark.read.parquet(s"$root/base/docs")
-        .select(col("doc_id"), col("dl"), lit(BaseGen).as("gen"))
-      catch {
+      try {
+        val raw = spark.read.parquet(s"$root/base/docs")
+        raw.select(col("doc_id"), col("dl"), genOf(raw).as("gen"))
+      } catch {
         case e: org.apache.spark.sql.AnalysisException
             if IvfStream.missingPath(e) =>
           spark.range(0).select(col("id").as("doc_id"),
@@ -199,6 +218,18 @@ object Bm25Stream {
     // PQ-codewords rule)
     val tok = Retrieval.tokenized(batch, textCol, keyCol)
       .localCheckpoint()
+    // one version per document per micro-batch: the supersede sidecar
+    // resolves versions ACROSS generations, so two crawls of the same
+    // doc_id inside one batch would both stay live (doubled evidence,
+    // double-counted stats). Fail fast — no ordering column exists
+    // here to pick a deterministic winner; pre-dedup the batch or
+    // split the re-crawl into its own batch.
+    val dup = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"Bm25Stream.appendBatch: batch $batchId carries doc_id " +
+        s"${dup.headOption.map(_.get(0)).orNull} more than once — " +
+        "one version per document per micro-batch")
     // sidecar FIRST: it reads the registry excluding this batch's own
     // partition (replay safety), so it must run before this batch's
     // registry write on the happy path too, keeping replay and first
@@ -245,12 +276,14 @@ object Bm25Stream {
   /** Fold base ∪ deltas (minus superseded versions) into a fresh
     * single-level base and drop the delta + sidecar trees — same
     * crash-safe staged swap as [[IvfStream]] (staging fully written
-    * first; interrupted-swap recovery removes surviving delta trees
-    * before completing the move, since the staged copy already
-    * contains their rows — a survivor would double tf/df evidence).
-    * Postings are re-clustered one file per bucket; the LIVE stats
-    * and registry are rewritten in the base format, so supersede
-    * bookkeeping restarts empty. */
+    * first; interrupted-swap recovery removes only the MANIFESTED
+    * delta entries, whose rows the staged copy already contains).
+    * Postings are re-clustered one file per bucket WITH their
+    * generation identity preserved as a data column (see [[BaseGen]]
+    * — sidecar rows written after a crashed swap reference the
+    * folded generations and must keep matching); the LIVE stats and
+    * registry are rewritten in the base format, so supersede
+    * bookkeeping restarts empty on the happy path. */
   def compact(spark: SparkSession, root: String): Unit =
     // every read happens INSIDE the write lambda: stagedSwap only
     // invokes it outside the interrupted-swap recovery branch, where
@@ -259,13 +292,27 @@ object Bm25Stream {
     IvfStream.stagedSwap(root,
       clear = Seq("delta", "delta_stats", "delta_docs",
         "superseded")) { staging =>
-      val posts = layout(spark, root).localCheckpoint()
-      val live = registry(spark, root)
+      val posts = liveWithGen(spark, root).localCheckpoint()
+      val liveReg = registry(spark, root)
         .join(broadcast(sidecar(spark, root)
             .select(col("doc_id").as("s_doc"), col("gen").as("s_gen"))),
           col("doc_id") === col("s_doc") && col("gen") === col("s_gen"),
           "left_anti")
-        .select(col("doc_id"), col("dl"))
+        .select(col("doc_id"), col("dl"), col("gen"))
+        .localCheckpoint()
+      // pre-registry roots (an original base written before the
+      // registry existed) would otherwise fold to a PRESENT-but-empty
+      // registry — later re-crawls would silently never supersede.
+      // Backfill from the live postings (distinct per doc by
+      // construction); zero-token documents have no postings row and
+      // stay unrecoverable for pre-registry bases, documented.
+      val live = liveReg.unionByName(
+        posts.select(col("doc_id"), col("dl").cast("long").as("dl"),
+            col("gen")).distinct()
+          // NOT broadcast: the registry is corpus-sized — a plain
+          // shuffled anti-join is fine for an offline fold
+          .join(liveReg.select(col("doc_id")), Seq("doc_id"),
+            "left_anti"))
         .localCheckpoint()
       // integral live totals, collected as longs — no double
       // round-trip; equals genStats − sidecar by construction, but

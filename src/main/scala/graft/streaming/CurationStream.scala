@@ -112,7 +112,8 @@ object CurationStream {
           .filter(col("batch") =!= lit(batchId))
           .select(col("fp"))
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException
+            if IvfStream.missingPath(e) =>
           spark.emptyDataFrame.withColumn("fp", lit("")).select(col("fp"))
       }
     val newKeep = batchKeep.join(seen, Seq("fp"), "left_anti")

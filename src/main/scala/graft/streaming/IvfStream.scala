@@ -297,8 +297,14 @@ object IvfStream {
         .map(f => s"$d/${f.getName}")
     }
     write(staging.toString)
-    Files.write(marker.toPath,
+    // the marker must appear ATOMICALLY with its full manifest: a
+    // torn write would leave a trusted-but-truncated manifest whose
+    // unlisted folded batches survive recovery and double their rows
+    val tmpMarker = new File(staging, "_SWAP_READY.tmp")
+    Files.write(tmpMarker.toPath,
       folded.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmpMarker.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     finishSwap(folded)
   }
 

@@ -95,7 +95,8 @@ object LshStream {
       .filter(col("batch") =!= lit(batchId))
       .select(col(keyCol), col("band"), col("band_hash"), col("batch"))
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      case e: org.apache.spark.sql.AnalysisException
+          if IvfStream.missingPath(e) =>
         emptyLike.select(col(keyCol), col("band"), col("band_hash"))
           .limit(0).withColumn("batch", lit(0L))
     }
@@ -115,7 +116,8 @@ object LshStream {
         .filter(col("batch") =!= lit(batchId))
         .select(col(keyCol).as("s_key"), col("stale_batch"))
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException
+            if IvfStream.missingPath(e) =>
           emptyLike.select(col(keyCol).as("s_key")).limit(0)
             .withColumn("stale_batch", lit(0L))
       }

@@ -1277,6 +1277,58 @@ class StreamingSpec extends SparkSpec {
     assert(probe() === rebuildOver(latest3))
   }
 
+  test("BM25 supersede survives a crashed fold: sidecar gens keep matching folded rows") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{concat, lit}
+    import graft.pipeline.Retrieval
+    import graft.streaming.Bm25Stream
+    val root = Files.createTempDirectory("graft-bm25-dangle").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val qs = spark.createDataFrame(Seq(
+      (0L, "spark join window"), (1L, "alpha beta crash")))
+      .toDF("q_id", "q_text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"q_id", $"rank", $"doc_id", $"score")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // base = even docs; delta batch 1 = odd docs
+    Retrieval.writeBm25Index(docs.filter($"doc_id" % 2 === 0),
+      "text", "doc_id", s"$root/base", buckets = 16)
+    Bm25Stream.appendBatch(docs.filter($"doc_id" % 2 === 1), 1L, root,
+      "text", "doc_id", buckets = 16)
+    // a REAL fold (gen-preserving), then reconstruct the crash state:
+    // staging complete + marker manifesting batch 1, base absent,
+    // batch 1's trees regenerated (overwrite-idempotent appendBatch)
+    Bm25Stream.compact(spark, root)
+    Files.move(new java.io.File(s"$root/base").toPath,
+      new java.io.File(s"$root/base_compact").toPath)
+    Files.write(
+      new java.io.File(s"$root/base_compact/_SWAP_READY").toPath,
+      ("delta/batch=1\ndelta_stats/batch=1\ndelta_docs/batch=1\n" +
+        "superseded/batch=1").getBytes("UTF-8"))
+    Bm25Stream.appendBatch(docs.filter($"doc_id" % 2 === 1), 1L, root,
+      "text", "doc_id", buckets = 16)
+    // the stream resumes post-crash and batch 2 RE-CRAWLS doc 1 (an
+    // odd doc whose v1 the staged fold absorbed as gen=1): its
+    // sidecar row references gen 1 and must keep matching after
+    // recovery folds batch 1 into base
+    val upd = docs.filter($"doc_id" === 1)
+      .withColumn("text", concat($"text", lit(" alpha beta crash")))
+    Bm25Stream.appendBatch(upd, 2L, root, "text", "doc_id",
+      buckets = 16)
+    Bm25Stream.compact(spark, root)
+    // rebuild over the latest versions is the truth
+    val full = Files.createTempDirectory("graft-bm25-dangle-f").toString
+    Retrieval.writeBm25Index(
+      docs.filter($"doc_id" =!= 1).unionByName(upd), "text", "doc_id",
+      full, buckets = 16)
+    val expect = rows(Retrieval.bm25TopKAtRest(spark, full, qs,
+      "q_id", "q_text", k = 10, buckets = 16))
+    val got = rows(Bm25Stream.bm25TopKIncremental(spark, root, qs,
+      "q_id", "q_text", k = 10, buckets = 16))
+    assert(got === expect,
+      "stale version resurrected after crash-recovery fold")
+  }
+
   test("incremental gram index equals a full rebuild; compaction lossless; streaming-driven") {
     import java.nio.file.Files
     import graft.pipeline.Dedup
