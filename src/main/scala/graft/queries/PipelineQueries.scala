@@ -3385,6 +3385,37 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** [[ddSemanticAtRest]] over the INCREMENTALLY-maintained layout
+    * ([[graft.streaming.IvfStream]]): base over a third of the
+    * embeddings, two streamed delta batches for the rest (same fixed
+    * codebook — deterministic assignment), SemDeDup pairing over
+    * base ∪ deltas — the SAME oracle SQL verbatim, proving streamed
+    * maintenance composes with semantic dedup losslessly (the last
+    * at-rest consumer without an incremental gate). */
+  def ddSemanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = e.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val root = annLayoutDir(dir, "ivf_all_incr_sqrt50")
+    val m = new java.io.File(root, "_DELTAS_DONE")
+    if (!m.exists()) {
+      PartitionedAnn.writeIvfPartitioned(
+        e.filter(col("vec_id") % 3 === 0), "embedding", "vec_id",
+        centroids, s"$root/base")
+      graft.streaming.IvfStream.appendBatch(
+        e.filter(col("vec_id") % 3 === 1), 1L, root, centroids,
+        "embedding", "vec_id")
+      graft.streaming.IvfStream.appendBatch(
+        e.filter(col("vec_id") % 3 === 2), 2L, root, centroids,
+        "embedding", "vec_id")
+      m.createNewFile(): Unit
+    }
+    Similarity.semanticDedupAssigned(
+        graft.streaming.IvfStream.layout(s, root), "vec_id",
+        tau = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
   /** Transitive SemDeDup over the at-rest IVF index — the e2e twin of
     * [[ddSemanticAtRest]]: where [[ppSemdedupE2e]] rebuilds codebook +
     * assignment per run (the n^1.5 stage that dominated its sf10 time,
@@ -3647,6 +3678,7 @@ object PipelineQueries {
     "ta_pii" -> (taPii _),
     "dd_semantic" -> (ddSemantic _),
     "dd_semantic_at_rest" -> (ddSemanticAtRest _),
+    "dd_semantic_incremental" -> (ddSemanticIncremental _),
     "ta_repetition_native_expr" -> (taRepetitionExpr _),
     "ta_top_bigram" -> (taTopBigram _),
     "pp_mixture" -> (ppMixture _),
@@ -3683,7 +3715,7 @@ object PipelineQueries {
     "pp_hybrid_at_rest", "ann_ivf_compacted", "ann_ivf_refreshed",
     "pp_bm25_incremental", "pp_bm25_compacted", "pp_bm25_updated",
     "dd_contamination_at_rest", "dd_contamination_incremental",
-    "dd_contamination_compacted")
+    "dd_contamination_compacted", "dd_semantic_incremental")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -3766,6 +3798,8 @@ object PipelineQueries {
     // at-rest form shares the in-memory form's oracle verbatim: one
     // replay proves both paths equal AND the layout lossless
     "dd_semantic_at_rest" -> ddSemanticSql,
+    // streamed-maintenance composition shares the same replay too
+    "dd_semantic_incremental" -> ddSemanticSql,
     "ta_repetition_native_expr" -> taRepetitionSql,
     "ta_top_bigram" -> taTopBigramSql,
     "pp_mixture" -> ppMixtureSql,
