@@ -1373,18 +1373,49 @@ object PipelineQueries {
     * PRUNING path is pinned by the codebook-refresh StreamingSpec. */
   def annIvfRefreshed(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    // rfr2: the codebook moved INSIDE the layout (base/_codebook,
-    // swap-atomic with the partitioning) — new name invalidates
-    // pre-move cached roots
-    val root = annLayoutDir(dir, "ivf_rfr2_sqrt50")
-    incrementalIvfThen(s, dir, root, "_REFRESHED")(
-      graft.streaming.IvfStream.refreshCodebook(s, root, k = 8,
-        iters = 3): Unit)
+    val root = refreshedIvfRoot(s, dir)
     val newCents = s.read.parquet(s"$root/base/_codebook")
     PartitionedAnn.ivfTopKFrames(s,
         graft.streaming.IvfStream.layout(s, root),
         e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
         newCents, nprobe = 8)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The refreshed incremental root shared by [[annIvfRefreshed]]
+    * and [[annInt8IvfRefreshed]]. rfr2: the codebook lives INSIDE
+    * the layout (base/_codebook, swap-atomic with the partitioning)
+    * — the name invalidates pre-move cached roots. */
+  private def refreshedIvfRoot(s: SparkSession, dir: String): String = {
+    val root = annLayoutDir(dir, "ivf_rfr2_sqrt50")
+    incrementalIvfThen(s, dir, root, "_REFRESHED")(
+      graft.streaming.IvfStream.refreshCodebook(s, root, k = 8,
+        iters = 3): Unit)
+    root
+  }
+
+  /** The int8 half of the codebook-refresh contract — the scaladoc's
+    * "int8/PQ forms re-derive from a refreshed float corpus through
+    * their own writers", now gated: the refreshed float layout is
+    * re-quantized by [[PartitionedAnn.writeIvfPartitionedInt8]] under
+    * the refreshed codebook, and the probe with nprobe = all clusters
+    * is EXACT integer scoring over the whole corpus — so the result
+    * must equal int8 brute force and the gate replays [[annInt8Sql]]
+    * verbatim (per-vector max-abs quantization is corpus- and
+    * codebook-independent, so re-derivation after a refresh loses
+    * nothing). */
+  def annInt8IvfRefreshed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val root = refreshedIvfRoot(s, dir)
+    val newCents = s.read.parquet(s"$root/base/_codebook")
+    val out8 = annLayoutDir(dir, "ivf_rfr2_int8_sqrt50")
+    ensureLayout(out8)(PartitionedAnn.writeIvfPartitionedInt8(
+      graft.streaming.IvfStream.layout(s, root)
+        .select(col("c_id").as("vec_id"), col("c_vec").as("embedding")),
+      "embedding", "vec_id", newCents, out8))
+    PartitionedAnn.ivfTopKPartitionedInt8(s, out8,
+      e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+      newCents, nprobe = 8)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -3652,6 +3683,7 @@ object PipelineQueries {
     "ann_ivf_incremental" -> (annIvfIncremental _),
     "ann_ivf_compacted" -> (annIvfCompacted _),
     "ann_ivf_refreshed" -> (annIvfRefreshed _),
+    "ann_int8_ivf_refreshed" -> (annInt8IvfRefreshed _),
     "ann_int8_partitioned" -> (annInt8Partitioned _),
     "ann_int8_ivf_partitioned" -> (annInt8IvfPartitioned _),
     "ann_int8_ivf_incremental" -> (annInt8IvfIncremental _),
@@ -3715,7 +3747,8 @@ object PipelineQueries {
     "pp_hybrid_at_rest", "ann_ivf_compacted", "ann_ivf_refreshed",
     "pp_bm25_incremental", "pp_bm25_compacted", "pp_bm25_updated",
     "dd_contamination_at_rest", "dd_contamination_incremental",
-    "dd_contamination_compacted", "dd_semantic_incremental")
+    "dd_contamination_compacted", "dd_semantic_incremental",
+    "ann_int8_ivf_refreshed")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -3763,6 +3796,9 @@ object PipelineQueries {
     // top-k, codebook-independent — the brute oracle proves the
     // re-clustered layout holds every vector exactly once
     "ann_ivf_refreshed" -> annBruteSql,
+    // the int8 re-derivation after refresh probes all clusters —
+    // exact integer scoring, so the int8-brute replay verifies it
+    "ann_int8_ivf_refreshed" -> annInt8Sql,
     "ann_int8_partitioned" -> annInt8PartitionedSql,
     "ann_int8_ivf_partitioned" -> annInt8IvfPartitionedSql,
     "ann_int8_ivf_incremental" -> annInt8IvfPartitionedSql,
