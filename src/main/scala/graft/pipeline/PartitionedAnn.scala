@@ -375,6 +375,36 @@ object PartitionedAnn {
         .join(cwn, Seq("m", "code_id")), k)
   }
 
+  /** Two-stage IVF+PQ query with exact re-ranking — the full FAISS
+    * IVFADC+refine shape over TWO at-rest layouts: the coarse stage is
+    * [[ivfPqTopKFrames]] over the codes-only layout (probed `cent_id=`
+    * partitions, ADC lookup — no float read) kept to depth `refine`;
+    * the refine stage reads the candidates' float vectors back from
+    * the [[writeIvfPartitioned]] float layout, pruned BOTH ways — the
+    * probed-centroid partition filter (candidates live in probed
+    * clusters by construction) and the broadcast candidate-key join —
+    * and re-scores them with the exact cosine
+    * ([[Similarity.refineExact]]). At 100 TB the codes layout is the
+    * memory-resident search structure and the float layout is only
+    * ever touched at `refine·|Q|` keyed rows per query batch. */
+  def ivfPqTopKRefined(spark: SparkSession, codesDir: String,
+      floatDir: String, queries: DataFrame, vecCol: String,
+      keyCol: String, k: Int, refine: Int, centroids: DataFrame,
+      codewords: DataFrame, nprobe: Int, subDim: Int): DataFrame = {
+    require(refine >= k, s"refine depth $refine must be >= k=$k")
+    val coarse = ivfPqTopKPartitioned(spark, codesDir, queries, vecCol,
+      keyCol, refine, centroids, codewords, nprobe, subDim)
+      .select(col("q_id"), col("c_id"))
+    val probed = Similarity.ivfProbe(queries, vecCol, keyCol, centroids,
+        nprobe)
+      .select(col("cent_id").cast("int").as("cent_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val floats = spark.read.parquet(floatDir)
+      .filter(col("cent_id").isin(probed.toIndexedSeq: _*))
+      .select(col("c_id").as(keyCol), col("c_vec").as(vecCol))
+    Similarity.refineExact(queries, floats, vecCol, keyCol, coarse, k)
+  }
+
   /** [[Similarity.ivfTopK]] against a [[writeIvfPartitioned]] layout.
     * The probe pass runs on the query batch only; its distinct probed
     * centroids become the literal `cent_id IN (…)` partition filter. */

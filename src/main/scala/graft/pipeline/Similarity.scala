@@ -782,6 +782,58 @@ object Similarity {
     pqTopKAdc(queries, codes, cw, vecCol, keyCol, k, subDim)
   }
 
+  /** Exact re-ranking of a coarse candidate list (the FAISS "refine"
+    * stage): `cand` is a tiny `(q_id, c_id)` relation (queries ×
+    * refine-depth rows — broadcast by construction), and ONLY those
+    * corpus vectors are read back at float precision and scored with
+    * the exact cosine. This is the standard two-stage recipe that
+    * makes lossy compression (PQ/int8) safe at 100 TB: the compressed
+    * index does the corpus-sized work, the float read is k·|Q| keyed
+    * lookups — against a `cent_id=`-partitioned float layout the scan
+    * prunes to the probed clusters, and the broadcast candidate join
+    * prunes rows within them. Output `(q_id, rank, c_id, cos)` with
+    * the exact cosine, not the ADC approximation. */
+  private[pipeline] def refineExact(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, keyCol: String, cand: DataFrame, k: Int): DataFrame = {
+    val nd = nativeDot(corpus) _
+    val nn = nativeNorm(corpus) _
+    val q = broadcast(queries.select(col(keyCol).as("q_id"),
+      col(vecCol).as("q_vec"), nn(col(vecCol)).as("q_norm")))
+    corpus.select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
+        nn(col(vecCol)).as("c_norm"))
+      .join(broadcast(cand), Seq("c_id"))
+      .join(q, Seq("q_id"))
+      .withColumn("cos",
+        nd(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        r3(col("cos")).as("cos"))
+  }
+
+  /** Two-stage PQ search with exact re-ranking — ADC scores every
+    * code row cheaply ([[pqTopKAdc]], codes-only read), keeps the top
+    * `refine` candidates per query, then [[refineExact]] re-scores
+    * ONLY those with the true float cosine. Recall approaches
+    * brute-force while the corpus-sized stage still never touches a
+    * float vector; the refine stage's float read is `refine·|Q|`
+    * keyed lookups. `refine` ≥ `k`; ties in the coarse stage break on
+    * ascending `c_id`, so the candidate set is deterministic and the
+    * oracle can replay both stages. */
+  def pqTopKRefined(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      keyCol: String, k: Int, refine: Int, codebook: DataFrame,
+      numSub: Int, subDim: Int): DataFrame = {
+    require(refine >= k, s"refine depth $refine must be >= k=$k")
+    val cw = pqCodewords(codebook, vecCol, keyCol, numSub, subDim)
+      .localCheckpoint()
+    val codes = pqEncode(corpus, vecCol, keyCol, cw, numSub, subDim)
+    val coarse = pqTopKAdc(queries, codes, cw, vecCol, keyCol, refine,
+      subDim).select(col("q_id"), col("c_id"))
+    refineExact(queries, corpus, vecCol, keyCol, coarse, k)
+  }
+
   /** SemDeDup-style semantic deduplication (cluster first, dedup
     * within clusters — Abbas et al. 2023): assign every corpus vector
     * to its nearest centroid via [[ivfAssign]] (broadcast codebook,

@@ -1031,6 +1031,48 @@ object PipelineQueries {
          CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
+  /** Two-stage PQ search with exact re-ranking
+    * ([[Similarity.pqTopKRefined]] — the FAISS "refine" recipe): the
+    * ADC pass over the 8-int codes keeps the top 20 candidates per
+    * query, then ONLY those 20·|Q| vectors are read back at float
+    * precision and re-scored with the exact cosine. The oracle
+    * replays both stages — the full ADC ranking to depth 20 and the
+    * exact-cosine re-rank — proving the candidate handoff
+    * deterministic end to end. */
+  def annPqRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    Similarity.pqTopKRefined(
+      e.filter(col("vec_id") < 10), corpus, "embedding", "vec_id",
+      k = 5, refine = 20, codebook = corpus.filter(codebookPred(e)),
+      numSub = 8, subDim = 8)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private lazy val annPqRefinedSql = {
+    // annPqSql minus its final SELECT: the shared coarse-stage CTEs.
+    val coarseCtes = annPqSql.substring(0, annPqSql.indexOf("SELECT q_id, rank"))
+    s"""$coarseCtes ,
+       coarse AS (SELECT q_id, c_id FROM ranked WHERE rank <= 20),
+       rescored AS (
+         SELECT r.q_id, r.c_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(cv.embedding) AS y) z) / (q.nrm * cv.nrm)
+             AS cos
+         FROM coarse r
+           JOIN q ON q.vec_id = r.q_id
+           JOIN n cv ON cv.vec_id = r.c_id),
+       reranked AS (
+         SELECT q_id, c_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, c_id) AS rank
+         FROM rescored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+       FROM reranked WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
   /** Cache for partitioned-at-rest ANN layouts: written once per
     * (sf dir, layout) and reused across Verify/Bench/test invocations
     * in the same container — the "write the index once" half of the
@@ -1281,6 +1323,63 @@ object PipelineQueries {
        SELECT q_id, rank, c_id,
          CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  /** Two-stage IVF+PQ with exact re-ranking over TWO at-rest layouts
+    * ([[PartitionedAnn.ivfPqTopKRefined]]): the coarse stage probes
+    * the codes-only IVFADC layout (2 clusters, ADC lookup, no float
+    * read) to depth 20, the refine stage reads those candidates' float
+    * vectors back from the `cent_id=`-partitioned float layout —
+    * pruned by the probe set AND the broadcast candidate keys — and
+    * re-scores with the exact cosine. Both layouts are the ones the
+    * sibling gates already write; the oracle replays the
+    * cluster-restricted ADC ranking and the exact re-rank end to
+    * end. */
+  def annPqIvfRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val centroids = corpus.filter(codebookPred(e))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val cw = Similarity.pqCodewords(corpus.filter(codebookPred(e)),
+      "embedding", "vec_id", numSub = 8, subDim = 8)
+      .localCheckpoint()
+    val codesOut = annLayoutDir(dir, "ivfpq_sqrt50_m8")
+    ensureLayout(codesOut)(PartitionedAnn.writeIvfPqPartitioned(
+      corpus, "embedding", "vec_id", centroids, cw, codesOut,
+      numSub = 8, subDim = 8))
+    val floatOut = annLayoutDir(dir, "ivf_sqrt50")
+    ensureLayout(floatOut)(PartitionedAnn.writeIvfPartitioned(
+      corpus, "embedding", "vec_id", centroids, floatOut))
+    PartitionedAnn.ivfPqTopKRefined(s, codesOut, floatOut,
+      e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+      refine = 20, centroids, cw, nprobe = 2, subDim = 8)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private lazy val annPqIvfRefinedSql = {
+    // annPqIvfSql minus its final SELECT: the cluster-restricted
+    // coarse-stage CTEs (probing, encoding, ADC ranking).
+    val coarseCtes =
+      annPqIvfSql.substring(0, annPqIvfSql.indexOf("SELECT q_id, rank"))
+    s"""$coarseCtes ,
+       coarse AS (SELECT q_id, c_id FROM ranked WHERE rank <= 20),
+       rescored AS (
+         SELECT r.q_id, r.c_id,
+           (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+            FROM (SELECT unnest(q.embedding) AS x,
+                         unnest(cv.embedding) AS y) z) / (q.nrm * cv.nrm)
+             AS cos
+         FROM coarse r
+           JOIN q ON q.vec_id = r.q_id
+           JOIN n cv ON cv.vec_id = r.c_id),
+       reranked AS (
+         SELECT q_id, c_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, c_id) AS rank
+         FROM rescored)
+       SELECT q_id, rank, c_id,
+         CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
+       FROM reranked WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
 
   /** IVF top-k against an INCREMENTALLY-built at-rest layout: a base
     * build over a third of the corpus plus two streamed delta appends
@@ -3676,6 +3775,8 @@ object PipelineQueries {
     "ann_lsh_multiprobe" -> (annLshMultiProbe _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_pq_topk" -> (annPqTopK _),
+    "ann_pq_refined" -> (annPqRefined _),
+    "ann_pq_ivf_refined" -> (annPqIvfRefined _),
     "ann_lsh_partitioned" -> (annLshPartitioned _),
     "ann_ivf_partitioned" -> (annIvfPartitioned _),
     "ann_pq_ivf_partitioned" -> (annPqIvfPartitioned _),
@@ -3748,7 +3849,7 @@ object PipelineQueries {
     "pp_bm25_incremental", "pp_bm25_compacted", "pp_bm25_updated",
     "dd_contamination_at_rest", "dd_contamination_incremental",
     "dd_contamination_compacted", "dd_semantic_incremental",
-    "ann_int8_ivf_refreshed")
+    "ann_int8_ivf_refreshed", "ann_pq_ivf_refined")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -3782,6 +3883,8 @@ object PipelineQueries {
     "ann_lsh_multiprobe" -> annLshMultiProbeSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_pq_topk" -> annPqSql,
+    "ann_pq_refined" -> annPqRefinedSql,
+    "ann_pq_ivf_refined" -> annPqIvfRefinedSql,
     "ann_pq_ivf_partitioned" -> annPqIvfSql,
     "ann_pq_ivf_incremental" -> annPqIvfSql,
     "ann_lsh_partitioned" -> annLshPartitionedSql,

@@ -892,6 +892,32 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("PQ refine: full-depth refine reproduces brute force exactly") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10 && $"vec_id" < 210)
+    val cb = c.filter($"vec_id" % 20 === 0)
+    val n = c.count().toInt
+    val brute = Similarity.bruteForceTopK(q, c, "embedding", "vec_id", 5)
+    // refine depth = |corpus| ⇒ the coarse stage keeps everything and
+    // the exact re-rank IS brute force, bit for bit
+    val full = Similarity.pqTopKRefined(q, c, "embedding", "vec_id",
+      k = 5, refine = n, codebook = cb, numSub = 8, subDim = 8)
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty)
+    // shallow refine: every reported cos is the EXACT cosine for that
+    // (q, c) pair — the ADC estimate never leaks into the output
+    val shallow = Similarity.pqTopKRefined(q, c, "embedding", "vec_id",
+      k = 5, refine = 20, codebook = cb, numSub = 8, subDim = 8)
+      .select($"q_id", $"c_id", $"cos").as[(Long, Long, Double)].collect()
+    val bruteAll = Similarity.bruteForceTopK(q, c, "embedding", "vec_id", n)
+      .select($"q_id", $"c_id", $"cos").as[(Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    assert(shallow.length === 50)
+    shallow.foreach { case (qid, cid, cos) =>
+      assert(cos === bruteAll((qid, cid)), s"q=$qid c=$cid")
+    }
+  }
+
   test("BM25: hand-computed fixture scores; duplicate query terms count once") {
     val corpus = Seq(
       (0L, "spark join join window"),
