@@ -508,6 +508,65 @@ object TextAnalysis {
         col("mx").as("max_tokens"))
   }
 
+  /** Count-min-sketch heavy hitters with a LOSSLESS exact verify —
+    * the approximate-then-verify recipe for corpus-frequency
+    * thresholds at 100 TB. Phase 1 builds a depth×width count-min
+    * sketch of the word-n-gram stream in ONE map-side-combinable
+    * shuffle onto depth·width cells (bounded by construction — KBs,
+    * independent of corpus size) and collects it as a driver constant
+    * (the [[graft.pipeline.Dedup.contaminationBloomHits]] move).
+    * Phase 2 re-scans the gram stream and evaluates each gram's CMS
+    * estimate SCAN-LOCAL — `least` over `element_at` into the literal
+    * sketch rows, no join, no row multiplication — keeping only grams
+    * whose estimate clears the threshold, so the exact-count groupBy
+    * shuffles only the surviving occurrences instead of every gram in
+    * the corpus.
+    *
+    * Losslessness: a count-min cell is a sum over a SUPERSET of each
+    * gram's occurrences, so the estimate never underestimates; any
+    * gram with true count ≥ threshold therefore survives the
+    * prefilter, and the exact verify removes the collisions' false
+    * positives. The driver gate runs the exact-count SQL a
+    * sketch-free engine would — the hash match is the losslessness
+    * proof (the dd_contamination_bloom pattern).
+    *
+    * The threshold is the classic φ·N heavy-hitter bar with
+    * φ = 1/phiDenom, computed integer-exactly as
+    * ceil(N/phiDenom) = (N + phiDenom − 1) div phiDenom; N (total
+    * gram occurrences) is read off the sketch itself — any row sums
+    * to N — so phase 2 needs no extra pass. */
+  def heavyHitters(docs: DataFrame, textCol: String, n: Int = 2,
+      phiDenom: Long = 800L, depth: Int = 3,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1 && phiDenom >= 1,
+      "heavyHitters: depth, width and phiDenom must be positive")
+    val fns = graft.functions.GraftFunctions
+    fns.register(docs.sparkSession)
+    def gramStream = docs.select(
+      explode(fns.word_ngrams(col(textCol), n)).as("gram"))
+    val cells = gramStream
+      .select(explode(array((0 until depth).map(i => struct(
+        lit(i).as("i"),
+        pmod(xxhash64(lit(i), col("gram")), lit(width)).cast("int")
+          .as("b"))): _*)).as("h"))
+      .groupBy(col("h.i").as("i"), col("h.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val sketch = Array.fill(depth, width)(0L)
+    cells.foreach(r => sketch(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val total = sketch(0).sum
+    val threshold = (total + phiDenom - 1L) / phiDenom
+    val est = least((0 until depth).map { i =>
+      element_at(typedlit(sketch(i).toSeq),
+        pmod(xxhash64(lit(i), col("gram")), lit(width)).cast("int")
+          + lit(1))
+    }: _*)
+    gramStream.filter(est >= lit(threshold))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= lit(threshold))
+      .orderBy(col("n").desc, col("gram"))
+  }
+
   /** Score any document relation against a trained [[bigramModel]].
     * Bigrams absent from the model contribute probability 0 (the doc
     * still pays for them in the mean — unseen transitions are exactly

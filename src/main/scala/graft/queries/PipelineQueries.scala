@@ -2636,6 +2636,31 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-frequency heavy hitters via count-min sketch + lossless
+    * exact verify ([[TextAnalysis.heavyHitters]]): every bigram whose
+    * corpus count clears the φ·N bar (φ = 1/800). The sketch is a
+    * scan-side prefilter that never underestimates, so the oracle is
+    * the plain exact-count SQL — the hash match proves the sketch
+    * path lossless (the dd_contamination_bloom pattern). */
+  def taHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.heavyHitters(t(s, dir, "documents"), "text",
+      n = 2, phiDenom = 800L)
+
+  private val taHeavyHittersSql =
+    """WITH toks AS (
+         SELECT list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       g AS (
+         SELECT tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       tot AS (SELECT COUNT(*) AS ntot FROM g),
+       c AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY gram)
+       SELECT gram, n FROM c
+       WHERE n >= (SELECT (ntot + 799) // 800 FROM tot)
+       ORDER BY n DESC, gram"""
+
   /** Gopher's other repetition signal: fraction of a document's
     * bigrams occupied by its single most frequent bigram, smallest
     * gram winning count ties. */
@@ -3814,6 +3839,7 @@ object PipelineQueries {
     "dd_semantic_incremental" -> (ddSemanticIncremental _),
     "ta_repetition_native_expr" -> (taRepetitionExpr _),
     "ta_top_bigram" -> (taTopBigram _),
+    "ta_heavy_hitters" -> (taHeavyHitters _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -3941,6 +3967,7 @@ object PipelineQueries {
     "dd_semantic_incremental" -> ddSemanticSql,
     "ta_repetition_native_expr" -> taRepetitionSql,
     "ta_top_bigram" -> taTopBigramSql,
+    "ta_heavy_hitters" -> taHeavyHittersSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,

@@ -892,6 +892,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("CMS heavy hitters: lossless under forced sketch collisions") {
+    // 40 copies of one bigram + 10 singletons; N=50 occurrences
+    val docs = (Seq.fill(40)("alpha beta") ++
+      (0 until 10).map(i => s"tok$i uniq$i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // width=2/depth=2 forces heavy collisions: the sketch OVERcounts
+    // wildly, but can never UNDERcount — the exact verify must still
+    // produce exactly the true over-threshold set
+    val got = TextAnalysis.heavyHitters(docs, "text", n = 2,
+      phiDenom = 10L, depth = 2, width = 2)
+      .as[(String, Long)].collect()
+    assert(got.toSeq === Seq(("alpha beta", 40L))) // ceil(50/10)=5
+    // permissive threshold: every bigram qualifies — the sketch path
+    // must reproduce the full exact-count relation
+    val all = TextAnalysis.heavyHitters(docs, "text", n = 2,
+      phiDenom = 50L, depth = 2, width = 2)
+      .as[(String, Long)].collect()
+    assert(all.length === 11 && all.head === (("alpha beta", 40L)))
+    assert(all.forall { case (g, c) => c == (if (g == "alpha beta") 40 else 1) })
+  }
+
   test("PQ refine: full-depth refine reproduces brute force exactly") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)
