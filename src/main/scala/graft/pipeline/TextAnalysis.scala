@@ -567,6 +567,89 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
   }
 
+  /** Distributed BPE merge training (Sennrich et al. 2016) — the
+    * tokenizer-training op of an LLM data pipeline. The corpus-sized
+    * work is ONE shuffle: tokens collapse to the distinct-word table
+    * with counts, and every merge round thereafter runs over that
+    * vocab-sized relation (at 100 TB the vocabulary is millions of
+    * rows while the corpus is trillions of tokens — the rounds cost
+    * nothing by comparison). Each round: extract adjacent symbol
+    * pairs scan-local, count them weighted by word frequency
+    * (map-side-combinable, pair-vocabulary-sized shuffle), pick the
+    * most frequent pair (ties: lexicographically smallest), and merge
+    * it everywhere.
+    *
+    * Symbol sequences are represented as delimiter-WRAPPED strings —
+    * `/a//b//c/` for [a,b,c] — so a merge is one engine-portable
+    * `replace(s, "/a//b/", "/ab/")`: both Spark and DuckDB replace
+    * non-overlapping occurrences scanning left to right, which is
+    * exactly BPE's greedy merge order, and the doubled delimiter
+    * means adjacent pairs never share matched characters (the
+    * single-separator encoding would drop every second merge in a
+    * run like [a,b,a,b]). Per-round [[localCheckpoint]] keeps the
+    * iterative lineage flat (the BFS discipline).
+    *
+    * Output: one row per learned merge — (round, lhs, rhs, merged,
+    * pair_count), deterministic under the count-then-lexicographic
+    * tie-break. */
+  def bpeMerges(docs: DataFrame, textCol: String,
+      rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s", regexp_replace(col("word"), "(.)", "/$1/"))
+      .localCheckpoint() // eager: vocab-sized by construction
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String,
+        String, Long)]
+    for (r <- 1 to rounds) {
+      val sym = split(trim(col("s"), "/"), "//")
+      val pairs = words.select(col("cnt"),
+        explode(when(size(sym) >= 2,
+          transform(sequence(lit(0), size(sym) - 2),
+            i => struct(element_at(sym, i + 1).as("a"),
+              element_at(sym, i + 2).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")))
+          .as("p"))
+      val top = pairs
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, a + b, c))
+        words = words.withColumn("s",
+          replace(col("s"), lit(s"/$a//$b/"), lit(s"/$a$b/")))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Apply a learned BPE merge list to a relation's vocabulary: each
+    * distinct word is character-split and the merges replayed IN
+    * TRAINING ORDER (the order is the algorithm — applying them
+    * sorted any other way segments differently). Scan-local: the
+    * merge list is a driver constant folded into one replace chain,
+    * so segmentation at 100 TB is a single pass with no joins.
+    * Output (word, pieces, n_pieces). */
+  def bpeSegment(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val s0 = regexp_replace(col("word"), "(.)", "/$1/")
+    val seg = merges.foldLeft(s0) { case (acc, (a, b)) =>
+      replace(acc, lit(s"/$a//$b/"), lit(s"/$a$b/"))
+    }
+    val pieces = split(trim(seg, "/"), "//")
+    docs.select(explode(tokens(col(textCol))).as("word")).distinct()
+      .select(col("word"), concat_ws(" ", pieces).as("pieces"),
+        size(pieces).cast("long").as("n_pieces"))
+      .orderBy(col("word"))
+  }
+
   /** Score any document relation against a trained [[bigramModel]].
     * Bigrams absent from the model contribute probability 0 (the doc
     * still pays for them in the mean — unseen transitions are exactly

@@ -2661,6 +2661,94 @@ object PipelineQueries {
        WHERE n >= (SELECT (ntot + 799) // 800 FROM tot)
        ORDER BY n DESC, gram"""
 
+  /** Distributed BPE merge training ([[TextAnalysis.bpeMerges]]) —
+    * 8 merge rounds over the documents vocabulary. The oracle unrolls
+    * all 8 rounds as CTE chains (pair counting, winner pick with the
+    * count-then-lexicographic tie-break, delimiter-wrapped replace),
+    * proving every round's winner AND the greedy merge application
+    * engine-neutral. */
+  def ppBpeTrain(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", rounds = 8)
+      .orderBy(col("round"))
+
+  /** Subword segmentation with the trained merges
+    * ([[TextAnalysis.bpeSegment]]): the 8 learned merges replayed in
+    * training order over the distinct-word vocabulary. */
+  def ppBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.bpeMerges(t(s, dir, "documents"), "text",
+        rounds = 8)
+      .orderBy(col("round"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    TextAnalysis.bpeSegment(t(s, dir, "documents"), "text", m)
+  }
+
+  private val bpeRounds = 8
+
+  /** The shared BPE CTE chain: w0 (character-split vocabulary) and,
+    * per round r, p_r (pair counts) → m_r (winner) → w_r (merged). */
+  private lazy val bpeCtes: String = {
+    val head =
+      """WITH wc AS (
+           SELECT gram AS word, COUNT(*) AS cnt FROM (
+             SELECT unnest(list_filter(
+               string_split_regex(lower(text), '\W+'),
+               x -> x <> '')) AS gram
+             FROM documents) GROUP BY 1),
+         w0 AS MATERIALIZED (
+           SELECT word, cnt,
+             regexp_replace(word, '(.)', '/\1/', 'g') AS s
+           FROM wc)"""
+    val rounds = (1 to bpeRounds).map { r =>
+      val prev = s"w${r - 1}"
+      s""",
+         p$r AS MATERIALIZED (
+           SELECT sym[i+1] AS a, sym[i+2] AS b, SUM(cnt) AS c
+           FROM (SELECT cnt, string_split(trim(s, '/'), '//') AS sym
+                 FROM $prev)
+             CROSS JOIN unnest(range(len(sym) - 1)) AS r(i)
+           GROUP BY 1, 2),
+         m$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         w$r AS MATERIALIZED (
+           SELECT word, cnt,
+             replace(s,
+               '/' || (SELECT a FROM m$r) || '//' ||
+                 (SELECT b FROM m$r) || '/',
+               '/' || (SELECT a FROM m$r) ||
+                 (SELECT b FROM m$r) || '/') AS s
+           FROM $prev)"""
+    }.mkString
+    head + rounds
+  }
+
+  private lazy val ppBpeTrainSql = {
+    val roundsSel = (1 to bpeRounds).map { r =>
+      s"""SELECT $r AS round, a AS lhs, b AS rhs, a || b AS merged,
+            CAST(c AS BIGINT) AS pair_count FROM m$r"""
+    }.mkString(" UNION ALL ")
+    s"""$bpeCtes
+       SELECT * FROM ($roundsSel) ORDER BY round"""
+  }
+
+  private lazy val ppBpeApplySql = {
+    val seg = (1 to bpeRounds).foldLeft(
+      "regexp_replace(word, '(.)', '/\\1/', 'g')") {
+      case (acc, r) =>
+        s"""replace($acc,
+             '/' || (SELECT a FROM m$r) || '//' ||
+               (SELECT b FROM m$r) || '/',
+             '/' || (SELECT a FROM m$r) ||
+               (SELECT b FROM m$r) || '/')"""
+    }
+    s"""$bpeCtes,
+       words AS (SELECT DISTINCT word FROM wc),
+       seg AS (SELECT word, $seg AS s FROM words)
+       SELECT word,
+         array_to_string(string_split(trim(s, '/'), '//'), ' ') AS pieces,
+         CAST(len(string_split(trim(s, '/'), '//')) AS BIGINT) AS n_pieces
+       FROM seg ORDER BY word"""
+  }
+
   /** Gopher's other repetition signal: fraction of a document's
     * bigrams occupied by its single most frequent bigram, smallest
     * gram winning count ties. */
@@ -3840,6 +3928,8 @@ object PipelineQueries {
     "ta_repetition_native_expr" -> (taRepetitionExpr _),
     "ta_top_bigram" -> (taTopBigram _),
     "ta_heavy_hitters" -> (taHeavyHitters _),
+    "pp_bpe_train" -> (ppBpeTrain _),
+    "pp_bpe_apply" -> (ppBpeApply _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -3968,6 +4058,8 @@ object PipelineQueries {
     "ta_repetition_native_expr" -> taRepetitionSql,
     "ta_top_bigram" -> taTopBigramSql,
     "ta_heavy_hitters" -> taHeavyHittersSql,
+    "pp_bpe_train" -> ppBpeTrainSql,
+    "pp_bpe_apply" -> ppBpeApplySql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,

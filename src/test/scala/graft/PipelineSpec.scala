@@ -892,6 +892,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("BPE: hand-computed merges; greedy run merge; training-order apply") {
+    // the classic Sennrich fixture: low×3, lower×1, lowest×1
+    val docs = Seq((0L, "low low low"), (1L, "lower"), (2L, "lowest"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, "text", rounds = 4)
+      .orderBy($"round")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // r1: (l,o) and (o,w) tie at 5 → lexicographic smallest (l,o)
+    // r4: three pairs tie at 1 → (lowe,r) is the smallest (a,b)
+    assert(m === Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "low", "e", "lowe", 2L),
+      (4, "lowe", "r", "lower", 1L)))
+    val seg = TextAnalysis.bpeSegment(docs, "text",
+      m.map(x => (x._2, x._3)))
+      .as[(String, String, Long)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(seg("low") === (("low", 1L)))
+    assert(seg("lower") === (("lower", 1L)))
+    assert(seg("lowest") === (("lowe s t", 3L)))
+    // adjacent repeats of the merged pair must BOTH merge — the
+    // doubled-delimiter encoding's whole point ([a,b,a,b] → [ab,ab])
+    val ab = Seq((0L, "abab")).toDF("doc_id", "text")
+    val m1 = TextAnalysis.bpeMerges(ab, "text", rounds = 1)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(m1.toSeq === Seq((1, "a", "b", "ab", 2L)))
+    val segAb = TextAnalysis.bpeSegment(ab, "text", Seq(("a", "b")))
+      .as[(String, String, Long)].collect()
+    assert(segAb.toSeq === Seq(("abab", "ab ab", 2L)))
+  }
+
   test("CMS heavy hitters: lossless under forced sketch collisions") {
     // 40 copies of one bigram + 10 singletons; N=50 occurrences
     val docs = (Seq.fill(40)("alpha beta") ++
