@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic training-shard writer + manifest — the last step of
+  * a curation pipeline: the selected corpus is laid out as N stable
+  * shards and a manifest records per-shard invariants so any later
+  * reader (a trainer, an auditor, a resumed job) can check it got
+  * exactly the bytes the pipeline wrote.
+  *
+  * Scale shape: assignment is a scan-local key expression (no salt,
+  * no global sort — shard identity must be a pure function of the
+  * row, or a re-run re-shards differently); the write is ONE shuffle
+  * onto the shard key; the manifest is one map-side-combinable
+  * aggregate over the read-back layout. All manifest fields are
+  * order-independent (counts, sums, min/max) so the manifest is
+  * invariant to executor scheduling — the determinism the gate's
+  * oracle replay proves.
+  */
+object Sharding {
+
+  /** Write `docs` as a `shard=`-partitioned layout: shard =
+    * key mod nShards — pure, portable, replayable (a hash-mod swap
+    * is a one-line change with the same plan shape). One file per
+    * shard dir via the repartition, the
+    * [[PartitionedAnn.writeIvfPartitioned]] discipline. */
+  def writeSharded(docs: DataFrame, keyCol: String, outDir: String,
+      nShards: Int): Unit = {
+    require(nShards >= 1, "writeSharded: nShards must be positive")
+    docs
+      .withColumn("shard",
+        pmod(col(keyCol), lit(nShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
+  /** The per-shard manifest of a [[writeSharded]] layout, computed
+    * from the READ-BACK files (so a hash-green gate proves the
+    * round trip, not just the plan): document count, exact token
+    * total, md5 min/max as a content fingerprint, and the exact key
+    * sum. Every field is an order-independent integer/string
+    * aggregate — no floats anywhere. */
+  def manifest(spark: SparkSession, layoutDir: String, keyCol: String,
+      textCol: String): DataFrame =
+    spark.read.parquet(layoutDir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
+          .as("n_tokens"),
+        min(md5(col(textCol))).as("min_md5"),
+        max(md5(col(textCol))).as("max_md5"),
+        sum(col(keyCol)).as("sum_key"))
+      .orderBy(col("shard"))
+}

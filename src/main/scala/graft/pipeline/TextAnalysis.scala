@@ -537,23 +537,45 @@ object TextAnalysis {
     * to N — so phase 2 needs no extra pass. */
   def heavyHitters(docs: DataFrame, textCol: String, n: Int = 2,
       phiDenom: Long = 800L, depth: Int = 3,
-      width: Int = 1024): DataFrame = {
-    require(depth >= 1 && width >= 1 && phiDenom >= 1,
-      "heavyHitters: depth, width and phiDenom must be positive")
+      width: Int = 1024): DataFrame =
+    heavyHittersFromCells(docs, textCol,
+      cmsCells(docs, textCol, n, depth, width), n, phiDenom, depth,
+      width)
+
+  /** The count-min cell relation `(i, b, cnt)` for one corpus slice —
+    * depth·width rows, bounded by construction. Cells are plain sums,
+    * so sketches MERGE by cell-wise addition: maintaining the sketch
+    * incrementally (union the per-batch cell relations, re-aggregate)
+    * is exact, not approximate-on-approximate — the property
+    * [[heavyHittersIncremental]]'s gate proves by hash equality with
+    * the one-shot build. */
+  def cmsCells(docs: DataFrame, textCol: String, n: Int, depth: Int,
+      width: Int): DataFrame = {
     val fns = graft.functions.GraftFunctions
     fns.register(docs.sparkSession)
-    def gramStream = docs.select(
-      explode(fns.word_ngrams(col(textCol), n)).as("gram"))
-    val cells = gramStream
+    docs.select(explode(fns.word_ngrams(col(textCol), n)).as("gram"))
       .select(explode(array((0 until depth).map(i => struct(
         lit(i).as("i"),
         pmod(xxhash64(lit(i), col("gram")), lit(width)).cast("int")
           .as("b"))): _*)).as("h"))
       .groupBy(col("h.i").as("i"), col("h.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
-      .collect()
+  }
+
+  /** Phase 2 of [[heavyHitters]] over an explicit cell relation —
+    * shared by the one-shot path and the incremental path (base ∪
+    * delta cell relations, cell-wise summed). */
+  def heavyHittersFromCells(docs: DataFrame, textCol: String,
+      cells: DataFrame, n: Int, phiDenom: Long, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1 && phiDenom >= 1,
+      "heavyHitters: depth, width and phiDenom must be positive")
+    val fns = graft.functions.GraftFunctions
+    fns.register(docs.sparkSession)
+    val merged = cells.groupBy(col("i"), col("b"))
+      .agg(sum(col("cnt")).as("cnt")).collect()
     val sketch = Array.fill(depth, width)(0L)
-    cells.foreach(r => sketch(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    merged.foreach(r => sketch(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     val total = sketch(0).sum
     val threshold = (total + phiDenom - 1L) / phiDenom
     val est = least((0 until depth).map { i =>
@@ -561,10 +583,28 @@ object TextAnalysis {
         pmod(xxhash64(lit(i), col("gram")), lit(width)).cast("int")
           + lit(1))
     }: _*)
-    gramStream.filter(est >= lit(threshold))
+    docs.select(explode(fns.word_ngrams(col(textCol), n)).as("gram"))
+      .filter(est >= lit(threshold))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= lit(threshold))
       .orderBy(col("n").desc, col("gram"))
+  }
+
+  /** Heavy hitters with an INCREMENTALLY-maintained sketch: per-slice
+    * cell relations (the per-micro-batch form a streaming maintainer
+    * appends at rest — KBs per batch) are unioned and cell-wise
+    * summed, then the exact-verify pass runs over the full corpus.
+    * Because count-min cells are sums, the merged sketch is
+    * BIT-IDENTICAL to a one-shot build over the union — the gate
+    * shares [[heavyHitters]]' exact-count oracle verbatim. */
+  def heavyHittersIncremental(slices: Seq[DataFrame], full: DataFrame,
+      textCol: String, n: Int = 2, phiDenom: Long = 800L,
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    require(slices.nonEmpty, "heavyHittersIncremental: no slices")
+    val cells = slices.map(cmsCells(_, textCol, n, depth, width))
+      .reduce(_.unionByName(_))
+    heavyHittersFromCells(full, textCol, cells, n, phiDenom, depth,
+      width)
   }
 
   /** Distributed BPE merge training (Sennrich et al. 2016) — the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, GraphRank, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, GraphRank, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Sharding, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2661,6 +2661,47 @@ object PipelineQueries {
        WHERE n >= (SELECT (ntot + 799) // 800 FROM tot)
        ORDER BY n DESC, gram"""
 
+  /** Heavy hitters with the sketch maintained INCREMENTALLY
+    * ([[TextAnalysis.heavyHittersIncremental]]): three corpus slices
+    * contribute per-slice cell relations, cell-wise summed before the
+    * exact verify. Count-min cells are sums ⇒ the merged sketch is
+    * bit-identical to the one-shot build — gated against
+    * [[taHeavyHittersSql]] VERBATIM (the ann_ivf_incremental proof
+    * pattern). */
+  def taHeavyHittersIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.heavyHittersIncremental(
+      Seq(d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 3 === 1),
+        d.filter(col("doc_id") % 3 === 2)),
+      d, "text", n = 2, phiDenom = 800L)
+  }
+
+  /** Deterministic shard writer + manifest ([[Sharding]]): documents
+    * written as a `shard=`-partitioned layout, manifest computed from
+    * the READ-BACK files. The oracle replays the assignment and every
+    * manifest aggregate straight off the source table — the hash
+    * match proves the written layout is exactly the source, row for
+    * row and byte for byte (md5 fingerprints). */
+  def ppShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val out = layoutDir(dir, "documents", "shards8")
+    ensureLayout(out)(Sharding.writeSharded(
+      t(s, dir, "documents"), "doc_id", out, nShards = 8))
+    Sharding.manifest(s, out, "doc_id", "text")
+  }
+
+  private val ppShardManifestSql =
+    """WITH tk AS (
+         SELECT CAST(doc_id % 8 AS INTEGER) AS shard, doc_id, text,
+           len(list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '')) AS nt
+         FROM documents)
+       SELECT shard, COUNT(*) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_key
+       FROM tk GROUP BY shard ORDER BY shard"""
+
   /** Distributed BPE merge training ([[TextAnalysis.bpeMerges]]) —
     * 8 merge rounds over the documents vocabulary. The oracle unrolls
     * all 8 rounds as CTE chains (pair counting, winner pick with the
@@ -3928,8 +3969,10 @@ object PipelineQueries {
     "ta_repetition_native_expr" -> (taRepetitionExpr _),
     "ta_top_bigram" -> (taTopBigram _),
     "ta_heavy_hitters" -> (taHeavyHitters _),
+    "ta_heavy_hitters_incremental" -> (taHeavyHittersIncremental _),
     "pp_bpe_train" -> (ppBpeTrain _),
     "pp_bpe_apply" -> (ppBpeApply _),
+    "pp_shard_manifest" -> (ppShardManifest _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -3965,7 +4008,8 @@ object PipelineQueries {
     "pp_bm25_incremental", "pp_bm25_compacted", "pp_bm25_updated",
     "dd_contamination_at_rest", "dd_contamination_incremental",
     "dd_contamination_compacted", "dd_semantic_incremental",
-    "ann_int8_ivf_refreshed", "ann_pq_ivf_refined")
+    "ann_int8_ivf_refreshed", "ann_pq_ivf_refined",
+    "pp_shard_manifest")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -4058,8 +4102,10 @@ object PipelineQueries {
     "ta_repetition_native_expr" -> taRepetitionSql,
     "ta_top_bigram" -> taTopBigramSql,
     "ta_heavy_hitters" -> taHeavyHittersSql,
+    "ta_heavy_hitters_incremental" -> taHeavyHittersSql,
     "pp_bpe_train" -> ppBpeTrainSql,
     "pp_bpe_apply" -> ppBpeApplySql,
+    "pp_shard_manifest" -> ppShardManifestSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,

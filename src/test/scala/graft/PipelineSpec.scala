@@ -892,6 +892,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sharding: manifest round-trips; fingerprint pins content drift") {
+    val docs = (0L until 20L).map(i => (i, s"doc number $i text"))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Sharding.writeSharded(docs, "doc_id", out, nShards = 4)
+    val m = Sharding.manifest(spark, out, "doc_id", "text").collect()
+    assert(m.length === 4)
+    assert(m.map(_.getLong(1)).sum === 20L)  // every doc in some shard
+    // one character of one document changed → exactly that doc's
+    // shard reports a different manifest row
+    val docs2 = docs.withColumn("text",
+      when($"doc_id" === 7L, lit("drifted")).otherwise($"text"))
+    val out2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    Sharding.writeSharded(docs2, "doc_id", out2, nShards = 4)
+    val m2 = Sharding.manifest(spark, out2, "doc_id", "text").collect()
+    val diff = m.zip(m2).filter { case (a, b) => a.toString != b.toString }
+    assert(diff.length === 1 && diff.head._1.getInt(0) === 3) // 7 mod 4
+  }
+
   test("BPE: hand-computed merges; greedy run merge; training-order apply") {
     // the classic Sennrich fixture: low×3, lower×1, lowest×1
     val docs = Seq((0L, "low low low"), (1L, "lower"), (2L, "lowest"))
