@@ -353,7 +353,6 @@ object PartitionedAnn {
       centroids: DataFrame, codewords: DataFrame, nprobe: Int,
       subDim: Int): DataFrame = {
     requireIntCentIds(centroids)
-    graft.functions.GraftFunctions.register(spark)
     // localCheckpoint: consumed by the probe-set collect AND the join
     val probedQ = Similarity
       .ivfProbe(queries, vecCol, keyCol, centroids, nprobe)
@@ -361,6 +360,18 @@ object PartitionedAnn {
       .localCheckpoint()
     val probed = probedQ.select(col("cent_id")).distinct()
       .collect().map(_.getInt(0)).sorted
+    ivfPqTopKProbed(spark, corpus, queries, vecCol, keyCol, k,
+      codewords, subDim, probedQ, probed)
+  }
+
+  /** The ADC scoring tail of [[ivfPqTopKFrames]] over an ALREADY
+    * computed probe pass — lets [[ivfPqTopKRefined]] share one probe
+    * between its coarse and refine stages. */
+  private def ivfPqTopKProbed(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, vecCol: String, keyCol: String, k: Int,
+      codewords: DataFrame, subDim: Int, probedQ: DataFrame,
+      probed: Array[Int]): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val lut = Similarity.pqLut(queries, codewords, vecCol, keyCol, subDim)
     val cwn = broadcast(
       codewords.select(col("m"), col("code_id"), col("cwn2")))
@@ -392,13 +403,18 @@ object PartitionedAnn {
       keyCol: String, k: Int, refine: Int, centroids: DataFrame,
       codewords: DataFrame, nprobe: Int, subDim: Int): DataFrame = {
     require(refine >= k, s"refine depth $refine must be >= k=$k")
-    val coarse = ivfPqTopKPartitioned(spark, codesDir, queries, vecCol,
-      keyCol, refine, centroids, codewords, nprobe, subDim)
-      .select(col("q_id"), col("c_id"))
-    val probed = Similarity.ivfProbe(queries, vecCol, keyCol, centroids,
-        nprobe)
-      .select(col("cent_id").cast("int").as("cent_id")).distinct()
+    requireIntCentIds(centroids)
+    // ONE probe pass drives both stages: the coarse ADC read and the
+    // refine stage's float-layout partition filter
+    val probedQ = Similarity
+      .ivfProbe(queries, vecCol, keyCol, centroids, nprobe)
+      .select(col("q_id"), col("cent_id").cast("int").as("cent_id"))
+      .localCheckpoint()
+    val probed = probedQ.select(col("cent_id")).distinct()
       .collect().map(_.getInt(0)).sorted
+    val coarse = ivfPqTopKProbed(spark, spark.read.parquet(codesDir),
+      queries, vecCol, keyCol, refine, codewords, subDim, probedQ,
+      probed).select(col("q_id"), col("c_id"))
     val floats = spark.read.parquet(floatDir)
       .filter(col("cent_id").isin(probed.toIndexedSeq: _*))
       .select(col("c_id").as(keyCol), col("c_vec").as(vecCol))

@@ -369,6 +369,37 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType, true), sch.treeString)
   }
 
+  test("IVF+PQ refined: BOTH layout scans prune on the probed cent_ids") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("annref").toString
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val cents = corpus.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val cw = graft.pipeline.Similarity.pqCodewords(
+      corpus.filter(col("vec_id") % 50 === 0), "embedding", "vec_id",
+      numSub = 8, subDim = 8).localCheckpoint()
+    graft.pipeline.PartitionedAnn.writeIvfPqPartitioned(
+      corpus, "embedding", "vec_id", cents, cw, s"$tmp/codes",
+      numSub = 8, subDim = 8)
+    graft.pipeline.PartitionedAnn.writeIvfPartitioned(
+      corpus, "embedding", "vec_id", cents, s"$tmp/floats")
+    val df = graft.pipeline.PartitionedAnn.ivfPqTopKRefined(spark,
+      s"$tmp/codes", s"$tmp/floats", e.filter(col("vec_id") < 3),
+      "embedding", "vec_id", k = 5, refine = 20, cents, cw,
+      nprobe = 2, subDim = 8)
+    // the refine stage's float read must carry the probe set as a
+    // literal partition filter just like the coarse codes read — the
+    // float layout is only ever touched inside probed clusters
+    val pf = df.queryExecution.explainString(FormattedMode)
+      .linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains(" IN "))
+      .toSeq
+    assert(pf.size >= 2,
+      s"expected cent_id IN (...) PartitionFilters on the codes AND float scans:\n${pf.mkString("\n")}")
+    assert(pf.forall(_.contains("cent_id")), pf.mkString("\n"))
+  }
+
   test("pp_dsir_weights: one corpus gram shuffle, shared by both models") {
     // the (doc, is_t, gram) occurrence aggregation feeds the target
     // model, the raw model, and the scoring join — AQE must dedupe
