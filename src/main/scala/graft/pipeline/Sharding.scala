@@ -43,8 +43,11 @@ object Sharding {
     * aggregate — no floats anywhere. */
   def manifest(spark: SparkSession, layoutDir: String, keyCol: String,
       textCol: String): DataFrame =
-    spark.read.parquet(layoutDir)
-      .groupBy(col("shard"))
+    manifestOf(spark.read.parquet(layoutDir), keyCol, textCol)
+
+  private def manifestOf(df: DataFrame, keyCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))
           .as("n_tokens"),
@@ -52,4 +55,36 @@ object Sharding {
         max(md5(col(textCol))).as("max_md5"),
         sum(col(keyCol)).as("sum_key"))
       .orderBy(col("shard"))
+
+  /** Append one ingest batch to an incrementally-maintained sharded
+    * layout: the batch lands under `root/delta/batch=N/shard=M/`,
+    * OVERWRITING exactly its own batch directory — a crash-replayed
+    * batch rewrites the identical files (assignment is a pure
+    * function of the row), so the append is replay-idempotent with
+    * no sidecar state (the append-only case of the round-11
+    * overwrite-per-batch rule; supersede machinery only becomes
+    * necessary once re-crawled keys must evict old rows, which is
+    * the BM25 index's problem, not the shard log's). */
+  def appendBatch(docs: DataFrame, batchId: Long, root: String,
+      keyCol: String, nShards: Int): Unit = {
+    require(nShards >= 1, "appendBatch: nShards must be positive")
+    docs
+      .withColumn("shard",
+        pmod(col(keyCol), lit(nShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$root/delta/batch=$batchId")
+  }
+
+  /** [[manifest]] over the LIVE layout (base ∪ streamed deltas).
+    * Every manifest field is a sum/count/min/max, so the incremental
+    * layout's manifest is bit-identical to a full rebuild's — the
+    * gate proves it against the rebuild oracle verbatim. */
+  def manifestIncremental(spark: SparkSession, root: String,
+      keyCol: String, textCol: String): DataFrame = {
+    val base = spark.read.parquet(s"$root/base")
+    val delta = spark.read.parquet(s"$root/delta")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    manifestOf(base.unionByName(delta), keyCol, textCol)
+  }
 }

@@ -690,6 +690,27 @@ object TextAnalysis {
       .orderBy(col("word"))
   }
 
+  /** Corpus-scale BPE tokenization report: per document, the word
+    * count and the BPE token count under a trained merge list. The
+    * vocabulary segmentation ([[bpeSegment]]) is computed once and
+    * broadcast — at 100 TB the vocabulary is millions of rows (MBs)
+    * against trillions of token occurrences, so the occurrence
+    * stream joins map-side and the only shuffle is the per-document
+    * partial-count combine. This is the number every budget/packing
+    * operator downstream actually wants (token budgets are BPE
+    * tokens, not whitespace words). */
+  def bpeTokenize(docs: DataFrame, textCol: String, keyCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seg = bpeSegment(docs, textCol, merges)
+      .select(col("word"), col("n_pieces"))
+    docs.select(col(keyCol), explode(tokens(col(textCol))).as("word"))
+      .join(broadcast(seg), Seq("word"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_bpe_tokens"))
+      .orderBy(col(keyCol))
+  }
+
   /** Score any document relation against a trained [[bigramModel]].
     * Bigrams absent from the model contribute probability 0 (the doc
     * still pays for them in the mean — unseen transitions are exactly

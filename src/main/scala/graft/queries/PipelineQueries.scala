@@ -2702,6 +2702,27 @@ object PipelineQueries {
          CAST(SUM(doc_id) AS BIGINT) AS sum_key
        FROM tk GROUP BY shard ORDER BY shard"""
 
+  /** Incrementally-maintained sharded layout
+    * ([[Sharding.appendBatch]]/[[Sharding.manifestIncremental]]): a
+    * base write over a third of the corpus plus two batch appends,
+    * manifest computed over base ∪ deltas. Every manifest field is a
+    * sum/count/min/max, so the result is bit-identical to a full
+    * rebuild — gated against [[ppShardManifestSql]] VERBATIM. */
+  def ppShardUpdated(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val root = layoutDir(dir, "documents", "shards8_incr")
+    ensureLayout(s"$root/base")(Sharding.writeSharded(
+      d.filter(col("doc_id") % 3 === 0), "doc_id", s"$root/base",
+      nShards = 8))
+    ensureLayout(s"$root/delta/batch=1")(Sharding.appendBatch(
+      d.filter(col("doc_id") % 3 === 1), 1L, root, "doc_id",
+      nShards = 8))
+    ensureLayout(s"$root/delta/batch=2")(Sharding.appendBatch(
+      d.filter(col("doc_id") % 3 === 2), 2L, root, "doc_id",
+      nShards = 8))
+    Sharding.manifestIncremental(s, root, "doc_id", "text")
+  }
+
   /** Distributed BPE merge training ([[TextAnalysis.bpeMerges]]) —
     * 8 merge rounds over the documents vocabulary. The oracle unrolls
     * all 8 rounds as CTE chains (pair counting, winner pick with the
@@ -2788,6 +2809,46 @@ object PipelineQueries {
          array_to_string(string_split(trim(s, '/'), '//'), ' ') AS pieces,
          CAST(len(string_split(trim(s, '/'), '//')) AS BIGINT) AS n_pieces
        FROM seg ORDER BY word"""
+  }
+
+  /** Corpus-scale BPE tokenization ([[TextAnalysis.bpeTokenize]]):
+    * per-document word and BPE-token counts under the 8 trained
+    * merges — the broadcast-vocabulary apply at occurrence scale.
+    * The oracle chains the full training replay into the
+    * segmentation join. */
+  def ppBpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.bpeMerges(t(s, dir, "documents"), "text",
+        rounds = 8)
+      .orderBy(col("round"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    TextAnalysis.bpeTokenize(t(s, dir, "documents"), "text", "doc_id", m)
+  }
+
+  private lazy val ppBpeTokenizeSql = {
+    val seg = (1 to bpeRounds).foldLeft(
+      "regexp_replace(word, '(.)', '/\\1/', 'g')") {
+      case (acc, r) =>
+        s"""replace($acc,
+             '/' || (SELECT a FROM m$r) || '//' ||
+               (SELECT b FROM m$r) || '/',
+             '/' || (SELECT a FROM m$r) ||
+               (SELECT b FROM m$r) || '/')"""
+    }
+    s"""$bpeCtes,
+       words AS (SELECT DISTINCT word FROM wc),
+       seg AS (SELECT word,
+         len(string_split(trim($seg, '/'), '//')) AS n_pieces
+         FROM words),
+       occ AS (
+         SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '\\W+'),
+           x -> x <> '')) AS word
+         FROM documents)
+       SELECT o.doc_id, COUNT(*) AS n_words,
+         CAST(SUM(s.n_pieces) AS BIGINT) AS n_bpe_tokens
+       FROM occ o JOIN seg s ON s.word = o.word
+       GROUP BY o.doc_id ORDER BY o.doc_id"""
   }
 
   /** Gopher's other repetition signal: fraction of a document's
@@ -3973,6 +4034,8 @@ object PipelineQueries {
     "pp_bpe_train" -> (ppBpeTrain _),
     "pp_bpe_apply" -> (ppBpeApply _),
     "pp_shard_manifest" -> (ppShardManifest _),
+    "pp_shard_updated" -> (ppShardUpdated _),
+    "pp_bpe_tokenize" -> (ppBpeTokenize _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -4009,7 +4072,7 @@ object PipelineQueries {
     "dd_contamination_at_rest", "dd_contamination_incremental",
     "dd_contamination_compacted", "dd_semantic_incremental",
     "ann_int8_ivf_refreshed", "ann_pq_ivf_refined",
-    "pp_shard_manifest")
+    "pp_shard_manifest", "pp_shard_updated")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -4106,6 +4169,8 @@ object PipelineQueries {
     "pp_bpe_train" -> ppBpeTrainSql,
     "pp_bpe_apply" -> ppBpeApplySql,
     "pp_shard_manifest" -> ppShardManifestSql,
+    "pp_shard_updated" -> ppShardManifestSql,
+    "pp_bpe_tokenize" -> ppBpeTokenizeSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,

@@ -911,6 +911,32 @@ class PipelineSpec extends SparkSpec {
     assert(diff.length === 1 && diff.head._1.getInt(0) === 3) // 7 mod 4
   }
 
+  test("incremental shards: base∪delta manifest == rebuild; replay-idempotent") {
+    val docs = (0L until 30L).map(i => (i, s"shard doc $i body"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("shinc").toString
+    Sharding.writeSharded(docs.filter($"doc_id" < 10), "doc_id",
+      s"$root/base", nShards = 4)
+    Sharding.appendBatch(docs.filter($"doc_id" >= 10 && $"doc_id" < 20),
+      1L, root, "doc_id", nShards = 4)
+    Sharding.appendBatch(docs.filter($"doc_id" >= 20), 2L, root,
+      "doc_id", nShards = 4)
+    val inc = Sharding.manifestIncremental(spark, root, "doc_id", "text")
+      .collect().map(_.toString).toSeq
+    val full = java.nio.file.Files.createTempDirectory("shfull").toString
+    Sharding.writeSharded(docs, "doc_id", full, nShards = 4)
+    val rebuilt = Sharding.manifest(spark, full, "doc_id", "text")
+      .collect().map(_.toString).toSeq
+    assert(inc === rebuilt)
+    // crash-replay batch 2: the overwrite lands on its own batch dir
+    // only — the live manifest must not change
+    Sharding.appendBatch(docs.filter($"doc_id" >= 20), 2L, root,
+      "doc_id", nShards = 4)
+    val replayed = Sharding.manifestIncremental(spark, root, "doc_id",
+      "text").collect().map(_.toString).toSeq
+    assert(replayed === rebuilt)
+  }
+
   test("BPE: hand-computed merges; greedy run merge; training-order apply") {
     // the classic Sennrich fixture: low×3, lower×1, lowest×1
     val docs = Seq((0L, "low low low"), (1L, "lower"), (2L, "lowest"))
