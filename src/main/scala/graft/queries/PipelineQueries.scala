@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Dedup, GraphRank, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Sharding, Similarity, TextAnalysis}
+import graft.pipeline.{Csv, Dedup, GraphRank, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Sharding, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1722,6 +1722,23 @@ object PipelineQueries {
          CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_texts
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** CSV interchange round-trip ([[Csv]]): the same profile contract
+    * as [[ppJsonlRoundtrip]] — documents → headered RFC-4180 CSV →
+    * schema-first read-back → per-language profile, gated against the
+    * IDENTICAL oracle (the profile of the parquet original). A hash
+    * match proves the quoted/escaped text survives byte-for-byte. */
+  def ppCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val out = layoutDir(dir, "documents", "csv_docs")
+    ensureLayout(out)(Csv.write(docs, out))
+    Csv.read(s, out, docs.schema, failFast = true)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("char_mass"),
+        countDistinct(md5(col("text"))).as("distinct_texts"))
+      .orderBy(col("lang"))
+  }
+
   /** Composite retrieval pipeline: ANN top-3 per query joined back to
     * the documents table (vec_id == doc_id in the synthetic corpus)
     * with a quality filter — the retrieve-then-enrich shape a
@@ -2701,6 +2718,34 @@ object PipelineQueries {
          MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5,
          CAST(SUM(doc_id) AS BIGINT) AS sum_key
        FROM tk GROUP BY shard ORDER BY shard"""
+
+  /** Heavy hitters over the STREAMED at-rest sketch
+    * ([[graft.streaming.CmsStream]]): three batch appends write their
+    * own `cells/batch=` partitions (KBs each — the code path
+    * `CmsStream.run` drives per micro-batch), and the probe merges
+    * them cell-wise before the exact verify. Gated against
+    * [[taHeavyHittersSql]] VERBATIM, like the sibling incremental
+    * gate — the streamed sketch must be bit-identical to the
+    * one-shot build. */
+  def taHeavyHittersAtRest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val root = layoutDir(dir, "documents", "cms_d3_w1024")
+    ensureLayout(s"$root/cells/batch=0")(
+      graft.streaming.CmsStream.appendBatch(
+        d.filter(col("doc_id") % 3 === 0), 0L, root, "text",
+        n = 2, depth = 3, width = 1024))
+    ensureLayout(s"$root/cells/batch=1")(
+      graft.streaming.CmsStream.appendBatch(
+        d.filter(col("doc_id") % 3 === 1), 1L, root, "text",
+        n = 2, depth = 3, width = 1024))
+    ensureLayout(s"$root/cells/batch=2")(
+      graft.streaming.CmsStream.appendBatch(
+        d.filter(col("doc_id") % 3 === 2), 2L, root, "text",
+        n = 2, depth = 3, width = 1024))
+    TextAnalysis.heavyHittersFromCells(d, "text",
+      graft.streaming.CmsStream.cells(s, root),
+      n = 2, phiDenom = 800L, depth = 3, width = 1024)
+  }
 
   /** Incrementally-maintained sharded layout
     * ([[Sharding.appendBatch]]/[[Sharding.manifestIncremental]]): a
@@ -4031,6 +4076,7 @@ object PipelineQueries {
     "ta_top_bigram" -> (taTopBigram _),
     "ta_heavy_hitters" -> (taHeavyHitters _),
     "ta_heavy_hitters_incremental" -> (taHeavyHittersIncremental _),
+    "ta_heavy_hitters_at_rest" -> (taHeavyHittersAtRest _),
     "pp_bpe_train" -> (ppBpeTrain _),
     "pp_bpe_apply" -> (ppBpeApply _),
     "pp_shard_manifest" -> (ppShardManifest _),
@@ -4047,6 +4093,7 @@ object PipelineQueries {
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
     "pp_semdedup_at_rest" -> (ppSemdedupAtRest _),
     "pp_jsonl_roundtrip" -> (ppJsonlRoundtrip _),
+    "pp_csv_roundtrip" -> (ppCsvRoundtrip _),
     "pp_filter_e2e" -> (ppFilterE2e _),
     "pp_curation_verdicts" -> (ppCurationVerdicts _),
     "mm_features" -> (mmFeatures _),
@@ -4066,13 +4113,14 @@ object PipelineQueries {
   val layoutBacked: Set[String] = Set(
     "ann_lsh_partitioned", "ann_ivf_partitioned", "ann_int8_partitioned",
     "ann_int8_ivf_partitioned", "dd_semantic_at_rest",
-    "pp_semdedup_at_rest", "pp_jsonl_roundtrip", "pp_bm25_at_rest",
+    "pp_semdedup_at_rest", "pp_jsonl_roundtrip", "pp_csv_roundtrip", "pp_bm25_at_rest",
     "pp_hybrid_at_rest", "ann_ivf_compacted", "ann_ivf_refreshed",
     "pp_bm25_incremental", "pp_bm25_compacted", "pp_bm25_updated",
     "dd_contamination_at_rest", "dd_contamination_incremental",
     "dd_contamination_compacted", "dd_semantic_incremental",
     "ann_int8_ivf_refreshed", "ann_pq_ivf_refined",
-    "pp_shard_manifest", "pp_shard_updated")
+    "pp_shard_manifest", "pp_shard_updated",
+    "ta_heavy_hitters_at_rest")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -4166,6 +4214,7 @@ object PipelineQueries {
     "ta_top_bigram" -> taTopBigramSql,
     "ta_heavy_hitters" -> taHeavyHittersSql,
     "ta_heavy_hitters_incremental" -> taHeavyHittersSql,
+    "ta_heavy_hitters_at_rest" -> taHeavyHittersSql,
     "pp_bpe_train" -> ppBpeTrainSql,
     "pp_bpe_apply" -> ppBpeApplySql,
     "pp_shard_manifest" -> ppShardManifestSql,
@@ -4184,6 +4233,7 @@ object PipelineQueries {
     // lossless-layout proof pattern as dd_semantic_at_rest
     "pp_semdedup_at_rest" -> ppSemdedupE2eSql,
     "pp_jsonl_roundtrip" -> ppJsonlRoundtripSql,
+    "pp_csv_roundtrip" -> ppJsonlRoundtripSql,
     "pp_filter_e2e" -> ppFilterE2eSql,
     "pp_curation_verdicts" -> ppCurationVerdictsSql,
     "mm_features" -> mmFeaturesSql,

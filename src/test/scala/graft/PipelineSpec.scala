@@ -911,6 +911,24 @@ class PipelineSpec extends SparkSpec {
     assert(diff.length === 1 && diff.head._1.getInt(0) === 3) // 7 mod 4
   }
 
+  test("CSV round trip: quotes, commas and backslashes survive exactly") {
+    val docs = Seq(
+      (0L, "plain text"),
+      (1L, "comma, inside"),
+      (2L, "a \"quoted\" phrase"),
+      (3L, "trailing backslash \\"),
+      (4L, "mixed, \"quote\", and \\ slash")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("csvrt").toString
+    Csv.write(docs, out)
+    val back = Csv.read(spark, out, docs.schema, failFast = true)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // nested schemas are refused, not silently mangled
+    val nested = Seq((1L, Seq(1, 2))).toDF("id", "xs")
+    val e = intercept[IllegalArgumentException](
+      Csv.write(nested, out))
+    assert(e.getMessage.contains("flat schema"))
+  }
+
   test("incremental shards: base∪delta manifest == rebuild; replay-idempotent") {
     val docs = (0L until 30L).map(i => (i, s"shard doc $i body"))
       .toDF("doc_id", "text")

@@ -595,6 +595,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_._3 > 0.0))
   }
 
+  test("streamed CMS cells merge to the one-shot heavy-hitter result") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft-cms-in")
+    val root = Files.createTempDirectory("graft-cms-root").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val c1 = docs.filter($"doc_id" < 250)
+    val c2 = docs.filter($"doc_id" >= 250)
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-cms-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(c1, "c1.parquet")
+    val q = graft.streaming.CmsStream.run(spark, in.toString, root,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(c2, "c2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // at least two streamed batch partitions exist
+    assert(new java.io.File(s"$root/cells").listFiles()
+      .count(_.getName.startsWith("batch=")) >= 2)
+    val streamed = graft.pipeline.TextAnalysis.heavyHittersFromCells(
+      docs, "text", graft.streaming.CmsStream.cells(spark, root),
+      n = 2, phiDenom = 800L, depth = 3, width = 1024)
+      .as[(String, Long)].collect().toSeq
+    val oneShot = graft.pipeline.TextAnalysis.heavyHitters(
+      docs, "text", n = 2, phiDenom = 800L)
+      .as[(String, Long)].collect().toSeq
+    assert(streamed === oneShot && streamed.nonEmpty)
+    // crash-replay one batch: cells derive only from the batch's own
+    // docs — the overwrite rewrites identical rows, result unchanged
+    graft.streaming.CmsStream.appendBatch(c2, 1L, root, "text",
+      n = 2, depth = 3, width = 1024)
+    val replayed = graft.pipeline.TextAnalysis.heavyHittersFromCells(
+      docs, "text", graft.streaming.CmsStream.cells(spark, root),
+      n = 2, phiDenom = 800L, depth = 3, width = 1024)
+      .as[(String, Long)].collect().toSeq
+    assert(replayed === oneShot)
+  }
+
   test("incremental LSH batch replay is idempotent, band state survives") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graft-lsh-replay").toString
