@@ -690,6 +690,62 @@ object TextAnalysis {
       .orderBy(col("word"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020) — the
+    * pretraining-pair generator: ~19% of each document's tokens are
+    * masked, contiguous masked runs collapse to one sentinel in the
+    * input and expand to sentinel-plus-content in the target.
+    *
+    * The mask decision is DETERMINISTIC and engine-portable — token
+    * (doc, pos) is masked iff the first hex digit of
+    * `md5(doc_id:pos)` is 0-2 (3/16 rate) — because a sampled
+    * corruption that changes between runs (or engines) would make
+    * training data unreproducible; this is the md5-ordering
+    * discipline the sampling operators already use, applied
+    * per-token. Span grouping is gaps-and-islands via one lag
+    * window; sentinel numbering is a running sum over run starts —
+    * everything windows over (doc, pos), so the whole operator is
+    * ONE shuffle on the document key followed by scan-local string
+    * assembly (per-token arrays, sorted + flattened per doc).
+    * Output `(key, input_text, target_text, n_spans, n_masked)`. */
+  def spanCorruption(docs: DataFrame, textCol: String,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("pos"))
+    val toks = docs
+      .select(col(keyCol), posexplode(tokens(col(textCol)))
+        .as(Seq("pos", "word")))
+      .withColumn("masked", substring(md5(concat(
+        col(keyCol).cast("string"), lit(":"),
+        col("pos").cast("string"))), 1, 1).isin("0", "1", "2"))
+      .withColumn("is_start",
+        col("masked") && !lag(col("masked"), 1, false).over(w))
+      .withColumn("k",
+        sum(when(col("is_start"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)) - 1L)
+    val sentinel = concat(lit("<X"), col("k").cast("string"), lit(">"))
+    val emptyArr = array().cast("array<string>")
+    val marked = toks
+      .withColumn("inp_toks",
+        when(!col("masked"), array(col("word")))
+          .when(col("is_start"), array(sentinel))
+          .otherwise(emptyArr))
+      .withColumn("tgt_toks",
+        when(col("is_start"), array(sentinel, col("word")))
+          .when(col("masked"), array(col("word")))
+          .otherwise(emptyArr))
+    def joined(toksCol: String): Column =
+      concat_ws(" ", flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col(toksCol)))),
+        _.getField(toksCol))))
+    marked.groupBy(col(keyCol))
+      .agg(joined("inp_toks").as("input_text"),
+        joined("tgt_toks").as("target_text"),
+        sum(when(col("is_start"), 1L).otherwise(0L)).as("n_spans"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+      .orderBy(col(keyCol))
+  }
+
   /** Corpus-scale BPE tokenization report: per document, the word
     * count and the BPE token count under a trained merge list. The
     * vocabulary segmentation ([[bpeSegment]]) is computed once and

@@ -2747,6 +2747,58 @@ object PipelineQueries {
       n = 2, phiDenom = 800L, depth = 3, width = 1024)
   }
 
+  /** T5-style span corruption ([[TextAnalysis.spanCorruption]]):
+    * deterministic md5-gated token masking, gaps-and-islands span
+    * grouping, sentinel-numbered input/target pair per document. The
+    * oracle replays the hash gate, the lag/running-sum windows and
+    * the ordered string assembly end to end. */
+  def ppSpanCorruption(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.spanCorruption(t(s, dir, "documents"), "text",
+      "doc_id")
+
+  private val ppSpanCorruptionSql =
+    """WITH t AS (
+         SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '\W+'),
+           x -> x <> '') AS tk
+         FROM documents),
+       toks AS (
+         SELECT doc_id, CAST(i AS INTEGER) AS pos, tk[i+1] AS word,
+           substr(md5(doc_id || ':' || i), 1, 1)
+             IN ('0','1','2') AS masked
+         FROM t CROSS JOIN unnest(range(len(tk))) AS r(i)),
+       flags AS (
+         SELECT *, masked AND NOT lag(masked, 1, false)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS is_start
+         FROM toks),
+       ks AS (
+         SELECT *, SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - 1 AS k
+         FROM flags),
+       em AS (
+         SELECT doc_id, pos, masked, is_start,
+           CASE WHEN NOT masked THEN [word]
+                WHEN is_start THEN ['<X' || k || '>']
+                ELSE [] END AS inp_toks,
+           CASE WHEN is_start THEN ['<X' || k || '>', word]
+                WHEN masked THEN [word]
+                ELSE [] END AS tgt_toks
+         FROM ks)
+       SELECT doc_id,
+         COALESCE(array_to_string(
+           flatten(list(inp_toks ORDER BY pos)), ' '), '')
+           AS input_text,
+         COALESCE(array_to_string(
+           flatten(list(tgt_toks ORDER BY pos)), ' '), '')
+           AS target_text,
+         CAST(SUM(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_spans,
+         CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_masked
+       FROM em GROUP BY doc_id ORDER BY doc_id"""
+
   /** Incrementally-maintained sharded layout
     * ([[Sharding.appendBatch]]/[[Sharding.manifestIncremental]]): a
     * base write over a third of the corpus plus two batch appends,
@@ -4082,6 +4134,7 @@ object PipelineQueries {
     "pp_shard_manifest" -> (ppShardManifest _),
     "pp_shard_updated" -> (ppShardUpdated _),
     "pp_bpe_tokenize" -> (ppBpeTokenize _),
+    "pp_span_corruption" -> (ppSpanCorruption _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -4220,6 +4273,7 @@ object PipelineQueries {
     "pp_shard_manifest" -> ppShardManifestSql,
     "pp_shard_updated" -> ppShardManifestSql,
     "pp_bpe_tokenize" -> ppBpeTokenizeSql,
+    "pp_span_corruption" -> ppSpanCorruptionSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,

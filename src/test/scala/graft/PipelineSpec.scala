@@ -911,6 +911,47 @@ class PipelineSpec extends SparkSpec {
     assert(diff.length === 1 && diff.head._1.getInt(0) === 3) // 7 mod 4
   }
 
+  test("span corruption: matches an independent imperative replica") {
+    val docs = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (7L, "one two three"),
+      (11L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.spanCorruption(docs, "text", "doc_id")
+      .as[(Long, String, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // imperative reference implementation of the same contract
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def replica(id: Long, text: String) = {
+      val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      val masked = words.indices.map(i =>
+        "012".contains(md5hex(s"$id:$i").charAt(0)))
+      val inp = new StringBuilder; val tgt = new StringBuilder
+      var k = -1; var spans = 0
+      for (i <- words.indices) {
+        val start = masked(i) && (i == 0 || !masked(i - 1))
+        if (start) { k += 1; spans += 1 }
+        def app(sb: StringBuilder, t: String): Unit = {
+          if (sb.nonEmpty) sb.append(' '); sb.append(t)
+        }
+        if (!masked(i)) app(inp, words(i))
+        else if (start) app(inp, s"<X$k>")
+        if (start) app(tgt, s"<X$k>")
+        if (masked(i)) app(tgt, words(i))
+      }
+      (inp.toString, tgt.toString, spans.toLong,
+        masked.count(identity).toLong)
+    }
+    for ((id, text) <- Seq((3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (7L, "one two three"), (11L, "solo"))) {
+      assert(got(id) === replica(id, text), s"doc $id")
+    }
+    // the corruption is genuinely exercised: some doc has a masked span
+    assert(got.values.exists(_._3 > 0))
+  }
+
   test("CSV round trip: quotes, commas and backslashes survive exactly") {
     val docs = Seq(
       (0L, "plain text"),
