@@ -118,6 +118,35 @@ object Retrieval {
         Similarity.r3(col("score")).as("score"))
   }
 
+  /** DPR-style hard-negative mining — the retrieval-training data op:
+    * for each (query, positive) pair, the top BM25 hits that are NOT
+    * the positive become the hard negatives (lexically confusable,
+    * semantically wrong — the negatives that actually teach a
+    * retriever). Runs [[bm25TopK]] once (its scale shape — vocabulary-
+    * bounded shuffles — carries over unchanged); the positive-removal
+    * join and the re-rank are per-query-sized. `queries` carries
+    * (`qKeyCol`, `qTextCol`, `posCol`); output
+    * `(q_id, pos_id, neg_id, neg_rank, score)` with `nNeg` negatives
+    * per query, ordered by the underlying BM25 rank. */
+  def hardNegatives(docs: DataFrame, textCol: String, keyCol: String,
+      queries: DataFrame, qKeyCol: String, qTextCol: String,
+      posCol: String, k: Int, nNeg: Int): DataFrame = {
+    require(nNeg >= 1 && k > nNeg,
+      s"hardNegatives: need k=$k > nNeg=$nNeg >= 1")
+    val hits = bm25TopK(docs, textCol, keyCol,
+      queries.select(col(qKeyCol), col(qTextCol)), qKeyCol, qTextCol, k)
+    hits
+      .join(broadcast(queries.select(col(qKeyCol).as("q_id"),
+        col(posCol).as("pos_id"))), Seq("q_id"))
+      .filter(col("doc_id") =!= col("pos_id"))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("q_id"), col("pos_id"), col("doc_id").as("neg_id"),
+        col("neg_rank"), col("score"))
+      .orderBy(col("q_id"), col("neg_rank"))
+  }
+
   /** The term→partition bucket shared by [[writeBm25Index]],
     * [[bm25TopKAtRest]], and the streamed delta writer
     * ([[graft.streaming.Bm25Stream]]): xxhash64 (fixed seed, stable

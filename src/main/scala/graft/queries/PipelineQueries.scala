@@ -1858,6 +1858,49 @@ object PipelineQueries {
          CAST(ROUND(CAST(score AS DECIMAL(28,10)), 3) AS DOUBLE) AS score
        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
 
+  /** BM25 hard-negative mining ([[Retrieval.hardNegatives]]): ten
+    * pseudo-queries built from documents' own first five tokens (the
+    * doc itself is the positive), top-3 non-positive BM25 hits mined
+    * as hard negatives. The oracle re-derives the queries, replays
+    * the full BM25 ranking and the positive-removal re-rank. */
+  def ppHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val qs = d.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("doc_id").as("pos_id"),
+        concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 5)).as("q_text"))
+    Retrieval.hardNegatives(d, "text", "doc_id", qs, "q_id", "q_text",
+      "pos_id", k = 10, nNeg = 3)
+  }
+
+  private lazy val ppHardNegativesSql = {
+    val qsCte =
+      """WITH qs AS (
+         SELECT doc_id AS q_id, doc_id AS pos_id,
+           array_to_string(list_filter(
+             string_split_regex(lower(text), '\W+'),
+             t -> t <> '')[1:5], ' ') AS q_text
+         FROM documents WHERE doc_id < 10),"""
+    // the shared BM25 body (qt .. ranked), minus the literal query
+    // VALUES and the final SELECT
+    val body = ppBm25SearchSql.substring(
+      ppBm25SearchSql.indexOf("qt AS ("),
+      ppBm25SearchSql.indexOf("SELECT q_id, rank"))
+    val tail =
+      """,
+       negs AS (
+         SELECT r.q_id, q.pos_id, r.doc_id AS neg_id, r.score,
+           ROW_NUMBER() OVER (PARTITION BY r.q_id ORDER BY r.rank)
+             AS neg_rank
+         FROM ranked r JOIN qs q ON q.q_id = r.q_id
+         WHERE r.rank <= 10 AND r.doc_id <> q.pos_id)
+       SELECT q_id, pos_id, neg_id, neg_rank,
+         CAST(ROUND(CAST(score AS DECIMAL(28,10)), 3) AS DOUBLE)
+           AS score
+       FROM negs WHERE neg_rank <= 3 ORDER BY q_id, neg_rank"""
+    qsCte + "\n       " + body + tail
+  }
+
   /** [[ppBm25Search]] against the at-rest inverted index
     * ([[Retrieval.writeBm25Index]] / [[Retrieval.bm25TopKAtRest]]):
     * same queries, same k — and the SAME oracle SQL verbatim, so one
@@ -4135,6 +4178,7 @@ object PipelineQueries {
     "pp_shard_updated" -> (ppShardUpdated _),
     "pp_bpe_tokenize" -> (ppBpeTokenize _),
     "pp_span_corruption" -> (ppSpanCorruption _),
+    "pp_hard_negatives" -> (ppHardNegatives _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -4274,6 +4318,7 @@ object PipelineQueries {
     "pp_shard_updated" -> ppShardManifestSql,
     "pp_bpe_tokenize" -> ppBpeTokenizeSql,
     "pp_span_corruption" -> ppSpanCorruptionSql,
+    "pp_hard_negatives" -> ppHardNegativesSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,

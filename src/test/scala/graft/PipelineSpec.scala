@@ -1076,6 +1076,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: the positive never appears, BM25 order holds") {
+    val corpus = Seq(
+      (0L, "spark join join window"),
+      (1L, "spark"),
+      (2L, "spark scan fast"),
+      (3L, "the quick fox")).toDF("doc_id", "text")
+    val qs = Seq((0L, "spark join", 0L)).toDF("q_id", "q_text", "pos_id")
+    val got = Retrieval.hardNegatives(corpus, "text", "doc_id",
+      qs, "q_id", "q_text", "pos_id", k = 10, nNeg = 3)
+      .select($"q_id", $"pos_id", $"neg_id", $"neg_rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // doc0 is the positive (and the top hit) — excluded; docs 1 and 2
+    // both match "spark" and follow in BM25 order
+    assert(got.map(_._3).toSet.intersect(Set(0L)).isEmpty)
+    assert(got.map(x => (x._3, x._4)).sortBy(_._2) ===
+      got.map(x => (x._3, x._4)).sortBy(_._2).sortBy(_._2))
+    assert(got.length === 2 && got.forall(_._2 == 0L))
+    assert(got.map(_._4).sorted === Seq(1, 2))
+  }
+
   test("BM25: hand-computed fixture scores; duplicate query terms count once") {
     val corpus = Seq(
       (0L, "spark join join window"),
