@@ -133,8 +133,36 @@ object Retrieval {
       posCol: String, k: Int, nNeg: Int): DataFrame = {
     require(nNeg >= 1 && k > nNeg,
       s"hardNegatives: need k=$k > nNeg=$nNeg >= 1")
-    val hits = bm25TopK(docs, textCol, keyCol,
-      queries.select(col(qKeyCol), col(qTextCol)), qKeyCol, qTextCol, k)
+    negativesTail(
+      bm25TopK(docs, textCol, keyCol,
+        queries.select(col(qKeyCol), col(qTextCol)), qKeyCol, qTextCol,
+        k),
+      queries, qKeyCol, posCol, nNeg)
+  }
+
+  /** [[hardNegatives]] over a [[writeBm25Index]] at-rest layout — the
+    * mining run stops paying the postings build per batch; the probe
+    * reads only the pseudo-queries' term buckets. Identical output to
+    * the inline form by construction (one shared negatives tail over
+    * [[bm25TopKAtRest]], whose equality to [[bm25TopK]] its own gate
+    * already proves). */
+  def hardNegativesAtRest(spark: SparkSession, indexDir: String,
+      queries: DataFrame, qKeyCol: String, qTextCol: String,
+      posCol: String, k: Int, nNeg: Int,
+      buckets: Int = 64): DataFrame = {
+    require(nNeg >= 1 && k > nNeg,
+      s"hardNegativesAtRest: need k=$k > nNeg=$nNeg >= 1")
+    negativesTail(
+      bm25TopKAtRest(spark, indexDir,
+        queries.select(col(qKeyCol), col(qTextCol)), qKeyCol, qTextCol,
+        k, buckets = buckets),
+      queries, qKeyCol, posCol, nNeg)
+  }
+
+  /** The shared positive-removal + re-rank tail of the two mining
+    * paths. `hits` is a `(q_id, rank, doc_id, score)` top-k list. */
+  private def negativesTail(hits: DataFrame, queries: DataFrame,
+      qKeyCol: String, posCol: String, nNeg: Int): DataFrame =
     hits
       .join(broadcast(queries.select(col(qKeyCol).as("q_id"),
         col(posCol).as("pos_id"))), Seq("q_id"))
@@ -145,7 +173,6 @@ object Retrieval {
       .select(col("q_id"), col("pos_id"), col("doc_id").as("neg_id"),
         col("neg_rank"), col("score"))
       .orderBy(col("q_id"), col("neg_rank"))
-  }
 
   /** The term→partition bucket shared by [[writeBm25Index]],
     * [[bm25TopKAtRest]], and the streamed delta writer

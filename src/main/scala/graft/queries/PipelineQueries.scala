@@ -1923,6 +1923,24 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** [[ppHardNegatives]] over the SHARED at-rest BM25 index
+    * ([[Retrieval.hardNegativesAtRest]]) — mining reads only the
+    * pseudo-queries' term buckets instead of rebuilding postings;
+    * gated against [[ppHardNegativesSql]] VERBATIM (inline ≡ at-rest
+    * plus layout losslessness in one replay). */
+  def ppHardNegativesAtRest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val qs = d.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("doc_id").as("pos_id"),
+        concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 5)).as("q_text"))
+    val out = layoutDir(dir, "documents", "bm25_b64")
+    ensureLayout(out)(Retrieval.writeBm25Index(
+      d, "text", "doc_id", out, buckets = 64))
+    Retrieval.hardNegativesAtRest(s, out, qs, "q_id", "q_text",
+      "pos_id", k = 10, nNeg = 3, buckets = 64)
+  }
+
   /** Hybrid search: BM25 ([[Retrieval.bm25TopK]]) and exact cosine
     * ANN ([[Similarity.bruteForceTopK]]) top-20 lists for the SAME
     * three query documents (doc 0-2's text and embedding — the
@@ -4179,6 +4197,7 @@ object PipelineQueries {
     "pp_bpe_tokenize" -> (ppBpeTokenize _),
     "pp_span_corruption" -> (ppSpanCorruption _),
     "pp_hard_negatives" -> (ppHardNegatives _),
+    "pp_hard_negatives_at_rest" -> (ppHardNegativesAtRest _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -4217,7 +4236,7 @@ object PipelineQueries {
     "dd_contamination_compacted", "dd_semantic_incremental",
     "ann_int8_ivf_refreshed", "ann_pq_ivf_refined",
     "pp_shard_manifest", "pp_shard_updated",
-    "ta_heavy_hitters_at_rest")
+    "ta_heavy_hitters_at_rest", "pp_hard_negatives_at_rest")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -4319,6 +4338,7 @@ object PipelineQueries {
     "pp_bpe_tokenize" -> ppBpeTokenizeSql,
     "pp_span_corruption" -> ppSpanCorruptionSql,
     "pp_hard_negatives" -> ppHardNegativesSql,
+    "pp_hard_negatives_at_rest" -> ppHardNegativesSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,
