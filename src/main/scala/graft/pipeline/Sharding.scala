@@ -35,6 +35,26 @@ object Sharding {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
+  /** Persist-or-validate the layout's shard count: a batch appended
+    * with a DIFFERENT nShards than the base would silently mix two
+    * incompatible shardings (the same doc key landing in different
+    * `shard=` dirs per batch) — fail pointedly instead. */
+  private def checkOrWriteParams(spark: SparkSession, root: String,
+      nShards: Int): Unit = {
+    val dir = s"$root/params"
+    if (new java.io.File(dir, "_SUCCESS").exists()) {
+      val stored = spark.read.parquet(dir).collect().head
+        .getAs[Int]("n_shards")
+      require(stored == nShards,
+        s"Sharding: shard-count drift — layout $root was built with " +
+          s"n_shards=$stored but this call uses n_shards=$nShards")
+    } else {
+      import spark.implicits._
+      Seq(nShards).toDF("n_shards")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+  }
+
   /** The per-shard manifest of a [[writeSharded]] layout, computed
     * from the READ-BACK files (so a hash-green gate proves the
     * round trip, not just the plan): document count, exact token
@@ -68,6 +88,7 @@ object Sharding {
   def appendBatch(docs: DataFrame, batchId: Long, root: String,
       keyCol: String, nShards: Int): Unit = {
     require(nShards >= 1, "appendBatch: nShards must be positive")
+    checkOrWriteParams(docs.sparkSession, root, nShards)
     docs
       .withColumn("shard",
         pmod(col(keyCol), lit(nShards.toLong)).cast("int"))
@@ -83,8 +104,16 @@ object Sharding {
   def manifestIncremental(spark: SparkSession, root: String,
       keyCol: String, textCol: String): DataFrame = {
     val base = spark.read.parquet(s"$root/base")
-    val delta = spark.read.parquet(s"$root/delta")
-      .select(base.columns.map(col).toIndexedSeq: _*)
-    manifestOf(base.unionByName(delta), keyCol, textCol)
+    val live =
+      try base.unionByName(spark.read.parquet(s"$root/delta")
+        .select(base.columns.map(col).toIndexedSeq: _*))
+      catch {
+        // no batch appended yet — the base alone is the layout; any
+        // OTHER analysis failure (half-written delta, schema drift)
+        // must surface, not silently degrade to base-only
+        case e: org.apache.spark.sql.AnalysisException
+            if graft.streaming.IvfStream.missingPath(e) => base
+      }
+    manifestOf(live, keyCol, textCol)
   }
 }

@@ -575,7 +575,14 @@ object TextAnalysis {
     val merged = cells.groupBy(col("i"), col("b"))
       .agg(sum(col("cnt")).as("cnt")).collect()
     val sketch = Array.fill(depth, width)(0L)
-    merged.foreach(r => sketch(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    merged.foreach { r =>
+      val (i, b) = (r.getInt(0), r.getInt(1))
+      require(i >= 0 && i < depth && b >= 0 && b < width,
+        s"heavyHittersFromCells: cell ($i,$b) outside the declared " +
+          s"depth=$depth width=$width — the cell relation was built " +
+          "under different sketch parameters and is not mergeable")
+      sketch(i)(b) = r.getLong(2)
+    }
     val total = sketch(0).sum
     val threshold = (total + phiDenom - 1L) / phiDenom
     val est = least((0 until depth).map { i =>

@@ -24,20 +24,51 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CmsStream {
 
-  /** One micro-batch's cells → its own `batch=` partition. */
+  /** One micro-batch's cells → its own `batch=` partition. The first
+    * append also persists the sketch parameters under `root/params`:
+    * cells built under different (n, depth, width) are NOT mergeable
+    * (different gram streams / bucket spaces sum into nonsense with
+    * no error anywhere), so both the writer and [[cells]] validate
+    * against the persisted contract and fail pointedly on drift —
+    * the events-ts canary discipline applied to this layout. */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, textCol: String, n: Int, depth: Int,
-      width: Int): Unit =
+      width: Int): Unit = {
+    checkOrWriteParams(batch.sparkSession, root, n, depth, width)
     TextAnalysis.cmsCells(batch, textCol, n, depth, width)
       .coalesce(1) // depth·width rows — one file, one dir
       .write.mode("overwrite").parquet(s"$root/cells/batch=$batchId")
+  }
 
-  /** The live cell relation (all streamed batches); feed to
+  private def checkOrWriteParams(spark: SparkSession, root: String,
+      n: Int, depth: Int, width: Int): Unit = {
+    val dir = s"$root/params"
+    if (new java.io.File(dir, "_SUCCESS").exists()) {
+      val r = spark.read.parquet(dir).collect().head
+      val (pn, pd, pw) = (r.getAs[Int]("n"), r.getAs[Int]("depth"),
+        r.getAs[Int]("width"))
+      require((pn, pd, pw) == ((n, depth, width)),
+        s"CmsStream: sketch-parameter drift — layout $root was built " +
+          s"with (n=$pn, depth=$pd, width=$pw) but this call uses " +
+          s"(n=$n, depth=$depth, width=$width); cells from different " +
+          "parameters are not mergeable")
+    } else {
+      import spark.implicits._
+      Seq((n, depth, width)).toDF("n", "depth", "width")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+  }
+
+  /** The live cell relation (all streamed batches), validated against
+    * the layout's persisted sketch parameters; feed to
     * [[TextAnalysis.heavyHittersFromCells]] together with the corpus
     * relation to get the exact over-threshold set. */
-  def cells(spark: SparkSession, root: String): DataFrame =
+  def cells(spark: SparkSession, root: String, n: Int = 2,
+      depth: Int = 3, width: Int = 1024): DataFrame = {
+    checkOrWriteParams(spark, root, n, depth, width)
     spark.read.parquet(s"$root/cells")
       .select(col("i"), col("b"), col("cnt"))
+  }
 
   /** Maintain the sketch over a parquet document directory as files
     * arrive. */

@@ -46,7 +46,7 @@ object IvfStream {
     * drift) into a silent base-only fallback: probes return
     * plausible top-k missing every streamed row, with no error
     * anywhere — so every base∪delta reader narrows on this. */
-  private[streaming] def missingPath(
+  private[graft] def missingPath(
       e: org.apache.spark.sql.AnalysisException): Boolean = {
     val m = Option(e.getMessage).getOrElse("")
     m.contains("PATH_NOT_FOUND") || m.contains("UNABLE_TO_INFER_SCHEMA")

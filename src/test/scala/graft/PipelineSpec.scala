@@ -996,6 +996,36 @@ class PipelineSpec extends SparkSpec {
     assert(replayed === rebuilt)
   }
 
+  test("layout guards: CMS parameter drift and shard-count drift fail pointedly") {
+    val docs = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val cmsRoot = java.nio.file.Files.createTempDirectory("cmsg").toString
+    graft.streaming.CmsStream.appendBatch(docs, 0L, cmsRoot, "text",
+      n = 2, depth = 3, width = 1024)
+    val e1 = intercept[IllegalArgumentException](
+      graft.streaming.CmsStream.appendBatch(docs, 1L, cmsRoot, "text",
+        n = 2, depth = 3, width = 512))
+    assert(e1.getMessage.contains("sketch-parameter drift"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.streaming.CmsStream.cells(spark, cmsRoot, n = 3))
+    assert(e2.getMessage.contains("sketch-parameter drift"))
+    // out-of-range cells are rejected even without the params file
+    val bad = Seq((5, 0, 1L)).toDF("i", "b", "cnt")
+    val e3 = intercept[IllegalArgumentException](
+      TextAnalysis.heavyHittersFromCells(docs, "text", bad,
+        n = 2, phiDenom = 10L, depth = 3, width = 1024).collect())
+    assert(e3.getMessage.contains("not mergeable"))
+    val shRoot = java.nio.file.Files.createTempDirectory("shg").toString
+    Sharding.writeSharded(docs, "doc_id", s"$shRoot/base", nShards = 4)
+    // base-only layout: the incremental manifest degrades to base
+    val baseOnly = Sharding.manifestIncremental(spark, shRoot,
+      "doc_id", "text").collect()
+    assert(baseOnly.length === 1)
+    Sharding.appendBatch(docs, 1L, shRoot, "doc_id", nShards = 4)
+    val e4 = intercept[IllegalArgumentException](
+      Sharding.appendBatch(docs, 2L, shRoot, "doc_id", nShards = 8))
+    assert(e4.getMessage.contains("shard-count drift"))
+  }
+
   test("BPE: hand-computed merges; greedy run merge; training-order apply") {
     // the classic Sennrich fixture: low×3, lower×1, lowest×1
     val docs = Seq((0L, "low low low"), (1L, "lower"), (2L, "lowest"))
