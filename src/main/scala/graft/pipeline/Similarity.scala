@@ -187,6 +187,44 @@ object Similarity {
         r3(col("neg_cos")).as("neg_cos"))
   }
 
+  /** Matryoshka truncation evaluation (Kusupati et al. 2022) — the
+    * embedding-ops eval behind the "how many dims do we store?"
+    * decision: recall@k of PREFIX-dimension search against the
+    * full-dimension ranking, per candidate width. Each truncated
+    * search is a [[bruteForceTopK]] over `slice(vec, 1, d)` (the
+    * query batch broadcast, corpus streamed — the eval inherits the
+    * ANN tier's plan); the recall join is per-query-k-sized. At
+    * scale this is the experiment a team runs ONCE before writing
+    * the at-rest layout at the chosen width — 2× fewer dims is 2×
+    * less page IO for every probe forever after.
+    *
+    * Output `(dim, n_hits, n_total, recall)`: exact integer overlap
+    * counts and their ratio (one double division — engine-portable),
+    * ordered by dim. */
+  def truncationRecall(queries: DataFrame, corpus: DataFrame,
+      vecCol: String, keyCol: String, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "truncationRecall: no dims to evaluate")
+    val full = bruteForceTopK(queries, corpus, vecCol, keyCol, k)
+      .select(col("q_id"), col("c_id"))
+    val truncated = dims.map { d =>
+      bruteForceTopK(
+        queries.withColumn(vecCol, slice(col(vecCol), 1, d)),
+        corpus.withColumn(vecCol, slice(col(vecCol), 1, d)),
+        vecCol, keyCol, k)
+        .select(lit(d).as("dim"), col("q_id"), col("c_id"))
+    }.reduce(_.unionByName(_))
+    truncated
+      .join(full.withColumn("hit", lit(1L)), Seq("q_id", "c_id"),
+        "left_outer")
+      .groupBy(col("dim"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_total"))
+      .withColumn("recall",
+        r3(col("n_hits").cast("double") / col("n_total")))
+      .orderBy(col("dim"))
+  }
+
   /** kNN-classifier evaluation — the standard embedding-quality
     * harness: classify each labeled query vector by majority vote
     * over its k nearest labeled corpus vectors and report the

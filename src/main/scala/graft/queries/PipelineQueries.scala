@@ -950,6 +950,59 @@ object PipelineQueries {
          CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
+  /** Matryoshka truncation eval ([[Similarity.truncationRecall]]):
+    * recall@5 of prefix-8/16/32-dim brute search against the full
+    * 64-dim ranking. The oracle replays all four searches (sliced
+    * dots, sliced norms, ranking, overlap counting) end to end. */
+  def annMrlEval(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.truncationRecall(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "embedding", "vec_id", k = 5, dims = Seq(8, 16, 32))
+  }
+
+  private lazy val annMrlEvalSql = {
+    def sliceDot(a: String, b: String, d: String): String =
+      s"""(SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+           FROM (SELECT unnest(list_slice($a, 1, $d)) AS x,
+                        unnest(list_slice($b, 1, $d)) AS y) z)"""
+    def rankCte(d: Int): String = {
+      val dd = d.toString
+      s""",
+       sc$d AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           ${sliceDot("q.embedding", "c.embedding", dd)} /
+             (sqrt(${sliceDot("q.embedding", "q.embedding", dd)}) *
+              sqrt(${sliceDot("c.embedding", "c.embedding", dd)})) AS cos
+         FROM q CROSS JOIN c),
+       rk$d AS (
+         SELECT q_id, c_id FROM (
+           SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, c_id) AS rank FROM sc$d)
+         WHERE rank <= 5)"""
+    }
+    val dims = Seq(8, 16, 32)
+    val union = dims.map(d =>
+      s"SELECT $d AS dim, q_id, c_id FROM rk$d")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id < 10),
+       c AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id >= 10)${(dims :+ 64).map(rankCte).mkString}
+       , hits AS ($union)
+       SELECT h.dim,
+         CAST(SUM(CASE WHEN f.q_id IS NULL THEN 0 ELSE 1 END)
+           AS BIGINT) AS n_hits,
+         COUNT(*) AS n_total,
+         CAST(ROUND(CAST(
+           CAST(SUM(CASE WHEN f.q_id IS NULL THEN 0 ELSE 1 END)
+             AS DOUBLE) / COUNT(*) AS DECIMAL(28,10)), 3) AS DOUBLE)
+           AS recall
+       FROM hits h LEFT JOIN rk64 f
+         ON f.q_id = h.q_id AND f.c_id = h.c_id
+       GROUP BY h.dim ORDER BY h.dim"""
+  }
+
   /** Product-quantization ADC top-k ([[Similarity.pqTopK]]): the
     * corpus compressed to 8 one-byte-range codes per 64-float vector
     * (the same deterministic √n-capped codebook as the IVF tier, cut
@@ -4149,6 +4202,7 @@ object PipelineQueries {
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_pq_topk" -> (annPqTopK _),
     "ann_pq_refined" -> (annPqRefined _),
+    "ann_mrl_eval" -> (annMrlEval _),
     "ann_pq_ivf_refined" -> (annPqIvfRefined _),
     "ann_lsh_partitioned" -> (annLshPartitioned _),
     "ann_ivf_partitioned" -> (annIvfPartitioned _),
@@ -4271,6 +4325,7 @@ object PipelineQueries {
     "ann_ivf_topk" -> annIvfSql,
     "ann_pq_topk" -> annPqSql,
     "ann_pq_refined" -> annPqRefinedSql,
+    "ann_mrl_eval" -> annMrlEvalSql,
     "ann_pq_ivf_refined" -> annPqIvfRefinedSql,
     "ann_pq_ivf_partitioned" -> annPqIvfSql,
     "ann_pq_ivf_incremental" -> annPqIvfSql,

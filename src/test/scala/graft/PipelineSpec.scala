@@ -1080,6 +1080,21 @@ class PipelineSpec extends SparkSpec {
     assert(all.forall { case (g, c) => c == (if (g == "alpha beta") 40 else 1) })
   }
 
+  test("MRL eval: full-width truncation recalls everything") {
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val r = Similarity.truncationRecall(q, c, "embedding", "vec_id",
+      k = 5, dims = Seq(16, 64))
+      .as[(Int, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // dim=64 IS the full search — identical ranking, recall exactly 1
+    assert(r(64) === ((50L, 50L, 1.0)))
+    // a real truncation loses something on this corpus but stays sane
+    val (h16, t16, rec16) = r(16)
+    assert(t16 === 50L && h16 < 50L && rec16 < 1.0 && rec16 >= 0.0)
+  }
+
   test("PQ refine: full-depth refine reproduces brute force exactly") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)
