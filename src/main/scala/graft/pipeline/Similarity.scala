@@ -187,6 +187,48 @@ object Similarity {
         r3(col("neg_cos")).as("neg_cos"))
   }
 
+  /** 1-bit (sign) binarization + Hamming top-k — the far end of the
+    * quantization spectrum (float32 → int8 → PQ → binary): each
+    * 32-dim block packs into one little-endian word (bit i = sign of
+    * component i), a 64-dim vector becomes 8 BYTES at rest, and
+    * scoring is `Σ_w bit_count(xor(q_w, c_w))` — pure integer
+    * codegen, no float read anywhere. Smallest Hamming first, ties
+    * on ascending corpus key.
+    *
+    * The oracle deliberately replays the SEMANTICS from the raw
+    * vectors — per-pair count of sign disagreements — rather than
+    * the packed arithmetic, so the hash match proves the packing +
+    * popcount path computes exactly the definition. Plan shape is
+    * the [[bruteForceTopK]] template: packing scan-local on both
+    * sides, query batch broadcast, corpus streamed once. */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame, vecCol: String,
+      keyCol: String, k: Int, dim: Int): DataFrame = {
+    require(dim > 0 && dim % 32 == 0,
+      s"binaryTopK: dim=$dim must be a positive multiple of 32")
+    val nWords = dim / 32
+    def word(v: Column, w: Int): Column =
+      (0 until 32).map(i =>
+        when(element_at(v, w * 32 + i + 1) >= 0f, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+    def packed(v: Column): Column =
+      array((0 until nWords).map(word(v, _)): _*)
+    val q = broadcast(queries.select(col(keyCol).as("q_id"),
+      packed(col(vecCol)).as("q_bits")))
+    val c = corpus.select(col(keyCol).as("c_id"),
+      packed(col(vecCol)).as("c_bits"))
+    val hamming = (0 until nWords).map(i =>
+      bit_count(element_at(col("q_bits"), i + 1)
+        .bitwiseXOR(element_at(col("c_bits"), i + 1))).cast("long"))
+      .reduce(_ + _)
+    q.crossJoin(c)
+      .withColumn("hamming", hamming)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("hamming"), col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("hamming"))
+  }
+
   /** Matryoshka truncation evaluation (Kusupati et al. 2022) — the
     * embedding-ops eval behind the "how many dims do we store?"
     * decision: recall@k of PREFIX-dimension search against the

@@ -950,6 +950,39 @@ object PipelineQueries {
          CAST(ROUND(CAST(cos AS DECIMAL(28,10)), 3) AS DOUBLE) AS cos
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
+  /** Binary (sign-bit) Hamming top-k ([[Similarity.binaryTopK]]):
+    * the 64-dim corpus packed to two 32-bit words per vector, scored
+    * by xor-popcount. The oracle counts sign disagreements off the
+    * RAW vectors — the hash match proves the packed path computes
+    * the definition exactly. */
+  def annBinaryTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.binaryTopK(
+      e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+      "embedding", "vec_id", k = 5, dim = 64)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annBinaryTopKSql =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 10),
+       c AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id >= 10),
+       sc AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           (SELECT COUNT(*) FROM
+             (SELECT unnest(q.embedding) AS x,
+                     unnest(c.embedding) AS y) z
+            WHERE (x >= 0) <> (y >= 0)) AS hamming
+         FROM q CROSS JOIN c),
+       rk AS (
+         SELECT q_id, c_id, hamming,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY hamming, c_id) AS rank
+         FROM sc)
+       SELECT q_id, rank, c_id, CAST(hamming AS BIGINT) AS hamming
+       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** Matryoshka truncation eval ([[Similarity.truncationRecall]]):
     * recall@5 of prefix-8/16/32-dim brute search against the full
     * 64-dim ranking. The oracle replays all four searches (sliced
@@ -4203,6 +4236,7 @@ object PipelineQueries {
     "ann_pq_topk" -> (annPqTopK _),
     "ann_pq_refined" -> (annPqRefined _),
     "ann_mrl_eval" -> (annMrlEval _),
+    "ann_binary_topk" -> (annBinaryTopK _),
     "ann_pq_ivf_refined" -> (annPqIvfRefined _),
     "ann_lsh_partitioned" -> (annLshPartitioned _),
     "ann_ivf_partitioned" -> (annIvfPartitioned _),
@@ -4326,6 +4360,7 @@ object PipelineQueries {
     "ann_pq_topk" -> annPqSql,
     "ann_pq_refined" -> annPqRefinedSql,
     "ann_mrl_eval" -> annMrlEvalSql,
+    "ann_binary_topk" -> annBinaryTopKSql,
     "ann_pq_ivf_refined" -> annPqIvfRefinedSql,
     "ann_pq_ivf_partitioned" -> annPqIvfSql,
     "ann_pq_ivf_incremental" -> annPqIvfSql,

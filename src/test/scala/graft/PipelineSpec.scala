@@ -1080,6 +1080,23 @@ class PipelineSpec extends SparkSpec {
     assert(all.forall { case (g, c) => c == (if (g == "alpha beta") 40 else 1) })
   }
 
+  test("binary ANN: hamming equals the sign-disagreement count") {
+    // q: dims 0..63 positive; c0 flips dims 0..9; c1 flips 0..31
+    val qv = Array.fill(64)(1.0f)
+    val c0 = qv.clone(); (0 until 10).foreach(i => c0(i) = -1.0f)
+    val c1 = qv.clone(); (0 until 32).foreach(i => c1(i) = -1.0f)
+    val q = Seq((0L, qv)).toDF("vec_id", "embedding")
+    val c = Seq((10L, c0), (11L, c1)).toDF("vec_id", "embedding")
+    val got = Similarity.binaryTopK(q, c, "embedding", "vec_id",
+      k = 2, dim = 64)
+      .select($"rank", $"c_id", $"hamming")
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1, 10L, 10L), (2, 11L, 32L)))
+    val e = intercept[IllegalArgumentException](
+      Similarity.binaryTopK(q, c, "embedding", "vec_id", 2, dim = 48))
+    assert(e.getMessage.contains("multiple of 32"))
+  }
+
   test("MRL eval: full-width truncation recalls everything") {
     val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)
