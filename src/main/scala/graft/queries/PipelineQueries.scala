@@ -2946,6 +2946,65 @@ object PipelineQueries {
            AS n_masked
        FROM em GROUP BY doc_id ORDER BY doc_id"""
 
+  /** The full curate → dedup → budget → shard chain in ONE gate —
+    * the flagship composition proving the pipeline stages snap
+    * together: quality floor (chars + tokens), exact-dedup keepers,
+    * per-language token-budget selection in deterministic md5 order
+    * ([[Sampling.budgetSelect]]), then the per-(lang, shard) manifest
+    * of exactly what a [[Sharding]] write of the selection would
+    * hold. Every stage reuses a gated operator's exact semantics;
+    * the oracle chains their SQL idioms verbatim. Plan: three
+    * scan-local filters, one hash-partitioned window per dedup/
+    * budget stage, one manifest aggregate — nothing corpus-quadratic
+    * anywhere. */
+  def ppCurateShardE2e(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val quality = d.filter(col("n_chars") >= 100)
+      .filter(TextAnalysis.whitespaceTokenCount(col("text")) >= 20)
+    val kept = Dedup.exactRank(quality, "text", "doc_id")
+      .filter(col("dup_rank") === 1)
+      .drop("text_hash", "dup_rank")
+    Sampling.budgetSelect(kept, "text", "doc_id", "lang",
+        budget = 2000L)
+      .withColumn("shard", pmod(col("doc_id"), lit(4L)).cast("int"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(md5(col("text"))).as("min_md5"),
+        max(md5(col("text"))).as("max_md5"),
+        sum(col("doc_id")).as("sum_key"))
+      .orderBy(col("lang"), col("shard"))
+  }
+
+  private val ppCurateShardE2eSql =
+    """WITH q AS (
+         SELECT doc_id, text, lang,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text),
+                         '[ \t\n\x0B\f\r]+')) END AS BIGINT)
+             AS n_tokens
+         FROM documents WHERE n_chars >= 100),
+       q2 AS (SELECT * FROM q WHERE n_tokens >= 20),
+       dd AS (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+           ORDER BY doc_id) AS dup_rank
+         FROM q2),
+       kept AS (SELECT doc_id, text, lang, n_tokens FROM dd
+                WHERE dup_rank = 1),
+       sel AS (
+         SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_tokens
+         FROM kept),
+       fin AS (SELECT * FROM sel WHERE cum_tokens <= 2000)
+       SELECT lang, CAST(doc_id % 4 AS INTEGER) AS shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_key
+       FROM fin GROUP BY lang, shard ORDER BY lang, shard"""
+
   /** Incrementally-maintained sharded layout
     * ([[Sharding.appendBatch]]/[[Sharding.manifestIncremental]]): a
     * base write over a third of the corpus plus two batch appends,
@@ -4286,6 +4345,7 @@ object PipelineQueries {
     "pp_span_corruption" -> (ppSpanCorruption _),
     "pp_hard_negatives" -> (ppHardNegatives _),
     "pp_hard_negatives_at_rest" -> (ppHardNegativesAtRest _),
+    "pp_curate_shard_e2e" -> (ppCurateShardE2e _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -4429,6 +4489,7 @@ object PipelineQueries {
     "pp_span_corruption" -> ppSpanCorruptionSql,
     "pp_hard_negatives" -> ppHardNegativesSql,
     "pp_hard_negatives_at_rest" -> ppHardNegativesSql,
+    "pp_curate_shard_e2e" -> ppCurateShardE2eSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,
