@@ -421,6 +421,60 @@ object PartitionedAnn {
     Similarity.refineExact(queries, floats, vecCol, keyCol, coarse, k)
   }
 
+  /** Binary (sign-bit) corpus written at rest: packed words only —
+    * 8 bytes stand in for 256 vector bytes at dim 64 — partitioned by
+    * the low `bucketBits` bits of word 0 (the signs of the first
+    * components, i.e. a coordinate-plane SRP bucket that costs
+    * nothing extra because it IS part of the code). A probe reads
+    * only its own-bucket partition: the 2^bucketBits-way pruning on
+    * top of the 32× compression. */
+  def writeBinaryPartitioned(corpus: DataFrame, vecCol: String,
+      keyCol: String, outDir: String, dim: Int,
+      bucketBits: Int = 4): Unit = {
+    require(bucketBits >= 1 && bucketBits <= 16,
+      s"writeBinaryPartitioned: bucketBits=$bucketBits out of range")
+    corpus
+      .select(col(keyCol).as("c_id"),
+        Similarity.packWords(col(vecCol), dim).as("c_bits"))
+      .withColumn("bucket",
+        (element_at(col("c_bits"), 1)
+          .bitwiseAND(lit((1L << bucketBits) - 1))).cast("int"))
+      .repartition(col("bucket")) // one file per bucket dir
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
+  }
+
+  /** Hamming top-k against a [[writeBinaryPartitioned]] layout: the
+    * query batch packs scan-local, its distinct buckets become the
+    * literal partition filter, and scoring is xor-popcount over the
+    * stored words — the float corpus is never touched. Same-bucket
+    * probing only (the [[lshTopKPartitioned]] contract): candidates
+    * share the query's first `bucketBits` signs by construction. */
+  def binaryTopKPartitioned(spark: SparkSession, corpusDir: String,
+      queries: DataFrame, vecCol: String, keyCol: String, k: Int,
+      dim: Int, bucketBits: Int = 4): DataFrame = {
+    require(dim > 0 && dim % 32 == 0,
+      s"binaryTopKPartitioned: dim=$dim must be a multiple of 32")
+    val q = broadcast(queries
+      .select(col(keyCol).as("q_id"),
+        Similarity.packWords(col(vecCol), dim).as("q_bits"))
+      .withColumn("bucket",
+        (element_at(col("q_bits"), 1)
+          .bitwiseAND(lit((1L << bucketBits) - 1))).cast("int")))
+      .localCheckpoint()
+    val probed = q.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(corpusDir)
+      .filter(col("bucket").isin(probed.toIndexedSeq: _*))
+    q.join(c, Seq("bucket"))
+      .withColumn("hamming", Similarity.hammingCol(col("q_bits"),
+        col("c_bits"), dim / 32))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("hamming"), col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("hamming"))
+  }
+
   /** [[Similarity.ivfTopK]] against a [[writeIvfPartitioned]] layout.
     * The probe pass runs on the query batch only; its distinct probed
     * centroids become the literal `cent_id IN (…)` partition filter. */

@@ -206,28 +206,38 @@ object Similarity {
     require(dim > 0 && dim % 32 == 0,
       s"binaryTopK: dim=$dim must be a positive multiple of 32")
     val nWords = dim / 32
-    def word(v: Column, w: Int): Column =
-      (0 until 32).map(i =>
-        when(element_at(v, w * 32 + i + 1) >= 0f, lit(1L << i))
-          .otherwise(lit(0L))).reduce(_ + _)
-    def packed(v: Column): Column =
-      array((0 until nWords).map(word(v, _)): _*)
     val q = broadcast(queries.select(col(keyCol).as("q_id"),
-      packed(col(vecCol)).as("q_bits")))
+      packWords(col(vecCol), dim).as("q_bits")))
     val c = corpus.select(col(keyCol).as("c_id"),
-      packed(col(vecCol)).as("c_bits"))
-    val hamming = (0 until nWords).map(i =>
-      bit_count(element_at(col("q_bits"), i + 1)
-        .bitwiseXOR(element_at(col("c_bits"), i + 1))).cast("long"))
-      .reduce(_ + _)
+      packWords(col(vecCol), dim).as("c_bits"))
     q.crossJoin(c)
-      .withColumn("hamming", hamming)
+      .withColumn("hamming",
+        hammingCol(col("q_bits"), col("c_bits"), nWords))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("hamming"), col("c_id"))))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("hamming"))
   }
+
+  /** The sign-bit word packing shared by [[binaryTopK]] and the
+    * partitioned-at-rest form
+    * ([[PartitionedAnn.writeBinaryPartitioned]]): little-endian,
+    * bit i of word w = sign of component w·32+i. */
+  private[pipeline] def packWords(v: Column, dim: Int): Column =
+    array((0 until dim / 32).map { w =>
+      (0 until 32).map(i =>
+        when(element_at(v, w * 32 + i + 1) >= 0f, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+    }: _*)
+
+  /** Hamming distance over two packed-word arrays (xor-popcount). */
+  private[pipeline] def hammingCol(qBits: Column, cBits: Column,
+      nWords: Int): Column =
+    (0 until nWords).map(i =>
+      bit_count(element_at(qBits, i + 1)
+        .bitwiseXOR(element_at(cBits, i + 1))).cast("long"))
+      .reduce(_ + _)
 
   /** Matryoshka truncation evaluation (Kusupati et al. 2022) — the
     * embedding-ops eval behind the "how many dims do we store?"

@@ -983,6 +983,51 @@ object PipelineQueries {
        SELECT q_id, rank, c_id, CAST(hamming AS BIGINT) AS hamming
        FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
 
+  /** Binary ANN against the packed-words-at-rest layout
+    * ([[PartitionedAnn.writeBinaryPartitioned]] /
+    * [[binaryTopKPartitioned]]): 8 bytes per vector on disk,
+    * partitioned by the first four sign bits, same-bucket probing.
+    * The oracle replays the restriction AND the distance off the RAW
+    * vectors (first-4-signs equality + sign-disagreement count), so
+    * the hash match proves packing, bucketing, pruning and popcount
+    * in one replay. */
+  def annBinaryPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val out = annLayoutDir(dir, "bin_w2_b4")
+    ensureLayout(out)(PartitionedAnn.writeBinaryPartitioned(
+      e.filter(col("vec_id") >= 10), "embedding", "vec_id", out,
+      dim = 64, bucketBits = 4))
+    PartitionedAnn.binaryTopKPartitioned(s, out,
+      e.filter(col("vec_id") < 10), "embedding", "vec_id", k = 5,
+      dim = 64, bucketBits = 4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val annBinaryPartitionedSql =
+    """WITH b AS (
+         SELECT vec_id, embedding,
+           (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+         FROM embeddings),
+       q AS (SELECT * FROM b WHERE vec_id < 10),
+       c AS (SELECT * FROM b WHERE vec_id >= 10),
+       sc AS (
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           (SELECT COUNT(*) FROM
+             (SELECT unnest(q.embedding) AS x,
+                     unnest(c.embedding) AS y) z
+            WHERE (x >= 0) <> (y >= 0)) AS hamming
+         FROM q JOIN c ON q.bucket = c.bucket),
+       rk AS (
+         SELECT q_id, c_id, hamming,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY hamming, c_id) AS rank
+         FROM sc)
+       SELECT q_id, rank, c_id, CAST(hamming AS BIGINT) AS hamming
+       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** Matryoshka truncation eval ([[Similarity.truncationRecall]]):
     * recall@5 of prefix-8/16/32-dim brute search against the full
     * 64-dim ranking. The oracle replays all four searches (sliced
@@ -4296,6 +4341,7 @@ object PipelineQueries {
     "ann_pq_refined" -> (annPqRefined _),
     "ann_mrl_eval" -> (annMrlEval _),
     "ann_binary_topk" -> (annBinaryTopK _),
+    "ann_binary_partitioned" -> (annBinaryPartitioned _),
     "ann_pq_ivf_refined" -> (annPqIvfRefined _),
     "ann_lsh_partitioned" -> (annLshPartitioned _),
     "ann_ivf_partitioned" -> (annIvfPartitioned _),
@@ -4384,7 +4430,8 @@ object PipelineQueries {
     "dd_contamination_compacted", "dd_semantic_incremental",
     "ann_int8_ivf_refreshed", "ann_pq_ivf_refined",
     "pp_shard_manifest", "pp_shard_updated",
-    "ta_heavy_hitters_at_rest", "pp_hard_negatives_at_rest")
+    "ta_heavy_hitters_at_rest", "pp_hard_negatives_at_rest",
+    "ann_binary_partitioned")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -4421,6 +4468,7 @@ object PipelineQueries {
     "ann_pq_refined" -> annPqRefinedSql,
     "ann_mrl_eval" -> annMrlEvalSql,
     "ann_binary_topk" -> annBinaryTopKSql,
+    "ann_binary_partitioned" -> annBinaryPartitionedSql,
     "ann_pq_ivf_refined" -> annPqIvfRefinedSql,
     "ann_pq_ivf_partitioned" -> annPqIvfSql,
     "ann_pq_ivf_incremental" -> annPqIvfSql,

@@ -400,6 +400,31 @@ class PlanSpec extends SparkSpec {
     assert(pf.forall(_.contains("cent_id")), pf.mkString("\n"))
   }
 
+  test("binary partitioned ANN: own-bucket pruning; pages hold packed words only") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("annbin").toString
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    graft.pipeline.PartitionedAnn.writeBinaryPartitioned(
+      e.filter(col("vec_id") >= 10), "embedding", "vec_id",
+      s"$tmp/bin", dim = 64, bucketBits = 4)
+    val df = graft.pipeline.PartitionedAnn.binaryTopKPartitioned(spark,
+      s"$tmp/bin", e.filter(col("vec_id") < 3), "embedding", "vec_id",
+      k = 5, dim = 64, bucketBits = 4)
+    val pf = df.queryExecution.explainString(FormattedMode)
+      .linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("bucket") && pf.contains(" IN "), pf)
+    // the layout stores ONLY the packed words — no float vector column
+    val sch = spark.read.parquet(s"$tmp/bin").schema
+    assert(sch.fieldNames.sorted.toSeq === Seq("bucket", "c_bits", "c_id"),
+      sch.treeString)
+    assert(sch("c_bits").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType], sch.treeString)
+    assert(sch("c_bits").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.LongType,
+      sch.treeString)
+  }
+
   test("pp_dsir_weights: one corpus gram shuffle, shared by both models") {
     // the (doc, is_t, gram) occurrence aggregation feeds the target
     // model, the raw model, and the scoring join — AQE must dedupe
