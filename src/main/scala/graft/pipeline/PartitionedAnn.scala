@@ -454,18 +454,21 @@ object PartitionedAnn {
       dim: Int, bucketBits: Int = 4): DataFrame = {
     require(dim > 0 && dim % 32 == 0,
       s"binaryTopKPartitioned: dim=$dim must be a multiple of 32")
-    val q = broadcast(queries
+    // localCheckpoint: consumed by the probe-set collect AND the join;
+    // the broadcast hint goes on the JOIN input (hinting before the
+    // checkpoint strands it outside the join relation)
+    val q = queries
       .select(col(keyCol).as("q_id"),
         Similarity.packWords(col(vecCol), dim).as("q_bits"))
       .withColumn("bucket",
         (element_at(col("q_bits"), 1)
-          .bitwiseAND(lit((1L << bucketBits) - 1))).cast("int")))
+          .bitwiseAND(lit((1L << bucketBits) - 1))).cast("int"))
       .localCheckpoint()
     val probed = q.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     val c = spark.read.parquet(corpusDir)
       .filter(col("bucket").isin(probed.toIndexedSeq: _*))
-    q.join(c, Seq("bucket"))
+    broadcast(q).join(c, Seq("bucket"))
       .withColumn("hamming", Similarity.hammingCol(col("q_bits"),
         col("c_bits"), dim / 32))
       .withColumn("rank", row_number().over(
