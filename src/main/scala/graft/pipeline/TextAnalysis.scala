@@ -753,6 +753,48 @@ object TextAnalysis {
       .orderBy(col(keyCol))
   }
 
+  /** Population-stability drift report (PSI) between two corpus
+    * slices — the monitoring op a pipeline runs per ingest batch:
+    * bucket a numeric signal into fixed-width bins, compare the two
+    * slices' bucket fractions, and report the per-bucket PSI term
+    * `(p−q)·ln(p/q)` (Laplace-smoothed so empty buckets stay
+    * defined). PSI > 0.2 on any batch is the classic "investigate
+    * the crawler" alarm.
+    *
+    * Scale shape: bucketing is scan-local (fixed literal edges — a
+    * data-dependent quantile bucketing would cost a pass and make
+    * batches incomparable); the aggregate is one map-side-combinable
+    * groupBy onto nBuckets rows. Determinism: counts are exact
+    * integers, fractions and ln are fixed-order double arithmetic on
+    * those integers, and the reported term is r6-rounded — the same
+    * contract every scoring oracle here replays. */
+  def distributionDrift(docs: DataFrame, valueCol: String,
+      isBaseline: Column, bucketWidth: Long,
+      nBuckets: Int): DataFrame = {
+    require(bucketWidth >= 1 && nBuckets >= 2,
+      "distributionDrift: need bucketWidth >= 1 and nBuckets >= 2")
+    val bucket = least(floor(col(valueCol) / bucketWidth),
+      lit(nBuckets - 1L)).cast("int")
+    val counts = docs
+      .select(bucket.as("bucket"), isBaseline.as("is_base"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_new"))
+    // totals are a 1-row broadcast; Laplace +1 per bucket keeps every
+    // fraction positive so ln is always defined
+    val totals = counts.agg(sum(col("n_base")).as("t_base"),
+      sum(col("n_new")).as("t_new"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("p", (col("n_base") + lit(1.0)) /
+        (col("t_base") + lit(nBuckets.toDouble)))
+      .withColumn("q", (col("n_new") + lit(1.0)) /
+        (col("t_new") + lit(nBuckets.toDouble)))
+      .select(col("bucket"), col("n_base"), col("n_new"),
+        Similarity.r6((col("p") - col("q")) * log(col("p") / col("q")))
+          .as("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
   /** Corpus-scale BPE tokenization report: per document, the word
     * count and the BPE token count under a trained merge list. The
     * vocabulary segmentation ([[bpeSegment]]) is computed once and

@@ -2939,6 +2939,40 @@ object PipelineQueries {
       n = 2, phiDenom = 800L, depth = 3, width = 1024)
   }
 
+  /** PSI drift report ([[TextAnalysis.distributionDrift]]): n_chars
+    * bucketed into ten 100-wide bins, source `src0` as the baseline
+    * slice vs the rest. The oracle replays the bucketing, the
+    * Laplace-smoothed fractions and the ln-term arithmetic. */
+  def ppDriftPsi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.distributionDrift(t(s, dir, "documents"), "n_chars",
+      col("source") === "src0", bucketWidth = 100L, nBuckets = 10)
+
+  private val ppDriftPsiSql =
+    """WITH b AS (
+         SELECT CAST(LEAST(FLOOR(CAST(n_chars AS DOUBLE) / 100), 9)
+             AS INTEGER) AS bucket,
+           (source = 'src0') AS is_base
+         FROM documents),
+       c AS (
+         SELECT bucket,
+           CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+           CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_new
+         FROM b GROUP BY bucket),
+       t AS (SELECT SUM(n_base) AS t_base, SUM(n_new) AS t_new FROM c),
+       f AS (
+         SELECT c.bucket, c.n_base, c.n_new,
+           (c.n_base + CAST(1.0 AS DOUBLE)) /
+             (t.t_base + CAST(10.0 AS DOUBLE)) AS p,
+           (c.n_new + CAST(1.0 AS DOUBLE)) /
+             (t.t_new + CAST(10.0 AS DOUBLE)) AS q
+         FROM c CROSS JOIN t)
+       SELECT bucket, n_base, n_new,
+         CAST(ROUND(CAST((p - q) * ln(p / q) AS DECIMAL(28,10)), 6)
+           AS DOUBLE) AS psi_term
+       FROM f ORDER BY bucket"""
+
   /** T5-style span corruption ([[TextAnalysis.spanCorruption]]):
     * deterministic md5-gated token masking, gaps-and-islands span
     * grouping, sentinel-numbered input/target pair per document. The
@@ -4392,6 +4426,7 @@ object PipelineQueries {
     "pp_hard_negatives" -> (ppHardNegatives _),
     "pp_hard_negatives_at_rest" -> (ppHardNegativesAtRest _),
     "pp_curate_shard_e2e" -> (ppCurateShardE2e _),
+    "pp_drift_psi" -> (ppDriftPsi _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -4538,6 +4573,7 @@ object PipelineQueries {
     "pp_hard_negatives" -> ppHardNegativesSql,
     "pp_hard_negatives_at_rest" -> ppHardNegativesSql,
     "pp_curate_shard_e2e" -> ppCurateShardE2eSql,
+    "pp_drift_psi" -> ppDriftPsiSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,

@@ -1080,6 +1080,30 @@ class PipelineSpec extends SparkSpec {
     assert(all.forall { case (g, c) => c == (if (g == "alpha beta") 40 else 1) })
   }
 
+  test("PSI drift: identical slices score ~0, a shifted slice flags") {
+    // identical distributions in both slices → every term ~0
+    val same = (0 until 200).map(i =>
+      (i.toLong, (((i / 2) % 10) * 100 + 50).toLong, i % 2 == 0))
+      .toDF("doc_id", "n_chars", "is_base")
+    val flat = TextAnalysis.distributionDrift(same, "n_chars",
+      $"is_base", bucketWidth = 100L, nBuckets = 10)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(flat.length === 10)
+    assert(flat.map(x => math.abs(x._4)).sum < 1e-6)
+    // baseline in buckets 0-4, new slice in 5-9 → strong drift, and
+    // the Laplace smoothing keeps one-sided buckets finite
+    val shifted = (0 until 200).map { i =>
+      val base = i % 2 == 0
+      val v = if (base) (i % 5) * 100 + 50 else (i % 5) * 100 + 550
+      (i.toLong, v.toLong, base)
+    }.toDF("doc_id", "n_chars", "is_base")
+    val drift = TextAnalysis.distributionDrift(shifted, "n_chars",
+      $"is_base", bucketWidth = 100L, nBuckets = 10)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(drift.forall(x => !x._4.isNaN && !x._4.isInfinite))
+    assert(drift.map(_._4).sum > 1.0) // classic PSI alarm territory
+  }
+
   test("binary ANN: hamming equals the sign-disagreement count") {
     // q: dims 0..63 positive; c0 flips dims 0..9; c1 flips 0..31
     val qv = Array.fill(64)(1.0f)
