@@ -433,6 +433,10 @@ object PartitionedAnn {
       bucketBits: Int = 4): Unit = {
     require(bucketBits >= 1 && bucketBits <= 16,
       s"writeBinaryPartitioned: bucketBits=$bucketBits out of range")
+    // the probe requires it too — a dim=48 writer would silently pack
+    // one word and drop the last 16 dimensions from the stored codes
+    require(dim > 0 && dim % 32 == 0,
+      s"writeBinaryPartitioned: dim=$dim must be a multiple of 32")
     corpus
       .select(col(keyCol).as("c_id"),
         Similarity.packWords(col(vecCol), dim).as("c_bits"))

@@ -35,10 +35,31 @@ object Sharding {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
+  /** [[writeSharded]] as the BASE of an incremental layout: writes
+    * `root/base` AND stamps `root/params` with the shard count, so
+    * every later [[appendBatch]] validates against the base's
+    * contract rather than the first append stamping its own — a base
+    * at n_shards=8 plus appends at 16 would otherwise pass silently
+    * and mix two incompatible shardings. */
+  def writeShardedBase(docs: DataFrame, keyCol: String, root: String,
+      nShards: Int): Unit = {
+    writeSharded(docs, keyCol, s"$root/base", nShards)
+    writeParams(docs.sparkSession, root, nShards)
+  }
+
+  private def writeParams(spark: SparkSession, root: String,
+      nShards: Int): Unit = {
+    import spark.implicits._
+    Seq(nShards).toDF("n_shards")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/params")
+  }
+
   /** Persist-or-validate the layout's shard count: a batch appended
     * with a DIFFERENT nShards than the base would silently mix two
     * incompatible shardings (the same doc key landing in different
-    * `shard=` dirs per batch) — fail pointedly instead. */
+    * `shard=` dirs per batch) — fail pointedly instead. A base
+    * written via [[writeShardedBase]] owns the contract; a legacy
+    * base without params gets it stamped by the first append. */
   private def checkOrWriteParams(spark: SparkSession, root: String,
       nShards: Int): Unit = {
     val dir = s"$root/params"
@@ -48,11 +69,7 @@ object Sharding {
       require(stored == nShards,
         s"Sharding: shard-count drift — layout $root was built with " +
           s"n_shards=$stored but this call uses n_shards=$nShards")
-    } else {
-      import spark.implicits._
-      Seq(nShards).toDF("n_shards")
-        .coalesce(1).write.mode("overwrite").parquet(dir)
-    }
+    } else writeParams(spark, root, nShards)
   }
 
   /** The per-shard manifest of a [[writeSharded]] layout, computed

@@ -773,13 +773,26 @@ object TextAnalysis {
       nBuckets: Int): DataFrame = {
     require(bucketWidth >= 1 && nBuckets >= 2,
       "distributionDrift: need bucketWidth >= 1 and nBuckets >= 2")
-    val bucket = least(floor(col(valueCol) / bucketWidth),
-      lit(nBuckets - 1L)).cast("int")
-    val counts = docs
+    // clamp both ends: values past the last edge fold into the top
+    // bucket, negatives into bucket 0 (a negative signal must not
+    // mint a phantom negative bucket)
+    val bucket = greatest(least(floor(col(valueCol) / bucketWidth),
+      lit(nBuckets - 1L)), lit(0L)).cast("int")
+    val observed = docs
       .select(bucket.as("bucket"), isBaseline.as("is_base"))
       .groupBy(col("bucket"))
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_new"))
+    // the report's shape is the MONITOR'S contract, not the data's:
+    // a bucket empty in both slices still has a nonzero Laplace-
+    // smoothed psi_term, so left-join the observed counts against the
+    // full 0..nBuckets-1 list or the summed PSI under-reports
+    val counts = docs.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(observed, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
     // totals are a 1-row broadcast; Laplace +1 per bucket keeps every
     // fraction positive so ln is always defined
     val totals = counts.agg(sum(col("n_base")).as("t_base"),

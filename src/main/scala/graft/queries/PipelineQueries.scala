@@ -2949,17 +2949,23 @@ object PipelineQueries {
 
   private val ppDriftPsiSql =
     """WITH b AS (
-         SELECT CAST(LEAST(FLOOR(CAST(n_chars AS DOUBLE) / 100), 9)
+         SELECT CAST(GREATEST(
+             LEAST(FLOOR(CAST(n_chars AS DOUBLE) / 100), 9), 0)
              AS INTEGER) AS bucket,
            (source = 'src0') AS is_base
          FROM documents),
-       c AS (
+       c0 AS (
          SELECT bucket,
            CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
              AS n_base,
            CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
              AS n_new
          FROM b GROUP BY bucket),
+       c AS (
+         SELECT CAST(g.range AS INTEGER) AS bucket,
+           COALESCE(c0.n_base, CAST(0 AS BIGINT)) AS n_base,
+           COALESCE(c0.n_new, CAST(0 AS BIGINT)) AS n_new
+         FROM range(0, 10) g LEFT JOIN c0 ON g.range = c0.bucket),
        t AS (SELECT SUM(n_base) AS t_base, SUM(n_new) AS t_new FROM c),
        f AS (
          SELECT c.bucket, c.n_base, c.n_new,
@@ -3093,8 +3099,8 @@ object PipelineQueries {
   def ppShardUpdated(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val root = layoutDir(dir, "documents", "shards8_incr")
-    ensureLayout(s"$root/base")(Sharding.writeSharded(
-      d.filter(col("doc_id") % 3 === 0), "doc_id", s"$root/base",
+    ensureLayout(s"$root/base")(Sharding.writeShardedBase(
+      d.filter(col("doc_id") % 3 === 0), "doc_id", root,
       nShards = 8))
     ensureLayout(s"$root/delta/batch=1")(Sharding.appendBatch(
       d.filter(col("doc_id") % 3 === 1), 1L, root, "doc_id",

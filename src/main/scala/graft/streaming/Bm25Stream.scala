@@ -75,6 +75,35 @@ object Bm25Stream {
     * version would silently resurrect). */
   private val BaseGen = -1L
 
+  /** The generation trees a compaction folds and clears — shared by
+    * [[compact]]'s swap and [[appendBatch]]'s recovery preamble (the
+    * two must agree, or recovery deletes the wrong entries). */
+  private val ClearDirs =
+    Seq("delta", "delta_stats", "delta_docs", "superseded")
+
+  /** The highest generation id ever folded into `base/` (stamped by
+    * [[compact]] into the stats row), or [[BaseGen]] for never-folded
+    * and pre-watermark roots. An append whose batch id is not above
+    * this is a REUSED id — a stream restarted with a fresh checkpoint
+    * against a folded layout — and must fail pointedly: the folded
+    * rows keep their original `gen` as a data column, so a re-crawl
+    * in reused batch N would skip its own supersede rows (excluded as
+    * "own batch") and sidecar (doc_id, gen) rows could match both the
+    * old and the new version. */
+  private def foldWatermark(spark: SparkSession, root: String): Long =
+    try {
+      val st = spark.read.parquet(s"$root/base/stats")
+      if (st.schema.fieldNames.contains("max_gen"))
+        st.agg(max(col("max_gen").cast("long"))).collect()(0) match {
+          case r if r.isNullAt(0) => BaseGen
+          case r => r.getLong(0)
+        }
+      else BaseGen
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if IvfStream.missingPath(e) => BaseGen
+    }
+
   /** Base postings/registry reads: folded bases carry the preserved
     * `gen` data column; an original writeBm25Index base does not —
     * tag its rows [[BaseGen]]. */
@@ -212,6 +241,21 @@ object Bm25Stream {
       root: String, textCol: String, keyCol: String,
       buckets: Int): Unit = {
     val spark = batch.sparkSession
+    // a crashed compact leaves base/ absent and staging marked: the
+    // registry/stats readers' missingPath fallback would silently see
+    // an EMPTY base, so a batch re-crawling a base-resident document
+    // would record no supersede row (both versions live forever, no
+    // error anywhere). Complete the pending swap FIRST, mirroring how
+    // compact/refreshCodebook recover before running their own op.
+    IvfStream.recoverPendingSwap(root, ClearDirs)
+    val wm = foldWatermark(spark, root)
+    require(batchId > wm,
+      s"Bm25Stream.appendBatch: batch id $batchId is not above the " +
+        s"compaction watermark $wm — the layout has folded " +
+        "generations up to that id (a stream restarted with a fresh " +
+        "checkpoint reuses ids, and a reused id would silently skip " +
+        "its own supersede rows); resume from the original " +
+        "checkpoint or start batch ids above the watermark")
     // eager: the four writes below are separate ACTIONS; the lazy
     // form would tokenize the batch once per write (micro-batch-
     // sized, so the materialization is the cheap side — the
@@ -289,9 +333,7 @@ object Bm25Stream {
     // invokes it outside the interrupted-swap recovery branch, where
     // base/ is guaranteed present (reading the layout up front would
     // crash recovery itself — base absent, only staging complete)
-    IvfStream.stagedSwap(root,
-      clear = Seq("delta", "delta_stats", "delta_docs",
-        "superseded")) { staging =>
+    IvfStream.stagedSwap(root, clear = ClearDirs) { staging =>
       val posts = liveWithGen(spark, root).localCheckpoint()
       val liveReg = registry(spark, root)
         .join(broadcast(sidecar(spark, root)
@@ -327,6 +369,17 @@ object Bm25Stream {
         .collect()(0)
       val n = t.getLong(0) - s.getLong(0)
       val sdl = t.getLong(1) - s.getLong(1)
+      // the fold watermark: max over the prior base's watermark and
+      // every delta generation this swap folds (dir names — the same
+      // driver-side listing the swap manifest snapshots). Superseded
+      // gens count too: their ids are spent even if no row survives.
+      val deltaGens = ClearDirs.flatMap { d =>
+        Option(new java.io.File(s"$root/$d").listFiles()).toSeq.flatten
+          .map(_.getName).collect {
+            case s0 if s0.startsWith("batch=") => s0.drop(6).toLong
+          }
+      }
+      val maxGen = (foldWatermark(spark, root) +: deltaGens).max
       posts
         .repartition(col("term_bucket"))
         .write.mode("overwrite").partitionBy("term_bucket")
@@ -334,7 +387,8 @@ object Bm25Stream {
       spark.range(1)
         .select(lit(n).cast("double").as("n_docs"),
           lit(if (n > 0) sdl.toDouble / n else 0.0).as("avgdl"),
-          lit(n).as("n"), lit(sdl).as("sdl"))
+          lit(n).as("n"), lit(sdl).as("sdl"),
+          lit(maxGen).as("max_gen"))
         .write.mode("overwrite").parquet(s"$staging/stats")
       live.write.mode("overwrite").parquet(s"$staging/docs")
       new java.io.File(staging, "_SUCCESS").createNewFile(): Unit

@@ -251,45 +251,69 @@ object IvfStream {
     * (no appends racing the `write` lambda's layout read — an append
     * in that window may or may not be folded); the manifest protects
     * the arbitrarily-long CRASH-RECOVERY window, not the write. */
-  private[streaming] def stagedSwap(root: String,
-      clear: Seq[String] = Seq("delta"))(write: String => Unit): Unit = {
+  private def rmRec(f: java.io.File): Unit = if (f.exists()) {
+    Option(f.listFiles()).foreach(_.foreach(rmRec))
+    f.delete(): Unit
+  }
+
+  private def finishSwap(root: String, clear: Seq[String],
+      folded: Seq[String]): Unit = {
     import java.io.File
     import java.nio.file.{Files, Paths}
-    def rm(f: File): Unit = if (f.exists()) {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
+    val base = new File(s"$root/base")
+    rmRec(base)
+    folded.foreach(p => rmRec(new File(s"$root/$p")))
+    // drop clear roots left empty (readers treat them as absent)
+    clear.map(d => new File(s"$root/$d")).foreach { dir =>
+      if (dir.exists() && Option(dir.listFiles()).forall(_.isEmpty))
+        rmRec(dir)
     }
+    Files.move(Paths.get(s"$root/base_compact"), Paths.get(s"$root/base"))
+    rmRec(new File(base, "_SWAP_READY"))
+  }
+
+  /** Complete a crashed predecessor's staged swap, if one is pending;
+    * no-op otherwise. Maintenance ops run it as the preamble of
+    * [[stagedSwap]]; DELTA APPENDERS over swap-managed roots (e.g.
+    * [[Bm25Stream.appendBatch]]) must ALSO run it before reading any
+    * prior state — mid-swap, `base/` is absent and a reader's
+    * missingPath fallback silently degrades the base registry/stats
+    * to empty, so a batch re-crawling a base-resident document would
+    * record no supersede row and leave both versions live forever. */
+  private[streaming] def recoverPendingSwap(root: String,
+      clear: Seq[String] = Seq("delta")): Unit = {
+    import java.io.File
+    import java.nio.file.Files
     val staging = new File(s"$root/base_compact")
     val base = new File(s"$root/base")
     val marker = new File(staging, "_SWAP_READY")
-    def finishSwap(folded: Seq[String]): Unit = {
-      rm(base)
-      folded.foreach(p => rm(new File(s"$root/$p")))
-      // drop clear roots left empty (readers treat them as absent)
-      clear.map(d => new File(s"$root/$d")).foreach { dir =>
-        if (dir.exists() && Option(dir.listFiles()).forall(_.isEmpty))
-          rm(dir)
-      }
-      Files.move(staging.toPath, Paths.get(s"$root/base"))
-      rm(new File(base, "_SWAP_READY"))
-    }
-    // complete a crashed predecessor's swap FIRST, then still run
-    // this call's own op over the recovered layout (the caller asked
-    // for a compact/refresh and gets one — recovery is a preamble,
-    // not a substitute)
     if (staging.exists() && marker.exists()) {
       val folded = new String(
         Files.readAllBytes(marker.toPath), "UTF-8")
         .linesIterator.filter(_.nonEmpty).toSeq
-      finishSwap(folded)
+      finishSwap(root, clear, folded)
     } else if (staging.exists() && !base.exists()) {
       // pre-manifest staging from an older crashed swap (complete by
       // the old ordering: base was only removed after a full write) —
       // honor the legacy recovery: whole clear trees were folded
-      finishSwap(clear)
+      finishSwap(root, clear, clear)
     }
-    rm(staging) // unmarked staging next to a live base: incomplete
-    rm(new File(base, "_SWAP_READY")) // stale marker from a post-move crash
+  }
+
+  private[streaming] def stagedSwap(root: String,
+      clear: Seq[String] = Seq("delta"))(write: String => Unit): Unit = {
+    import java.io.File
+    import java.nio.file.Files
+    val staging = new File(s"$root/base_compact")
+    val base = new File(s"$root/base")
+    val marker = new File(staging, "_SWAP_READY")
+    // complete a crashed predecessor's swap FIRST, then still run
+    // this call's own op over the recovered layout (the caller asked
+    // for a compact/refresh and gets one — recovery is a preamble,
+    // not a substitute)
+    recoverPendingSwap(root, clear)
+    rmRec(staging) // unmarked staging next to a live base: incomplete
+    rmRec(new File(base, "_SWAP_READY")) // stale marker from a post-move crash
     // snapshot the delta entries this swap folds — under the offline
     // contract this is exactly what the write lambda will read
     val folded = clear.flatMap { d =>
@@ -305,7 +329,7 @@ object IvfStream {
       folded.mkString("\n").getBytes("UTF-8"))
     Files.move(tmpMarker.toPath, marker.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    finishSwap(folded)
+    finishSwap(root, clear, folded)
   }
 
   /** Start incremental IVF maintenance over a parquet embedding

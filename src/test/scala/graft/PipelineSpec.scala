@@ -1015,11 +1015,17 @@ class PipelineSpec extends SparkSpec {
         n = 2, phiDenom = 10L, depth = 3, width = 1024).collect())
     assert(e3.getMessage.contains("not mergeable"))
     val shRoot = java.nio.file.Files.createTempDirectory("shg").toString
-    Sharding.writeSharded(docs, "doc_id", s"$shRoot/base", nShards = 4)
+    Sharding.writeShardedBase(docs, "doc_id", shRoot, nShards = 4)
     // base-only layout: the incremental manifest degrades to base
     val baseOnly = Sharding.manifestIncremental(spark, shRoot,
       "doc_id", "text").collect()
     assert(baseOnly.length === 1)
+    // the base write stamped params, so even the FIRST append at a
+    // different shard count fails pointedly — previously the first
+    // append stamped its own nShards and two shardings mixed silently
+    val e5 = intercept[IllegalArgumentException](
+      Sharding.appendBatch(docs, 1L, shRoot, "doc_id", nShards = 8))
+    assert(e5.getMessage.contains("shard-count drift"))
     Sharding.appendBatch(docs, 1L, shRoot, "doc_id", nShards = 4)
     val e4 = intercept[IllegalArgumentException](
       Sharding.appendBatch(docs, 2L, shRoot, "doc_id", nShards = 8))
@@ -1102,6 +1108,22 @@ class PipelineSpec extends SparkSpec {
       .as[(Int, Long, Long, Double)].collect()
     assert(drift.forall(x => !x._4.isNaN && !x._4.isInfinite))
     assert(drift.map(_._4).sum > 1.0) // classic PSI alarm territory
+    // the report's shape is the monitor's contract: a bucket empty in
+    // BOTH slices still emits its (nonzero, Laplace-smoothed) term,
+    // and negative values clamp into bucket 0 rather than minting a
+    // phantom negative bucket
+    val sparse = Seq((0L, -50L, true), (1L, 10L, true), (2L, 950L, false))
+      .toDF("doc_id", "n_chars", "is_base")
+    val rep = TextAnalysis.distributionDrift(sparse, "n_chars",
+      $"is_base", bucketWidth = 100L, nBuckets = 10)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rep.map(_._1).toSeq === (0 until 10))
+    assert(rep.head._2 === 2L && rep.head._3 === 0L) // -50 → bucket 0
+    assert(rep.last._3 === 1L)
+    // middle buckets: empty in both slices, but with unequal slice
+    // totals the smoothed fractions differ — the term must be emitted
+    // (dropping it under-reports the summed PSI)
+    assert(rep(5)._2 === 0L && rep(5)._3 === 0L && rep(5)._4 != 0.0)
   }
 
   test("binary ANN: hamming equals the sign-disagreement count") {
@@ -1119,6 +1141,13 @@ class PipelineSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Similarity.binaryTopK(q, c, "embedding", "vec_id", 2, dim = 48))
     assert(e.getMessage.contains("multiple of 32"))
+    // the at-rest WRITER validates dim too — a dim=48 writer would
+    // silently pack one word and drop 16 dimensions from the codes,
+    // surfacing only as a confusing probe-time mismatch
+    val e2 = intercept[IllegalArgumentException](
+      PartitionedAnn.writeBinaryPartitioned(c, "embedding", "vec_id",
+        "/tmp/graft-bin-dim-guard", dim = 48))
+    assert(e2.getMessage.contains("multiple of 32"))
   }
 
   test("MRL eval: full-width truncation recalls everything") {

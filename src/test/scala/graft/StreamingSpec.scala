@@ -1339,23 +1339,42 @@ class StreamingSpec extends SparkSpec {
       "text", "doc_id", s"$root/base", buckets = 16)
     Bm25Stream.appendBatch(docs.filter($"doc_id" % 2 === 1), 1L, root,
       "text", "doc_id", buckets = 16)
+    // snapshot batch 1's trees (filesystem copy — appendBatch can't
+    // regenerate them post-fold: its recovery preamble would complete
+    // the swap and its watermark check rejects the reused id)
+    def cp(src: java.io.File, dst: java.io.File): Unit =
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      } else Files.copy(src.toPath, dst.toPath): Unit
+    val aside = Files.createTempDirectory("graft-bm25-aside").toString
+    val trees = Seq("delta/batch=1", "delta_stats/batch=1",
+      "delta_docs/batch=1", "superseded/batch=1")
+    trees.foreach { t =>
+      val src = new java.io.File(s"$root/$t")
+      if (src.exists()) cp(src, new java.io.File(s"$aside/$t"))
+    }
     // a REAL fold (gen-preserving), then reconstruct the crash state:
     // staging complete + marker manifesting batch 1, base absent,
-    // batch 1's trees regenerated (overwrite-idempotent appendBatch)
+    // batch 1's trees restored from the snapshot (the crash happened
+    // between the base delete and the delta deletes)
     Bm25Stream.compact(spark, root)
     Files.move(new java.io.File(s"$root/base").toPath,
       new java.io.File(s"$root/base_compact").toPath)
     Files.write(
       new java.io.File(s"$root/base_compact/_SWAP_READY").toPath,
-      ("delta/batch=1\ndelta_stats/batch=1\ndelta_docs/batch=1\n" +
-        "superseded/batch=1").getBytes("UTF-8"))
-    Bm25Stream.appendBatch(docs.filter($"doc_id" % 2 === 1), 1L, root,
-      "text", "doc_id", buckets = 16)
-    // the stream resumes post-crash and batch 2 RE-CRAWLS doc 1 (an
-    // odd doc whose v1 the staged fold absorbed as gen=1): its
-    // sidecar row references gen 1 and must keep matching after
-    // recovery folds batch 1 into base
-    val upd = docs.filter($"doc_id" === 1)
+      trees.mkString("\n").getBytes("UTF-8"))
+    trees.foreach { t =>
+      val src = new java.io.File(s"$aside/$t")
+      if (src.exists()) cp(src, new java.io.File(s"$root/$t"))
+    }
+    // the stream resumes MID-SWAP and batch 2 re-crawls doc 1 (odd —
+    // its v1 sits in a manifested delta as gen=1) AND doc 0 (even —
+    // base-resident, gen preserved by the fold): appendBatch must
+    // first complete the pending swap, or the base registry reads as
+    // EMPTY (missingPath fallback) and doc 0's supersede row is never
+    // recorded — both versions of doc 0 would stay live forever
+    val upd = docs.filter($"doc_id" === 1 || $"doc_id" === 0)
       .withColumn("text", concat($"text", lit(" alpha beta crash")))
     Bm25Stream.appendBatch(upd, 2L, root, "text", "doc_id",
       buckets = 16)
@@ -1363,14 +1382,44 @@ class StreamingSpec extends SparkSpec {
     // rebuild over the latest versions is the truth
     val full = Files.createTempDirectory("graft-bm25-dangle-f").toString
     Retrieval.writeBm25Index(
-      docs.filter($"doc_id" =!= 1).unionByName(upd), "text", "doc_id",
-      full, buckets = 16)
+      docs.filter($"doc_id" =!= 1 && $"doc_id" =!= 0).unionByName(upd),
+      "text", "doc_id", full, buckets = 16)
     val expect = rows(Retrieval.bm25TopKAtRest(spark, full, qs,
       "q_id", "q_text", k = 10, buckets = 16))
     val got = rows(Bm25Stream.bm25TopKIncremental(spark, root, qs,
       "q_id", "q_text", k = 10, buckets = 16))
     assert(got === expect,
       "stale version resurrected after crash-recovery fold")
+  }
+
+  test("BM25 fold watermark rejects reused batch ids after compaction") {
+    import java.nio.file.Files
+    import graft.pipeline.Retrieval
+    import graft.streaming.Bm25Stream
+    val root = Files.createTempDirectory("graft-bm25-wm").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    Retrieval.writeBm25Index(docs.filter($"doc_id" % 2 === 0),
+      "text", "doc_id", s"$root/base", buckets = 16)
+    Bm25Stream.appendBatch(docs.filter($"doc_id" % 2 === 1), 3L, root,
+      "text", "doc_id", buckets = 16)
+    Bm25Stream.compact(spark, root)
+    // fresh-checkpoint restart: ids restart at 0..N — a reused id
+    // would silently skip its own supersede rows (folded gen=3 rows
+    // excluded as "own batch"); it must fail pointedly instead
+    val e = intercept[IllegalArgumentException](
+      Bm25Stream.appendBatch(docs.limit(1), 3L, root, "text",
+        "doc_id", buckets = 16))
+    assert(e.getMessage.contains("watermark"))
+    // ids above the watermark keep working, and a second fold carries
+    // the watermark forward (max of prior watermark and new deltas)
+    Bm25Stream.appendBatch(docs.filter($"doc_id" === 1)
+        .withColumn("text", org.apache.spark.sql.functions.lit("wm probe")),
+      4L, root, "text", "doc_id", buckets = 16)
+    Bm25Stream.compact(spark, root)
+    val e2 = intercept[IllegalArgumentException](
+      Bm25Stream.appendBatch(docs.limit(1), 4L, root, "text",
+        "doc_id", buckets = 16))
+    assert(e2.getMessage.contains("watermark"))
   }
 
   test("incremental gram index equals a full rebuild; compaction lossless; streaming-driven") {
