@@ -697,6 +697,203 @@ object TextAnalysis {
       .orderBy(col("word"))
   }
 
+  /** One word as BPE's initial symbol sequence — split by CODE POINT
+    * (matching Java-regex `(.)`, which both engines' replace chains
+    * use), so supplementary characters stay whole symbols. */
+  private[graft] def toSymbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Unsigned UTF-8 byte order — the string ordering BOTH engines
+    * sort by (Spark's UTF8String, DuckDB's VARCHAR collation), used
+    * for the trainer's lexicographic tie-break so the driver-local
+    * winner pick is bit-compatible with the distributed/oracle one.
+    * (Java's String.compareTo is UTF-16 order, which DIVERGES for
+    * supplementary vs U+E000..U+FFFF characters.) */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Greedy merge-rank segmentation of ONE symbol sequence: find the
+    * lowest-ranked merge present, merge all its occurrences left to
+    * right (exactly `replace`'s non-overlapping scan), repeat. For a
+    * TRAINED merge list this equals replaying the merges in training
+    * order — a merged symbol can only be created by its own (earlier)
+    * merge, so no later merge ever mints a new occurrence of an
+    * earlier pair — but each word pays O(len · merges-in-word)
+    * instead of O(len · |vocab merges|): the form that survives a
+    * 32k-merge production vocabulary, where the replace-chain's
+    * expression tree alone would break whole-stage codegen. */
+  private[pipeline] def greedySegment(syms0: Array[String],
+      ranks: scala.collection.Map[(String, String), Int])
+      : Array[String] = {
+    var syms = syms0
+    var continue = syms.length >= 2
+    while (continue) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val rk = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (rk < best) best = rk
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && ranks.getOrElse(
+              (syms(j), syms(j + 1)), Int.MaxValue) == best) {
+            out += syms(j) + syms(j + 1); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        continue = syms.length >= 2
+      }
+    }
+    syms
+  }
+
+  /** [[bpeSegment]] at production vocabulary size: the merge list is
+    * broadcast as a rank map and each distinct word segments via
+    * [[greedySegment]] in one mapPartitions pass — per-word cost
+    * scales with the merges that APPLY to the word, not the full
+    * merge count, and nothing about the plan grows with the
+    * vocabulary (the replace-chain form folds one expression node
+    * per merge — fine at the 8-merge gate, fatal at 32k). Same
+    * output contract as [[bpeSegment]]; a PipelineSpec property pins
+    * the two equal on trained merge lists of any size. */
+  def bpeSegmentFast(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs.select(explode(tokens(col(textCol))).as("word")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { w =>
+          val pieces = greedySegment(toSymbols(w), r)
+          (w, pieces.mkString(" "), pieces.length.toLong)
+        }
+      }
+      .toDF("word", "pieces", "n_pieces")
+      .orderBy(col("word"))
+  }
+
+  /** [[bpeMerges]] at production round counts: the corpus-sized work
+    * stays one distributed shuffle (tokens → distinct-word counts —
+    * at 100 TB the vocabulary is millions of rows against trillions
+    * of tokens), and training then runs driver-local over that table
+    * with DELTA-updated pair counts: a pair→words inverted index
+    * finds the words a merge touches, only those words' pair
+    * multisets are recomputed, and an ordered mirror keeps the
+    * winner pick O(log) — per-round cost tracks the merge's
+    * footprint, not the vocabulary, where [[bpeMerges]] re-counts
+    * every pair with a full Spark job per round (8 rounds fine, 32k
+    * a driver-side bottleneck by construction). Winner tie-break is
+    * (count desc, lhs, rhs) in UTF-8 byte order — bit-compatible
+    * with the distributed form and the oracle's ORDER BY. `minCount`
+    * prunes the long singleton tail before collect (the standard
+    * trainer knob); at the default 1 the result is EXACTLY
+    * [[bpeMerges]]', which the gate replays. */
+  def bpeMergesFast(docs: DataFrame, textCol: String, rounds: Int,
+      minCount: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .as[(String, Long)].collect()
+    val words = vocab.map(v => toSymbols(v._1))
+    val cnts = vocab.map(_._2)
+    import scala.collection.mutable
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // ordered mirror of `counts` for the O(log) winner pick
+    val byRank = new java.util.TreeSet[((String, String), Long)](
+      new java.util.Comparator[((String, String), Long)] {
+        def compare(x: ((String, String), Long),
+            y: ((String, String), Long)): Int = {
+          if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+          else if (x._1._1 != y._1._1) {
+            if (utf8Lt(x._1._1, y._1._1)) -1 else 1
+          } else if (x._1._2 != y._1._2) {
+            if (utf8Lt(x._1._2, y._1._2)) -1 else 1
+          } else 0
+        }
+      })
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator
+        .map(i => (syms(i), syms(i + 1)))
+    def bump(p: (String, String), by: Long, wi: Int): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old != 0L) byRank.remove((p, old))
+      val now = old + by
+      if (now != 0L) { counts(p) = now; byRank.add((p, now)): Unit }
+      else counts.remove(p): Unit
+      if (by > 0) where.getOrElseUpdate(p, mutable.Set.empty) += wi
+    }
+    words.indices.foreach { wi =>
+      pairsOf(words(wi)).foreach(p => bump(p, cnts(wi), wi))
+    }
+    val merges = mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var r = 1
+    while (r <= rounds && !byRank.isEmpty) {
+      val (p @ (a, b), c) = byRank.first()
+      merges += ((r, a, b, a + b, c))
+      // merge in exactly the words that contain the pair; recompute
+      // those words' pair multisets as deltas (word-local, tiny)
+      where.getOrElse(p, mutable.Set.empty).toArray.foreach { wi =>
+        val before = words(wi)
+        if (pairsOf(before).contains(p)) {
+          pairsOf(before).foreach(q => bump(q, -cnts(wi), wi))
+          val out = Array.newBuilder[String]
+          var j = 0
+          while (j < before.length) {
+            if (j < before.length - 1 && before(j) == a &&
+                before(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += before(j); j += 1 }
+          }
+          words(wi) = out.result()
+          pairsOf(words(wi)).foreach(q => bump(q, cnts(wi), wi))
+        }
+      }
+      where.remove(p)
+      r += 1
+    }
+    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** [[bpeTokenize]] with the [[bpeSegmentFast]] vocabulary
+    * segmentation — the pairing that survives a production merge
+    * count end to end. */
+  def bpeTokenizeFast(docs: DataFrame, textCol: String, keyCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    tokenizeWith(docs, textCol, keyCol,
+      bpeSegmentFast(docs, textCol, merges))
+
   /** T5-style span corruption (Raffel et al. 2020) — the
     * pretraining-pair generator: ~19% of each document's tokens are
     * masked, contiguous masked runs collapse to one sentinel in the
@@ -818,9 +1015,13 @@ object TextAnalysis {
     * operator downstream actually wants (token budgets are BPE
     * tokens, not whitespace words). */
   def bpeTokenize(docs: DataFrame, textCol: String, keyCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val seg = bpeSegment(docs, textCol, merges)
-      .select(col("word"), col("n_pieces"))
+      merges: Seq[(String, String)]): DataFrame =
+    tokenizeWith(docs, textCol, keyCol,
+      bpeSegment(docs, textCol, merges))
+
+  private def tokenizeWith(docs: DataFrame, textCol: String,
+      keyCol: String, segmentation: DataFrame): DataFrame = {
+    val seg = segmentation.select(col("word"), col("n_pieces"))
     docs.select(col(keyCol), explode(tokens(col(textCol))).as("word"))
       .join(broadcast(seg), Seq("word"))
       .groupBy(col(keyCol))

@@ -3239,6 +3239,41 @@ object PipelineQueries {
        GROUP BY o.doc_id ORDER BY o.doc_id"""
   }
 
+  /** [[ppBpeTrain]]'s production-scale twin
+    * ([[TextAnalysis.bpeMergesFast]]): ONE distributed shuffle to the
+    * distinct-word table, then driver-local delta-updated pair counts
+    * — per-round cost tracks the merge's footprint instead of a full
+    * Spark job per round. Gated against [[ppBpeTrainSql]] VERBATIM:
+    * same 8 winners, counts, tie-breaks. */
+  def ppBpeTrainFast(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMergesFast(t(s, dir, "documents"), "text",
+      rounds = 8).orderBy(col("round"))
+
+  /** [[ppBpeApply]]'s production-scale twin: merges trained by the
+    * delta trainer, segmentation by the broadcast merge-rank greedy
+    * ([[TextAnalysis.bpeSegmentFast]]) — no replace chain anywhere,
+    * so nothing grows with the merge count. Same oracle verbatim. */
+  def ppBpeApplyFast(s: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.bpeMergesFast(t(s, dir, "documents"), "text",
+        rounds = 8)
+      .orderBy(col("round"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    TextAnalysis.bpeSegmentFast(t(s, dir, "documents"), "text", m)
+  }
+
+  /** [[ppBpeTokenize]]'s production-scale twin — fast trainer + fast
+    * segmenter at occurrence scale, same oracle verbatim. */
+  def ppBpeTokenizeFast(s: SparkSession, dir: String): DataFrame = {
+    val m = TextAnalysis.bpeMergesFast(t(s, dir, "documents"), "text",
+        rounds = 8)
+      .orderBy(col("round"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    TextAnalysis.bpeTokenizeFast(t(s, dir, "documents"), "text",
+      "doc_id", m)
+  }
+
   /** Gopher's other repetition signal: fraction of a document's
     * bigrams occupied by its single most frequent bigram, smallest
     * gram winning count ties. */
@@ -4424,10 +4459,13 @@ object PipelineQueries {
     "ta_heavy_hitters_incremental" -> (taHeavyHittersIncremental _),
     "ta_heavy_hitters_at_rest" -> (taHeavyHittersAtRest _),
     "pp_bpe_train" -> (ppBpeTrain _),
+    "pp_bpe_train_fast" -> (ppBpeTrainFast _),
     "pp_bpe_apply" -> (ppBpeApply _),
+    "pp_bpe_apply_fast" -> (ppBpeApplyFast _),
     "pp_shard_manifest" -> (ppShardManifest _),
     "pp_shard_updated" -> (ppShardUpdated _),
     "pp_bpe_tokenize" -> (ppBpeTokenize _),
+    "pp_bpe_tokenize_fast" -> (ppBpeTokenizeFast _),
     "pp_span_corruption" -> (ppSpanCorruption _),
     "pp_hard_negatives" -> (ppHardNegatives _),
     "pp_hard_negatives_at_rest" -> (ppHardNegativesAtRest _),
@@ -4571,10 +4609,13 @@ object PipelineQueries {
     "ta_heavy_hitters_incremental" -> taHeavyHittersSql,
     "ta_heavy_hitters_at_rest" -> taHeavyHittersSql,
     "pp_bpe_train" -> ppBpeTrainSql,
+    "pp_bpe_train_fast" -> ppBpeTrainSql,
     "pp_bpe_apply" -> ppBpeApplySql,
+    "pp_bpe_apply_fast" -> ppBpeApplySql,
     "pp_shard_manifest" -> ppShardManifestSql,
     "pp_shard_updated" -> ppShardManifestSql,
     "pp_bpe_tokenize" -> ppBpeTokenizeSql,
+    "pp_bpe_tokenize_fast" -> ppBpeTokenizeSql,
     "pp_span_corruption" -> ppSpanCorruptionSql,
     "pp_hard_negatives" -> ppHardNegativesSql,
     "pp_hard_negatives_at_rest" -> ppHardNegativesSql,
