@@ -284,6 +284,24 @@ object Sampling {
     * to the scoring join; the per-doc combine is the same gram-keyed
     * map-side-partial pattern as [[TextAnalysis.scoreWithBigramModel]].
     * The two global totals are each one scalar aggregate. */
+  /** The per-gram importance ratio `p_t / p_r` over rounded model
+    * columns `p9_t` (nullable — unseen in the target) and `p9_r`.
+    * p_r > 0 holds for every scored gram PRE-rounding only: past
+    * ~2×10^9 total occurrences a rare gram's p9_r rounds to exactly
+    * 0 and the ratio would go Infinity (or NaN when p9_t is also 0),
+    * poisoning the document's weight. A zero-ROUNDED p_r is treated
+    * like an unseen gram — ratio 0 — which is also the limit of the
+    * true ratio's contribution at that precision. (PipelineSpec pins
+    * this guard on a literal p9_r = 0 row.) */
+  private[graft] def importanceRatio9: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.DecimalType
+    when(col("p9_r") > 0, round(
+      (coalesce(col("p9_t"), lit(0).cast(DecimalType(18, 9)))
+        .cast("double") / col("p9_r").cast("double"))
+        .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9)))
+      .otherwise(lit(0).cast(DecimalType(18, 9)))
+  }
+
   def dsirWeights(docs: DataFrame, textCol: String, keyCol: String,
       targetPred: org.apache.spark.sql.Column, n: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
@@ -316,23 +334,13 @@ object Sampling {
     val rModel = model(occ
       .groupBy(col("gram")).agg(sum(col("occ")).as("c")))
       .withColumnRenamed("p9", "p9_r")
-    // p_r > 0 holds for every scored gram PRE-rounding only: past
-    // ~2×10^9 total occurrences a rare gram's p9_r rounds to exactly
-    // 0 and the ratio would go Infinity (or NaN when p9_t is also 0),
-    // poisoning the document's weight. A zero-ROUNDED p_r is treated
-    // like an unseen gram — ratio 0 — which is also the limit of the
-    // true ratio's contribution at that precision.
-    val ratio9 = when(col("p9_r") > 0, round(
-      (coalesce(col("p9_t"), lit(0).cast(DecimalType(18, 9)))
-        .cast("double") / col("p9_r").cast("double"))
-        .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9)))
-      .otherwise(lit(0).cast(DecimalType(18, 9)))
     occ
       .join(broadcast(tModel), Seq("gram"), "left_outer")
       .join(broadcast(rModel), Seq("gram"))
       .groupBy(col(keyCol))
       .agg(sum(col("occ")).as("n_grams"),
-        sum(ratio9 * col("occ").cast(DecimalType(10, 0))).as("r_sum"))
+        sum(importanceRatio9 * col("occ").cast(DecimalType(10, 0)))
+          .as("r_sum"))
       .select(col(keyCol), col("n_grams"),
         Similarity.r3(col("r_sum").cast("double") / col("n_grams"))
           .as("dsir_weight"))

@@ -196,9 +196,55 @@ object EventQueries {
       Seq("view", "click", "purchase"))
       .orderBy(col("step"))
 
+  /** [[evFunnel]] over an event set whose middle step has NO events
+    * at all: the report must still emit one row per declared step
+    * (n_users 0, conversion 0.0 for the empty step and everything
+    * after it) — the report's shape is the funnel definition's, not
+    * the data's. Gates the empty-step contract the spec-only fix
+    * left undriven: dropping the step-list left join would lose the
+    * click and purchase rows here and the hash diverges. */
+  def evFunnelSparse(s: SparkSession, dir: String): DataFrame =
+    EventStream.funnelReport(
+      t(s, dir, "events").filter(col("event_type") =!= "click"),
+      Seq("view", "click", "purchase"))
+      .orderBy(col("step"))
+
   private val evFunnelSql =
     """WITH e AS (
          SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+              FROM e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts_us > s1.t
+              GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t
+              FROM e JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts_us > s2.t
+              GROUP BY e.user_id),
+       r AS (
+         SELECT 1 AS step, 'view' AS event_type, COUNT(*) AS n_users
+         FROM s1
+         UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+         UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+       SELECT step, event_type, n_users,
+         CAST(ROUND(CAST(
+           CASE WHEN LAG(n_users) OVER (ORDER BY step) IS NULL
+                THEN CAST(1.0 AS DOUBLE)
+                WHEN LAG(n_users) OVER (ORDER BY step) = 0
+                THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(n_users AS DOUBLE) /
+                     LAG(n_users) OVER (ORDER BY step) END
+           AS DECIMAL(28,10)), 3) AS DOUBLE) AS conversion
+       FROM r ORDER BY step"""
+
+  /** [[evFunnelSparse]]'s oracle: the same chain over the filtered
+    * event set — s2/s3 are empty relations, but the aggregate COUNT
+    * rows (0) survive, mirroring the engine's step-list left join. */
+  private val evFunnelSparseSql =
+    """WITH e AS (
+         SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+         WHERE event_type <> 'click'),
        s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e
               WHERE event_type = 'view' GROUP BY user_id),
        s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t
@@ -278,6 +324,7 @@ object EventQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_funnel" -> (evFunnel _),
+    "ev_funnel_sparse" -> (evFunnelSparse _),
     "ev_user_features" -> (evUserFeatures _),
     "ev_retention" -> (evRetention _),
     "ev_window" -> (evWindow _),
@@ -291,6 +338,7 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "ev_funnel" -> evFunnelSql,
+    "ev_funnel_sparse" -> evFunnelSparseSql,
     "ev_user_features" -> evUserFeaturesSql,
     "ev_retention" -> evRetentionSql,
     "ev_window" -> evWindowSql,

@@ -1352,6 +1352,25 @@ class PipelineSpec extends SparkSpec {
     assert(r.map(x => (x._1, x._2)).toSeq === Seq((0L, 3L), (1L, 3L)))
     assert(math.abs(r(0)._3 - 2.0) <= 1e-3, r(0).toString)
     assert(r(1)._3 === 0.0, r(1).toString)
+    // regression pin for the zero-ROUNDED p_r guard: past ~2×10^9
+    // total occurrences a rare gram's p9_r rounds to exactly 0, and
+    // without the `when` guard the ratio goes Infinity (p9_t > 0) or
+    // NaN (p9_t null), poisoning the weight. Drive the extracted
+    // ratio expression on literal model rows, 0-p9_r included.
+    import org.apache.spark.sql.types.DecimalType
+    val modelRows = Seq(
+      (Some(BigDecimal("0.5")), BigDecimal("0.25")), // ordinary: 2.0
+      (Some(BigDecimal("0.5")), BigDecimal("0")),    // rounded-out p_r
+      (None, BigDecimal("0")))                       // unseen + rounded-out
+      .toDF("p9_t", "p9_r")
+      .select($"p9_t".cast(DecimalType(18, 9)).as("p9_t"),
+        $"p9_r".cast(DecimalType(18, 9)).as("p9_r"))
+    val ratios = modelRows
+      .select(Sampling.importanceRatio9.cast("double").as("r"))
+      .as[Double].collect().toSeq
+    assert(ratios === Seq(2.0, 0.0, 0.0),
+      s"importanceRatio9 guard regressed: $ratios")
+    assert(ratios.forall(v => !v.isNaN && !v.isInfinite))
   }
 
   test("corpus profile: percentiles interpolate linearly") {
