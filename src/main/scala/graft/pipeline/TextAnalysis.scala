@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale corpus pipelines: language
@@ -293,6 +293,16 @@ object TextAnalysis {
         graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
         .as(Seq("start", "gram")))
       .localCheckpoint(false)
+    scrubTail(toks, grams, keyCol, n, minCount)
+  }
+
+  /** The scrub body over EXPLICIT token/gram frames — shared by
+    * [[exactSubstringScrub]] (inline) and
+    * [[exactSubstringScrubAtRest]] (the gram-span layout), so the
+    * at-rest gate shares the inline oracle verbatim. `toks` is
+    * `(key, pos, tok)`, `grams` is `(key, start, gram)`. */
+  private def scrubTail(toks: DataFrame, grams: DataFrame,
+      keyCol: String, n: Int, minCount: Int): DataFrame = {
     val dupGrams = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minCount)
@@ -317,6 +327,59 @@ object TextAnalysis {
     removedCnt.join(rebuilt, Seq(keyCol), "left")
       .select(col(keyCol), col("n_tokens"), col("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** The exact-substring scrub's corpus state at rest — the Lee et
+    * al. sorted-suffix layout in gram-bucket form: the positional
+    * n-gram stream `(doc_id, start, gram)` is written ONCE,
+    * partitioned by gram hash so every gram's occurrences are
+    * partition-local (duplicate detection needs no corpus-wide
+    * shuffle at scrub time — the groupBy(gram) reduces within each
+    * `gram_bucket=` partition), alongside the `(doc_id, pos, tok)`
+    * token store the rebuild side reads. `n` is baked into the spans
+    * and persisted; the duplication threshold stays a QUERY-time
+    * knob, the same split [[graft.pipeline.Dedup.writeGramIndex]]
+    * gives decontamination. At 100 TB the tokenize+gram pass — the
+    * scan-dominant cost the inline form pays per scrub call — runs
+    * once per corpus generation instead of once per scrub. */
+  def writeSpanIndex(docs: DataFrame, textCol: String, keyCol: String,
+      outDir: String, n: Int, buckets: Int = 64): Unit = {
+    require(n >= 1 && buckets >= 1 && buckets <= 4096,
+      s"writeSpanIndex: n >= 1, 1..4096 buckets; got n=$n buckets=$buckets")
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    docs.select(col(keyCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .write.mode("overwrite").parquet(s"$outDir/tokens")
+    docs.select(col(keyCol).as("doc_id"), posexplode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        .as(Seq("start", "gram")))
+      .withColumn("gram_bucket",
+        graft.pipeline.Retrieval.termBucket(col("gram"), buckets))
+      .repartition(col("gram_bucket"))
+      .write.mode("overwrite").partitionBy("gram_bucket")
+      .parquet(s"$outDir/grams")
+    Seq(n).toDF("n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/params")
+    new java.io.File(outDir, "_SUCCESS").createNewFile(): Unit
+  }
+
+  /** [[exactSubstringScrub]] against a [[writeSpanIndex]] layout:
+    * token and positional-gram frames come from the at-rest stores
+    * (the corpus is never re-tokenized), `n` from the persisted
+    * params, and the scrub tail is [[scrubTail]] unchanged — so the
+    * gate shares dd_exact_substring's oracle SQL verbatim (the
+    * lossless-layout proof pattern). */
+  def exactSubstringScrubAtRest(spark: SparkSession, indexDir: String,
+      minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, "exactSubstringScrubAtRest: minCount >= 2")
+    val n = spark.read.parquet(s"$indexDir/params")
+      .collect()(0).getInt(0)
+    val toks = spark.read.parquet(s"$indexDir/tokens")
+    val grams = spark.read.parquet(s"$indexDir/grams")
+      .select(col("doc_id"), col("start"), col("gram"))
+    scrubTail(toks, grams, "doc_id", n, minCount)
   }
 
   /** Corpus-trained word-bigram language-model quality score — the

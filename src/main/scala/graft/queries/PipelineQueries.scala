@@ -4000,6 +4000,22 @@ object PipelineQueries {
       "doc_id", n = 5, minCount = 2)
       .orderBy(col("doc_id"))
 
+  /** [[ddExactSubstring]] against the gram-span layout
+    * ([[TextAnalysis.writeSpanIndex]] /
+    * [[TextAnalysis.exactSubstringScrubAtRest]]): positional grams
+    * and tokens read from the at-rest stores — the corpus is never
+    * re-tokenized at scrub time — with the duplication threshold as
+    * the query-time knob. Gated against [[ddExactSubstringSql]]
+    * VERBATIM (lossless-layout proof). */
+  def ddExactSubstringAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = layoutDir(dir, "documents", "spanidx_n5_b64")
+    ensureLayout(root)(TextAnalysis.writeSpanIndex(
+      t(s, dir, "documents"), "text", "doc_id", root, n = 5,
+      buckets = 64))
+    TextAnalysis.exactSubstringScrubAtRest(s, root, minCount = 2)
+      .orderBy(col("doc_id"))
+  }
+
   private val ddExactSubstringSql =
     """WITH toks AS (
          SELECT doc_id,
@@ -4449,6 +4465,7 @@ object PipelineQueries {
     "ta_bigram_lm" -> (taBigramLm _),
     "ta_bigram_lm_apply" -> (taBigramLmApply _),
     "dd_exact_substring" -> (ddExactSubstring _),
+    "dd_exact_substring_at_rest" -> (ddExactSubstringAtRest _),
     "ta_pii" -> (taPii _),
     "dd_semantic" -> (ddSemantic _),
     "dd_semantic_at_rest" -> (ddSemanticAtRest _),
@@ -4510,7 +4527,7 @@ object PipelineQueries {
     "ann_int8_ivf_refreshed", "ann_pq_ivf_refined",
     "pp_shard_manifest", "pp_shard_updated",
     "ta_heavy_hitters_at_rest", "pp_hard_negatives_at_rest",
-    "ann_binary_partitioned")
+    "ann_binary_partitioned", "dd_exact_substring_at_rest")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -4596,6 +4613,7 @@ object PipelineQueries {
     "ta_bigram_lm" -> taBigramLmSql,
     "ta_bigram_lm_apply" -> taBigramLmApplySql,
     "dd_exact_substring" -> ddExactSubstringSql,
+    "dd_exact_substring_at_rest" -> ddExactSubstringSql,
     "ta_pii" -> taPiiSql,
     "dd_semantic" -> ddSemanticSql,
     // at-rest form shares the in-memory form's oracle verbatim: one
