@@ -920,6 +920,124 @@ class StreamingSpec extends SparkSpec {
     // complete-then-continue op, not deleted by recovery
   }
 
+  test("crash between base delete and delta delete: manifested deltas drop in all three page formats") {
+    // THE specific window: staging complete + marker whose manifest
+    // names the folded delta, base already deleted, the manifested
+    // delta still on disk. The staged copy contains the delta's rows,
+    // so recovery must remove exactly that delta — keeping it would
+    // double every streamed vector (duplicate top-k candidates in the
+    // float/int8 layouts, doubled ADC partial candidates in PQ).
+    import java.nio.file.Files
+    import graft.pipeline.{PartitionedAnn, Similarity}
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val corpus = e.filter($"vec_id" >= 10)
+    val centroids = corpus.filter($"vec_id" < 60)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+      .localCheckpoint()
+    val queries = e.filter($"vec_id" < 5)
+    val cw = Similarity.pqCodewords(
+      corpus.filter($"vec_id" < 60), "embedding", "vec_id",
+      numSub = 8, subDim = 8).localCheckpoint()
+    val baseSlice = corpus.filter($"vec_id" < 1000)
+    val deltaSlice = corpus.filter($"vec_id" >= 1000)
+    def crashThenRecover(root: String,
+        append: () => Unit,
+        compactFmt: () => Unit,
+        layoutOf: () => org.apache.spark.sql.DataFrame,
+        probe: () => Set[(Long, Int, Long)],
+        fullProbe: () => Set[(Long, Int, Long)]): Unit = {
+      append()
+      compactFmt() // the real fold
+      // reconstruct the mid-swap crash: base deleted, staging marked
+      // with the manifest, the manifested delta regenerated on disk
+      // (replay-idempotent appendBatch writes identical files)
+      Files.move(new java.io.File(s"$root/base").toPath,
+        new java.io.File(s"$root/base_compact").toPath)
+      Files.write(
+        new java.io.File(s"$root/base_compact/_SWAP_READY").toPath,
+        "delta/batch=7".getBytes("UTF-8"))
+      append()
+      compactFmt() // recovery preamble completes the swap first
+      assert(!new java.io.File(s"$root/delta").exists(),
+        s"$root: manifested delta survived recovery")
+      val dupes = layoutOf().groupBy($"c_id").count()
+        .filter($"count" > 1).count()
+      assert(dupes === 0L, s"$root: duplicated vectors after recovery")
+      val got = probe()
+      assert(got === fullProbe() && got.nonEmpty,
+        s"$root: probe diverged from full rebuild after recovery")
+    }
+    // float
+    val rootF = Files.createTempDirectory("graft-crashf").toString
+    val fullF = Files.createTempDirectory("graft-crashf-full").toString
+    PartitionedAnn.writeIvfPartitioned(baseSlice, "embedding",
+      "vec_id", centroids, s"$rootF/base")
+    PartitionedAnn.writeIvfPartitioned(corpus, "embedding", "vec_id",
+      centroids, fullF)
+    crashThenRecover(rootF,
+      () => graft.streaming.IvfStream.appendBatch(deltaSlice, 7L,
+        rootF, centroids, "embedding", "vec_id"),
+      () => graft.streaming.IvfStream.compact(spark, rootF),
+      () => graft.streaming.IvfStream.layout(spark, rootF),
+      () => PartitionedAnn.ivfTopKFrames(spark,
+          graft.streaming.IvfStream.layout(spark, rootF), queries,
+          "embedding", "vec_id", k = 5, centroids, nprobe = 2)
+        .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+        .collect().toSet,
+      () => PartitionedAnn.ivfTopKPartitioned(spark, fullF, queries,
+          "embedding", "vec_id", k = 5, centroids, nprobe = 2)
+        .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+        .collect().toSet)
+    // int8
+    val root8 = Files.createTempDirectory("graft-crash8").toString
+    val full8 = Files.createTempDirectory("graft-crash8-full").toString
+    PartitionedAnn.writeIvfPartitionedInt8(baseSlice, "embedding",
+      "vec_id", centroids, s"$root8/base")
+    PartitionedAnn.writeIvfPartitionedInt8(corpus, "embedding",
+      "vec_id", centroids, full8)
+    crashThenRecover(root8,
+      () => graft.streaming.IvfStream.appendBatchInt8(deltaSlice, 7L,
+        root8, centroids, "embedding", "vec_id"),
+      () => graft.streaming.IvfStream.compact(spark, root8,
+        graft.streaming.IvfStream.layoutInt8),
+      () => graft.streaming.IvfStream.layoutInt8(spark, root8),
+      () => PartitionedAnn.ivfTopKFramesInt8(spark,
+          graft.streaming.IvfStream.layoutInt8(spark, root8), queries,
+          "embedding", "vec_id", k = 5, centroids, nprobe = 2)
+        .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+        .collect().toSet,
+      () => PartitionedAnn.ivfTopKPartitionedInt8(spark, full8,
+          queries, "embedding", "vec_id", k = 5, centroids, nprobe = 2)
+        .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+        .collect().toSet)
+    // PQ — a kept delta would feed EVERY duplicated code row into the
+    // ADC candidate stream
+    val rootP = Files.createTempDirectory("graft-crashp").toString
+    val fullP = Files.createTempDirectory("graft-crashp-full").toString
+    PartitionedAnn.writeIvfPqPartitioned(baseSlice, "embedding",
+      "vec_id", centroids, cw, s"$rootP/base", numSub = 8, subDim = 8)
+    PartitionedAnn.writeIvfPqPartitioned(corpus, "embedding",
+      "vec_id", centroids, cw, fullP, numSub = 8, subDim = 8)
+    crashThenRecover(rootP,
+      () => graft.streaming.IvfStream.appendBatchPq(deltaSlice, 7L,
+        rootP, centroids, cw, "embedding", "vec_id", numSub = 8,
+        subDim = 8),
+      () => graft.streaming.IvfStream.compact(spark, rootP,
+        graft.streaming.IvfStream.layoutPq),
+      () => graft.streaming.IvfStream.layoutPq(spark, rootP),
+      () => PartitionedAnn.ivfPqTopKFrames(spark,
+          graft.streaming.IvfStream.layoutPq(spark, rootP), queries,
+          "embedding", "vec_id", k = 5, centroids, cw, nprobe = 2,
+          subDim = 8)
+        .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+        .collect().toSet,
+      () => PartitionedAnn.ivfPqTopKPartitioned(spark, fullP, queries,
+          "embedding", "vec_id", k = 5, centroids, cw, nprobe = 2,
+          subDim = 8)
+        .select($"q_id", $"rank", $"c_id").as[(Long, Int, Long)]
+        .collect().toSet)
+  }
+
   test("codebook refresh re-partitions the live layout by the new assignment") {
     import java.nio.file.Files
     import graft.pipeline.{PartitionedAnn, Similarity}
