@@ -107,6 +107,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(e)) => s"\"$k:$e\"" }.toSeq
     val total = results.values.collect { case Right(rs) => median(rs) }.sum
+    // two tiers (see PipelineQueries.inlineBaseline): the recommended
+    // probe paths vs the inline rebuild-per-call baselines kept for
+    // measurement — summed separately so a regression in the paths a
+    // production deployment actually runs is visible at a glance
+    // instead of drowning under the baselines' corpus-sized cost
+    val baselineTotal = results.collect {
+      case (k, Right(rs))
+          if graft.queries.PipelineQueries.inlineBaseline(k) =>
+        median(rs)
+    }.sum
     // the driver's artifact capture keeps only the TAIL of stdout,
     // which truncated the r8/r9 records mid-JSON — the complete line
     // is also persisted to a file (overwritten per invocation), and
@@ -115,7 +125,7 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_last.json")
     val record = new java.io.File(outFile).getAbsolutePath
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs_s":$raw,"runs":$Runs,"errors":${failed.size},"failed":${failed.sorted.mkString("[", ",", "]")},"sf":"$sfDir","record":"$record"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","probe_total":${fmt(total - baselineTotal)},"baseline_total":${fmt(baselineTotal)},"queries":$qs,"runs_s":$raw,"runs":$Runs,"errors":${failed.size},"failed":${failed.sorted.mkString("[", ",", "]")},"sf":"$sfDir","record":"$record"}"""
     println(line)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))

@@ -4529,6 +4529,27 @@ object PipelineQueries {
     "ta_heavy_hitters_at_rest", "pp_hard_negatives_at_rest",
     "ann_binary_partitioned", "dd_exact_substring_at_rest")
 
+  /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
+    * measured baselines for an at-rest / bucketed / fast twin that is
+    * the recommended path at scale (each twin shares its baseline's
+    * oracle verbatim — the losslessness proof). These rebuild their
+    * index/derived structure per call, so their cost grows with the
+    * corpus where the twin's tracks the query; at sf10 they dominate
+    * bench wall-clock (ann_pq_topk 154 s vs 5 s for the at-rest form)
+    * and would drown a regression in the recommended path if summed
+    * together. Bench reports `probe_total` (everything else — the
+    * paths a production deployment runs) and `baseline_total` (this
+    * set) as separate fields so each tier's drift is visible at a
+    * glance. */
+  val inlineBaseline: Set[String] = Set(
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
+    "ann_pq_topk", "ann_pq_refined", "ann_binary_topk",
+    "dd_semantic", "dd_cosine", "dd_contamination", "dd_jaccard",
+    "dd_triplets", "dd_exact_substring", "pp_semdedup_e2e",
+    "pp_bm25_search", "pp_hybrid_search", "pp_hard_negatives",
+    "ta_heavy_hitters", "pp_bpe_train", "pp_bpe_apply",
+    "pp_bpe_tokenize")
+
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_fingerprint" -> ddFingerprintSql,
