@@ -43,4 +43,41 @@ class CliSpec extends SparkSpec {
     // the session this test shares must survive Main's cleanup path
     assert(!spark.sparkContext.isStopped)
   }
+
+  test("custom adapter lineup: examples/custom_main.rb registration parity") {
+    // the reference's customization example
+    // (/root/reference/examples/custom_main.rb:10-42) subclasses the
+    // CLI to register EXACTLY [Structural, AttributeReference,
+    // MultiReference] — three adapters, no semantic pass. The same
+    // combination plugs into Converter's adapter parameter; the
+    // resulting edge set must carry only those adapters' types, and
+    // each type's edges must equal the full-lineup run's (adding or
+    // removing an adapter never perturbs another's output).
+    import graft.engine.Converter
+    import graft.relationships.{AttributeReferenceAdapter,
+      MultiReferenceAdapter, StructuralAdapter}
+    val customLineup = Seq(StructuralAdapter, AttributeReferenceAdapter,
+      MultiReferenceAdapter)
+    assert(customLineup.length === 3) // "(3 total)" in the example
+    val custom = new Converter(spark, adapters = customLineup)
+      .convert(fixturesDir)
+    val full = new Converter(spark, adapters = Converter.allAdapters)
+      .convert(fixturesDir)
+    def edges(t: graft.engine.GraphTables) = t.crossReferences
+      .select(org.apache.spark.sql.functions.col("source_node_id"),
+        org.apache.spark.sql.functions.col("target_node_id"),
+        org.apache.spark.sql.functions.col("reference_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    val customEdges = edges(custom)
+    val semanticTypes = Set("content_similar", "same_type")
+    assert(customEdges.map(_._3).intersect(semanticTypes).isEmpty,
+      "custom lineup leaked semantic edges")
+    assert(customEdges.map(_._3).contains("parent_child"))
+    assert(customEdges.map(_._3).contains("attribute_reference"))
+    // the full lineup restricted to the custom types is the same set
+    assert(customEdges ===
+      edges(full).filterNot(e => semanticTypes(e._3)))
+  }
 }
