@@ -105,6 +105,11 @@ object Sharding {
   def appendBatch(docs: DataFrame, batchId: Long, root: String,
       keyCol: String, nShards: Int): Unit = {
     require(nShards >= 1, "appendBatch: nShards must be positive")
+    // a reused id would overwrite a committed batch's shard files
+    // with a different batch's rows — documents silently vanish from
+    // the training layout
+    graft.streaming.IvfStream.requireFreshBatchId(s"$root/delta",
+      batchId, "Sharding.appendBatch")
     checkOrWriteParams(docs.sparkSession, root, nShards)
     docs
       .withColumn("shard",

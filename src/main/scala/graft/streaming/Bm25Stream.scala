@@ -248,6 +248,11 @@ object Bm25Stream {
     // error anywhere). Complete the pending swap FIRST, mirroring how
     // compact/refreshCodebook recover before running their own op.
     IvfStream.recoverPendingSwap(root, ClearDirs)
+    // live (unfolded) generations: a reused id would overwrite a
+    // committed delta with different documents — their postings/stats
+    // evidence silently vanishes
+    IvfStream.requireFreshBatchId(s"$root/delta", batchId,
+      "Bm25Stream.appendBatch")
     val wm = foldWatermark(spark, root)
     require(batchId > wm,
       s"Bm25Stream.appendBatch: batch id $batchId is not above the " +

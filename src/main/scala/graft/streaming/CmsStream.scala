@@ -34,6 +34,11 @@ object CmsStream {
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, textCol: String, n: Int, depth: Int,
       width: Int): Unit = {
+    // a reused id would REPLACE a committed batch's cells — the merged
+    // sketch then undercounts that batch's grams, breaking the
+    // never-underestimates bound the lossless prefilter relies on
+    IvfStream.requireFreshBatchId(s"$root/cells", batchId,
+      "CmsStream.appendBatch")
     checkOrWriteParams(batch.sparkSession, root, n, depth, width)
     TextAnalysis.cmsCells(batch, textCol, n, depth, width)
       .coalesce(1) // depth·width rows — one file, one dir

@@ -84,6 +84,11 @@ object CurationStream {
       verdictsDir: String, seenDir: String,
       qMin: Double, rMax: Double): Unit = {
     val spark = batch.sparkSession
+    // a reused id would overwrite a committed batch's kept-fingerprint
+    // state with the new batch's — the old fingerprints vanish from
+    // dedup state and their future duplicates record as kept
+    IvfStream.requireFreshBatchId(seenDir, batchId,
+      "CurationStream.processBatch")
     // the verdict signals feed three downstream branches — cut the
     // lineage once so the text analysis runs once per batch
     val v = stageVerdicts(batch, qMin, rMax).localCheckpoint(true)

@@ -60,11 +60,14 @@ object GramStream {
     * the `delta/batch=<id>` mini-layout (overwrite ⇒ replay-safe). */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, textCol: String, keyCol: String, n: Int,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    IvfStream.requireFreshBatchId(s"$root/delta", batchId,
+      "GramStream.appendBatch")
     Dedup.gramIndexRows(batch, textCol, keyCol, n, buckets)
       .repartition(col("gram_bucket"))
       .write.mode("overwrite").partitionBy("gram_bucket")
       .parquet(s"$root/delta/batch=$batchId")
+  }
 
   /** [[Dedup.contaminationHits]] against the live base ∪ delta
     * index: the benchmark grams' bucket filter pushes into every

@@ -52,6 +52,35 @@ object IvfStream {
     m.contains("PATH_NOT_FOUND") || m.contains("UNABLE_TO_INFER_SCHEMA")
   }
 
+  /** Reject REUSED micro-batch ids over an overwrite-per-batch state
+    * tree. Structured streaming replays only the LAST (uncommitted)
+    * batch — every earlier `batch=` partition is committed state — so
+    * a batch id BELOW the newest on disk can only come from a stream
+    * restarted with a FRESH checkpoint: its overwrite-mode write
+    * would silently REPLACE a committed batch's state with different
+    * content (vectors/grams/cells/fingerprints vanish; sidecar rows
+    * recorded against the old generation start matching the new one).
+    * Equal-to-max is the legitimate crash replay and stays allowed.
+    * Applied by every overwrite-per-batch appender; the analogous
+    * guard for ids FOLDED AWAY by compaction is
+    * [[Bm25Stream]]'s fold watermark. */
+  private[graft] def requireFreshBatchId(stateDir: String,
+      batchId: Long, what: String): Unit = {
+    val ids = Option(new java.io.File(stateDir).listFiles()).toSeq
+      .flatten.map(_.getName).collect {
+        case s if s.startsWith("batch=") => s.drop(6).toLong
+      }
+    if (ids.nonEmpty) {
+      val mx = ids.max
+      require(batchId >= mx,
+        s"$what: batch id $batchId is below the newest committed " +
+          s"batch $mx under $stateDir — a stream restarted with a " +
+          "fresh checkpoint reuses ids, and the overwrite would " +
+          "silently replace that batch's committed state; resume " +
+          "from the original checkpoint or start ids above the max")
+    }
+  }
+
   /** The live layout: base ∪ all streamed deltas, as the
     * `(c_id, c_vec, c_norm, cent_id)` relation probes consume. */
   def layout(spark: SparkSession, root: String): DataFrame = {
@@ -71,13 +100,15 @@ object IvfStream {
     * as the `delta/batch=<id>` mini-layout (overwrite ⇒ replay-safe). */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, centroids: DataFrame, vecCol: String,
-      keyCol: String): Unit =
+      keyCol: String): Unit = {
+    requireFreshBatchId(s"$root/delta", batchId, "IvfStream.appendBatch")
     Similarity.ivfAssign(batch, vecCol, keyCol, centroids)
       .withColumn("cent_id", col("cent_id").cast("int"))
       // one file per cent_id dir, as in the base writer
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$root/delta/batch=$batchId")
+  }
 
   /** The live INT8 layout: base ∪ deltas as the `(c_id, q, qn,
     * cent_id)` relation [[PartitionedAnn.ivfTopKFramesInt8]] scores
@@ -104,6 +135,8 @@ object IvfStream {
   private[graft] def appendBatchInt8(batch: DataFrame, batchId: Long,
       root: String, centroids: DataFrame, vecCol: String,
       keyCol: String): Unit = {
+    requireFreshBatchId(s"$root/delta", batchId,
+      "IvfStream.appendBatchInt8")
     val assigned = Similarity.ivfAssign(batch, vecCol, keyCol, centroids)
       .withColumn("cent_id", col("cent_id").cast("int"))
     Similarity.quantizeInt8(
@@ -141,12 +174,15 @@ object IvfStream {
   private[graft] def appendBatchPq(batch: DataFrame, batchId: Long,
       root: String, centroids: DataFrame, codewords: DataFrame,
       vecCol: String, keyCol: String, numSub: Int,
-      subDim: Int): Unit =
+      subDim: Int): Unit = {
+    requireFreshBatchId(s"$root/delta", batchId,
+      "IvfStream.appendBatchPq")
     PartitionedAnn.ivfPqRows(batch, vecCol, keyCol, centroids,
       codewords, numSub, subDim)
       .repartition(col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$root/delta/batch=$batchId")
+  }
 
   /** Compaction — the offline maintenance job the delta design
     * defers to: fold base ∪ all deltas into a fresh single-level

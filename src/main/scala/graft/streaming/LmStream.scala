@@ -24,9 +24,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object LmStream {
 
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
-      model: DataFrame, outDir: String): Unit =
+      model: DataFrame, outDir: String): Unit = {
+    // no cross-batch state, but a reused id would still overwrite a
+    // committed batch's verdicts with a different batch's
+    IvfStream.requireFreshBatchId(outDir, batchId,
+      "LmStream.processBatch")
     TextAnalysis.scoreWithBigramModel(batch, model, "text", "doc_id")
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
 
   /** Start scoring a parquet document directory as files arrive.
     * `trainDocs` is the reference corpus; the model is trained ONCE

@@ -133,6 +133,12 @@ object LshStream {
       pairsDir: String, bandsDir: String, textCol: String, keyCol: String,
       numHashes: Int, bands: Int): Unit = {
     val spark = batch.sparkSession
+    // a reused id would overwrite committed band state — and the
+    // sidecar's (key, stale_batch) rows recorded against the OLD
+    // generation would silently supersede the NEW rows written under
+    // the same id, anti-joining a fresh document's bands away forever
+    IvfStream.requireFreshBatchId(bandsDir, batchId,
+      "LshStream.processBatch")
     // the band relation feeds both join sides and the state write —
     // cut the lineage once so shingling/minhashing runs once per batch
     val myBands = Dedup.lshBands(

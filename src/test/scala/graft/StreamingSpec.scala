@@ -1038,6 +1038,52 @@ class StreamingSpec extends SparkSpec {
         .collect().toSet)
   }
 
+  test("reused batch ids below the committed max fail pointedly in every stream") {
+    // Structured streaming replays only the LAST batch; an id below
+    // the newest committed `batch=` partition means a fresh-checkpoint
+    // restart, whose overwrite would silently corrupt committed state
+    // (LshStream is the nastiest case: sidecar rows recorded against
+    // the old generation would supersede the NEW rows written under
+    // the reused id, anti-joining fresh documents away forever).
+    import java.nio.file.Files
+    import graft.streaming.{CmsStream, IvfStream, LshStream}
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val lsh = Files.createTempDirectory("graft-reuse-lsh").toString
+    LshStream.processBatch(docs.filter($"doc_id" < 20), 1L,
+      s"$lsh/pairs", s"$lsh/bands", "text", "doc_id", 8, 4)
+    LshStream.processBatch(
+      docs.filter($"doc_id" >= 20 && $"doc_id" < 40), 2L,
+      s"$lsh/pairs", s"$lsh/bands", "text", "doc_id", 8, 4)
+    val e1 = intercept[IllegalArgumentException](
+      LshStream.processBatch(docs.filter($"doc_id" >= 40), 1L,
+        s"$lsh/pairs", s"$lsh/bands", "text", "doc_id", 8, 4))
+    assert(e1.getMessage.contains("below the newest committed batch"))
+    // equal-to-max is the legitimate crash replay and stays allowed
+    LshStream.processBatch(
+      docs.filter($"doc_id" >= 20 && $"doc_id" < 40), 2L,
+      s"$lsh/pairs", s"$lsh/bands", "text", "doc_id", 8, 4)
+    val cms = Files.createTempDirectory("graft-reuse-cms").toString
+    CmsStream.appendBatch(docs.filter($"doc_id" < 20), 0L, cms,
+      "text", 2, 3, 1024)
+    CmsStream.appendBatch(docs.filter($"doc_id" >= 20), 1L, cms,
+      "text", 2, 3, 1024)
+    val e2 = intercept[IllegalArgumentException](
+      CmsStream.appendBatch(docs.limit(1), 0L, cms, "text", 2, 3, 1024))
+    assert(e2.getMessage.contains("below the newest committed batch"))
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val cents = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    val ivf = Files.createTempDirectory("graft-reuse-ivf").toString
+    IvfStream.appendBatch(emb.filter($"vec_id" < 100), 0L, ivf, cents,
+      "embedding", "vec_id")
+    IvfStream.appendBatch(emb.filter($"vec_id" >= 100), 1L, ivf, cents,
+      "embedding", "vec_id")
+    val e3 = intercept[IllegalArgumentException](
+      IvfStream.appendBatch(emb.limit(1), 0L, ivf, cents,
+        "embedding", "vec_id"))
+    assert(e3.getMessage.contains("below the newest committed batch"))
+  }
+
   test("codebook refresh re-partitions the live layout by the new assignment") {
     import java.nio.file.Files
     import graft.pipeline.{PartitionedAnn, Similarity}
