@@ -301,6 +301,13 @@ object TextAnalysis {
     * [[exactSubstringScrubAtRest]] (the gram-span layout), so the
     * at-rest gate shares the inline oracle verbatim. `toks` is
     * `(key, pos, tok)`, `grams` is `(key, start, gram)`. */
+  /** [[scrubTail]] over canonical `doc_id`-keyed frames — the entry
+    * point layout readers share ([[exactSubstringScrubAtRest]],
+    * [[graft.streaming.SpanStream]]). */
+  private[graft] def scrubFrames(toks: DataFrame, grams: DataFrame,
+      n: Int, minCount: Int): DataFrame =
+    scrubTail(toks, grams, "doc_id", n, minCount)
+
   private def scrubTail(toks: DataFrame, grams: DataFrame,
       keyCol: String, n: Int, minCount: Int): DataFrame = {
     val dupGrams = grams.groupBy(col("gram"))
@@ -360,7 +367,7 @@ object TextAnalysis {
       .repartition(col("gram_bucket"))
       .write.mode("overwrite").partitionBy("gram_bucket")
       .parquet(s"$outDir/grams")
-    Seq(n).toDF("n").coalesce(1)
+    Seq((n, buckets)).toDF("n", "buckets").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/params")
     new java.io.File(outDir, "_SUCCESS").createNewFile(): Unit
   }
@@ -375,11 +382,11 @@ object TextAnalysis {
       minCount: Int = 2): DataFrame = {
     require(minCount >= 2, "exactSubstringScrubAtRest: minCount >= 2")
     val n = spark.read.parquet(s"$indexDir/params")
-      .collect()(0).getInt(0)
+      .collect()(0).getAs[Int]("n")
     val toks = spark.read.parquet(s"$indexDir/tokens")
     val grams = spark.read.parquet(s"$indexDir/grams")
       .select(col("doc_id"), col("start"), col("gram"))
-    scrubTail(toks, grams, "doc_id", n, minCount)
+    scrubFrames(toks, grams, n, minCount)
   }
 
   /** Corpus-trained word-bigram language-model quality score — the

@@ -4016,6 +4016,49 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The span index INCREMENTALLY maintained
+    * ([[graft.streaming.SpanStream]]): a base over a third of the
+    * corpus plus two streamed delta batches, scrubbed over
+    * base ∪ deltas — span coverage is a count over the union, so the
+    * result is bit-identical to a full rebuild, gated against
+    * [[ddExactSubstringSql]] VERBATIM. */
+  private def spanIncrementalLayout(s: SparkSession, dir: String,
+      root: String, marker: String)(maintain: => Unit): Unit = {
+    val d = t(s, dir, "documents")
+    val m = new java.io.File(root, marker)
+    if (!m.exists()) {
+      TextAnalysis.writeSpanIndex(d.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", s"$root/base", n = 5, buckets = 64)
+      graft.streaming.SpanStream.appendBatch(
+        d.filter(col("doc_id") % 3 === 1), 1L, root, "text",
+        "doc_id", n = 5, buckets = 64)
+      graft.streaming.SpanStream.appendBatch(
+        d.filter(col("doc_id") % 3 === 2), 2L, root, "text",
+        "doc_id", n = 5, buckets = 64)
+      maintain
+      m.createNewFile(): Unit
+    }
+  }
+
+  def ddExactSubstringIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = layoutDir(dir, "documents", "spanidx_incr_n5_b64")
+    spanIncrementalLayout(s, dir, root, "_BUILT")(())
+    graft.streaming.SpanStream.scrubIncremental(s, root, minCount = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[ddExactSubstringIncremental]]'s layout folded by
+    * [[graft.streaming.SpanStream.compact]], then scrubbed — still
+    * the inline oracle verbatim, proving compaction lossless for the
+    * span tier. */
+  def ddExactSubstringCompacted(s: SparkSession, dir: String): DataFrame = {
+    val root = layoutDir(dir, "documents", "spanidx_cpt_n5_b64")
+    spanIncrementalLayout(s, dir, root, "_COMPACTED")(
+      graft.streaming.SpanStream.compact(s, root))
+    graft.streaming.SpanStream.scrubIncremental(s, root, minCount = 2)
+      .orderBy(col("doc_id"))
+  }
+
   private val ddExactSubstringSql =
     """WITH toks AS (
          SELECT doc_id,
@@ -4466,6 +4509,8 @@ object PipelineQueries {
     "ta_bigram_lm_apply" -> (taBigramLmApply _),
     "dd_exact_substring" -> (ddExactSubstring _),
     "dd_exact_substring_at_rest" -> (ddExactSubstringAtRest _),
+    "dd_exact_substring_incremental" -> (ddExactSubstringIncremental _),
+    "dd_exact_substring_compacted" -> (ddExactSubstringCompacted _),
     "ta_pii" -> (taPii _),
     "dd_semantic" -> (ddSemantic _),
     "dd_semantic_at_rest" -> (ddSemanticAtRest _),
@@ -4527,7 +4572,8 @@ object PipelineQueries {
     "ann_int8_ivf_refreshed", "ann_pq_ivf_refined",
     "pp_shard_manifest", "pp_shard_updated",
     "ta_heavy_hitters_at_rest", "pp_hard_negatives_at_rest",
-    "ann_binary_partitioned", "dd_exact_substring_at_rest")
+    "ann_binary_partitioned", "dd_exact_substring_at_rest",
+    "dd_exact_substring_incremental", "dd_exact_substring_compacted")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -4635,6 +4681,8 @@ object PipelineQueries {
     "ta_bigram_lm_apply" -> taBigramLmApplySql,
     "dd_exact_substring" -> ddExactSubstringSql,
     "dd_exact_substring_at_rest" -> ddExactSubstringSql,
+    "dd_exact_substring_incremental" -> ddExactSubstringSql,
+    "dd_exact_substring_compacted" -> ddExactSubstringSql,
     "ta_pii" -> taPiiSql,
     "dd_semantic" -> ddSemanticSql,
     // at-rest form shares the in-memory form's oracle verbatim: one

@@ -1636,4 +1636,77 @@ class StreamingSpec extends SparkSpec {
     GramStream.compact(spark, root)
     assert(probe() === fullHits)
   }
+
+  test("incremental span index equals a full rebuild; compaction and crash recovery lossless") {
+    import java.nio.file.Files
+    import graft.pipeline.TextAnalysis
+    import graft.streaming.SpanStream
+    val in = Files.createTempDirectory("graft-span-in")
+    val root = Files.createTempDirectory("graft-span-root").toString
+    val ckpt = Files.createTempDirectory("graft-span-ckpt").toString
+    val full = Files.createTempDirectory("graft-span-full").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    TextAnalysis.writeSpanIndex(docs.filter($"doc_id" % 3 === 0),
+      "text", "doc_id", s"$root/base", n = 5, buckets = 16)
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-span-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(docs.filter($"doc_id" % 3 === 1), "c1.parquet")
+    val q = SpanStream.run(spark, in.toString, root, ckpt, n = 5,
+      buckets = 16,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(docs.filter($"doc_id" % 3 === 2), "c2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // truth: the inline scrub over the whole corpus (and the single-
+    // base at-rest form agrees — shared scrub tail)
+    val expect = rows(TextAnalysis.exactSubstringScrub(docs, "text",
+      "doc_id", n = 5, minCount = 2))
+    TextAnalysis.writeSpanIndex(docs, "text", "doc_id", full, n = 5,
+      buckets = 16)
+    assert(rows(TextAnalysis.exactSubstringScrubAtRest(spark, full,
+      minCount = 2)) === expect)
+    def probe() = rows(SpanStream.scrubIncremental(spark, root,
+      minCount = 2))
+    assert(probe() === expect)
+    // replaying the newest delta batch regenerates, never duplicates
+    // span evidence (a duplicated gram row would flip occ>=2 for
+    // singleton grams and over-scrub)
+    SpanStream.appendBatch(docs.filter($"doc_id" % 3 === 2), 1L, root,
+      "text", "doc_id", n = 5, buckets = 16)
+    assert(probe() === expect)
+    // compaction: single level, scrub unchanged, idempotent
+    SpanStream.compact(spark, root)
+    assert(!new java.io.File(s"$root/delta_tokens").exists())
+    assert(!new java.io.File(s"$root/delta_grams").exists())
+    assert(probe() === expect)
+    SpanStream.compact(spark, root)
+    assert(probe() === expect)
+    // crash window: base deleted, staging marked with a manifest
+    // naming a delta that is back on disk (the crash landed between
+    // the base delete and the delta deletes; the replay-idempotent
+    // appendBatch regenerates batch 1's identical trees) — recovery
+    // must drop exactly that delta: the staged fold already holds its
+    // rows, and a survivor would double every %3==2 document's gram
+    // occurrences, flipping singleton grams over the minCount bar
+    Files.move(new java.io.File(s"$root/base").toPath,
+      new java.io.File(s"$root/base_compact").toPath)
+    Files.write(
+      new java.io.File(s"$root/base_compact/_SWAP_READY").toPath,
+      "delta_tokens/batch=1\ndelta_grams/batch=1".getBytes("UTF-8"))
+    SpanStream.appendBatch(docs.filter($"doc_id" % 3 === 2), 1L, root,
+      "text", "doc_id", n = 5, buckets = 16)
+    SpanStream.compact(spark, root)
+    assert(probe() === expect,
+      "manifested span delta survived recovery (duplicated evidence)")
+  }
 }
