@@ -446,4 +446,31 @@ object Dedup {
     graph.unpersist(blocking = false)
     out
   }
+
+  /** Survivor selection by QUALITY rather than arrival order: cluster
+    * near-duplicate pairs ([[componentClusters]]) and keep, per
+    * cluster, the member with the highest score (ties → smallest id —
+    * a total order, so the keeper set is deterministic). This is the
+    * policy production dedup actually wants — the canonical copy of a
+    * near-dup cluster is its best-scoring member (longest, highest
+    * quality, most central), not whichever id happens to be minimal.
+    * `scores` is any (id, score) relation: document length, a quality
+    * score, a PageRank centrality ([[graft.pipeline.GraphRank]]).
+    *
+    * Scale shape: components are the Pregel pass; the scoring join is
+    * id-keyed; the keeper pick is one row_number window partitioned
+    * by component — state O(cluster count), never pairwise. */
+  def keepBest(ids: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, scores: DataFrame,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = componentClusters(ids, idCol, pairs, aCol, bCol)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    comp.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number()
+        .over(w))
+      .select(col(idCol), col("component"), col(scoreCol),
+        (col("__rk") === 1).as("is_keeper"))
+  }
 }

@@ -554,7 +554,10 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
-  private val ddComponentsSql =
+  /** The recursive min-label component CTE chain over the cosine-pair
+    * graph (embeddings < 120) — shared by the components oracle and
+    * the quality-survivor oracle. */
+  private val ccCtes =
     """WITH RECURSIVE n AS (
          SELECT vec_id, embedding,
            sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
@@ -573,10 +576,45 @@ object PipelineQueries {
          SELECT vec_id, vec_id FROM n
          UNION
          SELECT e.dst, r.root FROM reach r JOIN edges e
-           ON e.src = r.node)
+           ON e.src = r.node)"""
+
+  private val ddComponentsSql =
+    s"""$ccCtes
        SELECT node AS vec_id, MIN(root) AS component,
          node = MIN(root) AS is_keeper
        FROM reach GROUP BY node ORDER BY vec_id"""
+
+  /** Quality-aware survivor selection ([[Dedup.keepBest]]): the same
+    * cosine-pair clusters, but the keeper is the member with the
+    * highest score — document length here, the simplest real survivor
+    * policy (keep the longest copy) — ties broken by smallest id. The
+    * oracle replays the component CTE chain plus the scoring join and
+    * the row_number pick. */
+  def ddKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 120)
+    val pairs = Similarity.cosinePairs(emb, "embedding", "vec_id",
+      threshold = 0.3)
+    val scores = t(s, dir, "documents")
+      .select(col("doc_id").as("vec_id"),
+        col("n_chars").cast("long").as("score"))
+    Dedup.keepBest(emb.select(col("vec_id")), "vec_id", pairs,
+      "key_a", "key_b", scores, "score")
+      .orderBy(col("vec_id"))
+  }
+
+  private val ddKeepBestSql =
+    s"""$ccCtes,
+       comp AS (
+         SELECT node AS vec_id, MIN(root) AS component
+         FROM reach GROUP BY node),
+       scored AS (
+         SELECT c.vec_id, c.component,
+           CAST(d.n_chars AS BIGINT) AS score
+         FROM comp c JOIN documents d ON d.doc_id = c.vec_id)
+       SELECT vec_id, component, score,
+         (ROW_NUMBER() OVER (PARTITION BY component
+            ORDER BY score DESC, vec_id)) = 1 AS is_keeper
+       FROM scored ORDER BY vec_id"""
 
   /** PageRank centrality over the SAME cosine-pair graph as
     * [[ddComponents]] ([[GraphRank.pageRank]], 5 iterations, d=0.85):
@@ -4457,6 +4495,7 @@ object PipelineQueries {
     "dd_cosine" -> (ddCosine _),
     "dd_cosine_bucketed" -> (ddCosineBucketed _),
     "dd_components" -> (ddComponents _),
+    "dd_keep_best" -> (ddKeepBest _),
     "dd_pagerank" -> (ddPagerank _),
     "dd_triplets" -> (ddTriplets _),
     "dd_triplets_at_rest" -> (ddTripletsAtRest _),
@@ -4610,6 +4649,7 @@ object PipelineQueries {
     "dd_cosine" -> ddCosineSql,
     "dd_cosine_bucketed" -> ddCosineBucketedSql,
     "dd_components" -> ddComponentsSql,
+    "dd_keep_best" -> ddKeepBestSql,
     "dd_pagerank" -> ddPagerankSql,
     "dd_triplets" -> ddTripletsSql,
     "dd_triplets_at_rest" -> ddTripletsSql,

@@ -200,6 +200,21 @@ class PipelineSpec extends SparkSpec {
     assert(got2 === got)
   }
 
+  test("keepBest: highest score survives per cluster, ties to smallest id") {
+    val ids = (1L to 7L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    // cluster {1,2,3}: 2 has the top score; cluster {5,6}: tie → 5;
+    // singletons 4 and 7 keep themselves
+    val scores = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 1L),
+      (5L, 7L), (6L, 7L), (7L, 0L)).toDF("id", "score")
+    val got = Dedup.keepBest(ids, "id", pairs, "a", "b", scores,
+        "score")
+      .select($"id", $"is_keeper")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true, 6L -> false, 7L -> true))
+  }
+
   test("component clustering releases its GraphX blocks (no session leak)") {
     // Regression pin for the round-10 finding: GraphX leaves the input
     // and result graphs cached, and across many calls in one session

@@ -437,6 +437,38 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("at-rest span index: the scrub never re-tokenizes the corpus") {
+    // "tokenize once, scrub cheap": the probe plan must read the
+    // persisted token/gram stores only — no regexp split, no
+    // word_ngrams reconstruction anywhere in the scrub plan (the
+    // scan-dominant cost the inline form pays per call)
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("spanplan").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    graft.pipeline.TextAnalysis.writeSpanIndex(docs, "text", "doc_id",
+      tmp, n = 5, buckets = 16)
+    val df = graft.pipeline.TextAnalysis.exactSubstringScrubAtRest(
+      spark, tmp, minCount = 2)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("word_ngrams") && !p.contains("split("),
+      "at-rest scrub re-derives grams/tokens:\n" + p)
+    // both stores are actually scanned (tokens for the rebuild, the
+    // bucketed grams for span coverage)
+    assert(p.contains("/tokens") && p.contains("/grams"), p)
+    // the incremental form keeps the property over base ∪ deltas
+    val root = java.nio.file.Files.createTempDirectory("spanplan2").toString
+    graft.pipeline.TextAnalysis.writeSpanIndex(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+      s"$root/base", n = 5, buckets = 16)
+    graft.streaming.SpanStream.appendBatch(
+      docs.filter(col("doc_id") % 2 === 1), 1L, root, "text",
+      "doc_id", n = 5, buckets = 16)
+    val inc = graft.streaming.SpanStream.scrubIncremental(spark, root,
+      minCount = 2)
+    val pi = inc.queryExecution.explainString(FormattedMode)
+    assert(!pi.contains("word_ngrams") && !pi.contains("split("), pi)
+  }
+
   test("pp_mixture: one window pass, no join for the quota lookup") {
     val p = plan("pp_mixture")
     assert(p.contains("Window"), p)
