@@ -1038,26 +1038,27 @@ object TextAnalysis {
     * integers, fractions and ln are fixed-order double arithmetic on
     * those integers, and the reported term is r6-rounded — the same
     * contract every scoring oracle here replays. */
-  def distributionDrift(docs: DataFrame, valueCol: String,
-      isBaseline: Column, bucketWidth: Long,
-      nBuckets: Int): DataFrame = {
-    require(bucketWidth >= 1 && nBuckets >= 2,
-      "distributionDrift: need bucketWidth >= 1 and nBuckets >= 2")
-    // clamp both ends: values past the last edge fold into the top
-    // bucket, negatives into bucket 0 (a negative signal must not
-    // mint a phantom negative bucket)
-    val bucket = greatest(least(floor(col(valueCol) / bucketWidth),
+  /** The clamped fixed-width bucket expression shared by the inline
+    * monitor and the streamed maintainer: values past the last edge
+    * fold into the top bucket, negatives into bucket 0 (a negative
+    * signal must not mint a phantom negative bucket). */
+  private[graft] def driftBucket(valueCol: String, bucketWidth: Long,
+      nBuckets: Int): Column =
+    greatest(least(floor(col(valueCol) / bucketWidth),
       lit(nBuckets - 1L)), lit(0L)).cast("int")
-    val observed = docs
-      .select(bucket.as("bucket"), isBaseline.as("is_base"))
-      .groupBy(col("bucket"))
-      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
-        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_new"))
-    // the report's shape is the MONITOR'S contract, not the data's:
-    // a bucket empty in both slices still has a nonzero Laplace-
-    // smoothed psi_term, so left-join the observed counts against the
-    // full 0..nBuckets-1 list or the summed PSI under-reports
-    val counts = docs.sparkSession.range(nBuckets)
+
+  /** The PSI tail over an EXPLICIT `(bucket, n_base, n_new)` count
+    * relation — shared by [[distributionDrift]] (inline) and
+    * [[graft.streaming.DriftStream]] (baseline + streamed batch
+    * counts, summed — bucket counts are additive, so the streamed
+    * report is bit-identical to the inline one). The report's shape
+    * is the MONITOR'S contract, not the data's: a bucket empty in
+    * both slices still has a nonzero Laplace-smoothed psi_term, so
+    * observed counts left-join the full 0..nBuckets-1 list or the
+    * summed PSI under-reports. */
+  private[graft] def psiFromCounts(observed: DataFrame,
+      nBuckets: Int): DataFrame = {
+    val counts = observed.sparkSession.range(nBuckets)
       .select(col("id").cast("int").as("bucket"))
       .join(observed, Seq("bucket"), "left_outer")
       .select(col("bucket"),
@@ -1076,6 +1077,20 @@ object TextAnalysis {
         Similarity.r6((col("p") - col("q")) * log(col("p") / col("q")))
           .as("psi_term"))
       .orderBy(col("bucket"))
+  }
+
+  def distributionDrift(docs: DataFrame, valueCol: String,
+      isBaseline: Column, bucketWidth: Long,
+      nBuckets: Int): DataFrame = {
+    require(bucketWidth >= 1 && nBuckets >= 2,
+      "distributionDrift: need bucketWidth >= 1 and nBuckets >= 2")
+    val observed = docs
+      .select(driftBucket(valueCol, bucketWidth, nBuckets).as("bucket"),
+        isBaseline.as("is_base"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_new"))
+    psiFromCounts(observed, nBuckets)
   }
 
   /** Corpus-scale BPE tokenization report: per document, the word

@@ -2985,6 +2985,30 @@ object PipelineQueries {
     TextAnalysis.distributionDrift(t(s, dir, "documents"), "n_chars",
       col("source") === "src0", bucketWidth = 100L, nBuckets = 10)
 
+  /** The PSI monitor INCREMENTALLY maintained
+    * ([[graft.streaming.DriftStream]]): the baseline slice's bucket
+    * counts persisted once, the rest of the corpus arriving as two
+    * streamed batches — bucket counts are plain sums, so the streamed
+    * report is bit-identical to the inline two-slice monitor, gated
+    * against [[ppDriftPsiSql]] VERBATIM. */
+  def ppDriftIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val root = layoutDir(dir, "documents", "drift_w100_b10")
+    ensureLayout(root) {
+      graft.streaming.DriftStream.writeBaseline(
+        d.filter(col("source") === "src0"), "n_chars", root,
+        bucketWidth = 100L, nBuckets = 10)
+      graft.streaming.DriftStream.appendBatch(
+        d.filter(col("source") =!= "src0" && col("doc_id") % 2 === 0),
+        1L, root, "n_chars")
+      graft.streaming.DriftStream.appendBatch(
+        d.filter(col("source") =!= "src0" && col("doc_id") % 2 === 1),
+        2L, root, "n_chars")
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    graft.streaming.DriftStream.report(s, root)
+  }
+
   private val ppDriftPsiSql =
     """WITH b AS (
          SELECT CAST(GREATEST(
@@ -4572,6 +4596,7 @@ object PipelineQueries {
     "pp_hard_negatives_at_rest" -> (ppHardNegativesAtRest _),
     "pp_curate_shard_e2e" -> (ppCurateShardE2e _),
     "pp_drift_psi" -> (ppDriftPsi _),
+    "pp_drift_incremental" -> (ppDriftIncremental _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -4612,7 +4637,8 @@ object PipelineQueries {
     "pp_shard_manifest", "pp_shard_updated",
     "ta_heavy_hitters_at_rest", "pp_hard_negatives_at_rest",
     "ann_binary_partitioned", "dd_exact_substring_at_rest",
-    "dd_exact_substring_incremental", "dd_exact_substring_compacted")
+    "dd_exact_substring_incremental", "dd_exact_substring_compacted",
+    "pp_drift_incremental")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -4748,6 +4774,7 @@ object PipelineQueries {
     "pp_hard_negatives_at_rest" -> ppHardNegativesSql,
     "pp_curate_shard_e2e" -> ppCurateShardE2eSql,
     "pp_drift_psi" -> ppDriftPsiSql,
+    "pp_drift_incremental" -> ppDriftPsiSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,

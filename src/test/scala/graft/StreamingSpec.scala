@@ -1637,6 +1637,54 @@ class StreamingSpec extends SparkSpec {
     assert(probe() === fullHits)
   }
 
+  test("incremental drift monitor equals the inline two-slice report; streaming-driven") {
+    import java.nio.file.Files
+    import graft.pipeline.TextAnalysis
+    import graft.streaming.DriftStream
+    val in = Files.createTempDirectory("graft-drift-in")
+    val root = Files.createTempDirectory("graft-drift-root").toString
+    val ckpt = Files.createTempDirectory("graft-drift-ckpt").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"bucket", $"n_base", $"n_new", $"psi_term")
+      .as[(Int, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    DriftStream.writeBaseline(docs.filter($"source" === "src0"),
+      "n_chars", root, bucketWidth = 100L, nBuckets = 10)
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-drift-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    val rest = docs.filter($"source" =!= "src0")
+    addChunk(rest.filter($"doc_id" % 2 === 0), "c1.parquet")
+    val q = DriftStream.run(spark, in.toString, root, ckpt,
+      valueCol = "n_chars",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(rest.filter($"doc_id" % 2 === 1), "c2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // bucket counts are sums → streamed report == the inline monitor
+    val inline = rows(TextAnalysis.distributionDrift(
+      docs, "n_chars", $"source" === "src0", 100L, 10))
+    assert(rows(DriftStream.report(spark, root)) === inline)
+    // replaying the newest batch regenerates, never double-counts
+    DriftStream.appendBatch(rest.filter($"doc_id" % 2 === 1), 1L,
+      root, "n_chars")
+    assert(rows(DriftStream.report(spark, root)) === inline)
+    // a rebaseline under DIFFERENT bucketing params re-stamps the
+    // contract; appends then bucket under the new one — while a
+    // baseline-less report on a params-only root fails loudly (no
+    // silent empty-baseline drift)
+    val root2 = Files.createTempDirectory("graft-drift-root2").toString
+    DriftStream.writeBaseline(docs.limit(10), "n_chars", root2,
+      bucketWidth = 50L, nBuckets = 20)
+    assert(DriftStream.report(spark, root2).count() === 20)
+  }
+
   test("incremental span index equals a full rebuild; compaction and crash recovery lossless") {
     import java.nio.file.Files
     import graft.pipeline.TextAnalysis
