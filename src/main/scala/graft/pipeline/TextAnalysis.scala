@@ -1079,6 +1079,58 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Embedding-space drift between two corpus slices — the monitoring
+    * companion to [[distributionDrift]] for the REPRESENTATION, not a
+    * scalar signal: the cosine similarity between the two slices'
+    * MEAN embedding vectors (the centroid-shift statistic — a new
+    * crawl whose centroid swings away from the baseline's is
+    * drifting in meaning even if its length/quality histograms hold).
+    *
+    * Determinism: cosine is scale-invariant, so the mean division is
+    * dropped entirely — the statistic is the cosine of the two SUM
+    * vectors, with per-position sums decimal-routed (exact,
+    * order-free — a distributed double sum is partition-order-
+    * dependent), the position-wise products computed in double on
+    * those exact values (deterministic per position), and the final
+    * dim-length reductions decimal-routed again. Spark and a
+    * replaying engine produce the identical 6-decimal cosine.
+    *
+    * Scale shape: ONE map-side-combinable shuffle onto dim·2 rows
+    * (posexplode → groupBy(position) — each map task pre-aggregates
+    * to dim rows before the exchange); everything after is
+    * dim-row-sized. Output one row: (n_base, n_new, cos_sim). */
+  def embeddingDrift(emb: DataFrame, vecCol: String,
+      isBaseline: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sums = emb
+      .select(isBaseline.as("is_base"),
+        posexplode(col(vecCol)).as(Seq("i", "x")))
+      .withColumn("xd",
+        col("x").cast("double").cast(DecimalType(28, 10)))
+      .groupBy(col("i"))
+      .agg(
+        sum(when(col("is_base"), col("xd"))
+          .otherwise(lit(0).cast(DecimalType(28, 10)))).as("sbd"),
+        sum(when(!col("is_base"), col("xd"))
+          .otherwise(lit(0).cast(DecimalType(28, 10)))).as("snd"),
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_new"))
+    val d10 = DecimalType(38, 10)
+    sums
+      .select(col("n_base"), col("n_new"),
+        col("sbd").cast("double").as("sb"),
+        col("snd").cast("double").as("sn"))
+      .agg(max(col("n_base")).as("n_base"),
+        max(col("n_new")).as("n_new"),
+        sum((col("sb") * col("sn")).cast(d10)).as("dot"),
+        sum((col("sb") * col("sb")).cast(d10)).as("nb2"),
+        sum((col("sn") * col("sn")).cast(d10)).as("nn2"))
+      .select(col("n_base"), col("n_new"),
+        Similarity.r6(col("dot").cast("double") /
+          (sqrt(col("nb2").cast("double")) *
+            sqrt(col("nn2").cast("double")))).as("cos_sim"))
+  }
+
   def distributionDrift(docs: DataFrame, valueCol: String,
       isBaseline: Column, bucketWidth: Long,
       nBuckets: Int): DataFrame = {

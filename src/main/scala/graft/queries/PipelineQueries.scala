@@ -3041,6 +3041,45 @@ object PipelineQueries {
            AS DOUBLE) AS psi_term
        FROM f ORDER BY bucket"""
 
+  /** Embedding-centroid drift ([[TextAnalysis.embeddingDrift]]):
+    * cosine between the even- and odd-id slices' summed embedding
+    * vectors — the representation-space drift statistic next to the
+    * scalar PSI. The oracle replays the positional decimal-routed
+    * sums, the double products and the decimal-routed reductions. */
+  def ppEmbeddingDrift(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.embeddingDrift(t(s, dir, "embeddings"), "embedding",
+      col("vec_id") % 2 === 0)
+
+  private val ppEmbeddingDriftSql =
+    """WITH e AS (
+         SELECT (vec_id % 2 = 0) AS is_base, embedding
+         FROM embeddings),
+       pos AS (
+         SELECT e.is_base, i,
+           CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(28,10)) AS xd
+         FROM e CROSS JOIN unnest(range(len(embedding))) r(i)),
+       sums AS (
+         SELECT i,
+           CAST(SUM(CASE WHEN is_base THEN xd
+                    ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE) AS sb,
+           CAST(SUM(CASE WHEN NOT is_base THEN xd
+                    ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE) AS sn,
+           SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS n_base,
+           SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS n_new
+         FROM pos GROUP BY i),
+       red AS (
+         SELECT MAX(n_base) AS n_base, MAX(n_new) AS n_new,
+           SUM(CAST(sb * sn AS DECIMAL(38,10))) AS dot,
+           SUM(CAST(sb * sb AS DECIMAL(38,10))) AS nb2,
+           SUM(CAST(sn * sn AS DECIMAL(38,10))) AS nn2
+         FROM sums)
+       SELECT CAST(n_base AS BIGINT) AS n_base,
+         CAST(n_new AS BIGINT) AS n_new,
+         CAST(ROUND(CAST(CAST(dot AS DOUBLE) /
+           (sqrt(CAST(nb2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE)))
+           AS DECIMAL(28,10)), 6) AS DOUBLE) AS cos_sim
+       FROM red"""
+
   /** T5-style span corruption ([[TextAnalysis.spanCorruption]]):
     * deterministic md5-gated token masking, gaps-and-islands span
     * grouping, sentinel-numbered input/target pair per document. The
@@ -4597,6 +4636,7 @@ object PipelineQueries {
     "pp_curate_shard_e2e" -> (ppCurateShardE2e _),
     "pp_drift_psi" -> (ppDriftPsi _),
     "pp_drift_incremental" -> (ppDriftIncremental _),
+    "pp_embedding_drift" -> (ppEmbeddingDrift _),
     "pp_mixture" -> (ppMixture _),
     "pp_temperature" -> (ppTemperature _),
     "pp_length_buckets" -> (ppLengthBuckets _),
@@ -4775,6 +4815,7 @@ object PipelineQueries {
     "pp_curate_shard_e2e" -> ppCurateShardE2eSql,
     "pp_drift_psi" -> ppDriftPsiSql,
     "pp_drift_incremental" -> ppDriftPsiSql,
+    "pp_embedding_drift" -> ppEmbeddingDriftSql,
     "pp_mixture" -> ppMixtureSql,
     "pp_temperature" -> ppTemperatureSql,
     "pp_length_buckets" -> ppLengthBucketsSql,

@@ -1228,6 +1228,24 @@ class PipelineSpec extends SparkSpec {
     assert(rep(5)._2 === 0L && rep(5)._3 === 0L && rep(5)._4 != 0.0)
   }
 
+  test("embedding drift: identical slices cos 1, opposed slices cos -1") {
+    // two copies of one vector split across slices → centroids equal
+    val v = Array.fill(8)(0.5f)
+    val same = Seq((0L, v), (1L, v), (2L, v), (3L, v))
+      .toDF("vec_id", "embedding")
+    val r1 = TextAnalysis.embeddingDrift(same, "embedding",
+        $"vec_id" % 2 === 0)
+      .as[(Long, Long, Double)].collect().head
+    assert(r1 === ((2L, 2L, 1.0)))
+    // opposed centroids → cosine exactly -1
+    val neg = v.map(-_)
+    val flip = Seq((0L, v), (1L, neg)).toDF("vec_id", "embedding")
+    val r2 = TextAnalysis.embeddingDrift(flip, "embedding",
+        $"vec_id" % 2 === 0)
+      .as[(Long, Long, Double)].collect().head
+    assert(r2 === ((1L, 1L, -1.0)))
+  }
+
   test("binary ANN: hamming equals the sign-disagreement count") {
     // q: dims 0..63 positive; c0 flips dims 0..9; c1 flips 0..31
     val qv = Array.fill(64)(1.0f)
