@@ -63,10 +63,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * two broadcast anti-joins (the current batch's keys, bounded by the
   * micro-batch; the superseded sidecar, proportional to total
   * re-arrivals — not corpus size). A recrawl-heavy corpus grows the
-  * sidecar, so its maintenance story is periodic compaction: rewrite
-  * the store dropping superseded rows and reset the sidecar — the same
-  * offline maintenance as [[XmlStreamIngest]] compaction of many small
-  * batch partitions, orthogonal to correctness. (The previous design
+  * sidecar, so its maintenance story is periodic [[compact]]ion:
+  * rewrite the store dropping superseded rows and reset the sidecar —
+  * the crash-safe staged swap shared with the other index
+  * maintainers, orthogonal to correctness. (The previous design
   * superseded via a per-key max-batch window, which re-shuffled the
   * ENTIRE store on every micro-batch — a per-batch cost growing with
   * corpus size, exactly what a 1000-executor deployment cannot pay.) */
@@ -85,21 +85,73 @@ object LshStream {
   private[graft] def supersededDir(bandsDir: String): String =
     bandsDir.stripSuffix("/") + "_superseded"
 
-  /** The accumulated band store minus the current batch's own
-    * partition (replay safety), batch provenance retained for
-    * supersede filtering. `emptyLike` supplies the (key, band,
-    * band_hash) schema for the nothing-written-yet first batch. */
-  private[graft] def storeBands(spark: SparkSession, bandsDir: String,
-      batchId: Long, keyCol: String, emptyLike: DataFrame): DataFrame =
-    try spark.read.parquet(bandsDir)
-      .filter(col("batch") =!= lit(batchId))
-      .select(col(keyCol), col("band"), col("band_hash"), col("batch"))
+  /** The layout root `bandsDir` sits under — `root/bands`,
+    * `root/bands_superseded`, and (once [[compact]] has run)
+    * `root/base/{bands,meta}` are siblings there. */
+  private def rootOf(bandsDir: String): String =
+    new java.io.File(bandsDir.stripSuffix("/")).getParentFile.getPath
+
+  /** The trees a compaction folds and clears (NOT `pairs` — the
+    * candidate output is append-only and survives folds). */
+  private val ClearDirs = Seq("bands", "bands_superseded")
+
+  /** The folded base's band rows, batch provenance preserved as the
+    * `gen` data column (sidecar rows written after a crashed swap
+    * reference the generation a delta HAD — a fold that collapsed
+    * gens would dangle them and resurrect stale bands); None when no
+    * fold has happened yet. */
+  private def baseBands(spark: SparkSession, root: String,
+      keyCol: String): Option[DataFrame] =
+    try Some(spark.read.parquet(s"$root/base/bands")
+      .select(col(keyCol), col("band"), col("band_hash"),
+        col("gen").cast("long").as("batch")))
     catch {
       case e: org.apache.spark.sql.AnalysisException
-          if IvfStream.missingPath(e) =>
+          if IvfStream.missingPath(e) => None
+    }
+
+  /** The highest generation ever folded into `base/` (stamped by
+    * [[compact]]), or -1 — the [[Bm25Stream]] fold-watermark pattern:
+    * an append whose id is not above this is a fresh-checkpoint
+    * restart reusing ids, and its sidecar rows would cross-match the
+    * folded generation's rows. */
+  private def foldWatermark(spark: SparkSession, root: String): Long =
+    try spark.read.parquet(s"$root/base/meta")
+      .agg(max(col("max_gen").cast("long"))).collect()(0) match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if IvfStream.missingPath(e) => -1L
+    }
+
+  /** The accumulated band store — folded base ∪ streamed deltas —
+    * minus the current batch's own delta partition (replay safety),
+    * batch provenance retained for supersede filtering. `emptyLike`
+    * supplies the (key, band, band_hash) schema for the
+    * nothing-written-yet first batch. */
+  private[graft] def storeBands(spark: SparkSession, bandsDir: String,
+      batchId: Long, keyCol: String, emptyLike: DataFrame): DataFrame = {
+    val base = baseBands(spark, rootOf(bandsDir), keyCol)
+    val delta =
+      try Some(spark.read.parquet(bandsDir)
+        .filter(col("batch") =!= lit(batchId))
+        .select(col(keyCol), col("band"), col("band_hash"),
+          col("batch")))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if IvfStream.missingPath(e) => None
+      }
+    (base, delta) match {
+      case (Some(b), Some(d)) => b.unionByName(d)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) =>
         emptyLike.select(col(keyCol), col("band"), col("band_hash"))
           .limit(0).withColumn("batch", lit(0L))
     }
+  }
 
   /** The LIVE prior-state relation for `batchId`: [[storeBands]] minus
     * rows superseded by earlier batches' re-arrivals (sidecar
@@ -133,12 +185,27 @@ object LshStream {
       pairsDir: String, bandsDir: String, textCol: String, keyCol: String,
       numHashes: Int, bands: Int): Unit = {
     val spark = batch.sparkSession
+    // a crashed compact leaves base/ absent and staging marked: the
+    // store readers' missingPath fallback would silently see an EMPTY
+    // base, so a batch re-crawling a base-resident key would record
+    // no supersede row and its stale bands would join forever.
+    // Complete the pending swap FIRST (the Bm25Stream discipline).
+    IvfStream.recoverPendingSwap(rootOf(bandsDir), ClearDirs)
     // a reused id would overwrite committed band state — and the
     // sidecar's (key, stale_batch) rows recorded against the OLD
     // generation would silently supersede the NEW rows written under
     // the same id, anti-joining a fresh document's bands away forever
     IvfStream.requireFreshBatchId(bandsDir, batchId,
       "LshStream.processBatch")
+    // ids folded away by compaction are spent too (their rows keep
+    // `gen` identity in the base — a reused id's sidecar rows would
+    // cross-match them)
+    val wm = foldWatermark(spark, rootOf(bandsDir))
+    require(batchId > wm,
+      s"LshStream.processBatch: batch id $batchId is not above the " +
+        s"compaction watermark $wm — a stream restarted with a fresh " +
+        "checkpoint reuses ids; resume from the original checkpoint " +
+        "or start batch ids above the watermark")
     // the band relation feeds both join sides and the state write —
     // cut the lineage once so shingling/minhashing runs once per batch
     val myBands = Dedup.lshBands(
@@ -171,6 +238,52 @@ object LshStream {
       .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
     myBands.write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
   }
+
+  /** The periodic maintenance job the sidecar design defers to (the
+    * scaladoc's "rewrite the store dropping superseded rows and reset
+    * the sidecar", now implemented): fold base ∪ all delta batches
+    * MINUS the superseded rows into a fresh `base/bands`, stamp the
+    * fold watermark, and clear the delta + sidecar trees — through
+    * the crash-safe staged swap shared with the other index
+    * maintainers. Band rows keep their original batch as the `gen`
+    * data column (see [[baseBands]]); the candidate `pairs/` output
+    * is untouched. A recrawl-heavy corpus runs this whenever the
+    * sidecar's growth starts taxing the per-batch broadcast. */
+  def compact(spark: SparkSession, outDir: String,
+      keyCol: String = "doc_id"): Unit =
+    IvfStream.stagedSwap(outDir, clear = ClearDirs) { staging =>
+      val bandsDir = s"$outDir/bands"
+      // every generation, nothing excluded (batchId = -1 matches no
+      // partition), minus ALL sidecar rows — the live relation
+      val all = storeBands(spark, bandsDir, batchId = -1L, keyCol,
+        emptyLike = spark.range(0)
+          .select(col("id").as(keyCol), col("id").cast("int")
+            .as("band"), col("id").cast("string").as("band_hash")))
+      val stale =
+        try spark.read.parquet(supersededDir(bandsDir))
+          .select(col(keyCol).as("s_key"),
+            col("stale_batch").cast("long").as("s_gen"))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if IvfStream.missingPath(e) =>
+            spark.range(0).select(col("id").as("s_key"),
+              col("id").as("s_gen"))
+        }
+      val live = all.join(broadcast(stale),
+        col(keyCol) === col("s_key") &&
+          col("batch") === col("s_gen"), "left_anti")
+      val deltaGens = Option(new java.io.File(bandsDir).listFiles())
+        .toSeq.flatten.map(_.getName).collect {
+          case s if s.startsWith("batch=") => s.drop(6).toLong
+        }
+      val maxGen = (foldWatermark(spark, outDir) +: deltaGens).max
+      import spark.implicits._
+      live.withColumnRenamed("batch", "gen")
+        .write.mode("overwrite").parquet(s"$staging/bands")
+      Seq(maxGen).toDF("max_gen").coalesce(1)
+        .write.mode("overwrite").parquet(s"$staging/meta")
+      new java.io.File(staging, "_SUCCESS").createNewFile(): Unit
+    }
 
   /** Start incremental LSH over a parquet document directory: new files
     * → shingle → minhash → band → join against the accumulated band

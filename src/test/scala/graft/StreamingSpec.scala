@@ -773,6 +773,66 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 6000L || p._2 == 6000L))
   }
 
+  test("LSH compaction: store folds losslessly, supersedes keep matching, watermark holds") {
+    import java.nio.file.Files
+    import graft.streaming.LshStream
+    val in = Files.createTempDirectory("graft-lsh-cpt-in")
+    val out = Files.createTempDirectory("graft-lsh-cpt-out").toString
+    val ckpt = Files.createTempDirectory("graft-lsh-cpt-ckpt").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    def asId(srcId: Long, newId: Long) =
+      docs.filter($"doc_id" === srcId).withColumn("doc_id", lit(newId))
+    // chunk 1 holds doc 7 (original text); chunk 2 re-crawls key 7
+    // with doc 11's text → the sidecar is NON-empty when compaction
+    // runs, exercising the superseded-row drop in the fold
+    val c1 = docs.filter($"doc_id" < 200)
+    val c2 = docs.filter($"doc_id" >= 200 && $"doc_id" < 400)
+      .unionByName(asId(11L, 7L))
+    // chunk 3 (post-compact): a new doc with doc 11's text must pair
+    // with FOLDED keys 7 and 11 (cross-batch candidates against the
+    // base), and a new doc with key 7's ORIGINAL text must pair with
+    // nothing (the superseded bands were dropped by the fold)
+    val c3 = docs.filter($"doc_id" >= 400)
+      .unionByName(asId(11L, 5000L)).unionByName(asId(7L, 6000L))
+    val latest = docs.filter($"doc_id" =!= 7L).unionByName(asId(11L, 7L))
+      .unionByName(asId(11L, 5000L)).unionByName(asId(7L, 6000L))
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-lsh-cpt-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(c1, "c1.parquet")
+    addChunk(c2, "c2.parquet")
+    val q1 = LshStream.run(spark, in.toString, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try q1.processAllAvailable() finally q1.stop()
+    LshStream.compact(spark, out)
+    assert(new java.io.File(s"$out/base/bands").exists())
+    assert(!new java.io.File(s"$out/bands").exists())
+    assert(!new java.io.File(s"$out/bands_superseded").exists())
+    // a reused id at or below the fold watermark fails pointedly
+    val e = intercept[IllegalArgumentException](
+      LshStream.processBatch(docs.limit(1), 1L, s"$out/pairs",
+        s"$out/bands", "text", "doc_id", 8, 4))
+    assert(e.getMessage.contains("watermark"))
+    // the stream resumes from its checkpoint (next id > watermark)
+    addChunk(c3, "c3.parquet")
+    val q2 = LshStream.run(spark, in.toString, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try q2.processAllAvailable() finally q2.stop()
+    val got = LshStream.pairs(spark, out)
+      .as[(Long, Long)].collect().toSet
+    val expected = graft.pipeline.Dedup.minHashCandidates(latest,
+      "text", "doc_id").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    // parity is not vacuous: 5000 paired against FOLDED keys…
+    assert(got.contains((7L, 5000L)) && got.contains((11L, 5000L)))
+    // …and 7's superseded bands stayed dead through the fold
+    assert(!got.exists(p => p._1 == 6000L || p._2 == 6000L))
+  }
+
   test("incremental LSH prior state scans the band store without shuffling it") {
     // The 100 TB contract of the sidecar supersede design: per batch
     // the accumulated band store is SCANNED and filtered by two
