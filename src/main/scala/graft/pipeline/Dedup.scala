@@ -466,8 +466,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val comp = componentClusters(ids, idCol, pairs, aCol, bCol)
     val w = Window.partitionBy(col("component"))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    comp.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    // LEFT join: an id missing from `scores` must stay IN the report
+    // (ranked last, null score) — an inner join would silently drop
+    // it, and if the true best member lacked a score a different one
+    // would be crowned with no error anywhere
+    comp.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol),
+        "left_outer")
       .withColumn("__rk", org.apache.spark.sql.functions.row_number()
         .over(w))
       .select(col(idCol), col("component"), col(scoreCol),

@@ -43,8 +43,13 @@ object Sharding {
     * and mix two incompatible shardings. */
   def writeShardedBase(docs: DataFrame, keyCol: String, root: String,
       nShards: Int): Unit = {
-    writeSharded(docs, keyCol, s"$root/base", nShards)
+    // params FIRST: a crash between the writes must leave the
+    // contract stamped with the base absent (readers fail loudly on
+    // the missing base) — the other order leaves a contract-less base
+    // whose first append would silently stamp its own nShards, the
+    // exact window this method exists to close
     writeParams(docs.sparkSession, root, nShards)
+    writeSharded(docs, keyCol, s"$root/base", nShards)
   }
 
   private def writeParams(spark: SparkSession, root: String,

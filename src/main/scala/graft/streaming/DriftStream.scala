@@ -28,16 +28,20 @@ import graft.pipeline.TextAnalysis
 object DriftStream {
 
   /** Persist the baseline slice's bucket counts (one nBuckets-row
-    * relation) and the bucketing parameters. */
+    * relation). The bucketing parameters ride IN the baseline rows —
+    * one file is the whole contract, so no crash ordering can pair a
+    * new baseline with old parameters (or vice versa) and silently
+    * mix two bucketings in one report. */
   def writeBaseline(docs: DataFrame, valueCol: String, root: String,
       bucketWidth: Long, nBuckets: Int): Unit = {
     require(bucketWidth >= 1 && nBuckets >= 2,
       "DriftStream.writeBaseline: bucketWidth >= 1 and nBuckets >= 2")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq((bucketWidth, nBuckets)).toDF("bucket_width", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/params")
+    require(!docs.isEmpty,
+      "DriftStream.writeBaseline: the baseline slice is empty — a " +
+        "drift monitor needs a reference distribution")
     bucketCounts(docs, valueCol, bucketWidth, nBuckets)
+      .withColumn("bucket_width", lit(bucketWidth))
+      .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/baseline")
   }
@@ -48,8 +52,13 @@ object DriftStream {
         .driftBucket(valueCol, bucketWidth, nBuckets).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
 
+  /** The bucketing contract, read off the baseline itself; fails
+    * loudly when no baseline exists — a drift monitor without its
+    * baseline is meaningless, never silently empty. */
   private def params(spark: SparkSession, root: String): (Long, Int) = {
-    val r = spark.read.parquet(s"$root/params").collect()(0)
+    val r = spark.read.parquet(s"$root/baseline")
+      .select(col("bucket_width"), col("n_buckets")).limit(1)
+      .collect()(0)
     (r.getAs[Long]("bucket_width"), r.getAs[Int]("n_buckets"))
   }
 

@@ -213,6 +213,18 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().toMap
     assert(got === Map(1L -> false, 2L -> true, 3L -> false,
       4L -> true, 5L -> true, 6L -> false, 7L -> true))
+    // an id MISSING from the score relation stays in the report,
+    // ranked last (null score) — never silently dropped, and never
+    // crowned over a scored member
+    val partial = scores.filter($"id" =!= 2L && $"id" =!= 4L)
+    val got2 = Dedup.keepBest(ids, "id", pairs, "a", "b", partial,
+        "score")
+      .select($"id", $"is_keeper")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got2.keySet === (1L to 7L).toSet)
+    // with 2 unscored, cluster {1,2,3}'s best SCORED member (3) wins;
+    // singleton 4 keeps itself even unscored
+    assert(got2(3L) && !got2(2L) && !got2(1L) && got2(4L))
   }
 
   test("component clustering releases its GraphX blocks (no session leak)") {
