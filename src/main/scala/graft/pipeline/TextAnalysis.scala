@@ -813,7 +813,7 @@ object TextAnalysis {
     * instead of O(len · |vocab merges|): the form that survives a
     * 32k-merge production vocabulary, where the replace-chain's
     * expression tree alone would break whole-stage codegen. */
-  private[pipeline] def greedySegment(syms0: Array[String],
+  private[graft] def greedySegment(syms0: Array[String],
       ranks: scala.collection.Map[(String, String), Int])
       : Array[String] = {
     var syms = syms0

@@ -1178,6 +1178,80 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.length === 3 && pruned.forall(_._5 >= 2L))
   }
 
+  test("property: greedy BPE segmentation equals training-order replay on random trained lists") {
+    // The equivalence claim behind bpeSegmentFast, checked over many
+    // RANDOM corpora on a 3-letter alphabet (maximal merge collisions
+    // and adjacent-repeat runs — the adversarial regime for the
+    // non-overlapping left-to-right scan). The trainer here is an
+    // independent driver-local reimplementation: pair counts over the
+    // word list, winner by (count desc, lexicographic), merge
+    // everywhere — any TRAINED list has the each-symbol-created-by-
+    // its-own-earlier-merge property the equivalence proof needs.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import scala.collection.mutable
+    def trainRef(words: Seq[String], rounds: Int): Seq[(String, String)] = {
+      var ws = words.map(w => TextAnalysis.toSymbols(w).toVector)
+      val out = mutable.ArrayBuffer.empty[(String, String)]
+      var go = true
+      while (go && out.length < rounds) {
+        val counts = mutable.Map.empty[(String, String), Int]
+        ws.foreach(s => (0 until s.length - 1).foreach { i =>
+          val p = (s(i), s(i + 1))
+          counts(p) = counts.getOrElse(p, 0) + 1
+        })
+        if (counts.isEmpty) go = false
+        else {
+          val (a, b) = counts.toSeq.maxBy {
+            case ((x, y), c) => (c, x, y)
+          }(Ordering.Tuple3(Ordering.Int,
+            Ordering.String.reverse, Ordering.String.reverse))._1
+          out += ((a, b))
+          ws = ws.map { s =>
+            val nb = Vector.newBuilder[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == a && s(j + 1) == b) {
+                nb += a + b; j += 2
+              } else { nb += s(j); j += 1 }
+            }
+            nb.result()
+          }
+        }
+      }
+      out.toSeq
+    }
+    def replayRef(word: String, ms: Seq[(String, String)]): Seq[String] = {
+      var syms = TextAnalysis.toSymbols(word).toVector
+      ms.foreach { case (a, b) =>
+        val nb = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            nb += a + b; j += 2
+          } else { nb += syms(j); j += 1 }
+        }
+        syms = nb.result()
+      }
+      syms
+    }
+    val genWord = for {
+      n <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val genCorpus = Gen.choose(5, 40)
+      .flatMap(n => Gen.listOfN(n, genWord))
+    val prop = Prop.forAll(genCorpus) { words =>
+      val merges = trainRef(words, 30)
+      val ranks: Map[(String, String), Int] =
+        merges.zipWithIndex.toMap
+      words.distinct.forall { w =>
+        TextAnalysis.greedySegment(TextAnalysis.toSymbols(w), ranks)
+          .toSeq == replayRef(w, merges)
+      }
+    }
+    assert(SCTest.check(SCTest.Parameters.default, prop).passed)
+  }
+
   test("CMS heavy hitters: lossless under forced sketch collisions") {
     // 40 copies of one bigram + 10 singletons; N=50 occurrences
     val docs = (Seq.fill(40)("alpha beta") ++
