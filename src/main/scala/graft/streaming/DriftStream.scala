@@ -63,13 +63,18 @@ object DriftStream {
   }
 
   /** One micro-batch's bucket counts → its own `batch=` partition,
-    * validated against the persisted bucketing contract. */
+    * bucketed under and STAMPED WITH the baseline's contract — so a
+    * later rebaseline under different parameters cannot silently mix
+    * with counts streamed under the old ones ([[report]] validates
+    * the stamps agree). */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, valueCol: String): Unit = {
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "DriftStream.appendBatch")
     val (w, n) = params(batch.sparkSession, root)
     bucketCounts(batch, valueCol, w, n)
+      .withColumn("bucket_width", lit(w))
+      .withColumn("n_buckets", lit(n))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/counts/batch=$batchId")
   }
@@ -79,13 +84,28 @@ object DriftStream {
     * inline monitor — bit-identical to [[TextAnalysis
     * .distributionDrift]] over baseline ∪ arrived documents. */
   def report(spark: SparkSession, root: String): DataFrame = {
-    val (_, n) = params(spark, root)
+    val (w, n) = params(spark, root)
     val base = spark.read.parquet(s"$root/baseline")
       .select(col("bucket"), col("n").as("n_base"))
     val arrived =
-      try spark.read.parquet(s"$root/counts")
-        .groupBy(col("bucket")).agg(sum(col("n")).as("n_new"))
-      catch {
+      try {
+        val c = spark.read.parquet(s"$root/counts")
+        // counts streamed under a DIFFERENT bucketing (a rebaseline
+        // happened without clearing the counts tree) would sum into a
+        // nonsense report with no error anywhere — fail pointedly
+        val drifted = c
+          .filter(col("bucket_width") =!= lit(w) ||
+            col("n_buckets") =!= lit(n))
+          .select(col("bucket_width"), col("n_buckets"))
+          .limit(1).collect()
+        require(drifted.isEmpty,
+          s"DriftStream.report: counts under $root were streamed " +
+            s"with bucketing ${drifted.headOption.orNull} but the " +
+            s"baseline declares (bucket_width=$w, n_buckets=$n) — " +
+            "clear the counts tree when rebaselining under new " +
+            "parameters")
+        c.groupBy(col("bucket")).agg(sum(col("n")).as("n_new"))
+      } catch {
         // nothing streamed yet — an all-zero new slice is still a
         // well-defined (maximally drifted) report
         case e: org.apache.spark.sql.AnalysisException

@@ -1743,6 +1743,16 @@ class StreamingSpec extends SparkSpec {
     DriftStream.writeBaseline(docs.limit(10), "n_chars", root2,
       bucketWidth = 50L, nBuckets = 20)
     assert(DriftStream.report(spark, root2).count() === 20)
+    // a rebaseline under DIFFERENT parameters without clearing the
+    // counts tree must fail pointedly at probe time — the streamed
+    // counts were bucketed under the old contract and would sum into
+    // a nonsense report with no error anywhere
+    DriftStream.appendBatch(docs.limit(5), 1L, root2, "n_chars")
+    DriftStream.writeBaseline(docs.limit(10), "n_chars", root2,
+      bucketWidth = 100L, nBuckets = 10)
+    val e2 = intercept[IllegalArgumentException](
+      DriftStream.report(spark, root2).collect())
+    assert(e2.getMessage.contains("rebaselining"))
   }
 
   test("incremental span index equals a full rebuild; compaction and crash recovery lossless") {
