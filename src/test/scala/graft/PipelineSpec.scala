@@ -227,6 +227,39 @@ class PipelineSpec extends SparkSpec {
     assert(got2(3L) && !got2(2L) && !got2(1L) && got2(4L))
   }
 
+  test("keepBest invariants hold on seeded random graphs and scores") {
+    // random graphs + scores: the report covers every declared id,
+    // each component has EXACTLY one keeper, and the keeper's score
+    // is maximal among its component's scored members (ties → the
+    // smallest id wins). One Spark round-trip per case, so the case
+    // count stays small; the invariants are the full contract.
+    val rng = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val n = 4 + rng.nextInt(12)
+      val idSeq = (1L to n.toLong)
+      val pairs = (1 to rng.nextInt(n))
+        .map(_ => (1L + rng.nextInt(n), 1L + rng.nextInt(n)))
+        .filter(p => p._1 != p._2)
+      val scores = idSeq.map(i => (i, rng.nextInt(5).toLong))
+      val got = Dedup.keepBest(idSeq.toDF("id"), "id",
+          (if (pairs.isEmpty) Seq((1L, 1L)).filter(_ => false)
+           else pairs).toDF("a", "b"),
+          "a", "b", scores.toDF("id", "score"), "score")
+        .as[(Long, Long, Long, Boolean)].collect()
+      assert(got.map(_._1).toSet === idSeq.toSet) // full coverage
+      val byComp = got.groupBy(_._2)
+      byComp.foreach { case (comp, members) =>
+        val keepers = members.filter(_._4)
+        assert(keepers.length === 1, s"component $comp keepers")
+        val k = keepers.head
+        val best = members.map(_._3).max
+        assert(k._3 === best, s"component $comp keeper not max-score")
+        // tie-break: smallest id among the max-score members
+        assert(k._1 === members.filter(_._3 == best).map(_._1).min)
+      }
+    }
+  }
+
   test("component clustering releases its GraphX blocks (no session leak)") {
     // Regression pin for the round-10 finding: GraphX leaves the input
     // and result graphs cached, and across many calls in one session
