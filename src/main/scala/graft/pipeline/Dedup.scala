@@ -42,6 +42,34 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("group_size"), min(col(keyCol)).as("keeper"))
 
+  /** Corpus snapshot diff — the incremental-crawl primitive: given
+    * two snapshots of a keyed text corpus, classify every key as
+    * `added` (new only), `removed` (old only), `changed` (both, text
+    * fingerprint differs) or `unchanged`. This is what decides how
+    * much downstream work a re-crawl actually triggers (only
+    * added/changed re-enter dedup/indexing; the streaming maintainers
+    * in graft.streaming consume exactly that delta).
+    *
+    * Comparison is by md5 of the text, computed scan-side on EACH
+    * leg, so the join moves two hex strings per key — never the
+    * documents themselves — and the full-outer join is a plain
+    * key-keyed shuffle (or co-partitioned/bucketed at rest, no
+    * movement at all). Scale-safe at 100 TB by construction. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("k_old"),
+      md5(col(textCol)).as("old_fp"))
+    val n = newSnap.select(col(keyCol).as("k_new"),
+      md5(col(textCol)).as("new_fp"))
+    o.join(n, col("k_old") === col("k_new"), "full_outer")
+      .select(
+        coalesce(col("k_old"), col("k_new")).as(keyCol),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Word 3-shingles with document-order positions. */
   def shingles(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
     val toks = df.select(col(keyCol),

@@ -166,6 +166,64 @@ object Sampling {
         col("start_token"), col("chunk_tokens"), col("chunk_text"))
   }
 
+  /** Content-defined chunking (CDC): cut points chosen by the CONTENT
+    * of a small trailing token window rather than by fixed offsets —
+    * the storage-dedup primitive (LBFS/rsync lineage). The property
+    * that earns the extra window hash over [[chunkWithOverlap]]: an
+    * edit early in a document shifts every fixed-offset boundary
+    * after it, but CDC boundaries re-synchronize as soon as the
+    * window clears the edit, so the unchanged tail re-produces
+    * IDENTICAL chunk fingerprints and cross-version/cross-document
+    * dedup keeps working under insertions (PipelineSpec pins exactly
+    * this resynchronization).
+    *
+    * A boundary falls AFTER token `i` when the md5 of the trailing
+    * `window`-token context starts with hex '0' (p = 1/16 ⇒ mean
+    * chunk ≈ 16 tokens — the same engine-portable hex-prefix
+    * thresholding as the q32 Bernoulli sample); the document tail is
+    * always a chunk. The windowed hash and the boundary cumsum keep
+    * per-row state bounded by `window`, and both ride ONE doc-keyed
+    * window shuffle (chunking is doc-local, so at 100 TB this is
+    * embarrassingly parallel — and a mapPartitions segmenter over
+    * doc-grouped input could drop even that single shuffle).
+    *
+    * Output `(key, chunk_id, start_pos, n_tokens, fingerprint)` with
+    * fingerprint = md5 of the space-joined chunk tokens — the
+    * identity downstream chunk-level dedup joins on. All columns
+    * integral or hex strings: no float caveats. */
+  def chunkContentDefined(df: DataFrame, textCol: String,
+      keyCol: String, window: Int = 4): DataFrame = {
+    require(window > 0, "chunkContentDefined: window must be positive")
+    val byPos = Window.partitionBy(col(keyCol)).orderBy(col("pos"))
+    val toks = df
+      .select(col(keyCol),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "tok")))
+    val marked = toks
+      .withColumn("wh", md5(concat_ws(" ",
+        collect_list(col("tok")).over(
+          byPos.rowsBetween(-(window - 1).toLong, 0L)))))
+      .withColumn("boundary",
+        when(substring(col("wh"), 1, 1) === "0", 1L).otherwise(0L))
+      // a boundary ENDS its chunk: token i's chunk = boundaries
+      // strictly before i (frame to 1 PRECEDING; first token → 0)
+      .withColumn("chunk_id", coalesce(
+        sum(col("boundary")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, -1L)),
+        lit(0L)))
+    marked
+      .groupBy(col(keyCol), col("chunk_id"))
+      .agg(
+        min(col("pos")).as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        // positions are contiguous within a chunk, so sorting the
+        // (pos, tok) structs replays token order without a second
+        // window pass
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok")))).as("fingerprint"))
+  }
+
   /** Leakage-safe train/eval split: every id in a near-duplicate
     * cluster goes to the SAME side, so a train document can never be
     * a near-copy of an eval document — the contamination failure mode

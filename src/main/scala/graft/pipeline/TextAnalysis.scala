@@ -114,6 +114,53 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
+  /** TF-IDF keyword extraction: the top-`k` terms of each document by
+    * `tf · idf` with the Lucene idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` — the same (always-positive)
+    * idf [[Retrieval]]'s BM25 uses, so the two operators agree on
+    * what "rare" means. The per-doc keyword list is the cheap
+    * document descriptor downstream mixture/routing/tagging steps
+    * key on when embeddings are too expensive.
+    *
+    * Shuffle profile: tf is one (doc, term)-keyed count with map-side
+    * partials; df is one term-keyed count OVER THE TF FRAME (one row
+    * per posting, never re-reading the corpus); the tf⋈df equi-join
+    * shuffles by term. The per-doc top-k runs on
+    * [[graft.plans.TopKPerKey]] — bounded heaps, O(k) rows per doc in
+    * memory, no full per-group sort — so nothing in the chain holds a
+    * group in memory at 100 TB. Scores are single fixed-order double
+    * products (no float accumulation anywhere); ranking happens on
+    * the RAW double with an ascending-term tie-break, and the score
+    * is decimal-rounded to 6 AFTER ranking.
+    *
+    * Output `(key, rank, term, score)`, k rows per non-empty doc. */
+  def tfidfKeywords(df: DataFrame, textCol: String, keyCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tk = df.select(col(keyCol), tokens(col(textCol)).as("tk"))
+    val tf = tk
+      .select(col(keyCol), explode(col("tk")).as("term"))
+      .groupBy(col(keyCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = tk.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf
+      .join(dfs, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        log(lit(1.0).cast("double") +
+          (col("n_docs") - col("df") + lit(0.5).cast("double")) /
+            (col("df") + lit(0.5).cast("double"))) * col("tf"))
+      .select(col(keyCol), col("term"), col("score"))
+    graft.plans.TopKPerKey(scored, keys = Seq(keyCol),
+      order = Seq(("score", true), ("term", false)), k = k)
+      .select(col(keyCol), col("rank"), col("term"),
+        round(col("score").cast(DecimalType(28, 10)), 6)
+          .cast("double").as("score"))
+  }
+
   /** The other Gopher repetition signal: the fraction of a document's
     * word n-grams occupied by its single most frequent n-gram (high →
     * boilerplate/spam). Ties break toward the lexicographically

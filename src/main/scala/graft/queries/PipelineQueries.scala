@@ -3820,6 +3820,179 @@ object PipelineQueries {
            AS chunk_text
        FROM ch ORDER BY doc_id, chunk_idx"""
 
+  /** Content-defined chunking ([[Sampling.chunkContentDefined]],
+    * 4-token window, hex-'0' boundary ⇒ mean chunk ≈ 16 tokens): the
+    * storage-dedup cut whose boundaries survive insertions. Every
+    * output column is integral or an md5 hex string — exact hash
+    * compare by construction. */
+  def ppChunkCdc(s: SparkSession, dir: String): DataFrame =
+    Sampling.chunkContentDefined(t(s, dir, "documents"), "text",
+      "doc_id")
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  // the boundary window (list() OVER 3 PRECEDING..CURRENT) and the
+  // strictly-preceding boundary cumsum mirror the engine's frames
+  // exactly; unnest(range)+list_extract is the posexplode replay, and
+  // string_agg(... ORDER BY pos) replays the engine's sorted-struct
+  // fingerprint (chunk positions are contiguous in both).
+  private val cdcChunksCte =
+    """tkl AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+')
+           AS tk
+         FROM documents),
+       toks AS (
+         SELECT doc_id, CAST(unnest(range(len(tk))) AS BIGINT) AS pos,
+           list_extract(tk,
+             CAST(unnest(range(len(tk))) AS BIGINT) + 1) AS tok
+         FROM tkl),
+       marked AS (
+         SELECT doc_id, pos, tok,
+           CASE WHEN substr(md5(array_to_string(list(tok) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), ' ')),
+               1, 1) = '0'
+             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           END AS boundary
+         FROM toks),
+       cid AS (
+         SELECT doc_id, pos, tok,
+           COALESCE(SUM(boundary) OVER (PARTITION BY doc_id
+             ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST(0 AS BIGINT)) AS chunk_id
+         FROM marked),
+       chunks AS (
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(MIN(pos) AS BIGINT) AS start_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY pos)) AS fingerprint
+         FROM cid GROUP BY doc_id, chunk_id)"""
+
+  private val ppChunkCdcSql =
+    s"""WITH $cdcChunksCte
+       SELECT doc_id, chunk_id, start_pos, n_tokens, fingerprint
+       FROM chunks ORDER BY doc_id, chunk_id"""
+
+  /** Chunk-level storage dedup over the CDC cut: per document, how
+    * many of its tokens sit in chunks whose fingerprint also appears
+    * in ANOTHER document — the dedup-store savings CDC exists to
+    * harvest. Composition of [[ppChunkCdc]] with one
+    * fingerprint-keyed ownership count; the per-doc fraction is a
+    * single integral division, decimal-rounded. */
+  def ppCdcDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val chunks = Sampling.chunkContentDefined(
+      t(s, dir, "documents"), "text", "doc_id")
+    val owners = chunks
+      .groupBy(col("fingerprint"))
+      .agg(countDistinct(col("doc_id")).as("n_owner_docs"))
+    chunks
+      .join(owners, Seq("fingerprint"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("n_owner_docs") >= 2, col("n_tokens"))
+          .otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_frac",
+        round((col("dup_tokens") / col("total_tokens"))
+          .cast(DecimalType(28, 10)), 6).cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val ppCdcDedupSql =
+    s"""WITH $cdcChunksCte,
+       owners AS (
+         SELECT fingerprint,
+           COUNT(DISTINCT doc_id) AS n_owner_docs
+         FROM chunks GROUP BY fingerprint)
+       SELECT c.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN o.n_owner_docs >= 2 THEN c.n_tokens
+           ELSE 0 END) AS BIGINT) AS dup_tokens,
+         CAST(ROUND(CAST(CAST(SUM(CASE WHEN o.n_owner_docs >= 2
+             THEN c.n_tokens ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c.n_tokens) AS DOUBLE) AS DECIMAL(28,10)), 6)
+           AS DOUBLE) AS dup_frac
+       FROM chunks c JOIN owners o USING (fingerprint)
+       GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+  /** Corpus snapshot diff ([[Dedup.snapshotDiff]]): the
+    * incremental-crawl delta classifier. Two snapshots are simulated
+    * deterministically from the one documents table — the old
+    * snapshot drops every 7th doc (→ `added` in new) and appends a
+    * revision marker to every 5th text (→ `changed`); the new
+    * snapshot drops every 11th (→ `removed`). Fingerprint compare per
+    * key; the join moves md5 strings, never text. */
+  def ppSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"),
+          lit(" [rev1]"))).otherwise(col("text")).as("text"))
+    val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("text"))
+    Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val ppSnapshotDiffSql =
+    """WITH oldsnap AS (
+         SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0
+           THEN text || ' [rev1]' ELSE text END) AS old_fp
+         FROM documents WHERE doc_id % 7 <> 0),
+       newsnap AS (
+         SELECT doc_id, md5(text) AS new_fp
+         FROM documents WHERE doc_id % 11 <> 0)
+       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.old_fp IS NULL THEN 'added'
+              WHEN n.new_fp IS NULL THEN 'removed'
+              WHEN o.old_fp = n.new_fp THEN 'unchanged'
+              ELSE 'changed' END AS status
+       FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+       ORDER BY doc_id"""
+
+  /** TF-IDF keyword extraction ([[TextAnalysis.tfidfKeywords]]): top
+    * 3 terms per document by tf·idf (Lucene idf — the BM25 family's
+    * notion of rarity), ranked on the custom bounded-heap
+    * [[graft.plans.TopKPerKey]] operator. Rank on the raw double with
+    * an ascending-term tie-break; score decimal-rounded after. */
+  def taKeywords(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "text",
+      "doc_id")
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val taKeywordsSql =
+    """WITH tkl AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+')
+           AS tk
+         FROM documents),
+       posts AS (SELECT doc_id, unnest(tk) AS term FROM tkl),
+       tf AS (
+         SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         FROM posts GROUP BY doc_id, term),
+       dfs AS (
+         SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+         FROM tf GROUP BY term),
+       nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM tkl),
+       scored AS (
+         SELECT t.doc_id, t.term,
+           ln(CAST(1.0 AS DOUBLE) +
+              (nd.n_docs - d.df + CAST(0.5 AS DOUBLE)) /
+              (d.df + CAST(0.5 AS DOUBLE))) * t.tf AS score
+         FROM tf t JOIN dfs d USING (term) CROSS JOIN nd),
+       ranked AS (
+         SELECT doc_id, term, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS INTEGER) AS rank
+         FROM scored)
+       SELECT doc_id, rank, term,
+         CAST(ROUND(CAST(score AS DECIMAL(28,10)), 6) AS DOUBLE)
+           AS score
+       FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+
   /** Leakage-safe train/eval split ([[Sampling.leakageSafeSplit]]):
     * the near-dup clusters of pp_dedup_e2e assigned ATOMICALLY to a
     * side by hashing the cluster label — no eval document has a
@@ -4643,6 +4816,10 @@ object PipelineQueries {
     "pp_budget_select" -> (ppBudgetSelect _),
     "pp_packing" -> (ppPacking _),
     "pp_chunk_overlap" -> (ppChunkOverlap _),
+    "pp_chunk_cdc" -> (ppChunkCdc _),
+    "pp_cdc_dedup" -> (ppCdcDedup _),
+    "pp_snapshot_diff" -> (ppSnapshotDiff _),
+    "ta_keywords" -> (taKeywords _),
     "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
@@ -4822,6 +4999,10 @@ object PipelineQueries {
     "pp_budget_select" -> ppBudgetSelectSql,
     "pp_packing" -> ppPackingSql,
     "pp_chunk_overlap" -> ppChunkOverlapSql,
+    "pp_chunk_cdc" -> ppChunkCdcSql,
+    "pp_cdc_dedup" -> ppCdcDedupSql,
+    "pp_snapshot_diff" -> ppSnapshotDiffSql,
+    "ta_keywords" -> taKeywordsSql,
     "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,

@@ -2002,4 +2002,66 @@ class PipelineSpec extends SparkSpec {
     val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
     assert(SCTest.check(params, prop).passed)
   }
+
+  test("CDC chunking: chunks tile the document; boundaries resynchronize after an insertion") {
+    val base = (0 until 120).map(i => s"tok${i % 37}alpha$i").mkString(" ")
+    val edited = "three new words " + base
+    val two = Seq((0L, base), (1L, edited)).toDF("doc_id", "text")
+    val chunks = Sampling.chunkContentDefined(two, "text", "doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => (k, v.sortBy(_._2)) }
+    for ((doc, cs) <- chunks) {
+      // exact tiling: chunk c+1 starts where chunk c ends; first at 0
+      assert(cs.head._3 === 0L, s"doc $doc first chunk start")
+      for (Array(a, b) <- cs.sliding(2).map(_.toArray))
+        assert(b._3 === a._3 + a._4, s"doc $doc gap at chunk ${b._2}")
+      assert(cs.map(_._2).toSeq === cs.indices.map(_.toLong),
+        s"doc $doc chunk ids not dense")
+    }
+    val fps0 = chunks(0L).map(_._5).toSet
+    val fps1 = chunks(1L).map(_._5).toSet
+    // the CDC property: the unchanged tail re-produces identical
+    // fingerprints once the hash window clears the 3-token insertion
+    assert((fps0 & fps1).nonEmpty,
+      "no shared chunk fingerprints after a front insertion — CDC " +
+        "boundaries failed to resynchronize")
+    // and the synchronized chunks are the HEAVY majority of the doc
+    val sharedTokens = chunks(1L).filter(c => fps0.contains(c._5))
+      .map(_._4).sum
+    val allTokens = chunks(1L).map(_._4).sum
+    assert(sharedTokens * 2 > allTokens,
+      s"only $sharedTokens/$allTokens tokens in resynchronized chunks")
+  }
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val r = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(r === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("tfidf keywords: rare repeated term outranks ubiquitous terms; runs on the bounded-heap operator") {
+    val kd = Seq(
+      (0L, "common words everywhere plus zebra zebra zebra"),
+      (1L, "common words everywhere plus filler filler"),
+      (2L, "common words everywhere plus other padding"))
+      .toDF("doc_id", "text")
+    val df = TextAnalysis.tfidfKeywords(kd, "text", "doc_id", k = 3)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TopKPerKey"),
+      "tfidfKeywords should plan through TopKPerKeyExec")
+    val rows = df.as[(Long, Int, String, Double)].collect()
+    val byDoc = rows.groupBy(_._1)
+    for ((_, rs) <- byDoc)
+      assert(rs.map(_._2).sorted.toSeq === (1 to rs.length).toSeq)
+    assert(byDoc(0L).minBy(_._2)._3 === "zebra")
+    assert(byDoc(1L).minBy(_._2)._3 === "filler")
+    // ubiquitous terms carry the minimum (but positive) Lucene idf
+    val zebraScore = byDoc(0L).find(_._3 == "zebra").get._4
+    assert(zebraScore > 0.0)
+  }
 }
