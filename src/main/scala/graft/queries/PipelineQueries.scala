@@ -3835,11 +3835,13 @@ object PipelineQueries {
   // exactly; unnest(range)+list_extract is the posexplode replay, and
   // string_agg(... ORDER BY pos) replays the engine's sorted-struct
   // fingerprint (chunk positions are contiguous in both).
-  private val cdcChunksCte =
-    """tkl AS (
+  // Parameterized by the source relation so the incremental gate can
+  // replay the chain over the simulated NEW snapshot.
+  private def cdcChunksCteFrom(src: String): String =
+    s"""tkl AS (
          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+')
            AS tk
-         FROM documents),
+         FROM $src),
        toks AS (
          SELECT doc_id, CAST(unnest(range(len(tk))) AS BIGINT) AS pos,
            list_extract(tk,
@@ -3868,6 +3870,8 @@ object PipelineQueries {
            md5(string_agg(tok, ' ' ORDER BY pos)) AS fingerprint
          FROM cid GROUP BY doc_id, chunk_id)"""
 
+  private val cdcChunksCte = cdcChunksCteFrom("documents")
+
   private val ppChunkCdcSql =
     s"""WITH $cdcChunksCte
        SELECT doc_id, chunk_id, start_pos, n_tokens, fingerprint
@@ -3879,26 +3883,11 @@ object PipelineQueries {
     * harvest. Composition of [[ppChunkCdc]] with one
     * fingerprint-keyed ownership count; the per-doc fraction is a
     * single integral division, decimal-rounded. */
-  def ppCdcDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val chunks = Sampling.chunkContentDefined(
-      t(s, dir, "documents"), "text", "doc_id")
-    val owners = chunks
-      .groupBy(col("fingerprint"))
-      .agg(countDistinct(col("doc_id")).as("n_owner_docs"))
-    chunks
-      .join(owners, Seq("fingerprint"))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(col("n_tokens")).as("total_tokens"),
-        sum(when(col("n_owner_docs") >= 2, col("n_tokens"))
-          .otherwise(0L)).as("dup_tokens"))
-      .withColumn("dup_frac",
-        round((col("dup_tokens") / col("total_tokens"))
-          .cast(DecimalType(28, 10)), 6).cast("double"))
+  def ppCdcDedup(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.ChunkStore.dupMass(
+      Sampling.chunkContentDefined(t(s, dir, "documents"), "text",
+        "doc_id"))
       .orderBy(col("doc_id"))
-  }
 
   private val ppCdcDedupSql =
     s"""WITH $cdcChunksCte,
@@ -3953,6 +3942,64 @@ object PipelineQueries {
               ELSE 'changed' END AS status
        FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
        ORDER BY doc_id"""
+
+  /** [[ppCdcDedup]] over the at-rest
+    * [[graft.pipeline.ChunkStore]] — the "chunk once, probe many"
+    * form: the corpus-wide chunk+md5 pass is paid at write time, the
+    * probe reads chunk rows from the `fp_bucket=` layout. Shares
+    * [[ppCdcDedup]]'s oracle VERBATIM (lossless-layout proof). */
+  def ppCdcAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = layoutDir(dir, "documents", "cdc_w4_b64")
+    ensureLayout(s"$root")(graft.pipeline.ChunkStore.writeBase(
+      t(s, dir, "documents"), "text", "doc_id", root))
+    graft.pipeline.ChunkStore.dupMass(
+      graft.pipeline.ChunkStore.liveChunks(s, root))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Snapshot-driven incremental chunk maintenance: base store from
+    * the OLD simulated snapshot, ONE [[Dedup.snapshotDiff]] batch
+    * (added+changed re-chunked, removed+changed tombstoned), live
+    * chunks read back. The result must equal a full rebuild over the
+    * NEW snapshot — the oracle replays [[ppChunkCdc]]'s chain over
+    * newsnap, so the maintenance arithmetic (generation precedence,
+    * tombstones, per-doc re-chunk) is hash-proven lossless. */
+  def ppCdcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"),
+          lit(" [rev1]"))).otherwise(col("text")).as("text"))
+    val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val root = layoutDir(dir, "documents", "cdc_incr_w4_b64")
+    // the cache sentinel lives under applied/ and is stamped AFTER
+    // the diff batch: writeBase's own root/_SUCCESS alone must not
+    // satisfy the cache, or a crash between base and batch would
+    // leave a skippable half-built layout (round-12 torn-state rule)
+    ensureLayout(s"$root/applied") {
+      graft.pipeline.ChunkStore.writeBase(oldSnap, "text", "doc_id",
+        root)
+      graft.pipeline.ChunkStore.appendDiffBatch(
+        Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text"),
+        newSnap, batchId = 0L, root, "text", "doc_id")
+      val applied = new java.io.File(s"$root/applied")
+      applied.mkdirs()
+      new java.io.File(applied, "_SUCCESS").createNewFile(): Unit
+    }
+    graft.pipeline.ChunkStore.liveChunks(s, root)
+      .select(col("doc_id"), col("chunk_id"), col("start_pos"),
+        col("n_tokens"), col("fingerprint"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val ppCdcIncrementalSql =
+    s"""WITH newsnap AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+       ${cdcChunksCteFrom("newsnap")}
+       SELECT doc_id, chunk_id, start_pos, n_tokens, fingerprint
+       FROM chunks ORDER BY doc_id, chunk_id"""
 
   /** TF-IDF keyword extraction ([[TextAnalysis.tfidfKeywords]]): top
     * 3 terms per document by tf·idf (Lucene idf — the BM25 family's
@@ -4818,6 +4865,8 @@ object PipelineQueries {
     "pp_chunk_overlap" -> (ppChunkOverlap _),
     "pp_chunk_cdc" -> (ppChunkCdc _),
     "pp_cdc_dedup" -> (ppCdcDedup _),
+    "pp_cdc_at_rest" -> (ppCdcAtRest _),
+    "pp_cdc_incremental" -> (ppCdcIncremental _),
     "pp_snapshot_diff" -> (ppSnapshotDiff _),
     "ta_keywords" -> (taKeywords _),
     "pp_split_clusters" -> (ppSplitClusters _),
@@ -4855,7 +4904,7 @@ object PipelineQueries {
     "ta_heavy_hitters_at_rest", "pp_hard_negatives_at_rest",
     "ann_binary_partitioned", "dd_exact_substring_at_rest",
     "dd_exact_substring_incremental", "dd_exact_substring_compacted",
-    "pp_drift_incremental")
+    "pp_drift_incremental", "pp_cdc_at_rest", "pp_cdc_incremental")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -5001,6 +5050,10 @@ object PipelineQueries {
     "pp_chunk_overlap" -> ppChunkOverlapSql,
     "pp_chunk_cdc" -> ppChunkCdcSql,
     "pp_cdc_dedup" -> ppCdcDedupSql,
+    // at-rest form shares the inline oracle VERBATIM — lossless-
+    // layout proof; incremental replays the chain over newsnap
+    "pp_cdc_at_rest" -> ppCdcDedupSql,
+    "pp_cdc_incremental" -> ppCdcIncrementalSql,
     "pp_snapshot_diff" -> ppSnapshotDiffSql,
     "ta_keywords" -> taKeywordsSql,
     "pp_split_clusters" -> ppSplitClustersSql,

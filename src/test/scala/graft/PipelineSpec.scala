@@ -2033,6 +2033,61 @@ class PipelineSpec extends SparkSpec {
       s"only $sharedTokens/$allTokens tokens in resynchronized chunks")
   }
 
+  test("chunk store: diff batches, generation precedence, replay idempotence, id-reuse guard") {
+    def txt(seed: Int) =
+      (0 until 80).map(i => s"w${(i * 7 + seed) % 31}x$i").mkString(" ")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-chunkstore").toString
+    val snap0 = Seq((1L, txt(0)), (2L, txt(1)), (3L, txt(2)))
+      .toDF("doc_id", "text")
+    ChunkStore.writeBase(snap0, "text", "doc_id", root)
+    // batch 0: doc 2 changed, doc 3 removed, doc 4 added
+    val snap1 = Seq((1L, txt(0)), (2L, txt(9)), (4L, txt(3)))
+      .toDF("doc_id", "text")
+    val diff1 = Dedup.snapshotDiff(snap0, snap1, "doc_id", "text")
+    ChunkStore.appendDiffBatch(diff1, snap1, 0L, root, "text", "doc_id")
+    def live() = ChunkStore.liveChunks(spark, root)
+      .select($"doc_id", $"chunk_id", $"start_pos", $"n_tokens",
+        $"fingerprint")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val afterBatch = live()
+    // incremental state equals a rebuild over the new snapshot
+    val rebuilt = Sampling.chunkContentDefined(snap1, "text", "doc_id")
+      .select($"doc_id", $"chunk_id", $"start_pos", $"n_tokens",
+        $"fingerprint")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(afterBatch === rebuilt)
+    assert(!afterBatch.exists(_._1 == 3L), "removed doc still live")
+    // crash replay: overwriting the SAME batch id is idempotent
+    ChunkStore.appendDiffBatch(diff1, snap1, 0L, root, "text", "doc_id")
+    assert(live() === afterBatch)
+    // re-add after remove: later generation wins
+    val snap2 = Seq((1L, txt(0)), (2L, txt(9)), (4L, txt(3)),
+      (3L, txt(12))).toDF("doc_id", "text")
+    ChunkStore.appendDiffBatch(
+      Dedup.snapshotDiff(snap1, snap2, "doc_id", "text"),
+      snap2, 1L, root, "text", "doc_id")
+    val afterReadd = live()
+    assert(afterReadd.exists(_._1 == 3L), "re-added doc not live")
+    assert(afterReadd === Sampling
+      .chunkContentDefined(snap2, "text", "doc_id")
+      .select($"doc_id", $"chunk_id", $"start_pos", $"n_tokens",
+        $"fingerprint")
+      .as[(Long, Long, Long, Long, String)].collect().toSet)
+    // fresh-checkpoint id reuse (below max) fails pointedly
+    val ex = intercept[IllegalArgumentException] {
+      ChunkStore.appendDiffBatch(diff1, snap1, 0L, root, "text",
+        "doc_id")
+    }
+    assert(ex.getMessage.contains("below the newest committed"))
+    // append without a base/params is refused
+    val ex2 = intercept[IllegalArgumentException] {
+      ChunkStore.appendDiffBatch(diff1, snap1, 5L,
+        s"$root-nobase", "text", "doc_id")
+    }
+    assert(ex2.getMessage.contains("params.json"))
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("doc_id", "text")
