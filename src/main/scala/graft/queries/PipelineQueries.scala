@@ -4922,7 +4922,8 @@ object PipelineQueries {
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
     "ann_pq_topk", "ann_pq_refined", "ann_binary_topk",
     "dd_semantic", "dd_cosine", "dd_contamination", "dd_jaccard",
-    "dd_triplets", "dd_exact_substring", "pp_semdedup_e2e",
+    "dd_triplets", "dd_exact_substring", "pp_cdc_dedup",
+    "pp_semdedup_e2e",
     "pp_bm25_search", "pp_hybrid_search", "pp_hard_negatives",
     "ta_heavy_hitters", "pp_bpe_train", "pp_bpe_apply",
     "pp_bpe_tokenize")
