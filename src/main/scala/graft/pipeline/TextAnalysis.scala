@@ -161,6 +161,36 @@ object TextAnalysis {
           .cast("double").as("score"))
   }
 
+  /** Dictionary (taxonomy) tagging: match every document against a
+    * topic → keyword-list dictionary and emit per-(doc, topic) match
+    * strength — the cheap domain classifier pipelines run when a
+    * model-based tagger is too expensive, and the routing signal for
+    * per-domain mixture quotas ([[Sampling.mixtureSample]] consumes
+    * exactly this shape of label).
+    *
+    * `n_keywords` = distinct dictionary keywords present (breadth),
+    * `n_occ` = total matching token occurrences (mass) — both exact
+    * integers. The dictionary is a driver constant broadcast to every
+    * task; the token explode is scan-local; the only shuffle is the
+    * (doc, topic)-keyed count with map-side partials. A document
+    * matching no topic emits no rows (tag presence is the signal). */
+  def dictionaryTags(df: DataFrame, textCol: String, keyCol: String,
+      dict: Seq[(String, Seq[String])]): DataFrame = {
+    require(dict.nonEmpty && dict.forall(_._2.nonEmpty),
+      "dictionaryTags: every topic needs at least one keyword")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dictDf = dict
+      .flatMap { case (t, kws) => kws.map(k => (t, k)) }
+      .toDF("topic", "keyword")
+    df.select(col(keyCol), explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(dictDf), col("tok") === col("keyword"))
+      .groupBy(col(keyCol), col("topic"))
+      .agg(
+        countDistinct(col("keyword")).as("n_keywords"),
+        count(lit(1)).as("n_occ"))
+  }
+
   /** The other Gopher repetition signal: the fraction of a document's
     * word n-grams occupied by its single most frequent n-gram (high →
     * boilerplate/spam). Ties break toward the lexicographically

@@ -4040,6 +4040,38 @@ object PipelineQueries {
            AS score
        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
 
+  /** Dictionary taxonomy tagging ([[TextAnalysis.dictionaryTags]]):
+    * per-(doc, topic) keyword breadth + occurrence mass against a
+    * four-topic engine-themed dictionary. Broadcast dict, scan-local
+    * explode, one keyed count — all-integer output. */
+  def taTagDict(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dictionaryTags(t(s, dir, "documents"), "text",
+      "doc_id", tagDictionary)
+      .orderBy(col("doc_id"), col("topic"))
+
+  private val tagDictionary: Seq[(String, Seq[String])] = Seq(
+    "joins" -> Seq("join", "merge", "hash"),
+    "scans" -> Seq("scan", "filter", "row"),
+    "streaming" -> Seq("stream", "batch", "window"),
+    "sorting" -> Seq("sort", "order", "group"))
+
+  private lazy val taTagDictSql = {
+    val values = tagDictionary
+      .flatMap { case (t, kws) => kws.map(k => s"('$t', '$k')") }
+      .mkString(", ")
+    s"""WITH dict(topic, keyword) AS (VALUES $values),
+       toks AS (
+         SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+             AS tok
+         FROM documents)
+       SELECT doc_id, topic,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_keywords,
+         CAST(COUNT(*) AS BIGINT) AS n_occ
+       FROM toks JOIN dict ON tok = keyword
+       GROUP BY doc_id, topic ORDER BY doc_id, topic"""
+  }
+
   /** Leakage-safe train/eval split ([[Sampling.leakageSafeSplit]]):
     * the near-dup clusters of pp_dedup_e2e assigned ATOMICALLY to a
     * side by hashing the cluster label — no eval document has a
@@ -4869,6 +4901,7 @@ object PipelineQueries {
     "pp_cdc_incremental" -> (ppCdcIncremental _),
     "pp_snapshot_diff" -> (ppSnapshotDiff _),
     "ta_keywords" -> (taKeywords _),
+    "ta_tag_dict" -> (taTagDict _),
     "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
@@ -5057,6 +5090,7 @@ object PipelineQueries {
     "pp_cdc_incremental" -> ppCdcIncrementalSql,
     "pp_snapshot_diff" -> ppSnapshotDiffSql,
     "ta_keywords" -> taKeywordsSql,
+    "ta_tag_dict" -> taTagDictSql,
     "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,

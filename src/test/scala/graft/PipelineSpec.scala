@@ -2099,6 +2099,27 @@ class PipelineSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("dictionary tags: breadth vs mass counts; dict side broadcasts; no-match docs emit nothing") {
+    val td = Seq(
+      (0L, "join join merge and other words"),
+      (1L, "scan scan scan"),
+      (2L, "nothing matching here"))
+      .toDF("doc_id", "text")
+    val dict = Seq("joins" -> Seq("join", "merge", "hash"),
+      "scans" -> Seq("scan", "filter"))
+    val df = TextAnalysis.dictionaryTags(td, "text", "doc_id", dict)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "dictionary side should broadcast")
+    val rows = df.as[(Long, String, Long, Long)].collect().toSet
+    // doc 0: joins → 2 distinct keywords, 3 occurrences
+    assert(rows === Set((0L, "joins", 2L, 3L), (1L, "scans", 1L, 3L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dictionaryTags(td, "text", "doc_id",
+        Seq("empty" -> Seq()))
+    }
+  }
+
   test("tfidf keywords: rare repeated term outranks ubiquitous terms; runs on the bounded-heap operator") {
     val kd = Seq(
       (0L, "common words everywhere plus zebra zebra zebra"),
