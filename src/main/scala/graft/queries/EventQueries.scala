@@ -30,6 +30,25 @@ object EventQueries {
        FROM events GROUP BY bucket_start, event_type
        ORDER BY bucket_start, event_type"""
 
+  /** Typed schema-on-read over the `props` JSON column
+    * ([[EventStream.propsJsonStats]]): parse accounting + integer
+    * aggregates per event type. The oracle extracts via DuckDB's
+    * JSON operator — two independent JSON parsers agreeing on every
+    * value. */
+  def evJsonProps(s: SparkSession, dir: String): DataFrame =
+    EventStream.propsJsonStats(t(s, dir, "events"))
+      .orderBy(col("event_type"))
+
+  private val evJsonPropsSql =
+    """SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(CAST(props->>'k' AS INTEGER)) AS BIGINT)
+         AS n_parsed,
+       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** Sessionization (30-minute inactivity gap) per user. */
   def evSessions(s: SparkSession, dir: String): DataFrame =
     EventStream.sessionizeBatch(
@@ -334,7 +353,8 @@ object EventQueries {
     "ev_interval_join" -> (evIntervalJoin _),
     "ev_interval_left" -> (evIntervalLeft _),
     "ev_dedup" -> (evDedup _),
-    "ev_enrich" -> (evEnrich _))
+    "ev_enrich" -> (evEnrich _),
+    "ev_json_props" -> (evJsonProps _))
 
   val oracle: Map[String, String] = Map(
     "ev_funnel" -> evFunnelSql,
@@ -348,5 +368,6 @@ object EventQueries {
     "ev_interval_join" -> evIntervalSql,
     "ev_interval_left" -> evIntervalLeftSql,
     "ev_dedup" -> evDedupSql,
-    "ev_enrich" -> evEnrichSql)
+    "ev_enrich" -> evEnrichSql,
+    "ev_json_props" -> evJsonPropsSql)
 }

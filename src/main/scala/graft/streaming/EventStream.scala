@@ -393,6 +393,29 @@ object EventStream {
         countDistinct(col("event_type")).as("n_event_types"))
   }
 
+  /** Schema-on-read over the semi-structured `props` JSON column:
+    * `from_json` with an explicit typed schema (never schema
+    * inference on a 100 TB column), then per-event-type parse
+    * accounting + typed aggregates. Malformed JSON and absent keys
+    * parse to NULL and are COUNTED (`n_events` − `n_parsed`), not
+    * dropped or thrown — the tolerant-reader contract the XML ingest
+    * tier established (a poison record must never kill a pipeline).
+    * Scan-local parse, one keyed aggregation; all-integer output. */
+  def propsJsonStats(events: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType)))
+    events
+      .withColumn("p", from_json(col("props"), schema))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("p.k")).as("n_parsed"),
+        sum(col("p.k")).as("sum_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"))
+  }
+
   /** Normalize the raw events frame (either ts contract) into
     * [[NormalizedEvent]]s. */
   def normalize(events: DataFrame): Dataset[NormalizedEvent] = {

@@ -108,6 +108,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("props JSON stats: malformed JSON and absent keys count as unparsed, never throw") {
+    val ev = Seq(
+      (0L, "a", """{"k": 5}"""), (1L, "a", """{"k": 7}"""),
+      (2L, "a", """not json at all"""), // malformed → NULL struct
+      (3L, "b", """{"other": 1}"""), // valid JSON, key absent
+      (4L, "b", """{"k": null}""")) // key present, null value
+      .toDF("event_id", "event_type", "props")
+    val r = EventStream.propsJsonStats(ev)
+      .orderBy($"event_type")
+      .as[(String, Long, Long, Option[Long], Option[Int], Option[Int])]
+      .collect().toSeq
+    assert(r === Seq(
+      ("a", 3L, 2L, Some(12L), Some(5), Some(7)),
+      ("b", 2L, 0L, None, None, None)))
+  }
+
   test("funnel: a step only counts strictly after the previous step") {
     def ns(sec: Long): Long = sec * 1000000000L
     // user 1 completes in order; user 2's click PRECEDES their view
