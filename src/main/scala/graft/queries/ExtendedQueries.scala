@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.pipeline.ZOrder
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -723,6 +724,100 @@ object ExtendedQueries {
        COUNT(*) AS cnt
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // ---------------------------------------------------------------
+  // q47/q48: Z-order (Morton) clustering + multi-dimensional pruning
+  // — ONE clustering key giving box-query pruning over (order date ×
+  // total price). Fixed literal grid: 32 date cells of 76 days from
+  // epoch-day 9131 (1995-01-01), 32 price cells of 15 625 from 0.
+
+  private val zDayLo = 9131.0
+  private val zDayStep = 76.0
+  private val zPriceStep = 15625.0
+  private val zCellBits = 5
+  private val zBucketBits = 3
+
+  private def zOrderCells(s: SparkSession, dir: String) =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400")
+          .as("d"))
+      .withColumn("day_cell",
+        ZOrder.cellIndex(col("d"), zDayLo, zDayStep, zCellBits))
+      .withColumn("price_cell",
+        ZOrder.cellIndex(col("o_totalprice"), 0.0, zPriceStep,
+          zCellBits))
+
+  /** The curve itself: per-order cells + Z-value (exact integer
+    * interleave — the oracle replays every shift). */
+  def q47Zorder(s: SparkSession, dir: String): DataFrame =
+    zOrderCells(s, dir)
+      .filter(col("o_orderkey") < 200)
+      .withColumn("z",
+        ZOrder.interleave2(col("day_cell"), col("price_cell"),
+          zCellBits))
+      .select(col("o_orderkey"), col("day_cell"), col("price_cell"),
+        col("z"))
+      .orderBy(col("o_orderkey"))
+
+  private lazy val q47Sql = {
+    val cellSql =
+      s"""SELECT o_orderkey,
+          GREATEST(0, LEAST(31, CAST(FLOOR(
+            (CAST(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+              AS DOUBLE) - $zDayLo) / $zDayStep) AS BIGINT)))
+            AS day_cell,
+          GREATEST(0, LEAST(31, CAST(FLOOR(
+            (CAST(o_totalprice AS DOUBLE) - 0.0) / $zPriceStep)
+            AS BIGINT))) AS price_cell
+          FROM orders WHERE o_orderkey < 200"""
+    s"""SELECT o_orderkey, day_cell, price_cell,
+       CAST(${ZOrder.interleave2Sql("day_cell", "price_cell", zCellBits)}
+         AS BIGINT) AS z
+       FROM ($cellSql) ORDER BY o_orderkey"""
+  }
+
+  /** Box query over the Z-bucket-partitioned at-rest layout: the
+    * 1997 × [100k, 200k) box touches 6 of 64 `zb=` partitions
+    * ([[ZOrder.bucketsForBox]] → literal partition filter,
+    * PlanSpec-pinned), then the exact residual WHERE. The oracle is
+    * the PLAIN full-scan box query with no Z anywhere — pruning
+    * drops no rows. */
+  def q48ZorderPruned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val out = PipelineQueries.layoutDir(dir, "orders",
+      s"zorder_b${zBucketBits}_c$zCellBits")
+    if (!new java.io.File(out, "_SUCCESS").exists())
+      ZOrder.writeZOrdered(zOrderCells(s, dir), col("day_cell"),
+        col("price_cell"), zCellBits, zBucketBits, out)
+    // query box in fine cells (from the same literal grid)
+    val dayCellLo = ((9862 - zDayLo) / zDayStep).toLong // 1997-01-01
+    val dayCellHi = ((10226 - zDayLo) / zDayStep).toLong // 1997-12-31
+    val priceCellLo = (100000.0 / zPriceStep).toLong
+    val priceCellHi = (199999.99 / zPriceStep).toLong
+    val zbs = ZOrder.bucketsForBox(zBucketBits, zCellBits,
+      dayCellLo, dayCellHi, priceCellLo, priceCellHi)
+    s.read.parquet(s"$out/rows")
+      .filter(col("zb").isin(zbs.map(Integer.valueOf): _*))
+      .filter(col("d").between(9862L, 10226L) &&
+        col("o_totalprice") >= 100000.0 && col("o_totalprice") < 200000.0)
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+  }
+
+  private val q48Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+       FROM orders
+       WHERE CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+         BETWEEN 9862 AND 10226
+         AND o_totalprice >= 100000.0 AND o_totalprice < 200000.0"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -746,6 +841,8 @@ object ExtendedQueries {
     "q44_grouping_sets" -> (q44GroupingSets _),
     "q45_unpivot" -> (q45Unpivot _),
     "q46_nullsafe_join" -> (q46NullsafeJoin _),
+    "q47_zorder" -> (q47Zorder _),
+    "q48_zorder_pruned" -> (q48ZorderPruned _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -772,6 +869,10 @@ object ExtendedQueries {
     "q44_grouping_sets" -> q44Sql,
     "q45_unpivot" -> q45Sql,
     "q46_nullsafe_join" -> q46Sql,
+    "q47_zorder" -> q47Sql,
+    // pruned probe shares the PLAIN full-scan box oracle — the
+    // Z-curve + bucket enumeration provably drop no rows
+    "q48_zorder_pruned" -> q48Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }

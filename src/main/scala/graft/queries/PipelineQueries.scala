@@ -4937,7 +4937,8 @@ object PipelineQueries {
     "ta_heavy_hitters_at_rest", "pp_hard_negatives_at_rest",
     "ann_binary_partitioned", "dd_exact_substring_at_rest",
     "dd_exact_substring_incremental", "dd_exact_substring_compacted",
-    "pp_drift_incremental", "pp_cdc_at_rest", "pp_cdc_incremental")
+    "pp_drift_incremental", "pp_cdc_at_rest", "pp_cdc_incremental",
+    "q48_zorder_pruned")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is

@@ -2088,6 +2088,49 @@ class PipelineSpec extends SparkSpec {
     assert(ex2.getMessage.contains("params.json"))
   }
 
+  test("property: z-order interleave/deinterleave round-trip; bucket enumeration is exact for any box") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val bits = 3; val cellBits = 5
+    val cellGen = Gen.choose(0L, 31L)
+    val rt = Prop.forAll(cellGen, cellGen) { (a, b) =>
+      // round-trip through a one-row frame so the COLUMN interleave
+      // (the shipped expression) is the thing under test
+      val z = Seq((a, b)).toDF("a", "b")
+        .select(ZOrder.interleave2($"a", $"b", cellBits).as("z"))
+        .as[Long].head()
+      ZOrder.deinterleave2(z, cellBits) == ((a, b))
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), rt).passed)
+    val boxGen = for {
+      l1 <- cellGen; h1 <- Gen.choose(l1, 31L)
+      l2 <- cellGen; h2 <- Gen.choose(l2, 31L)
+    } yield (l1, h1, l2, h2)
+    val sub = 1L << (cellBits - bits)
+    val bx = Prop.forAll(boxGen) { case (al, ah, bl, bh) =>
+      val zbs = ZOrder.bucketsForBox(bits, cellBits, al, ah, bl, bh)
+        .toSet
+      // complete: every cell of the box lands in a returned bucket;
+      // tight: every returned bucket overlaps the box
+      def bucketOf(a: Long, b: Long): Int =
+        (0 until bits).foldLeft(0L) { (acc, i) =>
+          acc |
+            ((((a / sub) >> i) & 1L) << (2 * i)) |
+            ((((b / sub) >> i) & 1L) << (2 * i + 1))
+        }.toInt
+      val complete = (al to ah).forall(a =>
+        (bl to bh).forall(b => zbs.contains(bucketOf(a, b))))
+      val tight = zbs.forall { zb =>
+        val (aTop, bTop) = ZOrder.deinterleave2(zb.toLong, bits)
+        aTop * sub <= ah && aTop * sub + sub - 1 >= al &&
+          bTop * sub <= bh && bTop * sub + sub - 1 >= bl
+      }
+      complete && tight
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), bx).passed)
+  }
+
   test("snapshot diff classifies added/removed/changed/unchanged") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c"))
       .toDF("doc_id", "text")

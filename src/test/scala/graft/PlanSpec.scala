@@ -481,4 +481,35 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(FormattedMode)
     assert("\\(\\d+\\) Exchange".r.findAllIn(op).size === 1, op)
   }
+
+  test("z-order box query: bucket set becomes literal PartitionFilters and prunes the scan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions.col
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case s: FileSourceScanExec => Seq(s)
+                  case q: QueryStageExec => scans(q.plan) }.flatten
+    val df = SparkEntry.queries("q48_zorder_pruned")(spark, sf("sf0.001"))
+    val p = df.queryExecution.explainString(FormattedMode)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(pf.contains("zb"), p)
+    assert(pf.contains(" IN "), pf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scan = scans(finalPlan).find(
+      _.relation.location.rootPaths.exists(_.toString.contains("zorder")))
+      .getOrElse(fail(s"no z-ordered scan in:\n$finalPlan"))
+    val partsRead = scan.metrics("numPartitions").value
+    val totalBuckets = scan.relation.location.rootPaths.headOption
+      .map(r => Option(new java.io.File(r.toUri.getPath).listFiles())
+        .toSeq.flatten.count(_.getName.startsWith("zb="))).getOrElse(0)
+    assert(partsRead < totalBuckets,
+      s"no pruning: read $partsRead of $totalBuckets z-buckets")
+    assert(partsRead <= 6,
+      s"the 1997 x [100k,200k) box overlaps 6 buckets, read $partsRead")
+  }
 }
