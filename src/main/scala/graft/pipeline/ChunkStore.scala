@@ -80,9 +80,21 @@ object ChunkStore {
   def appendDiffBatch(diff: DataFrame, newSnap: DataFrame,
       batchId: Long, root: String, textCol: String,
       keyCol: String): Unit = {
+    // complete a crashed compact FIRST: mid-swap, base/ is absent and
+    // delta trees are about to be deleted by recovery — appending
+    // into that window against a half-swapped root must not happen
+    graft.streaming.IvfStream.recoverPendingSwap(root, ClearDirs)
     val (window, buckets) = readParams(root)
     graft.streaming.IvfStream.requireFreshBatchId(
       s"$root/delta/chunks", batchId, "ChunkStore.appendDiffBatch")
+    // ids folded away by compact leave the delta tree empty, so the
+    // fresh-id guard alone cannot see them — the fold watermark can
+    foldWatermark(root).foreach(w => require(batchId > w,
+      s"ChunkStore.appendDiffBatch: batch id $batchId is at or " +
+        s"below the fold watermark $w — those generations were " +
+        "compacted into the base; a fresh-checkpoint restart is " +
+        "reusing ids. Resume from the original checkpoint or start " +
+        "ids above the watermark"))
     val keyed = diff.select(col(keyCol), col("status"))
     val reChunk = newSnap.join(
       keyed.filter(col("status").isin("added", "changed"))
@@ -158,6 +170,51 @@ object ChunkStore {
       .withColumn("dup_frac",
         round((col("dup_tokens") / col("total_tokens"))
           .cast(DecimalType(28, 10)), 6).cast("double"))
+  }
+
+  private val ClearDirs = Seq("delta/chunks", "delta/tombstones")
+
+  /** Fold base ∪ deltas − tombstones into a fresh single-level base
+    * via the staged swap shared with the other index maintainers
+    * (all reads inside the write lambda, manifest-bearing
+    * `_SWAP_READY`, recovery deletes exactly the manifested delta
+    * entries). The max folded generation is stamped into
+    * `base/watermark.json` so a fresh-checkpoint restart reusing a
+    * folded id fails pointedly in [[appendDiffBatch]] instead of
+    * silently re-introducing superseded document versions. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    graft.streaming.IvfStream.stagedSwap(root, clear = ClearDirs) {
+      staging =>
+        val prior = foldWatermark(root).getOrElse(-1L)
+        val deltaGens =
+          Option(new java.io.File(s"$root/delta/chunks").listFiles())
+            .toSeq.flatten.map(_.getName).collect {
+              case s if s.startsWith("batch=") => s.drop(6).toLong
+            }
+        val live = liveChunks(spark, root)
+        live
+          .repartition(col("fp_bucket"))
+          .write.mode("overwrite").partitionBy("fp_bucket")
+          .parquet(s"$staging/chunks")
+        val wm = (deltaGens :+ prior).max
+        val f = new java.io.File(staging, "watermark.json")
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.print(s"""{"max_folded_gen":$wm}""")
+        finally w.close()
+    }
+  }
+
+  /** The max generation ever folded into the base by [[compact]], if
+    * any fold has happened. */
+  private def foldWatermark(root: String): Option[Long] = {
+    val f = new java.io.File(s"$root/base/watermark.json")
+    if (!f.exists()) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8")
+      """"max_folded_gen":(-?\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong)
+    }
   }
 
   private def writeParams(root: String, window: Int,

@@ -3994,6 +3994,37 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** [[ppCdcIncremental]]'s layout COMPACTED: base(old) + diff batch
+    * folded into a single-level base (staged swap + fold watermark),
+    * then probed. Shares pp_cdc_incremental's oracle VERBATIM — the
+    * fold is hash-proven lossless. */
+  def ppCdcCompacted(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"),
+          lit(" [rev1]"))).otherwise(col("text")).as("text"))
+    val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val root = layoutDir(dir, "documents", "cdc_cpt_w4_b64")
+    ensureLayout(s"$root/applied") {
+      graft.pipeline.ChunkStore.writeBase(oldSnap, "text", "doc_id",
+        root)
+      graft.pipeline.ChunkStore.appendDiffBatch(
+        Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text"),
+        newSnap, batchId = 0L, root, "text", "doc_id")
+      graft.pipeline.ChunkStore.compact(s, root)
+      val applied = new java.io.File(s"$root/applied")
+      applied.mkdirs()
+      new java.io.File(applied, "_SUCCESS").createNewFile(): Unit
+    }
+    graft.pipeline.ChunkStore.liveChunks(s, root)
+      .select(col("doc_id"), col("chunk_id"), col("start_pos"),
+        col("n_tokens"), col("fingerprint"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   private val ppCdcIncrementalSql =
     s"""WITH newsnap AS (
          SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
@@ -4899,6 +4930,7 @@ object PipelineQueries {
     "pp_cdc_dedup" -> (ppCdcDedup _),
     "pp_cdc_at_rest" -> (ppCdcAtRest _),
     "pp_cdc_incremental" -> (ppCdcIncremental _),
+    "pp_cdc_compacted" -> (ppCdcCompacted _),
     "pp_snapshot_diff" -> (ppSnapshotDiff _),
     "ta_keywords" -> (taKeywords _),
     "ta_tag_dict" -> (taTagDict _),
@@ -4938,7 +4970,7 @@ object PipelineQueries {
     "ann_binary_partitioned", "dd_exact_substring_at_rest",
     "dd_exact_substring_incremental", "dd_exact_substring_compacted",
     "pp_drift_incremental", "pp_cdc_at_rest", "pp_cdc_incremental",
-    "q48_zorder_pruned")
+    "pp_cdc_compacted", "q48_zorder_pruned")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -5089,6 +5121,9 @@ object PipelineQueries {
     // layout proof; incremental replays the chain over newsnap
     "pp_cdc_at_rest" -> ppCdcDedupSql,
     "pp_cdc_incremental" -> ppCdcIncrementalSql,
+    // compacted layout probes with the incremental oracle VERBATIM —
+    // the fold is lossless by hash proof
+    "pp_cdc_compacted" -> ppCdcIncrementalSql,
     "pp_snapshot_diff" -> ppSnapshotDiffSql,
     "ta_keywords" -> taKeywordsSql,
     "ta_tag_dict" -> taTagDictSql,

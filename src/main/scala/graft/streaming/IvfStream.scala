@@ -316,7 +316,7 @@ object IvfStream {
     * missingPath fallback silently degrades the base registry/stats
     * to empty, so a batch re-crawling a base-resident document would
     * record no supersede row and leave both versions live forever. */
-  private[streaming] def recoverPendingSwap(root: String,
+  private[graft] def recoverPendingSwap(root: String,
       clear: Seq[String] = Seq("delta")): Unit = {
     import java.io.File
     import java.nio.file.Files
@@ -336,7 +336,7 @@ object IvfStream {
     }
   }
 
-  private[streaming] def stagedSwap(root: String,
+  private[graft] def stagedSwap(root: String,
       clear: Seq[String] = Seq("delta"))(write: String => Unit): Unit = {
     import java.io.File
     import java.nio.file.Files

@@ -2088,6 +2088,92 @@ class PipelineSpec extends SparkSpec {
     assert(ex2.getMessage.contains("params.json"))
   }
 
+  test("chunk store compaction: fold lossless, watermark rejects folded ids, mid-swap crash recovers") {
+    import java.nio.file.{Files, Path}
+    def txt(seed: Int) =
+      (0 until 60).map(i => s"c${(i * 5 + seed) % 23}y$i").mkString(" ")
+    def snap(pairs: (Long, Int)*) =
+      pairs.map { case (k, s) => (k, txt(s)) }.toDF("doc_id", "text")
+    def copyRec(src: Path, dst: Path): Unit = {
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+    }
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).toSeq.flatten.foreach(rm); p.delete(): Unit
+    }
+    def live(root: String) = ChunkStore.liveChunks(spark, root)
+      .select($"doc_id", $"chunk_id", $"start_pos", $"n_tokens",
+        $"fingerprint")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    def rebuild(s: org.apache.spark.sql.DataFrame) =
+      Sampling.chunkContentDefined(s, "text", "doc_id")
+        .select($"doc_id", $"chunk_id", $"start_pos", $"n_tokens",
+          $"fingerprint")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+    val s0 = snap(1L -> 0, 2L -> 1)
+    val s1 = snap(1L -> 0, 2L -> 2, 3L -> 3) // 2 changed, 3 added
+    val s2 = snap(1L -> 4, 3L -> 3) // 1 changed, 2 removed
+    def build(root: String): Unit = {
+      ChunkStore.writeBase(s0, "text", "doc_id", root)
+      ChunkStore.appendDiffBatch(
+        Dedup.snapshotDiff(s0, s1, "doc_id", "text"), s1, 0L, root,
+        "text", "doc_id")
+      ChunkStore.appendDiffBatch(
+        Dedup.snapshotDiff(s1, s2, "doc_id", "text"), s2, 1L, root,
+        "text", "doc_id")
+    }
+    // (a) fold is lossless and clears the delta trees
+    val rootA = Files.createTempDirectory("graft-cdc-cpt").toString
+    build(rootA)
+    val preFold = live(rootA)
+    ChunkStore.compact(spark, rootA)
+    assert(live(rootA) === preFold)
+    assert(preFold === rebuild(s2))
+    assert(!new java.io.File(s"$rootA/delta/chunks").exists())
+    // (b) folded ids are rejected via the watermark...
+    val ex = intercept[IllegalArgumentException] {
+      ChunkStore.appendDiffBatch(
+        Dedup.snapshotDiff(s1, s2, "doc_id", "text"), s2, 1L, rootA,
+        "text", "doc_id")
+    }
+    assert(ex.getMessage.contains("fold watermark"))
+    // ...and a fresh id above the watermark still appends
+    val s3 = snap(1L -> 4, 3L -> 9, 4L -> 6)
+    ChunkStore.appendDiffBatch(
+      Dedup.snapshotDiff(s2, s3, "doc_id", "text"), s3, 2L, rootA,
+      "text", "doc_id")
+    assert(live(rootA) === rebuild(s3))
+    // (c) mid-swap crash: base absent, staging marked with the
+    // manifest, manifested deltas still on disk. Reconstruct it from
+    // a twin root (deterministic writes ⇒ identical content), then
+    // let the next append's recovery preamble complete the swap.
+    val crash = Files.createTempDirectory("graft-cdc-crash").toString
+    build(crash)
+    val twin = Files.createTempDirectory("graft-cdc-twin").toString
+    build(twin)
+    ChunkStore.compact(spark, twin)
+    copyRec(new java.io.File(s"$twin/base").toPath,
+      new java.io.File(s"$crash/base_compact").toPath)
+    rm(new java.io.File(s"$crash/base"))
+    Files.write(
+      new java.io.File(s"$crash/base_compact/_SWAP_READY").toPath,
+      Seq("delta/chunks/batch=0", "delta/chunks/batch=1",
+        "delta/tombstones/batch=0", "delta/tombstones/batch=1")
+        .mkString("\n").getBytes("UTF-8"))
+    ChunkStore.appendDiffBatch(
+      Dedup.snapshotDiff(s2, s3, "doc_id", "text"), s3, 2L, crash,
+      "text", "doc_id")
+    assert(!new java.io.File(s"$crash/base_compact").exists(),
+      "pending swap not completed by the append's recovery preamble")
+    assert(!new java.io.File(s"$crash/delta/chunks/batch=0").exists(),
+      "manifested delta survived recovery")
+    assert(live(crash) === rebuild(s3),
+      "post-crash state diverged from the rebuild")
+  }
+
   test("property: z-order interleave/deinterleave round-trip; bucket enumeration is exact for any box") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val bits = 3; val cellBits = 5
