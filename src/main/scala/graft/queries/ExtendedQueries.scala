@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.pipeline.ZOrder
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -818,6 +818,65 @@ object ExtendedQueries {
          BETWEEN 9862 AND 10226
          AND o_totalprice >= 100000.0 AND o_totalprice < 200000.0"""
 
+  // ---------------------------------------------------------------
+  // q49: dynamic partition pruning — the fact scan's partition filter
+  // is only knowable at RUNTIME (it comes from the dim side's
+  // filtered join keys), and Catalyst injects it as a
+  // dynamicpruningexpression on the month-partitioned layout. The
+  // "let the optimizer do it" counterpart of q48's driver-enumerated
+  // static pruning.
+
+  private def orderMonth(c: Column): Column =
+    (year(c.cast("timestamp")) * 100 + month(c.cast("timestamp")))
+      .cast("int")
+
+  /** Q2-1997 revenue by month, where "Q2-1997" arrives as a FILTER ON
+    * THE DIM SIDE of a month-dim join — the fact side is the
+    * `om=`-partitioned at-rest orders layout, and only DPP can prune
+    * it (the predicate never mentions the fact table). The oracle is
+    * the plain WHERE over the source table; PlanSpec pins the
+    * dynamicpruningexpression and the partitions-read count. */
+  def q49Dpp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val out = PipelineQueries.layoutDir(dir, "orders", "orders_by_month")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          orderMonth(col("o_orderdate")).as("om"))
+        .repartition(col("om"))
+        .write.mode("overwrite").partitionBy("om")
+        .parquet(s"$out/rows")
+      new java.io.File(out, "_SUCCESS").createNewFile(): Unit
+    }
+    // month dim DERIVED FROM THE SOURCE TABLE (a separate relation —
+    // the fact layout's pruning cannot be folded statically)
+    val dim = t(s, dir, "orders")
+      .select(orderMonth(col("o_orderdate")).as("om"))
+      .distinct()
+      .withColumn("yr", (col("om") / 100).cast("int"))
+      .withColumn("qtr",
+        (((col("om") % 100) - 1) / 3).cast("int") + 1)
+    s.read.parquet(s"$out/rows")
+      .join(dim.filter(col("yr") === 1997 && col("qtr") === 2),
+        Seq("om"))
+      .groupBy(col("om"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("om"))
+  }
+
+  private val q49Sql =
+    """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+         AS INTEGER) AS om,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+       FROM orders
+       WHERE year(o_orderdate) = 1997
+         AND month(o_orderdate) BETWEEN 4 AND 6
+       GROUP BY om ORDER BY om"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -843,6 +902,7 @@ object ExtendedQueries {
     "q46_nullsafe_join" -> (q46NullsafeJoin _),
     "q47_zorder" -> (q47Zorder _),
     "q48_zorder_pruned" -> (q48ZorderPruned _),
+    "q49_dpp" -> (q49Dpp _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -873,6 +933,8 @@ object ExtendedQueries {
     // pruned probe shares the PLAIN full-scan box oracle — the
     // Z-curve + bucket enumeration provably drop no rows
     "q48_zorder_pruned" -> q48Sql,
+    // plain-WHERE oracle again: runtime pruning must drop no rows
+    "q49_dpp" -> q49Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }

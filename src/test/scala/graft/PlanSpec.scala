@@ -482,6 +482,36 @@ class PlanSpec extends SparkSpec {
     assert("\\(\\d+\\) Exchange".r.findAllIn(op).size === 1, op)
   }
 
+  test("q49: dim-side filter prunes the month-partitioned fact scan via dynamic partition pruning") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case s: FileSourceScanExec => Seq(s)
+                  case q: QueryStageExec => scans(q.plan) }.flatten
+    val df = SparkEntry.queries("q49_dpp")(spark, sf("sf0.001"))
+    // logical proof: the fact scan's partition filter is the RUNTIME
+    // dim-side subquery, not a static literal
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    // physical proof: only the three Q2-1997 month partitions are read
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scan = scans(finalPlan).find(
+      _.relation.location.rootPaths.exists(
+        _.toString.contains("orders_by_month")))
+      .getOrElse(fail(s"no month-partitioned fact scan in:\n$finalPlan"))
+    val partsRead = scan.metrics("numPartitions").value
+    val totalMonths = scan.relation.location.rootPaths.headOption
+      .map(r => Option(new java.io.File(r.toUri.getPath).listFiles())
+        .toSeq.flatten.count(_.getName.startsWith("om="))).getOrElse(0)
+    assert(partsRead <= 3,
+      s"DPP should prune to the 3 Q2-1997 months, read $partsRead " +
+        s"of $totalMonths")
+  }
+
   test("z-order box query: bucket set becomes literal PartitionFilters and prunes the scan") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
