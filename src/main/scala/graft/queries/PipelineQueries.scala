@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Csv, Dedup, GraphRank, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Sharding, Similarity, TextAnalysis}
+import graft.pipeline.{Csv, Dedup, GraphRank, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Sharding, Similarity, TextAnalysis, Validation}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -4103,6 +4103,71 @@ object PipelineQueries {
        GROUP BY doc_id, topic ORDER BY doc_id, topic"""
   }
 
+  /** Declarative data-quality validation ([[graft.pipeline.Validation]]):
+    * a seven-rule Deequ-style check set over lineitem — completeness,
+    * PK uniqueness, two range conformances, a pattern conformance,
+    * and two mean bounds — compiled into ONE aggregation pass over
+    * ONE scan (the distinct aggregate rides the same scan as a
+    * two-stage pass). The report is O(rules) rows. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Validation._
+    Validation.check(t(s, dir, "lineitem"), Seq(
+      Completeness("complete_returnflag", "l_returnflag", 1.0),
+      UniqueKey("key_orderkey_linenumber",
+        Seq("l_orderkey", "l_linenumber"), 1.0),
+      Conformance("range_quantity",
+        col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0, 1.0),
+      Conformance("range_discount",
+        col("l_discount") >= 0.0 && col("l_discount") <= 0.08, 0.9),
+      Conformance("pattern_linestatus",
+        col("l_linestatus").rlike("^[A-Z]$"), 1.0),
+      MeanBound("mean_quantity_floor", "l_quantity", 10.0, ">="),
+      MeanBound("mean_quantity_ceiling", "l_quantity", 40.0, "<=")))
+  }
+
+  private val dqChecksSql =
+    """WITH m AS (
+         SELECT
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(COUNT(l_returnflag) AS DOUBLE) AS c_rf,
+           CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+             AS cd_key,
+           CAST(SUM(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0
+             THEN 1 ELSE 0 END) AS DOUBLE) AS c_qty,
+           CAST(SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.08
+             THEN 1 ELSE 0 END) AS DOUBLE) AS c_disc,
+           CAST(SUM(CASE WHEN regexp_matches(l_linestatus, '^[A-Z]$')
+             THEN 1 ELSE 0 END) AS DOUBLE) AS c_ls,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+             AS s_qty
+         FROM lineitem),
+       rep(rule, metric, threshold, op) AS (
+         SELECT 'complete_returnflag',
+           CAST(ROUND(CAST(c_rf / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(1.0 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'key_orderkey_linenumber',
+           CAST(ROUND(CAST(cd_key / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(1.0 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'range_quantity',
+           CAST(ROUND(CAST(c_qty / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(1.0 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'range_discount',
+           CAST(ROUND(CAST(c_disc / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(0.9 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'pattern_linestatus',
+           CAST(ROUND(CAST(c_ls / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(1.0 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'mean_quantity_floor',
+           CAST(ROUND(CAST(s_qty / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(10.0 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'mean_quantity_ceiling',
+           CAST(ROUND(CAST(s_qty / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(40.0 AS DOUBLE), '<=' FROM m)
+       SELECT rule, metric, threshold, op,
+         CASE WHEN op = '>=' THEN metric >= threshold
+              ELSE metric <= threshold END AS passed
+       FROM rep ORDER BY rule"""
+
   /** Leakage-safe train/eval split ([[Sampling.leakageSafeSplit]]):
     * the near-dup clusters of pp_dedup_e2e assigned ATOMICALLY to a
     * side by hashing the cluster label — no eval document has a
@@ -4934,6 +4999,7 @@ object PipelineQueries {
     "pp_snapshot_diff" -> (ppSnapshotDiff _),
     "ta_keywords" -> (taKeywords _),
     "ta_tag_dict" -> (taTagDict _),
+    "dq_checks" -> (dqChecks _),
     "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
@@ -5127,6 +5193,7 @@ object PipelineQueries {
     "pp_snapshot_diff" -> ppSnapshotDiffSql,
     "ta_keywords" -> taKeywordsSql,
     "ta_tag_dict" -> taTagDictSql,
+    "dq_checks" -> dqChecksSql,
     "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,

@@ -2269,4 +2269,49 @@ class PipelineSpec extends SparkSpec {
     val zebraScore = byDoc(0L).find(_._3 == "zebra").get._4
     assert(zebraScore > 0.0)
   }
+
+  test("validation: rule set compiles to one scan; metrics exact") {
+    import Validation._
+    val rows = Seq(
+      (1L, 1, Option("A"), 5.0),
+      (1L, 2, Option("B"), 10.0),
+      (2L, 1, None, 200.0),
+      (2L, 1, Option("c"), 25.0)) // duplicate key, lowercase status
+      .toDF("k", "ln", "status", "qty")
+    val rep = Validation.check(rows, Seq(
+      Completeness("complete_status", "status", 1.0),
+      UniqueKey("key_unique", Seq("k", "ln"), 1.0),
+      Conformance("range_qty", $"qty" >= 1.0 && $"qty" <= 50.0, 1.0),
+      MeanBound("mean_qty_ceiling", "qty", 40.0, "<=")))
+    val byRule = rep.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(4))))
+      .toMap
+    assert(byRule("complete_status") === ((0.75, false)))
+    assert(byRule("key_unique") === ((0.75, false)))
+    assert(byRule("range_qty") === ((0.75, false)))
+    assert(byRule("mean_qty_ceiling") === ((60.0, false)))
+    // one scan: exactly one leaf in the executed plan
+    val leaves = rep.queryExecution.executedPlan.collectLeaves()
+    assert(leaves.size === 1,
+      s"rule set must compile to one scan, got ${leaves.size}")
+  }
+
+  test("validation: null predicate counts as non-conforming; ops guard") {
+    import Validation._
+    val rows = Seq(Option(5.0), None, Option(7.0)).toDF("v")
+    val rep = Validation.check(rows, Seq(
+      Conformance("range_v", $"v" >= 1.0, 1.0)))
+    val r = rep.collect()(0)
+    assert(math.abs(r.getDouble(1) - 0.666667) < 1e-9)
+    intercept[IllegalArgumentException] {
+      Validation.check(rows, Seq(MeanBound("bad", "v", 1.0, "==")))
+    }
+    intercept[IllegalArgumentException] {
+      Validation.check(rows, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Validation.check(rows, Seq(
+        Completeness("dup", "v", 1.0), Completeness("dup", "v", 0.5)))
+    }
+  }
 }
