@@ -49,6 +49,44 @@ object EventQueries {
        CAST(MAX(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS max_k
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Robust daily-volume anomaly detection
+    * ([[EventStream.dailyAnomalies]]): modified z-score vs
+    * median/MAD per event type, flags at |z| > 3.5. */
+  def evAnomaly(s: SparkSession, dir: String): DataFrame =
+    EventStream.dailyAnomalies(t(s, dir, "events"))
+
+  private val evAnomalySql =
+    """WITH daily AS (
+         SELECT event_type,
+           (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type, day),
+       med AS (
+         SELECT event_type, median(n) AS med
+         FROM daily GROUP BY event_type),
+       dev AS (
+         SELECT d.event_type, d.day, d.n, m.med,
+           abs(CAST(d.n AS DOUBLE) - m.med) AS adev
+         FROM daily d JOIN med m USING (event_type)),
+       mad AS (
+         SELECT event_type, median(adev) AS mad
+         FROM dev GROUP BY event_type)
+       SELECT d.event_type, d.day, d.n,
+         CAST(ROUND(CAST(d.med AS DECIMAL(28,10)), 6) AS DOUBLE)
+           AS med,
+         CAST(ROUND(CAST(m2.mad AS DECIMAL(28,10)), 6) AS DOUBLE)
+           AS mad,
+         CASE WHEN m2.mad = 0 THEN NULL
+           ELSE CAST(ROUND(CAST(CAST(0.6745 AS DOUBLE) *
+             (CAST(d.n AS DOUBLE) - d.med) / m2.mad
+             AS DECIMAL(28,10)), 6) AS DOUBLE) END AS z_score,
+         CASE WHEN m2.mad = 0 THEN CAST(d.n AS DOUBLE) <> d.med
+           ELSE abs(CAST(0.6745 AS DOUBLE) *
+             (CAST(d.n AS DOUBLE) - d.med) / m2.mad) >
+             CAST(3.5 AS DOUBLE) END AS is_anomaly
+       FROM dev d JOIN mad m2 USING (event_type)
+       ORDER BY d.event_type, d.day"""
+
   /** Sessionization (30-minute inactivity gap) per user. */
   def evSessions(s: SparkSession, dir: String): DataFrame =
     EventStream.sessionizeBatch(
@@ -354,7 +392,8 @@ object EventQueries {
     "ev_interval_left" -> (evIntervalLeft _),
     "ev_dedup" -> (evDedup _),
     "ev_enrich" -> (evEnrich _),
-    "ev_json_props" -> (evJsonProps _))
+    "ev_json_props" -> (evJsonProps _),
+    "ev_anomaly" -> (evAnomaly _))
 
   val oracle: Map[String, String] = Map(
     "ev_funnel" -> evFunnelSql,
@@ -369,5 +408,6 @@ object EventQueries {
     "ev_interval_left" -> evIntervalLeftSql,
     "ev_dedup" -> evDedupSql,
     "ev_enrich" -> evEnrichSql,
-    "ev_json_props" -> evJsonPropsSql)
+    "ev_json_props" -> evJsonPropsSql,
+    "ev_anomaly" -> evAnomalySql)
 }

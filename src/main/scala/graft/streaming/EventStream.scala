@@ -416,6 +416,47 @@ object EventStream {
         max(col("p.k")).as("max_k"))
   }
 
+  /** Robust anomaly detection over the daily event-volume series,
+    * per event type: modified z-score (Iglewicz–Hoaglin,
+    * 0.6745·(n−median)/MAD) with |z| > `threshold` flagged. Median
+    * and MAD are EXACT interpolated percentiles, not approximations —
+    * affordable because they run on the aggregated (type × day)
+    * frame, never the raw events: the corpus-sized work is ONE
+    * partial-aggregate count shuffle; everything after operates on
+    * O(types × days) rows (eagerly checkpointed once, since three
+    * consumers would otherwise re-run the corpus aggregation).
+    * Degenerate series (MAD = 0: most days identical) fall back to
+    * exact inequality — a deviating day is still anomalous, and z is
+    * NULL rather than infinite. */
+  def dailyAnomalies(events: DataFrame,
+      threshold: Double = 3.5): DataFrame = {
+    val sec = tsSecCol(events)
+    val daily = events
+      .select(col("event_type"), (sec / 86400).cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // tiny (types × days); 3 downstream consumers
+    val med = daily.groupBy(col("event_type"))
+      .agg(percentile(col("n"), lit(0.5)).as("med"))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("n").cast("double") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    val r6 = (c: Column) =>
+      round(c.cast(DecimalType(28, 10)), 6).cast("double")
+    val z = lit(0.6745) * (col("n").cast("double") - col("med")) /
+      col("mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        r6(col("med")).as("med"), r6(col("mad")).as("mad"),
+        when(col("mad") === 0.0, lit(null).cast("double"))
+          .otherwise(r6(z)).as("z_score"),
+        when(col("mad") === 0.0,
+          col("n").cast("double") =!= col("med"))
+          .otherwise(abs(z) > threshold).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Normalize the raw events frame (either ts contract) into
     * [[NormalizedEvent]]s. */
   def normalize(events: DataFrame): Dataset[NormalizedEvent] = {

@@ -124,6 +124,36 @@ class StreamingSpec extends SparkSpec {
       ("b", 2L, 0L, None, None, None)))
   }
 
+  test("daily anomalies: modified z-score flags the spike; MAD=0 falls back to inequality") {
+    def ns(sec: Long): Long = sec * 1000000000L
+    // type "a": varied baseline (MAD=1) plus a 100-event spike day;
+    // type "b": constant 5/day except one 6-event day (MAD=0 path)
+    val countsA = Seq(8, 9, 10, 10, 11, 12, 100)
+    val countsB = Seq(5, 5, 5, 6, 5)
+    var id = 0L
+    val rows = (countsA.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map { i =>
+        id += 1; (id, ns(day * 86400L + i), 1L, "a", 0.0)
+      }
+    } ++ countsB.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map { i =>
+        id += 1; (id, ns(day * 86400L + i), 2L, "b", 0.0)
+      }
+    }).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.dailyAnomalies(rows)
+      .select($"event_type", $"day", $"n", $"z_score", $"is_anomaly")
+      .as[(String, Long, Long, Option[Double], Boolean)]
+      .collect().toSeq
+    val a = r.filter(_._1 == "a").map(x => (x._2, x._3, x._4, x._5))
+    // median 10, MAD 1 → spike day z = 0.6745*90 = 60.705
+    assert(a.filter(_._4) === Seq((6L, 100L, Some(60.705), true)))
+    assert(a.find(_._1 == 0L).get._3 === Some(-1.349))
+    val b = r.filter(_._1 == "b")
+    // MAD=0: z is NULL everywhere; only the 6-event day deviates
+    assert(b.forall(_._4.isEmpty))
+    assert(b.filter(_._5).map(_._2) === Seq(3L))
+  }
+
   test("funnel: a step only counts strictly after the previous step") {
     def ns(sec: Long): Long = sec * 1000000000L
     // user 1 completes in order; user 2's click PRECEDES their view
