@@ -102,4 +102,76 @@ object GraphRank {
     g.unpersist(blocking = false)
     out
   }
+
+  /** Per-node triangle counts + local clustering coefficient over an
+    * undirected pair relation — the density signal that separates a
+    * genuine duplicate clique (LCC ≈ 1) from a hub-and-spoke template
+    * farm (high degree, LCC ≈ 0), and the standard community-structure
+    * probe on co-occurrence graphs.
+    *
+    * Algorithm: degree-ordered orientation (Cohen's MR triangle
+    * counting / Latapy's compact-forward). Each undirected edge is
+    * oriented from its lower-(degree, id) endpoint, which bounds every
+    * out-neighborhood by O(√m) regardless of skew — the wedge
+    * self-join on a hub node of degree d generates O(d²) candidates
+    * un-oriented but only O(m) total once oriented, which is what
+    * makes the plan survive a power-law graph at 100 TB. Wedges
+    * (x→y, x→z) ordered by the same (degree, id) key close into a
+    * triangle iff the oriented edge y→z exists: one equi-join against
+    * the oriented edge set, no Cartesian anywhere. Both shuffles key
+    * on node ids — AQE handles residual skew.
+    *
+    * Output: `(node, degree, n_triangles, lcc)` for every edge
+    * endpoint, `lcc = 2·T/(deg·(deg−1))` (0.0 for degree-1 nodes),
+    * totally ordered by node. Exact integer counts; the one double
+    * division is decimal-routed to 6 dp. */
+  def triangleStats(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")),
+        Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")),
+        Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.filter(uFirst)
+      .select(col("u").as("src"), col("v").as("dst"),
+        col("dv").as("ddst"))
+      .unionAll(withDeg.filter(!uFirst)
+        .select(col("v").as("src"), col("u").as("dst"),
+          col("du").as("ddst")))
+    val o1 = oriented.alias("o1")
+    val o2 = oriented.alias("o2")
+    val wedges = o1.join(o2,
+      col("o1.src") === col("o2.src") &&
+        (col("o1.ddst") < col("o2.ddst") ||
+          (col("o1.ddst") === col("o2.ddst") &&
+            col("o1.dst") < col("o2.dst"))))
+      .select(col("o1.src").as("x"), col("o1.dst").as("y"),
+        col("o2.dst").as("z"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")),
+      Seq("y", "z"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round((when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            .cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0))).cast(DecimalType(28, 10)), 6)
+          .cast("double").as("lcc"))
+      .orderBy(col("node"))
+  }
 }

@@ -623,6 +623,55 @@ object PipelineQueries {
     * iterations in SQL with the identical decimal-routed contribution
     * sums, proving the iterative operator engine-neutral end to
     * end. */
+  /** Triangle counting + local clustering coefficient
+    * ([[GraphRank.triangleStats]]) over the co-purchase graph (parts
+    * co-occurring in an order — the classic market-basket graph).
+    * Degree-ordered orientation bounds the wedge join at O(m^1.5);
+    * the pair explode per order is C(lines, 2) with a small bounded
+    * k. Output is O(|V|) rows. */
+  def grTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pp = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = pp.alias("a").join(pp.alias("b"),
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    GraphRank.triangleStats(pairs, "pa", "pb")
+  }
+
+  private val grTrianglesSql =
+    """WITH pp AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         FROM pp a JOIN pp b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey),
+       deg AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+         FROM (SELECT u AS node FROM e
+               UNION ALL SELECT v AS node FROM e)
+         GROUP BY node),
+       tri AS (
+         SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         FROM e e1 JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+       tn AS (
+         SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+         FROM (SELECT a AS node FROM tri
+               UNION ALL SELECT b AS node FROM tri
+               UNION ALL SELECT c AS node FROM tri)
+         GROUP BY node)
+       SELECT d.node, d.degree,
+         COALESCE(tn.n_triangles, 0) AS n_triangles,
+         CAST(ROUND(CAST(CASE WHEN d.degree >= 2 THEN
+           CAST(2 * COALESCE(tn.n_triangles, 0) AS DOUBLE) /
+           CAST(d.degree * (d.degree - 1) AS DOUBLE)
+           ELSE CAST(0 AS DOUBLE) END AS DECIMAL(28,10)), 6)
+           AS DOUBLE) AS lcc
+       FROM deg d LEFT JOIN tn USING (node)
+       ORDER BY d.node"""
+
   def ddPagerank(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").filter(col("vec_id") < 120)
     val pairs = Similarity.cosinePairs(emb, "embedding", "vec_id",
@@ -5000,6 +5049,7 @@ object PipelineQueries {
     "ta_keywords" -> (taKeywords _),
     "ta_tag_dict" -> (taTagDict _),
     "dq_checks" -> (dqChecks _),
+    "gr_triangles" -> (grTriangles _),
     "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
@@ -5194,6 +5244,7 @@ object PipelineQueries {
     "ta_keywords" -> taKeywordsSql,
     "ta_tag_dict" -> taTagDictSql,
     "dq_checks" -> dqChecksSql,
+    "gr_triangles" -> grTrianglesSql,
     "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,

@@ -2270,6 +2270,32 @@ class PipelineSpec extends SparkSpec {
     assert(zebraScore > 0.0)
   }
 
+  test("triangles: known graph counts; orientation handles skew hub; dupes/self-loops ignored") {
+    // K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant 5
+    // and a hub 6 connected to 1..5 (star adds triangles only where
+    // its endpoints are themselves adjacent)
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 4L), (3L, 3L)) ++
+      (1L to 5L).map(v => (6L, v)))
+      .toDF("a", "b")
+    val r = GraphRank.triangleStats(edges, "a", "b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val byNode = r.map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // triangles: 4 in K4; hub 6 closes one per adjacent pair among
+    // 1..5 = the 6 K4 edges + (4,5) = 7; total 11
+    assert(byNode(5L) === ((2L, 1L, 1.0))) // only (4,5,6)
+    assert(byNode(6L) === ((5L, 7L, round6(2.0 * 7 / (5 * 4)))))
+    // 1's neighborhood {2,3,4,6} is a clique → lcc 1.0
+    assert(byNode(1L) === ((4L, 6L, 1.0)))
+    assert(byNode(4L)._2 === 3L + 1L + 3L) // K4 + (4,5,6) + hub pairs
+    assert(r.map(_._3).sum / 3 === 11L) // total triangles
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("validation: rule set compiles to one scan; metrics exact") {
     import Validation._
     val rows = Seq(
