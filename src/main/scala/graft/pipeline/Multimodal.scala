@@ -342,6 +342,156 @@ object Multimodal {
     }
   }
 
+  // --- perceptual image hashing (dHash) ---------------------------
+
+  /** 64-bit difference hash of an image, as 4×16-bit parts (the
+    * [[graft.pipeline.Dedup]] SimHash banding convention — parts are
+    * non-negative, so no 1<<63 sign traps on either engine). The
+    * image is bilinear-resized to 9×8 unless already that size (the
+    * analytic fixtures are native 9×8, so their decode is
+    * resampling-free and bit-predictable), converted to integer luma
+    * `(77R + 150G + 29B) >> 8` (exact identity on gray pixels), and
+    * bit `y·8+x` is set iff luma strictly increases from column x to
+    * x+1 — brightness- and contrast-shift invariant by construction,
+    * which is what makes it a NEAR-dup signature rather than an exact
+    * hash. Undecodable bytes → None (drop-don't-poison). */
+  def dHashParts(content: Array[Byte]): Option[Array[Long]] = try {
+    javax.imageio.ImageIO.setUseCache(false)
+    val raw = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content))
+    if (raw == null) None
+    else {
+      val img =
+        if (raw.getWidth == 9 && raw.getHeight == 8) raw
+        else {
+          val dst = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(raw, 0, 0, 9, 8, null)
+          } finally g.dispose()
+          dst
+        }
+      val px = img.getRGB(0, 0, 9, 8, null, 0, 9)
+      def luma(p: Int): Int =
+        (77 * ((p >> 16) & 0xff) + 150 * ((p >> 8) & 0xff) +
+          29 * (p & 0xff)) >> 8
+      val parts = new Array[Long](4)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(px(y * 9 + x + 1)) > luma(px(y * 9 + x))) {
+            val pos = y * 8 + x
+            parts(pos / 16) |= 1L << (pos % 16)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(parts)
+    }
+  } catch {
+    case _: java.io.IOException | _: IllegalArgumentException => None
+  }
+
+  /** Deterministic 9×8 grayscale PNG whose dHash is ANALYTICALLY
+    * known (the mm_dhash oracle recomputes it from `range()` alone):
+    * group `g = i mod 6` defines the bit pattern
+    * `b(x,y) = ((3x + 5y + 7g) mod 8) < 4`; pixels follow the
+    * cumulative walk `v(0,y) = 100 + (i div 6 mod 4)·10`,
+    * `v(x+1,y) = v(x,y) ± 2` (+ iff the bit is set), so the hash
+    * ignores the per-image base brightness — same-group images are
+    * brightness-shifted near-dups with IDENTICAL hashes. The fourth
+    * group member (`i ≥ 18`) additionally flips the single step at
+    * position `i mod 64`, making it a Hamming-1 near-dup (exercises
+    * banded recall below the exact-match radius). */
+  def fixtureDHashPng(i: Long): Array[Byte] = {
+    val g = (i % 6).toInt
+    val base = 100 + ((i / 6) % 4).toInt * 10
+    val flip = if (i >= 18) (i % 64).toInt else -1
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = base
+      img.setRGB(0, y, (v << 16) | (v << 8) | v)
+      var x = 0
+      while (x < 8) {
+        val pos = y * 8 + x
+        var bit = ((3 * x + 5 * y + 7 * g) % 8) < 4
+        if (pos == flip) bit = !bit
+        v = if (bit) v + 2 else v - 2
+        img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    javax.imageio.ImageIO.setUseCache(false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** `n` dHash fixture assets, encoded distributed. */
+  def dhashAssets(spark: SparkSession, n: Int): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { i =>
+        MediaAsset(i, "image", fixtureDHashPng(i), "image/png",
+          Some(9), Some(8), None, None)
+      }
+    }
+  }
+
+  /** Real-decode dHash signature table over [[dhashAssets]]:
+    * `(asset_id, part, sig)`, 4 rows per image. */
+  def dHashTable(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    dhashAssets(spark, n).mapPartitions { it =>
+      it.flatMap { a =>
+        dHashParts(a.content).toSeq.flatMap { parts =>
+          parts.zipWithIndex.map { case (sig, k) =>
+            (a.asset_id, k, sig)
+          }
+        }
+      }
+    }.toDF("asset_id", "part", "sig")
+  }
+
+  /** Near-duplicate image pairs from a dHash signature relation
+    * (`asset_id, part, sig`): banded candidate generation — an
+    * equi-join on (part, sig), the Manku pigeonhole, complete for
+    * Hamming ≤ 3 over 4 bands — then EXACT Hamming verification on
+    * the candidates only. Never an all-pairs comparison: at 100 TB
+    * the band join is bucket-local and the verify set is
+    * candidate-sized. */
+  def dHashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"dHashPairs: 4×16-bit banding is complete only to Hamming 3, got $maxHamming")
+    val cands = sigs.alias("a")
+      .join(sigs.alias("b"),
+        col("a.part") === col("b.part") &&
+          col("a.sig") === col("b.sig") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"),
+        col("b.asset_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sigs.alias("x"), col("id_a") === col("x.asset_id"))
+      .join(sigs.alias("y"),
+        col("id_b") === col("y.asset_id") &&
+          col("x.part") === col("y.part"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(expr("bit_count(x.sig ^ y.sig)")).cast("int")
+        .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Synthesize a deterministic asset table from the documents corpus
     * (bytes = utf8 text; metadata derived from doc fields) — exercises
     * the binary-column plumbing end-to-end without real media. */

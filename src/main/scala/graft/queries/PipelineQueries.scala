@@ -4858,6 +4858,70 @@ object PipelineQueries {
     * channels/means must equal what DuckDB recomputes from `range()`
     * and the generator formulas alone. A wrong decode (or a lossy
     * encode) hash-mismatches — nothing here is stubbed. */
+  /** Perceptual image hashing ([[Multimodal.dHashParts]]): 24 REAL
+    * 9×8 PNG fixtures decoded through javax.imageio into 64-bit
+    * difference hashes (4×16-bit parts). The fixture construction
+    * ([[Multimodal.fixtureDHashPng]]) makes every hash bit an
+    * analytic function of the asset id, so the oracle recomputes the
+    * signatures from `range()` and the generator formulas alone —
+    * a real decode verified from first principles, the
+    * mm_decode/mm_audio_decode pattern. */
+  def mmDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dHashTable(s, 24)
+      .orderBy(col("asset_id"), col("part"))
+
+  private val mmDhashSql =
+    """WITH bits AS (
+         SELECT i, CAST(x + y*8 AS INT) AS pos,
+           CASE WHEN i >= 18 AND (x + y*8) = i % 64
+             THEN 1 - bb ELSE bb END AS bit
+         FROM (
+           SELECT i, x, y,
+             CASE WHEN ((3*x + 5*y + 7*(i % 6)) % 8) < 4
+               THEN 1 ELSE 0 END AS bb
+           FROM range(24) t(i)
+           CROSS JOIN range(8) xs(x) CROSS JOIN range(8) ys(y)))
+       SELECT CAST(i AS BIGINT) AS asset_id,
+         CAST(pos // 16 AS INT) AS part,
+         CAST(SUM(bit * (1::BIGINT << CAST(pos % 16 AS INT)))
+           AS BIGINT) AS sig
+       FROM bits GROUP BY asset_id, part
+       ORDER BY asset_id, part"""
+
+  /** Banded near-dup image pairs over the dHash signatures
+    * ([[Multimodal.dHashPairs]]): pigeonhole candidates (any 16-bit
+    * part equal — complete for Hamming ≤ 3) + exact candidate-only
+    * Hamming verify. The oracle does the all-pairs comparison the
+    * engine provably avoids — identical results = banding lost
+    * nothing at this radius. */
+  def mmDhashPairs(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dHashPairs(Multimodal.dHashTable(s, 24), maxHamming = 3)
+
+  private val mmDhashPairsSql =
+    """WITH bits AS (
+         SELECT i, CAST(x + y*8 AS INT) AS pos,
+           CASE WHEN i >= 18 AND (x + y*8) = i % 64
+             THEN 1 - bb ELSE bb END AS bit
+         FROM (
+           SELECT i, x, y,
+             CASE WHEN ((3*x + 5*y + 7*(i % 6)) % 8) < 4
+               THEN 1 ELSE 0 END AS bb
+           FROM range(24) t(i)
+           CROSS JOIN range(8) xs(x) CROSS JOIN range(8) ys(y))),
+       parts AS (
+         SELECT CAST(i AS BIGINT) AS asset_id,
+           CAST(pos // 16 AS INT) AS part,
+           CAST(SUM(bit * (1::BIGINT << CAST(pos % 16 AS INT)))
+             AS BIGINT) AS sig
+         FROM bits GROUP BY asset_id, part)
+       SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+         CAST(SUM(bit_count(xor(a.sig, b.sig))) AS INT) AS hamming
+       FROM parts a JOIN parts b
+         ON a.part = b.part AND a.asset_id < b.asset_id
+       GROUP BY id_a, id_b
+       HAVING SUM(bit_count(xor(a.sig, b.sig))) <= 3
+       ORDER BY id_a, id_b"""
+
   def mmDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeTable(s, 24)
 
@@ -5060,6 +5124,8 @@ object PipelineQueries {
     "pp_curation_verdicts" -> (ppCurationVerdicts _),
     "mm_features" -> (mmFeatures _),
     "mm_decode" -> (mmDecode _),
+    "mm_dhash" -> (mmDhash _),
+    "mm_dhash_pairs" -> (mmDhashPairs _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_video_decode" -> (mmVideoDecode _),
     "mm_resize_decode" -> (mmResizeDecode _))
@@ -5257,6 +5323,8 @@ object PipelineQueries {
     "pp_curation_verdicts" -> ppCurationVerdictsSql,
     "mm_features" -> mmFeaturesSql,
     "mm_decode" -> mmDecodeSql,
+    "mm_dhash" -> mmDhashSql,
+    "mm_dhash_pairs" -> mmDhashPairsSql,
     "mm_audio_decode" -> mmAudioDecodeSql,
     "mm_video_decode" -> mmVideoDecodeSql,
     "mm_resize_decode" -> mmResizeDecodeSql)

@@ -678,6 +678,52 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.ImageIoResizer.resize(junk, 10, 7) === junk)
   }
 
+  test("dHash: decoded fixture hashes equal the analytic formula; brightness-invariant") {
+    // recompute the expected parts from the generator formula
+    def expected(i: Long): Array[Long] = {
+      val parts = new Array[Long](4)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val pos = y * 8 + x
+        var bit = ((3 * x + 5 * y + 7 * (i % 6)) % 8) < 4
+        if (i >= 18 && pos == i % 64) bit = !bit
+        if (bit) parts(pos / 16) |= 1L << (pos % 16)
+      }
+      parts
+    }
+    for (i <- Seq(0L, 5L, 7L, 18L, 23L)) {
+      val got = Multimodal.dHashParts(Multimodal.fixtureDHashPng(i))
+      assert(got.isDefined && got.get.toSeq === expected(i).toSeq,
+        s"asset $i")
+    }
+    // same group, different base brightness → identical hash
+    assert(Multimodal.dHashParts(Multimodal.fixtureDHashPng(1L)).get
+      .toSeq ===
+      Multimodal.dHashParts(Multimodal.fixtureDHashPng(7L)).get.toSeq)
+    // undecodable bytes drop, never throw
+    assert(Multimodal.dHashParts("junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("dHash pairs: banding finds every pair the exact scan finds at Hamming <= 3") {
+    val sigs = Multimodal.dHashTable(spark, 24)
+    val banded = Multimodal.dHashPairs(sigs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // exact all-pairs reference computed driver-side on 24 assets
+    val hashes = (0L until 24L).map(i =>
+      i -> Multimodal.dHashParts(Multimodal.fixtureDHashPng(i)).get)
+    val exact = (for {
+      (a, pa) <- hashes; (b, pb) <- hashes if a < b
+      ham = pa.zip(pb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+      if ham <= 3
+    } yield (a, b, ham)).toSet
+    assert(banded === exact)
+    assert(exact.nonEmpty && exact.exists(_._3 == 1)) // flipped members found
+    // the guard: banding is only complete to Hamming 3
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashPairs(sigs, maxHamming = 4)
+    }
+  }
+
   test("exact-substring scrub: duplicated 5-token spans removed, by hand") {
     val df = Seq(
       (0L, "one two three four five six"),
