@@ -877,6 +877,78 @@ object ExtendedQueries {
          AND month(o_orderdate) BETWEEN 4 AND 6
        GROUP BY om ORDER BY om"""
 
+  // ---------------------------------------------------------------
+  // q50: bucketed co-located join — both sides live in at-rest
+  // layouts bucketBy'd on the join key (catalog-registered, one file
+  // per bucket, sorted within), so the SortMergeJoin needs NO shuffle
+  // exchange and NO sort: the pre-shuffled-layout pattern that
+  // replaces the per-query exchange for the recurring 100 TB
+  // fact-fact join. PlanSpec pins the exchange-free join subtree.
+
+  /** Register `table` over a bucketed at-rest layout, writing it
+    * first if the layout cache is cold. A warm layout in a FRESH
+    * session (in-memory catalog starts empty) is re-registered with
+    * a CLUSTERED BY DDL over the existing files — never rewritten. */
+  private[queries] def ensureBucketedTable(s: SparkSession,
+      src: DataFrame, table: String, out: String, key: String,
+      nBuckets: Int): Unit = {
+    if (!s.catalog.tableExists(table)) {
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        // repartition by the bucket key with nBuckets tasks uses the
+        // same murmur-hash-mod placement as bucketBy, so each task
+        // holds exactly one bucket → one file per bucket; sortBy
+        // keeps each file clustered (compression + min/max skipping —
+        // the scan no longer REPORTS the order since Spark 3.0, so a
+        // bucket-local SortExec remains in the join plan)
+        src.repartition(nBuckets, col(key))
+          .write.mode("overwrite")
+          .bucketBy(nBuckets, key).sortBy(key)
+          .option("path", out).saveAsTable(table)
+      } else {
+        s.sql(s"""CREATE TABLE $table (${src.schema.toDDL})
+          USING parquet
+          CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+          LOCATION '$out'""")
+      }
+    }
+  }
+
+  /** Revenue by order priority over a lineitem⋈orders join where BOTH
+    * sides read from 8-bucket layouts keyed on the join column. The
+    * merge hint keeps the broadcast planner honest at gate scale; the
+    * oracle is the plain join over the source tables — the layout is
+    * provably lossless. */
+  def q50BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val liOut = PipelineQueries.layoutDir(dir, "lineitem", "li_bucket8")
+    val ordOut = PipelineQueries.layoutDir(dir, "orders", "ord_bucket8")
+    ensureBucketedTable(s,
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")),
+      "graft_li_bucket8", liOut, "l_orderkey", 8)
+    ensureBucketedTable(s,
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_ord_bucket8", ordOut, "o_orderkey", 8)
+    s.table("graft_li_bucket8").hint("merge")
+      .join(s.table("graft_ord_bucket8"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q50Sql =
+    """SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_rollup" -> (q25Rollup _),
     "q26_asof_join" -> (q26AsofJoin _),
@@ -903,6 +975,7 @@ object ExtendedQueries {
     "q47_zorder" -> (q47Zorder _),
     "q48_zorder_pruned" -> (q48ZorderPruned _),
     "q49_dpp" -> (q49Dpp _),
+    "q50_bucketed_join" -> (q50BucketedJoin _),
     "ta_bigrams" -> (taBigrams _),
     "ta_ttr" -> (taTtr _))
 
@@ -935,6 +1008,9 @@ object ExtendedQueries {
     "q48_zorder_pruned" -> q48Sql,
     // plain-WHERE oracle again: runtime pruning must drop no rows
     "q49_dpp" -> q49Sql,
+    // bucketed layout shares the plain-join oracle — the layout is
+    // lossless; what changes is the PLAN (no exchange under the SMJ)
+    "q50_bucketed_join" -> q50Sql,
     "ta_bigrams" -> taBigramsSql,
     "ta_ttr" -> taTtrSql)
 }

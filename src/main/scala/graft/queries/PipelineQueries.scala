@@ -5152,7 +5152,8 @@ object PipelineQueries {
     "ann_binary_partitioned", "dd_exact_substring_at_rest",
     "dd_exact_substring_incremental", "dd_exact_substring_compacted",
     "pp_drift_incremental", "pp_cdc_at_rest", "pp_cdc_incremental",
-    "pp_cdc_compacted", "q48_zorder_pruned", "q49_dpp")
+    "pp_cdc_compacted", "q48_zorder_pruned", "q49_dpp",
+    "q50_bucketed_join")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is

@@ -512,6 +512,38 @@ class PlanSpec extends SparkSpec {
         s"of $totalMonths")
   }
 
+  test("q50: bucketed layouts make the SortMergeJoin exchange-free") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q50_bucketed_join")(spark, sf("sf0.001"))
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case q: QueryStageExec => expand(q.plan)
+                  case n => Seq(n) }.flatten
+    val nodes = expand(finalPlan)
+    val smj = nodes.collectFirst { case j: SortMergeJoinExec => j }
+      .getOrElse(fail(s"no SortMergeJoin in:\n$finalPlan"))
+    // both inputs come straight from the bucketed scans: no shuffle,
+    // no per-query sort anywhere under the join
+    val under = expand(smj.left) ++ expand(smj.right)
+    assert(!under.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"bucketed join must not shuffle its inputs:\n$smj")
+    // per-bucket SortExecs remain: since 3.0 Spark no longer reports
+    // bucket sort order from the scan (the one-file-per-bucket
+    // contract was deemed too fragile; legacy conf
+    // spark.sql.legacy.bucketedTableScan.outputOrdering restores it).
+    // The sort is bucket-local and spill-free — the exchange is the
+    // cost that matters at 100 TB, and it is gone.
+    assert(smj.toString.contains("Bucketed: true"),
+      s"both sides must read bucketed scans:\n$smj")
+  }
+
   test("z-order box query: bucket set becomes literal PartitionFilters and prunes the scan") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
