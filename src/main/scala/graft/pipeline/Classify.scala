@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Multinomial Naive Bayes text classification — the fastText-shaped
+  * quality/domain classifier every large curation pipeline trains on
+  * weak labels and applies corpus-wide (the CCNet pattern: score each
+  * document against per-class token distributions, route or filter on
+  * the result).
+  *
+  * Scale shape: training is ONE grouped count over the exploded train
+  * tokens (model-sized output: vocab × classes); applying is a
+  * map-side join of the token stream against the broadcast model grid
+  * plus one doc-keyed partial-sum aggregation — no shuffle grows with
+  * the corpus beyond the token count.
+  *
+  * Determinism (oracle-replay contract): every log-likelihood is cast
+  * to DECIMAL(20,12) at birth, so per-document score sums are exact
+  * decimal arithmetic — partition-order-invariant — and the argmax
+  * tie-breaks on the class label. */
+object Classify {
+
+  private def d20(c: Column): Column = c.cast(DecimalType(20, 12))
+
+  /** Laplace-smoothed log-likelihood grid: one row for EVERY
+    * (class, vocab token) pair — including tokens unseen in a class,
+    * whose smoothed mass `ln(1/(n_tok_c + V))` is exactly what an
+    * absent join row must contribute at apply time (a sparse model
+    * would silently drop it). Output: (label, token, loglik
+    * DECIMAL(20,12)). */
+  def nbModel(train: DataFrame, textCol: String,
+      labelCol: String): DataFrame = {
+    val toks = train.select(col(labelCol).as("label"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    val counts = toks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val classTotals = toks.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_tok"))
+    val vocab = toks.select(col("token")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v_size"))
+    vocab.crossJoin(broadcast(classTotals)).crossJoin(broadcast(vSize))
+      .join(counts, Seq("label", "token"), "left_outer")
+      .select(col("label"), col("token"),
+        d20(log((coalesce(col("cnt"), lit(0L)) + lit(1L))
+          .cast("double") /
+          (col("n_tok") + col("v_size")).cast("double"))).as("loglik"))
+  }
+
+  /** Log class priors from the train split:
+    * (label, logprior DECIMAL(20,12)). */
+  def nbPriors(train: DataFrame, labelCol: String): DataFrame = {
+    val perClass = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    perClass.crossJoin(broadcast(
+      perClass.agg(sum(col("n_docs")).as("n_total"))))
+      .select(col("label"),
+        d20(log(col("n_docs").cast("double") /
+          col("n_total").cast("double"))).as("logprior"))
+  }
+
+  /** Classify `test` documents against a trained (model, priors)
+    * pair: `score(c) = logprior(c) + Σ_tok cnt(tok)·loglik(tok, c)`,
+    * out-of-vocabulary tokens dropped (they carry no evidence about
+    * any class), prediction = argmax with ties broken on the label.
+    * Documents whose tokens are ALL OOV still score (priors only) —
+    * the report never silently loses a row. Output:
+    * (key, label_pred, score) with the 6-dp rounded winning score. */
+  def nbApply(test: DataFrame, model: DataFrame, priors: DataFrame,
+      textCol: String, keyCol: String): DataFrame = {
+    val occ = test.select(col(keyCol).as("key"),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("key"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val evidence = occ.join(broadcast(model), Seq("token"))
+      .groupBy(col("key"), col("label"))
+      .agg(sum(col("loglik") * col("cnt")).as("ev"))
+    val scored = test.select(col(keyCol).as("key"))
+      .crossJoin(broadcast(priors))
+      .join(evidence, Seq("key", "label"), "left_outer")
+      .select(col("key"), col("label"),
+        (col("logprior") + coalesce(col("ev"),
+          lit(0).cast(DecimalType(20, 12)))).as("score"))
+    // argmax as max(struct(score, label)): exact-score ties resolve
+    // to the alphabetically LAST label — a fixed total order, no
+    // window pass needed
+    val best = scored.groupBy(col("key"))
+      .agg(max(struct(col("score"), col("label"))).as("b"))
+    best.select(col("key"), col("b.label").as("label_pred"),
+      round(col("b.score").cast(DecimalType(28, 10)), 6)
+        .cast("double").as("score"))
+  }
+}

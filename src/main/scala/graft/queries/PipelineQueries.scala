@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.{Csv, Dedup, GraphRank, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Sharding, Similarity, TextAnalysis, Validation}
+import graft.pipeline.{Classify, Csv, Dedup, GraphRank, Jsonl, Multimodal, PartitionedAnn, Retrieval, Sampling, Sharding, Similarity, TextAnalysis, Validation}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -4152,6 +4152,117 @@ object PipelineQueries {
        GROUP BY doc_id, topic ORDER BY doc_id, topic"""
   }
 
+  /** Multinomial Naive Bayes training ([[Classify.nbModel]]): the
+    * Laplace-smoothed log-likelihood grid over the deterministic
+    * doc_id%5 train split, labels = lang. The grid is DENSE
+    * (vocab × classes) so apply-time join misses cannot silently
+    * drop smoothed mass. */
+  def ppNbModel(s: SparkSession, dir: String): DataFrame = {
+    val train = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+    Classify.nbModel(train, "text", "lang")
+      .select(col("label"), col("token"),
+        round(col("loglik").cast(DecimalType28_10), 6)
+          .cast("double").as("loglik"))
+      .orderBy(col("label"), col("token"))
+  }
+
+  private val DecimalType28_10 =
+    org.apache.spark.sql.types.DecimalType(28, 10)
+
+  private val nbTrainCte =
+    """train AS (
+         SELECT doc_id, lang AS label, text FROM documents
+         WHERE doc_id % 5 <> 0),
+       ntoks AS (
+         SELECT label,
+           unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                              x -> x <> '')) AS token
+         FROM train),
+       ncounts AS (
+         SELECT label, token, COUNT(*) AS cnt
+         FROM ntoks GROUP BY label, token),
+       nct AS (
+         SELECT label, COUNT(*) AS n_tok FROM ntoks GROUP BY label),
+       nvocab AS (SELECT DISTINCT token FROM ntoks),
+       nv AS (SELECT COUNT(*) AS v_size FROM nvocab),
+       ngrid AS (
+         SELECT nct.label, nvocab.token,
+           CAST(ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) /
+                   CAST(nct.n_tok + nv.v_size AS DOUBLE))
+             AS DECIMAL(20,12)) AS loglik
+         FROM nvocab CROSS JOIN nct CROSS JOIN nv
+         LEFT JOIN ncounts c
+           ON c.label = nct.label AND c.token = nvocab.token)"""
+
+  private lazy val ppNbModelSql =
+    s"""WITH $nbTrainCte
+       SELECT label, token,
+         CAST(ROUND(CAST(loglik AS DECIMAL(28,10)), 6) AS DOUBLE)
+           AS loglik
+       FROM ngrid ORDER BY label, token"""
+
+  /** Naive Bayes classification ([[Classify.nbApply]]) of the held-out
+    * doc_id%5 split: per-doc argmax over
+    * `logprior + Σ cnt·loglik` with exact decimal score sums; the
+    * oracle replays train AND apply end-to-end. */
+  def ppNbClassify(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val train = d.filter(col("doc_id") % 5 =!= 0)
+    val test = d.filter(col("doc_id") % 5 === 0)
+    val model = Classify.nbModel(train, "text", "lang")
+    val priors = Classify.nbPriors(train, "lang")
+    Classify.nbApply(test, model, priors, "text", "doc_id")
+      .join(test.select(col("doc_id").as("key"),
+        col("lang").as("label_true")), Seq("key"))
+      .select(col("key").as("doc_id"), col("label_true"),
+        col("label_pred"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val ppNbClassifySql =
+    s"""WITH $nbTrainCte,
+       npriors AS (
+         SELECT p.label,
+           CAST(ln(CAST(p.n_docs AS DOUBLE) /
+                   CAST(tt.n_total AS DOUBLE)) AS DECIMAL(20,12))
+             AS logprior
+         FROM (SELECT label, COUNT(*) AS n_docs FROM train
+               GROUP BY label) p
+         CROSS JOIN (SELECT COUNT(*) AS n_total FROM train) tt),
+       ntest AS (
+         SELECT doc_id, lang AS label_true, text FROM documents
+         WHERE doc_id % 5 = 0),
+       nocc AS (
+         SELECT doc_id, token, COUNT(*) AS cnt
+         FROM (SELECT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(lower(text), '\\W+'),
+                   x -> x <> '')) AS token
+               FROM ntest) z
+         GROUP BY doc_id, token),
+       nev AS (
+         SELECT o.doc_id, g.label, SUM(g.loglik * o.cnt) AS ev
+         FROM nocc o JOIN ngrid g USING (token)
+         GROUP BY o.doc_id, g.label),
+       nscored AS (
+         SELECT t.doc_id, p.label,
+           p.logprior + COALESCE(e.ev, CAST(0 AS DECIMAL(20,12)))
+             AS score
+         FROM ntest t CROSS JOIN npriors p
+         LEFT JOIN nev e
+           ON e.doc_id = t.doc_id AND e.label = p.label),
+       nranked AS (
+         SELECT doc_id, label, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, label DESC) AS rn
+         FROM nscored)
+       SELECT r.doc_id, t.label_true, r.label AS label_pred,
+         CAST(ROUND(CAST(r.score AS DECIMAL(28,10)), 6) AS DOUBLE)
+           AS score
+       FROM nranked r JOIN ntest t USING (doc_id)
+       WHERE rn = 1 ORDER BY r.doc_id"""
+
   /** Declarative data-quality validation ([[graft.pipeline.Validation]]):
     * a seven-rule Deequ-style check set over lineitem — completeness,
     * PK uniqueness, two range conformances, a pattern conformance,
@@ -5114,6 +5225,8 @@ object PipelineQueries {
     "ta_tag_dict" -> (taTagDict _),
     "dq_checks" -> (dqChecks _),
     "gr_triangles" -> (grTriangles _),
+    "pp_nb_model" -> (ppNbModel _),
+    "pp_nb_classify" -> (ppNbClassify _),
     "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
@@ -5312,6 +5425,8 @@ object PipelineQueries {
     "ta_tag_dict" -> taTagDictSql,
     "dq_checks" -> dqChecksSql,
     "gr_triangles" -> grTrianglesSql,
+    "pp_nb_model" -> ppNbModelSql,
+    "pp_nb_classify" -> ppNbClassifySql,
     "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,

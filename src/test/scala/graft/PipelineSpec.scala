@@ -2342,6 +2342,35 @@ class PipelineSpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("naive bayes: separable classes classify correctly; OOV and priors behave") {
+    val train = Seq(
+      (0L, "spark shuffle executor partition stage", "infra"),
+      (1L, "executor partition shuffle stage memory", "infra"),
+      (2L, "pasta tomato basil olive garlic", "food"),
+      (3L, "basil olive pasta garlic bread", "food"),
+      (4L, "bread tomato olive pasta basil", "food"))
+      .toDF("doc_id", "text", "topic")
+    val model = Classify.nbModel(train, "text", "topic")
+    val priors = Classify.nbPriors(train, "topic")
+    // dense grid: every (class, vocab token) pair present
+    assert(model.count() === 2 *
+      model.select("token").distinct().count())
+    val test = Seq(
+      (10L, "shuffle stage partition"), // infra vocabulary
+      (11L, "tomato garlic pasta"), // food vocabulary
+      (12L, "quantum zebra xylophone"), // all OOV → priors decide
+      (13L, "pasta shuffle")) // mixed
+      .toDF("doc_id", "text")
+    val r = Classify.nbApply(test, model, priors, "text", "doc_id")
+      .as[(Long, String, Double)].collect()
+      .map(x => x._1 -> x._2).toMap
+    assert(r(10L) === "infra")
+    assert(r(11L) === "food")
+    // all-OOV doc still scores; food has the larger prior (3/5)
+    assert(r(12L) === "food")
+    assert(r.size === 4)
+  }
+
   test("validation: rule set compiles to one scan; metrics exact") {
     import Validation._
     val rows = Seq(
