@@ -60,8 +60,10 @@ object Validation {
     * decimal-routed 6-dp round (StarQueries.roundd pattern) — decimal
     * ÷ decimal is avoided because engines disagree on the result
     * scale, while a single IEEE division of exact values is
-    * bit-identical everywhere. */
-  private def ratio(num: Column, den: Column): Column =
+    * bit-identical everywhere. Shared with the streamed monitor
+    * ([[graft.streaming.DqStream]]), whose folded sums must flow
+    * through the SAME arithmetic to stay bit-identical. */
+  private[graft] def ratio(num: Column, den: Column): Column =
     round((num.cast("double") / den.cast("double"))
       .cast(DecimalType(28, 10)), 6).cast("double")
 
@@ -86,9 +88,15 @@ object Validation {
       case MeanBound(name, c, _, _) =>
         ratio(sum(col(c).cast(DecimalType(28, 6))), n).as(s"m_$name")
     }
-    val agged = df.agg(metricCols.head, metricCols.tail: _*)
-    // Pivot the 1-row metric frame into one report row per rule with
-    // a single stack() projection — no self-union, no recompute.
+    assemble(df.agg(metricCols.head, metricCols.tail: _*), rules)
+  }
+
+  /** Pivot a 1-row frame of `m_<rule>` metric columns into the
+    * per-rule report with a single stack() projection — no
+    * self-union, no recompute. Shared by [[check]] and the streamed
+    * monitor's fold path. */
+  private[graft] def assemble(agged: DataFrame,
+      rules: Seq[Rule]): DataFrame = {
     val stackArgs = rules.flatMap { r =>
       Seq(s"'${r.name}'", s"`m_${r.name}`",
         r.threshold.toString + "D", s"'${r.op}'")
@@ -101,4 +109,45 @@ object Validation {
           .otherwise(col("metric") <= col("threshold")))
       .orderBy(col("rule"))
   }
+
+  /** Per-rule ADDITIVE numerators + the row count, as ONE aggregation
+    * row — the partial a streamed monitor persists per batch. Only
+    * algebraic rules qualify: [[UniqueKey]] needs a distinct count,
+    * which does not fold from per-batch partials (the honest options
+    * at scale are a sketch or a keyed state store), so it is rejected
+    * here rather than silently double-counted. Columns: `n` plus
+    * `s_<rule>` (BIGINT counts; DECIMAL(28,6) sums for means). */
+  private[graft] def partialNumerators(df: DataFrame,
+      rules: Seq[Rule]): DataFrame = {
+    rules.foreach {
+      case u: UniqueKey => throw new IllegalArgumentException(
+        s"Validation.partialNumerators: rule ${u.name} — UniqueKey " +
+          "does not fold from per-batch partials; use the one-shot " +
+          "check() or a sketch-based rule instead")
+      case _ => ()
+    }
+    val numCols: Seq[Column] = rules.map {
+      case Completeness(name, c, _, _) =>
+        count(col(c)).as(s"s_$name")
+      case Conformance(name, pred, _, _) =>
+        coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+          .as(s"s_$name")
+      case MeanBound(name, c, _, _) =>
+        coalesce(sum(col(c).cast(DecimalType(28, 6))),
+          lit(0).cast(DecimalType(28, 6))).as(s"s_$name")
+      case u: UniqueKey =>
+        throw new IllegalStateException(s"unreachable: ${u.name}")
+    }
+    df.agg(count(lit(1)).as("n"), numCols: _*)
+  }
+
+  /** Metric columns from FOLDED numerator sums — the same [[ratio]]
+    * arithmetic as [[check]], so a report assembled from streamed
+    * partials is bit-identical to the one-shot report over the same
+    * rows. */
+  private[graft] def metricsFromFolded(folded: DataFrame,
+      rules: Seq[Rule]): DataFrame =
+    folded.select(rules.map { r =>
+      ratio(col(s"s_${r.name}"), col("n")).as(s"m_${r.name}")
+    }: _*)
 }

@@ -4269,12 +4269,12 @@ object PipelineQueries {
     * and two mean bounds — compiled into ONE aggregation pass over
     * ONE scan (the distinct aggregate rides the same scan as a
     * two-stage pass). The report is O(rules) rows. */
-  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+  /** The algebraic (fold-from-partials) subset of the dq_checks rule
+    * set — shared verbatim by the one-shot and streamed gates. */
+  private def dqAlgebraicRules: Seq[graft.pipeline.Validation.Rule] = {
     import graft.pipeline.Validation._
-    Validation.check(t(s, dir, "lineitem"), Seq(
+    Seq(
       Completeness("complete_returnflag", "l_returnflag", 1.0),
-      UniqueKey("key_orderkey_linenumber",
-        Seq("l_orderkey", "l_linenumber"), 1.0),
       Conformance("range_quantity",
         col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0, 1.0),
       Conformance("range_discount",
@@ -4282,8 +4282,74 @@ object PipelineQueries {
       Conformance("pattern_linestatus",
         col("l_linestatus").rlike("^[A-Z]$"), 1.0),
       MeanBound("mean_quantity_floor", "l_quantity", 10.0, ">="),
-      MeanBound("mean_quantity_ceiling", "l_quantity", 40.0, "<=")))
+      MeanBound("mean_quantity_ceiling", "l_quantity", 40.0, "<="))
   }
+
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Validation._
+    Validation.check(t(s, dir, "lineitem"),
+      UniqueKey("key_orderkey_linenumber",
+        Seq("l_orderkey", "l_linenumber"), 1.0) +: dqAlgebraicRules)
+  }
+
+  /** Streamed data-quality monitoring ([[graft.streaming.DqStream]]):
+    * the algebraic dq_checks rules folded from three per-batch
+    * partial rows — the report is bit-identical to the one-shot check
+    * over the union, which is exactly what the shared-arithmetic
+    * oracle proves (dq_checks' SQL minus the non-foldable UniqueKey
+    * row). */
+  def dqIncremental(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val root = layoutDir(dir, "lineitem", "dq_partials_v1")
+    ensureLayout(root) {
+      (0L to 2L).foreach { b =>
+        graft.streaming.DqStream.appendBatch(
+          li.filter(col("l_orderkey") % 3 === b), b, root,
+          dqAlgebraicRules, rulesetId = "lineitem_v1")
+      }
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    graft.streaming.DqStream.report(s, root, dqAlgebraicRules,
+      rulesetId = "lineitem_v1")
+  }
+
+  private val dqIncrementalSql =
+    """WITH m AS (
+         SELECT
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(COUNT(l_returnflag) AS DOUBLE) AS c_rf,
+           CAST(SUM(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0
+             THEN 1 ELSE 0 END) AS DOUBLE) AS c_qty,
+           CAST(SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.08
+             THEN 1 ELSE 0 END) AS DOUBLE) AS c_disc,
+           CAST(SUM(CASE WHEN regexp_matches(l_linestatus, '^[A-Z]$')
+             THEN 1 ELSE 0 END) AS DOUBLE) AS c_ls,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+             AS s_qty
+         FROM lineitem),
+       rep(rule, metric, threshold, op) AS (
+         SELECT 'complete_returnflag',
+           CAST(ROUND(CAST(c_rf / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(1.0 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'range_quantity',
+           CAST(ROUND(CAST(c_qty / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(1.0 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'range_discount',
+           CAST(ROUND(CAST(c_disc / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(0.9 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'pattern_linestatus',
+           CAST(ROUND(CAST(c_ls / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(1.0 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'mean_quantity_floor',
+           CAST(ROUND(CAST(s_qty / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(10.0 AS DOUBLE), '>=' FROM m
+         UNION ALL SELECT 'mean_quantity_ceiling',
+           CAST(ROUND(CAST(s_qty / n AS DECIMAL(28,10)), 6) AS DOUBLE),
+           CAST(40.0 AS DOUBLE), '<=' FROM m)
+       SELECT rule, metric, threshold, op,
+         CASE WHEN op = '>=' THEN metric >= threshold
+              ELSE metric <= threshold END AS passed
+       FROM rep ORDER BY rule"""
 
   private val dqChecksSql =
     """WITH m AS (
@@ -5224,6 +5290,7 @@ object PipelineQueries {
     "ta_keywords" -> (taKeywords _),
     "ta_tag_dict" -> (taTagDict _),
     "dq_checks" -> (dqChecks _),
+    "dq_incremental" -> (dqIncremental _),
     "gr_triangles" -> (grTriangles _),
     "pp_nb_model" -> (ppNbModel _),
     "pp_nb_classify" -> (ppNbClassify _),
@@ -5266,7 +5333,7 @@ object PipelineQueries {
     "dd_exact_substring_incremental", "dd_exact_substring_compacted",
     "pp_drift_incremental", "pp_cdc_at_rest", "pp_cdc_incremental",
     "pp_cdc_compacted", "q48_zorder_pruned", "q49_dpp",
-    "q50_bucketed_join")
+    "q50_bucketed_join", "dq_incremental")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -5424,6 +5491,7 @@ object PipelineQueries {
     "ta_keywords" -> taKeywordsSql,
     "ta_tag_dict" -> taTagDictSql,
     "dq_checks" -> dqChecksSql,
+    "dq_incremental" -> dqIncrementalSql,
     "gr_triangles" -> grTrianglesSql,
     "pp_nb_model" -> ppNbModelSql,
     "pp_nb_classify" -> ppNbClassifySql,

@@ -1801,6 +1801,65 @@ class StreamingSpec extends SparkSpec {
     assert(e2.getMessage.contains("rebaselining"))
   }
 
+  test("incremental data-quality monitor equals the one-shot check; contract guards fire") {
+    import java.nio.file.Files
+    import graft.pipeline.Validation
+    import graft.pipeline.Validation._
+    import graft.streaming.DqStream
+    val in = Files.createTempDirectory("graft-dq-in")
+    val root = Files.createTempDirectory("graft-dq-root").toString
+    val ckpt = Files.createTempDirectory("graft-dq-ckpt").toString
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val rules: Seq[Rule] = Seq(
+      Completeness("complete_rf", "l_returnflag", 1.0),
+      Conformance("range_qty",
+        $"l_quantity" >= 1.0 && $"l_quantity" <= 50.0, 1.0),
+      MeanBound("mean_qty_floor", "l_quantity", 10.0, ">="))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, Double, Double, String, Boolean)].collect().toSeq
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-dq-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(li.filter($"l_orderkey" % 2 === 0), "c1.parquet")
+    val q = DqStream.run(spark, in.toString, root, ckpt, rules, "v1",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(li.filter($"l_orderkey" % 2 === 1), "c2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // additive numerators → streamed report == one-shot over the union
+    val oneShot = rows(Validation.check(li, rules))
+    assert(rows(DqStream.report(spark, root, rules, "v1")) === oneShot)
+    // replaying the newest batch regenerates, never double-counts
+    DqStream.appendBatch(li.filter($"l_orderkey" % 2 === 1), 1L,
+      root, rules, "v1")
+    assert(rows(DqStream.report(spark, root, rules, "v1")) === oneShot)
+    // a reused LOWER id can only be a fresh-checkpoint restart
+    val e1 = intercept[IllegalArgumentException](
+      DqStream.appendBatch(li.limit(5), 0L, root, rules, "v1"))
+    assert(e1.getMessage.contains("fresh checkpoint"))
+    // folding under a different ruleset id fails pointedly
+    val e2 = intercept[IllegalArgumentException](
+      DqStream.report(spark, root, rules, "v2").collect())
+    assert(e2.getMessage.contains("ruleset"))
+    // UniqueKey cannot fold from partials — rejected at the boundary
+    val e3 = intercept[IllegalArgumentException](
+      DqStream.appendBatch(li.limit(5), 2L, root,
+        Seq(UniqueKey("pk", Seq("l_orderkey"), 1.0)), "v1"))
+    assert(e3.getMessage.contains("UniqueKey"))
+    // a report with nothing streamed is a loud error, not NaNs
+    val e4 = intercept[IllegalStateException](
+      DqStream.report(spark,
+        Files.createTempDirectory("graft-dq-empty").toString,
+        rules, "v1"))
+    assert(e4.getMessage.contains("no partials"))
+  }
+
   test("incremental span index equals a full rebuild; compaction and crash recovery lossless") {
     import java.nio.file.Files
     import graft.pipeline.TextAnalysis
