@@ -16,20 +16,30 @@ import org.apache.spark.sql.types.DecimalType
   * plus one doc-keyed partial-sum aggregation — no shuffle grows with
   * the corpus beyond the token count.
   *
-  * Determinism (oracle-replay contract): every log-likelihood is cast
-  * to DECIMAL(20,12) at birth, so per-document score sums are exact
-  * decimal arithmetic — partition-order-invariant — and the argmax
-  * tie-breaks on the class label. */
+  * Determinism (oracle-replay contract): every log value is
+  * quantized to DECIMAL(20,10) at birth (see [[Classify.dlog]]), so
+  * per-document score sums are exact decimal arithmetic —
+  * partition-order-invariant — and the argmax tie-breaks on the
+  * class label. */
 object Classify {
 
-  private def d20(c: Column): Column = c.cast(DecimalType(20, 12))
+  /** Quantize a log value for cross-engine exactness: the bare
+    * double → DECIMAL(20,10) cast — exactly the scale-10 conversion
+    * every roundd-gated query already relies on, where both engines
+    * produce the same decimal. A FINER scale (the first cut used 12)
+    * captures the last-ulp disagreement between the two engines' ln()
+    * implementations; a second rounding step (10 → 8 was the second
+    * cut) reintroduces divergence because the engines' decimal
+    * rounding modes differ at exact midpoints. Both were caught by
+    * the sf1 gate. */
+  private def dlog(c: Column): Column = c.cast(DecimalType(20, 10))
 
   /** Laplace-smoothed log-likelihood grid: one row for EVERY
     * (class, vocab token) pair — including tokens unseen in a class,
     * whose smoothed mass `ln(1/(n_tok_c + V))` is exactly what an
     * absent join row must contribute at apply time (a sparse model
     * would silently drop it). Output: (label, token, loglik
-    * DECIMAL(20,12)). */
+    * DECIMAL(20,10)). */
   def nbModel(train: DataFrame, textCol: String,
       labelCol: String): DataFrame = {
     val toks = train.select(col(labelCol).as("label"),
@@ -43,20 +53,20 @@ object Classify {
     vocab.crossJoin(broadcast(classTotals)).crossJoin(broadcast(vSize))
       .join(counts, Seq("label", "token"), "left_outer")
       .select(col("label"), col("token"),
-        d20(log((coalesce(col("cnt"), lit(0L)) + lit(1L))
+        dlog(log((coalesce(col("cnt"), lit(0L)) + lit(1L))
           .cast("double") /
           (col("n_tok") + col("v_size")).cast("double"))).as("loglik"))
   }
 
   /** Log class priors from the train split:
-    * (label, logprior DECIMAL(20,12)). */
+    * (label, logprior DECIMAL(20,10)). */
   def nbPriors(train: DataFrame, labelCol: String): DataFrame = {
     val perClass = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"))
     perClass.crossJoin(broadcast(
       perClass.agg(sum(col("n_docs")).as("n_total"))))
       .select(col("label"),
-        d20(log(col("n_docs").cast("double") /
+        dlog(log(col("n_docs").cast("double") /
           col("n_total").cast("double"))).as("logprior"))
   }
 
@@ -73,15 +83,20 @@ object Classify {
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("key"), col("token"))
       .agg(count(lit(1)).as("cnt"))
+    // cnt cast to DECIMAL(10,0) keeps the product inside both
+    // engines' 38-digit decimal cap — a BIGINT operand would
+    // silently overflow DuckDB's multiply to DOUBLE and make the
+    // score sums inexact (caught by the sf1 gate)
     val evidence = occ.join(broadcast(model), Seq("token"))
       .groupBy(col("key"), col("label"))
-      .agg(sum(col("loglik") * col("cnt")).as("ev"))
+      .agg(sum(col("loglik") *
+        col("cnt").cast(DecimalType(10, 0))).as("ev"))
     val scored = test.select(col(keyCol).as("key"))
       .crossJoin(broadcast(priors))
       .join(evidence, Seq("key", "label"), "left_outer")
       .select(col("key"), col("label"),
         (col("logprior") + coalesce(col("ev"),
-          lit(0).cast(DecimalType(20, 12)))).as("score"))
+          lit(0).cast(DecimalType(20, 10)))).as("score"))
     // argmax as max(struct(score, label)): exact-score ties resolve
     // to the alphabetically LAST label — a fixed total order, no
     // window pass needed

@@ -4190,7 +4190,7 @@ object PipelineQueries {
          SELECT nct.label, nvocab.token,
            CAST(ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) /
                    CAST(nct.n_tok + nv.v_size AS DOUBLE))
-             AS DECIMAL(20,12)) AS loglik
+             AS DECIMAL(20,10)) AS loglik
          FROM nvocab CROSS JOIN nct CROSS JOIN nv
          LEFT JOIN ncounts c
            ON c.label = nct.label AND c.token = nvocab.token)"""
@@ -4225,7 +4225,7 @@ object PipelineQueries {
        npriors AS (
          SELECT p.label,
            CAST(ln(CAST(p.n_docs AS DOUBLE) /
-                   CAST(tt.n_total AS DOUBLE)) AS DECIMAL(20,12))
+                   CAST(tt.n_total AS DOUBLE)) AS DECIMAL(20,10))
              AS logprior
          FROM (SELECT label, COUNT(*) AS n_docs FROM train
                GROUP BY label) p
@@ -4242,12 +4242,13 @@ object PipelineQueries {
                FROM ntest) z
          GROUP BY doc_id, token),
        nev AS (
-         SELECT o.doc_id, g.label, SUM(g.loglik * o.cnt) AS ev
+         SELECT o.doc_id, g.label,
+           SUM(g.loglik * CAST(o.cnt AS DECIMAL(10,0))) AS ev
          FROM nocc o JOIN ngrid g USING (token)
          GROUP BY o.doc_id, g.label),
        nscored AS (
          SELECT t.doc_id, p.label,
-           p.logprior + COALESCE(e.ev, CAST(0 AS DECIMAL(20,12)))
+           p.logprior + COALESCE(e.ev, CAST(0 AS DECIMAL(20,10)))
              AS score
          FROM ntest t CROSS JOIN npriors p
          LEFT JOIN nev e
