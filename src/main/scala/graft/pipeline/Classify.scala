@@ -17,29 +17,33 @@ import org.apache.spark.sql.types.DecimalType
   * the corpus beyond the token count.
   *
   * Determinism (oracle-replay contract): every log value is
-  * quantized to DECIMAL(20,10) at birth (see [[Classify.dlog]]), so
+  * quantized to a 6-dp decimal at birth (see [[Classify.dlog]]), so
   * per-document score sums are exact decimal arithmetic —
   * partition-order-invariant — and the argmax tie-breaks on the
   * class label. */
 object Classify {
 
-  /** Quantize a log value for cross-engine exactness: the bare
-    * double → DECIMAL(20,10) cast — exactly the scale-10 conversion
-    * every roundd-gated query already relies on, where both engines
-    * produce the same decimal. A FINER scale (the first cut used 12)
-    * captures the last-ulp disagreement between the two engines' ln()
-    * implementations; a second rounding step (10 → 8 was the second
-    * cut) reintroduces divergence because the engines' decimal
-    * rounding modes differ at exact midpoints. Both were caught by
-    * the sf1 gate. */
-  private def dlog(c: Column): Column = c.cast(DecimalType(20, 10))
+  /** Quantize a log value for cross-engine exactness: cast the bare
+    * double to DECIMAL(20,10), then ROUND to 6 dp — the exact
+    * contract the model-grid gate verifies hash-identical across
+    * engines. Apply-time sums therefore run exact decimal arithmetic
+    * over inputs both engines provably share; the engines' ln() may
+    * still disagree in the last ulp, but any disagreement that
+    * survives this quantization shows up in the MODEL gate, never as
+    * an apply-only divergence. (History: a raw scale-10 cast here let
+    * a 1e-10 ln() delta propagate through the apply-time sum onto a
+    * 6-dp rounding midpoint — one row in 100 at sf0.01 flipped; a
+    * scale-12 cast and a 10→8 double-round were earlier failures,
+    * both caught by the sf1 gate.) */
+  private def dlog(c: Column): Column =
+    round(c.cast(DecimalType(20, 10)), 6).cast(DecimalType(20, 6))
 
   /** Laplace-smoothed log-likelihood grid: one row for EVERY
     * (class, vocab token) pair — including tokens unseen in a class,
     * whose smoothed mass `ln(1/(n_tok_c + V))` is exactly what an
     * absent join row must contribute at apply time (a sparse model
     * would silently drop it). Output: (label, token, loglik
-    * DECIMAL(20,10)). */
+    * DECIMAL(20,6)). */
   def nbModel(train: DataFrame, textCol: String,
       labelCol: String): DataFrame = {
     val toks = train.select(col(labelCol).as("label"),
@@ -59,7 +63,7 @@ object Classify {
   }
 
   /** Log class priors from the train split:
-    * (label, logprior DECIMAL(20,10)). */
+    * (label, logprior DECIMAL(20,6)). */
   def nbPriors(train: DataFrame, labelCol: String): DataFrame = {
     val perClass = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("n_docs"))
@@ -96,7 +100,7 @@ object Classify {
       .join(evidence, Seq("key", "label"), "left_outer")
       .select(col("key"), col("label"),
         (col("logprior") + coalesce(col("ev"),
-          lit(0).cast(DecimalType(20, 10)))).as("score"))
+          lit(0).cast(DecimalType(20, 6)))).as("score"))
     // argmax as max(struct(score, label)): exact-score ties resolve
     // to the alphabetically LAST label — a fixed total order, no
     // window pass needed

@@ -4188,9 +4188,10 @@ object PipelineQueries {
        nv AS (SELECT COUNT(*) AS v_size FROM nvocab),
        ngrid AS (
          SELECT nct.label, nvocab.token,
-           CAST(ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) /
-                   CAST(nct.n_tok + nv.v_size AS DOUBLE))
-             AS DECIMAL(20,10)) AS loglik
+           CAST(ROUND(CAST(ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) /
+                            CAST(nct.n_tok + nv.v_size AS DOUBLE))
+                        AS DECIMAL(20,10)), 6)
+             AS DECIMAL(20,6)) AS loglik
          FROM nvocab CROSS JOIN nct CROSS JOIN nv
          LEFT JOIN ncounts c
            ON c.label = nct.label AND c.token = nvocab.token)"""
@@ -4224,8 +4225,9 @@ object PipelineQueries {
     s"""WITH $nbTrainCte,
        npriors AS (
          SELECT p.label,
-           CAST(ln(CAST(p.n_docs AS DOUBLE) /
-                   CAST(tt.n_total AS DOUBLE)) AS DECIMAL(20,10))
+           CAST(ROUND(CAST(ln(CAST(p.n_docs AS DOUBLE) /
+                              CAST(tt.n_total AS DOUBLE))
+                        AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
              AS logprior
          FROM (SELECT label, COUNT(*) AS n_docs FROM train
                GROUP BY label) p
@@ -4248,7 +4250,7 @@ object PipelineQueries {
          GROUP BY o.doc_id, g.label),
        nscored AS (
          SELECT t.doc_id, p.label,
-           p.logprior + COALESCE(e.ev, CAST(0 AS DECIMAL(20,10)))
+           p.logprior + COALESCE(e.ev, CAST(0 AS DECIMAL(20,6)))
              AS score
          FROM ntest t CROSS JOIN npriors p
          LEFT JOIN nev e
