@@ -67,6 +67,10 @@ object ChunkStore {
       .repartition(col("fp_bucket"))
       .write.mode("overwrite").partitionBy("fp_bucket")
       .parquet(s"$root/base/chunks")
+    // a FRESH base has no fold history: a watermark.json left by a
+    // prior compact under the same root would reject the rebuilt
+    // store's first delta batch as a fresh-checkpoint restart
+    new java.io.File(s"$root/base/watermark.json").delete(): Unit
     writeParams(root, window, buckets)
     new java.io.File(root, "_SUCCESS").createNewFile(): Unit
   }

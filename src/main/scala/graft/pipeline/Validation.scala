@@ -76,6 +76,7 @@ object Validation {
       "Validation.check: rule names must be unique")
     rules.foreach(r => require(r.op == ">=" || r.op == "<=",
       s"Validation.check: rule ${r.name} op must be >= or <="))
+    rules.foreach(r => requireLexicalName(r, "check"))
     val n = count(lit(1))
     val metricCols: Seq[Column] = rules.map {
       case Completeness(name, c, _, _) =>
@@ -90,6 +91,18 @@ object Validation {
     }
     assemble(df.agg(metricCols.head, metricCols.tail: _*), rules)
   }
+
+  /** Rule names are embedded verbatim in a generated stack() SQL
+    * expression ([[assemble]]) and become `m_<name>` / `s_<name>`
+    * column names (with parquet's own character restrictions for the
+    * streamed partials), so they must be lexically inert: a quote,
+    * backtick, or comma would break — or worse, silently alter — the
+    * generated expression. */
+  private def requireLexicalName(r: Rule, site: String): Unit =
+    require(r.name.matches("[A-Za-z0-9_]+"),
+      s"Validation.$site: rule name '${r.name}' must match " +
+        "[A-Za-z0-9_]+ — names are embedded in generated SQL and " +
+        "become report/partial column names")
 
   /** Pivot a 1-row frame of `m_<rule>` metric columns into the
     * per-rule report with a single stack() projection — no
@@ -119,6 +132,7 @@ object Validation {
     * `s_<rule>` (BIGINT counts; DECIMAL(28,6) sums for means). */
   private[graft] def partialNumerators(df: DataFrame,
       rules: Seq[Rule]): DataFrame = {
+    rules.foreach(r => requireLexicalName(r, "partialNumerators"))
     rules.foreach {
       case u: UniqueKey => throw new IllegalArgumentException(
         s"Validation.partialNumerators: rule ${u.name} — UniqueKey " +

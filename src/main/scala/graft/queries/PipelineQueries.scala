@@ -1313,8 +1313,31 @@ object PipelineQueries {
     s"${sys.props("java.io.tmpdir")}/graft_ann_$key/$layout"
   }
 
+  private def rmTree(f: java.io.File): Unit = if (f.exists()) {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  /** Build-once gate cache: the layout is authoritative only under
+    * its `_SUCCESS` sentinel in `out`. A missing sentinel means a
+    * cold cache OR a build interrupted mid-closure — and a
+    * multi-step closure (several guarded batch appends under ONE
+    * sentinel) must never replay OVER its own partial output: the
+    * replayed first batch id would sit below the on-disk max and the
+    * fresh-id / fold-watermark guards would (correctly, for a real
+    * stream) reject it as a fresh-checkpoint restart, wedging the
+    * cache forever. A cold sentinel therefore wipes `wipe` — the
+    * layout root the closure writes under, defaulting to the
+    * sentinel dir itself — and rebuilds from scratch. */
   private def ensureLayout(out: String)(write: => Unit): Unit =
-    if (!new java.io.File(out, "_SUCCESS").exists()) write
+    ensureLayout(out, out)(write)
+
+  private def ensureLayout(out: String, wipe: String)(
+      write: => Unit): Unit =
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      rmTree(new java.io.File(wipe))
+      write
+    }
 
   /** LSH top-k against the SRP-partitioned-at-rest corpus layout —
     * identical math to [[annLshTopK]] but with 4 planes (16 buckets)
@@ -3047,11 +3070,16 @@ object PipelineQueries {
       graft.streaming.DriftStream.writeBaseline(
         d.filter(col("source") === "src0"), "n_chars", root,
         bucketWidth = 100L, nBuckets = 10)
+      // coalesce: NULL-source docs belong to the streamed (non-base)
+      // slice — a bare =!= would drop them while the shared oracle
+      // counts them as n_new
       graft.streaming.DriftStream.appendBatch(
-        d.filter(col("source") =!= "src0" && col("doc_id") % 2 === 0),
+        d.filter(coalesce(col("source"), lit("")) =!= "src0" &&
+          col("doc_id") % 2 === 0),
         1L, root, "n_chars")
       graft.streaming.DriftStream.appendBatch(
-        d.filter(col("source") =!= "src0" && col("doc_id") % 2 === 1),
+        d.filter(coalesce(col("source"), lit("")) =!= "src0" &&
+          col("doc_id") % 2 === 1),
         2L, root, "n_chars")
       new java.io.File(root, "_SUCCESS").createNewFile(): Unit
     }
@@ -4026,8 +4054,10 @@ object PipelineQueries {
     // the cache sentinel lives under applied/ and is stamped AFTER
     // the diff batch: writeBase's own root/_SUCCESS alone must not
     // satisfy the cache, or a crash between base and batch would
-    // leave a skippable half-built layout (round-12 torn-state rule)
-    ensureLayout(s"$root/applied") {
+    // leave a skippable half-built layout (round-12 torn-state rule);
+    // the wipe target is the whole root so a replay never appends
+    // batch 0 against its own prior delta/watermark state
+    ensureLayout(s"$root/applied", root) {
       graft.pipeline.ChunkStore.writeBase(oldSnap, "text", "doc_id",
         root)
       graft.pipeline.ChunkStore.appendDiffBatch(
@@ -4057,7 +4087,11 @@ object PipelineQueries {
     val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"), col("text"))
     val root = layoutDir(dir, "documents", "cdc_cpt_w4_b64")
-    ensureLayout(s"$root/applied") {
+    // wipe the whole root on a cold sentinel: a crash after compact
+    // (which stamps base/watermark.json) but before applied/_SUCCESS
+    // would otherwise replay appendDiffBatch(0) against the stale
+    // fold watermark and be rejected forever
+    ensureLayout(s"$root/applied", root) {
       graft.pipeline.ChunkStore.writeBase(oldSnap, "text", "doc_id",
         root)
       graft.pipeline.ChunkStore.appendDiffBatch(
@@ -4705,6 +4739,10 @@ object PipelineQueries {
     val d = t(s, dir, "documents")
     val m = new java.io.File(root, marker)
     if (!m.exists()) {
+      // cold marker ⇒ rebuild from scratch: an interrupted build's
+      // partial delta batches would otherwise reject the replayed
+      // batch 1 as a fresh-checkpoint restart (fresh-id guard)
+      rmTree(new java.io.File(root))
       TextAnalysis.writeSpanIndex(d.filter(col("doc_id") % 3 === 0),
         "text", "doc_id", s"$root/base", n = 5, buckets = 64)
       graft.streaming.SpanStream.appendBatch(

@@ -66,10 +66,17 @@ object IvfStream {
     * [[Bm25Stream]]'s fold watermark. */
   private[graft] def requireFreshBatchId(stateDir: String,
       batchId: Long, what: String): Unit = {
-    val ids = Option(new java.io.File(stateDir).listFiles()).toSeq
-      .flatten.map(_.getName).collect {
-        case s if s.startsWith("batch=") => s.drop(6).toLong
-      }
+    // list via the Hadoop FileSystem API, NOT java.io.File: on a
+    // non-local filesystem (HDFS/S3) a java.io listing is silently
+    // empty and the guard would pass exactly where the corruption it
+    // prevents is most expensive
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(hadoopConf())
+    val ids =
+      (if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty)
+        .map(_.getPath.getName).collect {
+          case s if s.startsWith("batch=") => s.drop(6).toLong
+        }
     if (ids.nonEmpty) {
       val mx = ids.max
       require(batchId >= mx,
@@ -287,6 +294,27 @@ object IvfStream {
     * (no appends racing the `write` lambda's layout read — an append
     * in that window may or may not be folded); the manifest protects
     * the arbitrarily-long CRASH-RECOVERY window, not the write. */
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** The staged-swap machinery (sidecar marker files, atomic
+    * directory moves) is implemented over the LOCAL filesystem; on a
+    * remote root it would neither find pending swaps nor stage
+    * atomically. Fail fast instead of silently degrading — the
+    * 100 TB deployment path is to run maintenance against a local or
+    * locally-mounted layout root (or port this tier to the Hadoop
+    * FileSystem API). */
+  private def requireLocalRoot(root: String, what: String): Unit =
+    require(!root.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*://.*") ||
+        root.startsWith("file:"),
+      s"$what: layout root $root is not on the local filesystem — " +
+        "the staged-swap/sidecar maintenance tier uses local file " +
+        "operations (_SWAP_READY markers, atomic directory moves) " +
+        "and would silently misbehave on a remote scheme")
+
   private def rmRec(f: java.io.File): Unit = if (f.exists()) {
     Option(f.listFiles()).foreach(_.foreach(rmRec))
     f.delete(): Unit
@@ -320,6 +348,7 @@ object IvfStream {
       clear: Seq[String] = Seq("delta")): Unit = {
     import java.io.File
     import java.nio.file.Files
+    requireLocalRoot(root, "IvfStream.recoverPendingSwap")
     val staging = new File(s"$root/base_compact")
     val base = new File(s"$root/base")
     val marker = new File(staging, "_SWAP_READY")
@@ -340,6 +369,7 @@ object IvfStream {
       clear: Seq[String] = Seq("delta"))(write: String => Unit): Unit = {
     import java.io.File
     import java.nio.file.Files
+    requireLocalRoot(root, "IvfStream.stagedSwap")
     val staging = new File(s"$root/base_compact")
     val base = new File(s"$root/base")
     val marker = new File(staging, "_SWAP_READY")

@@ -2414,5 +2414,72 @@ class PipelineSpec extends SparkSpec {
       Validation.check(rows, Seq(
         Completeness("dup", "v", 1.0), Completeness("dup", "v", 0.5)))
     }
+    // names land verbatim in generated stack() SQL and in parquet
+    // column names — lexically unsafe ones are rejected, not parsed
+    for (bad <- Seq("a'b", "a`b", "a,b", "a b", ""))
+      intercept[IllegalArgumentException] {
+        Validation.check(rows, Seq(Completeness(bad, "v", 1.0)))
+      }
+  }
+
+  test("gate cache crash replay: cold sentinel rebuilds multi-batch layouts from scratch") {
+    import graft.queries.PipelineQueries
+    val dir = sf("sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // dq_incremental: three guarded batch appends under ONE sentinel.
+    // A cold sentinel over a fully-populated layout (crash after the
+    // last append, before the stamp) must rebuild, not replay batch 0
+    // against on-disk max 2 and wedge on the fresh-id guard.
+    val first = rows(PipelineQueries.dqIncremental(spark, dir))
+    val dqRoot = PipelineQueries.layoutDir(dir, "lineitem",
+      "dq_partials_v1")
+    assert(new java.io.File(dqRoot, "_SUCCESS").delete())
+    assert(rows(PipelineQueries.dqIncremental(spark, dir)) === first)
+    // pp_cdc_compacted: compact stamps base/watermark.json; a crash
+    // before applied/_SUCCESS must not leave the replayed
+    // appendDiffBatch(0) wedged below the stale fold watermark.
+    val cptFirst = rows(PipelineQueries.ppCdcCompacted(spark, dir))
+    val cptRoot = PipelineQueries.layoutDir(dir, "documents",
+      "cdc_cpt_w4_b64")
+    assert(new java.io.File(s"$cptRoot/applied/_SUCCESS").delete())
+    assert(new java.io.File(s"$cptRoot/base/watermark.json").exists(),
+      "precondition: the prior compact left its fold watermark")
+    assert(rows(PipelineQueries.ppCdcCompacted(spark, dir)) === cptFirst)
+    // span index: same shape, marker-file sentinel
+    val spanFirst =
+      rows(PipelineQueries.ddExactSubstringIncremental(spark, dir))
+    val spanRoot = PipelineQueries.layoutDir(dir, "documents",
+      "spanidx_incr_n5_b64")
+    assert(new java.io.File(spanRoot, "_BUILT").delete())
+    assert(rows(PipelineQueries.ddExactSubstringIncremental(spark, dir))
+      === spanFirst)
+  }
+
+  test("chunk store: writeBase over a previously-compacted root clears the stale fold watermark") {
+    def txt(seed: Int) =
+      (0 until 60).map(i => s"r${(i * 5 + seed) % 23}z$i").mkString(" ")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-chunkstore-rebuild").toString
+    val s0 = Seq((1L, txt(0)), (2L, txt(1))).toDF("doc_id", "text")
+    val s1 = Seq((1L, txt(0)), (2L, txt(2))).toDF("doc_id", "text")
+    ChunkStore.writeBase(s0, "text", "doc_id", root)
+    ChunkStore.appendDiffBatch(
+      Dedup.snapshotDiff(s0, s1, "doc_id", "text"), s1, 0L, root,
+      "text", "doc_id")
+    ChunkStore.compact(spark, root)
+    // a rebuilt base starts a FRESH store: its first delta batch may
+    // reuse id 0 without tripping the prior compact's watermark
+    ChunkStore.writeBase(s0, "text", "doc_id", root)
+    ChunkStore.appendDiffBatch(
+      Dedup.snapshotDiff(s0, s1, "doc_id", "text"), s1, 0L, root,
+      "text", "doc_id")
+    val live = ChunkStore.liveChunks(spark, root)
+      .select($"doc_id", $"chunk_id", $"fingerprint")
+      .as[(Long, Long, String)].collect().toSet
+    val rebuilt = Sampling.chunkContentDefined(s1, "text", "doc_id")
+      .select($"doc_id", $"chunk_id", $"fingerprint")
+      .as[(Long, Long, String)].collect().toSet
+    assert(live === rebuilt)
   }
 }

@@ -1188,6 +1188,17 @@ class StreamingSpec extends SparkSpec {
       IvfStream.appendBatch(emb.limit(1), 0L, ivf, cents,
         "embedding", "vec_id"))
     assert(e3.getMessage.contains("below the newest committed batch"))
+    // the guard lists via the Hadoop FileSystem API, so a file:-scheme
+    // URI sees the same committed state a bare local path does
+    val e4 = intercept[IllegalArgumentException](
+      IvfStream.appendBatch(emb.limit(1), 0L, s"file:$ivf", cents,
+        "embedding", "vec_id"))
+    assert(e4.getMessage.contains("below the newest committed batch"))
+    // the staged-swap sidecar tier is local-only and says so up front
+    // instead of silently finding no pending swap on a remote scheme
+    val e5 = intercept[IllegalArgumentException](
+      IvfStream.compact(spark, "s3a://bucket/layout"))
+    assert(e5.getMessage.contains("not on the local filesystem"))
   }
 
   test("codebook refresh re-partitions the live layout by the new assignment") {
