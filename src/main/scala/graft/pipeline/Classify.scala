@@ -38,21 +38,37 @@ object Classify {
   private def dlog(c: Column): Column =
     round(c.cast(DecimalType(20, 10)), 6).cast(DecimalType(20, 6))
 
-  /** Laplace-smoothed log-likelihood grid: one row for EVERY
-    * (class, vocab token) pair — including tokens unseen in a class,
-    * whose smoothed mass `ln(1/(n_tok_c + V))` is exactly what an
-    * absent join row must contribute at apply time (a sparse model
-    * would silently drop it). Output: (label, token, loglik
-    * DECIMAL(20,6)). */
-  def nbModel(train: DataFrame, textCol: String,
-      labelCol: String): DataFrame = {
-    val toks = train.select(col(labelCol).as("label"),
+  /** The model's ADDITIVE sufficient statistics: per-(class, token)
+    * occurrence counts, `(label, token, cnt)`. Two batches' counts
+    * sum cell-wise into the union's counts — which is what lets
+    * [[graft.streaming.NbStream]] maintain the classifier
+    * incrementally with the grid derived, not stored. */
+  def tokenCounts(train: DataFrame, textCol: String,
+      labelCol: String): DataFrame =
+    train.select(col(labelCol).as("label"),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
-    val counts = toks.groupBy(col("label"), col("token"))
+      .groupBy(col("label"), col("token"))
       .agg(count(lit(1)).as("cnt"))
-    val classTotals = toks.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_tok"))
-    val vocab = toks.select(col("token")).distinct()
+
+  /** The priors' additive sufficient statistics:
+    * `(label, n_docs)`. */
+  def docCounts(train: DataFrame, labelCol: String): DataFrame =
+    train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Laplace-smoothed log-likelihood grid from `(label, token, cnt)`
+    * sufficient statistics: one row for EVERY (class, vocab token)
+    * pair — including tokens unseen in a class, whose smoothed mass
+    * `ln(1/(n_tok_c + V))` is exactly what an absent join row must
+    * contribute at apply time (a sparse model would silently drop
+    * it). Class token totals and the vocab both derive from the
+    * counts themselves, so a model built from folded streamed counts
+    * is bit-identical to retraining on the union. Output:
+    * (label, token, loglik DECIMAL(20,6)). */
+  def nbModelFromCounts(counts: DataFrame): DataFrame = {
+    val classTotals = counts.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("n_tok"))
+    val vocab = counts.select(col("token")).distinct()
     val vSize = vocab.agg(count(lit(1)).as("v_size"))
     vocab.crossJoin(broadcast(classTotals)).crossJoin(broadcast(vSize))
       .join(counts, Seq("label", "token"), "left_outer")
@@ -62,17 +78,23 @@ object Classify {
           (col("n_tok") + col("v_size")).cast("double"))).as("loglik"))
   }
 
-  /** Log class priors from the train split:
+  /** Log class priors from `(label, n_docs)` sufficient statistics:
     * (label, logprior DECIMAL(20,6)). */
-  def nbPriors(train: DataFrame, labelCol: String): DataFrame = {
-    val perClass = train.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("n_docs"))
+  def nbPriorsFromCounts(perClass: DataFrame): DataFrame =
     perClass.crossJoin(broadcast(
       perClass.agg(sum(col("n_docs")).as("n_total"))))
       .select(col("label"),
         dlog(log(col("n_docs").cast("double") /
           col("n_total").cast("double"))).as("logprior"))
-  }
+
+  /** One-shot training: [[tokenCounts]] → [[nbModelFromCounts]]. */
+  def nbModel(train: DataFrame, textCol: String,
+      labelCol: String): DataFrame =
+    nbModelFromCounts(tokenCounts(train, textCol, labelCol))
+
+  /** One-shot priors: [[docCounts]] → [[nbPriorsFromCounts]]. */
+  def nbPriors(train: DataFrame, labelCol: String): DataFrame =
+    nbPriorsFromCounts(docCounts(train, labelCol))
 
   /** Classify `test` documents against a trained (model, priors)
     * pair: `score(c) = logprior(c) + Σ_tok cnt(tok)·loglik(tok, c)`,

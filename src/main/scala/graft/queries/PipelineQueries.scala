@@ -4194,11 +4194,7 @@ object PipelineQueries {
   def ppNbModel(s: SparkSession, dir: String): DataFrame = {
     val train = t(s, dir, "documents")
       .filter(col("doc_id") % 5 =!= 0)
-    Classify.nbModel(train, "text", "lang")
-      .select(col("label"), col("token"),
-        round(col("loglik").cast(DecimalType28_10), 6)
-          .cast("double").as("loglik"))
-      .orderBy(col("label"), col("token"))
+    nbModelReport(Classify.nbModel(train, "text", "lang"))
   }
 
   private val DecimalType28_10 =
@@ -4299,6 +4295,53 @@ object PipelineQueries {
            AS score
        FROM nranked r JOIN ntest t USING (doc_id)
        WHERE rn = 1 ORDER BY r.doc_id"""
+
+  /** The shared output projection of every NB-model gate — identical
+    * column shape for the inline, at-rest and incremental forms so
+    * they all gate against [[ppNbModelSql]] verbatim. */
+  private def nbModelReport(model: DataFrame): DataFrame =
+    model.select(col("label"), col("token"),
+      round(col("loglik").cast(DecimalType28_10), 6)
+        .cast("double").as("loglik"))
+      .orderBy(col("label"), col("token"))
+
+  /** [[ppNbModel]] over the at-rest sufficient-statistics store
+    * ([[graft.streaming.NbStream]]): the train split's token/doc
+    * counts persisted once, the smoothed grid DERIVED at read — the
+    * model store holds additive counts, not logliks, which is what
+    * makes it incrementally maintainable. Shares [[ppNbModelSql]]
+    * VERBATIM (lossless-store proof). */
+  def ppNbModelAtRest(s: SparkSession, dir: String): DataFrame = {
+    val train = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+    val root = layoutDir(dir, "documents", "nb_counts_lang")
+    ensureLayout(root) {
+      graft.streaming.NbStream.appendBatch(train, 0L, root, "text",
+        "lang")
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    nbModelReport(graft.streaming.NbStream.model(s, root))
+  }
+
+  /** The NB model INCREMENTALLY maintained: the train split arriving
+    * as three streamed batches, each persisting only its own additive
+    * `(label, token, cnt)` / `(label, n_docs)` partials; the grid
+    * derives from the folded sums. Bit-identical to retraining on
+    * the union — gated against [[ppNbModelSql]] VERBATIM. */
+  def ppNbIncremental(s: SparkSession, dir: String): DataFrame = {
+    val train = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+    val root = layoutDir(dir, "documents", "nb_counts_incr_lang")
+    ensureLayout(root) {
+      (0L to 2L).foreach { b =>
+        graft.streaming.NbStream.appendBatch(
+          train.filter(col("doc_id") % 3 === b), b, root, "text",
+          "lang")
+      }
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    nbModelReport(graft.streaming.NbStream.model(s, root))
+  }
 
   /** Declarative data-quality validation ([[graft.pipeline.Validation]]):
     * a seven-rule Deequ-style check set over lineitem — completeness,
@@ -5334,6 +5377,8 @@ object PipelineQueries {
     "dq_incremental" -> (dqIncremental _),
     "gr_triangles" -> (grTriangles _),
     "pp_nb_model" -> (ppNbModel _),
+    "pp_nb_model_at_rest" -> (ppNbModelAtRest _),
+    "pp_nb_incremental" -> (ppNbIncremental _),
     "pp_nb_classify" -> (ppNbClassify _),
     "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
@@ -5396,7 +5441,7 @@ object PipelineQueries {
     "pp_semdedup_e2e",
     "pp_bm25_search", "pp_hybrid_search", "pp_hard_negatives",
     "ta_heavy_hitters", "pp_bpe_train", "pp_bpe_apply",
-    "pp_bpe_tokenize")
+    "pp_bpe_tokenize", "pp_nb_model")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -5535,6 +5580,8 @@ object PipelineQueries {
     "dq_incremental" -> dqIncrementalSql,
     "gr_triangles" -> grTrianglesSql,
     "pp_nb_model" -> ppNbModelSql,
+    "pp_nb_model_at_rest" -> ppNbModelSql,
+    "pp_nb_incremental" -> ppNbModelSql,
     "pp_nb_classify" -> ppNbClassifySql,
     "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.Classify
+
+/** Streaming maintainer for the multinomial Naive Bayes classifier
+  * ([[Classify]]) — the curation-pipeline classifier retrained as
+  * labeled data arrives, without ever rescanning history.
+  *
+  * The smoothed log-likelihood grid itself is NOT additive (the
+  * Laplace denominator `n_tok_c + V` moves with every batch), but its
+  * SUFFICIENT STATISTICS are: per-batch `(label, token, cnt)` token
+  * counts and `(label, n_docs)` doc counts sum cell-wise, so each
+  * micro-batch persists its own counts under `counts/batch=<id>` /
+  * `docs/batch=<id>` and the live model derives from the folded sums
+  * through [[Classify.nbModelFromCounts]] — bit-identical to
+  * retraining on the union of all batches (the [[DqStream]]/
+  * [[CmsStream]] additive-partials argument applied to the model
+  * tier; the driver gate proves it against the one-shot oracle
+  * verbatim).
+  *
+  * Scale shape: a batch's partial is vocabulary-sized (distinct
+  * tokens seen in the batch × its labels), never corpus-sized; the
+  * fold is one keyed sum over `batches × vocab` rows; deriving the
+  * grid is model-sized work. Nothing here rescans documents.
+  *
+  * Layout contract: append-only additive partials — each batch's
+  * rows derive ONLY from the batch (replay-idempotent overwrite),
+  * reused ids rejected by the shared fresh-id guard. */
+object NbStream {
+
+  /** One micro-batch's additive sufficient statistics → its own
+    * `batch=` partitions. */
+  private[graft] def appendBatch(batch: DataFrame, batchId: Long,
+      root: String, textCol: String, labelCol: String): Unit = {
+    IvfStream.requireFreshBatchId(s"$root/counts", batchId,
+      "NbStream.appendBatch")
+    Classify.tokenCounts(batch, textCol, labelCol)
+      .write.mode("overwrite").parquet(s"$root/counts/batch=$batchId")
+    Classify.docCounts(batch, labelCol)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
+  }
+
+  private def foldedCounts(spark: SparkSession, root: String): DataFrame =
+    try spark.read.parquet(s"$root/counts")
+      .groupBy(col("label"), col("token"))
+      .agg(sum(col("cnt")).as("cnt"))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if IvfStream.missingPath(e) =>
+        throw new IllegalStateException(
+          s"NbStream: no count partials under $root — stream at " +
+            "least one batch before asking for a model")
+    }
+
+  /** The live smoothed log-likelihood grid over everything streamed
+    * so far — identical schema and values to
+    * [[Classify.nbModel]] on the union of all appended batches. */
+  def model(spark: SparkSession, root: String): DataFrame =
+    Classify.nbModelFromCounts(foldedCounts(spark, root))
+
+  /** The live log class priors over everything streamed so far. */
+  def priors(spark: SparkSession, root: String): DataFrame =
+    Classify.nbPriorsFromCounts(
+      spark.read.parquet(s"$root/docs")
+        .groupBy(col("label"))
+        .agg(sum(col("n_docs")).as("n_docs")))
+
+  /** Maintain the model store from a parquet directory of labeled
+    * documents as files arrive. */
+  def run(spark: SparkSession, inputDir: String, root: String,
+      checkpointDir: String, textCol: String, labelCol: String,
+      maxFilesPerTrigger: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow(),
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
+    val inputSchema =
+      schema.getOrElse(spark.read.parquet(inputDir).schema)
+    spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendBatch(b, id, root, textCol, labelCol)
+      }
+      .start()
+  }
+}

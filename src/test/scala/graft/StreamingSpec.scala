@@ -1871,6 +1871,59 @@ class StreamingSpec extends SparkSpec {
     assert(e4.getMessage.contains("no partials"))
   }
 
+  test("incremental NB model equals one-shot retraining; streaming-driven; guards fire") {
+    import java.nio.file.Files
+    import graft.pipeline.Classify
+    import graft.streaming.NbStream
+    val in = Files.createTempDirectory("graft-nb-in")
+    val root = Files.createTempDirectory("graft-nb-root").toString
+    val ckpt = Files.createTempDirectory("graft-nb-ckpt").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    def grid(df: org.apache.spark.sql.DataFrame) = df
+      .select($"label", $"token", $"loglik".cast("string"))
+      .as[(String, String, String)].collect().toSet
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-nb-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(docs.filter($"doc_id" % 2 === 0), "c1.parquet")
+    val q = NbStream.run(spark, in.toString, root, ckpt, "text", "lang",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(docs.filter($"doc_id" % 2 === 1), "c2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // the grid is non-additive (Laplace denominators move per batch)
+    // but its sufficient statistics fold, so the derived model equals
+    // one-shot retraining on the union — logliks bit-identical
+    val oneShot = grid(Classify.nbModel(docs, "text", "lang"))
+    assert(grid(NbStream.model(spark, root)) === oneShot)
+    val oneShotPriors = Classify.nbPriors(docs, "lang")
+      .select($"label", $"logprior".cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(NbStream.priors(spark, root)
+      .select($"label", $"logprior".cast("string"))
+      .as[(String, String)].collect().toSet === oneShotPriors)
+    // replaying the newest batch regenerates, never double-counts
+    NbStream.appendBatch(docs.filter($"doc_id" % 2 === 1), 1L, root,
+      "text", "lang")
+    assert(grid(NbStream.model(spark, root)) === oneShot)
+    // a reused LOWER id can only be a fresh-checkpoint restart
+    val e1 = intercept[IllegalArgumentException](
+      NbStream.appendBatch(docs.limit(5), 0L, root, "text", "lang"))
+    assert(e1.getMessage.contains("below the newest committed batch"))
+    // a model with nothing streamed is a loud error, not an empty grid
+    val e2 = intercept[IllegalStateException](
+      NbStream.model(spark,
+        Files.createTempDirectory("graft-nb-empty").toString))
+    assert(e2.getMessage.contains("no count partials"))
+  }
+
   test("incremental span index equals a full rebuild; compaction and crash recovery lossless") {
     import java.nio.file.Files
     import graft.pipeline.TextAnalysis
