@@ -61,6 +61,16 @@ object GramStream {
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, textCol: String, keyCol: String, n: Int,
       buckets: Int): Unit = {
+    // Deliberately NO recoverPendingSwap preamble (unlike the
+    // prior-state readers Bm25Stream/LshStream/ChunkStore): this
+    // append derives ONLY from the batch, and the _SWAP_READY
+    // manifest makes a mid-swap append safe in both directions — a
+    // NEW id is absent from the manifest so recovery keeps it, and a
+    // replayed FOLDED id regenerates bit-identical trees that
+    // recovery deletes while the staged base already holds their
+    // rows. Recovering FIRST would invert the second case: the
+    // replayed folded id would land AFTER the swap and double every
+    // one of its rows (StreamingSpec pins both directions).
     IvfStream.requireFreshBatchId(s"$root/delta", batchId,
       "GramStream.appendBatch")
     Dedup.gramIndexRows(batch, textCol, keyCol, n, buckets)

@@ -108,6 +108,10 @@ object IvfStream {
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, centroids: DataFrame, vecCol: String,
       keyCol: String): Unit = {
+    // Deliberately NO recoverPendingSwap preamble: additive append,
+    // manifest-protected in both mid-swap directions — see
+    // GramStream.appendBatch for the full argument (recovering first
+    // would double a replayed folded id's rows).
     requireFreshBatchId(s"$root/delta", batchId, "IvfStream.appendBatch")
     Similarity.ivfAssign(batch, vecCol, keyCol, centroids)
       .withColumn("cent_id", col("cent_id").cast("int"))

@@ -57,6 +57,10 @@ object SpanStream {
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, textCol: String, keyCol: String, n: Int,
       buckets: Int): Unit = {
+    // Deliberately NO recoverPendingSwap preamble: additive append,
+    // manifest-protected in both mid-swap directions — see
+    // GramStream.appendBatch for the full argument (recovering first
+    // would double a replayed folded id's rows).
     // guard on the tree written LAST: a batch that crashed between
     // the two writes replays with id == max(delta_grams)+0/1, both
     // allowed; a reused lower id is rejected before any write

@@ -1754,6 +1754,83 @@ class StreamingSpec extends SparkSpec {
     assert(probe() === fullHits)
   }
 
+  test("mid-swap appends: prior-state readers recover first; additive appenders are manifest-protected both ways") {
+    // Family-wide closure of the round-11 ADVICE-1 bug class. Two
+    // disciplines, both pinned here:
+    //  - PRIOR-STATE READERS (LshStream here; Bm25Stream and
+    //    ChunkStore have their own cases) run recoverPendingSwap
+    //    FIRST — mid-swap their base readers' missingPath fallback
+    //    would silently see an empty base and skip supersedes.
+    //  - ADDITIVE appenders (GramStream here; IvfStream scenario B in
+    //    the staged-swap test, SpanStream in its own case) do NOT
+    //    recover: the manifest protects both directions — a NEW id is
+    //    absent from the manifest and survives recovery, a replayed
+    //    FOLDED id regenerates trees recovery deletes while the
+    //    staged base already holds the rows. Recovering first would
+    //    double the folded-id replay.
+    // CmsStream/DriftStream/DqStream/NbStream/LmStream/CurationStream
+    // have no compaction tier at all — no swap can be pending.
+    import java.nio.file.Files
+    import graft.pipeline.Dedup
+    import graft.streaming.{GramStream, LshStream}
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    def asId(srcId: Long, newId: Long) =
+      docs.filter($"doc_id" === srcId).withColumn("doc_id", lit(newId))
+    def pendSwap(root: String, manifest: String): Unit = {
+      Files.move(new java.io.File(s"$root/base").toPath,
+        new java.io.File(s"$root/base_compact").toPath)
+      Files.write(
+        new java.io.File(s"$root/base_compact/_SWAP_READY").toPath,
+        manifest.getBytes("UTF-8"))
+    }
+    // --- LshStream.processBatch: recover-first ---
+    val lsh = Files.createTempDirectory("graft-midswap-lsh").toString
+    LshStream.processBatch(docs.filter($"doc_id" < 200), 1L,
+      s"$lsh/pairs", s"$lsh/bands", "text", "doc_id", 8, 4)
+    LshStream.compact(spark, lsh)
+    pendSwap(lsh, "") // crash after fold: nothing left to clear
+    // mid-swap batch re-crawls base-resident key 7 with doc 11's
+    // text: without recovery-first the empty-base fallback would skip
+    // the supersede row and 7's STALE bands would keep matching
+    LshStream.processBatch(asId(11L, 7L), 2L,
+      s"$lsh/pairs", s"$lsh/bands", "text", "doc_id", 8, 4)
+    assert(new java.io.File(s"$lsh/base/bands").exists() &&
+      !new java.io.File(s"$lsh/base_compact").exists(),
+      "processBatch did not complete the pending swap first")
+    LshStream.processBatch(asId(7L, 7000L), 3L,
+      s"$lsh/pairs", s"$lsh/bands", "text", "doc_id", 8, 4)
+    val got = LshStream.pairs(spark, lsh).as[(Long, Long)].collect().toSet
+    assert(!got.exists(p => p._1 == 7000L || p._2 == 7000L),
+      "stale bands of the mid-swap re-crawl kept matching")
+    // --- GramStream.appendBatch: additive, manifest-protected ---
+    val g = Files.createTempDirectory("graft-midswap-gram").toString
+    Dedup.writeGramIndex(docs.filter($"doc_id" % 3 === 0), "text",
+      "doc_id", s"$g/base", n = 5, buckets = 16)
+    GramStream.appendBatch(docs.filter($"doc_id" % 3 === 1), 1L, g,
+      "text", "doc_id", n = 5, buckets = 16)
+    GramStream.compact(spark, g)
+    val foldedCount = GramStream.layout(spark, g).count()
+    // (b) a replayed FOLDED id written mid-swap is dropped by
+    // recovery — the staged base already holds its rows; a
+    // recover-first appender would land it AFTER the swap and double
+    // every row
+    pendSwap(g, "delta/batch=1")
+    GramStream.appendBatch(docs.filter($"doc_id" % 3 === 1), 1L, g,
+      "text", "doc_id", n = 5, buckets = 16)
+    GramStream.compact(spark, g)
+    assert(GramStream.layout(spark, g).count() === foldedCount,
+      "replayed folded id double-counted through recovery")
+    // (a) a NEW id written mid-swap is not in the manifest and
+    // survives recovery
+    pendSwap(g, "")
+    GramStream.appendBatch(docs.filter($"doc_id" % 3 === 2), 2L, g,
+      "text", "doc_id", n = 5, buckets = 16)
+    GramStream.compact(spark, g)
+    assert(GramStream.layout(spark, g).count() ===
+      Dedup.gramIndexRows(docs, "text", "doc_id", 5, 16).count(),
+      "post-crash new batch was lost to recovery")
+  }
+
   test("incremental drift monitor equals the inline two-slice report; streaming-driven") {
     import java.nio.file.Files
     import graft.pipeline.TextAnalysis
