@@ -1044,6 +1044,223 @@ object TextAnalysis {
     tokenizeWith(docs, textCol, keyCol,
       bpeSegmentFast(docs, textCol, merges))
 
+  // -----------------------------------------------------------------
+  // Unigram-LM tokenizer (SentencePiece-flavored, Kudo 2018
+  // arXiv:1804.10959), hard-EM / Viterbi variant: the OTHER
+  // production tokenizer family next to BPE. Training seeds a
+  // candidate vocabulary from substring counts (§3.2's seeding), then
+  // EM rounds re-estimate piece probabilities from segmentation
+  // counts; we use hard EM (Viterbi counts, the paper's l=1 n-best
+  // special case) so every quantity is an exact integer count or a
+  // decimal-quantized log and the whole trainer replays bit-identical
+  // on the DuckDB oracle — the engine's determinism house rule.
+  // Pieces that win no Viterbi mass are pruned each round (the
+  // count-based analogue of the paper's loss-ranked pruning); single
+  // characters are floored at count 1 so every corpus word stays
+  // segmentable.
+  //
+  // Determinism contract (shared with the oracle CTEs verbatim):
+  //  - piece cost = ROUND(CAST(ln(total/cnt) AS DECIMAL(20,10)), 6)
+  //    — the NB classifier's proven 6-dp quantization, so Viterbi
+  //    path sums are exact decimal arithmetic;
+  //  - Viterbi minimizes (cost, n_pieces) lexicographically, ties
+  //    broken by the SHORTEST last piece — a total order, so the
+  //    segmentation is unique on both engines.
+  //
+  // Scale shape: one corpus shuffle to the distinct-word table; every
+  // EM round is vocabulary-sized (candidate explode is scan-local,
+  // len·maxPieceLen rows per word); segmentation broadcasts the
+  // model-sized (piece → cost) map and runs scan-local per word, the
+  // bpeSegmentFast discipline — nothing in the plan grows with the
+  // corpus beyond the one word count.
+  // -----------------------------------------------------------------
+
+  /** Candidate piece inventory: every substring of every corpus word
+    * up to `maxPieceLen` code points, occurrence-weighted (a piece
+    * occurring twice in a word counts twice per word occurrence).
+    * Single characters are always kept — they guarantee every word
+    * segments; longer pieces must clear `minCount`.
+    * Input (word, cnt); output (piece, cnt). */
+  private[graft] def unigramCandidates(wordCounts: DataFrame,
+      maxPieceLen: Int, minCount: Long): DataFrame = {
+    val pairs = flatten(transform(
+      sequence(lit(1), length(col("word"))),
+      i => transform(sequence(lit(1), lit(maxPieceLen)),
+        l => struct(i.as("i"), l.as("l")))))
+    val pieces = transform(
+      filter(pairs, p =>
+        p("i") + p("l") - 1 <= length(col("word"))),
+      p => col("word").substr(p("i"), p("l")))
+    wordCounts.select(col("cnt"), explode(pieces).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") >= minCount || length(col("piece")) === 1)
+  }
+
+  /** Attach the quantized -log-probability cost to a (piece, cnt)
+    * vocabulary: `ROUND(CAST(ln(total/cnt) AS DECIMAL(20,10)), 6)` —
+    * exact integer inputs, one IEEE division, one ln, then the 6-dp
+    * decimal quantization both engines provably share (the
+    * [[graft.pipeline.Classify]] contract). Output
+    * (piece, cnt, cost DECIMAL(20,6)). */
+  private[graft] def unigramCosts(vocab: DataFrame): DataFrame =
+    vocab.crossJoin(broadcast(vocab.agg(sum(col("cnt")).as("total"))))
+      .select(col("piece"), col("cnt"),
+        round(log(col("total").cast("double") /
+            col("cnt").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 10)), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6))
+          .as("cost"))
+
+  /** Viterbi-segment ONE word under a (piece → cost) model: minimize
+    * (Σ cost, piece count) lexicographically over all segmentations
+    * into model pieces of ≤ `maxPieceLen` code points, ties broken by
+    * the shortest last piece at every DP cell. Exact decimal sums —
+    * no float path. Throws when the word cannot be segmented (a
+    * character outside the model — impossible for a model trained on
+    * the same corpus, and silently emitting the raw word would
+    * diverge from the oracle with no error anywhere). */
+  private[graft] def viterbiSegment(word: String,
+      costs: java.util.HashMap[String, java.math.BigDecimal],
+      maxPieceLen: Int): Array[String] = {
+    val syms = toSymbols(word)
+    val L = syms.length
+    val bestCost = new Array[java.math.BigDecimal](L + 1)
+    val bestK = new Array[Int](L + 1)
+    val backS = new Array[Int](L + 1)
+    bestCost(0) = java.math.BigDecimal.ZERO
+    var p = 1
+    while (p <= L) {
+      var s = 1
+      val smax = math.min(p, maxPieceLen)
+      while (s <= smax) {
+        if (bestCost(p - s) != null) {
+          val piece = syms.slice(p - s, p).mkString
+          val c = costs.get(piece)
+          if (c != null) {
+            val cand = bestCost(p - s).add(c)
+            val candK = bestK(p - s) + 1
+            val cmp = if (bestCost(p) == null) -1
+              else {
+                val d = cand.compareTo(bestCost(p))
+                if (d != 0) d else Integer.compare(candK, bestK(p))
+              }
+            // strict improvement only: s ascends, so equal (cost, k)
+            // keeps the SMALLER s — the oracle's ORDER BY cost, k, s
+            if (cmp < 0) {
+              bestCost(p) = cand; bestK(p) = candK; backS(p) = s
+            }
+          }
+        }
+        s += 1
+      }
+      p += 1
+    }
+    require(bestCost(L) != null,
+      s"unigram viterbi: word '$word' has a character outside the " +
+        "model vocabulary — segment with a model trained on (or " +
+        "covering) this corpus")
+    val out = new Array[String](bestK(L))
+    var pos = L
+    var k = bestK(L) - 1
+    while (pos > 0) {
+      val s = backS(pos)
+      out(k) = syms.slice(pos - s, pos).mkString
+      pos -= s
+      k -= 1
+    }
+    out
+  }
+
+  private def collectModel(costs: DataFrame)
+      : java.util.HashMap[String, java.math.BigDecimal] = {
+    // model-sized collect (vocabulary × 1 row each) — the same
+    // driver-constant discipline as bpeSegmentFast's merge ranks
+    val m = new java.util.HashMap[String, java.math.BigDecimal]()
+    costs.select(col("piece"), col("cost")).collect().foreach { r =>
+      m.put(r.getString(0), r.getDecimal(1)): Unit
+    }
+    m
+  }
+
+  /** Viterbi-segment a word-count table under a broadcast model; one
+    * scan-local mapPartitions pass (the [[bpeSegmentFast]] shape).
+    * Output (word, pieces, n_pieces). */
+  private def segmentWordTable(words: DataFrame,
+      model: java.util.HashMap[String, java.math.BigDecimal],
+      maxPieceLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    words.select(col("word")).as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { w =>
+          val pieces = viterbiSegment(w, m, maxPieceLen)
+          (w, pieces.mkString(" "), pieces.length.toLong)
+        }
+      }
+      .toDF("word", "pieces", "n_pieces")
+  }
+
+  /** Train the unigram LM: substring-count seeding, then `rounds` of
+    * hard EM (Viterbi counts → re-estimated costs, zero-count pieces
+    * pruned, single characters floored at count 1). Output: the final
+    * vocabulary (piece, cnt, cost DOUBLE). */
+  def unigramTrain(docs: DataFrame, textCol: String, rounds: Int,
+      maxPieceLen: Int = 4, minCount: Long = 3L): DataFrame = {
+    require(rounds >= 1 && maxPieceLen >= 1,
+      s"unigramTrain: rounds >= 1, maxPieceLen >= 1; got " +
+        s"rounds=$rounds maxPieceLen=$maxPieceLen")
+    val wc = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // eager: vocabulary-sized by construction
+    var vocab = unigramCandidates(wc, maxPieceLen, minCount)
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val model = collectModel(unigramCosts(vocab))
+      val counted = segmentWordTable(wc, model, maxPieceLen)
+        .select(col("word"),
+          explode(split(col("pieces"), " ")).as("piece"))
+        .join(wc, Seq("word"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+      // zero-count pieces are pruned by absence; characters survive
+      // at count 1 so the next round's model still covers every word
+      val charFloor = vocab.filter(length(col("piece")) === 1)
+        .select(col("piece"))
+        .join(counted, Seq("piece"), "left_anti")
+        .withColumn("cnt", lit(1L))
+      vocab = counted.unionByName(charFloor).localCheckpoint()
+    }
+    unigramCosts(vocab)
+      .select(col("piece"), col("cnt"),
+        col("cost").cast("double").as("cost"))
+  }
+
+  /** The trained model as driver constants, for [[unigramSegment]] —
+    * (piece, cost) pairs off [[unigramTrain]]'s output. */
+  def unigramModel(trained: DataFrame)
+      : Seq[(String, java.math.BigDecimal)] =
+    trained.select(col("piece"),
+        col("cost").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1))).toSeq
+
+  /** Viterbi segmentation of a relation's distinct words under a
+    * trained unigram model — the [[bpeSegment]] output contract
+    * (word, pieces, n_pieces), scan-local with the model broadcast
+    * as a driver constant. */
+  def unigramSegment(docs: DataFrame, textCol: String,
+      model: Seq[(String, java.math.BigDecimal)],
+      maxPieceLen: Int = 4): DataFrame = {
+    val m = new java.util.HashMap[String, java.math.BigDecimal]()
+    model.foreach { case (p, c) => m.put(p, c): Unit }
+    segmentWordTable(
+      docs.select(explode(tokens(col(textCol))).as("word")).distinct(),
+      m, maxPieceLen)
+      .orderBy(col("word"))
+  }
+
+
   /** T5-style span corruption (Raffel et al. 2020) — the
     * pretraining-pair generator: ~19% of each document's tokens are
     * masked, contiguous masked runs collapse to one sentinel in the

@@ -3452,6 +3452,171 @@ object PipelineQueries {
       "doc_id", m)
   }
 
+  // ---------------------------------------------------------------
+  // Unigram-LM tokenizer gates ([[TextAnalysis.unigramTrain]] /
+  // unigramSegment): the oracle replays the ENTIRE trainer — the
+  // substring-count seeding, every hard-EM round's Viterbi DP
+  // (unrolled position by position up to ugMaxWord, the pp_bpe_train
+  // unrolling pattern), the backward path walk, the occurrence-
+  // weighted recount with the char floor, and the 6-dp decimal cost
+  // quantization — so the train gate hash-proves each round's counts
+  // AND costs, and the apply gate the segmentation itself,
+  // engine-neutral. MATERIALIZED is load-bearing throughout (each DP
+  // stage references the previous; DuckDB would inline the chain
+  // exponentially — the pp_bpe_train lesson).
+  // ---------------------------------------------------------------
+
+  private val ugRounds = 2
+  private val ugMaxPiece = 4
+  private val ugMaxWord = 12 // oracle DP unroll; corpus max word = 8
+  private val ugMinCount = 3
+
+  /** Quantized -log-prob cost table over vocabulary `vTab`:
+    * `$name` = (piece, cnt, cost DECIMAL(20,6)). */
+  private def ugCostCte(name: String, vTab: String): String =
+    s"""$name AS MATERIALIZED (
+         SELECT piece, cnt,
+           CAST(ROUND(CAST(ln(CAST(t.total AS DOUBLE) /
+                              CAST(v.cnt AS DOUBLE))
+             AS DECIMAL(20,10)), 6) AS DECIMAL(20,6)) AS cost
+         FROM $vTab v CROSS JOIN
+           (SELECT SUM(cnt) AS total FROM $vTab) t)"""
+
+  /** One full Viterbi pass over `wc` under cost table `cTab`: the
+    * forward DP (one CTE per position; candidates per last-piece
+    * length unioned and the lexicographic (cost, k, s) minimum kept
+    * via QUALIFY) and the backward path walk (one CTE per step,
+    * prepending the chosen last piece). Emits `${pfx}seg` =
+    * (word, pieces). */
+  private def ugViterbiCtes(pfx: String, cTab: String): String = {
+    val d0 =
+      s"""${pfx}d0 AS MATERIALIZED (
+           SELECT word, 0 AS p, CAST(0 AS DECIMAL(24,6)) AS cost,
+             0 AS k, 0 AS s
+           FROM wc)"""
+    val dps = (1 to ugMaxWord).map { p =>
+      val branches = (1 to math.min(p, ugMaxPiece)).map { s =>
+        s"""SELECT d.word, $p AS p,
+              CAST(d.cost + c.cost AS DECIMAL(24,6)) AS cost,
+              d.k + 1 AS k, $s AS s
+            FROM ${pfx}d${p - s} d JOIN $cTab c
+              ON c.piece = substr(d.word, ${p - s + 1}, $s)
+            WHERE length(d.word) >= $p"""
+      }.mkString(" UNION ALL ")
+      s""",
+         ${pfx}d$p AS MATERIALIZED (
+           SELECT word, p, cost, k, s FROM ($branches) z
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY word
+             ORDER BY cost, k, s) = 1)"""
+    }.mkString
+    val dall = s""",
+         ${pfx}dall AS MATERIALIZED (${(1 to ugMaxWord)
+      .map(p => s"SELECT * FROM ${pfx}d$p").mkString(" UNION ALL ")})"""
+    val w0 = s""",
+         ${pfx}w0 AS MATERIALIZED (
+           SELECT word, length(word) AS pos, '' AS pieces FROM wc)"""
+    val walks = (1 to ugMaxWord).map { j =>
+      s""",
+         ${pfx}w$j AS MATERIALIZED (
+           SELECT w.word,
+             CASE WHEN w.pos = 0 THEN 0 ELSE w.pos - d.s END AS pos,
+             CASE WHEN w.pos = 0 THEN w.pieces
+                  ELSE substr(w.word, w.pos - d.s + 1, d.s) ||
+                    (CASE WHEN w.pieces = '' THEN ''
+                          ELSE ' ' END) || w.pieces END AS pieces
+           FROM ${pfx}w${j - 1} w
+           LEFT JOIN ${pfx}dall d
+             ON d.word = w.word AND d.p = w.pos)"""
+    }.mkString
+    val seg = s""",
+         ${pfx}seg AS MATERIALIZED (
+           SELECT word, pieces FROM ${pfx}w$ugMaxWord)"""
+    d0 + dps + dall + w0 + walks + seg
+  }
+
+  /** Occurrence-weighted recount off a segmentation pass, with the
+    * char floor: `$vNew` = (piece, cnt) — Viterbi-counted pieces,
+    * plus count-1 rows for `$vPrev`'s single characters that won no
+    * mass (pruning by absence for everything else). */
+  private def ugRecountCte(vNew: String, segTab: String,
+      vPrev: String): String =
+    s"""${vNew}raw AS MATERIALIZED (
+         SELECT piece, SUM(cnt) AS cnt FROM (
+           SELECT wc.cnt,
+             unnest(string_split(s.pieces, ' ')) AS piece
+           FROM $segTab s JOIN wc USING (word)) z
+         GROUP BY piece),
+       $vNew AS MATERIALIZED (
+         SELECT piece, cnt FROM ${vNew}raw
+         UNION ALL
+         SELECT v.piece, 1 AS cnt FROM $vPrev v
+         WHERE length(v.piece) = 1
+           AND v.piece NOT IN (SELECT piece FROM ${vNew}raw))"""
+
+  /** The shared trainer chain: wc → v0 (substring seeding) → per EM
+    * round r: c(r-1) costs → Viterbi pass → vr recount; ends at
+    * `c$ugRounds`, the final (piece, cnt, cost) model. */
+  private lazy val ugCtes: String = {
+    val head =
+      s"""WITH wc AS MATERIALIZED (
+           SELECT gram AS word, COUNT(*) AS cnt FROM (
+             SELECT unnest(list_filter(
+               string_split_regex(lower(text), '\\W+'),
+               x -> x <> '')) AS gram
+             FROM documents) GROUP BY 1),
+         v0 AS MATERIALIZED (
+           SELECT piece, SUM(cnt) AS cnt FROM (
+             SELECT wc.cnt,
+               substr(wc.word, CAST(i + 1 AS INT), CAST(l + 1 AS INT))
+                 AS piece
+             FROM wc
+             CROSS JOIN unnest(range(length(word))) AS ri(i)
+             CROSS JOIN unnest(range($ugMaxPiece)) AS rl(l)
+             WHERE i + l + 1 <= length(word)) z
+           GROUP BY piece
+           HAVING SUM(cnt) >= $ugMinCount OR length(piece) = 1)"""
+    val rounds = (1 to ugRounds).map { r =>
+      s""",
+         ${ugCostCte(s"c${r - 1}", s"v${r - 1}")},
+         ${ugViterbiCtes(s"r$r", s"c${r - 1}")},
+         ${ugRecountCte(s"v$r", s"r${r}seg", s"v${r - 1}")}"""
+    }.mkString
+    head + rounds + s",\n         ${ugCostCte(s"c$ugRounds", s"v$ugRounds")}"
+  }
+
+  /** Unigram-LM training ([[TextAnalysis.unigramTrain]]) — substring
+    * seeding plus 2 hard-EM rounds over the documents vocabulary;
+    * output the final (piece, cnt, cost) model. */
+  def ppUnigramTrain(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramTrain(t(s, dir, "documents"), "text",
+        rounds = ugRounds, maxPieceLen = ugMaxPiece,
+        minCount = ugMinCount)
+      .orderBy(col("piece"))
+
+  private lazy val ppUnigramTrainSql =
+    s"""$ugCtes
+       SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+         CAST(cost AS DOUBLE) AS cost
+       FROM c$ugRounds ORDER BY piece"""
+
+  /** Viterbi segmentation under the trained unigram model
+    * ([[TextAnalysis.unigramSegment]]) — the [[ppBpeApply]] contract:
+    * (word, pieces, n_pieces) over the distinct-word vocabulary. */
+  def ppUnigramApply(s: SparkSession, dir: String): DataFrame = {
+    val trained = TextAnalysis.unigramTrain(t(s, dir, "documents"),
+      "text", rounds = ugRounds, maxPieceLen = ugMaxPiece,
+      minCount = ugMinCount)
+    TextAnalysis.unigramSegment(t(s, dir, "documents"), "text",
+      TextAnalysis.unigramModel(trained), maxPieceLen = ugMaxPiece)
+  }
+
+  private lazy val ppUnigramApplySql =
+    s"""$ugCtes,
+       ${ugViterbiCtes("ap", s"c$ugRounds")}
+       SELECT word, pieces,
+         CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
+       FROM apseg ORDER BY word"""
+
   /** Gopher's other repetition signal: fraction of a document's
     * bigrams occupied by its single most frequent bigram, smallest
     * gram winning count ties. */
@@ -5346,6 +5511,8 @@ object PipelineQueries {
     "ta_heavy_hitters_at_rest" -> (taHeavyHittersAtRest _),
     "pp_bpe_train" -> (ppBpeTrain _),
     "pp_bpe_train_fast" -> (ppBpeTrainFast _),
+    "pp_unigram_train" -> (ppUnigramTrain _),
+    "pp_unigram_apply" -> (ppUnigramApply _),
     "pp_bpe_apply" -> (ppBpeApply _),
     "pp_bpe_apply_fast" -> (ppBpeApplyFast _),
     "pp_shard_manifest" -> (ppShardManifest _),
@@ -5544,6 +5711,8 @@ object PipelineQueries {
     "ta_heavy_hitters_incremental" -> taHeavyHittersSql,
     "ta_heavy_hitters_at_rest" -> taHeavyHittersSql,
     "pp_bpe_train" -> ppBpeTrainSql,
+    "pp_unigram_train" -> ppUnigramTrainSql,
+    "pp_unigram_apply" -> ppUnigramApplySql,
     "pp_bpe_train_fast" -> ppBpeTrainSql,
     "pp_bpe_apply" -> ppBpeApplySql,
     "pp_bpe_apply_fast" -> ppBpeApplySql,

@@ -2422,6 +2422,79 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("unigram LM viterbi: lexicographic (cost, pieces, last-piece) minimum; OOV fails pointedly") {
+    def model(kv: (String, Double)*) = {
+      val m = new java.util.HashMap[String, java.math.BigDecimal]()
+      kv.foreach { case (p, c) =>
+        m.put(p, new java.math.BigDecimal(c).setScale(6,
+          java.math.RoundingMode.HALF_UP)): Unit
+      }
+      m
+    }
+    def seg(w: String, m: java.util.HashMap[String, java.math.BigDecimal]) =
+      TextAnalysis.viterbiSegment(w, m, maxPieceLen = 4).toSeq
+    // cheaper multi-piece path beats the single piece
+    val m1 = model("ab" -> 1.0, "a" -> 0.6, "b" -> 0.6, "abc" -> 2.5,
+      "c" -> 1.0)
+    assert(seg("ab", m1) === Seq("ab")) // 1.0 < 0.6+0.6
+    assert(seg("abc", m1) === Seq("ab", "c")) // 2.0 < 2.2 < 2.5
+    // equal cost → fewer pieces wins
+    val m2 = model("x" -> 1.0, "y" -> 1.0, "xy" -> 2.0)
+    assert(seg("xy", m2) === Seq("xy"))
+    // equal (cost, pieces) → shortest LAST piece wins at the DP cell
+    val m3 = model("a" -> 1.0, "b" -> 1.0, "ab" -> 1.0, "ba" -> 1.0)
+    assert(seg("aba", m3) === Seq("ab", "a"))
+    // a character outside the model is a loud error, not a passthrough
+    val e = intercept[IllegalArgumentException](seg("az", m1))
+    assert(e.getMessage.contains("outside the model"))
+  }
+
+  test("unigram LM train: seeding counts, hard-EM pruning, char floor, lossless segmentation") {
+    val corpus = Seq(
+      (0L, "lowered lowered lowering"),
+      (1L, "lowering slower slower slower"),
+      (2L, "lowered glower"))
+      .toDF("doc_id", "text")
+    val trained = TextAnalysis.unigramTrain(corpus, "text",
+      rounds = 2, maxPieceLen = 4, minCount = 2)
+    val rows = trained.select($"piece", $"cnt", $"cost")
+      .as[(String, Long, Double)].collect()
+    val byPiece = rows.map(r => r._1 -> r._2).toMap
+    // every corpus character survives (floor), every piece is a real
+    // substring of some corpus word, and costs replay the quantized
+    // -ln(cnt/total) from the final counts
+    val words = Seq("lowered", "lowering", "slower", "glower")
+    val chars = words.flatMap(_.toSeq).map(_.toString).toSet
+    assert(chars.subsetOf(byPiece.keySet))
+    assert(rows.forall { case (p, _, _) =>
+      words.exists(_.contains(p)) })
+    val total = rows.map(_._2).sum
+    rows.foreach { case (_, cnt, cost) =>
+      val expect = BigDecimal(math.log(total.toDouble / cnt.toDouble))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cost === expect)
+    }
+    // segmentation under the trained model is lossless: pieces
+    // concatenate back to the word, and n_pieces matches
+    val segd = TextAnalysis.unigramSegment(corpus, "text",
+        TextAnalysis.unigramModel(trained), maxPieceLen = 4)
+      .as[(String, String, Long)].collect()
+    assert(segd.map(_._1).toSet === words.toSet)
+    segd.foreach { case (w, pieces, n) =>
+      assert(pieces.split(" ").mkString === w)
+      assert(pieces.split(" ").length.toLong === n)
+      assert(pieces.split(" ").forall(byPiece.contains))
+    }
+    // hard EM prunes: the candidate inventory (every substring ≤ 4
+    // chars) is far larger than what survives two Viterbi rounds
+    val wc = corpus.select(explode(TextAnalysis.tokens($"text"))
+      .as("word")).groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val cand = TextAnalysis.unigramCandidates(wc, 4, 2L).count()
+    assert(rows.length.toLong < cand,
+      s"no pruning: ${rows.length} pieces from $cand candidates")
+  }
+
   test("gate cache crash replay: cold sentinel rebuilds multi-batch layouts from scratch") {
     import graft.queries.PipelineQueries
     val dir = sf("sf0.001")
