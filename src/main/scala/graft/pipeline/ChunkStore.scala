@@ -63,8 +63,9 @@ object ChunkStore {
     require(window > 0 && buckets >= 1 && buckets <= 4096,
       s"ChunkStore.writeBase: window > 0, 1..4096 buckets; " +
         s"got window=$window buckets=$buckets")
-    bucketedChunks(docs, textCol, keyCol, window, buckets)
-      .repartition(col("fp_bucket"))
+    LayoutWrite.salted(
+      bucketedChunks(docs, textCol, keyCol, window, buckets),
+      "fp_bucket", col(keyCol))
       .write.mode("overwrite").partitionBy("fp_bucket")
       .parquet(s"$root/base/chunks")
     // a FRESH base has no fold history: a watermark.json left by a
@@ -195,9 +196,8 @@ object ChunkStore {
             .toSeq.flatten.map(_.getName).collect {
               case s if s.startsWith("batch=") => s.drop(6).toLong
             }
-        val live = liveChunks(spark, root)
-        live
-          .repartition(col("fp_bucket"))
+        LayoutWrite.salted(liveChunks(spark, root), "fp_bucket",
+            col("doc_id"))
           .write.mode("overwrite").partitionBy("fp_bucket")
           .parquet(s"$staging/chunks")
         val wm = (deltaGens :+ prior).max

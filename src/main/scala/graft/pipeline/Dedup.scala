@@ -360,8 +360,8 @@ object Dedup {
       outDir: String, n: Int, buckets: Int = 64): Unit = {
     require(n >= 1 && buckets >= 1 && buckets <= 4096,
       s"writeGramIndex: n >= 1, 1..4096 buckets; got n=$n buckets=$buckets")
-    gramIndexRows(docs, textCol, keyCol, n, buckets)
-      .repartition(col("gram_bucket"))
+    LayoutWrite.salted(gramIndexRows(docs, textCol, keyCol, n, buckets),
+        "gram_bucket", col("doc_id"))
       .write.mode("overwrite").partitionBy("gram_bucket")
       .parquet(s"$outDir/grams")
     new java.io.File(outDir, "_SUCCESS").createNewFile(): Unit

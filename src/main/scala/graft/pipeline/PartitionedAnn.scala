@@ -84,14 +84,16 @@ object PartitionedAnn {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // buildParallel: see Similarity — a one-row-group source file
     // must not serialize the whole bucket-hash pass onto one task
-    Similarity.buildParallel(corpus)
-      .select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
-        graft.functions.GraftFunctions.vec_norm(col(vecCol)).as("c_norm"),
-        Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket"))
-      // cluster the write on the layout key: the hash pass above runs
-      // wide, then each bucket lands in exactly one task → one file
-      // per bucket dir instead of tasks × buckets small files
-      .repartition(col("bucket"))
+    // cluster the write on (bucket, salt): per-bucket dirs with a few
+    // files each, write parallelism buckets × salts (LayoutWrite)
+    LayoutWrite.salted(
+      Similarity.buildParallel(corpus)
+        .select(col(keyCol).as("c_id"), col(vecCol).as("c_vec"),
+          graft.functions.GraftFunctions.vec_norm(col(vecCol))
+            .as("c_norm"),
+          Similarity.srpBucket(col(vecCol), hp).cast("int")
+            .as("bucket")),
+      "bucket", col("c_id"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
   }
 
@@ -137,13 +139,15 @@ object PartitionedAnn {
     requirePlanes(planes)
     requireDim(corpus, vecCol, dim, "writeSrpBucketedInt8")
     val hp = Similarity.hyperplanes(planes, dim)
-    Similarity.quantizeInt8(
-      Similarity.buildParallel(corpus)
-        .select(col(keyCol).as("c_id"), col(vecCol),
-          Similarity.srpBucket(col(vecCol), hp).cast("int").as("bucket")),
-      vecCol, "c_id", keep = Seq("bucket"))
-      .select(col("c_id"), col("q"), col("qn"), col("bucket"))
-      .repartition(col("bucket")) // one file per bucket dir (see above)
+    LayoutWrite.salted(
+      Similarity.quantizeInt8(
+        Similarity.buildParallel(corpus)
+          .select(col(keyCol).as("c_id"), col(vecCol),
+            Similarity.srpBucket(col(vecCol), hp).cast("int")
+              .as("bucket")),
+        vecCol, "c_id", keep = Seq("bucket"))
+        .select(col("c_id"), col("q"), col("qn"), col("bucket")),
+      "bucket", col("c_id"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
   }
 
@@ -198,11 +202,10 @@ object PartitionedAnn {
   def writeIvfPartitioned(corpus: DataFrame, vecCol: String,
       keyCol: String, centroids: DataFrame, outDir: String): Unit = {
     requireIntCentIds(centroids)
-    Similarity.ivfAssign(corpus, vecCol, keyCol, centroids)
-      .withColumn("cent_id", col("cent_id").cast("int"))
-      // cluster the write on the layout key: one file per cent_id dir
-      // instead of (shuffle partitions) × centroids small files
-      .repartition(col("cent_id"))
+    LayoutWrite.salted(
+      Similarity.ivfAssign(corpus, vecCol, keyCol, centroids)
+        .withColumn("cent_id", col("cent_id").cast("int")),
+      "cent_id", col("c_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
   }
 
@@ -216,11 +219,12 @@ object PartitionedAnn {
     requireIntCentIds(centroids)
     val assigned = Similarity.ivfAssign(corpus, vecCol, keyCol, centroids)
       .withColumn("cent_id", col("cent_id").cast("int"))
-    Similarity.quantizeInt8(
-      assigned.select(col("c_id"), col("c_vec"), col("cent_id")),
-      "c_vec", "c_id", keep = Seq("cent_id"))
-      .select(col("c_id"), col("q"), col("qn"), col("cent_id"))
-      .repartition(col("cent_id")) // one file per cent_id dir (see above)
+    LayoutWrite.salted(
+      Similarity.quantizeInt8(
+        assigned.select(col("c_id"), col("c_vec"), col("cent_id")),
+        "c_vec", "c_id", keep = Seq("cent_id"))
+        .select(col("c_id"), col("q"), col("qn"), col("cent_id")),
+      "cent_id", col("c_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
   }
 
@@ -295,9 +299,10 @@ object PartitionedAnn {
   def writeIvfPqPartitioned(corpus: DataFrame, vecCol: String,
       keyCol: String, centroids: DataFrame, codewords: DataFrame,
       outDir: String, numSub: Int, subDim: Int): Unit =
-    ivfPqRows(corpus, vecCol, keyCol, centroids, codewords, numSub,
-      subDim)
-      .repartition(col("cent_id")) // one file per cent_id dir (see above)
+    LayoutWrite.salted(
+      ivfPqRows(corpus, vecCol, keyCol, centroids, codewords, numSub,
+        subDim),
+      "cent_id", col("c_id"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(outDir)
 
   /** The IVF+PQ index relation `(c_id, codes, cent_id)` for any
@@ -437,13 +442,14 @@ object PartitionedAnn {
     // one word and drop the last 16 dimensions from the stored codes
     require(dim > 0 && dim % 32 == 0,
       s"writeBinaryPartitioned: dim=$dim must be a multiple of 32")
-    corpus
-      .select(col(keyCol).as("c_id"),
-        Similarity.packWords(col(vecCol), dim).as("c_bits"))
-      .withColumn("bucket",
-        (element_at(col("c_bits"), 1)
-          .bitwiseAND(lit((1L << bucketBits) - 1))).cast("int"))
-      .repartition(col("bucket")) // one file per bucket dir
+    LayoutWrite.salted(
+      corpus
+        .select(col(keyCol).as("c_id"),
+          Similarity.packWords(col(vecCol), dim).as("c_bits"))
+        .withColumn("bucket",
+          (element_at(col("c_bits"), 1)
+            .bitwiseAND(lit((1L << bucketBits) - 1))).cast("int")),
+      "bucket", col("c_id"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
   }
 

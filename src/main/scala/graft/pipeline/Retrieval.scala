@@ -244,8 +244,8 @@ object Retrieval {
     require(buckets >= 1 && buckets <= 4096,
       s"writeBm25Index: 1..4096 term buckets, got $buckets")
     val tk = tokenized(docs, textCol, keyCol).localCheckpoint()
-    postingsFromTok(tk, buckets)
-      .repartition(col("term_bucket"))
+    LayoutWrite.salted(postingsFromTok(tk, buckets), "term_bucket",
+        col("doc_id"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$outDir/postings")
     // n/sdl are the INTEGRAL generation stats the incremental tier

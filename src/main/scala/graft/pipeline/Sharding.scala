@@ -28,10 +28,10 @@ object Sharding {
   def writeSharded(docs: DataFrame, keyCol: String, outDir: String,
       nShards: Int): Unit = {
     require(nShards >= 1, "writeSharded: nShards must be positive")
-    docs
-      .withColumn("shard",
-        pmod(col(keyCol), lit(nShards.toLong)).cast("int"))
-      .repartition(col("shard"))
+    LayoutWrite.salted(
+      docs.withColumn("shard",
+        pmod(col(keyCol), lit(nShards.toLong)).cast("int")),
+      "shard", col(keyCol))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 

@@ -436,12 +436,13 @@ object TextAnalysis {
     docs.select(col(keyCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .write.mode("overwrite").parquet(s"$outDir/tokens")
-    docs.select(col(keyCol).as("doc_id"), posexplode(
-        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
-        .as(Seq("start", "gram")))
-      .withColumn("gram_bucket",
-        graft.pipeline.Retrieval.termBucket(col("gram"), buckets))
-      .repartition(col("gram_bucket"))
+    LayoutWrite.salted(
+      docs.select(col(keyCol).as("doc_id"), posexplode(
+          graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+          .as(Seq("start", "gram")))
+        .withColumn("gram_bucket",
+          graft.pipeline.Retrieval.termBucket(col("gram"), buckets)),
+      "gram_bucket", col("doc_id"))
       .write.mode("overwrite").partitionBy("gram_bucket")
       .parquet(s"$outDir/grams")
     Seq((n, buckets)).toDF("n", "buckets").coalesce(1)

@@ -385,8 +385,8 @@ object Bm25Stream {
           }
       }
       val maxGen = (foldWatermark(spark, root) +: deltaGens).max
-      posts
-        .repartition(col("term_bucket"))
+      graft.pipeline.LayoutWrite.salted(posts, "term_bucket",
+          col("doc_id"))
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(s"$staging/postings")
       spark.range(1)

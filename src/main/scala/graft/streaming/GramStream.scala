@@ -96,8 +96,8 @@ object GramStream {
     * absent). */
   def compact(spark: SparkSession, root: String): Unit =
     IvfStream.stagedSwap(root) { staging =>
-      layout(spark, root)
-        .repartition(col("gram_bucket"))
+      graft.pipeline.LayoutWrite.salted(layout(spark, root),
+          "gram_bucket", col("doc_id"))
         .write.mode("overwrite").partitionBy("gram_bucket")
         .parquet(s"$staging/grams")
       new java.io.File(staging, "_SUCCESS").createNewFile(): Unit

@@ -215,8 +215,8 @@ object IvfStream {
   def compact(spark: SparkSession, root: String,
       layoutOf: (SparkSession, String) => DataFrame = layout): Unit =
     stagedSwap(root) { staging =>
-      layoutOf(spark, root)
-        .repartition(col("cent_id"))
+      graft.pipeline.LayoutWrite.salted(layoutOf(spark, root),
+          "cent_id", col("c_id"))
         .write.mode("overwrite").partitionBy("cent_id")
         .parquet(staging)
       // carry the generation's codebook forward: a refreshed layout

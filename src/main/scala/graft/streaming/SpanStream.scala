@@ -128,10 +128,11 @@ object SpanStream {
       val (n, buckets) = (p.getAs[Int]("n"), p.getAs[Int]("buckets"))
       tokens(spark, root).write.mode("overwrite")
         .parquet(s"$staging/tokens")
-      grams(spark, root)
-        .withColumn("gram_bucket",
-          graft.pipeline.Retrieval.termBucket(col("gram"), buckets))
-        .repartition(col("gram_bucket"))
+      graft.pipeline.LayoutWrite.salted(
+        grams(spark, root)
+          .withColumn("gram_bucket",
+            graft.pipeline.Retrieval.termBucket(col("gram"), buckets)),
+        "gram_bucket", col("doc_id"))
         .write.mode("overwrite").partitionBy("gram_bucket")
         .parquet(s"$staging/grams")
       import spark.implicits._
