@@ -141,11 +141,18 @@ case class VecDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.functions.VecKernels.dotF($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT a fixed local: two vec_* calls in one
+      // generated scope (dot / norms in a single projection) would
+      // otherwise redefine the variable, fail Janino, and silently
+      // drop the whole stage to interpreted execution
+      val r = ctx.freshName("vecr")
+      s"""
+      java.lang.Double $r = graft.functions.VecKernels.dotF($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }
+    """
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecDot = copy(left = newLeft, right = newRight)
@@ -169,11 +176,14 @@ case class VecNorm(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"""
-      java.lang.Double r = graft.functions.VecKernels.normF($a);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("vecr") // see VecDot — no fixed locals
+      s"""
+      java.lang.Double $r = graft.functions.VecKernels.normF($a);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }
+    """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)
@@ -207,11 +217,14 @@ case class VecDotLong(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long r = graft.functions.VecKernels.dotL($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.longValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecr") // see VecDot — no fixed locals
+      s"""
+      java.lang.Long $r = graft.functions.VecKernels.dotL($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.longValue(); }
+    """
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecDotLong =
@@ -243,11 +256,14 @@ case class VecDotInt8(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long r = graft.functions.VecKernels.dotB($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.longValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vecr") // see VecDot — no fixed locals
+      s"""
+      java.lang.Long $r = graft.functions.VecKernels.dotB($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.longValue(); }
+    """
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecDotInt8 =
@@ -275,12 +291,15 @@ case class VecQuantizeInt8(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"""
-      org.apache.spark.sql.catalyst.util.ArrayData r =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("vecr") // see VecDot — no fixed locals
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
         graft.functions.VecKernels.quantizeB($a);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r; }
-    """)
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }
+    """
+    })
 
   override protected def withNewChildInternal(
       newChild: Expression): VecQuantizeInt8 = copy(child = newChild)

@@ -1455,15 +1455,27 @@ object TextAnalysis {
       bpeSegment(docs, textCol, merges))
 
   private def tokenizeWith(docs: DataFrame, textCol: String,
-      keyCol: String, segmentation: DataFrame): DataFrame = {
+      keyCol: String, segmentation: DataFrame,
+      tokCol: String = "n_bpe_tokens"): DataFrame = {
     val seg = segmentation.select(col("word"), col("n_pieces"))
     docs.select(col(keyCol), explode(tokens(col(textCol))).as("word"))
       .join(broadcast(seg), Seq("word"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_words"),
-        sum(col("n_pieces")).as("n_bpe_tokens"))
+        sum(col("n_pieces")).as(tokCol))
       .orderBy(col(keyCol))
   }
+
+  /** Corpus-scale unigram tokenization: per-document word and
+    * unigram-token counts — [[bpeTokenize]]'s contract (vocabulary
+    * segmentation computed once and broadcast against the occurrence
+    * stream) under the Viterbi segmentation. */
+  def unigramTokenize(docs: DataFrame, textCol: String, keyCol: String,
+      model: Seq[(String, java.math.BigDecimal)],
+      maxPieceLen: Int = 4): DataFrame =
+    tokenizeWith(docs, textCol, keyCol,
+      unigramSegment(docs, textCol, model, maxPieceLen),
+      tokCol = "n_unigram_tokens")
 
   /** Score any document relation against a trained [[bigramModel]].
     * Bigrams absent from the model contribute probability 0 (the doc

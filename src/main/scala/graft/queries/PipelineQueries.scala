@@ -1318,6 +1318,21 @@ object PipelineQueries {
     f.delete(): Unit
   }
 
+  /** Per-root build lock for the gate-layout cache. Verify overlaps
+    * queries on a small thread pool, and several gates share one
+    * cached layout root (the refreshed IVF root, the NB counts
+    * store, the BM25 index, …): two threads racing the same
+    * cold-cache build each see no sentinel and write into the same
+    * directories concurrently — one lists `base/` while the other's
+    * write is mid-flight and trips over the committer's vanishing
+    * `_temporary` task dirs. Builds serialize per root; the sentinel
+    * re-check inside the lock makes the loser skip. */
+  private val layoutLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def layoutLock(root: String): Object =
+    layoutLocks.computeIfAbsent(root, _ => new Object)
+
   /** Build-once gate cache: the layout is authoritative only under
     * its `_SUCCESS` sentinel in `out`. A missing sentinel means a
     * cold cache OR a build interrupted mid-closure — and a
@@ -1334,9 +1349,11 @@ object PipelineQueries {
 
   private def ensureLayout(out: String, wipe: String)(
       write: => Unit): Unit =
-    if (!new java.io.File(out, "_SUCCESS").exists()) {
-      rmTree(new java.io.File(wipe))
-      write
+    layoutLock(wipe).synchronized {
+      if (!new java.io.File(out, "_SUCCESS").exists()) {
+        rmTree(new java.io.File(wipe))
+        write
+      }
     }
 
   /** LSH top-k against the SRP-partitioned-at-rest corpus layout —
@@ -1660,13 +1677,15 @@ object PipelineQueries {
     * maintenance gates mutate the tree, so base/_SUCCESS alone cannot
     * key the cache). Runs `maintain` once after the build. */
   private def incrementalIvfThen(s: SparkSession, dir: String,
-      root: String, marker: String)(maintain: => Unit): Unit = {
+      root: String, marker: String)(
+      maintain: => Unit): Unit = layoutLock(root).synchronized {
     val e = t(s, dir, "embeddings")
     val corpus = e.filter(col("vec_id") >= 10)
     val centroids = corpus.filter(codebookPred(e))
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
     val m = new java.io.File(root, marker)
     if (!m.exists()) {
+      rmTree(new java.io.File(root))
       PartitionedAnn.writeIvfPartitioned(
         corpus.filter(col("vec_id") % 3 === 0), "embedding", "vec_id",
         centroids, s"$root/base")
@@ -2429,10 +2448,12 @@ object PipelineQueries {
     * tree, so base/_SUCCESS alone cannot key the cache); `maintain`
     * runs once after the build. */
   private def bm25IncrementalLayout(s: SparkSession, dir: String,
-      root: String, marker: String)(maintain: => Unit): Unit = {
+      root: String, marker: String)(
+      maintain: => Unit): Unit = layoutLock(root).synchronized {
     val docs = t(s, dir, "documents")
     val m = new java.io.File(root, marker)
     if (!m.exists()) {
+      rmTree(new java.io.File(root))
       Retrieval.writeBm25Index(docs.filter(col("doc_id") % 3 === 0),
         "text", "doc_id", s"$root/base", buckets = 64)
       graft.streaming.Bm25Stream.appendBatch(
@@ -3617,6 +3638,36 @@ object PipelineQueries {
          CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
        FROM apseg ORDER BY word"""
 
+  /** Corpus-scale unigram tokenization
+    * ([[TextAnalysis.unigramTokenize]]): per-document word and
+    * unigram-token counts under the trained model — the
+    * [[ppBpeTokenize]] contract for the other tokenizer family. */
+  def ppUnigramTokenize(s: SparkSession, dir: String): DataFrame = {
+    val trained = TextAnalysis.unigramTrain(t(s, dir, "documents"),
+      "text", rounds = ugRounds, maxPieceLen = ugMaxPiece,
+      minCount = ugMinCount)
+    TextAnalysis.unigramTokenize(t(s, dir, "documents"), "text",
+      "doc_id", TextAnalysis.unigramModel(trained),
+      maxPieceLen = ugMaxPiece)
+  }
+
+  private lazy val ppUnigramTokenizeSql =
+    s"""$ugCtes,
+       ${ugViterbiCtes("ap", s"c$ugRounds")},
+       seg AS (
+         SELECT word,
+           len(string_split(pieces, ' ')) AS n_pieces
+         FROM apseg),
+       occ AS (
+         SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '\\W+'),
+           x -> x <> '')) AS word
+         FROM documents)
+       SELECT o.doc_id, COUNT(*) AS n_words,
+         CAST(SUM(s.n_pieces) AS BIGINT) AS n_unigram_tokens
+       FROM occ o JOIN seg s ON s.word = o.word
+       GROUP BY o.doc_id ORDER BY o.doc_id"""
+
   /** Gopher's other repetition signal: fraction of a document's
     * bigrams occupied by its single most frequent bigram, smallest
     * gram winning count ties. */
@@ -4461,6 +4512,31 @@ object PipelineQueries {
        FROM nranked r JOIN ntest t USING (doc_id)
        WHERE rn = 1 ORDER BY r.doc_id"""
 
+  /** [[ppNbClassify]] with the model read from the at-rest
+    * sufficient-statistics store ([[ppNbModelAtRest]]'s layout): the
+    * production shape — train-time counts paid once, apply-time
+    * reads derive the grid/priors from the folded counts and
+    * broadcast them. Shares [[ppNbClassifySql]] VERBATIM: the stored
+    * model must reproduce the inline classifier bit-for-bit. */
+  def ppNbClassifyAtRest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val train = d.filter(col("doc_id") % 5 =!= 0)
+    val test = d.filter(col("doc_id") % 5 === 0)
+    val root = layoutDir(dir, "documents", "nb_counts_lang")
+    ensureLayout(root) {
+      graft.streaming.NbStream.appendBatch(train, 0L, root, "text",
+        "lang")
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    Classify.nbApply(test, graft.streaming.NbStream.model(s, root),
+        graft.streaming.NbStream.priors(s, root), "text", "doc_id")
+      .join(test.select(col("doc_id").as("key"),
+        col("lang").as("label_true")), Seq("key"))
+      .select(col("key").as("doc_id"), col("label_true"),
+        col("label_pred"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The shared output projection of every NB-model gate — identical
     * column shape for the inline, at-rest and incremental forms so
     * they all gate against [[ppNbModelSql]] verbatim. */
@@ -4943,7 +5019,8 @@ object PipelineQueries {
     * result is bit-identical to a full rebuild, gated against
     * [[ddExactSubstringSql]] VERBATIM. */
   private def spanIncrementalLayout(s: SparkSession, dir: String,
-      root: String, marker: String)(maintain: => Unit): Unit = {
+      root: String, marker: String)(
+      maintain: => Unit): Unit = layoutLock(root).synchronized {
     val d = t(s, dir, "documents")
     val m = new java.io.File(root, marker)
     if (!m.exists()) {
@@ -5513,6 +5590,7 @@ object PipelineQueries {
     "pp_bpe_train_fast" -> (ppBpeTrainFast _),
     "pp_unigram_train" -> (ppUnigramTrain _),
     "pp_unigram_apply" -> (ppUnigramApply _),
+    "pp_unigram_tokenize" -> (ppUnigramTokenize _),
     "pp_bpe_apply" -> (ppBpeApply _),
     "pp_bpe_apply_fast" -> (ppBpeApplyFast _),
     "pp_shard_manifest" -> (ppShardManifest _),
@@ -5547,6 +5625,7 @@ object PipelineQueries {
     "pp_nb_model_at_rest" -> (ppNbModelAtRest _),
     "pp_nb_incremental" -> (ppNbIncremental _),
     "pp_nb_classify" -> (ppNbClassify _),
+    "pp_nb_classify_at_rest" -> (ppNbClassifyAtRest _),
     "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
@@ -5713,6 +5792,7 @@ object PipelineQueries {
     "pp_bpe_train" -> ppBpeTrainSql,
     "pp_unigram_train" -> ppUnigramTrainSql,
     "pp_unigram_apply" -> ppUnigramApplySql,
+    "pp_unigram_tokenize" -> ppUnigramTokenizeSql,
     "pp_bpe_train_fast" -> ppBpeTrainSql,
     "pp_bpe_apply" -> ppBpeApplySql,
     "pp_bpe_apply_fast" -> ppBpeApplySql,
@@ -5752,6 +5832,7 @@ object PipelineQueries {
     "pp_nb_model_at_rest" -> ppNbModelSql,
     "pp_nb_incremental" -> ppNbModelSql,
     "pp_nb_classify" -> ppNbClassifySql,
+    "pp_nb_classify_at_rest" -> ppNbClassifySql,
     "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,

@@ -411,4 +411,36 @@ class FunctionsSpec extends SparkSpec {
     assert(HashKernels.simHash64(u("a b c")) !==
       HashKernels.simHash64(u("a b d")))
   }
+
+  test("vec expressions survive whole-stage codegen when combined in one scope") {
+    // Regression: every vec_* doGenCode used a FIXED local variable
+    // name, so two calls in one generated scope (dot / norms in a
+    // single projection — the cosine shape every ANN scorer and the
+    // k-means assignment use) redefined it, failed Janino, and
+    // silently dropped the stage to interpreted execution. With
+    // fallback disabled a compile failure THROWS, so this pins the
+    // generated code actually compiling.
+    GraftFunctions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val v = Seq(
+        (1L, Array(1.0f, 0.0f, 2.0f), Array(2.0f, 1.0f, 0.0f)),
+        (2L, Array(0.5f, 0.5f, 0.5f), Array(1.0f, 1.0f, 1.0f)))
+        .toDF("id", "a", "b")
+      val cos = v.select($"id",
+        (GraftFunctions.vec_dot($"a", $"b") /
+          (GraftFunctions.vec_norm($"a") *
+            GraftFunctions.vec_norm($"b"))).as("cos"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(math.abs(cos(2L) - 1.0) < 1e-12)
+      // the long/int8 kernels in one scope too
+      val q = Seq((Array(1L, 2L, 3L), Array(3L, 2L, 1L)))
+        .toDF("x", "y")
+        .select((GraftFunctions.vec_dot_long($"x", $"y") +
+          GraftFunctions.vec_dot_long($"y", $"x")).as("s"))
+        .collect()(0).getLong(0)
+      assert(q === 20L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
