@@ -4416,13 +4416,18 @@ object PipelineQueries {
   private val DecimalType28_10 =
     org.apache.spark.sql.types.DecimalType(28, 10)
 
-  private val nbTrainCte =
-    """train AS (
-         SELECT doc_id, lang AS label, text FROM documents
+  /** The NB trainer CTE chain over a parameterizable train slice —
+    * shared by the base gates and the re-crawl gate (whose "latest
+    * snapshot" train carries updated texts). */
+  private val nbTrainCte = nbTrainCteFor("text")
+
+  private def nbTrainCteFor(textExpr: String) =
+    s"""train AS (
+         SELECT doc_id, lang AS label, $textExpr AS text FROM documents
          WHERE doc_id % 5 <> 0),
        ntoks AS (
          SELECT label,
-           unnest(list_filter(string_split_regex(lower(text), '\W+'),
+           unnest(list_filter(string_split_regex(lower(text), '\\W+'),
                               x -> x <> '')) AS token
          FROM train),
        ncounts AS (
@@ -4511,6 +4516,42 @@ object PipelineQueries {
            AS score
        FROM nranked r JOIN ntest t USING (doc_id)
        WHERE rn = 1 ORDER BY r.doc_id"""
+
+  /** The NB model under RE-CRAWLS ([[graft.streaming.NbStream
+    * .appendDiffBatch]]): base crawl over the original train split,
+    * then one diff batch re-crawling every doc_id%7==0 document with
+    * revised text — the superseded versions' counts subtract as
+    * negative partials, so the folded model is bit-identical to
+    * retraining on the LATEST snapshot, which is exactly what the
+    * oracle replays (the [[ppNbModel]] SQL over the updated-text
+    * train slice). The supersede story [[ppBm25Updated]] tells with a
+    * sidecar, told in the sufficient-statistics algebra. */
+  def ppNbUpdated(s: SparkSession, dir: String): DataFrame = {
+    val train = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+    val recrawled = train.filter(col("doc_id") % 7 === 0)
+    val revised = recrawled.withColumn("text",
+      concat(col("text"), lit(" [rev1]")))
+    val root = layoutDir(dir, "documents", "nb_counts_upd_lang")
+    ensureLayout(root) {
+      graft.streaming.NbStream.appendBatch(train, 0L, root, "text",
+        "lang")
+      graft.streaming.NbStream.appendDiffBatch(recrawled, revised,
+        1L, root, "text", "lang")
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    nbModelReport(graft.streaming.NbStream.model(s, root))
+  }
+
+  private lazy val ppNbUpdatedSql = {
+    val updatedText =
+      "CASE WHEN doc_id % 7 = 0 THEN text || ' [rev1]' ELSE text END"
+    s"""WITH ${nbTrainCteFor(updatedText)}
+       SELECT label, token,
+         CAST(ROUND(CAST(loglik AS DECIMAL(28,10)), 6) AS DOUBLE)
+           AS loglik
+       FROM ngrid ORDER BY label, token"""
+  }
 
   /** [[ppNbClassify]] with the model read from the at-rest
     * sufficient-statistics store ([[ppNbModelAtRest]]'s layout): the
@@ -5624,6 +5665,7 @@ object PipelineQueries {
     "pp_nb_model" -> (ppNbModel _),
     "pp_nb_model_at_rest" -> (ppNbModelAtRest _),
     "pp_nb_incremental" -> (ppNbIncremental _),
+    "pp_nb_updated" -> (ppNbUpdated _),
     "pp_nb_classify" -> (ppNbClassify _),
     "pp_nb_classify_at_rest" -> (ppNbClassifyAtRest _),
     "pp_split_clusters" -> (ppSplitClusters _),
@@ -5831,6 +5873,7 @@ object PipelineQueries {
     "pp_nb_model" -> ppNbModelSql,
     "pp_nb_model_at_rest" -> ppNbModelSql,
     "pp_nb_incremental" -> ppNbModelSql,
+    "pp_nb_updated" -> ppNbUpdatedSql,
     "pp_nb_classify" -> ppNbClassifySql,
     "pp_nb_classify_at_rest" -> ppNbClassifySql,
     "pp_split_clusters" -> ppSplitClustersSql,

@@ -45,10 +45,57 @@ object NbStream {
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
   }
 
+  /** Apply one RE-CRAWL batch: the superseded versions' counts as
+    * NEGATIVE partials, the new versions' as positive, folded within
+    * the batch (pure function of (old, new) ⇒ replay-idempotent
+    * overwrite). Counts stay additive, so the folded model is
+    * bit-identical to retraining on the latest snapshot — the
+    * [[Bm25Stream]] supersede contract expressed in the
+    * sufficient-statistics algebra instead of a sidecar: subtraction
+    * IS the supersede. Contract: `oldVersions` must be exactly the
+    * previously-streamed versions of the re-crawled documents
+    * (subtracting a never-added version leaves a negative cell,
+    * which the model derivation rejects loudly). */
+  private[graft] def appendDiffBatch(oldVersions: DataFrame,
+      newVersions: DataFrame, batchId: Long, root: String,
+      textCol: String, labelCol: String): Unit = {
+    IvfStream.requireFreshBatchId(s"$root/counts", batchId,
+      "NbStream.appendDiffBatch")
+    def neg(df: DataFrame, c: String) =
+      df.select((Seq(col("label")) ++
+        (if (c == "cnt") Seq(col("token")) else Seq.empty) :+
+        (-col(c)).as(c)): _*)
+    Classify.tokenCounts(newVersions, textCol, labelCol)
+      .unionByName(
+        neg(Classify.tokenCounts(oldVersions, textCol, labelCol), "cnt"))
+      .groupBy(col("label"), col("token"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$root/counts/batch=$batchId")
+    Classify.docCounts(newVersions, labelCol)
+      .unionByName(
+        neg(Classify.docCounts(oldVersions, labelCol), "n_docs"))
+      .groupBy(col("label"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
+  }
+
+  /** Folded counts with supersede semantics: zero cells (a token
+    * fully superseded out of a class) drop from the vocabulary
+    * exactly as a retrain would never mint them; a NEGATIVE cell can
+    * only come from subtracting a version that was never added and
+    * fails loudly instead of feeding ln() a negative count. */
   private def foldedCounts(spark: SparkSession, root: String): DataFrame =
     try spark.read.parquet(s"$root/counts")
       .groupBy(col("label"), col("token"))
       .agg(sum(col("cnt")).as("cnt"))
+      .select(col("label"), col("token"),
+        when(col("cnt") >= 0, col("cnt")).otherwise(raise_error(
+          concat(lit("NbStream: negative folded count for token '"),
+            col("token"), lit("' in class '"), col("label"),
+            lit("' — a diff batch subtracted a version that was " +
+              "never added")))).as("cnt"))
+      .filter(col("cnt") > 0)
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if IvfStream.missingPath(e) =>
@@ -63,12 +110,15 @@ object NbStream {
   def model(spark: SparkSession, root: String): DataFrame =
     Classify.nbModelFromCounts(foldedCounts(spark, root))
 
-  /** The live log class priors over everything streamed so far. */
+  /** The live log class priors over everything streamed so far
+    * (zero-doc classes drop — a fully-superseded class has no prior,
+    * exactly as a retrain would never see it). */
   def priors(spark: SparkSession, root: String): DataFrame =
     Classify.nbPriorsFromCounts(
       spark.read.parquet(s"$root/docs")
         .groupBy(col("label"))
-        .agg(sum(col("n_docs")).as("n_docs")))
+        .agg(sum(col("n_docs")).as("n_docs"))
+        .filter(col("n_docs") > 0))
 
   /** Maintain the model store from a parquet directory of labeled
     * documents as files arrive. */

@@ -1999,6 +1999,34 @@ class StreamingSpec extends SparkSpec {
       NbStream.model(spark,
         Files.createTempDirectory("graft-nb-empty").toString))
     assert(e2.getMessage.contains("no count partials"))
+    // re-crawls: superseded versions subtract as negative partials —
+    // revised text AND a class move — and the folded model/priors are
+    // bit-identical to retraining on the LATEST snapshot
+    val oldV = docs.filter($"doc_id" % 7 === 0)
+    val newV = oldV
+      .withColumn("text", concat($"text", lit(" fresh revision")))
+      .withColumn("lang",
+        when($"doc_id" % 14 === 0, lit("zz")).otherwise($"lang"))
+    NbStream.appendDiffBatch(oldV, newV, 2L, root, "text", "lang")
+    val latest = docs.filter($"doc_id" % 7 =!= 0).unionByName(newV)
+    assert(grid(NbStream.model(spark, root)) ===
+      grid(Classify.nbModel(latest, "text", "lang")))
+    assert(NbStream.priors(spark, root)
+      .select($"label", $"logprior".cast("string"))
+      .as[(String, String)].collect().toSet ===
+      Classify.nbPriors(latest, "lang")
+        .select($"label", $"logprior".cast("string"))
+        .as[(String, String)].collect().toSet)
+    // subtracting a version that was never added fails loudly at
+    // model derivation, not as a NaN loglik
+    NbStream.appendDiffBatch(
+      oldV.withColumn("text", lit("phantom never added words")),
+      newV.limit(0), 3L, root, "text", "lang")
+    val e3 = intercept[Exception](NbStream.model(spark, root).collect())
+    assert(e3.getMessage != null &&
+      e3.getMessage.contains("negative folded count") ||
+      Option(e3.getCause).exists(
+        _.getMessage.contains("negative folded count")))
   }
 
   test("incremental span index equals a full rebuild; compaction and crash recovery lossless") {
