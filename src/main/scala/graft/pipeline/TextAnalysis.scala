@@ -1237,6 +1237,62 @@ object TextAnalysis {
         col("cost").cast("double").as("cost"))
   }
 
+  /** Greedy longest-match-first (MaxMatch) segmentation of ONE word
+    * over a piece vocabulary — the WordPiece-style inference rule
+    * (BERT's tokenizer; Song et al. 2021 "Fast WordPiece
+    * Tokenization" formalizes it as MaxMatch), kept vocabulary-flat
+    * (no `##` continuation marks — the corpus vocabulary is trained
+    * flat by [[unigramTrain]]). At each position take the LONGEST
+    * vocabulary piece; single characters guarantee progress. Same
+    * loud-OOV contract as [[viterbiSegment]]. */
+  private[graft] def maxMatchSegment(word: String,
+      vocab: java.util.HashSet[String], maxPieceLen: Int)
+      : Array[String] = {
+    val syms = toSymbols(word)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < syms.length) {
+      var s = math.min(maxPieceLen, syms.length - pos)
+      var hit: String = null
+      while (s >= 1 && hit == null) {
+        val cand = syms.slice(pos, pos + s).mkString
+        if (vocab.contains(cand)) hit = cand else s -= 1
+      }
+      require(hit != null,
+        s"unigram maxmatch: word '$word' has a character outside the " +
+          "vocabulary — segment with a vocabulary trained on (or " +
+          "covering) this corpus")
+      out += hit
+      pos += s
+    }
+    out.toArray
+  }
+
+  /** MaxMatch segmentation of a relation's distinct words under a
+    * trained piece vocabulary — [[unigramSegment]]'s contract with
+    * the greedy inference rule instead of Viterbi (the two disagree
+    * exactly where greedy is suboptimal; both are gated against
+    * their own oracle replay). */
+  def maxMatchSegmentTable(docs: DataFrame, textCol: String,
+      pieces: Seq[String], maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val v = new java.util.HashSet[String]()
+    pieces.foreach(p => v.add(p): Unit)
+    val bc = spark.sparkContext.broadcast(v)
+    docs.select(explode(tokens(col(textCol))).as("word")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val vb = bc.value
+        it.map { w =>
+          val ps = maxMatchSegment(w, vb, maxPieceLen)
+          (w, ps.mkString(" "), ps.length.toLong)
+        }
+      }
+      .toDF("word", "pieces", "n_pieces")
+      .orderBy(col("word"))
+  }
+
   /** The trained model as driver constants, for [[unigramSegment]] —
     * (piece, cost) pairs off [[unigramTrain]]'s output. */
   def unigramModel(trained: DataFrame)

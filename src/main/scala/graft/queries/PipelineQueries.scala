@@ -3638,6 +3638,63 @@ object PipelineQueries {
          CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
        FROM apseg ORDER BY word"""
 
+  /** One greedy MaxMatch forward walk over `wc` under vocabulary
+    * `cTab`: per step, the LONGEST matching piece at the cursor
+    * (UNION branches per length, QUALIFY keeps the max), appended
+    * and advanced — the WordPiece-style inference rule unrolled. */
+  private def mmWalkCtes(pfx: String, cTab: String): String = {
+    val g0 =
+      s"""${pfx}g0 AS MATERIALIZED (
+           SELECT word, 0 AS pos, '' AS pieces FROM wc)"""
+    val steps = (1 to ugMaxWord).map { j =>
+      val branches = (1 to ugMaxPiece).map { s =>
+        s"""SELECT w.word, $s AS s,
+              substr(w.word, w.pos + 1, $s) AS piece
+            FROM ${pfx}g${j - 1} w JOIN $cTab c
+              ON c.piece = substr(w.word, w.pos + 1, $s)
+            WHERE length(w.word) >= w.pos + $s
+              AND w.pos < length(w.word)"""
+      }.mkString(" UNION ALL ")
+      s""",
+         ${pfx}m$j AS MATERIALIZED (
+           SELECT word, s, piece FROM ($branches) z
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY word
+             ORDER BY s DESC) = 1),
+         ${pfx}g$j AS MATERIALIZED (
+           SELECT w.word,
+             CASE WHEN m.word IS NULL THEN w.pos
+                  ELSE w.pos + m.s END AS pos,
+             CASE WHEN m.word IS NULL THEN w.pieces
+                  WHEN w.pieces = '' THEN m.piece
+                  ELSE w.pieces || ' ' || m.piece END AS pieces
+           FROM ${pfx}g${j - 1} w
+           LEFT JOIN ${pfx}m$j m ON m.word = w.word)"""
+    }.mkString
+    g0 + steps
+  }
+
+  /** WordPiece-style greedy MaxMatch segmentation
+    * ([[TextAnalysis.maxMatchSegmentTable]]) over the SAME trained
+    * unigram vocabulary as [[ppUnigramApply]] — the other inference
+    * rule production tokenizers use (BERT); the oracle replays the
+    * trainer chain plus the greedy walk, so the gate pins exactly
+    * where greedy and Viterbi agree to disagree. */
+  def ppMaxmatchApply(s: SparkSession, dir: String): DataFrame = {
+    val trained = TextAnalysis.unigramTrain(t(s, dir, "documents"),
+      "text", rounds = ugRounds, maxPieceLen = ugMaxPiece,
+      minCount = ugMinCount)
+    TextAnalysis.maxMatchSegmentTable(t(s, dir, "documents"), "text",
+      trained.select(col("piece")).collect().map(_.getString(0)).toSeq,
+      maxPieceLen = ugMaxPiece)
+  }
+
+  private lazy val ppMaxmatchApplySql =
+    s"""$ugCtes,
+       ${mmWalkCtes("mm", s"c$ugRounds")}
+       SELECT word, pieces,
+         CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
+       FROM mmg$ugMaxWord ORDER BY word"""
+
   /** Corpus-scale unigram tokenization
     * ([[TextAnalysis.unigramTokenize]]): per-document word and
     * unigram-token counts under the trained model — the
@@ -5632,6 +5689,7 @@ object PipelineQueries {
     "pp_unigram_train" -> (ppUnigramTrain _),
     "pp_unigram_apply" -> (ppUnigramApply _),
     "pp_unigram_tokenize" -> (ppUnigramTokenize _),
+    "pp_maxmatch_apply" -> (ppMaxmatchApply _),
     "pp_bpe_apply" -> (ppBpeApply _),
     "pp_bpe_apply_fast" -> (ppBpeApplyFast _),
     "pp_shard_manifest" -> (ppShardManifest _),
@@ -5835,6 +5893,7 @@ object PipelineQueries {
     "pp_unigram_train" -> ppUnigramTrainSql,
     "pp_unigram_apply" -> ppUnigramApplySql,
     "pp_unigram_tokenize" -> ppUnigramTokenizeSql,
+    "pp_maxmatch_apply" -> ppMaxmatchApplySql,
     "pp_bpe_train_fast" -> ppBpeTrainSql,
     "pp_bpe_apply" -> ppBpeApplySql,
     "pp_bpe_apply_fast" -> ppBpeApplySql,

@@ -2449,6 +2449,37 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("outside the model"))
   }
 
+  test("maxmatch: greedy longest-first regardless of cost; disagrees with viterbi where greedy is suboptimal; OOV loud") {
+    def vocab(ps: String*) = {
+      val v = new java.util.HashSet[String]()
+      ps.foreach(p => v.add(p): Unit)
+      v
+    }
+    def mm(w: String, v: java.util.HashSet[String]) =
+      TextAnalysis.maxMatchSegment(w, v, maxPieceLen = 4).toSeq
+    val v1 = vocab("a", "b", "aa", "ab")
+    // greedy takes the longest match at each cursor...
+    assert(mm("aab", v1) === Seq("aa", "b"))
+    // ...even where a cheaper two-piece split exists: viterbi with
+    // 'aa'/'b' expensive and 'a'/'ab' cheap picks the other split
+    def model(kv: (String, Double)*) = {
+      val m = new java.util.HashMap[String, java.math.BigDecimal]()
+      kv.foreach { case (p, c) =>
+        m.put(p, new java.math.BigDecimal(c).setScale(6,
+          java.math.RoundingMode.HALF_UP)): Unit
+      }
+      m
+    }
+    assert(TextAnalysis.viterbiSegment("aab",
+      model("a" -> 0.5, "b" -> 5.0, "aa" -> 5.0, "ab" -> 0.5),
+      maxPieceLen = 4).toSeq === Seq("a", "ab"))
+    // lossless concat + progress on char-only tails
+    assert(mm("abab", v1) === Seq("ab", "ab"))
+    assert(mm("ba", v1) === Seq("b", "a"))
+    val e = intercept[IllegalArgumentException](mm("az", v1))
+    assert(e.getMessage.contains("outside the vocabulary"))
+  }
+
   test("unigram LM train: seeding counts, hard-EM pruning, char floor, lossless segmentation") {
     val corpus = Seq(
       (0L, "lowered lowered lowering"),
