@@ -1208,7 +1208,17 @@ object TextAnalysis {
     * pruned, single characters floored at count 1). Output: the final
     * vocabulary (piece, cnt, cost DOUBLE). */
   def unigramTrain(docs: DataFrame, textCol: String, rounds: Int,
-      maxPieceLen: Int = 4, minCount: Long = 3L): DataFrame = {
+      maxPieceLen: Int = 4, minCount: Long = 3L): DataFrame =
+    unigramTrainCore(docs, textCol, rounds, maxPieceLen, minCount)
+      .select(col("piece"), col("cnt"),
+        col("cost").cast("double").as("cost"))
+
+  /** [[unigramTrain]] keeping the cost as the exact DECIMAL(20,6) —
+    * the form the at-rest model store persists so apply-time reads
+    * feed [[viterbiSegment]] bit-identical decimals with no
+    * double round-trip in between. */
+  private def unigramTrainCore(docs: DataFrame, textCol: String,
+      rounds: Int, maxPieceLen: Int, minCount: Long): DataFrame = {
     require(rounds >= 1 && maxPieceLen >= 1,
       s"unigramTrain: rounds >= 1, maxPieceLen >= 1; got " +
         s"rounds=$rounds maxPieceLen=$maxPieceLen")
@@ -1233,8 +1243,39 @@ object TextAnalysis {
       vocab = counted.unionByName(charFloor).localCheckpoint()
     }
     unigramCosts(vocab)
-      .select(col("piece"), col("cnt"),
-        col("cost").cast("double").as("cost"))
+  }
+
+  /** Persist a trained unigram model at rest: the (piece, cnt,
+    * cost DECIMAL(20,6)) vocabulary plus a params row stamping
+    * `max_piece_len` (baked into the pieces — a mismatched apply
+    * would silently under-segment, so reads validate against it).
+    * Model-sized: one file. Training is a batch job by design — EM
+    * re-estimates over the whole corpus, so there is no honest
+    * incremental twin; the at-rest store is what makes APPLY pay
+    * training once instead of per call. */
+  def writeUnigramModel(docs: DataFrame, textCol: String, rounds: Int,
+      maxPieceLen: Int, minCount: Long, outDir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    unigramTrainCore(docs, textCol, rounds, maxPieceLen, minCount)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/model")
+    Seq((maxPieceLen, rounds, minCount))
+      .toDF("max_piece_len", "rounds", "min_count").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/params")
+  }
+
+  /** Read a [[writeUnigramModel]] store back as driver constants:
+    * ((piece, cost) pairs, maxPieceLen). */
+  def readUnigramModel(spark: SparkSession, dir: String)
+      : (Seq[(String, java.math.BigDecimal)], Int) = {
+    val m = spark.read.parquet(s"$dir/model")
+      .select(col("piece"),
+        col("cost").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1))).toSeq
+    val p = spark.read.parquet(s"$dir/params").collect()(0)
+    (m, p.getAs[Int]("max_piece_len"))
   }
 
   /** Greedy longest-match-first (MaxMatch) segmentation of ONE word

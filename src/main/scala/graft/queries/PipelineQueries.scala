@@ -3673,6 +3673,26 @@ object PipelineQueries {
     g0 + steps
   }
 
+  /** [[ppUnigramApply]] with the model read from the at-rest store
+    * ([[TextAnalysis.writeUnigramModel]]) — training paid once, apply
+    * reads the model-sized vocabulary and segments scan-local. Shares
+    * [[ppUnigramApplySql]] VERBATIM (lossless-store proof: the
+    * persisted DECIMAL(20,6) costs reproduce the inline segmentation
+    * bit-for-bit). Training itself stays a batch job: EM
+    * re-estimates over the whole corpus, so an "incremental trainer"
+    * would be dishonest — the store is the production apply path. */
+  def ppUnigramApplyAtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = layoutDir(dir, "documents", "unigram_r2_m4_c3")
+    ensureLayout(root) {
+      TextAnalysis.writeUnigramModel(docs, "text", rounds = ugRounds,
+        maxPieceLen = ugMaxPiece, minCount = ugMinCount, root)
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    val (model, mpl) = TextAnalysis.readUnigramModel(s, root)
+    TextAnalysis.unigramSegment(docs, "text", model, mpl)
+  }
+
   /** WordPiece-style greedy MaxMatch segmentation
     * ([[TextAnalysis.maxMatchSegmentTable]]) over the SAME trained
     * unigram vocabulary as [[ppUnigramApply]] — the other inference
@@ -5690,6 +5710,7 @@ object PipelineQueries {
     "pp_unigram_apply" -> (ppUnigramApply _),
     "pp_unigram_tokenize" -> (ppUnigramTokenize _),
     "pp_maxmatch_apply" -> (ppMaxmatchApply _),
+    "pp_unigram_apply_at_rest" -> (ppUnigramApplyAtRest _),
     "pp_bpe_apply" -> (ppBpeApply _),
     "pp_bpe_apply_fast" -> (ppBpeApplyFast _),
     "pp_shard_manifest" -> (ppShardManifest _),
@@ -5787,7 +5808,7 @@ object PipelineQueries {
     "pp_semdedup_e2e",
     "pp_bm25_search", "pp_hybrid_search", "pp_hard_negatives",
     "ta_heavy_hitters", "pp_bpe_train", "pp_bpe_apply",
-    "pp_bpe_tokenize", "pp_nb_model")
+    "pp_bpe_tokenize", "pp_nb_model", "pp_unigram_apply")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -5894,6 +5915,7 @@ object PipelineQueries {
     "pp_unigram_apply" -> ppUnigramApplySql,
     "pp_unigram_tokenize" -> ppUnigramTokenizeSql,
     "pp_maxmatch_apply" -> ppMaxmatchApplySql,
+    "pp_unigram_apply_at_rest" -> ppUnigramApplySql,
     "pp_bpe_train_fast" -> ppBpeTrainSql,
     "pp_bpe_apply" -> ppBpeApplySql,
     "pp_bpe_apply_fast" -> ppBpeApplySql,
