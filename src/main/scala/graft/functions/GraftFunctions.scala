@@ -127,6 +127,7 @@ object GraftFunctions {
       install("vec_dot_int8", exprs => VecDotInt8(exprs(0), exprs(1)))
       install("vec_quantize_int8", exprs => VecQuantizeInt8(exprs.head))
       install("word_ngrams", buildWordNGrams)
+      install("nfc_normalize", exprs => NfcNormalize(exprs.head))
       install("bloom_agg", buildBloomAgg)
       install("bloom_contains", exprs =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
@@ -147,6 +148,12 @@ object GraftFunctions {
   /** 64-bit SimHash of a string column (codegen'd native expression).
     * Requires [[register]] (or the extensions) on the session. */
   def simhash64(c: Column): Column = call_function("simhash64", c)
+
+  /** Unicode NFC normalization (codegen'd native expression; name
+    * and semantics match DuckDB's nfc_normalize). Requires
+    * [[register]] (or the extensions) on the session. */
+  def nfc_normalize(c: Column): Column =
+    call_function("nfc_normalize", c)
 
   /** One-pass n-gram stats struct (n_grams, n_distinct) of a string
     * column (codegen'd native expression). */
@@ -275,6 +282,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(exprs.head)))
     e.injectOptimizerRule(_ => VecFusionRule)
     e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -42,6 +42,18 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("group_size"), min(col(keyCol)).as("keeper"))
 
+  /** [[fingerprintGroups]] over the Unicode-normalized fingerprint
+    * ([[TextAnalysis.fingerprintNfc]]): canonically-equivalent texts
+    * (composed vs decomposed accents) land in one group. Same keyed
+    * aggregation — scan-local normalization, one shuffle. */
+  def fingerprintGroupsNfc(df: DataFrame, textCol: String,
+      keyCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("fp", TextAnalysis.fingerprintNfc(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("group_size"), min(col(keyCol)).as("keeper"))
+  }
+
   /** Corpus snapshot diff — the incremental-crawl primitive: given
     * two snapshots of a keyed text corpus, classify every key as
     * `added` (new only), `removed` (old only), `changed` (both, text

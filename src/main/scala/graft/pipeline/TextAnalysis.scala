@@ -114,6 +114,17 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
+  /** [[fingerprint]] with Unicode canonical composition (NFC) applied
+    * LAST — the CCNet-style normalization chain, so a decomposed
+    * "é" fingerprints identically to the composed one where the plain
+    * chain would keep both as distinct "duplicates". NFC is a native
+    * codegen'd expression ([[graft.functions.NfcNormalize]]) whose
+    * name and semantics match DuckDB's `nfc_normalize`; requires
+    * [[graft.functions.GraftFunctions.register]] on the session. */
+  def fingerprintNfc(text: Column): Column =
+    md5(graft.functions.GraftFunctions.nfc_normalize(
+      regexp_replace(lower(trim(text)), "[ \\t\\n\\x0B\\f\\r]+", " ")))
+
   /** TF-IDF keyword extraction: the top-`k` terms of each document by
     * `tf · idf` with the Lucene idf
     * `ln(1 + (N − df + 0.5)/(df + 0.5))` — the same (always-positive)

@@ -37,6 +37,21 @@ object PipelineQueries {
        COUNT(*) AS group_size, MIN(doc_id) AS keeper
        FROM documents GROUP BY fp ORDER BY fp"""
 
+  /** [[ddFingerprint]] with Unicode NFC composed into the chain
+    * ([[Dedup.fingerprintGroupsNfc]], the CCNet normalization): the
+    * oracle runs DuckDB's own nfc_normalize, so the gate proves the
+    * native [[graft.functions.NfcNormalize]] expression
+    * engine-neutral on the corpus (a FunctionsSpec fixture pins the
+    * composed≡decomposed behavior ASCII data cannot exercise). */
+  def ddFingerprintNfc(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintGroupsNfc(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("fp"))
+
+  private val ddFingerprintNfcSql =
+    """SELECT md5(nfc_normalize(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp,
+       COUNT(*) AS group_size, MIN(doc_id) AS keeper
+       FROM documents GROUP BY fp ORDER BY fp"""
+
   /** MinHash(8) + LSH(4 bands) candidate pairs over word 3-shingles. */
   def ddMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashCandidates(
@@ -5629,6 +5644,7 @@ object PipelineQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
     "dd_fingerprint" -> (ddFingerprint _),
+    "dd_fingerprint_nfc" -> (ddFingerprintNfc _),
     "dd_minhash_lsh" -> (ddMinhash _),
     "dd_minhash_agg_expr" -> (ddMinhashExpr _),
     "dd_minhash_scalar_expr" -> (ddMinhashScalar _),
@@ -5813,6 +5829,7 @@ object PipelineQueries {
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_fingerprint" -> ddFingerprintSql,
+    "dd_fingerprint_nfc" -> ddFingerprintNfcSql,
     "dd_minhash_lsh" -> ddMinhashSql,
     "dd_minhash_agg_expr" -> ddMinhashSql,
     "dd_minhash_scalar_expr" -> ddMinhashSql,

@@ -443,4 +443,27 @@ class FunctionsSpec extends SparkSpec {
       assert(q === 20L)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("nfc_normalize: composed == decomposed after NFC; ASCII passthrough; fingerprints unify") {
+    GraftFunctions.register(spark)
+    // "café" composed (U+00E9) vs decomposed (e + U+0301)
+    val composed = "café au lait"
+    val decomposed = "café au lait"
+    assert(composed != decomposed) // raw strings differ...
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"))
+      .toDF("id", "t")
+    val out = df.select($"id",
+        GraftFunctions.nfc_normalize($"t").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === out(2L)) // ...but NFC unifies them
+    assert(out(3L) === "plain ascii") // ASCII untouched
+    // and the normalized fingerprint groups them where the plain
+    // chain keeps two "distinct" docs
+    val plain = Dedup.fingerprintGroups(df, "t", "id").count()
+    val nfc = Dedup.fingerprintGroupsNfc(df, "t", "id")
+    assert(plain === 3L)
+    assert(nfc.count() === 2L)
+    assert(nfc.filter($"group_size" === 2).select($"keeper")
+      .as[Long].collect().toSeq === Seq(1L))
+  }
 }
