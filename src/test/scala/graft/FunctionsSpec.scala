@@ -185,7 +185,7 @@ class FunctionsSpec extends SparkSpec {
       val expected = Set("simhash64", "gram_stats", "minhash_sigs",
         "minhash_agg", "vec_dot", "vec_norm", "vec_dot_long",
         "vec_dot_int8", "vec_quantize_int8", "word_ngrams",
-        "bloom_agg", "bloom_contains")
+        "bloom_agg", "bloom_contains", "nfc_normalize")
       assert(names === expected)
     }
   }
