@@ -63,6 +63,15 @@ object ChunkStore {
     require(window > 0 && buckets >= 1 && buckets <= 4096,
       s"ChunkStore.writeBase: window > 0, 1..4096 buckets; " +
         s"got window=$window buckets=$buckets")
+    // a rebuilt base supersedes ALL prior history under the root:
+    // stale uncompacted delta batches (and a crashed compact's
+    // staging) would otherwise mix into liveChunks as if they
+    // postdated the fresh base. Drop the completion marker FIRST so a
+    // crash mid-rebuild reads as a cold store, not a torn one.
+    new java.io.File(root, "_SUCCESS").delete(): Unit
+    graft.streaming.IvfStream.rmRec(new java.io.File(s"$root/delta"))
+    graft.streaming.IvfStream.rmRec(
+      new java.io.File(s"$root/base_compact"))
     LayoutWrite.salted(
       bucketedChunks(docs, textCol, keyCol, window, buckets),
       "fp_bucket", col(keyCol))

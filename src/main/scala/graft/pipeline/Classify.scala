@@ -35,7 +35,7 @@ object Classify {
     * 6-dp rounding midpoint — one row in 100 at sf0.01 flipped; a
     * scale-12 cast and a 10→8 double-round were earlier failures,
     * both caught by the sf1 gate.) */
-  private def dlog(c: Column): Column =
+  private[graft] def dlog(c: Column): Column =
     round(c.cast(DecimalType(20, 10)), 6).cast(DecimalType(20, 6))
 
   /** The model's ADDITIVE sufficient statistics: per-(class, token)
@@ -104,9 +104,40 @@ object Classify {
     * the report never silently loses a row. Output:
     * (key, label_pred, score) with the 6-dp rounded winning score. */
   def nbApply(test: DataFrame, model: DataFrame, priors: DataFrame,
+      textCol: String, keyCol: String): DataFrame =
+    nbApplyFeatures(test, model, priors,
+      c => TextAnalysis.tokens(c), textCol, keyCol)
+
+  /** fastText-style character n-gram features of lowercased text —
+    * the language-ID feature family (character statistics separate
+    * scripts and orthographies where word features fragment). Raw
+    * sliding grams including spaces; text shorter than `n` has no
+    * feature (scores on priors alone, the OOV discipline). */
+  def charGrams(c: Column, n: Int): Column = {
+    val lc = lower(c)
+    when(length(lc) >= n,
+      transform(sequence(lit(1), length(lc) - lit(n - 1)),
+        i => lc.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** [[tokenCounts]] over char n-gram features: the additive
+    * sufficient statistics of the trained language-ID router. */
+  def charGramCounts(train: DataFrame, textCol: String,
+      labelCol: String, n: Int): DataFrame =
+    train.select(col(labelCol).as("label"),
+      explode(charGrams(col(textCol), n)).as("token"))
+      .groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** [[nbApply]] over an arbitrary feature extractor (word tokens,
+    * char n-grams, …) — same scoring, argmax, and determinism
+    * contract. */
+  def nbApplyFeatures(test: DataFrame, model: DataFrame,
+      priors: DataFrame, features: Column => Column,
       textCol: String, keyCol: String): DataFrame = {
     val occ = test.select(col(keyCol).as("key"),
-      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      explode(features(col(textCol))).as("token"))
       .groupBy(col("key"), col("token"))
       .agg(count(lit(1)).as("cnt"))
     // cnt cast to DECIMAL(10,0) keeps the product inside both

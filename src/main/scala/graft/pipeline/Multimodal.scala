@@ -252,6 +252,23 @@ object Multimodal {
       }
   }
 
+  /** Mime-keyed codec registry — the CONTRACTUAL mp4/webm boundary:
+    * a production deployment registers a codec per container format
+    * (e.g. `"video/mp4" → <FFmpeg-backed MediaCodec>`) and the same
+    * partition-iterator decode path ([[decodeAndFeaturize]])
+    * dispatches per asset; unregistered mime types fall back to the
+    * JDK chain ([[GifCodec]] → [[WavCodec]] → [[ImageIoCodec]] →
+    * [[StubCodec]]). The 100 TB decode story therefore depends only
+    * on this registration point, never on JDK-shipped formats —
+    * PipelineSpec pins that a synthetic registered codec slots in
+    * with zero pipeline changes. */
+  final case class CodecRegistry(entries: Map[String, MediaCodec],
+      fallback: MediaCodec = GifCodec) extends MediaCodec {
+    def decode(asset: MediaAsset, maxFrames: Int): Seq[Array[Float]] =
+      entries.getOrElse(asset.mime_type, fallback)
+        .decode(asset, maxFrames)
+  }
+
   def hashHex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString

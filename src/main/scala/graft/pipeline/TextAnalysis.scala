@@ -535,6 +535,102 @@ object TextAnalysis {
       .select(col("gram"), p9.as("p9"))
   }
 
+  // -----------------------------------------------------------------
+  // Jelinek-Mercer interpolated bigram LM — the production corpus-
+  // filter form (CCNet trains a Kneser-Ney LM and filters on
+  // perplexity; JM interpolation is the smoothing family's additive-
+  // statistics member, which is what makes the model streamable):
+  //   p(w2|w1) = 0.9·p_ML(w2|w1) + 0.1·p_uni(w2)
+  // An UNSEEN bigram whose w2 is in vocabulary backs off to
+  // 0.1·p_uni(w2) — no zero-probability cliff (the ta_bigram_lm
+  // proxy's gap this closes). Both mixture constants are written as
+  // the literal doubles 0.9 / 0.1 in BOTH engines (never `1 - λ`,
+  // whose decimal-vs-double evaluation differs across engines); the
+  // interpolation itself is IEEE double arithmetic — identical ops on
+  // identical inputs are bit-identical — and ln() is quantized at
+  // birth via [[Classify.dlog]], the proven NB contract, so apply
+  // sums exact decimals.
+  //
+  // 100 TB shape: counts are additive (gram, cnt) sufficient
+  // statistics — one grouped count over the exploded token/bigram
+  // stream, model-sized output — which is what
+  // [[graft.streaming.NgramLmStream]] folds incrementally; scoring is
+  // a gram-keyed join against the model grid plus one doc-keyed sum.
+  // -----------------------------------------------------------------
+
+  /** Additive sufficient statistics for the smoothed bigram LM:
+    * `(n, gram, cnt)` — unigram occurrence counts at n=1, bigram at
+    * n=2. Two batches' rows sum cell-wise into the union's. */
+  def ngramLmCounts(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val uni = df.select(explode(tokens(col(textCol))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n", lit(1))
+    val bi = df.select(explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n", lit(2))
+    uni.unionByName(bi).select(col("n"), col("gram"), col("cnt"))
+  }
+
+  /** JM-interpolated model grids from folded `(n, gram, cnt)` counts:
+    * (bigram grid `(gram, ll)`, unigram backoff grid `(w, ll1)`),
+    * both lls 6-dp decimals via [[Classify.dlog]]. Model-sized. */
+  def ngramLmSmoothedModel(counts: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val uni = counts.filter(col("n") === 1)
+      .select(col("gram").as("w"), col("cnt").as("c_w"))
+    val total = uni.agg(sum(col("c_w")).as("n_total"))
+    val pair = counts.filter(col("n") === 2)
+      .select(col("gram"), col("cnt").as("c_pair"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+    val first = pair.groupBy(col("w1"))
+      .agg(sum(col("c_pair")).as("c_first"))
+    val pUni =
+      col("c_w").cast("double") / col("n_total").cast("double")
+    val grid2 = pair
+      .join(first, Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("gram"), Classify.dlog(log(
+        lit(0.9) * (col("c_pair").cast("double") /
+          col("c_first").cast("double")) +
+          lit(0.1) * pUni)).as("ll"))
+    val grid1 = uni.crossJoin(broadcast(total))
+      .select(col("w"),
+        Classify.dlog(log(lit(0.1) * pUni)).as("ll1"))
+    (grid2, grid1)
+  }
+
+  /** Score documents under the smoothed model: per doc the exact-
+    * decimal mean of its bigrams' interpolated log-probs, seen
+    * bigrams from the bigram grid, unseen-but-in-vocabulary from the
+    * unigram backoff, both-OOV bigrams dropped (no evidence — the NB
+    * OOV discipline). Docs with no scorable bigram drop. Output
+    * `(key, n_scored, avg_ll)`. */
+  def ngramLmScoreSmoothed(docs: DataFrame, grid2: DataFrame,
+      grid1: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(keyCol).as("key"), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
+        .as("gram"))
+      .withColumn("w", substring_index(col("gram"), " ", -1))
+      .join(grid2, Seq("gram"), "left_outer")
+      .join(grid1, Seq("w"), "left_outer")
+      .withColumn("ll_eff", coalesce(col("ll"), col("ll1")))
+      .filter(col("ll_eff").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("ll_eff")).as("sum_ll"))
+      .select(col("key"), col("n_scored"),
+        round((col("sum_ll").cast("double") /
+          col("n_scored").cast("double")).cast(DecimalType(20, 10)), 6)
+          .cast("double").as("avg_ll"))
+  }
+
   /** Snorkel-style weak supervision (Ratner et al. 2017): three
     * heuristic labeling functions vote keep(+1) / abstain(0) /
     * drop(−1) per document, combined by majority into a weak label —
@@ -975,15 +1071,32 @@ object TextAnalysis {
     * with the distributed form and the oracle's ORDER BY. `minCount`
     * prunes the long singleton tail before collect (the standard
     * trainer knob); at the default 1 the result is EXACTLY
-    * [[bpeMerges]]', which the gate replays. */
+    * [[bpeMerges]]', which the gate replays.
+    *
+    * `maxVocab` bounds the DRIVER-RESIDENT word table for 100 TB
+    * corpora: a web-scale corpus has 10⁸+ distinct "words" (typos,
+    * URLs, ids), but token mass is Zipf-distributed, so the
+    * top-`maxVocab` words by count carry almost all pair-count
+    * evidence (at 10⁶ words typically >95% of occurrences — the
+    * standard SentencePiece/HuggingFace trainer pre-tokenizer cap).
+    * The cut is DETERMINISTIC: (cnt DESC, md5(word)) — the
+    * q32HashSample md5-order discipline breaks count ties without an
+    * engine-dependent sort, so the capped trainer replays
+    * bit-identical across engines and runs. A cap at or above the
+    * corpus vocabulary is the identity (the spec pins it). */
   def bpeMergesFast(docs: DataFrame, textCol: String, rounds: Int,
-      minCount: Long = 1L): DataFrame = {
+      minCount: Long = 1L, maxVocab: Int = Int.MaxValue): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = docs
+    val wcAll = docs
       .select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+    val vocab = (if (maxVocab == Int.MaxValue) wcAll
+                 else wcAll // distributed top-k, never a full sort
+                   .orderBy(col("cnt").desc, md5(col("word")))
+                   .limit(maxVocab))
+      .select(col("word"), col("cnt"))
       .as[(String, Long)].collect()
     val words = vocab.map(v => toSymbols(v._1))
     val cnts = vocab.map(_._2)
@@ -1055,6 +1168,37 @@ object TextAnalysis {
       merges: Seq[(String, String)]): DataFrame =
     tokenizeWith(docs, textCol, keyCol,
       bpeSegmentFast(docs, textCol, merges))
+
+  /** Persist a trained BPE merge list at rest: the ordered (round,
+    * lhs, rhs, merged, pair_count) table [[bpeMergesFast]] produces,
+    * plus a params row stamping (rounds, min_count) — the
+    * [[writeUnigramModel]] contract for the BPE family. Model-sized:
+    * one file. Training stays a batch job by design (every round's
+    * winner depends on GLOBAL pair counts, so there is no honest
+    * incremental twin); the store is what makes APPLY pay training
+    * once instead of per call. */
+  def writeBpeModel(docs: DataFrame, textCol: String, rounds: Int,
+      minCount: Long, outDir: String,
+      maxVocab: Int = Int.MaxValue): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.streaming.IvfStream.requireNoPendingSwap(outDir,
+      "TextAnalysis.writeBpeModel")
+    bpeMergesFast(docs, textCol, rounds, minCount, maxVocab)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/model")
+    Seq((rounds, minCount)).toDF("rounds", "min_count").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/params")
+  }
+
+  /** Read a [[writeBpeModel]] store back as the training-ordered
+    * merge list [[bpeSegmentFast]]/[[bpeTokenizeFast]] consume. */
+  def readBpeModel(spark: SparkSession, dir: String)
+      : Seq[(String, String)] =
+    spark.read.parquet(s"$dir/model")
+      .orderBy(col("round"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
   // -----------------------------------------------------------------
   // Unigram-LM tokenizer (SentencePiece-flavored, Kudo 2018
@@ -1219,8 +1363,10 @@ object TextAnalysis {
     * pruned, single characters floored at count 1). Output: the final
     * vocabulary (piece, cnt, cost DOUBLE). */
   def unigramTrain(docs: DataFrame, textCol: String, rounds: Int,
-      maxPieceLen: Int = 4, minCount: Long = 3L): DataFrame =
-    unigramTrainCore(docs, textCol, rounds, maxPieceLen, minCount)
+      maxPieceLen: Int = 4, minCount: Long = 3L,
+      maxVocab: Int = Int.MaxValue): DataFrame =
+    unigramTrainCore(docs, textCol, rounds, maxPieceLen, minCount,
+      maxVocab)
       .select(col("piece"), col("cnt"),
         col("cost").cast("double").as("cost"))
 
@@ -1229,15 +1375,33 @@ object TextAnalysis {
     * feed [[viterbiSegment]] bit-identical decimals with no
     * double round-trip in between. */
   private def unigramTrainCore(docs: DataFrame, textCol: String,
-      rounds: Int, maxPieceLen: Int, minCount: Long): DataFrame = {
+      rounds: Int, maxPieceLen: Int, minCount: Long,
+      maxVocab: Int = Int.MaxValue): DataFrame = {
     require(rounds >= 1 && maxPieceLen >= 1,
       s"unigramTrain: rounds >= 1, maxPieceLen >= 1; got " +
         s"rounds=$rounds maxPieceLen=$maxPieceLen")
     val wc = docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // eager: vocabulary-sized by construction
-    var vocab = unigramCandidates(wc, maxPieceLen, minCount)
-      .localCheckpoint()
+    // `maxVocab` bounds the DRIVER-RESIDENT candidate inventory (the
+    // per-round model collect): length-1 pieces are ALWAYS kept so
+    // every word stays segmentable; longer candidates are cut to the
+    // top maxVocab by (cnt DESC, md5(piece)) — deterministic, and
+    // Zipf mass makes the head carry nearly all segmentation
+    // evidence. A cap at or above the seeded inventory is the
+    // identity (spec-pinned). EM only prunes after seeding, so the
+    // one seed-time cut bounds every later round too.
+    var vocab = {
+      val cand = unigramCandidates(wc, maxPieceLen, minCount)
+      if (maxVocab == Int.MaxValue) cand.localCheckpoint()
+      else {
+        val longer = cand.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, md5(col("piece")))
+          .limit(maxVocab) // distributed top-k, never a full sort
+        cand.filter(length(col("piece")) === 1)
+          .unionByName(longer).localCheckpoint()
+      }
+    }
     for (_ <- 1 to rounds) {
       val model = collectModel(unigramCosts(vocab))
       val counted = segmentWordTable(wc, model, maxPieceLen)
@@ -1265,10 +1429,14 @@ object TextAnalysis {
     * incremental twin; the at-rest store is what makes APPLY pay
     * training once instead of per call. */
   def writeUnigramModel(docs: DataFrame, textCol: String, rounds: Int,
-      maxPieceLen: Int, minCount: Long, outDir: String): Unit = {
+      maxPieceLen: Int, minCount: Long, outDir: String,
+      maxVocab: Int = Int.MaxValue): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    unigramTrainCore(docs, textCol, rounds, maxPieceLen, minCount)
+    graft.streaming.IvfStream.requireNoPendingSwap(outDir,
+      "TextAnalysis.writeUnigramModel")
+    unigramTrainCore(docs, textCol, rounds, maxPieceLen, minCount,
+      maxVocab)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/model")
     Seq((maxPieceLen, rounds, minCount))

@@ -3488,6 +3488,38 @@ object PipelineQueries {
       "doc_id", m)
   }
 
+  /** The at-rest BPE model store shared by the `_at_rest` apply /
+    * tokenize gates: train once ([[TextAnalysis.writeBpeModel]],
+    * minCount=1 so the merges are EXACTLY the distributed trainer's,
+    * which the shared oracle replays), read back the model-sized
+    * ordered merge list for every probe. */
+  private def bpeStoredMerges(s: SparkSession, dir: String)
+      : Seq[(String, String)] = {
+    val root = layoutDir(dir, "documents", "bpe_r8_c1")
+    ensureLayout(root) {
+      TextAnalysis.writeBpeModel(t(s, dir, "documents"), "text",
+        rounds = 8, minCount = 1L, root)
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    TextAnalysis.readBpeModel(s, root)
+  }
+
+  /** [[ppBpeApply]] with the merges read from the at-rest store —
+    * training paid once; apply reads the model-sized merge list and
+    * segments scan-local. Shares [[ppBpeApplySql]] VERBATIM
+    * (lossless-store proof: the persisted ordered merges reproduce
+    * the inline segmentation bit-for-bit). */
+  def ppBpeApplyAtRest(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeSegmentFast(t(s, dir, "documents"), "text",
+      bpeStoredMerges(s, dir))
+
+  /** [[ppBpeTokenize]] off the at-rest model store — the
+    * occurrence-scale twin of [[ppBpeApplyAtRest]], same oracle
+    * verbatim. */
+  def ppBpeTokenizeAtRest(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeTokenizeFast(t(s, dir, "documents"), "text",
+      "doc_id", bpeStoredMerges(s, dir))
+
   // ---------------------------------------------------------------
   // Unigram-LM tokenizer gates ([[TextAnalysis.unigramTrain]] /
   // unigramSegment): the oracle replays the ENTIRE trainer — the
@@ -3506,6 +3538,25 @@ object PipelineQueries {
   private val ugMaxPiece = 4
   private val ugMaxWord = 12 // oracle DP unroll; corpus max word = 8
   private val ugMinCount = 3
+
+  /** The oracle's Viterbi/MaxMatch DP is unrolled to exactly
+    * [[ugMaxWord]] positions — a corpus word longer than that makes
+    * the ORACLE emit truncated walks while the engine segments
+    * correctly, surfacing as an opaque hash red. Embed the contract
+    * in the gate plan (no extra action: evaluated during the pass
+    * that tokenizes anyway) so a violation fails pointedly instead. */
+  private[graft] def ugChecked(docs: DataFrame): DataFrame = {
+    val maxLen = array_max(transform(
+      filter(split(lower(col("text")), "\\W+"), w => w =!= ""),
+      w => length(w)))
+    docs.withColumn("text",
+      when(coalesce(maxLen, lit(0)) <= ugMaxWord, col("text"))
+        .otherwise(raise_error(concat(
+          lit(s"unigram gates: corpus word longer than the oracle " +
+            s"DP unroll ugMaxWord=$ugMaxWord in document "),
+          col("doc_id").cast("string"),
+          lit(" — raise ugMaxWord (or derive it from the corpus)")))))
+  }
 
   /** Quantized -log-prob cost table over vocabulary `vTab`:
     * `$name` = (piece, cnt, cost DECIMAL(20,6)). */
@@ -3624,7 +3675,7 @@ object PipelineQueries {
     * seeding plus 2 hard-EM rounds over the documents vocabulary;
     * output the final (piece, cnt, cost) model. */
   def ppUnigramTrain(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.unigramTrain(t(s, dir, "documents"), "text",
+    TextAnalysis.unigramTrain(ugChecked(t(s, dir, "documents")), "text",
         rounds = ugRounds, maxPieceLen = ugMaxPiece,
         minCount = ugMinCount)
       .orderBy(col("piece"))
@@ -3639,7 +3690,8 @@ object PipelineQueries {
     * ([[TextAnalysis.unigramSegment]]) — the [[ppBpeApply]] contract:
     * (word, pieces, n_pieces) over the distinct-word vocabulary. */
   def ppUnigramApply(s: SparkSession, dir: String): DataFrame = {
-    val trained = TextAnalysis.unigramTrain(t(s, dir, "documents"),
+    val trained = TextAnalysis.unigramTrain(
+      ugChecked(t(s, dir, "documents")),
       "text", rounds = ugRounds, maxPieceLen = ugMaxPiece,
       minCount = ugMinCount)
     TextAnalysis.unigramSegment(t(s, dir, "documents"), "text",
@@ -3696,15 +3748,24 @@ object PipelineQueries {
     * bit-for-bit). Training itself stays a batch job: EM
     * re-estimates over the whole corpus, so an "incremental trainer"
     * would be dishonest — the store is the production apply path. */
-  def ppUnigramApplyAtRest(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  /** The at-rest unigram model store shared by the unigram AND
+    * MaxMatch `_at_rest` gates (MaxMatch consumes only the piece
+    * inventory, so one store serves both inference rules): train
+    * once, read back ((piece, cost) pairs, maxPieceLen). */
+  private def unigramStoredModel(s: SparkSession, dir: String,
+      docs: DataFrame): (Seq[(String, java.math.BigDecimal)], Int) = {
     val root = layoutDir(dir, "documents", "unigram_r2_m4_c3")
     ensureLayout(root) {
       TextAnalysis.writeUnigramModel(docs, "text", rounds = ugRounds,
         maxPieceLen = ugMaxPiece, minCount = ugMinCount, root)
       new java.io.File(root, "_SUCCESS").createNewFile(): Unit
     }
-    val (model, mpl) = TextAnalysis.readUnigramModel(s, root)
+    TextAnalysis.readUnigramModel(s, root)
+  }
+
+  def ppUnigramApplyAtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = ugChecked(t(s, dir, "documents"))
+    val (model, mpl) = unigramStoredModel(s, dir, docs)
     TextAnalysis.unigramSegment(docs, "text", model, mpl)
   }
 
@@ -3715,7 +3776,8 @@ object PipelineQueries {
     * trainer chain plus the greedy walk, so the gate pins exactly
     * where greedy and Viterbi agree to disagree. */
   def ppMaxmatchApply(s: SparkSession, dir: String): DataFrame = {
-    val trained = TextAnalysis.unigramTrain(t(s, dir, "documents"),
+    val trained = TextAnalysis.unigramTrain(
+      ugChecked(t(s, dir, "documents")),
       "text", rounds = ugRounds, maxPieceLen = ugMaxPiece,
       minCount = ugMinCount)
     TextAnalysis.maxMatchSegmentTable(t(s, dir, "documents"), "text",
@@ -3730,12 +3792,25 @@ object PipelineQueries {
          CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
        FROM mmg$ugMaxWord ORDER BY word"""
 
+  /** [[ppMaxmatchApply]] with the vocabulary read from the SAME
+    * at-rest unigram store [[ppUnigramApplyAtRest]] builds — the
+    * greedy inference rule needs only the piece inventory, so the
+    * store is written once and serves both tokenizers. Shares
+    * [[ppMaxmatchApplySql]] VERBATIM. */
+  def ppMaxmatchApplyAtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = ugChecked(t(s, dir, "documents"))
+    val (model, mpl) = unigramStoredModel(s, dir, docs)
+    TextAnalysis.maxMatchSegmentTable(docs, "text", model.map(_._1),
+      mpl)
+  }
+
   /** Corpus-scale unigram tokenization
     * ([[TextAnalysis.unigramTokenize]]): per-document word and
     * unigram-token counts under the trained model — the
     * [[ppBpeTokenize]] contract for the other tokenizer family. */
   def ppUnigramTokenize(s: SparkSession, dir: String): DataFrame = {
-    val trained = TextAnalysis.unigramTrain(t(s, dir, "documents"),
+    val trained = TextAnalysis.unigramTrain(
+      ugChecked(t(s, dir, "documents")),
       "text", rounds = ugRounds, maxPieceLen = ugMaxPiece,
       minCount = ugMinCount)
     TextAnalysis.unigramTokenize(t(s, dir, "documents"), "text",
@@ -4546,6 +4621,95 @@ object PipelineQueries {
            AS loglik
        FROM ngrid ORDER BY label, token"""
 
+  /** Trained language-ID router — the fastText-style production form
+    * of the heuristic [[TextAnalysis.langId]]: the proven NB
+    * machinery ([[Classify]]) over CHAR-TRIGRAM features (character
+    * statistics separate scripts and orthographies where word
+    * features fragment), trained on the doc_id%5≠0 slice's lang
+    * labels, routing the held-out slice. The oracle replays train and
+    * apply end-to-end over the same char-gram extractor; LangIdSpec
+    * compares accuracy against the heuristic on the same slice. */
+  def taLangidNb(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val train = d.filter(col("doc_id") % 5 =!= 0)
+    val test = d.filter(col("doc_id") % 5 === 0)
+    val model = Classify.nbModelFromCounts(
+      Classify.charGramCounts(train, "text", "lang", n = 3))
+    val priors = Classify.nbPriors(train, "lang")
+    Classify.nbApplyFeatures(test, model, priors,
+        c => Classify.charGrams(c, 3), "text", "doc_id")
+      .join(test.select(col("doc_id").as("key"),
+        col("lang").as("label_true")), Seq("key"))
+      .select(col("key").as("doc_id"), col("label_true"),
+        col("label_pred"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taLangidNbSql =
+    s"""WITH train AS (
+         SELECT doc_id, lang AS label, lower(text) AS lt
+         FROM documents WHERE doc_id % 5 <> 0),
+       ctoks AS (
+         SELECT label, substr(lt, CAST(i + 1 AS INT), 3) AS token
+         FROM train CROSS JOIN unnest(range(length(lt) - 2)) AS r(i)
+         WHERE length(lt) >= 3),
+       ncounts AS (
+         SELECT label, token, COUNT(*) AS cnt
+         FROM ctoks GROUP BY label, token),
+       nct AS (
+         SELECT label, COUNT(*) AS n_tok FROM ctoks GROUP BY label),
+       nvocab AS (SELECT DISTINCT token FROM ctoks),
+       nv AS (SELECT COUNT(*) AS v_size FROM nvocab),
+       ngrid AS (
+         SELECT nct.label, nvocab.token,
+           CAST(ROUND(CAST(ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) /
+                            CAST(nct.n_tok + nv.v_size AS DOUBLE))
+                        AS DECIMAL(20,10)), 6)
+             AS DECIMAL(20,6)) AS loglik
+         FROM nvocab CROSS JOIN nct CROSS JOIN nv
+         LEFT JOIN ncounts c
+           ON c.label = nct.label AND c.token = nvocab.token),
+       npriors AS (
+         SELECT p.label,
+           CAST(ROUND(CAST(ln(CAST(p.n_docs AS DOUBLE) /
+                              CAST(tt.n_total AS DOUBLE))
+                        AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
+             AS logprior
+         FROM (SELECT label, COUNT(*) AS n_docs FROM train
+               GROUP BY label) p
+         CROSS JOIN (SELECT COUNT(*) AS n_total FROM train) tt),
+       ntest AS (
+         SELECT doc_id, lang AS label_true, lower(text) AS lt
+         FROM documents WHERE doc_id % 5 = 0),
+       nocc AS (
+         SELECT doc_id, token, COUNT(*) AS cnt FROM (
+           SELECT doc_id, substr(lt, CAST(i + 1 AS INT), 3) AS token
+           FROM ntest CROSS JOIN unnest(range(length(lt) - 2)) AS r(i)
+           WHERE length(lt) >= 3) z
+         GROUP BY doc_id, token),
+       nev AS (
+         SELECT o.doc_id, g.label,
+           SUM(g.loglik * CAST(o.cnt AS DECIMAL(10,0))) AS ev
+         FROM nocc o JOIN ngrid g USING (token)
+         GROUP BY o.doc_id, g.label),
+       nscored AS (
+         SELECT t.doc_id, p.label,
+           p.logprior + COALESCE(e.ev, CAST(0 AS DECIMAL(20,6)))
+             AS score
+         FROM ntest t CROSS JOIN npriors p
+         LEFT JOIN nev e
+           ON e.doc_id = t.doc_id AND e.label = p.label),
+       nranked AS (
+         SELECT doc_id, label, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, label DESC) AS rn
+         FROM nscored)
+       SELECT r.doc_id, t.label_true, r.label AS label_pred,
+         CAST(ROUND(CAST(r.score AS DECIMAL(28,10)), 6) AS DOUBLE)
+           AS score
+       FROM nranked r JOIN ntest t USING (doc_id)
+       WHERE rn = 1 ORDER BY r.doc_id"""
+
   /** Naive Bayes classification ([[Classify.nbApply]]) of the held-out
     * doc_id%5 split: per-doc argmax over
     * `logprior + Σ cnt·loglik` with exact decimal score sums; the
@@ -5270,6 +5434,140 @@ object PipelineQueries {
        FROM occ o JOIN pair p USING (gram) JOIN fw f ON p.w1 = f.w1
        GROUP BY o.doc_id ORDER BY o.doc_id"""
 
+  /** The shared smoothed-LM oracle: JM-interpolated bigram LM
+    * (p = 0.9·p_ML + 0.1·p_uni, both constants LITERAL doubles in
+    * both engines, ln 6-dp-quantized at birth — the Classify.dlog
+    * contract) trained on `trainSel`, scoring EVERY document's
+    * bigrams with unigram backoff for unseen bigrams and both-OOV
+    * drop. */
+  private def ngramLmSql(trainSel: String): String =
+    s"""WITH train AS ($trainSel),
+       ttk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM train),
+       uni AS (
+         SELECT w, COUNT(*) AS c_w FROM (
+           SELECT unnest(tk) AS w FROM ttk) z GROUP BY w),
+       tot AS (SELECT SUM(c_w) AS n_total FROM uni),
+       tg AS (
+         SELECT tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM ttk CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       pair AS (
+         SELECT gram, split_part(gram, ' ', 1) AS w1,
+           split_part(gram, ' ', 2) AS w2, COUNT(*) AS c_pair
+         FROM tg GROUP BY gram),
+       fw AS (SELECT w1, SUM(c_pair) AS c_first FROM pair GROUP BY w1),
+       grid2 AS (
+         SELECT p.gram,
+           CAST(ROUND(CAST(ln(
+             CAST(0.9 AS DOUBLE) * (CAST(p.c_pair AS DOUBLE) /
+               CAST(f.c_first AS DOUBLE)) +
+             CAST(0.1 AS DOUBLE) * (CAST(u.c_w AS DOUBLE) /
+               CAST(t.n_total AS DOUBLE)))
+             AS DECIMAL(20,10)), 6) AS DECIMAL(20,6)) AS ll
+         FROM pair p JOIN fw f USING (w1)
+         JOIN uni u ON u.w = p.w2 CROSS JOIN tot t),
+       grid1 AS (
+         SELECT u.w,
+           CAST(ROUND(CAST(ln(
+             CAST(0.1 AS DOUBLE) * (CAST(u.c_w AS DOUBLE) /
+               CAST(t.n_total AS DOUBLE)))
+             AS DECIMAL(20,10)), 6) AS DECIMAL(20,6)) AS ll1
+         FROM uni u CROSS JOIN tot t),
+       dtk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       docc AS (
+         SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM dtk CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       scored AS (
+         SELECT o.doc_id, COALESCE(g2.ll, g1.ll1) AS ll_eff
+         FROM docc o
+         LEFT JOIN grid2 g2 USING (gram)
+         LEFT JOIN grid1 g1 ON g1.w = split_part(o.gram, ' ', 2)
+         WHERE COALESCE(g2.ll, g1.ll1) IS NOT NULL)
+       SELECT doc_id, COUNT(*) AS n_scored,
+         CAST(ROUND(CAST(CAST(SUM(ll_eff) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(20,10)), 6) AS DOUBLE) AS avg_ll
+       FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Jelinek-Mercer smoothed bigram LM quality scorer
+    * ([[TextAnalysis.ngramLmSmoothedModel]]) — the production
+    * corpus-filter form [[taBigramLm]] proxies: trained on ⅔ of the
+    * corpus, scoring ALL documents, so held-out documents exercise
+    * the unigram backoff (the smoothing [[taBigramLm]]'s
+    * unseen-gram-scores-0 proxy lacks). */
+  def taNgramLmSmoothed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (g2, g1) = TextAnalysis.ngramLmSmoothedModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text"))
+    TextAnalysis.ngramLmScoreSmoothed(docs, g2, g1, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmSmoothedSql = ngramLmSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0")
+
+  /** [[taNgramLmSmoothed]] with the model derived from the
+    * [[graft.streaming.NgramLmStream]] sufficient-statistics store —
+    * two streamed batches folded, bit-identical to the one-shot
+    * trainer; shares [[taNgramLmSmoothedSql]] VERBATIM. */
+  def taNgramLmAtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    val root = layoutDir(dir, "documents", "ngram_lm_counts")
+    ensureLayout(root) {
+      graft.streaming.NgramLmStream.appendBatch(
+        train.filter(col("doc_id") % 2 === 0), 0L, root, "text")
+      graft.streaming.NgramLmStream.appendBatch(
+        train.filter(col("doc_id") % 2 === 1), 1L, root, "text")
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    val (g2, g1) = graft.streaming.NgramLmStream.model(s, root)
+    TextAnalysis.ngramLmScoreSmoothed(docs, g2, g1, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The smoothed LM under RE-CRAWLS: base crawl plus one diff batch
+    * revising every doc_id%7==0 train document — superseded versions
+    * subtract as negative partials, so the folded model is
+    * bit-identical to retraining on the LATEST snapshot, which the
+    * oracle replays ([[ppNbUpdated]]'s contract on the LM tier). */
+  def taNgramLmUpdated(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    val recrawled = train.filter(col("doc_id") % 7 === 0)
+    val revised = recrawled.withColumn("text",
+      concat(col("text"), lit(" [rev1]")))
+    val root = layoutDir(dir, "documents", "ngram_lm_counts_upd")
+    ensureLayout(root) {
+      graft.streaming.NgramLmStream.appendBatch(train, 0L, root,
+        "text")
+      graft.streaming.NgramLmStream.appendDiffBatch(recrawled,
+        revised, 1L, root, "text")
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    val (g2, g1) = graft.streaming.NgramLmStream.model(s, root)
+    TextAnalysis.ngramLmScoreSmoothed(docs, g2, g1, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmUpdatedSql = ngramLmSql(
+    """SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev1]'
+              ELSE text END AS text
+       FROM documents WHERE doc_id % 3 <> 0""")
+
   /** SemDeDup-style semantic dedup over the full embeddings table
     * ([[Similarity.semanticDedup]]): the same deterministic codebook as
     * ann_ivf_topk (the sqrt-sized [[codebookPred]] subset), τ = 0.35
@@ -5707,6 +6005,10 @@ object PipelineQueries {
     "ta_dup_ngrams" -> (taDupNgrams _),
     "ta_bigram_lm" -> (taBigramLm _),
     "ta_bigram_lm_apply" -> (taBigramLmApply _),
+    "ta_ngram_lm_smoothed" -> (taNgramLmSmoothed _),
+    "ta_ngram_lm_at_rest" -> (taNgramLmAtRest _),
+    "ta_ngram_lm_updated" -> (taNgramLmUpdated _),
+    "ta_langid_nb" -> (taLangidNb _),
     "dd_exact_substring" -> (ddExactSubstring _),
     "dd_exact_substring_at_rest" -> (ddExactSubstringAtRest _),
     "dd_exact_substring_incremental" -> (ddExactSubstringIncremental _),
@@ -5726,13 +6028,16 @@ object PipelineQueries {
     "pp_unigram_apply" -> (ppUnigramApply _),
     "pp_unigram_tokenize" -> (ppUnigramTokenize _),
     "pp_maxmatch_apply" -> (ppMaxmatchApply _),
+    "pp_maxmatch_apply_at_rest" -> (ppMaxmatchApplyAtRest _),
     "pp_unigram_apply_at_rest" -> (ppUnigramApplyAtRest _),
     "pp_bpe_apply" -> (ppBpeApply _),
     "pp_bpe_apply_fast" -> (ppBpeApplyFast _),
+    "pp_bpe_apply_at_rest" -> (ppBpeApplyAtRest _),
     "pp_shard_manifest" -> (ppShardManifest _),
     "pp_shard_updated" -> (ppShardUpdated _),
     "pp_bpe_tokenize" -> (ppBpeTokenize _),
     "pp_bpe_tokenize_fast" -> (ppBpeTokenizeFast _),
+    "pp_bpe_tokenize_at_rest" -> (ppBpeTokenizeAtRest _),
     "pp_span_corruption" -> (ppSpanCorruption _),
     "pp_hard_negatives" -> (ppHardNegatives _),
     "pp_hard_negatives_at_rest" -> (ppHardNegativesAtRest _),
@@ -5802,7 +6107,19 @@ object PipelineQueries {
     "dd_exact_substring_incremental", "dd_exact_substring_compacted",
     "pp_drift_incremental", "pp_cdc_at_rest", "pp_cdc_incremental",
     "pp_cdc_compacted", "q48_zorder_pruned", "q49_dpp",
-    "q50_bucketed_join", "dq_incremental")
+    "q50_bucketed_join", "dq_incremental",
+    // reconciled against the ensureLayout call graph (round 14):
+    // these were layout-backed all along but missing from the warm
+    // list, so a cold cache landed their one-time build in run 1
+    "ann_ivf_incremental", "ann_int8_ivf_incremental",
+    "ann_pq_ivf_incremental", "ann_pq_ivf_partitioned",
+    "dd_triplets_at_rest", "pp_nb_model_at_rest",
+    "pp_nb_classify_at_rest", "pp_nb_incremental", "pp_nb_updated",
+    "pp_unigram_apply_at_rest",
+    // the round-14 tokenizer model stores + smoothed-LM count store
+    "pp_bpe_apply_at_rest", "pp_bpe_tokenize_at_rest",
+    "pp_maxmatch_apply_at_rest", "ta_ngram_lm_at_rest",
+    "ta_ngram_lm_updated")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -5911,6 +6228,10 @@ object PipelineQueries {
     "ta_dup_ngrams" -> taDupNgramsSql,
     "ta_bigram_lm" -> taBigramLmSql,
     "ta_bigram_lm_apply" -> taBigramLmApplySql,
+    "ta_ngram_lm_smoothed" -> taNgramLmSmoothedSql,
+    "ta_ngram_lm_at_rest" -> taNgramLmSmoothedSql,
+    "ta_ngram_lm_updated" -> taNgramLmUpdatedSql,
+    "ta_langid_nb" -> taLangidNbSql,
     "dd_exact_substring" -> ddExactSubstringSql,
     "dd_exact_substring_at_rest" -> ddExactSubstringSql,
     "dd_exact_substring_incremental" -> ddExactSubstringSql,
@@ -5932,14 +6253,17 @@ object PipelineQueries {
     "pp_unigram_apply" -> ppUnigramApplySql,
     "pp_unigram_tokenize" -> ppUnigramTokenizeSql,
     "pp_maxmatch_apply" -> ppMaxmatchApplySql,
+    "pp_maxmatch_apply_at_rest" -> ppMaxmatchApplySql,
     "pp_unigram_apply_at_rest" -> ppUnigramApplySql,
     "pp_bpe_train_fast" -> ppBpeTrainSql,
     "pp_bpe_apply" -> ppBpeApplySql,
     "pp_bpe_apply_fast" -> ppBpeApplySql,
+    "pp_bpe_apply_at_rest" -> ppBpeApplySql,
     "pp_shard_manifest" -> ppShardManifestSql,
     "pp_shard_updated" -> ppShardManifestSql,
     "pp_bpe_tokenize" -> ppBpeTokenizeSql,
     "pp_bpe_tokenize_fast" -> ppBpeTokenizeSql,
+    "pp_bpe_tokenize_at_rest" -> ppBpeTokenizeSql,
     "pp_span_corruption" -> ppSpanCorruptionSql,
     "pp_hard_negatives" -> ppHardNegativesSql,
     "pp_hard_negatives_at_rest" -> ppHardNegativesSql,

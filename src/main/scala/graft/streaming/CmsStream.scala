@@ -37,6 +37,7 @@ object CmsStream {
     // a reused id would REPLACE a committed batch's cells — the merged
     // sketch then undercounts that batch's grams, breaking the
     // never-underestimates bound the lossless prefilter relies on
+    IvfStream.requireNoPendingSwap(root, "CmsStream.appendBatch")
     IvfStream.requireFreshBatchId(s"$root/cells", batchId,
       "CmsStream.appendBatch")
     checkOrWriteParams(batch.sparkSession, root, n, depth, width)

@@ -87,6 +87,10 @@ object CurationStream {
     // a reused id would overwrite a committed batch's kept-fingerprint
     // state with the new batch's — the old fingerprints vanish from
     // dedup state and their future duplicates record as kept
+    IvfStream.requireNoPendingSwap(verdictsDir,
+      "CurationStream.processBatch")
+    IvfStream.requireNoPendingSwap(seenDir,
+      "CurationStream.processBatch")
     IvfStream.requireFreshBatchId(seenDir, batchId,
       "CurationStream.processBatch")
     // the verdict signals feed three downstream branches — cut the

@@ -33,6 +33,7 @@ object DqStream {
     * partition. */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, rules: Seq[Rule], rulesetId: String): Unit = {
+    IvfStream.requireNoPendingSwap(root, "DqStream.appendBatch")
     IvfStream.requireFreshBatchId(s"$root/partials", batchId,
       "DqStream.appendBatch")
     Validation.partialNumerators(batch, rules)

@@ -69,6 +69,7 @@ object DriftStream {
     * the stamps agree). */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, valueCol: String): Unit = {
+    IvfStream.requireNoPendingSwap(root, "DriftStream.appendBatch")
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "DriftStream.appendBatch")
     val (w, n) = params(batch.sparkSession, root)

@@ -223,7 +223,7 @@ object IvfStream {
       // keeps `_codebook/` inside base ([[refreshCodebook]]); folding
       // the deltas must not detach the partitioning from the codebook
       // that defines it
-      val cb = new java.io.File(s"$root/base/_codebook")
+      val cb = new java.io.File(s"${localPath(root)}/base/_codebook")
       if (cb.exists())
         spark.read.parquet(cb.toString)
           .write.mode("overwrite").parquet(s"$staging/_codebook")
@@ -319,7 +319,38 @@ object IvfStream {
         "operations (_SWAP_READY markers, atomic directory moves) " +
         "and would silently misbehave on a remote scheme")
 
-  private def rmRec(f: java.io.File): Unit = if (f.exists()) {
+  /** Appenders and one-shot store writers with NO compaction tier of
+    * their own (NbStream, CmsStream, DriftStream, DqStream, LmStream,
+    * CurationStream, the tokenizer model stores) can never LEAVE a
+    * swap pending — but a `_SWAP_READY` marker under their root means
+    * some OTHER maintainer owns the layout mid-swap, and writing into
+    * that recovery window would race its deletes. They cannot
+    * complete a swap they don't own (the manifest's clear-dirs are
+    * the owner's), so they FAIL FAST and name the contract. */
+  private[graft] def requireNoPendingSwap(root: String,
+      what: String): Unit = {
+    val marker = new java.io.File(
+      s"${localPath(root)}/base_compact/_SWAP_READY")
+    if (marker.exists())
+      throw new IllegalStateException(
+        s"$what: a staged swap is pending under $root " +
+          "(base_compact/_SWAP_READY) — this writer has no recovery " +
+          "tier; complete the swap with the maintainer that owns " +
+          "the layout before writing")
+  }
+
+  /** Normalize a `file:`-scheme root to the plain local path the
+    * java.io tier operates on. [[requireLocalRoot]] admits `file:`
+    * URIs (Spark writers/readers produce and accept them), but
+    * `new java.io.File("file:/x")` is a RELATIVE `./file:/x` path —
+    * markers and atomic moves would act on the wrong directory, the
+    * exact silent misbehavior the guard exists to prevent. */
+  private[graft] def localPath(root: String): String =
+    if (root.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(root)).toString
+    else root
+
+  private[graft] def rmRec(f: java.io.File): Unit = if (f.exists()) {
     Option(f.listFiles()).foreach(_.foreach(rmRec))
     f.delete(): Unit
   }
@@ -348,11 +379,12 @@ object IvfStream {
     * missingPath fallback silently degrades the base registry/stats
     * to empty, so a batch re-crawling a base-resident document would
     * record no supersede row and leave both versions live forever. */
-  private[graft] def recoverPendingSwap(root: String,
+  private[graft] def recoverPendingSwap(rawRoot: String,
       clear: Seq[String] = Seq("delta")): Unit = {
     import java.io.File
     import java.nio.file.Files
-    requireLocalRoot(root, "IvfStream.recoverPendingSwap")
+    requireLocalRoot(rawRoot, "IvfStream.recoverPendingSwap")
+    val root = localPath(rawRoot)
     val staging = new File(s"$root/base_compact")
     val base = new File(s"$root/base")
     val marker = new File(staging, "_SWAP_READY")
@@ -369,11 +401,12 @@ object IvfStream {
     }
   }
 
-  private[graft] def stagedSwap(root: String,
+  private[graft] def stagedSwap(rawRoot: String,
       clear: Seq[String] = Seq("delta"))(write: String => Unit): Unit = {
     import java.io.File
     import java.nio.file.Files
-    requireLocalRoot(root, "IvfStream.stagedSwap")
+    requireLocalRoot(rawRoot, "IvfStream.stagedSwap")
+    val root = localPath(rawRoot)
     val staging = new File(s"$root/base_compact")
     val base = new File(s"$root/base")
     val marker = new File(staging, "_SWAP_READY")

@@ -27,6 +27,7 @@ object LmStream {
       model: DataFrame, outDir: String): Unit = {
     // no cross-batch state, but a reused id would still overwrite a
     // committed batch's verdicts with a different batch's
+    IvfStream.requireNoPendingSwap(outDir, "LmStream.processBatch")
     IvfStream.requireFreshBatchId(outDir, batchId,
       "LmStream.processBatch")
     TextAnalysis.scoreWithBigramModel(batch, model, "text", "doc_id")

@@ -36,6 +36,7 @@ object NbStream {
     * `batch=` partitions. */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, textCol: String, labelCol: String): Unit = {
+    IvfStream.requireNoPendingSwap(root, "NbStream.appendBatch")
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "NbStream.appendBatch")
     Classify.tokenCounts(batch, textCol, labelCol)
@@ -59,6 +60,7 @@ object NbStream {
   private[graft] def appendDiffBatch(oldVersions: DataFrame,
       newVersions: DataFrame, batchId: Long, root: String,
       textCol: String, labelCol: String): Unit = {
+    IvfStream.requireNoPendingSwap(root, "NbStream.appendDiffBatch")
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "NbStream.appendDiffBatch")
     def neg(df: DataFrame, c: String) =
@@ -118,6 +120,16 @@ object NbStream {
       spark.read.parquet(s"$root/docs")
         .groupBy(col("label"))
         .agg(sum(col("n_docs")).as("n_docs"))
+        // mirror foldedCounts: a NEGATIVE folded doc count can only
+        // come from a diff batch that subtracted versions never added
+        // — fail loudly instead of silently dropping the class for a
+        // caller consulting only priors()
+        .select(col("label"),
+          when(col("n_docs") >= 0, col("n_docs")).otherwise(raise_error(
+            concat(lit("NbStream: negative folded doc count for " +
+              "class '"), col("label"),
+              lit("' — a diff batch subtracted a version that was " +
+                "never added")))).as("n_docs"))
         .filter(col("n_docs") > 0))
 
   /** Maintain the model store from a parquet directory of labeled

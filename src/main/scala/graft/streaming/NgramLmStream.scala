@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.pipeline.TextAnalysis
+
+/** Streaming maintainer for the Jelinek-Mercer smoothed bigram LM
+  * ([[TextAnalysis.ngramLmSmoothedModel]]) — the corpus-filter model
+  * retrained as data arrives, without rescanning history: the
+  * [[NbStream]] sufficient-statistics pattern applied to the LM tier.
+  *
+  * The interpolated grid is NOT additive (p_ML denominators and the
+  * unigram total move with every batch) but its sufficient statistics
+  * are: per-batch `(n, gram, cnt)` unigram/bigram occurrence counts
+  * sum cell-wise, so each micro-batch persists its own counts under
+  * `counts/batch=<id>` and the live grids derive from the folded sums
+  * — bit-identical to retraining on the union of all batches, which
+  * the driver gate proves against the one-shot oracle verbatim.
+  *
+  * Scale shape: a batch's partial is model-sized (distinct grams seen
+  * in the batch); the fold is one keyed sum; grid derivation is
+  * model-sized joins. Nothing rescans documents.
+  *
+  * Layout contract: append-only additive partials — replay-idempotent
+  * overwrite, reused ids rejected, re-crawls supersede by NEGATIVE
+  * partials ([[appendDiffBatch]]), foreign pending swaps fail fast. */
+object NgramLmStream {
+
+  /** One micro-batch's additive counts → its own `batch=` partition. */
+  private[graft] def appendBatch(batch: DataFrame, batchId: Long,
+      root: String, textCol: String): Unit = {
+    IvfStream.requireNoPendingSwap(root, "NgramLmStream.appendBatch")
+    IvfStream.requireFreshBatchId(s"$root/counts", batchId,
+      "NgramLmStream.appendBatch")
+    TextAnalysis.ngramLmCounts(batch, textCol)
+      .write.mode("overwrite").parquet(s"$root/counts/batch=$batchId")
+  }
+
+  /** Apply one re-crawl batch: superseded versions' counts as
+    * NEGATIVE partials, new versions' as positive, folded within the
+    * batch — subtraction IS the supersede (the [[NbStream]]
+    * contract). `oldVersions` must be exactly the previously-streamed
+    * versions; subtracting a never-added version leaves a negative
+    * cell that the model derivation rejects loudly. */
+  private[graft] def appendDiffBatch(oldVersions: DataFrame,
+      newVersions: DataFrame, batchId: Long, root: String,
+      textCol: String): Unit = {
+    IvfStream.requireNoPendingSwap(root,
+      "NgramLmStream.appendDiffBatch")
+    IvfStream.requireFreshBatchId(s"$root/counts", batchId,
+      "NgramLmStream.appendDiffBatch")
+    TextAnalysis.ngramLmCounts(newVersions, textCol)
+      .unionByName(TextAnalysis.ngramLmCounts(oldVersions, textCol)
+        .select(col("n"), col("gram"), (-col("cnt")).as("cnt")))
+      .groupBy(col("n"), col("gram"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$root/counts/batch=$batchId")
+  }
+
+  /** Folded counts with supersede semantics: zero cells drop exactly
+    * as a retrain would never mint them; a negative cell can only
+    * come from subtracting a version never added and fails loudly. */
+  private def foldedCounts(spark: SparkSession,
+      root: String): DataFrame =
+    try spark.read.parquet(s"$root/counts")
+      .groupBy(col("n"), col("gram"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("n"), col("gram"),
+        when(col("cnt") >= 0, col("cnt")).otherwise(raise_error(
+          concat(lit("NgramLmStream: negative folded count for " +
+            "gram '"), col("gram"),
+            lit("' — a diff batch subtracted a version that was " +
+              "never added")))).as("cnt"))
+      .filter(col("cnt") > 0)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if IvfStream.missingPath(e) =>
+        throw new IllegalStateException(
+          s"NgramLmStream: no count partials under $root — stream " +
+            "at least one batch before asking for a model")
+    }
+
+  /** The live (bigram grid, unigram backoff grid) over everything
+    * streamed so far — identical to
+    * [[TextAnalysis.ngramLmSmoothedModel]] on the union of all
+    * appended batches. */
+  def model(spark: SparkSession,
+      root: String): (DataFrame, DataFrame) =
+    TextAnalysis.ngramLmSmoothedModel(foldedCounts(spark, root))
+
+  /** Maintain the count store from a parquet document directory as
+    * files arrive. */
+  def run(spark: SparkSession, inputDir: String, root: String,
+      checkpointDir: String, textCol: String,
+      maxFilesPerTrigger: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow(),
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : StreamingQuery = {
+    val inputSchema =
+      schema.getOrElse(spark.read.parquet(inputDir).schema)
+    spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        appendBatch(b, id, root, textCol)
+      }
+      .start()
+  }
+}

@@ -1768,8 +1768,12 @@ class StreamingSpec extends SparkSpec {
     //    FOLDED id regenerates trees recovery deletes while the
     //    staged base already holds the rows. Recovering first would
     //    double the folded-id replay.
-    // CmsStream/DriftStream/DqStream/NbStream/LmStream/CurationStream
-    // have no compaction tier at all — no swap can be pending.
+    //  - NO-COMPACTION-TIER writers (CmsStream/DriftStream/DqStream/
+    //    NbStream/LmStream/CurationStream and the tokenizer model
+    //    stores) never leave a swap pending themselves, but a marker
+    //    under their root means a FOREIGN maintainer owns the layout
+    //    mid-swap — they FAIL FAST (sweep at the end of this test)
+    //    instead of writing into the recovery window.
     import java.nio.file.Files
     import graft.pipeline.Dedup
     import graft.streaming.{GramStream, LshStream}
@@ -1829,6 +1833,51 @@ class StreamingSpec extends SparkSpec {
     assert(GramStream.layout(spark, g).count() ===
       Dedup.gramIndexRows(docs, "text", "doc_id", 5, 16).count(),
       "post-crash new batch was lost to recovery")
+    // --- no-compaction-tier writers: FAIL FAST under a foreign
+    // pending swap (the family-wide enumeration — every appender /
+    // store writer without its own recovery tier appears here) ---
+    import graft.pipeline.{TextAnalysis, Validation}
+    import graft.streaming.{CmsStream, CurationStream, DqStream,
+      DriftStream, LmStream, NbStream}
+    val few = docs.limit(10)
+    def pendForeign(): String = {
+      val r = Files.createTempDirectory("graft-midswap-nocompact")
+        .toString
+      assert(new java.io.File(s"$r/base_compact").mkdirs())
+      Files.write(
+        new java.io.File(s"$r/base_compact/_SWAP_READY").toPath,
+        "".getBytes("UTF-8"))
+      r
+    }
+    val sweep: Seq[(String, String => Unit)] = Seq(
+      "NbStream.appendBatch" ->
+        (r => NbStream.appendBatch(few, 0L, r, "text", "lang")),
+      "NbStream.appendDiffBatch" ->
+        (r => NbStream.appendDiffBatch(few, few, 0L, r, "text", "lang")),
+      "CmsStream.appendBatch" ->
+        (r => CmsStream.appendBatch(few, 0L, r, "text", 2, 3, 64)),
+      "DriftStream.appendBatch" ->
+        (r => DriftStream.appendBatch(few, 0L, r, "n_chars")),
+      "DqStream.appendBatch" ->
+        (r => DqStream.appendBatch(few, 0L, r,
+          Seq(Validation.Conformance("nonneg", $"doc_id" >= 0, 1.0)),
+          "v1")),
+      "LmStream.processBatch" ->
+        (r => LmStream.processBatch(few, 0L,
+          TextAnalysis.bigramModel(few, "text"), r)),
+      "CurationStream.processBatch" ->
+        (r => CurationStream.processBatch(few, 0L, s"$r", s"$r",
+          0.0, 1.0)),
+      "TextAnalysis.writeUnigramModel" ->
+        (r => TextAnalysis.writeUnigramModel(few, "text", 1, 4, 1L, r)),
+      "TextAnalysis.writeBpeModel" ->
+        (r => TextAnalysis.writeBpeModel(few, "text", 1, 1L, r)))
+    sweep.foreach { case (name, op) =>
+      val r = pendForeign()
+      val e = intercept[IllegalStateException](op(r))
+      assert(e.getMessage.contains("staged swap is pending"),
+        s"$name did not fail fast: ${e.getMessage}")
+    }
   }
 
   test("incremental drift monitor equals the inline two-slice report; streaming-driven") {
@@ -2027,6 +2076,40 @@ class StreamingSpec extends SparkSpec {
       e3.getMessage.contains("negative folded count") ||
       Option(e3.getCause).exists(
         _.getMessage.contains("negative folded count")))
+    // priors mirror the guard: a class subtracted below zero fails
+    // loudly instead of silently dropping from priors() (ADVICE r13)
+    NbStream.appendDiffBatch(
+      oldV.limit(2).withColumn("lang", lit("qq")),
+      newV.limit(0), 4L, root, "text", "lang")
+    val e4 = intercept[Exception](NbStream.priors(spark, root).collect())
+    assert(e4.getMessage != null &&
+      e4.getMessage.contains("negative folded doc count") ||
+      Option(e4.getCause).exists(
+        _.getMessage.contains("negative folded doc count")))
+  }
+
+  test("staged swap on a file:-scheme root acts on the real directory") {
+    import java.nio.file.Files
+    import graft.pipeline.PartitionedAnn
+    import graft.streaming.IvfStream
+    val ivf = Files.createTempDirectory("graft-file-swap").toString
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+    val cents = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("cent_id"), $"embedding".as("cent_vec"))
+    PartitionedAnn.writeIvfPartitioned(emb.filter($"vec_id" < 100),
+      "embedding", "vec_id", cents, s"$ivf/base")
+    IvfStream.appendBatch(emb.filter($"vec_id" >= 100), 0L, ivf, cents,
+      "embedding", "vec_id")
+    val before = IvfStream.layout(spark, ivf).count()
+    // the java.io swap tier must normalize the file: URI — the raw
+    // string would be a RELATIVE './file:...' path and the markers /
+    // atomic moves would act on the wrong directory (ADVICE r13)
+    IvfStream.compact(spark, s"file:$ivf")
+    assert(new java.io.File(s"$ivf/base").exists())
+    assert(!new java.io.File(s"$ivf/delta").exists())
+    assert(!new java.io.File(s"file:$ivf").exists(),
+      "compact created a relative ./file: directory")
+    assert(IvfStream.layout(spark, ivf).count() === before)
   }
 
   test("incremental span index equals a full rebuild; compaction and crash recovery lossless") {
