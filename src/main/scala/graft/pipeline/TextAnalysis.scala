@@ -577,8 +577,14 @@ object TextAnalysis {
   /** JM-interpolated model grids from folded `(n, gram, cnt)` counts:
     * (bigram grid `(gram, ll)`, unigram backoff grid `(w, ll1)`),
     * both lls 6-dp decimals via [[Classify.dlog]]. Model-sized. */
-  def ngramLmSmoothedModel(counts: DataFrame)
+  def ngramLmSmoothedModel(rawCounts: DataFrame)
       : (DataFrame, DataFrame) = {
+    // EAGER checkpoint: the counts relation is MODEL-sized by
+    // construction, but it feeds six grid inputs (uni/pair/first/
+    // total × two grids) — inline callers would otherwise rescan the
+    // corpus once per input (the PQ-codewords lesson: eager for small
+    // shared relations, never for corpus-sized ones)
+    val counts = rawCounts.localCheckpoint()
     val uni = counts.filter(col("n") === 1)
       .select(col("gram").as("w"), col("cnt").as("c_w"))
     val total = uni.agg(sum(col("c_w")).as("n_total"))
