@@ -52,6 +52,49 @@ class ContractSpec extends AnyFunSuite {
     }.left.exists(s => s.forall(c => c >= ' ' && c != '"' && c != '\\')))
   }
 
+  test("layoutBacked covers every gate whose body reaches ensureLayout") {
+    // Bench warms EXACTLY PipelineQueries.layoutBacked before timing;
+    // a layout-backed gate missing from the set books its one-time
+    // cold-cache build as an apparent query regression (BENCH_r09's
+    // 12× artifact; 10 gates had drifted out of the set by round 14).
+    // Pin the "keep in sync with the ensureLayout call sites"
+    // scaladoc mechanically: scan the source for top-level gate
+    // bodies that reach ensureLayout / a layoutLock-guarded
+    // maintainer, directly or through up to two private helpers.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/main/scala/graft/queries/PipelineQueries.scala")), "UTF-8")
+    val defPat = """\n  (?:private(?:\[graft\])? )?def (\w+)\(""".r
+    val defs = defPat.findAllMatchIn(src).map(m => (m.start, m.group(1))).toSeq
+    val bodies: Map[String, String] = defs.zipWithIndex.map {
+      case ((pos, name), i) =>
+        val end = if (i + 1 < defs.size) defs(i + 1)._1 else src.length
+        name -> src.substring(pos, end)
+    }.toMap
+    val calleePat = """(\w+)\((?:s, dir|spark)""".r
+    val helperPat = """(\w+Layout|\w+Guarded)\(""".r
+    def usesLayout(fn: String, depth: Int): Boolean =
+      bodies.get(fn).exists { b =>
+        b.contains("ensureLayout(") || b.contains("layoutLock(") ||
+          (depth < 2 && (calleePat.findAllMatchIn(b).map(_.group(1)) ++
+            helperPat.findAllMatchIn(b).map(_.group(1)))
+            .exists(c => c != fn && usesLayout(c, depth + 1)))
+      }
+    val regPat = """"([a-z0-9_]+)" -> \((\w+) _\)""".r
+    val reg = regPat.findAllMatchIn(src)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    val missing = reg.collect {
+      case (q, fn) if usesLayout(fn, 0) &&
+        !PipelineQueries.layoutBacked(q) => q
+    }
+    assert(missing.isEmpty,
+      s"gates reaching ensureLayout but absent from layoutBacked " +
+        s"(bench would time their cold build): ${missing.toSeq.sorted}")
+    // and the set never names an unregistered query
+    val unknown = PipelineQueries.layoutBacked -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"layoutBacked names no query: $unknown")
+  }
+
   test("per-module oracle maps never reference foreign queries") {
     val oraclesByModule = Seq(
       "core" -> (StarQueries.coreOracle.keySet, StarQueries.core.keySet),
