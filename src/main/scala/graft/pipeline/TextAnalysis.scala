@@ -610,6 +610,87 @@ object TextAnalysis {
     (grid2, grid1)
   }
 
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; the
+    * smoothing CCNet's production LM filter uses) from the SAME
+    * folded `(n, gram, cnt)` sufficient statistics the JM model
+    * derives from — KN's extra ingredients (continuation counts
+    * N1+(•w), fan-outs N1+(w•), the bigram type count) are all
+    * DISTINCT-ROW COUNTS over the folded pair table, which supersede
+    * semantics keep exact (zero cells drop, so a superseded bigram
+    * leaves the type counts as a retrain would):
+    * {{{ p(w2|w1) = max(c(w1w2)−0.75, 0)/c(w1•) + λ(w1)·p_cont(w2)
+    *     λ(w1) = 0.75·N1+(w1•)/c(w1•),  p_cont(w2) = N1+(•w2)/types }}}
+    * The discount 0.75 is a LITERAL double on both engines; λ and
+    * p_cont are exact-IEEE doubles from integer counts, so every
+    * engine computes bit-identical probabilities and the ln is
+    * dlog-quantized. Returns (seen-bigram grid `(gram, ll)`,
+    * `(w1, lam)`, `(w, pcont)`) — backoff values for UNSEEN bigrams
+    * are composed at apply time (materializing them would be |V|²). */
+  def ngramLmKnModel(rawCounts: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val counts = rawCounts.localCheckpoint()
+    val pair = counts.filter(col("n") === 2)
+      .select(col("gram"), col("cnt").as("c_pair"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+      .localCheckpoint() // model-sized; feeds four aggregations
+    val nTypes = pair.agg(count(lit(1)).as("n_types"))
+    val lamT = pair.groupBy(col("w1"))
+      .agg(sum(col("c_pair")).as("c_first"),
+        count(lit(1)).as("n1_fwd"))
+      .select(col("w1"), col("c_first"),
+        (lit(0.75) * (col("n1_fwd").cast("double") /
+          col("c_first").cast("double"))).as("lam"))
+    val contT = pair.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1_bwd"))
+      .crossJoin(broadcast(nTypes))
+      .select(col("w2").as("w"),
+        (col("n1_bwd").cast("double") /
+          col("n_types").cast("double")).as("pcont"))
+    val grid2 = pair
+      .join(lamT, Seq("w1"))
+      .join(contT.withColumnRenamed("w", "w2"), Seq("w2"))
+      .select(col("gram"), Classify.dlog(log(
+        (greatest(col("c_pair").cast("double") - lit(0.75), lit(0.0)) /
+          col("c_first").cast("double")) +
+          (col("lam") * col("pcont")))).as("ll"))
+    (grid2, lamT.select(col("w1"), col("lam")), contT)
+  }
+
+  /** Score documents under the KN model: seen bigrams take the grid
+    * value; unseen with both words known compose λ(w1)·p_cont(w2) at
+    * apply time; unseen w1 falls to the continuation unigram
+    * p_cont(w2); unseen w2 drops (OOV). Same output contract as the
+    * JM scorer. */
+  def ngramLmScoreKn(docs: DataFrame, grid2: DataFrame,
+      lamT: DataFrame, contT: DataFrame, textCol: String,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(keyCol).as("key"), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
+        .as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+      .join(grid2, Seq("gram"), "left_outer")
+      .join(lamT, Seq("w1"), "left_outer")
+      .join(contT.withColumnRenamed("w", "w2"), Seq("w2"), "left_outer")
+      .withColumn("ll_eff",
+        when(col("ll").isNotNull, col("ll"))
+          .when(col("lam").isNotNull && col("pcont").isNotNull,
+            Classify.dlog(log(col("lam") * col("pcont"))))
+          .when(col("pcont").isNotNull,
+            Classify.dlog(log(col("pcont")))))
+      .filter(col("ll_eff").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("ll_eff")).as("sum_ll"))
+      .select(col("key"), col("n_scored"),
+        round((col("sum_ll").cast("double") /
+          col("n_scored").cast("double")).cast(DecimalType(20, 10)), 6)
+          .cast("double").as("avg_ll"))
+  }
+
   /** Score documents under the smoothed model: per doc the exact-
     * decimal mean of its bigrams' interpolated log-probs, seen
     * bigrams from the bigram grid, unseen-but-in-vocabulary from the

@@ -4621,6 +4621,74 @@ object PipelineQueries {
            AS loglik
        FROM ngrid ORDER BY label, token"""
 
+  /** CCNet-style perplexity routing with FIXED calibration cutoffs —
+    * the production shape: cutoffs are model constants from a
+    * held-out calibration (here pinned to this corpus's KN tertile
+    * region), so routing is a scan-local CASE over the scored corpus,
+    * embarrassingly parallel at any scale; the corpus-relative form
+    * is [[taPplTertiles]]. Output: per-bucket doc and bigram mass. */
+  def taPplRoute(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text"))
+    TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
+        "doc_id")
+      .withColumn("bucket",
+        when(col("avg_ll") >= lit(-3.39), lit("head"))
+          .when(col("avg_ll") >= lit(-3.42), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_scored")).as("n_bigrams"))
+      .orderBy(col("bucket"))
+  }
+
+  private lazy val taPplRouteSql =
+    s"""SELECT bucket, COUNT(*) AS n_docs,
+         CAST(SUM(n_scored) AS BIGINT) AS n_bigrams
+       FROM (SELECT doc_id, n_scored, avg_ll,
+               CASE WHEN avg_ll >= CAST(-3.39 AS DOUBLE) THEN 'head'
+                    WHEN avg_ll >= CAST(-3.42 AS DOUBLE) THEN 'middle'
+                    ELSE 'tail' END AS bucket
+             FROM ($taNgramLmKnSql) z) b
+       GROUP BY bucket ORDER BY bucket"""
+
+  /** Corpus-relative perplexity bucketing: exact tertiles of the KN
+    * score via NTILE(3) over (score DESC, doc_id) — a deterministic
+    * total order both engines share. The global window is the
+    * ORACLE-PARITY form; at 100 TB the production path is
+    * [[taPplRoute]]'s fixed cutoffs (or approx-quantile boundaries
+    * broadcast as constants) — a global exact NTILE is a single-task
+    * sort by construction. */
+  def taPplTertiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text"))
+    TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
+        "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .withColumn("nt", ntile(3).over(
+        Window.orderBy(col("avg_ll").desc, col("doc_id"))))
+      .select(col("doc_id"), col("avg_ll"),
+        when(col("nt") === 1, lit("head"))
+          .when(col("nt") === 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taPplTertilesSql =
+    s"""SELECT doc_id, avg_ll,
+         CASE WHEN nt = 1 THEN 'head'
+              WHEN nt = 2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+       FROM (SELECT doc_id, avg_ll,
+               NTILE(3) OVER (ORDER BY avg_ll DESC, doc_id) AS nt
+             FROM ($taNgramLmKnSql) z) b
+       ORDER BY doc_id"""
+
   /** Trained language-ID router — the fastText-style production form
     * of the heuristic [[TextAnalysis.langId]]: the proven NB
     * machinery ([[Classify]]) over CHAR-TRIGRAM features (character
@@ -5568,6 +5636,118 @@ object PipelineQueries {
               ELSE text END AS text
        FROM documents WHERE doc_id % 3 <> 0""")
 
+  /** The Kneser-Ney oracle: discounted seen-bigram mass + λ·p_cont
+    * interpolation, every probability exact-IEEE double arithmetic
+    * over integer counts (discount 0.75 LITERAL on both engines), ln
+    * dlog-quantized — seen bigrams from the grid, unseen compose
+    * λ(w1)·p_cont(w2) in the scoring join, unseen-w1 falls to
+    * p_cont(w2), unseen-w2 drops. */
+  private def ngramLmKnSql(trainSel: String): String =
+    s"""WITH train AS ($trainSel),
+       ttk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM train),
+       tg AS (
+         SELECT tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM ttk CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       knpair AS (
+         SELECT gram, split_part(gram, ' ', 1) AS w1,
+           split_part(gram, ' ', 2) AS w2, COUNT(*) AS c_pair
+         FROM tg GROUP BY gram),
+       kntypes AS (SELECT COUNT(*) AS n_types FROM knpair),
+       knlam AS (
+         SELECT w1, SUM(c_pair) AS c_first,
+           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
+             CAST(SUM(c_pair) AS DOUBLE)) AS lam
+         FROM knpair GROUP BY w1),
+       kncont AS (
+         SELECT w2 AS w, CAST(COUNT(*) AS DOUBLE) /
+           CAST(t.n_types AS DOUBLE) AS pcont
+         FROM knpair CROSS JOIN kntypes t GROUP BY w2, t.n_types),
+       kngrid AS (
+         SELECT p.gram,
+           CAST(ROUND(CAST(ln(
+             (GREATEST(CAST(p.c_pair AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                CAST(0 AS DOUBLE)) / CAST(l.c_first AS DOUBLE))
+             + (l.lam * c.pcont))
+             AS DECIMAL(20,10)), 6) AS DECIMAL(20,6)) AS ll
+         FROM knpair p JOIN knlam l USING (w1)
+         JOIN kncont c ON c.w = p.w2),
+       dtk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       docc AS (
+         SELECT doc_id, tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM dtk CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       knsc AS (
+         SELECT o.doc_id,
+           CASE WHEN g.ll IS NOT NULL THEN g.ll
+                WHEN l.lam IS NOT NULL AND c.pcont IS NOT NULL THEN
+                  CAST(ROUND(CAST(ln(l.lam * c.pcont)
+                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
+                WHEN c.pcont IS NOT NULL THEN
+                  CAST(ROUND(CAST(ln(c.pcont)
+                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
+                ELSE NULL END AS ll_eff
+         FROM docc o
+         LEFT JOIN kngrid g USING (gram)
+         LEFT JOIN knlam l ON l.w1 = split_part(o.gram, ' ', 1)
+         LEFT JOIN kncont c ON c.w = split_part(o.gram, ' ', 2))
+       SELECT doc_id, COUNT(*) AS n_scored,
+         CAST(ROUND(CAST(CAST(SUM(ll_eff) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(20,10)), 6) AS DOUBLE) AS avg_ll
+       FROM knsc WHERE ll_eff IS NOT NULL
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Interpolated Kneser-Ney scorer ([[TextAnalysis.ngramLmKnModel]])
+    * — the production LM-filter smoothing, same ⅔-train / score-all
+    * split as [[taNgramLmSmoothed]] so held-out documents exercise
+    * both backoff tiers. */
+  def taNgramLmKn(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text"))
+    TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
+        "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmKnSql = ngramLmKnSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0")
+
+  /** [[taNgramLmKn]] with the model derived from the SAME
+    * [[graft.streaming.NgramLmStream]] count store the JM gate folds
+    * — one sufficient-statistics store serves both smoothing
+    * families (KN's continuation/fan-out/type counts are distinct-row
+    * counts over the folded pair table). Shares [[taNgramLmKnSql]]
+    * VERBATIM. */
+  def taNgramLmKnAtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    val root = layoutDir(dir, "documents", "ngram_lm_counts")
+    ensureLayout(root) {
+      graft.streaming.NgramLmStream.appendBatch(
+        train.filter(col("doc_id") % 2 === 0), 0L, root, "text")
+      graft.streaming.NgramLmStream.appendBatch(
+        train.filter(col("doc_id") % 2 === 1), 1L, root, "text")
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root))
+    TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
+        "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** SemDeDup-style semantic dedup over the full embeddings table
     * ([[Similarity.semanticDedup]]): the same deterministic codebook as
     * ann_ivf_topk (the sqrt-sized [[codebookPred]] subset), τ = 0.35
@@ -6008,6 +6188,10 @@ object PipelineQueries {
     "ta_ngram_lm_smoothed" -> (taNgramLmSmoothed _),
     "ta_ngram_lm_at_rest" -> (taNgramLmAtRest _),
     "ta_ngram_lm_updated" -> (taNgramLmUpdated _),
+    "ta_ngram_lm_kn" -> (taNgramLmKn _),
+    "ta_ngram_lm_kn_at_rest" -> (taNgramLmKnAtRest _),
+    "ta_ppl_route" -> (taPplRoute _),
+    "ta_ppl_tertiles" -> (taPplTertiles _),
     "ta_langid_nb" -> (taLangidNb _),
     "dd_exact_substring" -> (ddExactSubstring _),
     "dd_exact_substring_at_rest" -> (ddExactSubstringAtRest _),
@@ -6119,7 +6303,7 @@ object PipelineQueries {
     // the round-14 tokenizer model stores + smoothed-LM count store
     "pp_bpe_apply_at_rest", "pp_bpe_tokenize_at_rest",
     "pp_maxmatch_apply_at_rest", "ta_ngram_lm_at_rest",
-    "ta_ngram_lm_updated")
+    "ta_ngram_lm_updated", "ta_ngram_lm_kn_at_rest")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -6231,6 +6415,10 @@ object PipelineQueries {
     "ta_ngram_lm_smoothed" -> taNgramLmSmoothedSql,
     "ta_ngram_lm_at_rest" -> taNgramLmSmoothedSql,
     "ta_ngram_lm_updated" -> taNgramLmUpdatedSql,
+    "ta_ngram_lm_kn" -> taNgramLmKnSql,
+    "ta_ngram_lm_kn_at_rest" -> taNgramLmKnSql,
+    "ta_ppl_route" -> taPplRouteSql,
+    "ta_ppl_tertiles" -> taPplTertilesSql,
     "ta_langid_nb" -> taLangidNbSql,
     "dd_exact_substring" -> ddExactSubstringSql,
     "dd_exact_substring_at_rest" -> ddExactSubstringSql,

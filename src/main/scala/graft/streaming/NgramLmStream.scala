@@ -82,6 +82,14 @@ object NgramLmStream {
             "at least one batch before asking for a model")
     }
 
+  /** The folded live counts — the shared input BOTH smoothing-family
+    * model derivations consume ([[model]] for Jelinek-Mercer;
+    * [[graft.pipeline.TextAnalysis.ngramLmKnModel]] for Kneser-Ney:
+    * its continuation / fan-out / type counts are distinct-row counts
+    * over the folded pair table, so one store serves both). */
+  def foldedCountsOf(spark: SparkSession, root: String): DataFrame =
+    foldedCounts(spark, root)
+
   /** The live (bigram grid, unigram backoff grid) over everything
     * streamed so far — identical to
     * [[TextAnalysis.ngramLmSmoothedModel]] on the union of all
