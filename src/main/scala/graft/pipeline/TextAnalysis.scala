@@ -672,9 +672,14 @@ object TextAnalysis {
         .as("gram"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
       .withColumn("w2", substring_index(col("gram"), " ", -1))
-      .join(grid2, Seq("gram"), "left_outer")
-      .join(lamT, Seq("w1"), "left_outer")
-      .join(contT.withColumnRenamed("w", "w2"), Seq("w2"), "left_outer")
+      // model-sized relations broadcast explicitly (the nbApply
+      // precedent) — the grid's size estimate is opaque behind its
+      // derivation joins and AQE left the corpus-side join as a
+      // sort-merge at sf0.1
+      .join(broadcast(grid2), Seq("gram"), "left_outer")
+      .join(broadcast(lamT), Seq("w1"), "left_outer")
+      .join(broadcast(contT.withColumnRenamed("w", "w2")), Seq("w2"),
+        "left_outer")
       .withColumn("ll_eff",
         when(col("ll").isNotNull, col("ll"))
           .when(col("lam").isNotNull && col("pcont").isNotNull,
@@ -705,8 +710,8 @@ object TextAnalysis {
         graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
         .as("gram"))
       .withColumn("w", substring_index(col("gram"), " ", -1))
-      .join(grid2, Seq("gram"), "left_outer")
-      .join(grid1, Seq("w"), "left_outer")
+      .join(broadcast(grid2), Seq("gram"), "left_outer")
+      .join(broadcast(grid1), Seq("w"), "left_outer")
       .withColumn("ll_eff", coalesce(col("ll"), col("ll1")))
       .filter(col("ll_eff").isNotNull)
       .groupBy(col("key"))

@@ -4778,6 +4778,38 @@ object PipelineQueries {
        FROM nranked r JOIN ntest t USING (doc_id)
        WHERE rn = 1 ORDER BY r.doc_id"""
 
+  /** [[taLangidNb]] with the router's sufficient statistics read
+    * from an at-rest count store (the NbStream layout written once:
+    * char-gram `counts/` + `docs/` partials; the grid and priors
+    * DERIVE from the folded counts, so the store is lossless by the
+    * same argument as pp_nb_model_at_rest). Shares [[taLangidNbSql]]
+    * VERBATIM — train once, route every crawl snapshot. */
+  def taLangidNbAtRest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val train = d.filter(col("doc_id") % 5 =!= 0)
+    val test = d.filter(col("doc_id") % 5 === 0)
+    val root = layoutDir(dir, "documents", "langid_nb_cg3")
+    ensureLayout(root) {
+      Classify.charGramCounts(train, "text", "lang", n = 3)
+        .write.mode("overwrite").parquet(s"$root/counts")
+      Classify.docCounts(train, "lang")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/docs")
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    val model = Classify.nbModelFromCounts(
+      s.read.parquet(s"$root/counts"))
+    val priors = Classify.nbPriorsFromCounts(
+      s.read.parquet(s"$root/docs"))
+    Classify.nbApplyFeatures(test, model, priors,
+        c => Classify.charGrams(c, 3), "text", "doc_id")
+      .join(test.select(col("doc_id").as("key"),
+        col("lang").as("label_true")), Seq("key"))
+      .select(col("key").as("doc_id"), col("label_true"),
+        col("label_pred"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Naive Bayes classification ([[Classify.nbApply]]) of the held-out
     * doc_id%5 split: per-doc argmax over
     * `logprior + Σ cnt·loglik` with exact decimal score sums; the
@@ -6193,6 +6225,7 @@ object PipelineQueries {
     "ta_ppl_route" -> (taPplRoute _),
     "ta_ppl_tertiles" -> (taPplTertiles _),
     "ta_langid_nb" -> (taLangidNb _),
+    "ta_langid_nb_at_rest" -> (taLangidNbAtRest _),
     "dd_exact_substring" -> (ddExactSubstring _),
     "dd_exact_substring_at_rest" -> (ddExactSubstringAtRest _),
     "dd_exact_substring_incremental" -> (ddExactSubstringIncremental _),
@@ -6303,7 +6336,8 @@ object PipelineQueries {
     // the round-14 tokenizer model stores + smoothed-LM count store
     "pp_bpe_apply_at_rest", "pp_bpe_tokenize_at_rest",
     "pp_maxmatch_apply_at_rest", "ta_ngram_lm_at_rest",
-    "ta_ngram_lm_updated", "ta_ngram_lm_kn_at_rest")
+    "ta_ngram_lm_updated", "ta_ngram_lm_kn_at_rest",
+    "ta_langid_nb_at_rest")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -6420,6 +6454,7 @@ object PipelineQueries {
     "ta_ppl_route" -> taPplRouteSql,
     "ta_ppl_tertiles" -> taPplTertilesSql,
     "ta_langid_nb" -> taLangidNbSql,
+    "ta_langid_nb_at_rest" -> taLangidNbSql,
     "dd_exact_substring" -> ddExactSubstringSql,
     "dd_exact_substring_at_rest" -> ddExactSubstringSql,
     "dd_exact_substring_incremental" -> ddExactSubstringSql,
