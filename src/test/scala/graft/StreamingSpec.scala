@@ -2088,6 +2088,84 @@ class StreamingSpec extends SparkSpec {
         _.getMessage.contains("negative folded doc count")))
   }
 
+  test("incremental smoothed-LM counts equal one-shot training; streaming-driven; guards fire") {
+    import java.nio.file.Files
+    import graft.pipeline.TextAnalysis
+    import graft.streaming.NgramLmStream
+    val in = Files.createTempDirectory("graft-nglm-in")
+    val root = Files.createTempDirectory("graft-nglm-root").toString
+    val ckpt = Files.createTempDirectory("graft-nglm-ckpt").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text")
+    def grids(p: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)) = (
+      p._1.select($"gram", $"ll".cast("string"))
+        .as[(String, String)].collect().toSet,
+      p._2.select($"w", $"ll1".cast("string"))
+        .as[(String, String)].collect().toSet)
+    def addChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-nglm-chunk")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, in.resolve(name))
+    }
+    addChunk(docs.filter($"doc_id" % 2 === 0), "c1.parquet")
+    val q = NgramLmStream.run(spark, in.toString, root, ckpt, "text",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      q.processAllAvailable()
+      addChunk(docs.filter($"doc_id" % 2 === 1), "c2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    // the grids are non-additive (denominators move per batch) but
+    // the (n, gram, cnt) statistics fold, so the derived model equals
+    // one-shot training on the union — lls bit-identical
+    val oneShot = grids(TextAnalysis.ngramLmSmoothedModel(
+      TextAnalysis.ngramLmCounts(docs, "text")))
+    assert(grids(NgramLmStream.model(spark, root)) === oneShot)
+    // replaying the newest batch regenerates, never double-counts
+    NgramLmStream.appendBatch(docs.filter($"doc_id" % 2 === 1), 1L,
+      root, "text")
+    assert(grids(NgramLmStream.model(spark, root)) === oneShot)
+    // a reused LOWER id can only be a fresh-checkpoint restart
+    val e1 = intercept[IllegalArgumentException](
+      NgramLmStream.appendBatch(docs.limit(5), 0L, root, "text"))
+    assert(e1.getMessage.contains("below the newest committed batch"))
+    // a model with nothing streamed is a loud error, not empty grids
+    val e2 = intercept[IllegalStateException](
+      NgramLmStream.model(spark,
+        Files.createTempDirectory("graft-nglm-empty").toString))
+    assert(e2.getMessage.contains("no count partials"))
+    // re-crawls supersede by negative partials: folded model equals
+    // retraining on the LATEST snapshot — and the KN derivation
+    // (distinct-row counts over the folded pair table) agrees too
+    val oldV = docs.filter($"doc_id" % 7 === 0)
+    val newV = oldV.withColumn("text",
+      concat($"text", lit(" fresh revision")))
+    NgramLmStream.appendDiffBatch(oldV, newV, 2L, root, "text")
+    val latest = docs.filter($"doc_id" % 7 =!= 0).unionByName(newV)
+    assert(grids(NgramLmStream.model(spark, root)) ===
+      grids(TextAnalysis.ngramLmSmoothedModel(
+        TextAnalysis.ngramLmCounts(latest, "text"))))
+    def knGrid(c: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.ngramLmKnModel(c)._1
+        .select($"gram", $"ll".cast("string"))
+        .as[(String, String)].collect().toSet
+    assert(knGrid(NgramLmStream.foldedCountsOf(spark, root)) ===
+      knGrid(TextAnalysis.ngramLmCounts(latest, "text")))
+    // subtracting a version never added fails loudly at derivation
+    NgramLmStream.appendDiffBatch(
+      oldV.withColumn("text", lit("phantom never added words")),
+      newV.limit(0), 3L, root, "text")
+    val e3 = intercept[Exception](
+      NgramLmStream.model(spark, root)._1.collect())
+    assert(e3.getMessage != null &&
+      e3.getMessage.contains("negative folded count") ||
+      Option(e3.getCause).exists(
+        _.getMessage.contains("negative folded count")))
+  }
+
   test("staged swap on a file:-scheme root acts on the real directory") {
     import java.nio.file.Files
     import graft.pipeline.PartitionedAnn
