@@ -2570,6 +2570,41 @@ class PipelineSpec extends SparkSpec {
       s"no pruning: ${rows.length} pieces from $cand candidates")
   }
 
+  test("kneser-ney semantics: discount, continuation backoff, w1-unseen tier, OOV drop") {
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // train: (a b)×2, (a c), (d b) → c_first(a)=3, N1+(a•)=2,
+    // c_first(d)=1, N1+(d•)=1; types=3; N1+(•b)=2, N1+(•c)=1
+    val train = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"),
+      (3L, "d b")).toDF("doc_id", "text")
+    val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
+      TextAnalysis.ngramLmCounts(train, "text"))
+    val grid = g2.select($"gram", $"ll".cast("double"))
+      .as[(String, Double)].collect().toMap
+    // seen: max(c−0.75,0)/c_first + λ(w1)·p_cont(w2), the exact
+    // double expression the engine evaluates
+    assert(grid("a b") === d6(math.log(
+      (2.0 - 0.75) / 3.0 + (0.75 * (2.0 / 3.0)) * (2.0 / 3.0))))
+    assert(grid("a c") === d6(math.log(
+      (1.0 - 0.75) / 3.0 + (0.75 * (2.0 / 3.0)) * (1.0 / 3.0))))
+    assert(grid("d b") === d6(math.log(
+      (1.0 - 0.75) / 1.0 + (0.75 * (1.0 / 1.0)) * (2.0 / 3.0))))
+    // scoring tiers on one doc: (d c) = unseen bigram, both words
+    // known → λ(d)·p_cont(c); (c x) and (a z) OOV-drop (x, z unknown
+    // as continuations); (x b) = w1 unseen → p_cont(b); (b a) drops
+    // (a never appears as a continuation)
+    val doc = Seq((9L, "d c x b a z")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmScoreKn(doc, g2, lamT, contT,
+        "text", "doc_id")
+      .as[(Long, Long, Double)].collect().head
+    assert(out._2 === 2L, s"scored-bigram count: $out")
+    val llDc = d6(math.log((0.75 * (1.0 / 1.0)) * (1.0 / 3.0)))
+    val llXb = d6(math.log(2.0 / 3.0))
+    val expect = d6((BigDecimal(llDc) + BigDecimal(llXb)).toDouble / 2.0)
+    assert(out._3 === expect)
+  }
+
   test("trained NB language-ID beats-or-matches the fixed-marker heuristic on a labeled corpus") {
     // the driver corpus's lang label is synthetic metadata
     // (uncorrelated with its text), so the router is compared here on
