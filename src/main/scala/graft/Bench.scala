@@ -130,6 +130,12 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
+    // the full line above is ~16 KB and the driver's artifact capture
+    // keeps only a ~2 KB stdout TAIL — r14's capture cut it mid-line
+    // and recorded parsed:null. A COMPACT summary line printed LAST
+    // always fits whole inside any tail window; per-query detail
+    // lives in the full line and the persisted record file.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","probe_total":${fmt(total - baselineTotal)},"baseline_total":${fmt(baselineTotal)},"queries_n":${results.size},"runs":$Runs,"errors":${failed.size},"sf":"$sfDir","record":"$record","compact":true}""")
     spark.stop()
   }
 

@@ -26,12 +26,28 @@ object TokenizerBench {
     val n = args.headOption.map(_.toInt).getOrElse(1000000)
     val cap = args.drop(1).headOption.map(_.toInt).getOrElse(100000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // spark.driver.memory set via builder is a NO-OP in local mode
+    // (the driver JVM is already running) — the heap comes from sbt's
+    // JVM options. If SPARK_DRIVER_MEM is set, fail fast unless -Xmx
+    // actually reflects it, so recorded numbers never silently run at
+    // the sbt default heap.
+    sys.env.get("SPARK_DRIVER_MEM").foreach { want =>
+      val wantBytes = want.toLowerCase match {
+        case s if s.endsWith("g") => s.dropRight(1).toLong << 30
+        case s if s.endsWith("m") => s.dropRight(1).toLong << 20
+        case s => s.toLong
+      }
+      val have = Runtime.getRuntime.maxMemory()
+      require(have >= (wantBytes * 0.8).toLong,
+        s"TokenizerBench: SPARK_DRIVER_MEM=$want but the JVM -Xmx is " +
+          s"${have >> 20} MiB — in local mode the driver heap must " +
+          "be passed as a JVM option to sbt (e.g. " +
+          "SBT_OPTS=-Xmx48g), not via SparkSession config")
+    }
     val spark = SparkSession.builder()
       .appName("graft-tokenizer-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toInt)
-      .config("spark.driver.memory",
-        sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.pipeline.TextAnalysis

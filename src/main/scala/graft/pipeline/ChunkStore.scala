@@ -49,6 +49,14 @@ import org.apache.spark.sql.functions._
   */
 object ChunkStore {
 
+  /** Every `java.io.File` touch goes through this: a `file:`-scheme
+    * root handed to raw java.io is a RELATIVE `./file:/x` path, so
+    * markers/deletes silently act on the wrong directory (the
+    * [[graft.streaming.IvfStream.localPath]] hazard). Hadoop-API and
+    * Spark read/write paths are immune and keep the raw root. */
+  private def lp(root: String): String =
+    graft.streaming.IvfStream.localPath(root)
+
   /** Chunk rows + the fingerprint bucket the layout partitions by —
     * ONE derivation shared by the base writer and every delta batch,
     * so generations are bit-identical to a rebuild per document. */
@@ -68,10 +76,11 @@ object ChunkStore {
     // staging) would otherwise mix into liveChunks as if they
     // postdated the fresh base. Drop the completion marker FIRST so a
     // crash mid-rebuild reads as a cold store, not a torn one.
-    new java.io.File(root, "_SUCCESS").delete(): Unit
-    graft.streaming.IvfStream.rmRec(new java.io.File(s"$root/delta"))
+    new java.io.File(lp(root), "_SUCCESS").delete(): Unit
     graft.streaming.IvfStream.rmRec(
-      new java.io.File(s"$root/base_compact"))
+      new java.io.File(s"${lp(root)}/delta"))
+    graft.streaming.IvfStream.rmRec(
+      new java.io.File(s"${lp(root)}/base_compact"))
     LayoutWrite.salted(
       bucketedChunks(docs, textCol, keyCol, window, buckets),
       "fp_bucket", col(keyCol))
@@ -80,9 +89,9 @@ object ChunkStore {
     // a FRESH base has no fold history: a watermark.json left by a
     // prior compact under the same root would reject the rebuilt
     // store's first delta batch as a fresh-checkpoint restart
-    new java.io.File(s"$root/base/watermark.json").delete(): Unit
+    new java.io.File(s"${lp(root)}/base/watermark.json").delete(): Unit
     writeParams(root, window, buckets)
-    new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    new java.io.File(lp(root), "_SUCCESS").createNewFile(): Unit
   }
 
   /** Apply one snapshot-diff batch: `diff` is a
@@ -201,7 +210,8 @@ object ChunkStore {
       staging =>
         val prior = foldWatermark(root).getOrElse(-1L)
         val deltaGens =
-          Option(new java.io.File(s"$root/delta/chunks").listFiles())
+          Option(new java.io.File(
+              s"${lp(root)}/delta/chunks").listFiles())
             .toSeq.flatten.map(_.getName).collect {
               case s if s.startsWith("batch=") => s.drop(6).toLong
             }
@@ -220,7 +230,7 @@ object ChunkStore {
   /** The max generation ever folded into the base by [[compact]], if
     * any fold has happened. */
   private def foldWatermark(root: String): Option[Long] = {
-    val f = new java.io.File(s"$root/base/watermark.json")
+    val f = new java.io.File(s"${lp(root)}/base/watermark.json")
     if (!f.exists()) None
     else {
       val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
@@ -232,14 +242,14 @@ object ChunkStore {
 
   private def writeParams(root: String, window: Int,
       buckets: Int): Unit = {
-    val f = new java.io.File(root, "params.json")
+    val f = new java.io.File(lp(root), "params.json")
     val w = new java.io.PrintWriter(f, "UTF-8")
     try w.print(s"""{"window":$window,"buckets":$buckets}""")
     finally w.close()
   }
 
   private def readParams(root: String): (Int, Int) = {
-    val f = new java.io.File(root, "params.json")
+    val f = new java.io.File(lp(root), "params.json")
     require(f.exists(),
       s"ChunkStore: no params.json under $root — write the base " +
         "with writeBase before appending diff batches")

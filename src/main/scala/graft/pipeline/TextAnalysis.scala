@@ -558,20 +558,28 @@ object TextAnalysis {
   // a gram-keyed join against the model grid plus one doc-keyed sum.
   // -----------------------------------------------------------------
 
-  /** Additive sufficient statistics for the smoothed bigram LM:
+  /** Additive sufficient statistics for the n-gram LM family:
     * `(n, gram, cnt)` — unigram occurrence counts at n=1, bigram at
-    * n=2. Two batches' rows sum cell-wise into the union's. */
-  def ngramLmCounts(df: DataFrame, textCol: String): DataFrame = {
+    * n=2, up through `maxN`. Two batches' rows sum cell-wise into
+    * the union's. One store serves every smoothing family and order:
+    * the bigram JM/KN models filter n≤2, the trigram KN chain
+    * derives everything from n=3 rows ([[ngramLmKn3Model]]). */
+  def ngramLmCounts(df: DataFrame, textCol: String,
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 2, s"ngramLmCounts: maxN >= 2, got $maxN")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val uni = df.select(explode(tokens(col(textCol))).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
       .withColumn("n", lit(1))
-    val bi = df.select(explode(
-        graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
-        .as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
-      .withColumn("n", lit(2))
-    uni.unionByName(bi).select(col("n"), col("gram"), col("cnt"))
+    val higher = (2 to maxN).map { n =>
+      df.select(explode(
+          graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+          .as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .withColumn("n", lit(n))
+    }
+    (uni +: higher).reduce(_ unionByName _)
+      .select(col("n"), col("gram"), col("cnt"))
   }
 
   /** JM-interpolated model grids from folded `(n, gram, cnt)` counts:
@@ -657,6 +665,125 @@ object TextAnalysis {
     (grid2, lamT.select(col("w1"), col("lam")), contT)
   }
 
+  /** Modified Kneser-Ney trigram model (Chen & Goodman 1998 §3 — the
+    * KenLM/SRILM default the field actually ships): the
+    * [[ngramLmKn3Model]] chain with the TOP order's single fixed
+    * discount replaced by three count-dependent discounts derived
+    * from the corpus's count-of-count statistics over trigram types,
+    * {{{ Y = n1/(n1 + 2·n2)
+    *     D1 = 1 − 2Y·(n2/n1),  D2 = 2 − 3Y·(n3/n2),
+    *     D3+ = 3 − 4Y·(n4/n3) }}}
+    * with nk = |{trigram types with count k}| — integer-exact inputs,
+    * the discounts and everything downstream exact-IEEE doubles with
+    * the operation tree written IDENTICALLY on both engines. The
+    * interpolation weight generalizes accordingly:
+    * {{{ λ3(ctx) = (D1·N1(ctx•) + D2·N2(ctx•) + D3+·N3+(ctx•))
+    *               / c(ctx•) }}}
+    * Modified discounting applies at the TOP order only: the
+    * adjusted-count lower tiers keep D=0.75 — the count-of-count
+    * estimates need n1..n4 > 0 at their order, and the
+    * LEFT-EXTENSION-type distributions of the lower tiers are
+    * exactly where templated/synthetic corpora go degenerate (this
+    * corpus's adjusted-bigram n3=n4=0; its trigram n1..n4 are
+    * healthy at every gated scale). A Dk whose inputs vanish anyway
+    * falls back to 0.75 deterministically (the same CASE on both
+    * engines) rather than dividing by zero — never taken at gated
+    * scales, but a 100 TB run on exotic data degrades to plain KN
+    * instead of wedging. Returns [[ngramLmKn3Model]]'s shapes, so
+    * [[ngramLmScoreKn3]] scores both families. */
+  def ngramLmMkn3Model(rawCounts: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tri = rawCounts.filter(col("n") === 3)
+      .select(col("gram"), col("cnt").as("c_tri"))
+      .withColumn("ctx", substring_index(col("gram"), " ", 2))
+      .withColumn("suf", substring_index(col("gram"), " ", -2))
+      .localCheckpoint() // model-sized; feeds five aggregations
+    val coc = tri.agg(
+      sum(when(col("c_tri") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c_tri") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("c_tri") === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("c_tri") === 4, 1L).otherwise(0L)).as("n4"))
+    val yv = col("n1").cast("double") /
+      (col("n1").cast("double") + lit(2.0) * col("n2").cast("double"))
+    val disc = coc.select(
+      when(col("n1") > 0, lit(1.0) - lit(2.0) * yv *
+        (col("n2").cast("double") / col("n1").cast("double")))
+        .otherwise(lit(0.75)).as("d1"),
+      when(col("n1") > 0 && col("n2") > 0, lit(2.0) - lit(3.0) * yv *
+        (col("n3").cast("double") / col("n2").cast("double")))
+        .otherwise(lit(0.75)).as("d2"),
+      when(col("n1") > 0 && col("n3") > 0, lit(3.0) - lit(4.0) * yv *
+        (col("n4").cast("double") / col("n3").cast("double")))
+        .otherwise(lit(0.75)).as("d3"))
+    val lam3T = tri.groupBy(col("ctx"))
+      .agg(sum(col("c_tri")).as("c_ctx"),
+        sum(when(col("c_tri") === 1, 1L).otherwise(0L)).as("nc1"),
+        sum(when(col("c_tri") === 2, 1L).otherwise(0L)).as("nc2"),
+        sum(when(col("c_tri") >= 3, 1L).otherwise(0L)).as("nc3p"))
+      .crossJoin(broadcast(disc))
+      .select(col("ctx"), col("c_ctx"), col("d1"), col("d2"),
+        col("d3"),
+        ((col("d1") * col("nc1").cast("double") +
+          col("d2") * col("nc2").cast("double") +
+          col("d3") * col("nc3p").cast("double")) /
+          col("c_ctx").cast("double")).as("lam3"))
+    // lower tiers: identical to the single-discount kn3 chain
+    val adj2 = tri.groupBy(col("suf"))
+      .agg(count(lit(1)).as("c_adj"))
+      .withColumn("w2", substring_index(col("suf"), " ", 1))
+      .withColumn("w3", substring_index(col("suf"), " ", -1))
+    val lam2T = adj2.groupBy(col("w2"))
+      .agg(sum(col("c_adj")).as("n_mid"), count(lit(1)).as("n1f2"))
+      .select(col("w2"), col("n_mid"),
+        (lit(0.75) * (col("n1f2").cast("double") /
+          col("n_mid").cast("double"))).as("lam2"))
+    val nTypes2 = adj2.agg(count(lit(1)).as("n_types"))
+    val contT = adj2.groupBy(col("w3"))
+      .agg(count(lit(1)).as("n1b"))
+      .crossJoin(broadcast(nTypes2))
+      .select(col("w3").as("w"),
+        (col("n1b").cast("double") /
+          col("n_types").cast("double")).as("pcont"))
+    val p2T = adj2
+      .join(lam2T, Seq("w2"))
+      .join(contT.withColumnRenamed("w", "w3"), Seq("w3"))
+      .select(col("suf"),
+        ((greatest(col("c_adj").cast("double") - lit(0.75), lit(0.0)) /
+          col("n_mid").cast("double")) +
+          (col("lam2") * col("pcont"))).as("p2"))
+    val dOf = when(col("c_tri") === 1, col("d1"))
+      .when(col("c_tri") === 2, col("d2")).otherwise(col("d3"))
+    val grid3 = tri
+      .join(lam3T, Seq("ctx"))
+      .join(p2T, Seq("suf"))
+      .select(col("gram"), Classify.dlog(log(
+        (greatest(col("c_tri").cast("double") - dOf, lit(0.0)) /
+          col("c_ctx").cast("double")) +
+          (col("lam3") * col("p2")))).as("ll"))
+    (grid3, lam3T.select(col("ctx"), col("lam3")), p2T,
+      lam2T.select(col("w2"), col("lam2")), contT)
+  }
+
+  /** Broadcast a model relation only when it is genuinely
+    * broadcast-sized. The n-gram GRIDS are corpus-VOCABULARY-sized
+    * (distinct training n-grams grow near-linearly with corpus), so a
+    * forced broadcast that wins at gate scale would hit the broadcast
+    * limit / driver memory at the 100 TB tier instead of degrading to
+    * a shuffle join. The grid is eagerly checkpointed (materializing
+    * the model once — exactly what train-once/apply-many does
+    * anyway, and its derivation joins otherwise hide the size
+    * estimate from AQE), then counted: under the cap it broadcasts
+    * explicitly (the sf0.1 audit found AQE leaving a SortMergeJoin on
+    * the corpus-side join); over the cap it stays a shuffle join.
+    * 4M rows of (gram, ll) ≈ low hundreds of MB — inside the 8 GB
+    * broadcast ceiling with headroom, past the point where
+    * per-executor copies stop paying. */
+  private def broadcastIfModelSized(df: DataFrame,
+      maxRows: Long = 4000000L): DataFrame = {
+    val m = df.localCheckpoint()
+    if (m.count() <= maxRows) broadcast(m) else m
+  }
+
   /** Score documents under the KN model: seen bigrams take the grid
     * value; unseen with both words known compose λ(w1)·p_cont(w2) at
     * apply time; unseen w1 falls to the continuation unigram
@@ -672,11 +799,11 @@ object TextAnalysis {
         .as("gram"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
       .withColumn("w2", substring_index(col("gram"), " ", -1))
-      // model-sized relations broadcast explicitly (the nbApply
-      // precedent) — the grid's size estimate is opaque behind its
-      // derivation joins and AQE left the corpus-side join as a
-      // sort-merge at sf0.1
-      .join(broadcast(grid2), Seq("gram"), "left_outer")
+      // the context/continuation tables are genuinely model-sized
+      // (per-word rows) and broadcast unconditionally (the nbApply
+      // precedent); the vocabulary-sized bigram grid broadcasts only
+      // under the size gate
+      .join(broadcastIfModelSized(grid2), Seq("gram"), "left_outer")
       .join(broadcast(lamT), Seq("w1"), "left_outer")
       .join(broadcast(contT.withColumnRenamed("w", "w2")), Seq("w2"),
         "left_outer")
@@ -686,6 +813,129 @@ object TextAnalysis {
             Classify.dlog(log(col("lam") * col("pcont"))))
           .when(col("pcont").isNotNull,
             Classify.dlog(log(col("pcont")))))
+      .filter(col("ll_eff").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("ll_eff")).as("sum_ll"))
+      .select(col("key"), col("n_scored"),
+        round((col("sum_ll").cast("double") /
+          col("n_scored").cast("double")).cast(DecimalType(20, 10)), 6)
+          .cast("double").as("avg_ll"))
+  }
+
+  /** Trigram interpolated Kneser-Ney model (Chen & Goodman 1998's
+    * recursive formulation; the order production CCNet-style corpus
+    * filters actually run starts here) from the SAME folded
+    * `(n, gram, cnt)` store — the ENTIRE chain derives from the n=3
+    * rows, the KenLM "adjusted count" discipline: each lower order's
+    * counts are LEFT-EXTENSION TYPE counts over the (folded) order
+    * above, i.e. distinct-row counts, which the negative-partial
+    * supersede algebra keeps exact (zero cells drop, so a superseded
+    * trigram leaves every continuation/type count as a retrain
+    * would).
+    *
+    * {{{ p3(w3|w1w2) = (c(w1w2w3)−D)⁺/c(w1w2•) + λ3(w1w2)·p2(w3|w2)
+    *     λ3(w1w2)    = D·N1+(w1w2•)/c(w1w2•)
+    *     p2(w3|w2)   = (c'(w2w3)−D)⁺/c'(w2•) + λ2(w2)·p_cont(w3)
+    *     c'(w2w3)    = N1+(•w2w3)   (distinct w1 — adjusted count)
+    *     λ2(w2)      = D·N1+'(w2•)/c'(w2•)
+    *     p_cont(w3)  = N1+'(•w3)/|adjusted bigram types| }}}
+    *
+    * D = 0.75 is a LITERAL double at both orders on both engines;
+    * every probability is exact-IEEE double arithmetic over integer
+    * counts, the top-order ln dlog-quantized. Returns
+    * `(grid3 (gram, ll), lam3T (ctx, lam3), p2T (suf, p2),
+    * lam2T (w2, lam2), contT (w, pcont))` — `ctx` is "w1 w2", `suf`
+    * is "w2 w3", p2 RAW (unlogged) doubles because apply-time backoff
+    * composes λ·p before the single quantized ln (materializing
+    * logged backoff values per unseen trigram would be |V|³). */
+  def ngramLmKn3Model(rawCounts: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tri = rawCounts.filter(col("n") === 3)
+      .select(col("gram"), col("cnt").as("c_tri"))
+      .withColumn("ctx", substring_index(col("gram"), " ", 2))
+      .withColumn("suf", substring_index(col("gram"), " ", -2))
+      .localCheckpoint() // model-sized; feeds five aggregations
+    val lam3T = tri.groupBy(col("ctx"))
+      .agg(sum(col("c_tri")).as("c_ctx"), count(lit(1)).as("n1f3"))
+      .select(col("ctx"), col("c_ctx"),
+        (lit(0.75) * (col("n1f3").cast("double") /
+          col("c_ctx").cast("double"))).as("lam3"))
+    // adjusted bigram table: one row per (w2,w3) with the count of
+    // distinct left extensions (tri rows are distinct gram types)
+    val adj2 = tri.groupBy(col("suf"))
+      .agg(count(lit(1)).as("c_adj"))
+      .withColumn("w2", substring_index(col("suf"), " ", 1))
+      .withColumn("w3", substring_index(col("suf"), " ", -1))
+    val lam2T = adj2.groupBy(col("w2"))
+      .agg(sum(col("c_adj")).as("n_mid"), count(lit(1)).as("n1f2"))
+      .select(col("w2"), col("n_mid"),
+        (lit(0.75) * (col("n1f2").cast("double") /
+          col("n_mid").cast("double"))).as("lam2"))
+    val nTypes2 = adj2.agg(count(lit(1)).as("n_types"))
+    val contT = adj2.groupBy(col("w3"))
+      .agg(count(lit(1)).as("n1b"))
+      .crossJoin(broadcast(nTypes2))
+      .select(col("w3").as("w"),
+        (col("n1b").cast("double") /
+          col("n_types").cast("double")).as("pcont"))
+    val p2T = adj2
+      .join(lam2T, Seq("w2"))
+      .join(contT.withColumnRenamed("w", "w3"), Seq("w3"))
+      .select(col("suf"),
+        ((greatest(col("c_adj").cast("double") - lit(0.75), lit(0.0)) /
+          col("n_mid").cast("double")) +
+          (col("lam2") * col("pcont"))).as("p2"))
+    val grid3 = tri
+      .join(lam3T, Seq("ctx"))
+      .join(p2T, Seq("suf"))
+      .select(col("gram"), Classify.dlog(log(
+        (greatest(col("c_tri").cast("double") - lit(0.75), lit(0.0)) /
+          col("c_ctx").cast("double")) +
+          (col("lam3") * col("p2")))).as("ll"))
+    (grid3, lam3T.select(col("ctx"), col("lam3")), p2T,
+      lam2T.select(col("w2"), col("lam2")), contT)
+  }
+
+  /** Score documents under the trigram KN model — the full recursive
+    * backoff composed at apply time: seen trigrams take the grid
+    * value; an unseen trigram under a seen context composes
+    * λ3(ctx)·p2eff; an unseen context falls to p2eff alone, where
+    * p2eff = the adjusted-bigram probability if (w2,w3) is seen, else
+    * λ2(w2)·p_cont(w3), else p_cont(w3); an OOV final word drops (no
+    * evidence — the NB/KN house discipline). Documents shorter than
+    * three tokens have no trigram and drop, as in the oracle. Same
+    * `(key, n_scored, avg_ll)` contract as the bigram scorers. */
+  def ngramLmScoreKn3(docs: DataFrame, grid3: DataFrame,
+      lam3T: DataFrame, p2T: DataFrame, lam2T: DataFrame,
+      contT: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(keyCol).as("key"), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), 3))
+        .as("gram"))
+      .withColumn("ctx", substring_index(col("gram"), " ", 2))
+      .withColumn("suf", substring_index(col("gram"), " ", -2))
+      .withColumn("w2", substring_index(col("suf"), " ", 1))
+      .withColumn("w3", substring_index(col("suf"), " ", -1))
+      // the trigram grid and adjusted-bigram table are vocabulary-
+      // sized (they grow with distinct corpus n-grams) and broadcast
+      // only under the size gate; the per-word context/continuation
+      // tables are genuinely model-sized
+      .join(broadcastIfModelSized(grid3), Seq("gram"), "left_outer")
+      .join(broadcast(lam3T), Seq("ctx"), "left_outer")
+      .join(broadcastIfModelSized(p2T), Seq("suf"), "left_outer")
+      .join(broadcast(lam2T), Seq("w2"), "left_outer")
+      .join(broadcast(contT.withColumnRenamed("w", "w3")), Seq("w3"),
+        "left_outer")
+      .withColumn("p2eff", coalesce(col("p2"),
+        col("lam2") * col("pcont"), col("pcont")))
+      .withColumn("ll_eff",
+        when(col("ll").isNotNull, col("ll"))
+          .when(col("lam3").isNotNull && col("p2eff").isNotNull,
+            Classify.dlog(log(col("lam3") * col("p2eff"))))
+          .when(col("p2eff").isNotNull,
+            Classify.dlog(log(col("p2eff")))))
       .filter(col("ll_eff").isNotNull)
       .groupBy(col("key"))
       .agg(count(lit(1)).as("n_scored"),
@@ -710,7 +960,9 @@ object TextAnalysis {
         graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
         .as("gram"))
       .withColumn("w", substring_index(col("gram"), " ", -1))
-      .join(broadcast(grid2), Seq("gram"), "left_outer")
+      // vocabulary-sized grid under the size gate; the unigram
+      // backoff table is model-sized and broadcasts unconditionally
+      .join(broadcastIfModelSized(grid2), Seq("gram"), "left_outer")
       .join(broadcast(grid1), Seq("w"), "left_outer")
       .withColumn("ll_eff", coalesce(col("ll"), col("ll1")))
       .filter(col("ll_eff").isNotNull)
@@ -1284,13 +1536,33 @@ object TextAnalysis {
   }
 
   /** Read a [[writeBpeModel]] store back as the training-ordered
-    * merge list [[bpeSegmentFast]]/[[bpeTokenizeFast]] consume. */
-  def readBpeModel(spark: SparkSession, dir: String)
-      : Seq[(String, String)] =
+    * merge list [[bpeSegmentFast]]/[[bpeTokenizeFast]] consume.
+    * `expectRounds`/`expectMinCount` are validated against the stored
+    * params row ([[readUnigramModel]]'s params contract) so a store
+    * trained under different parameters — or one whose params file
+    * was truncated — fails loudly instead of being silently consumed
+    * (the layout-cache key is NOT the only defense). Pass None to
+    * skip a check (a reader that genuinely doesn't care). */
+  def readBpeModel(spark: SparkSession, dir: String,
+      expectRounds: Option[Int] = None,
+      expectMinCount: Option[Long] = None): Seq[(String, String)] = {
+    val params = spark.read.parquet(s"$dir/params").collect()
+    require(params.length == 1,
+      s"readBpeModel: expected exactly one params row under $dir, " +
+        s"found ${params.length} — the store is torn; retrain it")
+    val p = params(0)
+    expectRounds.foreach(r => require(p.getAs[Int]("rounds") == r,
+      s"readBpeModel: store at $dir was trained with rounds=" +
+        s"${p.getAs[Int]("rounds")}, caller expects $r"))
+    expectMinCount.foreach(c =>
+      require(p.getAs[Long]("min_count") == c,
+        s"readBpeModel: store at $dir was trained with min_count=" +
+          s"${p.getAs[Long]("min_count")}, caller expects $c"))
     spark.read.parquet(s"$dir/model")
       .orderBy(col("round"))
       .select(col("lhs"), col("rhs"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
 
   // -----------------------------------------------------------------
   // Unigram-LM tokenizer (SentencePiece-flavored, Kudo 2018

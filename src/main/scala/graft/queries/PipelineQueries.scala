@@ -3501,7 +3501,8 @@ object PipelineQueries {
         rounds = 8, minCount = 1L, root)
       new java.io.File(root, "_SUCCESS").createNewFile(): Unit
     }
-    TextAnalysis.readBpeModel(s, root)
+    TextAnalysis.readBpeModel(s, root, expectRounds = Some(8),
+      expectMinCount = Some(1L))
   }
 
   /** [[ppBpeApply]] with the merges read from the at-rest store —
@@ -4689,6 +4690,69 @@ object PipelineQueries {
              FROM ($taNgramLmKnSql) z) b
        ORDER BY doc_id"""
 
+  /** The 100 TB form of [[taPplTertiles]], contract-gated (the q28
+    * pattern): `percentile_approx` cutoffs computed in ONE mergeable-
+    * sketch pass and broadcast back onto the scan as constants — no
+    * global sort anywhere — then bucket assignment compared against
+    * the exact NTILE(3). The oracle pins the exact per-bucket doc
+    * counts (NTILE replay, deterministic) plus TRUE for the
+    * contract; Spark asserts ≥99% of docs agree, with the remainder
+    * necessarily tie/boundary rows (a threshold puts every tied
+    * score on one side; NTILE splits ties by doc_id to equalize
+    * bucket sizes). This is the routing a production deployment runs
+    * when the cutoffs must be corpus-relative rather than the fixed
+    * calibration constants of [[taPplRoute]]. */
+  def taPplTertilesApprox(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text"))
+    // model-sized result (one row per doc): checkpoint so the scan
+    // feeding the cutoff sketch and the bucketing pass runs once
+    val scored = TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT,
+        "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .localCheckpoint()
+    // head = top third by score: the 2/3 and 1/3 ascending
+    // percentiles are the head/middle floors
+    val cutsRow = scored.agg(percentile_approx(col("avg_ll"),
+      array(lit(2.0 / 3.0), lit(1.0 / 3.0)), lit(10000)).as("cuts"))
+      .collect()(0).getSeq[Double](0)
+    val (cHi, cLo) = (cutsRow(0), cutsRow(1))
+    scored
+      .withColumn("nt", ntile(3).over(
+        Window.orderBy(col("avg_ll").desc, col("doc_id"))))
+      .withColumn("bucket",
+        when(col("nt") === 1, lit("head"))
+          .when(col("nt") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .withColumn("bucket_approx",
+        when(col("avg_ll") >= lit(cHi), lit("head"))
+          .when(col("avg_ll") >= lit(cLo), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket_approx") === col("bucket"), 1L)
+          .otherwise(0L)).as("n_agree"))
+      .select(col("bucket"), col("n_docs"),
+        (col("n_agree") * lit(100L) >= col("n_docs") * lit(99L))
+          .as("approx_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  private lazy val taPplTertilesApproxSql =
+    s"""SELECT bucket, COUNT(*) AS n_docs, TRUE AS approx_ok
+       FROM (SELECT doc_id,
+               CASE WHEN nt = 1 THEN 'head'
+                    WHEN nt = 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+             FROM (SELECT doc_id,
+                     NTILE(3) OVER (ORDER BY avg_ll DESC, doc_id)
+                       AS nt
+                   FROM ($taNgramLmKnSql) z) b) g
+       GROUP BY bucket ORDER BY bucket"""
+
   /** Trained language-ID router — the fastText-style production form
     * of the heuristic [[TextAnalysis.langId]]: the proven NB
     * machinery ([[Classify]]) over CHAR-TRIGRAM features (character
@@ -5622,15 +5686,7 @@ object PipelineQueries {
     * trainer; shares [[taNgramLmSmoothedSql]] VERBATIM. */
   def taNgramLmAtRest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val train = docs.filter(col("doc_id") % 3 =!= 0)
-    val root = layoutDir(dir, "documents", "ngram_lm_counts")
-    ensureLayout(root) {
-      graft.streaming.NgramLmStream.appendBatch(
-        train.filter(col("doc_id") % 2 === 0), 0L, root, "text")
-      graft.streaming.NgramLmStream.appendBatch(
-        train.filter(col("doc_id") % 2 === 1), 1L, root, "text")
-      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
-    }
+    val root = lmCountsRoot(s, dir)
     val (g2, g1) = graft.streaming.NgramLmStream.model(s, root)
     TextAnalysis.ngramLmScoreSmoothed(docs, g2, g1, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
@@ -5644,18 +5700,7 @@ object PipelineQueries {
     * oracle replays ([[ppNbUpdated]]'s contract on the LM tier). */
   def taNgramLmUpdated(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val train = docs.filter(col("doc_id") % 3 =!= 0)
-    val recrawled = train.filter(col("doc_id") % 7 === 0)
-    val revised = recrawled.withColumn("text",
-      concat(col("text"), lit(" [rev1]")))
-    val root = layoutDir(dir, "documents", "ngram_lm_counts_upd")
-    ensureLayout(root) {
-      graft.streaming.NgramLmStream.appendBatch(train, 0L, root,
-        "text")
-      graft.streaming.NgramLmStream.appendDiffBatch(recrawled,
-        revised, 1L, root, "text")
-      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
-    }
+    val root = lmCountsUpdRoot(s, dir)
     val (g2, g1) = graft.streaming.NgramLmStream.model(s, root)
     TextAnalysis.ngramLmScoreSmoothed(docs, g2, g1, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
@@ -5763,19 +5808,383 @@ object PipelineQueries {
     * VERBATIM. */
   def taNgramLmKnAtRest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val train = docs.filter(col("doc_id") % 3 =!= 0)
-    val root = layoutDir(dir, "documents", "ngram_lm_counts")
-    ensureLayout(root) {
-      graft.streaming.NgramLmStream.appendBatch(
-        train.filter(col("doc_id") % 2 === 0), 0L, root, "text")
-      graft.streaming.NgramLmStream.appendBatch(
-        train.filter(col("doc_id") % 2 === 1), 1L, root, "text")
-      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
-    }
+    val root = lmCountsRoot(s, dir)
     val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
       graft.streaming.NgramLmStream.foldedCountsOf(s, root))
     TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
         "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The SHARED n-gram sufficient-statistics store, maxN=3: built
+    * once under the layout cache as two streamed
+    * [[graft.streaming.NgramLmStream]] batches over the ⅔-train
+    * split. ONE `(n, gram, cnt)` store serves every smoothing family
+    * and order — JM and bigram-KN/MKN filter n≤2, the trigram-KN
+    * chain derives entirely from the n=3 rows. */
+  private def lmCountsRoot(s: SparkSession, dir: String): String = {
+    val train = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 =!= 0)
+    val root = layoutDir(dir, "documents", "ngram_lm_counts_n3")
+    ensureLayout(root) {
+      graft.streaming.NgramLmStream.appendBatch(
+        train.filter(col("doc_id") % 2 === 0), 0L, root, "text",
+        maxN = 3)
+      graft.streaming.NgramLmStream.appendBatch(
+        train.filter(col("doc_id") % 2 === 1), 1L, root, "text",
+        maxN = 3)
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    root
+  }
+
+  /** The re-crawl twin of [[lmCountsRoot]]: base crawl plus one diff
+    * batch revising every doc_id%7==0 train document — superseded
+    * versions subtract as negative partials at EVERY order, so the
+    * folded store is bit-identical to re-counting the latest
+    * snapshot (including the trigram tier's distinct-row
+    * continuation counts, which only stay exact because zero cells
+    * DROP). */
+  private def lmCountsUpdRoot(s: SparkSession, dir: String): String = {
+    val train = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 =!= 0)
+    val recrawled = train.filter(col("doc_id") % 7 === 0)
+    val revised = recrawled.withColumn("text",
+      concat(col("text"), lit(" [rev1]")))
+    val root = layoutDir(dir, "documents", "ngram_lm_counts_upd_n3")
+    ensureLayout(root) {
+      graft.streaming.NgramLmStream.appendBatch(train, 0L, root,
+        "text", maxN = 3)
+      graft.streaming.NgramLmStream.appendDiffBatch(recrawled,
+        revised, 1L, root, "text", maxN = 3)
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    root
+  }
+
+  /** The trigram interpolated-KN oracle — the full
+    * [[TextAnalysis.ngramLmKn3Model]] chain replayed in SQL: raw
+    * trigram counts at the top; the lower orders' counts are
+    * DISTINCT-ROW counts over the order above (KenLM adjusted
+    * counts); discount 0.75 LITERAL at both orders; apply-time
+    * backoff composes raw probabilities before the single quantized
+    * ln, exactly as the Spark scorer does. */
+  private def ngramLmKn3Sql(trainSel: String): String =
+    s"""WITH train AS ($trainSel),
+       ttk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM train),
+       tg3 AS (
+         SELECT tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM ttk CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       tri AS (
+         SELECT gram,
+           split_part(gram, ' ', 1) || ' ' || split_part(gram, ' ', 2)
+             AS ctx,
+           split_part(gram, ' ', 2) || ' ' || split_part(gram, ' ', 3)
+             AS suf,
+           COUNT(*) AS c_tri
+         FROM tg3 GROUP BY gram),
+       k3ctx AS (
+         SELECT ctx, SUM(c_tri) AS c_ctx,
+           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
+             CAST(SUM(c_tri) AS DOUBLE)) AS lam3
+         FROM tri GROUP BY ctx),
+       adj2 AS (
+         SELECT suf, split_part(suf, ' ', 1) AS w2,
+           split_part(suf, ' ', 2) AS w3, COUNT(*) AS c_adj
+         FROM tri GROUP BY suf),
+       k3mid AS (
+         SELECT w2, SUM(c_adj) AS n_mid,
+           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
+             CAST(SUM(c_adj) AS DOUBLE)) AS lam2
+         FROM adj2 GROUP BY w2),
+       k3types AS (SELECT COUNT(*) AS n_types FROM adj2),
+       k3cont AS (
+         SELECT w3 AS w, CAST(COUNT(*) AS DOUBLE) /
+           CAST(t.n_types AS DOUBLE) AS pcont
+         FROM adj2 CROSS JOIN k3types t GROUP BY w3, t.n_types),
+       k3p2 AS (
+         SELECT a.suf,
+           (GREATEST(CAST(a.c_adj AS DOUBLE) - CAST(0.75 AS DOUBLE),
+              CAST(0 AS DOUBLE)) / CAST(m.n_mid AS DOUBLE))
+             + (m.lam2 * c.pcont) AS p2
+         FROM adj2 a JOIN k3mid m USING (w2)
+         JOIN k3cont c ON c.w = a.w3),
+       k3grid AS (
+         SELECT t.gram,
+           CAST(ROUND(CAST(ln(
+             (GREATEST(CAST(t.c_tri AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                CAST(0 AS DOUBLE)) / CAST(x.c_ctx AS DOUBLE))
+             + (x.lam3 * p.p2))
+             AS DECIMAL(20,10)), 6) AS DECIMAL(20,6)) AS ll
+         FROM tri t JOIN k3ctx x USING (ctx)
+         JOIN k3p2 p USING (suf)),
+       dtk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       docc AS (
+         SELECT doc_id,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM dtk CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       k3sc AS (
+         SELECT o.doc_id,
+           CASE WHEN g.ll IS NOT NULL THEN g.ll
+                WHEN x.lam3 IS NOT NULL AND
+                     COALESCE(p.p2, m.lam2 * c.pcont, c.pcont)
+                       IS NOT NULL THEN
+                  CAST(ROUND(CAST(ln(x.lam3 *
+                    COALESCE(p.p2, m.lam2 * c.pcont, c.pcont))
+                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
+                WHEN COALESCE(p.p2, m.lam2 * c.pcont, c.pcont)
+                       IS NOT NULL THEN
+                  CAST(ROUND(CAST(ln(
+                    COALESCE(p.p2, m.lam2 * c.pcont, c.pcont))
+                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
+                ELSE NULL END AS ll_eff
+         FROM docc o
+         LEFT JOIN k3grid g USING (gram)
+         LEFT JOIN k3ctx x ON x.ctx =
+           split_part(o.gram, ' ', 1) || ' ' || split_part(o.gram, ' ', 2)
+         LEFT JOIN k3p2 p ON p.suf =
+           split_part(o.gram, ' ', 2) || ' ' || split_part(o.gram, ' ', 3)
+         LEFT JOIN k3mid m ON m.w2 = split_part(o.gram, ' ', 2)
+         LEFT JOIN k3cont c ON c.w = split_part(o.gram, ' ', 3))
+       SELECT doc_id, COUNT(*) AS n_scored,
+         CAST(ROUND(CAST(CAST(SUM(ll_eff) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(20,10)), 6) AS DOUBLE) AS avg_ll
+       FROM k3sc WHERE ll_eff IS NOT NULL
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Trigram interpolated Kneser-Ney scorer
+    * ([[TextAnalysis.ngramLmKn3Model]]) — the order production
+    * CCNet-style corpus filters actually run, same ⅔-train /
+    * score-all split so held-out documents exercise all three
+    * backoff tiers. */
+  def taNgramLmKn3(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (g3, lam3T, p2T, lam2T, contT) = TextAnalysis.ngramLmKn3Model(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 3))
+    TextAnalysis.ngramLmScoreKn3(docs, g3, lam3T, p2T, lam2T, contT,
+        "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmKn3Sql = ngramLmKn3Sql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0")
+
+  /** [[taNgramLmKn3]] off the SHARED [[lmCountsRoot]] store — the
+    * fold already carries n=3 partials, so the trigram chain derives
+    * from the same at-rest statistics the bigram families fold.
+    * Shares [[taNgramLmKn3Sql]] VERBATIM. */
+  def taNgramLmKn3AtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = lmCountsRoot(s, dir)
+    val (g3, lam3T, p2T, lam2T, contT) = TextAnalysis.ngramLmKn3Model(
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root))
+    TextAnalysis.ngramLmScoreKn3(docs, g3, lam3T, p2T, lam2T, contT,
+        "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The trigram KN under RE-CRAWLS ([[lmCountsUpdRoot]]): the
+    * negative-partial supersede must keep the DISTINCT-ROW adjusted
+    * counts exact — a superseded trigram whose folded count hits
+    * zero DROPS, so every left-extension type count matches a
+    * retrain on the latest snapshot, which the oracle replays. */
+  def taNgramLmKn3Updated(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = lmCountsUpdRoot(s, dir)
+    val (g3, lam3T, p2T, lam2T, contT) = TextAnalysis.ngramLmKn3Model(
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root))
+    TextAnalysis.ngramLmScoreKn3(docs, g3, lam3T, p2T, lam2T, contT,
+        "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmKn3UpdatedSql = ngramLmKn3Sql(
+    """SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev1]'
+              ELSE text END AS text
+       FROM documents WHERE doc_id % 3 <> 0""")
+
+  /** The modified-KN oracle: count-of-count discounts D1/D2/D3+
+    * (Chen & Goodman's estimates from trigram-type n1..n4, with the
+    * deterministic 0.75 fallback when a Dk's inputs vanish), the
+    * three-way λ3 numerator, and the count-dependent discount in the
+    * grid — every double computed over integer counts with the SAME
+    * operation tree as the Spark model; lower tiers are the kn3
+    * chain verbatim. */
+  private def ngramLmMknSql(trainSel: String): String =
+    s"""WITH train AS ($trainSel),
+       ttk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM train),
+       tg3 AS (
+         SELECT tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM ttk CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       tri AS (
+         SELECT gram,
+           split_part(gram, ' ', 1) || ' ' || split_part(gram, ' ', 2)
+             AS ctx,
+           split_part(gram, ' ', 2) || ' ' || split_part(gram, ' ', 3)
+             AS suf,
+           COUNT(*) AS c_tri
+         FROM tg3 GROUP BY gram),
+       mkcoc AS (
+         SELECT SUM(CASE WHEN c_tri = 1 THEN 1 ELSE 0 END) AS n1,
+           SUM(CASE WHEN c_tri = 2 THEN 1 ELSE 0 END) AS n2,
+           SUM(CASE WHEN c_tri = 3 THEN 1 ELSE 0 END) AS n3,
+           SUM(CASE WHEN c_tri = 4 THEN 1 ELSE 0 END) AS n4
+         FROM tri),
+       mkdisc AS (
+         SELECT
+           CASE WHEN n1 > 0 THEN
+             CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) *
+               (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
+                 CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+               (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           ELSE CAST(0.75 AS DOUBLE) END AS d1,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) *
+               (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
+                 CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+               (CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           ELSE CAST(0.75 AS DOUBLE) END AS d2,
+           CASE WHEN n1 > 0 AND n3 > 0 THEN
+             CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) *
+               (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
+                 CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+               (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE))
+           ELSE CAST(0.75 AS DOUBLE) END AS d3
+         FROM mkcoc),
+       mkctx AS (
+         SELECT ctx, c_ctx, d1, d2, d3,
+           (d1 * CAST(nc1 AS DOUBLE) + d2 * CAST(nc2 AS DOUBLE) +
+             d3 * CAST(nc3p AS DOUBLE)) / CAST(c_ctx AS DOUBLE)
+             AS lam3
+         FROM (SELECT ctx, SUM(c_tri) AS c_ctx,
+                 SUM(CASE WHEN c_tri = 1 THEN 1 ELSE 0 END) AS nc1,
+                 SUM(CASE WHEN c_tri = 2 THEN 1 ELSE 0 END) AS nc2,
+                 SUM(CASE WHEN c_tri >= 3 THEN 1 ELSE 0 END) AS nc3p
+               FROM tri GROUP BY ctx) g CROSS JOIN mkdisc),
+       adj2 AS (
+         SELECT suf, split_part(suf, ' ', 1) AS w2,
+           split_part(suf, ' ', 2) AS w3, COUNT(*) AS c_adj
+         FROM tri GROUP BY suf),
+       k3mid AS (
+         SELECT w2, SUM(c_adj) AS n_mid,
+           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
+             CAST(SUM(c_adj) AS DOUBLE)) AS lam2
+         FROM adj2 GROUP BY w2),
+       k3types AS (SELECT COUNT(*) AS n_types FROM adj2),
+       k3cont AS (
+         SELECT w3 AS w, CAST(COUNT(*) AS DOUBLE) /
+           CAST(t.n_types AS DOUBLE) AS pcont
+         FROM adj2 CROSS JOIN k3types t GROUP BY w3, t.n_types),
+       k3p2 AS (
+         SELECT a.suf,
+           (GREATEST(CAST(a.c_adj AS DOUBLE) - CAST(0.75 AS DOUBLE),
+              CAST(0 AS DOUBLE)) / CAST(m.n_mid AS DOUBLE))
+             + (m.lam2 * c.pcont) AS p2
+         FROM adj2 a JOIN k3mid m USING (w2)
+         JOIN k3cont c ON c.w = a.w3),
+       mkgrid AS (
+         SELECT t.gram,
+           CAST(ROUND(CAST(ln(
+             (GREATEST(CAST(t.c_tri AS DOUBLE) -
+                (CASE WHEN t.c_tri = 1 THEN x.d1
+                      WHEN t.c_tri = 2 THEN x.d2
+                      ELSE x.d3 END),
+                CAST(0 AS DOUBLE)) / CAST(x.c_ctx AS DOUBLE))
+             + (x.lam3 * p.p2))
+             AS DECIMAL(20,10)), 6) AS DECIMAL(20,6)) AS ll
+         FROM tri t JOIN mkctx x USING (ctx)
+         JOIN k3p2 p USING (suf)),
+       dtk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       docc AS (
+         SELECT doc_id,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM dtk CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       mksc AS (
+         SELECT o.doc_id,
+           CASE WHEN g.ll IS NOT NULL THEN g.ll
+                WHEN x.lam3 IS NOT NULL AND
+                     COALESCE(p.p2, m.lam2 * c.pcont, c.pcont)
+                       IS NOT NULL THEN
+                  CAST(ROUND(CAST(ln(x.lam3 *
+                    COALESCE(p.p2, m.lam2 * c.pcont, c.pcont))
+                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
+                WHEN COALESCE(p.p2, m.lam2 * c.pcont, c.pcont)
+                       IS NOT NULL THEN
+                  CAST(ROUND(CAST(ln(
+                    COALESCE(p.p2, m.lam2 * c.pcont, c.pcont))
+                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
+                ELSE NULL END AS ll_eff
+         FROM docc o
+         LEFT JOIN mkgrid g USING (gram)
+         LEFT JOIN mkctx x ON x.ctx =
+           split_part(o.gram, ' ', 1) || ' ' || split_part(o.gram, ' ', 2)
+         LEFT JOIN k3p2 p ON p.suf =
+           split_part(o.gram, ' ', 2) || ' ' || split_part(o.gram, ' ', 3)
+         LEFT JOIN k3mid m ON m.w2 = split_part(o.gram, ' ', 2)
+         LEFT JOIN k3cont c ON c.w = split_part(o.gram, ' ', 3))
+       SELECT doc_id, COUNT(*) AS n_scored,
+         CAST(ROUND(CAST(CAST(SUM(ll_eff) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(20,10)), 6) AS DOUBLE) AS avg_ll
+       FROM mksc WHERE ll_eff IS NOT NULL
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Modified Kneser-Ney scorer ([[TextAnalysis.ngramLmMkn3Model]])
+    * — the KenLM/SRILM-default discounting at the trigram order,
+    * same split and scoring contract as [[taNgramLmKn3]]; the scorer
+    * is SHARED (identical model shapes). */
+  def taNgramLmMkn(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (g3, lam3T, p2T, lam2T, contT) =
+      TextAnalysis.ngramLmMkn3Model(
+        TextAnalysis.ngramLmCounts(
+          docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 3))
+    TextAnalysis.ngramLmScoreKn3(docs, g3, lam3T, p2T, lam2T, contT,
+        "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmMknSql = ngramLmMknSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0")
+
+  /** [[taNgramLmMkn]] off the SHARED [[lmCountsRoot]] store — the
+    * count-of-count statistics n1..n4 are themselves derived from
+    * the folded additive counts, so the at-rest path is bit-identical
+    * to the one-shot trainer. Shares [[taNgramLmMknSql]] VERBATIM. */
+  def taNgramLmMknAtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = lmCountsRoot(s, dir)
+    val (g3, lam3T, p2T, lam2T, contT) =
+      TextAnalysis.ngramLmMkn3Model(
+        graft.streaming.NgramLmStream.foldedCountsOf(s, root))
+    TextAnalysis.ngramLmScoreKn3(docs, g3, lam3T, p2T, lam2T, contT,
+        "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -6222,8 +6631,14 @@ object PipelineQueries {
     "ta_ngram_lm_updated" -> (taNgramLmUpdated _),
     "ta_ngram_lm_kn" -> (taNgramLmKn _),
     "ta_ngram_lm_kn_at_rest" -> (taNgramLmKnAtRest _),
+    "ta_ngram_lm_kn3" -> (taNgramLmKn3 _),
+    "ta_ngram_lm_kn3_at_rest" -> (taNgramLmKn3AtRest _),
+    "ta_ngram_lm_kn3_updated" -> (taNgramLmKn3Updated _),
+    "ta_ngram_lm_mkn" -> (taNgramLmMkn _),
+    "ta_ngram_lm_mkn_at_rest" -> (taNgramLmMknAtRest _),
     "ta_ppl_route" -> (taPplRoute _),
     "ta_ppl_tertiles" -> (taPplTertiles _),
+    "ta_ppl_tertiles_approx" -> (taPplTertilesApprox _),
     "ta_langid_nb" -> (taLangidNb _),
     "ta_langid_nb_at_rest" -> (taLangidNbAtRest _),
     "dd_exact_substring" -> (ddExactSubstring _),
@@ -6337,6 +6752,8 @@ object PipelineQueries {
     "pp_bpe_apply_at_rest", "pp_bpe_tokenize_at_rest",
     "pp_maxmatch_apply_at_rest", "ta_ngram_lm_at_rest",
     "ta_ngram_lm_updated", "ta_ngram_lm_kn_at_rest",
+    "ta_ngram_lm_kn3_at_rest", "ta_ngram_lm_kn3_updated",
+    "ta_ngram_lm_mkn_at_rest",
     "ta_langid_nb_at_rest")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
@@ -6451,8 +6868,14 @@ object PipelineQueries {
     "ta_ngram_lm_updated" -> taNgramLmUpdatedSql,
     "ta_ngram_lm_kn" -> taNgramLmKnSql,
     "ta_ngram_lm_kn_at_rest" -> taNgramLmKnSql,
+    "ta_ngram_lm_kn3" -> taNgramLmKn3Sql,
+    "ta_ngram_lm_kn3_at_rest" -> taNgramLmKn3Sql,
+    "ta_ngram_lm_kn3_updated" -> taNgramLmKn3UpdatedSql,
+    "ta_ngram_lm_mkn" -> taNgramLmMknSql,
+    "ta_ngram_lm_mkn_at_rest" -> taNgramLmMknSql,
     "ta_ppl_route" -> taPplRouteSql,
     "ta_ppl_tertiles" -> taPplTertilesSql,
+    "ta_ppl_tertiles_approx" -> taPplTertilesApproxSql,
     "ta_langid_nb" -> taLangidNbSql,
     "ta_langid_nb_at_rest" -> taLangidNbSql,
     "dd_exact_substring" -> ddExactSubstringSql,

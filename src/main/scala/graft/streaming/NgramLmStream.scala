@@ -28,13 +28,16 @@ import graft.pipeline.TextAnalysis
   * partials ([[appendDiffBatch]]), foreign pending swaps fail fast. */
 object NgramLmStream {
 
-  /** One micro-batch's additive counts → its own `batch=` partition. */
+  /** One micro-batch's additive counts → its own `batch=` partition.
+    * `maxN` is a LAYOUT parameter: every batch under one root must
+    * carry the same orders, or the fold under-counts the orders a
+    * batch omitted. */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
-      root: String, textCol: String): Unit = {
+      root: String, textCol: String, maxN: Int = 2): Unit = {
     IvfStream.requireNoPendingSwap(root, "NgramLmStream.appendBatch")
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "NgramLmStream.appendBatch")
-    TextAnalysis.ngramLmCounts(batch, textCol)
+    TextAnalysis.ngramLmCounts(batch, textCol, maxN)
       .write.mode("overwrite").parquet(s"$root/counts/batch=$batchId")
   }
 
@@ -46,13 +49,14 @@ object NgramLmStream {
     * cell that the model derivation rejects loudly. */
   private[graft] def appendDiffBatch(oldVersions: DataFrame,
       newVersions: DataFrame, batchId: Long, root: String,
-      textCol: String): Unit = {
+      textCol: String, maxN: Int = 2): Unit = {
     IvfStream.requireNoPendingSwap(root,
       "NgramLmStream.appendDiffBatch")
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "NgramLmStream.appendDiffBatch")
-    TextAnalysis.ngramLmCounts(newVersions, textCol)
-      .unionByName(TextAnalysis.ngramLmCounts(oldVersions, textCol)
+    TextAnalysis.ngramLmCounts(newVersions, textCol, maxN)
+      .unionByName(
+        TextAnalysis.ngramLmCounts(oldVersions, textCol, maxN)
         .select(col("n"), col("gram"), (-col("cnt")).as("cnt")))
       .groupBy(col("n"), col("gram"))
       .agg(sum(col("cnt")).as("cnt"))
@@ -104,7 +108,8 @@ object NgramLmStream {
       checkpointDir: String, textCol: String,
       maxFilesPerTrigger: Int = 1,
       trigger: Trigger = Trigger.AvailableNow(),
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      maxN: Int = 2)
       : StreamingQuery = {
     val inputSchema =
       schema.getOrElse(spark.read.parquet(inputDir).schema)
@@ -116,7 +121,7 @@ object NgramLmStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        appendBatch(b, id, root, textCol)
+        appendBatch(b, id, root, textCol, maxN)
       }
       .start()
   }

@@ -2605,6 +2605,86 @@ class PipelineSpec extends SparkSpec {
     assert(out._3 === expect)
   }
 
+  test("trigram kneser-ney: adjusted-count chain, all four scoring tiers, OOV drop") {
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // tri types: (a b c)×2, (a b d), (e b c), (a c d)
+    // ctx "a b": c=3, N1+=2, λ3=0.75·(2/3); "e b": c=1, λ3=0.75;
+    //     "a c": c=1, λ3=0.75
+    // adjusted bigrams (distinct-w1 counts): (b c)=2, (b d)=1, (c d)=1
+    // mid "b": n_mid=3, λ2=0.75·(2/3); "c": n_mid=1, λ2=0.75
+    // types2=3; p_cont(c)=1/3 (only b c), p_cont(d)=2/3 (b d, c d)
+    val train = Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b d"),
+      (3L, "e b c"), (4L, "a c d")).toDF("doc_id", "text")
+    val (g3, lam3T, p2T, lam2T, contT) = TextAnalysis.ngramLmKn3Model(
+      TextAnalysis.ngramLmCounts(train, "text", maxN = 3))
+    val grid = g3.select($"gram", $"ll".cast("double"))
+      .as[(String, Double)].collect().toMap
+    val lam2b = 0.75 * (2.0 / 3.0)
+    val p2bc = (2.0 - 0.75) / 3.0 + lam2b * (1.0 / 3.0)
+    val p2bd = (1.0 - 0.75) / 3.0 + lam2b * (2.0 / 3.0)
+    val p2cd = (1.0 - 0.75) / 1.0 + 0.75 * (2.0 / 3.0)
+    assert(grid("a b c") === d6(math.log(
+      (2.0 - 0.75) / 3.0 + (0.75 * (2.0 / 3.0)) * p2bc)))
+    assert(grid("e b c") === d6(math.log(
+      (1.0 - 0.75) / 1.0 + 0.75 * p2bc)))
+    assert(grid("a c d") === d6(math.log(
+      (1.0 - 0.75) / 1.0 + 0.75 * p2cd)))
+    // tiers on one doc: "a c c" = seen ctx + unseen suffix →
+    // λ3·(λ2(c)·p_cont(c)); "e b d" = seen ctx + seen adjusted
+    // bigram → λ3·p2(b d); "d x c" = everything unseen but the
+    // continuation → p_cont(c); "x c d" = unseen ctx, seen adjusted
+    // bigram → p2(c d); the rest OOV-drop
+    val doc = Seq((9L, "a c c e b d x c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLmScoreKn3(doc, g3, lam3T, p2T,
+        lam2T, contT, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().head
+    assert(out._2 === 4L, s"scored-trigram count: $out")
+    val lls = Seq(
+      d6(math.log(0.75 * (0.75 * (1.0 / 3.0)))), // a c c
+      d6(math.log(0.75 * p2bd)), // e b d
+      d6(math.log(1.0 / 3.0)), // d x c
+      d6(math.log(p2cd))) // x c d
+    val expect = d6(lls.map(BigDecimal(_)).sum.toDouble / 4.0)
+    assert(out._3 === expect)
+  }
+
+  test("modified kneser-ney: count-of-count discounts, guarded fallback, zero-discounted head") {
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // same corpus as the kn3 fixture: trigram counts {2:1, 1:3} →
+    // n1=3, n2=1, n3=0, n4=0; Y=3/5; D1=1−2Y·(1/3)=0.6;
+    // D2=2−3Y·(0/1)=2.0 (the formula path with a zero numerator);
+    // D3+ falls back to 0.75 (n3=0 — the guard path)
+    val train = Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b d"),
+      (3L, "e b c"), (4L, "a c d")).toDF("doc_id", "text")
+    val (g3, _, _, _, _) = TextAnalysis.ngramLmMkn3Model(
+      TextAnalysis.ngramLmCounts(train, "text", maxN = 3))
+    val grid = g3.select($"gram", $"ll".cast("double"))
+      .as[(String, Double)].collect().toMap
+    val yv = 3.0 / (3.0 + 2.0 * 1.0)
+    val d1 = 1.0 - 2.0 * yv * (1.0 / 3.0)
+    val d2 = 2.0 - 3.0 * yv * (0.0 / 1.0)
+    val lam2b = 0.75 * (2.0 / 3.0)
+    val p2bc = (2.0 - 0.75) / 3.0 + lam2b * (1.0 / 3.0)
+    val p2bd = (1.0 - 0.75) / 3.0 + lam2b * (2.0 / 3.0)
+    // ctx "a b": nc1=1 (a b d), nc2=1 (a b c) →
+    // λ3 = (D1·1 + D2·1 + D3·0)/3
+    val lam3ab = (d1 * 1.0 + d2 * 1.0 + 0.75 * 0.0) / 3.0
+    // the count-2 head trigram is discounted to ZERO seen mass
+    // (D2=2.0), leaving pure interpolation — a real MKN phenomenon
+    assert(grid("a b c") === d6(math.log(
+      math.max(2.0 - d2, 0.0) / 3.0 + lam3ab * p2bc)))
+    assert(grid("a b d") === d6(math.log(
+      (1.0 - d1) / 3.0 + lam3ab * p2bd)))
+    // singleton-only ctx "e b": λ3 = (D1·1)/1
+    assert(grid("e b c") === d6(math.log(
+      (1.0 - d1) / 1.0 + ((d1 * 1.0 + d2 * 0.0 + 0.75 * 0.0) / 1.0) *
+        p2bc)))
+  }
+
   test("trained NB language-ID beats-or-matches the fixed-marker heuristic on a labeled corpus") {
     // the driver corpus's lang label is synthetic metadata
     // (uncorrelated with its text), so the router is compared here on

@@ -144,7 +144,8 @@ class ScaleSpec extends SparkSpec {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete()
       }
-      rm(new java.io.File(s"spark-warehouse/$n"))
+      rm(new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_test_warehouse/$n"))
     }
     t.nodes.write.bucketBy(8, "id").sortBy("id")
       .mode("overwrite").saveAsTable("nodes_bkt")
