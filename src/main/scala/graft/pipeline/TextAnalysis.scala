@@ -946,6 +946,172 @@ object TextAnalysis {
           .cast("double").as("avg_ll"))
   }
 
+  /** A trained interpolated-KN chain of arbitrary top order: the
+    * top-order grid and λ table, one `(p_k table, λ_k table)` pair
+    * per middle order (k = order−1 down to 2, in that sequence), and
+    * the continuation-unigram floor. Every table is keyed by the
+    * gram/context SUBSTRING the apply-time joins extract, so scoring
+    * is pure equi-joins. */
+  case class KnChain(order: Int, gridTop: DataFrame,
+      lamTop: DataFrame, mids: List[(DataFrame, DataFrame)],
+      contT: DataFrame)
+
+  /** Interpolated Kneser-Ney of ANY top order ≥ 3 over the folded
+    * `(n, gram, cnt)` store — [[ngramLmKn3Model]]'s recursive
+    * adjusted-count chain generalized (at order 3 the tables are
+    * BIT-IDENTICAL to that hand-built form — PipelineSpec pins it):
+    * the entire chain derives from the n=`order` rows; each lower
+    * level's counts are distinct-row LEFT-EXTENSION type counts over
+    * the level above; D = 0.75 LITERAL at every level. order=5 is
+    * the production CCNet/KenLM filter order.
+    *
+    * Scale shape: level k is built by ONE grouped count over level
+    * k+1 (each level no larger than the one above), λ/denominator
+    * tables by one more grouped aggregation — a fixed number of
+    * model-sized shuffles, nothing rescans documents. */
+  def ngramLmKnChainModel(rawCounts: DataFrame, order: Int)
+      : KnChain = {
+    require(order >= 3, s"ngramLmKnChainModel: order >= 3, got $order")
+    val top = rawCounts.filter(col("n") === order)
+      .select(col("gram"), col("cnt").as("c_top"))
+      .withColumn("ctx", substring_index(col("gram"), " ", order - 1))
+      .withColumn("suf",
+        substring_index(col("gram"), " ", -(order - 1)))
+      .localCheckpoint() // model-sized; feeds several aggregations
+    val lamTop = top.groupBy(col("ctx"))
+      .agg(sum(col("c_top")).as("c_ctx"), count(lit(1)).as("n1f"))
+      .select(col("ctx"), col("c_ctx"),
+        (lit(0.75) * (col("n1f").cast("double") /
+          col("c_ctx").cast("double"))).as("lam"))
+    // adjusted tables top-down: A_{order-1} = distinct-left-extension
+    // counts over the top grams, A_{k-1} the same over A_k
+    val adjByLevel = ((order - 1) to 2 by -1)
+      .foldLeft(Map.empty[Int, DataFrame]) { (acc, k) =>
+        val above: DataFrame =
+          if (k == order - 1)
+            top.groupBy(col("suf")).agg(count(lit(1)).as("c_adj"))
+              .select(col("suf").as("gramk"), col("c_adj"))
+          else
+            acc(k + 1)
+              .groupBy(substring_index(col("gramk"), " ", -k)
+                .as("gramk"))
+              .agg(count(lit(1)).as("c_adj"))
+        acc + (k -> above
+          .withColumn("ctxk", substring_index(col("gramk"), " ", k - 1))
+          .withColumn("wlast", substring_index(col("gramk"), " ", -1))
+          .localCheckpoint())
+      }
+    val a2 = adjByLevel(2)
+    val nTypes2 = a2.agg(count(lit(1)).as("n_types"))
+    val contT = a2.groupBy(col("wlast"))
+      .agg(count(lit(1)).as("n1b"))
+      .crossJoin(broadcast(nTypes2))
+      .select(col("wlast").as("w"),
+        (col("n1b").cast("double") /
+          col("n_types").cast("double")).as("pcont"))
+    def lamOf(ak: DataFrame): DataFrame = ak.groupBy(col("ctxk"))
+      .agg(sum(col("c_adj")).as("n_mid"), count(lit(1)).as("n1f"))
+      .select(col("ctxk"), col("n_mid"),
+        (lit(0.75) * (col("n1f").cast("double") /
+          col("n_mid").cast("double"))).as("lamk"))
+    // probability tables bottom-up: p_2 interpolates the continuation
+    // floor; p_k interpolates p_{k-1} looked up at its own suffix
+    // (present by construction — A_{k-1} is grouped FROM A_k)
+    val midsAsc = (2 to (order - 1)).foldLeft(
+      List.empty[(Int, DataFrame, DataFrame)]) { (acc, k) =>
+      val ak = adjByLevel(k)
+      val lamK = lamOf(ak)
+      val lower: DataFrame = acc.headOption match {
+        case None => contT.withColumnRenamed("w", "lowk")
+          .withColumnRenamed("pcont", "plow")
+        case Some((_, pkBelow, _)) => pkBelow
+          .withColumnRenamed("gramk", "lowk")
+          .withColumnRenamed("pk", "plow")
+      }
+      val pk = ak
+        .join(lamK, Seq("ctxk"))
+        .join(lower, substring_index(col("gramk"), " ", -(k - 1)) ===
+          col("lowk"))
+        .select(col("gramk"),
+          ((greatest(col("c_adj").cast("double") - lit(0.75),
+            lit(0.0)) / col("n_mid").cast("double")) +
+            (col("lamk") * col("plow"))).as("pk"))
+      (k, pk, lamK.select(col("ctxk"), col("lamk"))) :: acc
+    }
+    val pTopBelow = midsAsc.head._2 // p_{order-1}
+    val gridTop = top
+      .join(lamTop, Seq("ctx"))
+      .join(pTopBelow.withColumnRenamed("gramk", "suf"), Seq("suf"))
+      .select(col("gram"), Classify.dlog(log(
+        (greatest(col("c_top").cast("double") - lit(0.75), lit(0.0)) /
+          col("c_ctx").cast("double")) +
+          (col("lam") * col("pk")))).as("ll"))
+    KnChain(order, gridTop, lamTop.select(col("ctx"), col("lam")),
+      midsAsc.map { case (_, pk, lamK) => (pk, lamK) }, contT)
+  }
+
+  /** Score documents under a [[KnChain]] — the recursive backoff of
+    * [[ngramLmScoreKn3]] unrolled to the chain's order: seen top
+    * grams take the grid; an unseen gram under a seen context
+    * composes λ_top·p_eff; otherwise p_eff alone, where each level's
+    * p_eff = COALESCE(seen p_k, λ_k·p_eff_below, p_eff_below) and
+    * the floor is the continuation unigram; an OOV final word drops.
+    * Same `(key, n_scored, avg_ll)` contract as every LM scorer. */
+  def ngramLmScoreKnChain(docs: DataFrame, chain: KnChain,
+      textCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val n = chain.order
+    var df = docs.select(col(keyCol).as("key"), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        .as("gram"))
+      .withColumn("ctx", substring_index(col("gram"), " ", n - 1))
+      .join(broadcastIfModelSized(chain.gridTop), Seq("gram"),
+        "left_outer")
+      .join(broadcast(chain.lamTop), Seq("ctx"), "left_outer")
+    // mids is p_{order-1} first; join each level on its suffix key
+    chain.mids.zipWithIndex.foreach { case ((pk, lamK), i) =>
+      val k = n - 1 - i
+      df = df
+        .withColumn(s"suf$k", substring_index(col("gram"), " ", -k))
+        .join(broadcastIfModelSized(pk
+          .withColumnRenamed("gramk", s"suf$k")
+          .withColumnRenamed("pk", s"p$k")), Seq(s"suf$k"),
+          "left_outer")
+        .withColumn(s"lctx$k",
+          substring_index(col(s"suf$k"), " ", k - 1))
+        .join(broadcast(lamK
+          .withColumnRenamed("ctxk", s"lctx$k")
+          .withColumnRenamed("lamk", s"lam$k")), Seq(s"lctx$k"),
+          "left_outer")
+    }
+    df = df.withColumn("wlastq", substring_index(col("gram"), " ", -1))
+      .join(broadcast(chain.contT.withColumnRenamed("w", "wlastq")),
+        Seq("wlastq"), "left_outer")
+    val peff = (2 to (n - 1)).foldLeft(
+      coalesce(col("p2"), col("lam2") * col("pcont"), col("pcont"))) {
+      (below, kPrev) =>
+        val k = kPrev + 1
+        if (k > n - 1) below
+        else coalesce(col(s"p$k"), col(s"lam$k") * below, below)
+    }
+    df.withColumn("peff", peff)
+      .withColumn("ll_eff",
+        when(col("ll").isNotNull, col("ll"))
+          .when(col("lam").isNotNull && col("peff").isNotNull,
+            Classify.dlog(log(col("lam") * col("peff"))))
+          .when(col("peff").isNotNull,
+            Classify.dlog(log(col("peff")))))
+      .filter(col("ll_eff").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("ll_eff")).as("sum_ll"))
+      .select(col("key"), col("n_scored"),
+        round((col("sum_ll").cast("double") /
+          col("n_scored").cast("double")).cast(DecimalType(20, 10)), 6)
+          .cast("double").as("avg_ll"))
+  }
+
   /** Score documents under the smoothed model: per doc the exact-
     * decimal mean of its bigrams' interpolated log-probs, seen
     * bigrams from the bigram grid, unseen-but-in-vocabulary from the

@@ -5817,23 +5817,23 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** The SHARED n-gram sufficient-statistics store, maxN=3: built
+  /** The SHARED n-gram sufficient-statistics store, maxN=5: built
     * once under the layout cache as two streamed
     * [[graft.streaming.NgramLmStream]] batches over the ⅔-train
     * split. ONE `(n, gram, cnt)` store serves every smoothing family
-    * and order — JM and bigram-KN/MKN filter n≤2, the trigram-KN
-    * chain derives entirely from the n=3 rows. */
+    * and order — JM and bigram-KN filter n≤2, the trigram KN/MKN
+    * chains derive from the n=3 rows, the 5-gram chain from n=5. */
   private def lmCountsRoot(s: SparkSession, dir: String): String = {
     val train = t(s, dir, "documents")
       .filter(col("doc_id") % 3 =!= 0)
-    val root = layoutDir(dir, "documents", "ngram_lm_counts_n3")
+    val root = layoutDir(dir, "documents", "ngram_lm_counts_n5")
     ensureLayout(root) {
       graft.streaming.NgramLmStream.appendBatch(
         train.filter(col("doc_id") % 2 === 0), 0L, root, "text",
-        maxN = 3)
+        maxN = 5)
       graft.streaming.NgramLmStream.appendBatch(
         train.filter(col("doc_id") % 2 === 1), 1L, root, "text",
-        maxN = 3)
+        maxN = 5)
       new java.io.File(root, "_SUCCESS").createNewFile(): Unit
     }
     root
@@ -6018,6 +6018,163 @@ object PipelineQueries {
          CASE WHEN doc_id % 7 = 0 THEN text || ' [rev1]'
               ELSE text END AS text
        FROM documents WHERE doc_id % 3 <> 0""")
+
+  /** The generic interpolated-KN-chain oracle — the
+    * [[TextAnalysis.ngramLmKnChainModel]] recursion unrolled to SQL
+    * for ANY top order: per-level adjusted-count CTEs (each a
+    * distinct-row count over the level above), per-level λ and raw-
+    * probability tables, and an apply CASE whose nested COALESCE
+    * backoff mirrors the Spark scorer expression for expression. */
+  private def ngramLmKnChainSql(trainSel: String, order: Int)
+      : String = {
+    val n = order
+    def words(c: String, from: Int, to: Int): String =
+      (from to to).map(i => s"split_part($c, ' ', $i)")
+        .mkString(" || ' ' || ")
+    val gramExpr = (1 to n).map(i => s"tk[i+$i]").mkString(" || ' ' || ")
+    def dlogSql(x: String): String =
+      s"CAST(ROUND(CAST(ln($x) AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))"
+    val adjCtes = ((n - 1) to 2 by -1).map { k =>
+      if (k == n - 1)
+        s"""adj$k AS (
+           SELECT suf AS gramk, COUNT(*) AS c_adj
+           FROM top GROUP BY suf)"""
+      else
+        s"""adj$k AS (
+           SELECT ${words("gramk", 2, k + 1)} AS gramk,
+             COUNT(*) AS c_adj
+           FROM adj${k + 1} GROUP BY 1)"""
+    }
+    val lamCtes = (2 to (n - 1)).map { k =>
+      s"""lam$k AS (
+         SELECT ${words("gramk", 1, k - 1)} AS ctxk,
+           SUM(c_adj) AS n_mid,
+           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
+             CAST(SUM(c_adj) AS DOUBLE)) AS lamk
+         FROM adj$k GROUP BY 1)"""
+    }
+    val pCtes = (2 to (n - 1)).map { k =>
+      val (lowJoin, lowVal) =
+        if (k == 2)
+          (s"cont c ON c.w = split_part(a.gramk, ' ', $k)", "c.pcont")
+        else
+          (s"p${k - 1} c ON c.gramk = ${words("a.gramk", 2, k)}",
+            "c.pk")
+      s"""p$k AS (
+         SELECT a.gramk,
+           (GREATEST(CAST(a.c_adj AS DOUBLE) - CAST(0.75 AS DOUBLE),
+              CAST(0 AS DOUBLE)) / CAST(l.n_mid AS DOUBLE))
+             + (l.lamk * $lowVal) AS pk
+         FROM adj$k a
+         JOIN lam$k l ON l.ctxk = ${words("a.gramk", 1, k - 1)}
+         JOIN $lowJoin)"""
+    }
+    val applyJoins = (2 to (n - 1)).map { k =>
+      s"""LEFT JOIN p$k pj$k
+           ON pj$k.gramk = ${words("o.gram", n - k + 1, n)}
+         LEFT JOIN lam$k lj$k
+           ON lj$k.ctxk = ${words("o.gram", n - k + 1, n - 1)}"""
+    }.mkString("\n         ")
+    val peff = (3 to (n - 1)).foldLeft(
+      "COALESCE(pj2.pk, lj2.lamk * cj.pcont, cj.pcont)") { (low, k) =>
+      s"COALESCE(pj$k.pk, lj$k.lamk * $low, $low)"
+    }
+    s"""WITH train AS ($trainSel),
+       ttk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM train),
+       tgn AS (
+         SELECT $gramExpr AS gram
+         FROM ttk CROSS JOIN unnest(range(len(tk) - ${n - 1}))
+           AS r(i)
+         WHERE len(tk) >= $n),
+       top AS (
+         SELECT gram, ${words("gram", 1, n - 1)} AS ctx,
+           ${words("gram", 2, n)} AS suf, COUNT(*) AS c_top
+         FROM tgn GROUP BY gram),
+       lamtop AS (
+         SELECT ctx, SUM(c_top) AS c_ctx,
+           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
+             CAST(SUM(c_top) AS DOUBLE)) AS lam
+         FROM top GROUP BY ctx),
+       ${adjCtes.mkString(",\n       ")},
+       types2 AS (SELECT COUNT(*) AS n_types FROM adj2),
+       cont AS (
+         SELECT split_part(gramk, ' ', 2) AS w,
+           CAST(COUNT(*) AS DOUBLE) / CAST(t.n_types AS DOUBLE)
+             AS pcont
+         FROM adj2 CROSS JOIN types2 t GROUP BY 1, t.n_types),
+       ${lamCtes.mkString(",\n       ")},
+       ${pCtes.mkString(",\n       ")},
+       grid AS (
+         SELECT t.gram,
+           ${dlogSql(s"""(GREATEST(CAST(t.c_top AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                CAST(0 AS DOUBLE)) / CAST(x.c_ctx AS DOUBLE))
+             + (x.lam * p.pk)""")} AS ll
+         FROM top t JOIN lamtop x ON x.ctx = t.ctx
+         JOIN p${n - 1} p ON p.gramk = t.suf),
+       dtk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       docc AS (
+         SELECT doc_id, $gramExpr AS gram
+         FROM dtk CROSS JOIN unnest(range(len(tk) - ${n - 1}))
+           AS r(i)
+         WHERE len(tk) >= $n),
+       sc AS (
+         SELECT o.doc_id,
+           CASE WHEN g.ll IS NOT NULL THEN g.ll
+                WHEN x.lam IS NOT NULL AND $peff IS NOT NULL THEN
+                  ${dlogSql(s"x.lam * $peff")}
+                WHEN $peff IS NOT NULL THEN
+                  ${dlogSql(peff)}
+                ELSE NULL END AS ll_eff
+         FROM docc o
+         LEFT JOIN grid g USING (gram)
+         LEFT JOIN lamtop x ON x.ctx = ${words("o.gram", 1, n - 1)}
+         $applyJoins
+         LEFT JOIN cont cj ON cj.w = split_part(o.gram, ' ', $n))
+       SELECT doc_id, COUNT(*) AS n_scored,
+         CAST(ROUND(CAST(CAST(SUM(ll_eff) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(20,10)), 6) AS DOUBLE) AS avg_ll
+       FROM sc WHERE ll_eff IS NOT NULL
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** 5-gram interpolated Kneser-Ney — the order the production
+    * CCNet/KenLM corpus filters actually ship, over the generalized
+    * chain ([[TextAnalysis.ngramLmKnChainModel]]); same ⅔-train /
+    * score-all split. Documents shorter than five tokens have no
+    * 5-gram and drop, on both engines. */
+  def taNgramLmKn5(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val chain = TextAnalysis.ngramLmKnChainModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5), 5)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmKn5Sql = ngramLmKnChainSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0", 5)
+
+  /** [[taNgramLmKn5]] off the SHARED [[lmCountsRoot]] store (the
+    * fold carries n=1..5 partials — one store, every order). Shares
+    * [[taNgramLmKn5Sql]] VERBATIM. */
+  def taNgramLmKn5AtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = lmCountsRoot(s, dir)
+    val chain = TextAnalysis.ngramLmKnChainModel(
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root), 5)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
 
   /** The modified-KN oracle: count-of-count discounts D1/D2/D3+
     * (Chen & Goodman's estimates from trigram-type n1..n4, with the
@@ -6632,6 +6789,8 @@ object PipelineQueries {
     "ta_ngram_lm_kn" -> (taNgramLmKn _),
     "ta_ngram_lm_kn_at_rest" -> (taNgramLmKnAtRest _),
     "ta_ngram_lm_kn3" -> (taNgramLmKn3 _),
+    "ta_ngram_lm_kn5" -> (taNgramLmKn5 _),
+    "ta_ngram_lm_kn5_at_rest" -> (taNgramLmKn5AtRest _),
     "ta_ngram_lm_kn3_at_rest" -> (taNgramLmKn3AtRest _),
     "ta_ngram_lm_kn3_updated" -> (taNgramLmKn3Updated _),
     "ta_ngram_lm_mkn" -> (taNgramLmMkn _),
@@ -6753,6 +6912,7 @@ object PipelineQueries {
     "pp_maxmatch_apply_at_rest", "ta_ngram_lm_at_rest",
     "ta_ngram_lm_updated", "ta_ngram_lm_kn_at_rest",
     "ta_ngram_lm_kn3_at_rest", "ta_ngram_lm_kn3_updated",
+    "ta_ngram_lm_kn5_at_rest",
     "ta_ngram_lm_mkn_at_rest",
     "ta_langid_nb_at_rest")
 
@@ -6869,6 +7029,8 @@ object PipelineQueries {
     "ta_ngram_lm_kn" -> taNgramLmKnSql,
     "ta_ngram_lm_kn_at_rest" -> taNgramLmKnSql,
     "ta_ngram_lm_kn3" -> taNgramLmKn3Sql,
+    "ta_ngram_lm_kn5" -> taNgramLmKn5Sql,
+    "ta_ngram_lm_kn5_at_rest" -> taNgramLmKn5Sql,
     "ta_ngram_lm_kn3_at_rest" -> taNgramLmKn3Sql,
     "ta_ngram_lm_kn3_updated" -> taNgramLmKn3UpdatedSql,
     "ta_ngram_lm_mkn" -> taNgramLmMknSql,

@@ -2650,6 +2650,31 @@ class PipelineSpec extends SparkSpec {
     assert(out._3 === expect)
   }
 
+  test("generalized KN chain at order 3 is bit-identical to the hand-built trigram model") {
+    val train = Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b d"),
+      (3L, "e b c"), (4L, "a c d")).toDF("doc_id", "text")
+    val counts = TextAnalysis.ngramLmCounts(train, "text", maxN = 3)
+    val (g3, _, _, _, _) = TextAnalysis.ngramLmKn3Model(counts)
+    val chain = TextAnalysis.ngramLmKnChainModel(counts, 3)
+    def gridSet(g: org.apache.spark.sql.DataFrame) =
+      g.select($"gram", $"ll".cast("string"))
+        .as[(String, String)].collect().toSet
+    assert(gridSet(chain.gridTop) === gridSet(g3))
+    // and the scorers agree doc for doc (same joins, same CASE)
+    val doc = Seq((9L, "a c c e b d x c d"), (10L, "a b c a b d"))
+      .toDF("doc_id", "text")
+    val viaKn3 = {
+      val (gg, l3, p2, l2, ct) = TextAnalysis.ngramLmKn3Model(counts)
+      TextAnalysis.ngramLmScoreKn3(doc, gg, l3, p2, l2, ct,
+        "text", "doc_id").orderBy($"key")
+        .as[(Long, Long, Double)].collect().toSeq
+    }
+    val viaChain = TextAnalysis.ngramLmScoreKnChain(doc, chain,
+        "text", "doc_id").orderBy($"key")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaChain === viaKn3)
+  }
+
   test("modified kneser-ney: count-of-count discounts, guarded fallback, zero-discounted head") {
     def d6(x: Double) = BigDecimal(x)
       .setScale(10, BigDecimal.RoundingMode.HALF_UP)
