@@ -4659,8 +4659,9 @@ object PipelineQueries {
     * score via NTILE(3) over (score DESC, doc_id) — a deterministic
     * total order both engines share. The global window is the
     * ORACLE-PARITY form; at 100 TB the production path is
-    * [[taPplRoute]]'s fixed cutoffs (or approx-quantile boundaries
-    * broadcast as constants) — a global exact NTILE is a single-task
+    * [[taPplRoute]]'s fixed cutoffs or [[taPplTertilesApprox]]'s
+    * approx-quantile boundaries broadcast as constants (contract-
+    * gated ≥99% agreement) — a global exact NTILE is a single-task
     * sort by construction. */
   def taPplTertiles(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
