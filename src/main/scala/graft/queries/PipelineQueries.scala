@@ -4645,6 +4645,28 @@ object PipelineQueries {
       .orderBy(col("bucket"))
   }
 
+  /** [[taPplRoute]] with the KN model derived from the SHARED
+    * [[lmCountsRoot]] store — the full production loop at rest:
+    * sufficient statistics streamed once, the routing model folded
+    * from them, the corpus routed scan-locally against fixed
+    * cutoffs. Shares [[taPplRouteSql]] VERBATIM. */
+  def taPplRouteAtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
+      graft.streaming.NgramLmStream.foldedCountsOf(s,
+        lmCountsRoot(s, dir)))
+    TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
+        "doc_id")
+      .withColumn("bucket",
+        when(col("avg_ll") >= lit(-3.39), lit("head"))
+          .when(col("avg_ll") >= lit(-3.42), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_scored")).as("n_bigrams"))
+      .orderBy(col("bucket"))
+  }
+
   private lazy val taPplRouteSql =
     s"""SELECT bucket, COUNT(*) AS n_docs,
          CAST(SUM(n_scored) AS BIGINT) AS n_bigrams
@@ -6797,6 +6819,7 @@ object PipelineQueries {
     "ta_ngram_lm_mkn" -> (taNgramLmMkn _),
     "ta_ngram_lm_mkn_at_rest" -> (taNgramLmMknAtRest _),
     "ta_ppl_route" -> (taPplRoute _),
+    "ta_ppl_route_at_rest" -> (taPplRouteAtRest _),
     "ta_ppl_tertiles" -> (taPplTertiles _),
     "ta_ppl_tertiles_approx" -> (taPplTertilesApprox _),
     "ta_langid_nb" -> (taLangidNb _),
@@ -6913,7 +6936,7 @@ object PipelineQueries {
     "pp_maxmatch_apply_at_rest", "ta_ngram_lm_at_rest",
     "ta_ngram_lm_updated", "ta_ngram_lm_kn_at_rest",
     "ta_ngram_lm_kn3_at_rest", "ta_ngram_lm_kn3_updated",
-    "ta_ngram_lm_kn5_at_rest",
+    "ta_ngram_lm_kn5_at_rest", "ta_ppl_route_at_rest",
     "ta_ngram_lm_mkn_at_rest",
     "ta_langid_nb_at_rest")
 
@@ -7037,6 +7060,7 @@ object PipelineQueries {
     "ta_ngram_lm_mkn" -> taNgramLmMknSql,
     "ta_ngram_lm_mkn_at_rest" -> taNgramLmMknSql,
     "ta_ppl_route" -> taPplRouteSql,
+    "ta_ppl_route_at_rest" -> taPplRouteSql,
     "ta_ppl_tertiles" -> taPplTertilesSql,
     "ta_ppl_tertiles_approx" -> taPplTertilesApproxSql,
     "ta_langid_nb" -> taLangidNbSql,

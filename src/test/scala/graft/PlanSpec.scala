@@ -574,4 +574,19 @@ class PlanSpec extends SparkSpec {
     assert(partsRead <= 6,
       s"the 1997 x [100k,200k) box overlaps 6 buckets, read $partsRead")
   }
+
+  test("5-gram KN apply: every model join broadcasts at gate scale, none falls to sort-merge") {
+    // the chain's grids are vocabulary-sized and ride the
+    // checkpoint-and-count size gate; under the cap they must all
+    // broadcast — a SortMergeJoin here means the corpus side is
+    // being shuffled per model lookup (the round-14 sf10 audit bug
+    // class). The gate's over-cap degradation to a shuffle join is
+    // by design and NOT exercised at fixture scale.
+    val p = plan("ta_ngram_lm_kn5")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side model join fell to sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val n = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(n >= 10, s"expected the full backoff join ladder, got $n")
+  }
 }
