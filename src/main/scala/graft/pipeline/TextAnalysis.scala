@@ -568,17 +568,21 @@ object TextAnalysis {
       maxN: Int = 2): DataFrame = {
     require(maxN >= 2, s"ngramLmCounts: maxN >= 2, got $maxN")
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val uni = df.select(explode(tokens(col(textCol))).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
-      .withColumn("n", lit(1))
-    val higher = (2 to maxN).map { n =>
-      df.select(explode(
-          graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
-          .as("gram"))
-        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
-        .withColumn("n", lit(n))
-    }
-    (uni +: higher).reduce(_ unionByName _)
+    // ONE corpus scan and ONE (n, gram)-keyed shuffle for ALL orders
+    // (the per-order union it replaced rescanned the corpus and
+    // shuffled once per order — 5 passes at maxN=5): every order's
+    // grams are tagged scan-locally inside the same projection, then
+    // a single grouped count with map-side partial aggregation.
+    // word_ngrams(text, 1) is byte-identical to [[tokens]] (same
+    // lowercase + \W+ kernel), so the n=1 rows are unchanged.
+    val tagged = flatten(array((1 to maxN).map { n =>
+      transform(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n),
+        g => struct(lit(n).as("n"), g.as("gram")))
+    }: _*))
+    df.select(explode(tagged).as("x"))
+      .select(col("x.n").as("n"), col("x.gram").as("gram"))
+      .groupBy(col("n"), col("gram")).agg(count(lit(1)).as("cnt"))
       .select(col("n"), col("gram"), col("cnt"))
   }
 
