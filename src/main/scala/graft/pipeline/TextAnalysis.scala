@@ -974,19 +974,76 @@ object TextAnalysis {
     * tables by one more grouped aggregation — a fixed number of
     * model-sized shuffles, nothing rescans documents. */
   def ngramLmKnChainModel(rawCounts: DataFrame, order: Int)
-      : KnChain = {
-    require(order >= 3, s"ngramLmKnChainModel: order >= 3, got $order")
+      : KnChain = ngramLmChainModel(rawCounts, order,
+    modifiedTop = false)
+
+  /** [[ngramLmKnChainModel]] with MODIFIED-KN discounting at the top
+    * order ([[ngramLmMkn3Model]]'s D1/D2/D3+ estimates, generalized):
+    * at order 5 this is KenLM's out-of-the-box model. Lower tiers
+    * keep the single discount (see [[ngramLmMkn3Model]] for why the
+    * adjusted-count tiers' count-of-counts cannot be trusted on
+    * templated corpora); the guarded 0.75 fallback applies. At order
+    * 3 the tables are bit-identical to the hand-built
+    * [[ngramLmMkn3Model]] (PipelineSpec pins it). */
+  def ngramLmMknChainModel(rawCounts: DataFrame, order: Int)
+      : KnChain = ngramLmChainModel(rawCounts, order,
+    modifiedTop = true)
+
+  private def ngramLmChainModel(rawCounts: DataFrame, order: Int,
+      modifiedTop: Boolean): KnChain = {
+    require(order >= 3, s"ngramLmChainModel: order >= 3, got $order")
     val top = rawCounts.filter(col("n") === order)
       .select(col("gram"), col("cnt").as("c_top"))
       .withColumn("ctx", substring_index(col("gram"), " ", order - 1))
       .withColumn("suf",
         substring_index(col("gram"), " ", -(order - 1)))
       .localCheckpoint() // model-sized; feeds several aggregations
-    val lamTop = top.groupBy(col("ctx"))
-      .agg(sum(col("c_top")).as("c_ctx"), count(lit(1)).as("n1f"))
-      .select(col("ctx"), col("c_ctx"),
-        (lit(0.75) * (col("n1f").cast("double") /
-          col("c_ctx").cast("double"))).as("lam"))
+    // top-tier λ and grid discount: fixed 0.75, or the Chen-Goodman
+    // count-of-count discounts with the deterministic fallback
+    val (lamTop, gridDisc) =
+      if (!modifiedTop)
+        (top.groupBy(col("ctx"))
+          .agg(sum(col("c_top")).as("c_ctx"), count(lit(1)).as("n1f"))
+          .select(col("ctx"), col("c_ctx"),
+            (lit(0.75) * (col("n1f").cast("double") /
+              col("c_ctx").cast("double"))).as("lam")),
+          lit(0.75))
+      else {
+        val coc = top.agg(
+          sum(when(col("c_top") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c_top") === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("c_top") === 3, 1L).otherwise(0L)).as("n3"),
+          sum(when(col("c_top") === 4, 1L).otherwise(0L)).as("n4"))
+        val yv = col("n1").cast("double") /
+          (col("n1").cast("double") +
+            lit(2.0) * col("n2").cast("double"))
+        val disc = coc.select(
+          when(col("n1") > 0, lit(1.0) - lit(2.0) * yv *
+            (col("n2").cast("double") / col("n1").cast("double")))
+            .otherwise(lit(0.75)).as("d1"),
+          when(col("n1") > 0 && col("n2") > 0,
+            lit(2.0) - lit(3.0) * yv *
+              (col("n3").cast("double") / col("n2").cast("double")))
+            .otherwise(lit(0.75)).as("d2"),
+          when(col("n1") > 0 && col("n3") > 0,
+            lit(3.0) - lit(4.0) * yv *
+              (col("n4").cast("double") / col("n3").cast("double")))
+            .otherwise(lit(0.75)).as("d3"))
+        (top.groupBy(col("ctx"))
+          .agg(sum(col("c_top")).as("c_ctx"),
+            sum(when(col("c_top") === 1, 1L).otherwise(0L)).as("nc1"),
+            sum(when(col("c_top") === 2, 1L).otherwise(0L)).as("nc2"),
+            sum(when(col("c_top") >= 3, 1L).otherwise(0L)).as("nc3p"))
+          .crossJoin(broadcast(disc))
+          .select(col("ctx"), col("c_ctx"), col("d1"), col("d2"),
+            col("d3"),
+            ((col("d1") * col("nc1").cast("double") +
+              col("d2") * col("nc2").cast("double") +
+              col("d3") * col("nc3p").cast("double")) /
+              col("c_ctx").cast("double")).as("lam")),
+          when(col("c_top") === 1, col("d1"))
+            .when(col("c_top") === 2, col("d2")).otherwise(col("d3")))
+      }
     // adjusted tables top-down: A_{order-1} = distinct-left-extension
     // counts over the top grams, A_{k-1} the same over A_k
     val adjByLevel = ((order - 1) to 2 by -1)
@@ -1047,7 +1104,7 @@ object TextAnalysis {
       .join(lamTop, Seq("ctx"))
       .join(pTopBelow.withColumnRenamed("gramk", "suf"), Seq("suf"))
       .select(col("gram"), Classify.dlog(log(
-        (greatest(col("c_top").cast("double") - lit(0.75), lit(0.0)) /
+        (greatest(col("c_top").cast("double") - gridDisc, lit(0.0)) /
           col("c_ctx").cast("double")) +
           (col("lam") * col("pk")))).as("ll"))
     KnChain(order, gridTop, lamTop.select(col("ctx"), col("lam")),

@@ -6048,8 +6048,8 @@ object PipelineQueries {
     * distinct-row count over the level above), per-level λ and raw-
     * probability tables, and an apply CASE whose nested COALESCE
     * backoff mirrors the Spark scorer expression for expression. */
-  private def ngramLmKnChainSql(trainSel: String, order: Int)
-      : String = {
+  private def ngramLmKnChainSql(trainSel: String, order: Int,
+      modifiedTop: Boolean = false): String = {
     val n = order
     def words(c: String, from: Int, to: Int): String =
       (from to to).map(i => s"split_part($c, ' ', $i)")
@@ -6098,6 +6098,56 @@ object PipelineQueries {
          LEFT JOIN lam$k lj$k
            ON lj$k.ctxk = ${words("o.gram", n - k + 1, n - 1)}"""
     }.mkString("\n         ")
+    val lamTopCte =
+      if (!modifiedTop)
+        """lamtop AS (
+         SELECT ctx, SUM(c_top) AS c_ctx,
+           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
+             CAST(SUM(c_top) AS DOUBLE)) AS lam
+         FROM top GROUP BY ctx)"""
+      else
+        """mkcoc AS (
+         SELECT SUM(CASE WHEN c_top = 1 THEN 1 ELSE 0 END) AS n1,
+           SUM(CASE WHEN c_top = 2 THEN 1 ELSE 0 END) AS n2,
+           SUM(CASE WHEN c_top = 3 THEN 1 ELSE 0 END) AS n3,
+           SUM(CASE WHEN c_top = 4 THEN 1 ELSE 0 END) AS n4
+         FROM top),
+       mkdisc AS (
+         SELECT
+           CASE WHEN n1 > 0 THEN
+             CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) *
+               (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
+                 CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+               (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
+           ELSE CAST(0.75 AS DOUBLE) END AS d1,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) *
+               (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
+                 CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+               (CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))
+           ELSE CAST(0.75 AS DOUBLE) END AS d2,
+           CASE WHEN n1 > 0 AND n3 > 0 THEN
+             CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) *
+               (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
+                 CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+               (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE))
+           ELSE CAST(0.75 AS DOUBLE) END AS d3
+         FROM mkcoc),
+       lamtop AS (
+         SELECT ctx, c_ctx, d1, d2, d3,
+           (d1 * CAST(nc1 AS DOUBLE) + d2 * CAST(nc2 AS DOUBLE) +
+             d3 * CAST(nc3p AS DOUBLE)) / CAST(c_ctx AS DOUBLE)
+             AS lam
+         FROM (SELECT ctx, SUM(c_top) AS c_ctx,
+                 SUM(CASE WHEN c_top = 1 THEN 1 ELSE 0 END) AS nc1,
+                 SUM(CASE WHEN c_top = 2 THEN 1 ELSE 0 END) AS nc2,
+                 SUM(CASE WHEN c_top >= 3 THEN 1 ELSE 0 END) AS nc3p
+               FROM top GROUP BY ctx) g CROSS JOIN mkdisc)"""
+    val gridDiscSql =
+      if (!modifiedTop) "CAST(0.75 AS DOUBLE)"
+      else """(CASE WHEN t.c_top = 1 THEN x.d1
+                      WHEN t.c_top = 2 THEN x.d2
+                      ELSE x.d3 END)"""
     val peff = (3 to (n - 1)).foldLeft(
       "COALESCE(pj2.pk, lj2.lamk * cj.pcont, cj.pcont)") { (low, k) =>
       s"COALESCE(pj$k.pk, lj$k.lamk * $low, $low)"
@@ -6117,11 +6167,7 @@ object PipelineQueries {
          SELECT gram, ${words("gram", 1, n - 1)} AS ctx,
            ${words("gram", 2, n)} AS suf, COUNT(*) AS c_top
          FROM tgn GROUP BY gram),
-       lamtop AS (
-         SELECT ctx, SUM(c_top) AS c_ctx,
-           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
-             CAST(SUM(c_top) AS DOUBLE)) AS lam
-         FROM top GROUP BY ctx),
+       $lamTopCte,
        ${adjCtes.mkString(",\n       ")},
        types2 AS (SELECT COUNT(*) AS n_types FROM adj2),
        cont AS (
@@ -6133,7 +6179,7 @@ object PipelineQueries {
        ${pCtes.mkString(",\n       ")},
        grid AS (
          SELECT t.gram,
-           ${dlogSql(s"""(GREATEST(CAST(t.c_top AS DOUBLE) - CAST(0.75 AS DOUBLE),
+           ${dlogSql(s"""(GREATEST(CAST(t.c_top AS DOUBLE) - $gridDiscSql,
                 CAST(0 AS DOUBLE)) / CAST(x.c_ctx AS DOUBLE))
              + (x.lam * p.pk)""")} AS ll
          FROM top t JOIN lamtop x ON x.ctx = t.ctx
@@ -6193,6 +6239,36 @@ object PipelineQueries {
     val docs = t(s, dir, "documents")
     val root = lmCountsRoot(s, dir)
     val chain = TextAnalysis.ngramLmKnChainModel(
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root), 5)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** 5-gram MODIFIED Kneser-Ney — KenLM's out-of-the-box model
+    * (lmplz defaults: order 5, modified discounting): the generalized
+    * chain with the count-of-count discounts at the top order, same
+    * split and contract as [[taNgramLmKn5]]. */
+  def taNgramLmMkn5(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val chain = TextAnalysis.ngramLmMknChainModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5), 5)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmMkn5Sql = ngramLmKnChainSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0", 5,
+    modifiedTop = true)
+
+  /** [[taNgramLmMkn5]] off the SHARED [[lmCountsRoot]] store. Shares
+    * [[taNgramLmMkn5Sql]] VERBATIM. */
+  def taNgramLmMkn5AtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = lmCountsRoot(s, dir)
+    val chain = TextAnalysis.ngramLmMknChainModel(
       graft.streaming.NgramLmStream.foldedCountsOf(s, root), 5)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
@@ -6814,6 +6890,8 @@ object PipelineQueries {
     "ta_ngram_lm_kn3" -> (taNgramLmKn3 _),
     "ta_ngram_lm_kn5" -> (taNgramLmKn5 _),
     "ta_ngram_lm_kn5_at_rest" -> (taNgramLmKn5AtRest _),
+    "ta_ngram_lm_mkn5" -> (taNgramLmMkn5 _),
+    "ta_ngram_lm_mkn5_at_rest" -> (taNgramLmMkn5AtRest _),
     "ta_ngram_lm_kn3_at_rest" -> (taNgramLmKn3AtRest _),
     "ta_ngram_lm_kn3_updated" -> (taNgramLmKn3Updated _),
     "ta_ngram_lm_mkn" -> (taNgramLmMkn _),
@@ -6937,6 +7015,7 @@ object PipelineQueries {
     "ta_ngram_lm_updated", "ta_ngram_lm_kn_at_rest",
     "ta_ngram_lm_kn3_at_rest", "ta_ngram_lm_kn3_updated",
     "ta_ngram_lm_kn5_at_rest", "ta_ppl_route_at_rest",
+    "ta_ngram_lm_mkn5_at_rest",
     "ta_ngram_lm_mkn_at_rest",
     "ta_langid_nb_at_rest")
 
@@ -7055,6 +7134,8 @@ object PipelineQueries {
     "ta_ngram_lm_kn3" -> taNgramLmKn3Sql,
     "ta_ngram_lm_kn5" -> taNgramLmKn5Sql,
     "ta_ngram_lm_kn5_at_rest" -> taNgramLmKn5Sql,
+    "ta_ngram_lm_mkn5" -> taNgramLmMkn5Sql,
+    "ta_ngram_lm_mkn5_at_rest" -> taNgramLmMkn5Sql,
     "ta_ngram_lm_kn3_at_rest" -> taNgramLmKn3Sql,
     "ta_ngram_lm_kn3_updated" -> taNgramLmKn3UpdatedSql,
     "ta_ngram_lm_mkn" -> taNgramLmMknSql,

@@ -2673,6 +2673,10 @@ class PipelineSpec extends SparkSpec {
         "text", "doc_id").orderBy($"key")
       .as[(Long, Long, Double)].collect().toSeq
     assert(viaChain === viaKn3)
+    // and the MODIFIED-top chain reproduces the hand-built MKN model
+    val (mg3, _, _, _, _) = TextAnalysis.ngramLmMkn3Model(counts)
+    val mchain = TextAnalysis.ngramLmMknChainModel(counts, 3)
+    assert(gridSet(mchain.gridTop) === gridSet(mg3))
   }
 
   test("modified kneser-ney: count-of-count discounts, guarded fallback, zero-discounted head") {
