@@ -973,9 +973,10 @@ object TextAnalysis {
     * k+1 (each level no larger than the one above), λ/denominator
     * tables by one more grouped aggregation — a fixed number of
     * model-sized shuffles, nothing rescans documents. */
-  def ngramLmKnChainModel(rawCounts: DataFrame, order: Int)
-      : KnChain = ngramLmChainModel(rawCounts, order,
-    modifiedTop = false)
+  def ngramLmKnChainModel(rawCounts: DataFrame, order: Int,
+      minTopCount: Long = 1L): KnChain =
+    ngramLmChainModel(rawCounts, order, modifiedTop = false,
+      minTopCount)
 
   /** [[ngramLmKnChainModel]] with MODIFIED-KN discounting at the top
     * order ([[ngramLmMkn3Model]]'s D1/D2/D3+ estimates, generalized):
@@ -987,10 +988,22 @@ object TextAnalysis {
     * [[ngramLmMkn3Model]] (PipelineSpec pins it). */
   def ngramLmMknChainModel(rawCounts: DataFrame, order: Int)
       : KnChain = ngramLmChainModel(rawCounts, order,
-    modifiedTop = true)
+    modifiedTop = true, minTopCount = 1L)
 
+  /** `minTopCount` > 1 prunes the TOP-ORDER GRID (KenLM's --prune):
+    * singleton top grams — the overwhelming majority of n-gram types
+    * in any real corpus — are dropped from the apply-side model, and
+    * their queries fall to the λ·p_backoff tier like any unseen
+    * gram. λ and the denominators stay derived from the FULL counts
+    * (the discount mass the pruned entries forfeited already lives
+    * in λ), and the lower tiers are untouched, so a pruned model is
+    * exactly the unpruned model with those grid rows deleted — the
+    * standard entry-pruning contract, NOT a retrain on thresholded
+    * counts. At 100 TB this is the difference between shipping the
+    * full type inventory to every probe and shipping the heavy
+    * head. */
   private def ngramLmChainModel(rawCounts: DataFrame, order: Int,
-      modifiedTop: Boolean): KnChain = {
+      modifiedTop: Boolean, minTopCount: Long): KnChain = {
     require(order >= 3, s"ngramLmChainModel: order >= 3, got $order")
     val top = rawCounts.filter(col("n") === order)
       .select(col("gram"), col("cnt").as("c_top"))
@@ -1101,6 +1114,7 @@ object TextAnalysis {
     }
     val pTopBelow = midsAsc.head._2 // p_{order-1}
     val gridTop = top
+      .filter(col("c_top") >= lit(minTopCount))
       .join(lamTop, Seq("ctx"))
       .join(pTopBelow.withColumnRenamed("gramk", "suf"), Seq("suf"))
       .select(col("gram"), Classify.dlog(log(

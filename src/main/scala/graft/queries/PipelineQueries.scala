@@ -6049,7 +6049,8 @@ object PipelineQueries {
     * probability tables, and an apply CASE whose nested COALESCE
     * backoff mirrors the Spark scorer expression for expression. */
   private def ngramLmKnChainSql(trainSel: String, order: Int,
-      modifiedTop: Boolean = false): String = {
+      modifiedTop: Boolean = false, minTopCount: Long = 1L)
+      : String = {
     val n = order
     def words(c: String, from: Int, to: Int): String =
       (from to to).map(i => s"split_part($c, ' ', $i)")
@@ -6183,7 +6184,8 @@ object PipelineQueries {
                 CAST(0 AS DOUBLE)) / CAST(x.c_ctx AS DOUBLE))
              + (x.lam * p.pk)""")} AS ll
          FROM top t JOIN lamtop x ON x.ctx = t.ctx
-         JOIN p${n - 1} p ON p.gramk = t.suf),
+         JOIN p${n - 1} p ON p.gramk = t.suf
+         WHERE t.c_top >= $minTopCount),
        dtk AS (
          SELECT doc_id,
            list_filter(string_split_regex(lower(text), '\\W+'),
@@ -6274,6 +6276,27 @@ object PipelineQueries {
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
   }
+
+  /** [[taNgramLmKn5]] with the top-order grid PRUNED at count ≥ 2
+    * (KenLM's --prune): singleton 5-grams — the bulk of the type
+    * inventory — are deleted from the apply-side model and their
+    * queries fall to the backoff tier; λ and denominators stay
+    * derived from the full counts, so this is entry deletion, not a
+    * retrain. The oracle replays the same grid filter. */
+  def taNgramLmKn5Pruned(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val chain = TextAnalysis.ngramLmKnChainModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5), 5,
+      minTopCount = 2L)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmKn5PrunedSql = ngramLmKnChainSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0", 5,
+    modifiedTop = false, minTopCount = 2L)
 
   /** The modified-KN oracle: count-of-count discounts D1/D2/D3+
     * (Chen & Goodman's estimates from trigram-type n1..n4, with the
@@ -6890,6 +6913,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn3" -> (taNgramLmKn3 _),
     "ta_ngram_lm_kn5" -> (taNgramLmKn5 _),
     "ta_ngram_lm_kn5_at_rest" -> (taNgramLmKn5AtRest _),
+    "ta_ngram_lm_kn5_pruned" -> (taNgramLmKn5Pruned _),
     "ta_ngram_lm_mkn5" -> (taNgramLmMkn5 _),
     "ta_ngram_lm_mkn5_at_rest" -> (taNgramLmMkn5AtRest _),
     "ta_ngram_lm_kn3_at_rest" -> (taNgramLmKn3AtRest _),
@@ -7134,6 +7158,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn3" -> taNgramLmKn3Sql,
     "ta_ngram_lm_kn5" -> taNgramLmKn5Sql,
     "ta_ngram_lm_kn5_at_rest" -> taNgramLmKn5Sql,
+    "ta_ngram_lm_kn5_pruned" -> taNgramLmKn5PrunedSql,
     "ta_ngram_lm_mkn5" -> taNgramLmMkn5Sql,
     "ta_ngram_lm_mkn5_at_rest" -> taNgramLmMkn5Sql,
     "ta_ngram_lm_kn3_at_rest" -> taNgramLmKn3Sql,
