@@ -1125,6 +1125,65 @@ object TextAnalysis {
       midsAsc.map { case (_, pk, lamK) => (pk, lamK) }, contT)
   }
 
+  /** Persist a trained [[KnChain]] at rest — the KenLM-binary analog
+    * for the LM tier: the derived grid/λ/backoff tables written once
+    * so apply-many never re-derives them from counts (the
+    * [[writeBpeModel]] contract on the LM family). The top grid and
+    * p_k tables are vocabulary-sized and keep their partitioned
+    * write; the per-word tables are model-sized. A params row stamps
+    * (order, modified_top, min_top_count) and [[readKnChainModel]]
+    * validates it, so a store trained under different parameters
+    * fails loudly instead of being silently consumed. */
+  def writeKnChainModel(chain: KnChain, outDir: String,
+      modifiedTop: Boolean, minTopCount: Long): Unit = {
+    val spark = chain.gridTop.sparkSession
+    import spark.implicits._
+    graft.streaming.IvfStream.requireNoPendingSwap(outDir,
+      "TextAnalysis.writeKnChainModel")
+    chain.gridTop.write.mode("overwrite").parquet(s"$outDir/grid_top")
+    chain.lamTop.write.mode("overwrite").parquet(s"$outDir/lam_top")
+    chain.mids.zipWithIndex.foreach { case ((pk, lamK), i) =>
+      val k = chain.order - 1 - i
+      pk.write.mode("overwrite").parquet(s"$outDir/p_$k")
+      lamK.write.mode("overwrite").parquet(s"$outDir/lam_$k")
+    }
+    chain.contT.write.mode("overwrite").parquet(s"$outDir/cont")
+    Seq((chain.order, modifiedTop, minTopCount))
+      .toDF("order", "modified_top", "min_top_count").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/params")
+  }
+
+  /** Read a [[writeKnChainModel]] store back as a live [[KnChain]].
+    * Parquet round-trips the decimal lls and IEEE doubles exactly,
+    * so scoring off the store is bit-identical to scoring off the
+    * freshly-derived chain — which is what lets the at-rest gate
+    * share the inline oracle verbatim. */
+  def readKnChainModel(spark: SparkSession, dir: String,
+      expectOrder: Int, expectModifiedTop: Boolean,
+      expectMinTopCount: Long): KnChain = {
+    val params = spark.read.parquet(s"$dir/params").collect()
+    require(params.length == 1,
+      s"readKnChainModel: expected one params row under $dir, " +
+        s"found ${params.length} — the store is torn; retrain it")
+    val p = params(0)
+    require(p.getAs[Int]("order") == expectOrder &&
+      p.getAs[Boolean]("modified_top") == expectModifiedTop &&
+      p.getAs[Long]("min_top_count") == expectMinTopCount,
+      s"readKnChainModel: store at $dir was trained with (order=" +
+        s"${p.getAs[Int]("order")}, modified_top=" +
+        s"${p.getAs[Boolean]("modified_top")}, min_top_count=" +
+        s"${p.getAs[Long]("min_top_count")}), caller expects " +
+        s"($expectOrder, $expectModifiedTop, $expectMinTopCount)")
+    KnChain(expectOrder,
+      spark.read.parquet(s"$dir/grid_top"),
+      spark.read.parquet(s"$dir/lam_top"),
+      ((expectOrder - 1) to 2 by -1).map { k =>
+        (spark.read.parquet(s"$dir/p_$k"),
+          spark.read.parquet(s"$dir/lam_$k"))
+      }.toList,
+      spark.read.parquet(s"$dir/cont"))
+  }
+
   /** Score documents under a [[KnChain]] — the recursive backoff of
     * [[ngramLmScoreKn3]] unrolled to the chain's order: seen top
     * grams take the grid; an unseen gram under a seen context

@@ -6298,6 +6298,32 @@ object PipelineQueries {
     "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0", 5,
     modifiedTop = false, minTopCount = 2L)
 
+  /** [[taNgramLmKn5]] scored off a PERSISTED chain model
+    * ([[TextAnalysis.writeKnChainModel]] — the KenLM-binary analog):
+    * the derived grid/λ/backoff tables written once under the layout
+    * cache, every apply reading them back instead of re-deriving
+    * from counts. Parquet round-trips the decimals and doubles
+    * exactly, so this shares [[taNgramLmKn5Sql]] VERBATIM — the
+    * lossless-store proof on the LM tier. */
+  def taNgramLmKn5ModelAtRest(s: SparkSession,
+      dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = layoutDir(dir, "documents", "kn5_model_store")
+    ensureLayout(root) {
+      TextAnalysis.writeKnChainModel(
+        TextAnalysis.ngramLmKnChainModel(
+          graft.streaming.NgramLmStream.foldedCountsOf(s,
+            lmCountsRoot(s, dir)), 5),
+        root, modifiedTop = false, minTopCount = 1L)
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    val chain = TextAnalysis.readKnChainModel(s, root, 5,
+      expectModifiedTop = false, expectMinTopCount = 1L)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** The modified-KN oracle: count-of-count discounts D1/D2/D3+
     * (Chen & Goodman's estimates from trigram-type n1..n4, with the
     * deterministic 0.75 fallback when a Dk's inputs vanish), the
@@ -6914,6 +6940,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn5" -> (taNgramLmKn5 _),
     "ta_ngram_lm_kn5_at_rest" -> (taNgramLmKn5AtRest _),
     "ta_ngram_lm_kn5_pruned" -> (taNgramLmKn5Pruned _),
+    "ta_ngram_lm_kn5_model_at_rest" -> (taNgramLmKn5ModelAtRest _),
     "ta_ngram_lm_mkn5" -> (taNgramLmMkn5 _),
     "ta_ngram_lm_mkn5_at_rest" -> (taNgramLmMkn5AtRest _),
     "ta_ngram_lm_kn3_at_rest" -> (taNgramLmKn3AtRest _),
@@ -7039,7 +7066,7 @@ object PipelineQueries {
     "ta_ngram_lm_updated", "ta_ngram_lm_kn_at_rest",
     "ta_ngram_lm_kn3_at_rest", "ta_ngram_lm_kn3_updated",
     "ta_ngram_lm_kn5_at_rest", "ta_ppl_route_at_rest",
-    "ta_ngram_lm_mkn5_at_rest",
+    "ta_ngram_lm_mkn5_at_rest", "ta_ngram_lm_kn5_model_at_rest",
     "ta_ngram_lm_mkn_at_rest",
     "ta_langid_nb_at_rest")
 
@@ -7159,6 +7186,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn5" -> taNgramLmKn5Sql,
     "ta_ngram_lm_kn5_at_rest" -> taNgramLmKn5Sql,
     "ta_ngram_lm_kn5_pruned" -> taNgramLmKn5PrunedSql,
+    "ta_ngram_lm_kn5_model_at_rest" -> taNgramLmKn5Sql,
     "ta_ngram_lm_mkn5" -> taNgramLmMkn5Sql,
     "ta_ngram_lm_mkn5_at_rest" -> taNgramLmMkn5Sql,
     "ta_ngram_lm_kn3_at_rest" -> taNgramLmKn3Sql,

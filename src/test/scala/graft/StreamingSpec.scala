@@ -1871,7 +1871,12 @@ class StreamingSpec extends SparkSpec {
       "TextAnalysis.writeUnigramModel" ->
         (r => TextAnalysis.writeUnigramModel(few, "text", 1, 4, 1L, r)),
       "TextAnalysis.writeBpeModel" ->
-        (r => TextAnalysis.writeBpeModel(few, "text", 1, 1L, r)))
+        (r => TextAnalysis.writeBpeModel(few, "text", 1, 1L, r)),
+      "TextAnalysis.writeKnChainModel" ->
+        (r => TextAnalysis.writeKnChainModel(
+          TextAnalysis.ngramLmKnChainModel(
+            TextAnalysis.ngramLmCounts(few, "text", maxN = 3), 3),
+          r, modifiedTop = false, minTopCount = 1L)))
     sweep.foreach { case (name, op) =>
       val r = pendForeign()
       val e = intercept[IllegalStateException](op(r))
