@@ -1125,6 +1125,84 @@ object TextAnalysis {
       midsAsc.map { case (_, pk, lamK) => (pk, lamK) }, contT)
   }
 
+  /** Stupid Backoff trigram scorer (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the scheme invented
+    * FOR distributed web-scale corpora): relative frequencies with a
+    * fixed 0.4 backoff multiplier and NO normalization,
+    * {{{ S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if seen
+    *               = 0.4 · c(w2w3)/c(w2)           else if seen
+    *               = 0.4 · 0.4 · c(w3)/N           else if w3 known
+    *               (OOV drops) }}}
+    * Every tier is a ratio of RAW counts straight off the
+    * `(n, gram, cnt)` store (no adjusted counts, no count-of-counts,
+    * no discounts) — which is exactly why the paper's MapReduce
+    * pipeline could serve 2-trillion-token models: the "model" IS
+    * the count tables, additive and shardable, and graft's store
+    * already maintains them incrementally with re-crawl supersede.
+    * 0.4 is a LITERAL double on both engines; the per-tier scores
+    * are exact-IEEE ratios, ln dlog-quantized. Returns
+    * `(g3 (gram, s3), g2 (suf, s2), g1 (w, s1))` raw-score tables;
+    * same `(key, n_scored, avg_ll)` apply contract. */
+  def ngramLmSbModel(rawCounts: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val counts = rawCounts.localCheckpoint()
+    val uni = counts.filter(col("n") === 1)
+      .select(col("gram").as("w"), col("cnt").as("c1"))
+    val total = uni.agg(sum(col("c1")).as("n_total"))
+    val bi = counts.filter(col("n") === 2)
+      .select(col("gram"), col("cnt").as("c2"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val tri = counts.filter(col("n") === 3)
+      .select(col("gram"), col("cnt").as("c3"))
+      .withColumn("ctx", substring_index(col("gram"), " ", 2))
+    val g3 = tri
+      .join(bi.select(col("gram").as("ctx"), col("c2")), Seq("ctx"))
+      .select(col("gram"),
+        (col("c3").cast("double") / col("c2").cast("double"))
+          .as("s3"))
+    val g2 = bi
+      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"))
+      .select(col("gram").as("suf"),
+        (col("c2").cast("double") / col("c1").cast("double"))
+          .as("s2"))
+    val g1 = uni.crossJoin(broadcast(total))
+      .select(col("w"),
+        (col("c1").cast("double") / col("n_total").cast("double"))
+          .as("s1"))
+    (g3, g2, g1)
+  }
+
+  /** Score documents under [[ngramLmSbModel]]: the three-tier CASE
+    * with literal 0.4 multipliers, OOV drops. */
+  def ngramLmScoreSb(docs: DataFrame, g3: DataFrame, g2: DataFrame,
+      g1: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(keyCol).as("key"), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), 3))
+        .as("gram"))
+      .withColumn("suf", substring_index(col("gram"), " ", -2))
+      .withColumn("w3", substring_index(col("gram"), " ", -1))
+      .join(broadcastIfModelSized(g3), Seq("gram"), "left_outer")
+      .join(broadcastIfModelSized(g2), Seq("suf"), "left_outer")
+      .join(broadcast(g1.withColumnRenamed("w", "w3")), Seq("w3"),
+        "left_outer")
+      .withColumn("ll_eff",
+        when(col("s3").isNotNull, Classify.dlog(log(col("s3"))))
+          .when(col("s2").isNotNull,
+            Classify.dlog(log(lit(0.4) * col("s2"))))
+          .when(col("s1").isNotNull,
+            Classify.dlog(log(lit(0.4) * lit(0.4) * col("s1")))))
+      .filter(col("ll_eff").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(col("ll_eff")).as("sum_ll"))
+      .select(col("key"), col("n_scored"),
+        round((col("sum_ll").cast("double") /
+          col("n_scored").cast("double")).cast(DecimalType(20, 10)), 6)
+          .cast("double").as("avg_ll"))
+  }
+
   /** Persist a trained [[KnChain]] at rest — the KenLM-binary analog
     * for the LM tier: the derived grid/λ/backoff tables written once
     * so apply-many never re-derives them from counts (the

@@ -6324,6 +6324,109 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The Stupid-Backoff oracle — raw-count ratio tiers with literal
+    * 0.4 multipliers, replayed over the same tokenize/gram CTEs. */
+  private def ngramLmSbSql(trainSel: String): String =
+    s"""WITH train AS ($trainSel),
+       ttk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM train),
+       sb1 AS (
+         SELECT tk[i+1] AS gram
+         FROM ttk CROSS JOIN unnest(range(len(tk))) AS r(i)
+         WHERE len(tk) >= 1),
+       uni AS (SELECT gram AS w, COUNT(*) AS c1 FROM sb1 GROUP BY 1),
+       tot AS (SELECT SUM(c1) AS n_total FROM uni),
+       sb2 AS (
+         SELECT tk[i+1] || ' ' || tk[i+2] AS gram
+         FROM ttk CROSS JOIN unnest(range(len(tk) - 1)) AS r(i)
+         WHERE len(tk) >= 2),
+       bi AS (SELECT gram, COUNT(*) AS c2 FROM sb2 GROUP BY gram),
+       sb3 AS (
+         SELECT tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM ttk CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       tri AS (SELECT gram, COUNT(*) AS c3 FROM sb3 GROUP BY gram),
+       g3 AS (
+         SELECT t.gram,
+           CAST(t.c3 AS DOUBLE) / CAST(b.c2 AS DOUBLE) AS s3
+         FROM tri t JOIN bi b
+           ON b.gram = split_part(t.gram, ' ', 1) || ' ' ||
+             split_part(t.gram, ' ', 2)),
+       g2 AS (
+         SELECT b.gram AS suf,
+           CAST(b.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE) AS s2
+         FROM bi b JOIN uni u ON u.w = split_part(b.gram, ' ', 1)),
+       g1 AS (
+         SELECT u.w, CAST(u.c1 AS DOUBLE) /
+           CAST(t.n_total AS DOUBLE) AS s1
+         FROM uni u CROSS JOIN tot t),
+       dtk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       docc AS (
+         SELECT doc_id,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM dtk CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       sbsc AS (
+         SELECT o.doc_id,
+           CASE WHEN g3.s3 IS NOT NULL THEN
+                  CAST(ROUND(CAST(ln(g3.s3)
+                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
+                WHEN g2.s2 IS NOT NULL THEN
+                  CAST(ROUND(CAST(ln(CAST(0.4 AS DOUBLE) * g2.s2)
+                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
+                WHEN g1.s1 IS NOT NULL THEN
+                  CAST(ROUND(CAST(ln(CAST(0.4 AS DOUBLE) *
+                    CAST(0.4 AS DOUBLE) * g1.s1)
+                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
+                ELSE NULL END AS ll_eff
+         FROM docc o
+         LEFT JOIN g3 USING (gram)
+         LEFT JOIN g2 ON g2.suf =
+           split_part(o.gram, ' ', 2) || ' ' || split_part(o.gram, ' ', 3)
+         LEFT JOIN g1 ON g1.w = split_part(o.gram, ' ', 3))
+       SELECT doc_id, COUNT(*) AS n_scored,
+         CAST(ROUND(CAST(CAST(SUM(ll_eff) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(20,10)), 6) AS DOUBLE) AS avg_ll
+       FROM sbsc WHERE ll_eff IS NOT NULL
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Stupid-Backoff scorer ([[TextAnalysis.ngramLmSbModel]]) — the
+    * web-scale distributed LM scheme, same split and contract as the
+    * KN gates. */
+  def taNgramLmSb(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (g3, g2, g1) = TextAnalysis.ngramLmSbModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 3))
+    TextAnalysis.ngramLmScoreSb(docs, g3, g2, g1, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmSbSql = ngramLmSbSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0")
+
+  /** [[taNgramLmSb]] off the SHARED [[lmCountsRoot]] store — Stupid
+    * Backoff's "model" IS the raw count tables, so the at-rest path
+    * is the scheme's natural habitat. Shares [[taNgramLmSbSql]]
+    * VERBATIM. */
+  def taNgramLmSbAtRest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = lmCountsRoot(s, dir)
+    val (g3, g2, g1) = TextAnalysis.ngramLmSbModel(
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root))
+    TextAnalysis.ngramLmScoreSb(docs, g3, g2, g1, "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** The modified-KN oracle: count-of-count discounts D1/D2/D3+
     * (Chen & Goodman's estimates from trigram-type n1..n4, with the
     * deterministic 0.75 fallback when a Dk's inputs vanish), the
@@ -6941,6 +7044,8 @@ object PipelineQueries {
     "ta_ngram_lm_kn5_at_rest" -> (taNgramLmKn5AtRest _),
     "ta_ngram_lm_kn5_pruned" -> (taNgramLmKn5Pruned _),
     "ta_ngram_lm_kn5_model_at_rest" -> (taNgramLmKn5ModelAtRest _),
+    "ta_ngram_lm_sb" -> (taNgramLmSb _),
+    "ta_ngram_lm_sb_at_rest" -> (taNgramLmSbAtRest _),
     "ta_ngram_lm_mkn5" -> (taNgramLmMkn5 _),
     "ta_ngram_lm_mkn5_at_rest" -> (taNgramLmMkn5AtRest _),
     "ta_ngram_lm_kn3_at_rest" -> (taNgramLmKn3AtRest _),
@@ -7067,6 +7172,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn3_at_rest", "ta_ngram_lm_kn3_updated",
     "ta_ngram_lm_kn5_at_rest", "ta_ppl_route_at_rest",
     "ta_ngram_lm_mkn5_at_rest", "ta_ngram_lm_kn5_model_at_rest",
+    "ta_ngram_lm_sb_at_rest",
     "ta_ngram_lm_mkn_at_rest",
     "ta_langid_nb_at_rest")
 
@@ -7187,6 +7293,8 @@ object PipelineQueries {
     "ta_ngram_lm_kn5_at_rest" -> taNgramLmKn5Sql,
     "ta_ngram_lm_kn5_pruned" -> taNgramLmKn5PrunedSql,
     "ta_ngram_lm_kn5_model_at_rest" -> taNgramLmKn5Sql,
+    "ta_ngram_lm_sb" -> taNgramLmSbSql,
+    "ta_ngram_lm_sb_at_rest" -> taNgramLmSbSql,
     "ta_ngram_lm_mkn5" -> taNgramLmMkn5Sql,
     "ta_ngram_lm_mkn5_at_rest" -> taNgramLmMkn5Sql,
     "ta_ngram_lm_kn3_at_rest" -> taNgramLmKn3Sql,
