@@ -6,10 +6,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.pipeline.TextAnalysis
 
-/** Streaming maintainer for the Jelinek-Mercer smoothed bigram LM
-  * ([[TextAnalysis.ngramLmSmoothedModel]]) — the corpus-filter model
-  * retrained as data arrives, without rescanning history: the
-  * [[NbStream]] sufficient-statistics pattern applied to the LM tier.
+/** Streaming maintainer for the n-gram LM family — ONE additive
+  * (n, gram, cnt) store serving every smoothing scheme and order
+  * (Jelinek-Mercer, interpolated/modified Kneser-Ney at orders 2-5,
+  * Stupid Backoff): the corpus-filter model retrained as data
+  * arrives, without rescanning history — the [[NbStream]]
+  * sufficient-statistics pattern applied to the LM tier.
   *
   * The interpolated grid is NOT additive (p_ML denominators and the
   * unigram total move with every batch) but its sufficient statistics
