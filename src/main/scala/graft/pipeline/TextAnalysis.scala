@@ -1125,6 +1125,77 @@ object TextAnalysis {
       midsAsc.map { case (_, pk, lamK) => (pk, lamK) }, contT)
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language
+    * Models", Table A1) — the production rule battery the major
+    * crawls actually filter with, expressed ENTIRELY in scan-local
+    * integer arithmetic (ratio thresholds as cross-multiplications,
+    * the [[weakLabels]] discipline) so the pass is embarrassingly
+    * parallel at any scale and replays exactly on any engine:
+    *
+    *  - `f_wc`: 50 ≤ word count ≤ 100 000;
+    *  - `f_mwl`: mean word length in [3, 10] chars
+    *    (3·n ≤ Σlen ≤ 10·n);
+    *  - `f_sym`: symbol-to-word ratio ≤ 0.1 (`#` + `...`);
+    *  - `f_alpha`: ≥ 80% of words contain an alphabetic character;
+    *  - `f_stop`: ≥ 2 distinct words from the paper's stop list;
+    *  - `f_bullet`: ≤ 90% of lines start with a bullet (`-`/`*`/`•`);
+    *  - `f_ellip`: ≤ 30% of lines end with `...`;
+    *  - `f_dupline`: duplicate-line fraction ≤ 0.3
+    *    (10·(n − n_distinct) ≤ 3·n — doc-local via array_distinct,
+    *    no shuffle).
+    *
+    * `keep` = every flag. Output one row per doc; a free rider on
+    * any corpus scan. */
+  def gopherRules(df: DataFrame, textCol: String,
+      keyCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val lines = split(text, "\n")
+    val stoplist = Seq("the", "be", "to", "of", "and",
+      "that", "have", "with")
+    df.select(col(keyCol),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L), (a, x) => a + length(x))
+          .as("n_chars"),
+        size(filter(toks, x => x.rlike("[a-z]"))).cast("long")
+          .as("n_alpha"),
+        (countOccurrences(text, "#") + countOccurrences(text, "..."))
+          .as("n_sym"),
+        size(array_intersect(array_distinct(toks),
+          array(stoplist.map(lit): _*))).cast("long").as("n_stop"),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => l.startsWith("-") ||
+          l.startsWith("*") || l.startsWith("•"))).cast("long")
+          .as("n_bullet"),
+        size(filter(lines, l => l.endsWith("...")))
+          .cast("long").as("n_ellip"),
+        size(array_distinct(lines)).cast("long").as("n_dlines"))
+      .withColumn("f_wc",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("f_mwl",
+        lit(3L) * col("n_words") <= col("n_chars") &&
+          col("n_chars") <= lit(10L) * col("n_words"))
+      .withColumn("f_sym",
+        lit(10L) * col("n_sym") <= col("n_words"))
+      .withColumn("f_alpha",
+        lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+      .withColumn("f_stop", col("n_stop") >= 2L)
+      .withColumn("f_bullet",
+        lit(10L) * col("n_bullet") <= lit(9L) * col("n_lines"))
+      .withColumn("f_ellip",
+        lit(10L) * col("n_ellip") <= lit(3L) * col("n_lines"))
+      .withColumn("f_dupline",
+        lit(10L) * (col("n_lines") - col("n_dlines")) <=
+          lit(3L) * col("n_lines"))
+      .withColumn("keep",
+        col("f_wc") && col("f_mwl") && col("f_sym") &&
+          col("f_alpha") && col("f_stop") && col("f_bullet") &&
+          col("f_ellip") && col("f_dupline"))
+      .select(col(keyCol), col("n_words"), col("f_wc"), col("f_mwl"),
+        col("f_sym"), col("f_alpha"), col("f_stop"), col("f_bullet"),
+        col("f_ellip"), col("f_dupline"), col("keep"))
+  }
+
   /** Stupid Backoff trigram scorer (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — the scheme invented
     * FOR distributed web-scale corpora): relative frequencies with a

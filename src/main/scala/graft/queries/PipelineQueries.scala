@@ -6324,6 +6324,62 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher quality rules ([[TextAnalysis.gopherRules]]) — the
+    * Rae et al. 2021 production filter battery, one scan-local pass,
+    * every ratio an integer cross-multiplication. */
+  def taGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(t(s, dir, "documents"), "text",
+        "doc_id")
+      .orderBy(col("doc_id"))
+
+  private lazy val taGopherRulesSql =
+    """WITH d AS (
+         SELECT doc_id, text,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk,
+           string_split(text, chr(10)) AS ln
+         FROM documents),
+       m AS (
+         SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(tk, x -> len(x))),
+             0) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(tk,
+             x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+           CAST((len(text) - len(regexp_replace(text, '#', '', 'g')))
+             / 1 AS BIGINT)
+             + CAST((len(text) -
+                 len(regexp_replace(text, '\.\.\.', '', 'g')))
+               / 3 AS BIGINT) AS n_sym,
+           CAST(len(list_intersect(list_distinct(tk),
+             ['the','be','to','of','and','that','have','with']))
+             AS BIGINT) AS n_stop,
+           CAST(len(ln) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(ln, l -> starts_with(l, '-')
+             OR starts_with(l, '*') OR starts_with(l, '•')))
+             AS BIGINT) AS n_bullet,
+           CAST(len(list_filter(ln, l -> ends_with(l, '...')))
+             AS BIGINT) AS n_ellip,
+           CAST(len(list_distinct(ln)) AS BIGINT) AS n_dlines
+         FROM d),
+       f AS (
+         SELECT doc_id, n_words,
+           n_words >= 50 AND n_words <= 100000 AS f_wc,
+           3 * n_words <= n_chars AND n_chars <= 10 * n_words
+             AS f_mwl,
+           10 * n_sym <= n_words AS f_sym,
+           5 * n_alpha >= 4 * n_words AS f_alpha,
+           n_stop >= 2 AS f_stop,
+           10 * n_bullet <= 9 * n_lines AS f_bullet,
+           10 * n_ellip <= 3 * n_lines AS f_ellip,
+           10 * (n_lines - n_dlines) <= 3 * n_lines AS f_dupline
+         FROM m)
+       SELECT doc_id, n_words, f_wc, f_mwl, f_sym, f_alpha, f_stop,
+         f_bullet, f_ellip, f_dupline,
+         f_wc AND f_mwl AND f_sym AND f_alpha AND f_stop AND
+           f_bullet AND f_ellip AND f_dupline AS keep
+       FROM f ORDER BY doc_id"""
+
   /** The Stupid-Backoff oracle — raw-count ratio tiers with literal
     * 0.4 multipliers, replayed over the same tokenize/gram CTEs. */
   private def ngramLmSbSql(trainSel: String): String =
@@ -7044,6 +7100,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn5_at_rest" -> (taNgramLmKn5AtRest _),
     "ta_ngram_lm_kn5_pruned" -> (taNgramLmKn5Pruned _),
     "ta_ngram_lm_kn5_model_at_rest" -> (taNgramLmKn5ModelAtRest _),
+    "ta_gopher_rules" -> (taGopherRules _),
     "ta_ngram_lm_sb" -> (taNgramLmSb _),
     "ta_ngram_lm_sb_at_rest" -> (taNgramLmSbAtRest _),
     "ta_ngram_lm_mkn5" -> (taNgramLmMkn5 _),
@@ -7293,6 +7350,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn5_at_rest" -> taNgramLmKn5Sql,
     "ta_ngram_lm_kn5_pruned" -> taNgramLmKn5PrunedSql,
     "ta_ngram_lm_kn5_model_at_rest" -> taNgramLmKn5Sql,
+    "ta_gopher_rules" -> taGopherRulesSql,
     "ta_ngram_lm_sb" -> taNgramLmSbSql,
     "ta_ngram_lm_sb_at_rest" -> taNgramLmSbSql,
     "ta_ngram_lm_mkn5" -> taNgramLmMkn5Sql,

@@ -2714,6 +2714,38 @@ class PipelineSpec extends SparkSpec {
         p2bc)))
   }
 
+  test("gopher rules: each rule fires on a crafted violation and a clean doc keeps") {
+    val good = (("the data to be stored and that we have filed " +
+      "with care ") * 6).trim // 60 words, clean lines, stopwords
+    val docs = Seq(
+      (0L, good), // keeps
+      (1L, "short text only"), // f_wc (< 50 words)
+      (2L, good + " " + Seq.fill(30)("a").mkString(" ")), // f_mwl low
+      (3L, good + " " + Seq.fill(10)("###").mkString(" ")), // f_sym
+      (4L, good + " " + Seq.fill(20)("123").mkString(" ")), // f_alpha
+      (5L, (Seq.fill(60)("word").mkString(" "))), // f_stop (none)
+      (6L, (1 to 10).map(i => s"- bullet $i " + good.take(40))
+        .mkString("\n")), // f_bullet (every line bulleted)
+      (7L, (1 to 10).map(i => s"line $i trails off...")
+        .mkString("\n") + "\n" + good), // f_ellip (10/11 lines)
+      (8L, (Seq.fill(9)("the same line of text here") :+ good)
+        .mkString("\n"))) // f_dupline (9 dups / 10 lines)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    def flag(i: Int, name: String): Boolean =
+      out(i).getAs[Boolean](name)
+    assert(flag(0, "keep"), out(0).toString)
+    assert(!flag(1, "f_wc") && !flag(1, "keep"))
+    assert(!flag(2, "f_mwl") && !flag(2, "keep"))
+    assert(!flag(3, "f_sym") && !flag(3, "keep"))
+    assert(!flag(4, "f_alpha") && !flag(4, "keep"))
+    assert(!flag(5, "f_stop") && !flag(5, "keep"))
+    assert(!flag(6, "f_bullet") && !flag(6, "keep"))
+    assert(!flag(7, "f_ellip") && !flag(7, "keep"))
+    assert(!flag(8, "f_dupline") && !flag(8, "keep"))
+  }
+
   test("trained NB language-ID beats-or-matches the fixed-marker heuristic on a labeled corpus") {
     // the driver corpus's lang label is synthetic metadata
     // (uncorrelated with its text), so the router is compared here on
