@@ -1196,6 +1196,48 @@ object TextAnalysis {
         col("f_ellip"), col("f_dupline"), col("keep"))
   }
 
+  /** C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the other
+    * canonical production battery, and unlike [[gopherRules]] a
+    * line-level REWRITE): keep only lines that end in terminal
+    * punctuation (`.` `!` `?` `"`), carry ≥ 3 words, and don't
+    * mention javascript; then drop the whole page if the cleaned
+    * text has fewer than 5 sentences (approximated as terminal-
+    * punctuation count — the paper used a sentence splitter; the
+    * approximation is applied identically on both engines), mentions
+    * "lorem ipsum", contains a curly brace, or hits the bad-word
+    * list (`badWords` defaults to a placeholder token — swap in the
+    * production list without touching the plan; the filter is one
+    * scan-local `exists`). Everything is string arithmetic in one
+    * projection — embarrassingly parallel, nothing shuffles. Output:
+    * `(key, cleaned, n_lines_kept, n_sentences, keep)`. */
+  def c4Clean(df: DataFrame, textCol: String, keyCol: String,
+      badWords: Seq[String] = Seq("badwordplaceholder"))
+      : DataFrame = {
+    val lineTokens = (l: Column) =>
+      filter(split(lower(l), "\\W+"), t => t =!= "")
+    val keptLines = filter(split(col(textCol), "\n"), l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(lineTokens(l)) >= 3 &&
+        !lower(l).contains("javascript"))
+    val badArr = array(badWords.map(lit): _*)
+    df.select(col(keyCol),
+        array_join(keptLines, "\n").as("cleaned"),
+        size(keptLines).cast("long").as("n_lines_kept"))
+      .withColumn("n_sentences",
+        countOccurrences(col("cleaned"), ".") +
+          countOccurrences(col("cleaned"), "!") +
+          countOccurrences(col("cleaned"), "?"))
+      .withColumn("keep",
+        col("n_sentences") >= 5L &&
+          !lower(col("cleaned")).contains("lorem ipsum") &&
+          !col("cleaned").contains("{") &&
+          !exists(filter(split(lower(col("cleaned")), "\\W+"),
+            t => t =!= ""), t => array_contains(badArr, t)))
+      .select(col(keyCol), col("cleaned"), col("n_lines_kept"),
+        col("n_sentences"), col("keep"))
+  }
+
   /** Stupid Backoff trigram scorer (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — the scheme invented
     * FOR distributed web-scale corpora): relative frequencies with a

@@ -6324,6 +6324,50 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C4 cleaning heuristics ([[TextAnalysis.c4Clean]]) — line-level
+    * rewrite + page-level drop, replayed string-op for string-op. */
+  def taC4Clean(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.c4Clean(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private lazy val taC4CleanSql =
+    """WITH d AS (
+         SELECT doc_id,
+           list_filter(string_split(text, chr(10)), l ->
+             (ends_with(l, '.') OR ends_with(l, '!')
+               OR ends_with(l, '?') OR ends_with(l, '"'))
+             AND len(list_filter(
+               string_split_regex(lower(l), '\W+'),
+               t -> t <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')) AS kept
+         FROM documents),
+       c AS (
+         SELECT doc_id,
+           COALESCE(array_to_string(kept, chr(10)), '') AS cleaned,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept
+         FROM d),
+       m AS (
+         SELECT doc_id, cleaned, n_lines_kept,
+           CAST((len(cleaned) -
+             len(regexp_replace(cleaned, '\.', '', 'g')))
+             / 1 AS BIGINT)
+           + CAST((len(cleaned) -
+               len(regexp_replace(cleaned, '!', '', 'g')))
+             / 1 AS BIGINT)
+           + CAST((len(cleaned) -
+               len(regexp_replace(cleaned, '\?', '', 'g')))
+             / 1 AS BIGINT) AS n_sentences
+         FROM c)
+       SELECT doc_id, cleaned, n_lines_kept, n_sentences,
+         n_sentences >= 5
+           AND NOT contains(lower(cleaned), 'lorem ipsum')
+           AND NOT contains(cleaned, '{')
+           AND NOT len(list_filter(
+             list_filter(string_split_regex(lower(cleaned), '\W+'),
+               t -> t <> ''),
+             t -> t = 'badwordplaceholder')) > 0 AS keep
+       FROM m ORDER BY doc_id"""
+
   /** Gopher quality rules ([[TextAnalysis.gopherRules]]) — the
     * Rae et al. 2021 production filter battery, one scan-local pass,
     * every ratio an integer cross-multiplication. */
@@ -7100,6 +7144,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn5_at_rest" -> (taNgramLmKn5AtRest _),
     "ta_ngram_lm_kn5_pruned" -> (taNgramLmKn5Pruned _),
     "ta_ngram_lm_kn5_model_at_rest" -> (taNgramLmKn5ModelAtRest _),
+    "ta_c4_clean" -> (taC4Clean _),
     "ta_gopher_rules" -> (taGopherRules _),
     "ta_ngram_lm_sb" -> (taNgramLmSb _),
     "ta_ngram_lm_sb_at_rest" -> (taNgramLmSbAtRest _),
@@ -7350,6 +7395,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn5_at_rest" -> taNgramLmKn5Sql,
     "ta_ngram_lm_kn5_pruned" -> taNgramLmKn5PrunedSql,
     "ta_ngram_lm_kn5_model_at_rest" -> taNgramLmKn5Sql,
+    "ta_c4_clean" -> taC4CleanSql,
     "ta_gopher_rules" -> taGopherRulesSql,
     "ta_ngram_lm_sb" -> taNgramLmSbSql,
     "ta_ngram_lm_sb_at_rest" -> taNgramLmSbSql,

@@ -2746,6 +2746,39 @@ class PipelineSpec extends SparkSpec {
     assert(!flag(8, "f_dupline") && !flag(8, "keep"))
   }
 
+  test("c4 cleaning: line rules rewrite, page rules drop, a clean page keeps") {
+    val sent = "this is a proper sentence with several words."
+    val docs = Seq(
+      (0L, Seq(sent, sent, sent, sent, sent).mkString("\n")), // keeps
+      (1L, Seq(sent, "no terminal punctuation here", sent, sent,
+        sent, sent).mkString("\n")), // line dropped, page keeps
+      (2L, Seq(sent, "too few.", sent, sent, sent, sent)
+        .mkString("\n")), // <3-word line dropped
+      (3L, Seq(sent, "enable javascript to continue reading.", sent,
+        sent, sent, sent).mkString("\n")), // javascript line dropped
+      (4L, Seq(sent, sent).mkString("\n")), // <5 sentences → drop
+      (5L, Seq(sent, sent, sent, sent, "lorem ipsum dolor sit amet.")
+        .mkString("\n")), // lorem ipsum → drop
+      (6L, Seq(sent, sent, sent, sent, "code { display: none; } ok.")
+        .mkString("\n")), // brace → drop
+      (7L, Seq(sent, sent, sent, sent,
+        "this line has badwordplaceholder inside.").mkString("\n")))
+      .toDF("doc_id", "text") // bad word → drop
+    val out = TextAnalysis.c4Clean(docs, "text", "doc_id")
+      .orderBy($"doc_id").collect()
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(out(0).getAs[Long]("n_lines_kept") === 5L)
+    // the three line rules each removed exactly their line
+    (1 to 3).foreach { i =>
+      assert(out(i).getAs[Long]("n_lines_kept") === 5L, out(i))
+      assert(out(i).getAs[Boolean]("keep"), out(i))
+      assert(!out(i).getAs[String]("cleaned").contains("javascript"))
+    }
+    (4 to 7).foreach { i =>
+      assert(!out(i).getAs[Boolean]("keep"), out(i))
+    }
+  }
+
   test("trained NB language-ID beats-or-matches the fixed-marker heuristic on a labeled corpus") {
     // the driver corpus's lang label is synthetic metadata
     // (uncorrelated with its text), so the router is compared here on
