@@ -563,10 +563,13 @@ object TextAnalysis {
     * n=2, up through `maxN`. Two batches' rows sum cell-wise into
     * the union's. One store serves every smoothing family and order:
     * the bigram JM/KN models filter n≤2, the trigram KN chain
-    * derives everything from n=3 rows ([[ngramLmKn3Model]]). */
+    * derives everything from n=3 rows
+    * ([[ngramLmKnChainModel]]). */
   def ngramLmCounts(df: DataFrame, textCol: String,
-      maxN: Int = 2): DataFrame = {
+      maxN: Int = 2, minN: Int = 1): DataFrame = {
     require(maxN >= 2, s"ngramLmCounts: maxN >= 2, got $maxN")
+    require(minN >= 1 && minN <= maxN,
+      s"ngramLmCounts: 1 <= minN <= maxN, got $minN..$maxN")
     graft.functions.GraftFunctions.register(df.sparkSession)
     // ONE corpus scan and ONE (n, gram)-keyed shuffle for ALL orders
     // (the per-order union it replaced rescanned the corpus and
@@ -575,7 +578,10 @@ object TextAnalysis {
     // a single grouped count with map-side partial aggregation.
     // word_ngrams(text, 1) is byte-identical to [[tokens]] (same
     // lowercase + \W+ kernel), so the n=1 rows are unchanged.
-    val tagged = flatten(array((1 to maxN).map { n =>
+    // minN trims the explode for consumers that need only the top
+    // orders (a pure-trigram/5-gram chain built INLINE); the shared
+    // at-rest store always writes the full 1..maxN range.
+    val tagged = flatten(array((minN to maxN).map { n =>
       transform(
         graft.functions.GraftFunctions.word_ngrams(col(textCol), n),
         g => struct(lit(n).as("n"), g.as("gram")))
@@ -669,105 +675,6 @@ object TextAnalysis {
     (grid2, lamT.select(col("w1"), col("lam")), contT)
   }
 
-  /** Modified Kneser-Ney trigram model (Chen & Goodman 1998 §3 — the
-    * KenLM/SRILM default the field actually ships): the
-    * [[ngramLmKn3Model]] chain with the TOP order's single fixed
-    * discount replaced by three count-dependent discounts derived
-    * from the corpus's count-of-count statistics over trigram types,
-    * {{{ Y = n1/(n1 + 2·n2)
-    *     D1 = 1 − 2Y·(n2/n1),  D2 = 2 − 3Y·(n3/n2),
-    *     D3+ = 3 − 4Y·(n4/n3) }}}
-    * with nk = |{trigram types with count k}| — integer-exact inputs,
-    * the discounts and everything downstream exact-IEEE doubles with
-    * the operation tree written IDENTICALLY on both engines. The
-    * interpolation weight generalizes accordingly:
-    * {{{ λ3(ctx) = (D1·N1(ctx•) + D2·N2(ctx•) + D3+·N3+(ctx•))
-    *               / c(ctx•) }}}
-    * Modified discounting applies at the TOP order only: the
-    * adjusted-count lower tiers keep D=0.75 — the count-of-count
-    * estimates need n1..n4 > 0 at their order, and the
-    * LEFT-EXTENSION-type distributions of the lower tiers are
-    * exactly where templated/synthetic corpora go degenerate (this
-    * corpus's adjusted-bigram n3=n4=0; its trigram n1..n4 are
-    * healthy at every gated scale). A Dk whose inputs vanish anyway
-    * falls back to 0.75 deterministically (the same CASE on both
-    * engines) rather than dividing by zero — never taken at gated
-    * scales, but a 100 TB run on exotic data degrades to plain KN
-    * instead of wedging. Returns [[ngramLmKn3Model]]'s shapes, so
-    * [[ngramLmScoreKn3]] scores both families. */
-  def ngramLmMkn3Model(rawCounts: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tri = rawCounts.filter(col("n") === 3)
-      .select(col("gram"), col("cnt").as("c_tri"))
-      .withColumn("ctx", substring_index(col("gram"), " ", 2))
-      .withColumn("suf", substring_index(col("gram"), " ", -2))
-      .localCheckpoint() // model-sized; feeds five aggregations
-    val coc = tri.agg(
-      sum(when(col("c_tri") === 1, 1L).otherwise(0L)).as("n1"),
-      sum(when(col("c_tri") === 2, 1L).otherwise(0L)).as("n2"),
-      sum(when(col("c_tri") === 3, 1L).otherwise(0L)).as("n3"),
-      sum(when(col("c_tri") === 4, 1L).otherwise(0L)).as("n4"))
-    val yv = col("n1").cast("double") /
-      (col("n1").cast("double") + lit(2.0) * col("n2").cast("double"))
-    val disc = coc.select(
-      when(col("n1") > 0, lit(1.0) - lit(2.0) * yv *
-        (col("n2").cast("double") / col("n1").cast("double")))
-        .otherwise(lit(0.75)).as("d1"),
-      when(col("n1") > 0 && col("n2") > 0, lit(2.0) - lit(3.0) * yv *
-        (col("n3").cast("double") / col("n2").cast("double")))
-        .otherwise(lit(0.75)).as("d2"),
-      when(col("n1") > 0 && col("n3") > 0, lit(3.0) - lit(4.0) * yv *
-        (col("n4").cast("double") / col("n3").cast("double")))
-        .otherwise(lit(0.75)).as("d3"))
-    val lam3T = tri.groupBy(col("ctx"))
-      .agg(sum(col("c_tri")).as("c_ctx"),
-        sum(when(col("c_tri") === 1, 1L).otherwise(0L)).as("nc1"),
-        sum(when(col("c_tri") === 2, 1L).otherwise(0L)).as("nc2"),
-        sum(when(col("c_tri") >= 3, 1L).otherwise(0L)).as("nc3p"))
-      .crossJoin(broadcast(disc))
-      .select(col("ctx"), col("c_ctx"), col("d1"), col("d2"),
-        col("d3"),
-        ((col("d1") * col("nc1").cast("double") +
-          col("d2") * col("nc2").cast("double") +
-          col("d3") * col("nc3p").cast("double")) /
-          col("c_ctx").cast("double")).as("lam3"))
-    // lower tiers: identical to the single-discount kn3 chain
-    val adj2 = tri.groupBy(col("suf"))
-      .agg(count(lit(1)).as("c_adj"))
-      .withColumn("w2", substring_index(col("suf"), " ", 1))
-      .withColumn("w3", substring_index(col("suf"), " ", -1))
-    val lam2T = adj2.groupBy(col("w2"))
-      .agg(sum(col("c_adj")).as("n_mid"), count(lit(1)).as("n1f2"))
-      .select(col("w2"), col("n_mid"),
-        (lit(0.75) * (col("n1f2").cast("double") /
-          col("n_mid").cast("double"))).as("lam2"))
-    val nTypes2 = adj2.agg(count(lit(1)).as("n_types"))
-    val contT = adj2.groupBy(col("w3"))
-      .agg(count(lit(1)).as("n1b"))
-      .crossJoin(broadcast(nTypes2))
-      .select(col("w3").as("w"),
-        (col("n1b").cast("double") /
-          col("n_types").cast("double")).as("pcont"))
-    val p2T = adj2
-      .join(lam2T, Seq("w2"))
-      .join(contT.withColumnRenamed("w", "w3"), Seq("w3"))
-      .select(col("suf"),
-        ((greatest(col("c_adj").cast("double") - lit(0.75), lit(0.0)) /
-          col("n_mid").cast("double")) +
-          (col("lam2") * col("pcont"))).as("p2"))
-    val dOf = when(col("c_tri") === 1, col("d1"))
-      .when(col("c_tri") === 2, col("d2")).otherwise(col("d3"))
-    val grid3 = tri
-      .join(lam3T, Seq("ctx"))
-      .join(p2T, Seq("suf"))
-      .select(col("gram"), Classify.dlog(log(
-        (greatest(col("c_tri").cast("double") - dOf, lit(0.0)) /
-          col("c_ctx").cast("double")) +
-          (col("lam3") * col("p2")))).as("ll"))
-    (grid3, lam3T.select(col("ctx"), col("lam3")), p2T,
-      lam2T.select(col("w2"), col("lam2")), contT)
-  }
-
   /** Broadcast a model relation only when it is genuinely
     * broadcast-sized. The n-gram GRIDS are corpus-VOCABULARY-sized
     * (distinct training n-grams grow near-linearly with corpus), so a
@@ -827,129 +734,6 @@ object TextAnalysis {
           .cast("double").as("avg_ll"))
   }
 
-  /** Trigram interpolated Kneser-Ney model (Chen & Goodman 1998's
-    * recursive formulation; the order production CCNet-style corpus
-    * filters actually run starts here) from the SAME folded
-    * `(n, gram, cnt)` store — the ENTIRE chain derives from the n=3
-    * rows, the KenLM "adjusted count" discipline: each lower order's
-    * counts are LEFT-EXTENSION TYPE counts over the (folded) order
-    * above, i.e. distinct-row counts, which the negative-partial
-    * supersede algebra keeps exact (zero cells drop, so a superseded
-    * trigram leaves every continuation/type count as a retrain
-    * would).
-    *
-    * {{{ p3(w3|w1w2) = (c(w1w2w3)−D)⁺/c(w1w2•) + λ3(w1w2)·p2(w3|w2)
-    *     λ3(w1w2)    = D·N1+(w1w2•)/c(w1w2•)
-    *     p2(w3|w2)   = (c'(w2w3)−D)⁺/c'(w2•) + λ2(w2)·p_cont(w3)
-    *     c'(w2w3)    = N1+(•w2w3)   (distinct w1 — adjusted count)
-    *     λ2(w2)      = D·N1+'(w2•)/c'(w2•)
-    *     p_cont(w3)  = N1+'(•w3)/|adjusted bigram types| }}}
-    *
-    * D = 0.75 is a LITERAL double at both orders on both engines;
-    * every probability is exact-IEEE double arithmetic over integer
-    * counts, the top-order ln dlog-quantized. Returns
-    * `(grid3 (gram, ll), lam3T (ctx, lam3), p2T (suf, p2),
-    * lam2T (w2, lam2), contT (w, pcont))` — `ctx` is "w1 w2", `suf`
-    * is "w2 w3", p2 RAW (unlogged) doubles because apply-time backoff
-    * composes λ·p before the single quantized ln (materializing
-    * logged backoff values per unseen trigram would be |V|³). */
-  def ngramLmKn3Model(rawCounts: DataFrame)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val tri = rawCounts.filter(col("n") === 3)
-      .select(col("gram"), col("cnt").as("c_tri"))
-      .withColumn("ctx", substring_index(col("gram"), " ", 2))
-      .withColumn("suf", substring_index(col("gram"), " ", -2))
-      .localCheckpoint() // model-sized; feeds five aggregations
-    val lam3T = tri.groupBy(col("ctx"))
-      .agg(sum(col("c_tri")).as("c_ctx"), count(lit(1)).as("n1f3"))
-      .select(col("ctx"), col("c_ctx"),
-        (lit(0.75) * (col("n1f3").cast("double") /
-          col("c_ctx").cast("double"))).as("lam3"))
-    // adjusted bigram table: one row per (w2,w3) with the count of
-    // distinct left extensions (tri rows are distinct gram types)
-    val adj2 = tri.groupBy(col("suf"))
-      .agg(count(lit(1)).as("c_adj"))
-      .withColumn("w2", substring_index(col("suf"), " ", 1))
-      .withColumn("w3", substring_index(col("suf"), " ", -1))
-    val lam2T = adj2.groupBy(col("w2"))
-      .agg(sum(col("c_adj")).as("n_mid"), count(lit(1)).as("n1f2"))
-      .select(col("w2"), col("n_mid"),
-        (lit(0.75) * (col("n1f2").cast("double") /
-          col("n_mid").cast("double"))).as("lam2"))
-    val nTypes2 = adj2.agg(count(lit(1)).as("n_types"))
-    val contT = adj2.groupBy(col("w3"))
-      .agg(count(lit(1)).as("n1b"))
-      .crossJoin(broadcast(nTypes2))
-      .select(col("w3").as("w"),
-        (col("n1b").cast("double") /
-          col("n_types").cast("double")).as("pcont"))
-    val p2T = adj2
-      .join(lam2T, Seq("w2"))
-      .join(contT.withColumnRenamed("w", "w3"), Seq("w3"))
-      .select(col("suf"),
-        ((greatest(col("c_adj").cast("double") - lit(0.75), lit(0.0)) /
-          col("n_mid").cast("double")) +
-          (col("lam2") * col("pcont"))).as("p2"))
-    val grid3 = tri
-      .join(lam3T, Seq("ctx"))
-      .join(p2T, Seq("suf"))
-      .select(col("gram"), Classify.dlog(log(
-        (greatest(col("c_tri").cast("double") - lit(0.75), lit(0.0)) /
-          col("c_ctx").cast("double")) +
-          (col("lam3") * col("p2")))).as("ll"))
-    (grid3, lam3T.select(col("ctx"), col("lam3")), p2T,
-      lam2T.select(col("w2"), col("lam2")), contT)
-  }
-
-  /** Score documents under the trigram KN model — the full recursive
-    * backoff composed at apply time: seen trigrams take the grid
-    * value; an unseen trigram under a seen context composes
-    * λ3(ctx)·p2eff; an unseen context falls to p2eff alone, where
-    * p2eff = the adjusted-bigram probability if (w2,w3) is seen, else
-    * λ2(w2)·p_cont(w3), else p_cont(w3); an OOV final word drops (no
-    * evidence — the NB/KN house discipline). Documents shorter than
-    * three tokens have no trigram and drop, as in the oracle. Same
-    * `(key, n_scored, avg_ll)` contract as the bigram scorers. */
-  def ngramLmScoreKn3(docs: DataFrame, grid3: DataFrame,
-      lam3T: DataFrame, p2T: DataFrame, lam2T: DataFrame,
-      contT: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(keyCol).as("key"), explode(
-        graft.functions.GraftFunctions.word_ngrams(col(textCol), 3))
-        .as("gram"))
-      .withColumn("ctx", substring_index(col("gram"), " ", 2))
-      .withColumn("suf", substring_index(col("gram"), " ", -2))
-      .withColumn("w2", substring_index(col("suf"), " ", 1))
-      .withColumn("w3", substring_index(col("suf"), " ", -1))
-      // the trigram grid and adjusted-bigram table are vocabulary-
-      // sized (they grow with distinct corpus n-grams) and broadcast
-      // only under the size gate; the per-word context/continuation
-      // tables are genuinely model-sized
-      .join(broadcastIfModelSized(grid3), Seq("gram"), "left_outer")
-      .join(broadcast(lam3T), Seq("ctx"), "left_outer")
-      .join(broadcastIfModelSized(p2T), Seq("suf"), "left_outer")
-      .join(broadcast(lam2T), Seq("w2"), "left_outer")
-      .join(broadcast(contT.withColumnRenamed("w", "w3")), Seq("w3"),
-        "left_outer")
-      .withColumn("p2eff", coalesce(col("p2"),
-        col("lam2") * col("pcont"), col("pcont")))
-      .withColumn("ll_eff",
-        when(col("ll").isNotNull, col("ll"))
-          .when(col("lam3").isNotNull && col("p2eff").isNotNull,
-            Classify.dlog(log(col("lam3") * col("p2eff"))))
-          .when(col("p2eff").isNotNull,
-            Classify.dlog(log(col("p2eff")))))
-      .filter(col("ll_eff").isNotNull)
-      .groupBy(col("key"))
-      .agg(count(lit(1)).as("n_scored"),
-        sum(col("ll_eff")).as("sum_ll"))
-      .select(col("key"), col("n_scored"),
-        round((col("sum_ll").cast("double") /
-          col("n_scored").cast("double")).cast(DecimalType(20, 10)), 6)
-          .cast("double").as("avg_ll"))
-  }
-
   /** A trained interpolated-KN chain of arbitrary top order: the
     * top-order grid and λ table, one `(p_k table, λ_k table)` pair
     * per middle order (k = order−1 down to 2, in that sequence), and
@@ -961,13 +745,16 @@ object TextAnalysis {
       contT: DataFrame)
 
   /** Interpolated Kneser-Ney of ANY top order ≥ 3 over the folded
-    * `(n, gram, cnt)` store — [[ngramLmKn3Model]]'s recursive
-    * adjusted-count chain generalized (at order 3 the tables are
-    * BIT-IDENTICAL to that hand-built form — PipelineSpec pins it):
-    * the entire chain derives from the n=`order` rows; each lower
+    * `(n, gram, cnt)` store — the Chen & Goodman 1998 recursive
+    * formulation with KenLM's adjusted-count discipline (PipelineSpec
+    * pins the order-3 tables against a hand-computed fixture): the
+    * entire chain derives from the n=`order` rows; each lower
     * level's counts are distinct-row LEFT-EXTENSION type counts over
-    * the level above; D = 0.75 LITERAL at every level. order=5 is
-    * the production CCNet/KenLM filter order.
+    * the level above, which the negative-partial supersede algebra
+    * keeps exact (zero cells drop, so a superseded gram leaves every
+    * continuation/type count as a retrain would); D = 0.75 LITERAL
+    * at every level. order=5 is the production CCNet/KenLM filter
+    * order; order=3 backs the ta_ngram_lm_kn3 gates.
     *
     * Scale shape: level k is built by ONE grouped count over level
     * k+1 (each level no larger than the one above), λ/denominator
@@ -979,13 +766,27 @@ object TextAnalysis {
       minTopCount)
 
   /** [[ngramLmKnChainModel]] with MODIFIED-KN discounting at the top
-    * order ([[ngramLmMkn3Model]]'s D1/D2/D3+ estimates, generalized):
-    * at order 5 this is KenLM's out-of-the-box model. Lower tiers
-    * keep the single discount (see [[ngramLmMkn3Model]] for why the
-    * adjusted-count tiers' count-of-counts cannot be trusted on
-    * templated corpora); the guarded 0.75 fallback applies. At order
-    * 3 the tables are bit-identical to the hand-built
-    * [[ngramLmMkn3Model]] (PipelineSpec pins it). */
+    * order (Chen & Goodman 1998 §3 — the KenLM/SRILM default):
+    * three count-dependent discounts from the top-order
+    * count-of-count statistics,
+    * {{{ Y = n1/(n1 + 2·n2)
+    *     D1 = 1 − 2Y·(n2/n1),  D2 = 2 − 3Y·(n3/n2),
+    *     D3+ = 3 − 4Y·(n4/n3) }}}
+    * and the three-way λ numerator. At order 5 this is KenLM's
+    * out-of-the-box model. Modified discounting applies at the TOP
+    * order only: the adjusted-count lower tiers keep D = 0.75 — the
+    * count-of-count estimates need n1..n4 > 0 at their order, and
+    * the lower tiers' left-extension-type distributions are exactly
+    * where templated/synthetic corpora go degenerate (this corpus's
+    * adjusted-bigram n3 = n4 = 0; its top-order n1..n4 are healthy
+    * at every gated scale). A Dk whose inputs vanish — or whose
+    * estimate comes out non-positive (possible with valid but skewed
+    * count-of-counts, e.g. n3 ≫ n2) — falls back to 0.75
+    * deterministically (the same CASE on both engines), so exotic
+    * data degrades to plain KN instead of minting probabilities > 1.
+    * PipelineSpec pins the order-3 grid against a hand-computed
+    * fixture covering the formula, fallback, and zero-discounted
+    * head. */
   def ngramLmMknChainModel(rawCounts: DataFrame, order: Int)
       : KnChain = ngramLmChainModel(rawCounts, order,
     modifiedTop = true, minTopCount = 1L)
@@ -1030,18 +831,31 @@ object TextAnalysis {
         val yv = col("n1").cast("double") /
           (col("n1").cast("double") +
             lit(2.0) * col("n2").cast("double"))
-        val disc = coc.select(
+        // raw estimates first, then the positivity clamp as its own
+        // layer: nonzero count-of-counts can still produce a
+        // NON-POSITIVE discount (e.g. n3 >> n2 makes D2 negative),
+        // which would ADD mass to the grid and mint probabilities
+        // > 1 — clamp to the plain-KN 0.75, the same two-layer CASE
+        // on both engines
+        val discRaw = coc.select(
           when(col("n1") > 0, lit(1.0) - lit(2.0) * yv *
             (col("n2").cast("double") / col("n1").cast("double")))
-            .otherwise(lit(0.75)).as("d1"),
+            .otherwise(lit(0.75)).as("d1r"),
           when(col("n1") > 0 && col("n2") > 0,
             lit(2.0) - lit(3.0) * yv *
               (col("n3").cast("double") / col("n2").cast("double")))
-            .otherwise(lit(0.75)).as("d2"),
+            .otherwise(lit(0.75)).as("d2r"),
           when(col("n1") > 0 && col("n3") > 0,
             lit(3.0) - lit(4.0) * yv *
               (col("n4").cast("double") / col("n3").cast("double")))
-            .otherwise(lit(0.75)).as("d3"))
+            .otherwise(lit(0.75)).as("d3r"))
+        val disc = discRaw.select(
+          when(col("d1r") > 0.0, col("d1r")).otherwise(lit(0.75))
+            .as("d1"),
+          when(col("d2r") > 0.0, col("d2r")).otherwise(lit(0.75))
+            .as("d2"),
+          when(col("d3r") > 0.0, col("d3r")).otherwise(lit(0.75))
+            .as("d3"))
         (top.groupBy(col("ctx"))
           .agg(sum(col("c_top")).as("c_ctx"),
             sum(when(col("c_top") === 1, 1L).otherwise(0L)).as("nc1"),
@@ -1148,7 +962,10 @@ object TextAnalysis {
     * any corpus scan. */
   def gopherRules(df: DataFrame, textCol: String,
       keyCol: String): DataFrame = {
-    val text = col(textCol)
+    // a NULL text normalizes to '' so every count is 0 and the doc
+    // DROPS (f_wc fails) instead of emitting NULL flags — one
+    // contract on both engines
+    val text = coalesce(col(textCol), lit(""))
     val toks = tokens(text)
     val lines = split(text, "\n")
     val stoplist = Seq("the", "be", "to", "of", "and",
@@ -1215,7 +1032,10 @@ object TextAnalysis {
       : DataFrame = {
     val lineTokens = (l: Column) =>
       filter(split(lower(l), "\\W+"), t => t =!= "")
-    val keptLines = filter(split(col(textCol), "\n"), l =>
+    // NULL text normalizes to '' (zero kept lines, page drops) —
+    // the same contract the oracle's COALESCE enforces
+    val keptLines = filter(
+      split(coalesce(col(textCol), lit("")), "\n"), l =>
       (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
         l.endsWith("\"")) &&
         size(lineTokens(l)) >= 3 &&
@@ -1376,7 +1196,7 @@ object TextAnalysis {
   }
 
   /** Score documents under a [[KnChain]] — the recursive backoff of
-    * [[ngramLmScoreKn3]] unrolled to the chain's order: seen top
+    * the trigram form unrolled to the chain's order: seen top
     * grams take the grid; an unseen gram under a seen context
     * composes λ_top·p_eff; otherwise p_eff alone, where each level's
     * p_eff = COALESCE(seen p_k, λ_k·p_eff_below, p_eff_below) and
@@ -1393,7 +1213,12 @@ object TextAnalysis {
       .withColumn("ctx", substring_index(col("gram"), " ", n - 1))
       .join(broadcastIfModelSized(chain.gridTop), Seq("gram"),
         "left_outer")
-      .join(broadcast(chain.lamTop), Seq("ctx"), "left_outer")
+      // the top λ table is keyed by (order-1)-gram CONTEXTS — for a
+      // 5-gram chain that is itself vocabulary-sized, so it rides
+      // the same size gate as the grids (per-WORD tables below stay
+      // forced broadcasts)
+      .join(broadcastIfModelSized(chain.lamTop), Seq("ctx"),
+        "left_outer")
     // mids is p_{order-1} first; join each level on its suffix key
     chain.mids.zipWithIndex.foreach { case ((pk, lamK), i) =>
       val k = n - 1 - i
@@ -1405,10 +1230,19 @@ object TextAnalysis {
           "left_outer")
         .withColumn(s"lctx$k",
           substring_index(col(s"suf$k"), " ", k - 1))
-        .join(broadcast(lamK
-          .withColumnRenamed("ctxk", s"lctx$k")
-          .withColumnRenamed("lamk", s"lam$k")), Seq(s"lctx$k"),
-          "left_outer")
+        // λ_k is keyed by (k-1)-word contexts: single-word at k=2
+        // (genuinely model-sized, forced broadcast), gram-keyed and
+        // vocabulary-sized above (size-gated)
+        .join(
+          if (k == 2)
+            broadcast(lamK
+              .withColumnRenamed("ctxk", s"lctx$k")
+              .withColumnRenamed("lamk", s"lam$k"))
+          else
+            broadcastIfModelSized(lamK
+              .withColumnRenamed("ctxk", s"lctx$k")
+              .withColumnRenamed("lamk", s"lam$k")),
+          Seq(s"lctx$k"), "left_outer")
     }
     df = df.withColumn("wlastq", substring_index(col("gram"), " ", -1))
       .join(broadcast(chain.contT.withColumnRenamed("w", "wlastq")),

@@ -4633,8 +4633,16 @@ object PipelineQueries {
     val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
       TextAnalysis.ngramLmCounts(
         docs.filter(col("doc_id") % 3 =!= 0), "text"))
-    TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
-        "doc_id")
+    pplRouteBuckets(
+      TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
+        "doc_id"))
+  }
+
+  /** The fixed-cutoff routing over a scored relation — ONE body for
+    * the inline and at-rest forms, so the calibration constants
+    * can't drift between twins. */
+  private def pplRouteBuckets(scored: DataFrame): DataFrame =
+    scored
       .withColumn("bucket",
         when(col("avg_ll") >= lit(-3.39), lit("head"))
           .when(col("avg_ll") >= lit(-3.42), lit("middle"))
@@ -4643,7 +4651,6 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_scored")).as("n_bigrams"))
       .orderBy(col("bucket"))
-  }
 
   /** [[taPplRoute]] with the KN model derived from the SHARED
     * [[lmCountsRoot]] store — the full production loop at rest:
@@ -4655,16 +4662,9 @@ object PipelineQueries {
     val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
       graft.streaming.NgramLmStream.foldedCountsOf(s,
         lmCountsRoot(s, dir)))
-    TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
-        "doc_id")
-      .withColumn("bucket",
-        when(col("avg_ll") >= lit(-3.39), lit("head"))
-          .when(col("avg_ll") >= lit(-3.42), lit("middle"))
-          .otherwise(lit("tail")))
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_scored")).as("n_bigrams"))
-      .orderBy(col("bucket"))
+    pplRouteBuckets(
+      TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
+        "doc_id"))
   }
 
   private lazy val taPplRouteSql =
@@ -5886,124 +5886,24 @@ object PipelineQueries {
     root
   }
 
-  /** The trigram interpolated-KN oracle — the full
-    * [[TextAnalysis.ngramLmKn3Model]] chain replayed in SQL: raw
-    * trigram counts at the top; the lower orders' counts are
-    * DISTINCT-ROW counts over the order above (KenLM adjusted
-    * counts); discount 0.75 LITERAL at both orders; apply-time
-    * backoff composes raw probabilities before the single quantized
-    * ln, exactly as the Spark scorer does. */
-  private def ngramLmKn3Sql(trainSel: String): String =
-    s"""WITH train AS ($trainSel),
-       ttk AS (
-         SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\W+'),
-             x -> x <> '') AS tk
-         FROM train),
-       tg3 AS (
-         SELECT tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
-         FROM ttk CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
-         WHERE len(tk) >= 3),
-       tri AS (
-         SELECT gram,
-           split_part(gram, ' ', 1) || ' ' || split_part(gram, ' ', 2)
-             AS ctx,
-           split_part(gram, ' ', 2) || ' ' || split_part(gram, ' ', 3)
-             AS suf,
-           COUNT(*) AS c_tri
-         FROM tg3 GROUP BY gram),
-       k3ctx AS (
-         SELECT ctx, SUM(c_tri) AS c_ctx,
-           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
-             CAST(SUM(c_tri) AS DOUBLE)) AS lam3
-         FROM tri GROUP BY ctx),
-       adj2 AS (
-         SELECT suf, split_part(suf, ' ', 1) AS w2,
-           split_part(suf, ' ', 2) AS w3, COUNT(*) AS c_adj
-         FROM tri GROUP BY suf),
-       k3mid AS (
-         SELECT w2, SUM(c_adj) AS n_mid,
-           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
-             CAST(SUM(c_adj) AS DOUBLE)) AS lam2
-         FROM adj2 GROUP BY w2),
-       k3types AS (SELECT COUNT(*) AS n_types FROM adj2),
-       k3cont AS (
-         SELECT w3 AS w, CAST(COUNT(*) AS DOUBLE) /
-           CAST(t.n_types AS DOUBLE) AS pcont
-         FROM adj2 CROSS JOIN k3types t GROUP BY w3, t.n_types),
-       k3p2 AS (
-         SELECT a.suf,
-           (GREATEST(CAST(a.c_adj AS DOUBLE) - CAST(0.75 AS DOUBLE),
-              CAST(0 AS DOUBLE)) / CAST(m.n_mid AS DOUBLE))
-             + (m.lam2 * c.pcont) AS p2
-         FROM adj2 a JOIN k3mid m USING (w2)
-         JOIN k3cont c ON c.w = a.w3),
-       k3grid AS (
-         SELECT t.gram,
-           CAST(ROUND(CAST(ln(
-             (GREATEST(CAST(t.c_tri AS DOUBLE) - CAST(0.75 AS DOUBLE),
-                CAST(0 AS DOUBLE)) / CAST(x.c_ctx AS DOUBLE))
-             + (x.lam3 * p.p2))
-             AS DECIMAL(20,10)), 6) AS DECIMAL(20,6)) AS ll
-         FROM tri t JOIN k3ctx x USING (ctx)
-         JOIN k3p2 p USING (suf)),
-       dtk AS (
-         SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\W+'),
-             x -> x <> '') AS tk
-         FROM documents),
-       docc AS (
-         SELECT doc_id,
-           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
-         FROM dtk CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
-         WHERE len(tk) >= 3),
-       k3sc AS (
-         SELECT o.doc_id,
-           CASE WHEN g.ll IS NOT NULL THEN g.ll
-                WHEN x.lam3 IS NOT NULL AND
-                     COALESCE(p.p2, m.lam2 * c.pcont, c.pcont)
-                       IS NOT NULL THEN
-                  CAST(ROUND(CAST(ln(x.lam3 *
-                    COALESCE(p.p2, m.lam2 * c.pcont, c.pcont))
-                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
-                WHEN COALESCE(p.p2, m.lam2 * c.pcont, c.pcont)
-                       IS NOT NULL THEN
-                  CAST(ROUND(CAST(ln(
-                    COALESCE(p.p2, m.lam2 * c.pcont, c.pcont))
-                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
-                ELSE NULL END AS ll_eff
-         FROM docc o
-         LEFT JOIN k3grid g USING (gram)
-         LEFT JOIN k3ctx x ON x.ctx =
-           split_part(o.gram, ' ', 1) || ' ' || split_part(o.gram, ' ', 2)
-         LEFT JOIN k3p2 p ON p.suf =
-           split_part(o.gram, ' ', 2) || ' ' || split_part(o.gram, ' ', 3)
-         LEFT JOIN k3mid m ON m.w2 = split_part(o.gram, ' ', 2)
-         LEFT JOIN k3cont c ON c.w = split_part(o.gram, ' ', 3))
-       SELECT doc_id, COUNT(*) AS n_scored,
-         CAST(ROUND(CAST(CAST(SUM(ll_eff) AS DOUBLE) / COUNT(*)
-           AS DECIMAL(20,10)), 6) AS DOUBLE) AS avg_ll
-       FROM k3sc WHERE ll_eff IS NOT NULL
-       GROUP BY doc_id ORDER BY doc_id"""
-
   /** Trigram interpolated Kneser-Ney scorer
-    * ([[TextAnalysis.ngramLmKn3Model]]) — the order production
-    * CCNet-style corpus filters actually run, same ⅔-train /
+    * ([[TextAnalysis.ngramLmKnChainModel]] at order 3) — the order
+    * production CCNet-style corpus filters start at, same ⅔-train /
     * score-all split so held-out documents exercise all three
     * backoff tiers. */
   def taNgramLmKn3(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val (g3, lam3T, p2T, lam2T, contT) = TextAnalysis.ngramLmKn3Model(
+    val chain = TextAnalysis.ngramLmKnChainModel(
       TextAnalysis.ngramLmCounts(
-        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 3))
-    TextAnalysis.ngramLmScoreKn3(docs, g3, lam3T, p2T, lam2T, contT,
-        "text", "doc_id")
+        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 3,
+        minN = 3), 3)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
   }
 
-  private lazy val taNgramLmKn3Sql = ngramLmKn3Sql(
-    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0")
+  private lazy val taNgramLmKn3Sql = ngramLmKnChainSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0", 3)
 
   /** [[taNgramLmKn3]] off the SHARED [[lmCountsRoot]] store — the
     * fold already carries n=3 partials, so the trigram chain derives
@@ -6012,10 +5912,9 @@ object PipelineQueries {
   def taNgramLmKn3AtRest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val root = lmCountsRoot(s, dir)
-    val (g3, lam3T, p2T, lam2T, contT) = TextAnalysis.ngramLmKn3Model(
-      graft.streaming.NgramLmStream.foldedCountsOf(s, root))
-    TextAnalysis.ngramLmScoreKn3(docs, g3, lam3T, p2T, lam2T, contT,
-        "text", "doc_id")
+    val chain = TextAnalysis.ngramLmKnChainModel(
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root), 3)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -6028,19 +5927,18 @@ object PipelineQueries {
   def taNgramLmKn3Updated(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val root = lmCountsUpdRoot(s, dir)
-    val (g3, lam3T, p2T, lam2T, contT) = TextAnalysis.ngramLmKn3Model(
-      graft.streaming.NgramLmStream.foldedCountsOf(s, root))
-    TextAnalysis.ngramLmScoreKn3(docs, g3, lam3T, p2T, lam2T, contT,
-        "text", "doc_id")
+    val chain = TextAnalysis.ngramLmKnChainModel(
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root), 3)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
   }
 
-  private lazy val taNgramLmKn3UpdatedSql = ngramLmKn3Sql(
+  private lazy val taNgramLmKn3UpdatedSql = ngramLmKnChainSql(
     """SELECT doc_id,
          CASE WHEN doc_id % 7 = 0 THEN text || ' [rev1]'
               ELSE text END AS text
-       FROM documents WHERE doc_id % 3 <> 0""")
+       FROM documents WHERE doc_id % 3 <> 0""", 3)
 
   /** The generic interpolated-KN-chain oracle — the
     * [[TextAnalysis.ngramLmKnChainModel]] recursion unrolled to SQL
@@ -6113,27 +6011,36 @@ object PipelineQueries {
            SUM(CASE WHEN c_top = 3 THEN 1 ELSE 0 END) AS n3,
            SUM(CASE WHEN c_top = 4 THEN 1 ELSE 0 END) AS n4
          FROM top),
-       mkdisc AS (
+       mkdiscr AS (
          SELECT
            CASE WHEN n1 > 0 THEN
              CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) *
                (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
                  CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
                (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
-           ELSE CAST(0.75 AS DOUBLE) END AS d1,
+           ELSE CAST(0.75 AS DOUBLE) END AS d1r,
            CASE WHEN n1 > 0 AND n2 > 0 THEN
              CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) *
                (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
                  CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
                (CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))
-           ELSE CAST(0.75 AS DOUBLE) END AS d2,
+           ELSE CAST(0.75 AS DOUBLE) END AS d2r,
            CASE WHEN n1 > 0 AND n3 > 0 THEN
              CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) *
                (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
                  CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
                (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE))
-           ELSE CAST(0.75 AS DOUBLE) END AS d3
+           ELSE CAST(0.75 AS DOUBLE) END AS d3r
          FROM mkcoc),
+       mkdisc AS (
+         SELECT
+           CASE WHEN d1r > CAST(0 AS DOUBLE) THEN d1r
+                ELSE CAST(0.75 AS DOUBLE) END AS d1,
+           CASE WHEN d2r > CAST(0 AS DOUBLE) THEN d2r
+                ELSE CAST(0.75 AS DOUBLE) END AS d2,
+           CASE WHEN d3r > CAST(0 AS DOUBLE) THEN d3r
+                ELSE CAST(0.75 AS DOUBLE) END AS d3
+         FROM mkdiscr),
        lamtop AS (
          SELECT ctx, c_ctx, d1, d2, d3,
            (d1 * CAST(nc1 AS DOUBLE) + d2 * CAST(nc2 AS DOUBLE) +
@@ -6225,7 +6132,8 @@ object PipelineQueries {
     val docs = t(s, dir, "documents")
     val chain = TextAnalysis.ngramLmKnChainModel(
       TextAnalysis.ngramLmCounts(
-        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5), 5)
+        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5,
+        minN = 5), 5)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6255,7 +6163,8 @@ object PipelineQueries {
     val docs = t(s, dir, "documents")
     val chain = TextAnalysis.ngramLmMknChainModel(
       TextAnalysis.ngramLmCounts(
-        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5), 5)
+        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5,
+        minN = 5), 5)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6287,7 +6196,8 @@ object PipelineQueries {
     val docs = t(s, dir, "documents")
     val chain = TextAnalysis.ngramLmKnChainModel(
       TextAnalysis.ngramLmCounts(
-        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5), 5,
+        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5,
+        minN = 5), 5,
       minTopCount = 2L)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
@@ -6331,7 +6241,9 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   private lazy val taC4CleanSql =
-    """WITH d AS (
+    """WITH src AS (
+         SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+       d AS (
          SELECT doc_id,
            list_filter(string_split(text, chr(10)), l ->
              (ends_with(l, '.') OR ends_with(l, '!')
@@ -6340,7 +6252,7 @@ object PipelineQueries {
                string_split_regex(lower(l), '\W+'),
                t -> t <> '')) >= 3
              AND NOT contains(lower(l), 'javascript')) AS kept
-         FROM documents),
+         FROM src),
        c AS (
          SELECT doc_id,
            COALESCE(array_to_string(kept, chr(10)), '') AS cleaned,
@@ -6377,12 +6289,14 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   private lazy val taGopherRulesSql =
-    """WITH d AS (
+    """WITH src AS (
+         SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+       d AS (
          SELECT doc_id, text,
            list_filter(string_split_regex(lower(text), '\W+'),
              x -> x <> '') AS tk,
            string_split(text, chr(10)) AS ln
-         FROM documents),
+         FROM src),
        m AS (
          SELECT doc_id,
            CAST(len(tk) AS BIGINT) AS n_words,
@@ -6527,159 +6441,24 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** The modified-KN oracle: count-of-count discounts D1/D2/D3+
-    * (Chen & Goodman's estimates from trigram-type n1..n4, with the
-    * deterministic 0.75 fallback when a Dk's inputs vanish), the
-    * three-way λ3 numerator, and the count-dependent discount in the
-    * grid — every double computed over integer counts with the SAME
-    * operation tree as the Spark model; lower tiers are the kn3
-    * chain verbatim. */
-  private def ngramLmMknSql(trainSel: String): String =
-    s"""WITH train AS ($trainSel),
-       ttk AS (
-         SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\W+'),
-             x -> x <> '') AS tk
-         FROM train),
-       tg3 AS (
-         SELECT tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
-         FROM ttk CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
-         WHERE len(tk) >= 3),
-       tri AS (
-         SELECT gram,
-           split_part(gram, ' ', 1) || ' ' || split_part(gram, ' ', 2)
-             AS ctx,
-           split_part(gram, ' ', 2) || ' ' || split_part(gram, ' ', 3)
-             AS suf,
-           COUNT(*) AS c_tri
-         FROM tg3 GROUP BY gram),
-       mkcoc AS (
-         SELECT SUM(CASE WHEN c_tri = 1 THEN 1 ELSE 0 END) AS n1,
-           SUM(CASE WHEN c_tri = 2 THEN 1 ELSE 0 END) AS n2,
-           SUM(CASE WHEN c_tri = 3 THEN 1 ELSE 0 END) AS n3,
-           SUM(CASE WHEN c_tri = 4 THEN 1 ELSE 0 END) AS n4
-         FROM tri),
-       mkdisc AS (
-         SELECT
-           CASE WHEN n1 > 0 THEN
-             CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) *
-               (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
-                 CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
-               (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
-           ELSE CAST(0.75 AS DOUBLE) END AS d1,
-           CASE WHEN n1 > 0 AND n2 > 0 THEN
-             CAST(2 AS DOUBLE) - CAST(3 AS DOUBLE) *
-               (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
-                 CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
-               (CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))
-           ELSE CAST(0.75 AS DOUBLE) END AS d2,
-           CASE WHEN n1 > 0 AND n3 > 0 THEN
-             CAST(3 AS DOUBLE) - CAST(4 AS DOUBLE) *
-               (CAST(n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) +
-                 CAST(2 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
-               (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE))
-           ELSE CAST(0.75 AS DOUBLE) END AS d3
-         FROM mkcoc),
-       mkctx AS (
-         SELECT ctx, c_ctx, d1, d2, d3,
-           (d1 * CAST(nc1 AS DOUBLE) + d2 * CAST(nc2 AS DOUBLE) +
-             d3 * CAST(nc3p AS DOUBLE)) / CAST(c_ctx AS DOUBLE)
-             AS lam3
-         FROM (SELECT ctx, SUM(c_tri) AS c_ctx,
-                 SUM(CASE WHEN c_tri = 1 THEN 1 ELSE 0 END) AS nc1,
-                 SUM(CASE WHEN c_tri = 2 THEN 1 ELSE 0 END) AS nc2,
-                 SUM(CASE WHEN c_tri >= 3 THEN 1 ELSE 0 END) AS nc3p
-               FROM tri GROUP BY ctx) g CROSS JOIN mkdisc),
-       adj2 AS (
-         SELECT suf, split_part(suf, ' ', 1) AS w2,
-           split_part(suf, ' ', 2) AS w3, COUNT(*) AS c_adj
-         FROM tri GROUP BY suf),
-       k3mid AS (
-         SELECT w2, SUM(c_adj) AS n_mid,
-           CAST(0.75 AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) /
-             CAST(SUM(c_adj) AS DOUBLE)) AS lam2
-         FROM adj2 GROUP BY w2),
-       k3types AS (SELECT COUNT(*) AS n_types FROM adj2),
-       k3cont AS (
-         SELECT w3 AS w, CAST(COUNT(*) AS DOUBLE) /
-           CAST(t.n_types AS DOUBLE) AS pcont
-         FROM adj2 CROSS JOIN k3types t GROUP BY w3, t.n_types),
-       k3p2 AS (
-         SELECT a.suf,
-           (GREATEST(CAST(a.c_adj AS DOUBLE) - CAST(0.75 AS DOUBLE),
-              CAST(0 AS DOUBLE)) / CAST(m.n_mid AS DOUBLE))
-             + (m.lam2 * c.pcont) AS p2
-         FROM adj2 a JOIN k3mid m USING (w2)
-         JOIN k3cont c ON c.w = a.w3),
-       mkgrid AS (
-         SELECT t.gram,
-           CAST(ROUND(CAST(ln(
-             (GREATEST(CAST(t.c_tri AS DOUBLE) -
-                (CASE WHEN t.c_tri = 1 THEN x.d1
-                      WHEN t.c_tri = 2 THEN x.d2
-                      ELSE x.d3 END),
-                CAST(0 AS DOUBLE)) / CAST(x.c_ctx AS DOUBLE))
-             + (x.lam3 * p.p2))
-             AS DECIMAL(20,10)), 6) AS DECIMAL(20,6)) AS ll
-         FROM tri t JOIN mkctx x USING (ctx)
-         JOIN k3p2 p USING (suf)),
-       dtk AS (
-         SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\W+'),
-             x -> x <> '') AS tk
-         FROM documents),
-       docc AS (
-         SELECT doc_id,
-           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
-         FROM dtk CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
-         WHERE len(tk) >= 3),
-       mksc AS (
-         SELECT o.doc_id,
-           CASE WHEN g.ll IS NOT NULL THEN g.ll
-                WHEN x.lam3 IS NOT NULL AND
-                     COALESCE(p.p2, m.lam2 * c.pcont, c.pcont)
-                       IS NOT NULL THEN
-                  CAST(ROUND(CAST(ln(x.lam3 *
-                    COALESCE(p.p2, m.lam2 * c.pcont, c.pcont))
-                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
-                WHEN COALESCE(p.p2, m.lam2 * c.pcont, c.pcont)
-                       IS NOT NULL THEN
-                  CAST(ROUND(CAST(ln(
-                    COALESCE(p.p2, m.lam2 * c.pcont, c.pcont))
-                    AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))
-                ELSE NULL END AS ll_eff
-         FROM docc o
-         LEFT JOIN mkgrid g USING (gram)
-         LEFT JOIN mkctx x ON x.ctx =
-           split_part(o.gram, ' ', 1) || ' ' || split_part(o.gram, ' ', 2)
-         LEFT JOIN k3p2 p ON p.suf =
-           split_part(o.gram, ' ', 2) || ' ' || split_part(o.gram, ' ', 3)
-         LEFT JOIN k3mid m ON m.w2 = split_part(o.gram, ' ', 2)
-         LEFT JOIN k3cont c ON c.w = split_part(o.gram, ' ', 3))
-       SELECT doc_id, COUNT(*) AS n_scored,
-         CAST(ROUND(CAST(CAST(SUM(ll_eff) AS DOUBLE) / COUNT(*)
-           AS DECIMAL(20,10)), 6) AS DOUBLE) AS avg_ll
-       FROM mksc WHERE ll_eff IS NOT NULL
-       GROUP BY doc_id ORDER BY doc_id"""
-
-  /** Modified Kneser-Ney scorer ([[TextAnalysis.ngramLmMkn3Model]])
-    * — the KenLM/SRILM-default discounting at the trigram order,
-    * same split and scoring contract as [[taNgramLmKn3]]; the scorer
-    * is SHARED (identical model shapes). */
+  /** Modified Kneser-Ney scorer
+    * ([[TextAnalysis.ngramLmMknChainModel]] at order 3) — the
+    * KenLM/SRILM-default discounting at the trigram order, same
+    * split and scoring contract as [[taNgramLmKn3]]. */
   def taNgramLmMkn(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val (g3, lam3T, p2T, lam2T, contT) =
-      TextAnalysis.ngramLmMkn3Model(
-        TextAnalysis.ngramLmCounts(
-          docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 3))
-    TextAnalysis.ngramLmScoreKn3(docs, g3, lam3T, p2T, lam2T, contT,
-        "text", "doc_id")
+    val chain = TextAnalysis.ngramLmMknChainModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 3,
+        minN = 3), 3)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
   }
 
-  private lazy val taNgramLmMknSql = ngramLmMknSql(
-    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0")
+  private lazy val taNgramLmMknSql = ngramLmKnChainSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0", 3,
+    modifiedTop = true)
 
   /** [[taNgramLmMkn]] off the SHARED [[lmCountsRoot]] store — the
     * count-of-count statistics n1..n4 are themselves derived from
@@ -6688,11 +6467,9 @@ object PipelineQueries {
   def taNgramLmMknAtRest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val root = lmCountsRoot(s, dir)
-    val (g3, lam3T, p2T, lam2T, contT) =
-      TextAnalysis.ngramLmMkn3Model(
-        graft.streaming.NgramLmStream.foldedCountsOf(s, root))
-    TextAnalysis.ngramLmScoreKn3(docs, g3, lam3T, p2T, lam2T, contT,
-        "text", "doc_id")
+    val chain = TextAnalysis.ngramLmMknChainModel(
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root), 3)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
   }

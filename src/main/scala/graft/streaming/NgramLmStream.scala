@@ -33,14 +33,42 @@ object NgramLmStream {
   /** One micro-batch's additive counts → its own `batch=` partition.
     * `maxN` is a LAYOUT parameter: every batch under one root must
     * carry the same orders, or the fold under-counts the orders a
-    * batch omitted. */
+    * batch omitted — so the FIRST append stamps `maxn.json` and
+    * every later append (including re-crawl diffs) validates against
+    * it instead of trusting caller discipline. */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
       root: String, textCol: String, maxN: Int = 2): Unit = {
     IvfStream.requireNoPendingSwap(root, "NgramLmStream.appendBatch")
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "NgramLmStream.appendBatch")
+    requireSameMaxN(root, maxN, "NgramLmStream.appendBatch")
     TextAnalysis.ngramLmCounts(batch, textCol, maxN)
       .write.mode("overwrite").parquet(s"$root/counts/batch=$batchId")
+  }
+
+  /** Stamp-or-validate the store's order range: a mixed-order store
+    * would silently under-count the orders some batches omitted,
+    * which no fold-side check can see. */
+  private def requireSameMaxN(root: String, maxN: Int,
+      what: String): Unit = {
+    val f = new java.io.File(IvfStream.localPath(root), "maxn.json")
+    if (f.exists()) {
+      val body = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val stamped = """"max_n":(\d+)""".r.findFirstMatchIn(body)
+        .map(_.group(1).toInt)
+      require(stamped.contains(maxN),
+        s"$what: store at $root was stamped max_n=" +
+          s"${stamped.getOrElse("<torn>")} by its first batch, " +
+          s"this append carries maxN=$maxN — a mixed-order store " +
+          "under-counts the orders some batches omit; rebuild the " +
+          "store or match the stamped order range")
+    } else {
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.print(s"""{"max_n":$maxN}""")
+      finally w.close()
+    }
   }
 
   /** Apply one re-crawl batch: superseded versions' counts as
@@ -56,6 +84,7 @@ object NgramLmStream {
       "NgramLmStream.appendDiffBatch")
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "NgramLmStream.appendDiffBatch")
+    requireSameMaxN(root, maxN, "NgramLmStream.appendDiffBatch")
     TextAnalysis.ngramLmCounts(newVersions, textCol, maxN)
       .unionByName(
         TextAnalysis.ngramLmCounts(oldVersions, textCol, maxN)

@@ -2617,9 +2617,9 @@ class PipelineSpec extends SparkSpec {
     // types2=3; p_cont(c)=1/3 (only b c), p_cont(d)=2/3 (b d, c d)
     val train = Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b d"),
       (3L, "e b c"), (4L, "a c d")).toDF("doc_id", "text")
-    val (g3, lam3T, p2T, lam2T, contT) = TextAnalysis.ngramLmKn3Model(
-      TextAnalysis.ngramLmCounts(train, "text", maxN = 3))
-    val grid = g3.select($"gram", $"ll".cast("double"))
+    val chain = TextAnalysis.ngramLmKnChainModel(
+      TextAnalysis.ngramLmCounts(train, "text", maxN = 3), 3)
+    val grid = chain.gridTop.select($"gram", $"ll".cast("double"))
       .as[(String, Double)].collect().toMap
     val lam2b = 0.75 * (2.0 / 3.0)
     val p2bc = (2.0 - 0.75) / 3.0 + lam2b * (1.0 / 3.0)
@@ -2637,8 +2637,8 @@ class PipelineSpec extends SparkSpec {
     // continuation → p_cont(c); "x c d" = unseen ctx, seen adjusted
     // bigram → p2(c d); the rest OOV-drop
     val doc = Seq((9L, "a c c e b d x c d")).toDF("doc_id", "text")
-    val out = TextAnalysis.ngramLmScoreKn3(doc, g3, lam3T, p2T,
-        lam2T, contT, "text", "doc_id")
+    val out = TextAnalysis.ngramLmScoreKnChain(doc, chain,
+        "text", "doc_id")
       .as[(Long, Long, Double)].collect().head
     assert(out._2 === 4L, s"scored-trigram count: $out")
     val lls = Seq(
@@ -2648,35 +2648,6 @@ class PipelineSpec extends SparkSpec {
       d6(math.log(p2cd))) // x c d
     val expect = d6(lls.map(BigDecimal(_)).sum.toDouble / 4.0)
     assert(out._3 === expect)
-  }
-
-  test("generalized KN chain at order 3 is bit-identical to the hand-built trigram model") {
-    val train = Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b d"),
-      (3L, "e b c"), (4L, "a c d")).toDF("doc_id", "text")
-    val counts = TextAnalysis.ngramLmCounts(train, "text", maxN = 3)
-    val (g3, _, _, _, _) = TextAnalysis.ngramLmKn3Model(counts)
-    val chain = TextAnalysis.ngramLmKnChainModel(counts, 3)
-    def gridSet(g: org.apache.spark.sql.DataFrame) =
-      g.select($"gram", $"ll".cast("string"))
-        .as[(String, String)].collect().toSet
-    assert(gridSet(chain.gridTop) === gridSet(g3))
-    // and the scorers agree doc for doc (same joins, same CASE)
-    val doc = Seq((9L, "a c c e b d x c d"), (10L, "a b c a b d"))
-      .toDF("doc_id", "text")
-    val viaKn3 = {
-      val (gg, l3, p2, l2, ct) = TextAnalysis.ngramLmKn3Model(counts)
-      TextAnalysis.ngramLmScoreKn3(doc, gg, l3, p2, l2, ct,
-        "text", "doc_id").orderBy($"key")
-        .as[(Long, Long, Double)].collect().toSeq
-    }
-    val viaChain = TextAnalysis.ngramLmScoreKnChain(doc, chain,
-        "text", "doc_id").orderBy($"key")
-      .as[(Long, Long, Double)].collect().toSeq
-    assert(viaChain === viaKn3)
-    // and the MODIFIED-top chain reproduces the hand-built MKN model
-    val (mg3, _, _, _, _) = TextAnalysis.ngramLmMkn3Model(counts)
-    val mchain = TextAnalysis.ngramLmMknChainModel(counts, 3)
-    assert(gridSet(mchain.gridTop) === gridSet(mg3))
   }
 
   test("modified kneser-ney: count-of-count discounts, guarded fallback, zero-discounted head") {
@@ -2689,9 +2660,9 @@ class PipelineSpec extends SparkSpec {
     // D3+ falls back to 0.75 (n3=0 — the guard path)
     val train = Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b d"),
       (3L, "e b c"), (4L, "a c d")).toDF("doc_id", "text")
-    val (g3, _, _, _, _) = TextAnalysis.ngramLmMkn3Model(
-      TextAnalysis.ngramLmCounts(train, "text", maxN = 3))
-    val grid = g3.select($"gram", $"ll".cast("double"))
+    val grid = TextAnalysis.ngramLmMknChainModel(
+        TextAnalysis.ngramLmCounts(train, "text", maxN = 3), 3)
+      .gridTop.select($"gram", $"ll".cast("double"))
       .as[(String, Double)].collect().toMap
     val yv = 3.0 / (3.0 + 2.0 * 1.0)
     val d1 = 1.0 - 2.0 * yv * (1.0 / 3.0)
@@ -2712,6 +2683,27 @@ class PipelineSpec extends SparkSpec {
     assert(grid("e b c") === d6(math.log(
       (1.0 - d1) / 1.0 + ((d1 * 1.0 + d2 * 0.0 + 0.75 * 0.0) / 1.0) *
         p2bc)))
+    // NON-POSITIVE estimate clamp: n1=2, n2=1, n3=5 → Y=0.5,
+    // D2 = 2−3·0.5·(5/1) = −5.5, which would ADD mass to count-2
+    // grams (probabilities > 1); the second guard layer clamps it to
+    // 0.75 (d1=0.5 and d3=3.0 stay on the formula path)
+    val skew = ((1 to 5).flatMap(i =>
+      Seq.fill(3)(s"s$i t$i u$i")) ++ Seq("p q r", "p q r",
+      "j k l", "m n o")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sgrid = TextAnalysis.ngramLmMknChainModel(
+        TextAnalysis.ngramLmCounts(skew, "text", maxN = 3), 3)
+      .gridTop.select($"gram", $"ll".cast("double"))
+      .as[(String, Double)].collect().toMap
+    val sy = 2.0 / (2.0 + 2.0 * 1.0)
+    val sd1 = 1.0 - 2.0 * sy * (1.0 / 2.0)
+    // ctx "p q": nc2=1 → λ3 = (d1·0 + 0.75·1 + d3·0)/2 with the
+    // CLAMPED d2 = 0.75; p2(q r) = (1−0.75)/1 + 0.75·(1/8)
+    val sp2 = (1.0 - 0.75) / 1.0 + 0.75 * (1.0 / 8.0)
+    assert(sgrid("p q r") === d6(math.log(
+      math.max(2.0 - 0.75, 0.0) / 2.0 +
+        ((sd1 * 0.0 + 0.75 * 1.0 +
+          (3.0 - 4.0 * sy * (0.0 / 5.0)) * 0.0) / 2.0) * sp2)))
   }
 
   test("gopher rules: each rule fires on a crafted violation and a clean doc keeps") {
