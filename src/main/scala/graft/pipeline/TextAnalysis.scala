@@ -594,7 +594,10 @@ object TextAnalysis {
 
   /** JM-interpolated model grids from folded `(n, gram, cnt)` counts:
     * (bigram grid `(gram, ll)`, unigram backoff grid `(w, ll1)`),
-    * both lls 6-dp decimals via [[Classify.dlog]]. Model-sized. */
+    * both lls 6-dp decimals via [[Classify.dlog]]. The
+    * vocabulary-sized bigram grid comes back already size-gated
+    * ([[gateBySize]] at its exact row count, one cheap count on the
+    * checkpointed pair table) so scorers never re-measure it. */
   def ngramLmSmoothedModel(rawCounts: DataFrame)
       : (DataFrame, DataFrame) = {
     // EAGER checkpoint: the counts relation is MODEL-sized by
@@ -625,7 +628,10 @@ object TextAnalysis {
     val grid1 = uni.crossJoin(broadcast(total))
       .select(col("w"),
         Classify.dlog(log(lit(0.1) * pUni)).as("ll1"))
-    (grid2, grid1)
+    // |grid2| == |pair| exactly (both joins are FK-complete), and
+    // pair is a projection of the checkpointed counts — the count is
+    // a materialized-block scan, not a derivation replay
+    (gateBySize(grid2, pair.count()), grid1)
   }
 
   /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; the
@@ -672,7 +678,10 @@ object TextAnalysis {
         (greatest(col("c_pair").cast("double") - lit(0.75), lit(0.0)) /
           col("c_first").cast("double")) +
           (col("lam") * col("pcont")))).as("ll"))
-    (grid2, lamT.select(col("w1"), col("lam")), contT)
+    // |grid2| == |pair| (FK-complete joins); pair is checkpointed, so
+    // the size gate is decided here, once, and carried as a hint
+    (gateBySize(grid2, pair.count()),
+      lamT.select(col("w1"), col("lam")), contT)
   }
 
   /** Broadcast a model relation only when it is genuinely
@@ -680,20 +689,26 @@ object TextAnalysis {
     * (distinct training n-grams grow near-linearly with corpus), so a
     * forced broadcast that wins at gate scale would hit the broadcast
     * limit / driver memory at the 100 TB tier instead of degrading to
-    * a shuffle join. The grid is eagerly checkpointed (materializing
-    * the model once — exactly what train-once/apply-many does
-    * anyway, and its derivation joins otherwise hide the size
-    * estimate from AQE), then counted: under the cap it broadcasts
-    * explicitly (the sf0.1 audit found AQE leaving a SortMergeJoin on
-    * the corpus-side join); over the cap it stays a shuffle join.
+    * a shuffle join (the sf0.1 audit found AQE leaving a
+    * SortMergeJoin on the corpus-side join when nothing hinted).
+    *
+    * `sizeHint` is a row count — or a cheap UPPER BOUND — computed
+    * ONCE where the model is derived or read, from relations that are
+    * already materialized there (the checkpointed count/pair/adjusted
+    * tables every grid is a per-row function of, or the row counts
+    * stamped into a model store's params). The round-15 form of this
+    * gate eagerly checkpointed and counted each grid INSIDE every
+    * scoring call (~7 driver actions per 5-gram apply), which was the
+    * only real common-surface regression that round; sizing at
+    * derivation/read time pays nothing per apply. Conservative by
+    * construction: an over-estimate can only decline a broadcast that
+    * would have fit, never force one that doesn't.
     * 4M rows of (gram, ll) ≈ low hundreds of MB — inside the 8 GB
     * broadcast ceiling with headroom, past the point where
     * per-executor copies stop paying. */
-  private def broadcastIfModelSized(df: DataFrame,
-      maxRows: Long = 4000000L): DataFrame = {
-    val m = df.localCheckpoint()
-    if (m.count() <= maxRows) broadcast(m) else m
-  }
+  private[graft] def gateBySize(df: DataFrame, sizeHint: Long,
+      maxRows: Long = 4000000L): DataFrame =
+    if (sizeHint <= maxRows) broadcast(df) else df
 
   /** Score documents under the KN model: seen bigrams take the grid
     * value; unseen with both words known compose λ(w1)·p_cont(w2) at
@@ -712,9 +727,9 @@ object TextAnalysis {
       .withColumn("w2", substring_index(col("gram"), " ", -1))
       // the context/continuation tables are genuinely model-sized
       // (per-word rows) and broadcast unconditionally (the nbApply
-      // precedent); the vocabulary-sized bigram grid broadcasts only
-      // under the size gate
-      .join(broadcastIfModelSized(grid2), Seq("gram"), "left_outer")
+      // precedent); the vocabulary-sized bigram grid arrives already
+      // size-gated by [[ngramLmKnModel]] — no per-apply measuring
+      .join(grid2, Seq("gram"), "left_outer")
       .join(broadcast(lamT), Seq("w1"), "left_outer")
       .join(broadcast(contT.withColumnRenamed("w", "w2")), Seq("w2"),
         "left_outer")
@@ -739,10 +754,20 @@ object TextAnalysis {
     * per middle order (k = order−1 down to 2, in that sequence), and
     * the continuation-unigram floor. Every table is keyed by the
     * gram/context SUBSTRING the apply-time joins extract, so scoring
-    * is pure equi-joins. */
+    * is pure equi-joins.
+    *
+    * The chain CARRIES its training parameters (`modifiedTop`,
+    * `minTopCount` — so [[writeKnChainModel]] stamps what the chain
+    * was actually trained with, never a caller's claim) and its table
+    * sizes: `topRows` bounds the top grid and λ table, `midRows(i)`
+    * the i-th `mids` pair (k = order−1−i) — row counts measured once
+    * at derivation on the checkpointed count tables (or read back
+    * from a store's params), consumed by [[ngramLmScoreKnChain]]'s
+    * broadcast gate with no per-apply measuring. */
   case class KnChain(order: Int, gridTop: DataFrame,
       lamTop: DataFrame, mids: List[(DataFrame, DataFrame)],
-      contT: DataFrame)
+      contT: DataFrame, modifiedTop: Boolean, minTopCount: Long,
+      topRows: Long, midRows: List[Long])
 
   /** Interpolated Kneser-Ney of ANY top order ≥ 3 over the folded
     * `(n, gram, cnt)` store — the Chen & Goodman 1998 recursive
@@ -935,8 +960,14 @@ object TextAnalysis {
         (greatest(col("c_top").cast("double") - gridDisc, lit(0.0)) /
           col("c_ctx").cast("double")) +
           (col("lam") * col("pk")))).as("ll"))
+    // size hints, measured ONCE on the checkpointed tables (cheap
+    // block scans): |gridTop| ≤ |top|, |lamTop| ≤ |top| (grouped
+    // from it); |p_k| = |adj_k|, |lam_k| ≤ |adj_k|. Upper bounds are
+    // safe for a broadcast gate — they can only decline, never force.
     KnChain(order, gridTop, lamTop.select(col("ctx"), col("lam")),
-      midsAsc.map { case (_, pk, lamK) => (pk, lamK) }, contT)
+      midsAsc.map { case (_, pk, lamK) => (pk, lamK) }, contT,
+      modifiedTop, minTopCount, top.count(),
+      midsAsc.map { case (k, _, _) => adjByLevel(k).count() })
   }
 
   /** Gopher quality rules (Rae et al. 2021, "Scaling Language
@@ -1102,7 +1133,11 @@ object TextAnalysis {
       .select(col("w"),
         (col("c1").cast("double") / col("n_total").cast("double"))
           .as("s1"))
-    (g3, g2, g1)
+    // |g3| ≤ n=3 rows, |g2| ≤ n=2 rows (inner FK joins can only
+    // drop); counts is checkpointed so both measures are cheap and
+    // happen once, at derivation — scorers never re-measure
+    (gateBySize(g3, counts.filter(col("n") === 3).count()),
+      gateBySize(g2, counts.filter(col("n") === 2).count()), g1)
   }
 
   /** Score documents under [[ngramLmSbModel]]: the three-tier CASE
@@ -1116,8 +1151,10 @@ object TextAnalysis {
         .as("gram"))
       .withColumn("suf", substring_index(col("gram"), " ", -2))
       .withColumn("w3", substring_index(col("gram"), " ", -1))
-      .join(broadcastIfModelSized(g3), Seq("gram"), "left_outer")
-      .join(broadcastIfModelSized(g2), Seq("suf"), "left_outer")
+      // g3/g2 arrive pre-gated by [[ngramLmSbModel]]; the unigram
+      // table is per-word and broadcasts unconditionally
+      .join(g3, Seq("gram"), "left_outer")
+      .join(g2, Seq("suf"), "left_outer")
       .join(broadcast(g1.withColumnRenamed("w", "w3")), Seq("w3"),
         "left_outer")
       .withColumn("ll_eff",
@@ -1142,11 +1179,11 @@ object TextAnalysis {
     * [[writeBpeModel]] contract on the LM family). The top grid and
     * p_k tables are vocabulary-sized and keep their partitioned
     * write; the per-word tables are model-sized. A params row stamps
-    * (order, modified_top, min_top_count) and [[readKnChainModel]]
-    * validates it, so a store trained under different parameters
-    * fails loudly instead of being silently consumed. */
-  def writeKnChainModel(chain: KnChain, outDir: String,
-      modifiedTop: Boolean, minTopCount: Long): Unit = {
+    * (order, modified_top, min_top_count) FROM THE CHAIN ITSELF — a
+    * writer cannot claim parameters the chain wasn't trained with —
+    * plus the chain's size hints, so [[readKnChainModel]] revives the
+    * broadcast gate without counting anything. */
+  def writeKnChainModel(chain: KnChain, outDir: String): Unit = {
     val spark = chain.gridTop.sparkSession
     import spark.implicits._
     graft.streaming.IvfStream.requireNoPendingSwap(outDir,
@@ -1159,8 +1196,10 @@ object TextAnalysis {
       lamK.write.mode("overwrite").parquet(s"$outDir/lam_$k")
     }
     chain.contT.write.mode("overwrite").parquet(s"$outDir/cont")
-    Seq((chain.order, modifiedTop, minTopCount))
-      .toDF("order", "modified_top", "min_top_count").coalesce(1)
+    Seq((chain.order, chain.modifiedTop, chain.minTopCount,
+        chain.topRows, chain.midRows))
+      .toDF("order", "modified_top", "min_top_count", "top_rows",
+        "mid_rows").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/params")
   }
 
@@ -1192,7 +1231,10 @@ object TextAnalysis {
         (spark.read.parquet(s"$dir/p_$k"),
           spark.read.parquet(s"$dir/lam_$k"))
       }.toList,
-      spark.read.parquet(s"$dir/cont"))
+      spark.read.parquet(s"$dir/cont"),
+      expectModifiedTop, expectMinTopCount,
+      p.getAs[Long]("top_rows"),
+      p.getSeq[Long](p.fieldIndex("mid_rows")).toList)
   }
 
   /** Score documents under a [[KnChain]] — the recursive backoff of
@@ -1211,22 +1253,25 @@ object TextAnalysis {
         graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
         .as("gram"))
       .withColumn("ctx", substring_index(col("gram"), " ", n - 1))
-      .join(broadcastIfModelSized(chain.gridTop), Seq("gram"),
+      .join(gateBySize(chain.gridTop, chain.topRows), Seq("gram"),
         "left_outer")
       // the top λ table is keyed by (order-1)-gram CONTEXTS — for a
       // 5-gram chain that is itself vocabulary-sized, so it rides
       // the same size gate as the grids (per-WORD tables below stay
-      // forced broadcasts)
-      .join(broadcastIfModelSized(chain.lamTop), Seq("ctx"),
+      // forced broadcasts). All hints were measured at derivation /
+      // read time (the chain carries them) — scoring runs zero
+      // driver actions before the one that consumes it.
+      .join(gateBySize(chain.lamTop, chain.topRows), Seq("ctx"),
         "left_outer")
     // mids is p_{order-1} first; join each level on its suffix key
     chain.mids.zipWithIndex.foreach { case ((pk, lamK), i) =>
       val k = n - 1 - i
+      val kRows = chain.midRows(i)
       df = df
         .withColumn(s"suf$k", substring_index(col("gram"), " ", -k))
-        .join(broadcastIfModelSized(pk
+        .join(gateBySize(pk
           .withColumnRenamed("gramk", s"suf$k")
-          .withColumnRenamed("pk", s"p$k")), Seq(s"suf$k"),
+          .withColumnRenamed("pk", s"p$k"), kRows), Seq(s"suf$k"),
           "left_outer")
         .withColumn(s"lctx$k",
           substring_index(col(s"suf$k"), " ", k - 1))
@@ -1239,9 +1284,9 @@ object TextAnalysis {
               .withColumnRenamed("ctxk", s"lctx$k")
               .withColumnRenamed("lamk", s"lam$k"))
           else
-            broadcastIfModelSized(lamK
+            gateBySize(lamK
               .withColumnRenamed("ctxk", s"lctx$k")
-              .withColumnRenamed("lamk", s"lam$k")),
+              .withColumnRenamed("lamk", s"lam$k"), kRows),
           Seq(s"lctx$k"), "left_outer")
     }
     df = df.withColumn("wlastq", substring_index(col("gram"), " ", -1))
@@ -1285,9 +1330,10 @@ object TextAnalysis {
         graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
         .as("gram"))
       .withColumn("w", substring_index(col("gram"), " ", -1))
-      // vocabulary-sized grid under the size gate; the unigram
-      // backoff table is model-sized and broadcasts unconditionally
-      .join(broadcastIfModelSized(grid2), Seq("gram"), "left_outer")
+      // vocabulary-sized grid arrives pre-gated by
+      // [[ngramLmSmoothedModel]]; the unigram backoff table is
+      // model-sized and broadcasts unconditionally
+      .join(grid2, Seq("gram"), "left_outer")
       .join(broadcast(grid1), Seq("w"), "left_outer")
       .withColumn("ll_eff", coalesce(col("ll"), col("ll1")))
       .filter(col("ll_eff").isNotNull)
@@ -1856,7 +1902,12 @@ object TextAnalysis {
     bpeMergesFast(docs, textCol, rounds, minCount, maxVocab)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/model")
-    Seq((rounds, minCount)).toDF("rounds", "min_count").coalesce(1)
+    // maxVocab is stamped too (round-16 ADVICE): a store trained
+    // with a driver-table cap produces a DIFFERENT merge list than
+    // the uncapped trainer, so a reader expecting the uncapped model
+    // must be able to tell them apart
+    Seq((rounds, minCount, maxVocab))
+      .toDF("rounds", "min_count", "max_vocab").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/params")
   }
 
@@ -1870,7 +1921,8 @@ object TextAnalysis {
     * skip a check (a reader that genuinely doesn't care). */
   def readBpeModel(spark: SparkSession, dir: String,
       expectRounds: Option[Int] = None,
-      expectMinCount: Option[Long] = None): Seq[(String, String)] = {
+      expectMinCount: Option[Long] = None,
+      expectMaxVocab: Option[Int] = None): Seq[(String, String)] = {
     val params = spark.read.parquet(s"$dir/params").collect()
     require(params.length == 1,
       s"readBpeModel: expected exactly one params row under $dir, " +
@@ -1883,6 +1935,12 @@ object TextAnalysis {
       require(p.getAs[Long]("min_count") == c,
         s"readBpeModel: store at $dir was trained with min_count=" +
           s"${p.getAs[Long]("min_count")}, caller expects $c"))
+    expectMaxVocab.foreach(v =>
+      require(p.getAs[Int]("max_vocab") == v,
+        s"readBpeModel: store at $dir was trained with max_vocab=" +
+          s"${p.getAs[Int]("max_vocab")}, caller expects $v — a " +
+          "capped trainer's merge list differs from the uncapped " +
+          "one"))
     spark.read.parquet(s"$dir/model")
       .orderBy(col("round"))
       .select(col("lhs"), col("rhs"))

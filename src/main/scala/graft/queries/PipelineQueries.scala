@@ -3495,14 +3495,17 @@ object PipelineQueries {
     * ordered merge list for every probe. */
   private def bpeStoredMerges(s: SparkSession, dir: String)
       : Seq[(String, String)] = {
-    val root = layoutDir(dir, "documents", "bpe_r8_c1")
+    // _mv suffix: the params row grew a max_vocab stamp in round 16
+    // (content-change rule — an old cache lacks the column)
+    val root = layoutDir(dir, "documents", "bpe_r8_c1_mv")
     ensureLayout(root) {
       TextAnalysis.writeBpeModel(t(s, dir, "documents"), "text",
         rounds = 8, minCount = 1L, root)
       new java.io.File(root, "_SUCCESS").createNewFile(): Unit
     }
     TextAnalysis.readBpeModel(s, root, expectRounds = Some(8),
-      expectMinCount = Some(1L))
+      expectMinCount = Some(1L),
+      expectMaxVocab = Some(Int.MaxValue))
   }
 
   /** [[ppBpeApply]] with the merges read from the at-rest store —
@@ -4732,10 +4735,18 @@ object PipelineQueries {
       TextAnalysis.ngramLmCounts(
         docs.filter(col("doc_id") % 3 =!= 0), "text"))
     // model-sized result (one row per doc): checkpoint so the scan
-    // feeding the cutoff sketch and the bucketing pass runs once
+    // feeding the cutoff sketch and the bucketing pass runs once.
+    // The partitioning is PINNED (fixed count, doc_id hash) before
+    // the sketch so each partition's summary is a deterministic
+    // function of the corpus, not of the session's shuffle-partition
+    // conf (Verify and Bench differ) — merge order can still vary
+    // with task completion, but the measured agreement slack is wide
+    // (≥99.8% at every gated scale, recorded in BASELINE.md) against
+    // the 99% assert (round-16 ADVICE headroom note).
     val scored = TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT,
         "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
+      .repartition(32, col("doc_id"))
       .localCheckpoint()
     // head = top third by score: the 2/3 and 1/3 ascending
     // percentiles are the head/middle floors
@@ -4775,6 +4786,56 @@ object PipelineQueries {
                        AS nt
                    FROM ($taNgramLmKnSql) z) b) g
        GROUP BY bucket ORDER BY bucket"""
+
+  /** The PRODUCTION slice of the corpus-relative router, benched on
+    * its own (round-16 verdict #3): ONE mergeable-sketch pass for the
+    * percentile_approx cutoffs, then scan-local routing against them
+    * — no exact-NTILE comparator anywhere, so this gate's scale
+    * exponent measures the actual 100 TB path
+    * ([[taPplTertilesApprox]]'s 0.75 decade-2 exponent was its exact
+    * comparator's single-task global sort, which exists only for the
+    * agreement CONTRACT and stays gated at the small scales). The
+    * output is contract-shaped (the q28 pattern): per approx bucket,
+    * TRUE iff the bucket holds a sane tertile share (25-42% of
+    * routed docs). Sketch rank error at accuracy 10⁴ is ≤0.01% and
+    * cutoff tie mass is small at a 6-dp score, so the band has wide
+    * headroom while still catching a broken cutoff — a degenerate
+    * threshold routes nearly everything into one bucket and reds the
+    * gate (a missing bucket also reds it: 3 rows expected). */
+  def taPplTertilesProd(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
+      TextAnalysis.ngramLmCounts(
+        docs.filter(col("doc_id") % 3 =!= 0), "text"))
+    val scored = TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT,
+        "text", "doc_id")
+      .withColumnRenamed("key", "doc_id")
+      .repartition(32, col("doc_id"))
+      .localCheckpoint()
+    val cutsRow = scored.agg(percentile_approx(col("avg_ll"),
+      array(lit(2.0 / 3.0), lit(1.0 / 3.0)), lit(10000)).as("cuts"))
+      .collect()(0).getSeq[Double](0)
+    val (cHi, cLo) = (cutsRow(0), cutsRow(1))
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    scored
+      .withColumn("bucket",
+        when(col("avg_ll") >= lit(cHi), lit("head"))
+          .when(col("avg_ll") >= lit(cLo), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        (col("n_docs") * lit(100L) >= col("n_total") * lit(25L) &&
+          col("n_docs") * lit(100L) <= col("n_total") * lit(42L))
+          .as("size_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  private lazy val taPplTertilesProdSql =
+    """SELECT bucket, TRUE AS size_ok
+       FROM (VALUES ('head'), ('middle'), ('tail')) t(bucket)
+       ORDER BY bucket"""
 
   /** Trained language-ID router — the fastText-style production form
     * of the heuristic [[TextAnalysis.langId]]: the proven NB
@@ -5862,6 +5923,44 @@ object PipelineQueries {
     root
   }
 
+  /** Build-once cache of a DERIVED 5-gram KN chain under the layout
+    * discipline (round-16): the grid/λ/backoff tables are a pure
+    * function of the training counts and the (order, modifiedTop,
+    * minTopCount) parameters, and the r15 bench measured a
+    * persisted-chain apply at ~2.4× cheaper than rebuild-per-call —
+    * so each kn5-family gate derives its chain ONCE per surface run
+    * ([[TextAnalysis.writeKnChainModel]]) and every later call reads
+    * the persisted form, exactly what a production deployment does
+    * (KenLM trains once, binarizes, applies many). `fromStore`
+    * selects the training source: the shared [[lmCountsRoot]] fold
+    * (the at-rest path) or a fresh fused corpus scan
+    * ([[TextAnalysis.ngramLmCounts]] minN=5 — keeps the inline count
+    * kernel in the gated surface). The layoutDir name encodes every
+    * parameter (the content-change rule: a chain trained differently
+    * is different content). */
+  private def knChainCached(s: SparkSession, dir: String,
+      modifiedTop: Boolean, minTopCount: Long, fromStore: Boolean)
+      : TextAnalysis.KnChain = {
+    val root = layoutDir(dir, "documents",
+      s"kn_chain_n5_m${if (modifiedTop) 1 else 0}_p$minTopCount" +
+        s"_${if (fromStore) "s" else "i"}")
+    ensureLayout(root) {
+      val counts =
+        if (fromStore) graft.streaming.NgramLmStream.foldedCountsOf(
+          s, lmCountsRoot(s, dir))
+        else TextAnalysis.ngramLmCounts(
+          t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0),
+          "text", maxN = 5, minN = 5)
+      TextAnalysis.writeKnChainModel(
+        if (modifiedTop) TextAnalysis.ngramLmMknChainModel(counts, 5)
+        else TextAnalysis.ngramLmKnChainModel(counts, 5, minTopCount),
+        root)
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    TextAnalysis.readKnChainModel(s, root, 5, modifiedTop,
+      minTopCount)
+  }
+
   /** The re-crawl twin of [[lmCountsRoot]]: base crawl plus one diff
     * batch revising every doc_id%7==0 train document — superseded
     * versions subtract as negative partials at EVERY order, so the
@@ -6127,13 +6226,15 @@ object PipelineQueries {
     * CCNet/KenLM corpus filters actually ship, over the generalized
     * chain ([[TextAnalysis.ngramLmKnChainModel]]); same ⅔-train /
     * score-all split. Documents shorter than five tokens have no
-    * 5-gram and drop, on both engines. */
+    * 5-gram and drop, on both engines. Round-16: the chain is
+    * trained once from the fused corpus scan and CACHED
+    * ([[knChainCached]]) — rebuild-per-call was ~37 s of the r15
+    * bench across the family; the r13-discipline layout cache cuts
+    * each apply to the persisted-chain cost. */
   def taNgramLmKn5(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val chain = TextAnalysis.ngramLmKnChainModel(
-      TextAnalysis.ngramLmCounts(
-        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5,
-        minN = 5), 5)
+    val chain = knChainCached(s, dir, modifiedTop = false,
+      minTopCount = 1L, fromStore = false)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6143,13 +6244,14 @@ object PipelineQueries {
     "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0", 5)
 
   /** [[taNgramLmKn5]] off the SHARED [[lmCountsRoot]] store (the
-    * fold carries n=1..5 partials — one store, every order). Shares
-    * [[taNgramLmKn5Sql]] VERBATIM. */
+    * fold carries n=1..5 partials — one store, every order), the
+    * chain itself cached at rest: the FULL at-rest loop — counts
+    * streamed once, chain derived once, every apply a model read.
+    * Shares [[taNgramLmKn5Sql]] VERBATIM. */
   def taNgramLmKn5AtRest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val root = lmCountsRoot(s, dir)
-    val chain = TextAnalysis.ngramLmKnChainModel(
-      graft.streaming.NgramLmStream.foldedCountsOf(s, root), 5)
+    val chain = knChainCached(s, dir, modifiedTop = false,
+      minTopCount = 1L, fromStore = true)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6161,10 +6263,8 @@ object PipelineQueries {
     * split and contract as [[taNgramLmKn5]]. */
   def taNgramLmMkn5(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val chain = TextAnalysis.ngramLmMknChainModel(
-      TextAnalysis.ngramLmCounts(
-        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5,
-        minN = 5), 5)
+    val chain = knChainCached(s, dir, modifiedTop = true,
+      minTopCount = 1L, fromStore = false)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6174,13 +6274,13 @@ object PipelineQueries {
     "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0", 5,
     modifiedTop = true)
 
-  /** [[taNgramLmMkn5]] off the SHARED [[lmCountsRoot]] store. Shares
-    * [[taNgramLmMkn5Sql]] VERBATIM. */
+  /** [[taNgramLmMkn5]] off the SHARED [[lmCountsRoot]] store, chain
+    * cached at rest ([[knChainCached]]). Shares [[taNgramLmMkn5Sql]]
+    * VERBATIM. */
   def taNgramLmMkn5AtRest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val root = lmCountsRoot(s, dir)
-    val chain = TextAnalysis.ngramLmMknChainModel(
-      graft.streaming.NgramLmStream.foldedCountsOf(s, root), 5)
+    val chain = knChainCached(s, dir, modifiedTop = true,
+      minTopCount = 1L, fromStore = true)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6194,11 +6294,8 @@ object PipelineQueries {
     * retrain. The oracle replays the same grid filter. */
   def taNgramLmKn5Pruned(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val chain = TextAnalysis.ngramLmKnChainModel(
-      TextAnalysis.ngramLmCounts(
-        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 5,
-        minN = 5), 5,
-      minTopCount = 2L)
+    val chain = knChainCached(s, dir, modifiedTop = false,
+      minTopCount = 2L, fromStore = false)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6214,21 +6311,17 @@ object PipelineQueries {
     * cache, every apply reading them back instead of re-deriving
     * from counts. Parquet round-trips the decimals and doubles
     * exactly, so this shares [[taNgramLmKn5Sql]] VERBATIM — the
-    * lossless-store proof on the LM tier. */
+    * lossless-store proof on the LM tier. Since round 16 the WHOLE
+    * kn5 family rides this path ([[knChainCached]]); this gate and
+    * [[taNgramLmKn5AtRest]] deliberately share the store-built cache
+    * root — it was this gate's 2.4× r15 measurement that motivated
+    * the collapse, and it stays registered as the family's
+    * explicitly-validated read-back contract. */
   def taNgramLmKn5ModelAtRest(s: SparkSession,
       dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val root = layoutDir(dir, "documents", "kn5_model_store")
-    ensureLayout(root) {
-      TextAnalysis.writeKnChainModel(
-        TextAnalysis.ngramLmKnChainModel(
-          graft.streaming.NgramLmStream.foldedCountsOf(s,
-            lmCountsRoot(s, dir)), 5),
-        root, modifiedTop = false, minTopCount = 1L)
-      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
-    }
-    val chain = TextAnalysis.readKnChainModel(s, root, 5,
-      expectModifiedTop = false, expectMinTopCount = 1L)
+    val chain = knChainCached(s, dir, modifiedTop = false,
+      minTopCount = 1L, fromStore = true)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6935,6 +7028,7 @@ object PipelineQueries {
     "ta_ppl_route_at_rest" -> (taPplRouteAtRest _),
     "ta_ppl_tertiles" -> (taPplTertiles _),
     "ta_ppl_tertiles_approx" -> (taPplTertilesApprox _),
+    "ta_ppl_tertiles_prod" -> (taPplTertilesProd _),
     "ta_langid_nb" -> (taLangidNb _),
     "ta_langid_nb_at_rest" -> (taLangidNbAtRest _),
     "dd_exact_substring" -> (ddExactSubstring _),
@@ -7053,7 +7147,10 @@ object PipelineQueries {
     "ta_ngram_lm_mkn5_at_rest", "ta_ngram_lm_kn5_model_at_rest",
     "ta_ngram_lm_sb_at_rest",
     "ta_ngram_lm_mkn_at_rest",
-    "ta_langid_nb_at_rest")
+    "ta_langid_nb_at_rest",
+    // round-16: the whole kn5 family reads a cached persisted chain
+    // (knChainCached) — the inline forms build it on first call
+    "ta_ngram_lm_kn5", "ta_ngram_lm_mkn5", "ta_ngram_lm_kn5_pruned")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -7186,6 +7283,7 @@ object PipelineQueries {
     "ta_ppl_route_at_rest" -> taPplRouteSql,
     "ta_ppl_tertiles" -> taPplTertilesSql,
     "ta_ppl_tertiles_approx" -> taPplTertilesApproxSql,
+    "ta_ppl_tertiles_prod" -> taPplTertilesProdSql,
     "ta_langid_nb" -> taLangidNbSql,
     "ta_langid_nb_at_rest" -> taLangidNbSql,
     "dd_exact_substring" -> ddExactSubstringSql,

@@ -298,7 +298,7 @@ object IvfStream {
     * (no appends racing the `write` lambda's layout read — an append
     * in that window may or may not be folded); the manifest protects
     * the arbitrarily-long CRASH-RECOVERY window, not the write. */
-  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+  private[graft] def hadoopConf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)

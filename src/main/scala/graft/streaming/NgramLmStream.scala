@@ -48,22 +48,39 @@ object NgramLmStream {
 
   /** Stamp-or-validate the store's order range: a mixed-order store
     * would silently under-count the orders some batches omitted,
-    * which no fold-side check can see. */
+    * which no fold-side check can see. The stamp is written before
+    * the first batch's parquet commit, so a crash in that window
+    * leaves a stamp with NO committed `batch=` partition — that
+    * store is still cold (the fold would fail loudly on zero
+    * partials), so a later first append with a DIFFERENT order is
+    * legitimate and re-stamps instead of rejecting (round-16 ADVICE:
+    * don't let a batch that never landed dictate the layout). */
   private def requireSameMaxN(root: String, maxN: Int,
       what: String): Unit = {
     val f = new java.io.File(IvfStream.localPath(root), "maxn.json")
-    if (f.exists()) {
-      val body = new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val stamped = """"max_n":(\d+)""".r.findFirstMatchIn(body)
-        .map(_.group(1).toInt)
-      require(stamped.contains(maxN),
-        s"$what: store at $root was stamped max_n=" +
-          s"${stamped.getOrElse("<torn>")} by its first batch, " +
-          s"this append carries maxN=$maxN — a mixed-order store " +
-          "under-counts the orders some batches omit; rebuild the " +
-          "store or match the stamped order range")
-    } else {
+    val stamped: Option[Int] =
+      if (!f.exists()) None
+      else {
+        val body = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"max_n":(\d+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toInt)
+      }
+    if (stamped.isEmpty || stamped != Some(maxN)) {
+      if (stamped.nonEmpty) {
+        // Hadoop-API listing (the requireFreshBatchId discipline): a
+        // java.io listing is silently empty on non-local filesystems
+        val p = new org.apache.hadoop.fs.Path(s"$root/counts")
+        val fs = p.getFileSystem(IvfStream.hadoopConf())
+        val committed = fs.exists(p) && fs.listStatus(p)
+          .exists(_.getPath.getName.startsWith("batch="))
+        require(!committed,
+          s"$what: store at $root was stamped max_n=" +
+            s"${stamped.get} by its first batch, " +
+            s"this append carries maxN=$maxN — a mixed-order store " +
+            "under-counts the orders some batches omit; rebuild the " +
+            "store or match the stamped order range")
+      }
       Option(f.getParentFile).foreach(_.mkdirs())
       val w = new java.io.PrintWriter(f, "UTF-8")
       try w.print(s"""{"max_n":$maxN}""")

@@ -577,16 +577,21 @@ class PlanSpec extends SparkSpec {
 
   test("5-gram KN apply: every model join broadcasts at gate scale, none falls to sort-merge") {
     // the chain's grids are vocabulary-sized and ride the
-    // checkpoint-and-count size gate; under the cap they must all
-    // broadcast — a SortMergeJoin here means the corpus side is
+    // derivation-time size gate (hints carried on KnChain / stamped
+    // into the model store since round 16); under the cap they must
+    // all broadcast — a SortMergeJoin here means the corpus side is
     // being shuffled per model lookup (the round-14 sf10 audit bug
     // class). The gate's over-cap degradation to a shuffle join is
-    // by design and NOT exercised at fixture scale.
+    // by design and NOT exercised at fixture scale. The apply plan
+    // is now a pure read of the persisted chain, so the ladder is
+    // exactly the 9 model joins (gridTop, λtop, p4/λ4, p3/λ3,
+    // p2/λ2, cont) — the derivation joins live in the warm-time
+    // cache build, not here.
     val p = plan("ta_ngram_lm_kn5")
     assert(!p.contains("SortMergeJoin"),
       s"corpus-side model join fell to sort-merge:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     val n = p.linesIterator.count(_.contains("BroadcastHashJoin"))
-    assert(n >= 10, s"expected the full backoff join ladder, got $n")
+    assert(n >= 9, s"expected the full backoff join ladder, got $n")
   }
 }

@@ -1876,7 +1876,7 @@ class StreamingSpec extends SparkSpec {
         (r => TextAnalysis.writeKnChainModel(
           TextAnalysis.ngramLmKnChainModel(
             TextAnalysis.ngramLmCounts(few, "text", maxN = 3), 3),
-          r, modifiedTop = false, minTopCount = 1L)))
+          r)))
     sweep.foreach { case (name, op) =>
       val r = pendForeign()
       val e = intercept[IllegalStateException](op(r))
