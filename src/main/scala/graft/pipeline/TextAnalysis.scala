@@ -16,6 +16,40 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\W+"), _ =!= "")
 
+  /** Dirty-document normalization battery (round-16 verdict #7) —
+    * the pre-filter cleanup production pipelines run BEFORE
+    * Gopher/C4-style heuristics, which all assume normalized text.
+    * One scan-local expression chain, every step an exact string op
+    * both engines define identically (the DuckDB twin is
+    * PipelineQueries.normalizeSqlExpr — keep them in lockstep):
+    *
+    *  1. unicode punctuation fold: curly quotes U+2018/19/1C/1D →
+    *     ASCII quotes, en/em dash U+2013/14 → `-`, NBSP U+00A0 →
+    *     space (1:1 codepoint `translate`, all BMP);
+    *  2. ellipsis U+2026 → `...`;
+    *  3. control-char strip: C0 controls except `\t\n\r`, plus DEL;
+    *  4. horizontal-whitespace collapse: runs of space/tab → one
+    *     space (after 1, so folded NBSPs collapse too);
+    *  5. line-edge trim: the single spaces 4 can leave around a
+    *     newline are absorbed into it (left-to-right, same result
+    *     on RE2 and the JVM regex engine);
+    *  6. outer space trim.
+    *
+    * NULL propagates (callers' COALESCE contracts are unchanged).
+    * Deliberately NOT locale/NFC-aware — the NFC fold lives in the
+    * round-13 [[graft.functions]] NfcNormalize expression; this is
+    * the byte-level cleanup tier below it. */
+  def normalizeText(c: Column): Column = {
+    val folded = translate(c,
+      "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0",
+      "''\"\"-- ")
+    val ell = regexp_replace(folded, "\u2026", "...")
+    val ctrl = regexp_replace(ell,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val hws = regexp_replace(ctrl, "[ \\t]+", " ")
+    trim(regexp_replace(hws, " ?\\n ?", "\n"))
+  }
+
   /** Number of non-overlapping occurrences of `needle` in `haystack` —
     * replace-and-measure, the classic engine-portable counting trick. */
   def countOccurrences(haystack: Column, needle: String): Column =
@@ -565,8 +599,28 @@ object TextAnalysis {
     * the bigram JM/KN models filter n≤2, the trigram KN chain
     * derives everything from n=3 rows
     * ([[ngramLmKnChainModel]]). */
+  /** Sentence-boundary-padded word n-grams — the KenLM/CCNet
+    * convention: n−1 `<s>` markers on the left (so the first real
+    * token is predicted in full left context) and one `</s>` on the
+    * right (so sentence end is itself predicted). Built from the
+    * SAME lowercase+`\W+` token kernel as [[tokens]], whose output
+    * alphabet is `[a-z0-9_]+` — the angle-bracket markers cannot
+    * collide with any real token. No gram ever ENDS in `<s>` (the
+    * markers occupy only the first n−1 positions), matching KenLM's
+    * "condition on, never predict, BOS" rule; an empty document
+    * still emits the one `<s>…</s>` gram, which is the standard
+    * p(</s>|<s>…) score of an empty sentence. */
+  def wordNgramsBounded(text: Column, n: Int): Column = {
+    val padded = concat(
+      array_repeat(lit("<s>"), n - 1), tokens(text),
+      array(lit("</s>")))
+    transform(sequence(lit(0), size(padded) - n),
+      i => array_join(slice(padded, i + 1, lit(n)), " "))
+  }
+
   def ngramLmCounts(df: DataFrame, textCol: String,
-      maxN: Int = 2, minN: Int = 1): DataFrame = {
+      maxN: Int = 2, minN: Int = 1,
+      boundary: Boolean = false): DataFrame = {
     require(maxN >= 2, s"ngramLmCounts: maxN >= 2, got $maxN")
     require(minN >= 1 && minN <= maxN,
       s"ngramLmCounts: 1 <= minN <= maxN, got $minN..$maxN")
@@ -580,10 +634,14 @@ object TextAnalysis {
     // lowercase + \W+ kernel), so the n=1 rows are unchanged.
     // minN trims the explode for consumers that need only the top
     // orders (a pure-trigram/5-gram chain built INLINE); the shared
-    // at-rest store always writes the full 1..maxN range.
+    // at-rest store always writes the full 1..maxN range. `boundary`
+    // swaps in the `<s>`/`</s>`-padded kernel — a DIFFERENT gram
+    // stream at every order, so a boundary store is different
+    // CONTENT and must live under its own layout name.
     val tagged = flatten(array((minN to maxN).map { n =>
       transform(
-        graft.functions.GraftFunctions.word_ngrams(col(textCol), n),
+        if (boundary) wordNgramsBounded(col(textCol), n)
+        else graft.functions.GraftFunctions.word_ngrams(col(textCol), n),
         g => struct(lit(n).as("n"), g.as("gram")))
     }: _*))
     df.select(explode(tagged).as("x"))
@@ -1245,12 +1303,17 @@ object TextAnalysis {
     * the floor is the continuation unigram; an OOV final word drops.
     * Same `(key, n_scored, avg_ll)` contract as every LM scorer. */
   def ngramLmScoreKnChain(docs: DataFrame, chain: KnChain,
-      textCol: String, keyCol: String): DataFrame = {
+      textCol: String, keyCol: String,
+      boundary: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val n = chain.order
+    // `boundary` must match how the chain was TRAINED (a boundary
+    // model's grid carries <s>/</s> grams; an unpadded query stream
+    // would never hit them, and vice versa)
     var df = docs.select(col(keyCol).as("key"), explode(
-        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        if (boundary) wordNgramsBounded(col(textCol), n)
+        else graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
         .as("gram"))
       .withColumn("ctx", substring_index(col("gram"), " ", n - 1))
       .join(gateBySize(chain.gridTop, chain.topRows), Seq("gram"),

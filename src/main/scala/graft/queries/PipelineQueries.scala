@@ -4107,6 +4107,133 @@ object PipelineQueries {
            THEN ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
        FROM j GROUP BY lang, source ORDER BY lang, source"""
 
+  /** [[ppFilterE2e]] with the LM-PERPLEXITY routing stage production
+    * funnels actually run (CCNet/RefinedWeb gate on a KenLM-style
+    * perplexity next to the heuristics; round-16 verdict #5): quality
+    * → repetition → perplexity → MinHash near-dup, first-rejecting-
+    * stage attribution preserved (drops + kept = input). The
+    * perplexity stage is [[taPplRoute]]'s exact shape — the KN bigram
+    * model trained on the ⅔ slice, scores compared to the FIXED
+    * calibration cutoff (−3.42, the route's tail floor: CCNet keeps
+    * head+middle), scan-local over the scored corpus. A document with
+    * no scorable bigram has no perplexity evidence and DROPS at the
+    * ppl stage (deterministic on both engines — the oracle's COALESCE
+    * replays it). */
+  def ppFilterPplE2e(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sig = TextAnalysis.repetitionStats(
+      TextAnalysis.qualityMetrics(d, "text"), "text", n = 3)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+        col("quality_score"), col("dup_fraction"))
+    val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
+      TextAnalysis.ngramLmCounts(
+        d.filter(col("doc_id") % 3 =!= 0), "text"))
+    val scored = TextAnalysis.ngramLmScoreKn(d, g2, lamT, contT,
+        "text", "doc_id")
+      .select(col("key").as("doc_id"), col("avg_ll"))
+    val dupOf = Dedup.minHashCandidates(d, "text", "doc_id")
+      .groupBy(col("key_b")).agg(min(col("key_a")).as("near_dup_of"))
+    val flags = sig
+      .join(scored, Seq("doc_id"), "left_outer")
+      .join(dupOf, sig("doc_id") === dupOf("key_b"), "left_outer")
+      .withColumn("pass_q", col("quality_score") >= 0.65)
+      .withColumn("pass_r", col("dup_fraction") <= 0.01)
+      .withColumn("pass_p",
+        coalesce(col("avg_ll") >= lit(-3.42), lit(false)))
+      .withColumn("pass_d", col("near_dup_of").isNull)
+    flags.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(!col("pass_q"), 1L).otherwise(0L)).as("drop_quality"),
+        sum(when(col("pass_q") && !col("pass_r"), 1L).otherwise(0L))
+          .as("drop_repetition"),
+        sum(when(col("pass_q") && col("pass_r") && !col("pass_p"), 1L)
+          .otherwise(0L)).as("drop_ppl"),
+        sum(when(col("pass_q") && col("pass_r") && col("pass_p") &&
+          !col("pass_d"), 1L).otherwise(0L)).as("drop_neardup"),
+        sum(when(col("pass_q") && col("pass_r") && col("pass_p") &&
+          col("pass_d"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("pass_q") && col("pass_r") && col("pass_p") &&
+          col("pass_d"), col("ws_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private lazy val ppFilterPplE2eSql =
+    s"""WITH ${minhashBandsCte(Int.MaxValue)},
+       ndup AS (
+         SELECT b.doc_id, MIN(a.doc_id) AS near_dup_of
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+         GROUP BY b.doc_id),
+       pplsc AS (
+         SELECT doc_id, avg_ll FROM ($taNgramLmKnSql) pz),
+       m AS (
+         SELECT doc_id, lang, source,
+           len(list_filter(string_split_regex(lower(text), '\\W+'),
+                           x -> x <> '')) AS n_tokens,
+           length(regexp_replace(lower(text),
+             '[a-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS n_punct,
+           length(text) AS n_len,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text),
+                         '[ \\t\\n\\x0B\\f\\r]+')) END AS BIGINT)
+             AS ws_tokens
+         FROM documents),
+       q AS (
+         SELECT doc_id, lang, source, ws_tokens,
+           CAST(ROUND(CAST(GREATEST(0.0, LEAST(1.0,
+             CASE WHEN n_tokens > 0
+               THEN 0.5 + 0.5 * LEAST(1.0, n_tokens / 100.0) -
+                    (CASE WHEN n_len > 0
+                     THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END)
+               ELSE 0.0 END)) AS DECIMAL(28,10)), 3) AS DOUBLE) AS qs
+         FROM m),
+       rtoks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\W+'),
+             x -> x <> '') AS tk
+         FROM documents),
+       rg AS (
+         SELECT doc_id,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS gram
+         FROM rtoks CROSS JOIN unnest(range(len(tk) - 2)) AS r(i)
+         WHERE len(tk) >= 3),
+       ragg AS (
+         SELECT doc_id, COUNT(*) AS ng, COUNT(DISTINCT gram) AS nd
+         FROM rg GROUP BY doc_id),
+       rep AS (
+         SELECT d.doc_id,
+           CAST(ROUND(CAST(CASE WHEN COALESCE(a.ng, 0) > 0
+             THEN 1.0 - CAST(a.nd AS DOUBLE) / a.ng
+             ELSE 0.0 END AS DECIMAL(28,10)), 3) AS DOUBLE) AS rf
+         FROM documents d LEFT JOIN ragg a ON d.doc_id = a.doc_id),
+       j AS (
+         SELECT q.lang, q.source, q.ws_tokens,
+           (q.qs >= 0.65) AS pass_q,
+           (rep.rf <= 0.01) AS pass_r,
+           COALESCE(pplsc.avg_ll >= CAST(-3.42 AS DOUBLE), FALSE)
+             AS pass_p,
+           (ndup.near_dup_of IS NULL) AS pass_d
+         FROM q JOIN rep ON q.doc_id = rep.doc_id
+           LEFT JOIN pplsc ON q.doc_id = pplsc.doc_id
+           LEFT JOIN ndup ON q.doc_id = ndup.doc_id)
+       SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_in,
+         CAST(SUM(CASE WHEN NOT pass_q THEN 1 ELSE 0 END) AS BIGINT)
+           AS drop_quality,
+         CAST(SUM(CASE WHEN pass_q AND NOT pass_r THEN 1 ELSE 0 END)
+           AS BIGINT) AS drop_repetition,
+         CAST(SUM(CASE WHEN pass_q AND pass_r AND NOT pass_p
+           THEN 1 ELSE 0 END) AS BIGINT) AS drop_ppl,
+         CAST(SUM(CASE WHEN pass_q AND pass_r AND pass_p AND
+           NOT pass_d THEN 1 ELSE 0 END) AS BIGINT) AS drop_neardup,
+         CAST(SUM(CASE WHEN pass_q AND pass_r AND pass_p AND pass_d
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN pass_q AND pass_r AND pass_p AND pass_d
+           THEN ws_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       FROM j GROUP BY lang, source ORDER BY lang, source"""
+
   /** Per-document stage attribution of the EXACT-dedup curation
     * funnel ([[graft.streaming.CurationStream.batchVerdicts]]) — the
     * batch reference the incremental readStream/foreachBatch funnel is
@@ -5939,18 +6066,23 @@ object PipelineQueries {
     * parameter (the content-change rule: a chain trained differently
     * is different content). */
   private def knChainCached(s: SparkSession, dir: String,
-      modifiedTop: Boolean, minTopCount: Long, fromStore: Boolean)
-      : TextAnalysis.KnChain = {
+      modifiedTop: Boolean, minTopCount: Long, fromStore: Boolean,
+      boundary: Boolean = false): TextAnalysis.KnChain = {
     val root = layoutDir(dir, "documents",
       s"kn_chain_n5_m${if (modifiedTop) 1 else 0}_p$minTopCount" +
-        s"_${if (fromStore) "s" else "i"}")
+        s"_${if (fromStore) "s" else "i"}" +
+        (if (boundary) "_b" else ""))
     ensureLayout(root) {
       val counts =
-        if (fromStore) graft.streaming.NgramLmStream.foldedCountsOf(
-          s, lmCountsRoot(s, dir))
+        if (fromStore && boundary)
+          graft.streaming.NgramLmStream.foldedCountsOf(
+            s, lmCountsBosRoot(s, dir))
+        else if (fromStore)
+          graft.streaming.NgramLmStream.foldedCountsOf(
+            s, lmCountsRoot(s, dir))
         else TextAnalysis.ngramLmCounts(
           t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0),
-          "text", maxN = 5, minN = 5)
+          "text", maxN = 5, minN = 5, boundary = boundary)
       TextAnalysis.writeKnChainModel(
         if (modifiedTop) TextAnalysis.ngramLmMknChainModel(counts, 5)
         else TextAnalysis.ngramLmKnChainModel(counts, 5, minTopCount),
@@ -5959,6 +6091,29 @@ object PipelineQueries {
     }
     TextAnalysis.readKnChainModel(s, root, 5, modifiedTop,
       minTopCount)
+  }
+
+  /** The BOUNDARY-PADDED 5-gram count store
+    * ([[TextAnalysis.wordNgramsBounded]] — `<s>`/`</s>` markers, the
+    * KenLM/CCNet sentence-boundary convention, round-16 verdict #4).
+    * A DIFFERENT gram stream than [[lmCountsRoot]]'s at every order,
+    * hence its own layout name (content-change rule). minN=5: the
+    * boundary chain derives entirely from its top-order rows, so the
+    * store carries only them. */
+  private def lmCountsBosRoot(s: SparkSession, dir: String): String = {
+    val train = t(s, dir, "documents")
+      .filter(col("doc_id") % 3 =!= 0)
+    val root = layoutDir(dir, "documents", "ngram_lm_counts_bos_n5")
+    ensureLayout(root) {
+      graft.streaming.NgramLmStream.appendBatch(
+        train.filter(col("doc_id") % 2 === 0), 0L, root, "text",
+        maxN = 5, minN = 5, boundary = true)
+      graft.streaming.NgramLmStream.appendBatch(
+        train.filter(col("doc_id") % 2 === 1), 1L, root, "text",
+        maxN = 5, minN = 5, boundary = true)
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    root
   }
 
   /** The re-crawl twin of [[lmCountsRoot]]: base crawl plus one diff
@@ -6046,13 +6201,23 @@ object PipelineQueries {
     * probability tables, and an apply CASE whose nested COALESCE
     * backoff mirrors the Spark scorer expression for expression. */
   private def ngramLmKnChainSql(trainSel: String, order: Int,
-      modifiedTop: Boolean = false, minTopCount: Long = 1L)
-      : String = {
+      modifiedTop: Boolean = false, minTopCount: Long = 1L,
+      boundary: Boolean = false): String = {
     val n = order
     def words(c: String, from: Int, to: Int): String =
       (from to to).map(i => s"split_part($c, ' ', $i)")
         .mkString(" || ' ' || ")
     val gramExpr = (1 to n).map(i => s"tk[i+$i]").mkString(" || ' ' || ")
+    // boundary twin: the token list is padded with n-1 '<s>' markers
+    // and one '</s>' (DuckDB || is list concat) — the gram CTEs
+    // downstream are unchanged, they just see the longer list
+    val tkExpr =
+      if (!boundary)
+        """list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '')"""
+      else Seq.fill(n - 1)("'<s>'").mkString("[", ", ", "]") +
+        """ || list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') || ['</s>']"""
     def dlogSql(x: String): String =
       s"CAST(ROUND(CAST(ln($x) AS DECIMAL(20,10)), 6) AS DECIMAL(20,6))"
     val adjCtes = ((n - 1) to 2 by -1).map { k =>
@@ -6161,9 +6326,7 @@ object PipelineQueries {
     }
     s"""WITH train AS ($trainSel),
        ttk AS (
-         SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\W+'),
-             x -> x <> '') AS tk
+         SELECT doc_id, $tkExpr AS tk
          FROM train),
        tgn AS (
          SELECT $gramExpr AS gram
@@ -6193,9 +6356,7 @@ object PipelineQueries {
          JOIN p${n - 1} p ON p.gramk = t.suf
          WHERE t.c_top >= $minTopCount),
        dtk AS (
-         SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\W+'),
-             x -> x <> '') AS tk
+         SELECT doc_id, $tkExpr AS tk
          FROM documents),
        docc AS (
          SELECT doc_id, $gramExpr AS gram
@@ -6327,15 +6488,44 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** [[taNgramLmKn5]] trained and scored with SENTENCE BOUNDARIES
+    * (round-16 verdict #4): KenLM/CCNet condition the first words of
+    * a document on `<s>` context and predict `</s>`, so production
+    * perplexities diverge from unpadded ones exactly on short
+    * documents — the ones a perplexity filter most often rules on.
+    * The chain trains off the boundary-padded count store
+    * ([[lmCountsBosRoot]]) and is cached like the rest of the family;
+    * scoring explodes the SAME padded gram stream. The oracle is the
+    * generic chain replay over padded token arrays — every document
+    * now scores (len+1 grams ≥ 1), so the n_scored column itself
+    * proves the padding happened on both engines. */
+  def taNgramLmKn5Bos(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val chain = knChainCached(s, dir, modifiedTop = false,
+      minTopCount = 1L, fromStore = true, boundary = true)
+    TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id",
+        boundary = true)
+      .withColumnRenamed("key", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNgramLmKn5BosSql = ngramLmKnChainSql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0", 5,
+    boundary = true)
+
   /** C4 cleaning heuristics ([[TextAnalysis.c4Clean]]) — line-level
     * rewrite + page-level drop, replayed string-op for string-op. */
   def taC4Clean(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.c4Clean(t(s, dir, "documents"), "text", "doc_id")
+    TextAnalysis.c4Clean(
+        t(s, dir, "documents").withColumn("text",
+          TextAnalysis.normalizeText(col("text"))), "text", "doc_id")
       .orderBy(col("doc_id"))
 
   private lazy val taC4CleanSql =
-    """WITH src AS (
-         SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    "WITH src AS (SELECT doc_id, " +
+      normalizeSqlExpr("COALESCE(text, '')") +
+      " AS text FROM documents)," +
+    """
        d AS (
          SELECT doc_id,
            list_filter(string_split(text, chr(10)), l ->
@@ -6373,17 +6563,77 @@ object PipelineQueries {
              t -> t = 'badwordplaceholder')) > 0 AS keep
        FROM m ORDER BY doc_id"""
 
+  /** The DuckDB twin of [[TextAnalysis.normalizeText]] — the same
+    * six-step chain over `$col`, built from chr() codepoints so the
+    * oracle SQL stays pure ASCII (control chars and curly quotes in
+    * a JSON-dumped literal are asking for trouble). Keep in lockstep
+    * with the Spark expression. */
+  private def normalizeSqlExpr(col: String): String =
+    s"""trim(regexp_replace(regexp_replace(regexp_replace(replace(
+         translate($col,
+           chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||
+             chr(8212)||chr(160),
+           chr(39)||chr(39)||chr(34)||chr(34)||'--'||chr(32)),
+         chr(8230), '...'),
+         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         '[ \\t]+', ' ', 'g'),
+         ' ?\\n ?', chr(10), 'g'))"""
+
+  /** Dirty-document normalization ([[TextAnalysis.normalizeText]])
+    * driver-gated char-for-char. The synthetic corpus is already
+    * clean, so every 7th document is prefixed with a deterministic
+    * dirty snippet (the ta_pii injection precedent) exercising every
+    * battery step — curly quotes, em dash, ellipsis, NBSP, a C0
+    * control, doubled spaces, a tab, space-padded line breaks —
+    * replayed via chr() codepoints in the oracle. `changed` proves
+    * each step fired (and that clean documents pass through
+    * untouched). */
+  def taNormalize(s: SparkSession, dir: String): DataFrame = {
+    val dirty = "\u201CQuoted\u201D \u2014 it\u2019s " +
+      "\u2026\u00A0here\u0001 \t twice  spaced \n  padded line\n"
+    val src = t(s, dir, "documents").withColumn("raw",
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(dirty), col("text"))).otherwise(col("text")))
+    src.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("raw")).as("normalized"),
+        (TextAnalysis.normalizeText(col("raw")) =!= col("raw"))
+          .as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val taNormalizeSql = {
+    val dirtyExpr = "chr(8220)||'Quoted'||chr(8221)||' '||" +
+      "chr(8212)||' it'||chr(8217)||'s '||chr(8230)||chr(160)||" +
+      "'here'||chr(1)||' '||chr(9)||' twice  spaced '||chr(10)||" +
+      "'  padded line'||chr(10)"
+    s"""WITH src AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN $dirtyExpr || text
+                ELSE text END AS raw
+         FROM documents)
+       SELECT doc_id, ${normalizeSqlExpr("raw")} AS normalized,
+         (${normalizeSqlExpr("raw")} <> raw) AS changed
+       FROM src ORDER BY doc_id"""
+  }
+
   /** Gopher quality rules ([[TextAnalysis.gopherRules]]) — the
     * Rae et al. 2021 production filter battery, one scan-local pass,
-    * every ratio an integer cross-multiplication. */
+    * every ratio an integer cross-multiplication. Since round 16 the
+    * battery runs over NORMALIZED text ([[TextAnalysis.normalizeText]]
+    * — the order production pipelines actually apply them in; the
+    * oracle replays the same normalization inside its src CTE). */
   def taGopherRules(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.gopherRules(t(s, dir, "documents"), "text",
+    TextAnalysis.gopherRules(
+        t(s, dir, "documents").withColumn("text",
+          TextAnalysis.normalizeText(col("text"))), "text",
         "doc_id")
       .orderBy(col("doc_id"))
 
   private lazy val taGopherRulesSql =
-    """WITH src AS (
-         SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+    "WITH src AS (SELECT doc_id, " +
+      normalizeSqlExpr("COALESCE(text, '')") +
+      " AS text FROM documents)," +
+    """
        d AS (
          SELECT doc_id, text,
            list_filter(string_split_regex(lower(text), '\W+'),
@@ -7012,10 +7262,12 @@ object PipelineQueries {
     "ta_ngram_lm_kn3" -> (taNgramLmKn3 _),
     "ta_ngram_lm_kn5" -> (taNgramLmKn5 _),
     "ta_ngram_lm_kn5_at_rest" -> (taNgramLmKn5AtRest _),
+    "ta_ngram_lm_kn5_bos" -> (taNgramLmKn5Bos _),
     "ta_ngram_lm_kn5_pruned" -> (taNgramLmKn5Pruned _),
     "ta_ngram_lm_kn5_model_at_rest" -> (taNgramLmKn5ModelAtRest _),
     "ta_c4_clean" -> (taC4Clean _),
     "ta_gopher_rules" -> (taGopherRules _),
+    "ta_normalize" -> (taNormalize _),
     "ta_ngram_lm_sb" -> (taNgramLmSb _),
     "ta_ngram_lm_sb_at_rest" -> (taNgramLmSbAtRest _),
     "ta_ngram_lm_mkn5" -> (taNgramLmMkn5 _),
@@ -7097,6 +7349,7 @@ object PipelineQueries {
     "pp_jsonl_roundtrip" -> (ppJsonlRoundtrip _),
     "pp_csv_roundtrip" -> (ppCsvRoundtrip _),
     "pp_filter_e2e" -> (ppFilterE2e _),
+    "pp_filter_ppl_e2e" -> (ppFilterPplE2e _),
     "pp_curation_verdicts" -> (ppCurationVerdicts _),
     "mm_features" -> (mmFeatures _),
     "mm_decode" -> (mmDecode _),
@@ -7150,7 +7403,8 @@ object PipelineQueries {
     "ta_langid_nb_at_rest",
     // round-16: the whole kn5 family reads a cached persisted chain
     // (knChainCached) — the inline forms build it on first call
-    "ta_ngram_lm_kn5", "ta_ngram_lm_mkn5", "ta_ngram_lm_kn5_pruned")
+    "ta_ngram_lm_kn5", "ta_ngram_lm_mkn5", "ta_ngram_lm_kn5_pruned",
+    "ta_ngram_lm_kn5_bos")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -7267,10 +7521,12 @@ object PipelineQueries {
     "ta_ngram_lm_kn3" -> taNgramLmKn3Sql,
     "ta_ngram_lm_kn5" -> taNgramLmKn5Sql,
     "ta_ngram_lm_kn5_at_rest" -> taNgramLmKn5Sql,
+    "ta_ngram_lm_kn5_bos" -> taNgramLmKn5BosSql,
     "ta_ngram_lm_kn5_pruned" -> taNgramLmKn5PrunedSql,
     "ta_ngram_lm_kn5_model_at_rest" -> taNgramLmKn5Sql,
     "ta_c4_clean" -> taC4CleanSql,
     "ta_gopher_rules" -> taGopherRulesSql,
+    "ta_normalize" -> taNormalizeSql,
     "ta_ngram_lm_sb" -> taNgramLmSbSql,
     "ta_ngram_lm_sb_at_rest" -> taNgramLmSbSql,
     "ta_ngram_lm_mkn5" -> taNgramLmMkn5Sql,
@@ -7361,6 +7617,7 @@ object PipelineQueries {
     "pp_jsonl_roundtrip" -> ppJsonlRoundtripSql,
     "pp_csv_roundtrip" -> ppJsonlRoundtripSql,
     "pp_filter_e2e" -> ppFilterE2eSql,
+    "pp_filter_ppl_e2e" -> ppFilterPplE2eSql,
     "pp_curation_verdicts" -> ppCurationVerdictsSql,
     "mm_features" -> mmFeaturesSql,
     "mm_decode" -> mmDecodeSql,

@@ -37,36 +37,48 @@ object NgramLmStream {
     * every later append (including re-crawl diffs) validates against
     * it instead of trusting caller discipline. */
   private[graft] def appendBatch(batch: DataFrame, batchId: Long,
-      root: String, textCol: String, maxN: Int = 2): Unit = {
+      root: String, textCol: String, maxN: Int = 2,
+      minN: Int = 1, boundary: Boolean = false): Unit = {
     IvfStream.requireNoPendingSwap(root, "NgramLmStream.appendBatch")
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "NgramLmStream.appendBatch")
-    requireSameMaxN(root, maxN, "NgramLmStream.appendBatch")
-    TextAnalysis.ngramLmCounts(batch, textCol, maxN)
+    requireSameMaxN(root, maxN, minN, boundary,
+      "NgramLmStream.appendBatch")
+    TextAnalysis.ngramLmCounts(batch, textCol, maxN, minN, boundary)
       .write.mode("overwrite").parquet(s"$root/counts/batch=$batchId")
   }
 
-  /** Stamp-or-validate the store's order range: a mixed-order store
-    * would silently under-count the orders some batches omitted,
-    * which no fold-side check can see. The stamp is written before
-    * the first batch's parquet commit, so a crash in that window
-    * leaves a stamp with NO committed `batch=` partition — that
-    * store is still cold (the fold would fail loudly on zero
-    * partials), so a later first append with a DIFFERENT order is
-    * legitimate and re-stamps instead of rejecting (round-16 ADVICE:
-    * don't let a batch that never landed dictate the layout). */
-  private def requireSameMaxN(root: String, maxN: Int,
-      what: String): Unit = {
+  /** Stamp-or-validate the store's gram-stream parameters (order
+    * range + boundary padding): a mixed store would silently
+    * under-count the orders some batches omitted — or mix padded and
+    * unpadded gram streams — which no fold-side check can see. The
+    * stamp is written before the first batch's parquet commit, so a
+    * crash in that window leaves a stamp with NO committed `batch=`
+    * partition — that store is still cold (the fold would fail
+    * loudly on zero partials), so a later first append with
+    * DIFFERENT parameters is legitimate and re-stamps instead of
+    * rejecting (round-16 ADVICE: don't let a batch that never landed
+    * dictate the layout). min_n/boundary default to 1/false when the
+    * stamp predates them (pre-round-16 stores). */
+  private def requireSameMaxN(root: String, maxN: Int, minN: Int,
+      boundary: Boolean, what: String): Unit = {
     val f = new java.io.File(IvfStream.localPath(root), "maxn.json")
-    val stamped: Option[Int] =
+    val stamped: Option[(Int, Int, Boolean)] =
       if (!f.exists()) None
       else {
         val body = new String(
           java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         """"max_n":(\d+)""".r.findFirstMatchIn(body)
           .map(_.group(1).toInt)
+          .map { mx =>
+            (mx,
+              """"min_n":(\d+)""".r.findFirstMatchIn(body)
+                .map(_.group(1).toInt).getOrElse(1),
+              """"boundary":(true|false)""".r.findFirstMatchIn(body)
+                .exists(_.group(1) == "true"))
+          }
       }
-    if (stamped.isEmpty || stamped != Some(maxN)) {
+    if (stamped != Some((maxN, minN, boundary))) {
       if (stamped.nonEmpty) {
         // Hadoop-API listing (the requireFreshBatchId discipline): a
         // java.io listing is silently empty on non-local filesystems
@@ -75,15 +87,17 @@ object NgramLmStream {
         val committed = fs.exists(p) && fs.listStatus(p)
           .exists(_.getPath.getName.startsWith("batch="))
         require(!committed,
-          s"$what: store at $root was stamped max_n=" +
-            s"${stamped.get} by its first batch, " +
-            s"this append carries maxN=$maxN — a mixed-order store " +
-            "under-counts the orders some batches omit; rebuild the " +
-            "store or match the stamped order range")
+          s"$what: store at $root was stamped " +
+            s"(max_n, min_n, boundary)=${stamped.get} by its first " +
+            s"batch, this append carries ($maxN, $minN, $boundary) " +
+            "— a mixed store under-counts the orders some batches " +
+            "omit (or mixes padded and unpadded gram streams); " +
+            "rebuild the store or match the stamped parameters")
       }
       Option(f.getParentFile).foreach(_.mkdirs())
       val w = new java.io.PrintWriter(f, "UTF-8")
-      try w.print(s"""{"max_n":$maxN}""")
+      try w.print(s"""{"max_n":$maxN,"min_n":$minN,""" +
+        s""""boundary":$boundary}""")
       finally w.close()
     }
   }
@@ -96,15 +110,19 @@ object NgramLmStream {
     * cell that the model derivation rejects loudly. */
   private[graft] def appendDiffBatch(oldVersions: DataFrame,
       newVersions: DataFrame, batchId: Long, root: String,
-      textCol: String, maxN: Int = 2): Unit = {
+      textCol: String, maxN: Int = 2, minN: Int = 1,
+      boundary: Boolean = false): Unit = {
     IvfStream.requireNoPendingSwap(root,
       "NgramLmStream.appendDiffBatch")
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "NgramLmStream.appendDiffBatch")
-    requireSameMaxN(root, maxN, "NgramLmStream.appendDiffBatch")
-    TextAnalysis.ngramLmCounts(newVersions, textCol, maxN)
+    requireSameMaxN(root, maxN, minN, boundary,
+      "NgramLmStream.appendDiffBatch")
+    TextAnalysis.ngramLmCounts(newVersions, textCol, maxN, minN,
+        boundary)
       .unionByName(
-        TextAnalysis.ngramLmCounts(oldVersions, textCol, maxN)
+        TextAnalysis.ngramLmCounts(oldVersions, textCol, maxN, minN,
+          boundary)
         .select(col("n"), col("gram"), (-col("cnt")).as("cnt")))
       .groupBy(col("n"), col("gram"))
       .agg(sum(col("cnt")).as("cnt"))
