@@ -2927,4 +2927,79 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(liveAfter === baseOnly)
   }
+
+  test("normalizeText: every battery step fires; clean text is identity") {
+    val d = Seq(
+      (0L, "\u201Cab\u201D \u2014 it\u2019s \u2018x\u2026\u00A0y" +
+        "\u2013z\u0001\u007F  a \t b \n  c \nplain"),
+      (1L, "already clean single spaced\nlines kept"))
+      .toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+        TextAnalysis.normalizeText($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    // fold quotes/dashes/NBSP, expand ellipsis, strip C0+DEL,
+    // collapse runs, absorb spaces around newlines, outer trim
+    assert(out(0L) === "\"ab\" - it's 'x... y-z a b\nc\nplain")
+    assert(out(1L) === "already clean single spaced\nlines kept")
+    // NULL propagates (callers' COALESCE contracts unchanged)
+    val n = Seq((2L, null: String)).toDF("doc_id", "text")
+      .select(TextAnalysis.normalizeText($"text")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
+  test("boundary n-grams: KenLM <s>/</s> convention, empty doc scores one gram") {
+    val d = Seq((0L, "a b c"), (1L, "")).toDF("doc_id", "text")
+    val g3 = d.select($"doc_id",
+        TextAnalysis.wordNgramsBounded($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    // n-1 BOS on the left, one EOS; no gram ever ENDS in <s>
+    assert(g3(0L) === Seq("<s> <s> a", "<s> a b", "a b c", "b c </s>"))
+    assert(g3(1L) === Seq("<s> <s> </s>"))
+    assert(g3.values.flatten.forall(!_.endsWith("<s>")))
+    // boundary counts differ from unpadded at every order — the
+    // content-change rule that forces a separate store layout
+    val cnt = TextAnalysis.ngramLmCounts(d, "text", maxN = 3,
+        minN = 3, boundary = true)
+      .as[(Int, String, Long)].collect().toSet
+    assert(cnt.contains((3, "<s> <s> a", 1L)))
+    assert(cnt.contains((3, "b c </s>", 1L)))
+  }
+
+  test("kn chain carries its training params; the store stamps from the chain") {
+    import java.nio.file.Files
+    val train = Seq((0L, "a b c d e a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val chain = TextAnalysis.ngramLmMknChainModel(
+      TextAnalysis.ngramLmCounts(train, "text", maxN = 3), 3)
+    assert(chain.modifiedTop && chain.minTopCount === 1L)
+    assert(chain.topRows > 0 && chain.midRows.length === 1)
+    val root = Files.createTempDirectory("graft-knstamp").toString
+    // the writer has no params arguments: what lands in the store is
+    // what the chain was trained with, never a caller's claim
+    TextAnalysis.writeKnChainModel(chain, root)
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.readKnChainModel(spark, root, 3,
+        expectModifiedTop = false, expectMinTopCount = 1L))
+    assert(e.getMessage.contains("modified_top"))
+    val back = TextAnalysis.readKnChainModel(spark, root, 3,
+      expectModifiedTop = true, expectMinTopCount = 1L)
+    assert(back.topRows === chain.topRows)
+    assert(back.midRows === chain.midRows)
+  }
+
+  test("bpe store stamps max_vocab; a capped store fails an uncapped reader") {
+    import java.nio.file.Files
+    val d = Seq((0L, "aa ab aa ab ba")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-bpemv").toString
+    TextAnalysis.writeBpeModel(d, "text", rounds = 1, minCount = 1L,
+      root, maxVocab = 2)
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.readBpeModel(spark, root,
+        expectMaxVocab = Some(Int.MaxValue)))
+    assert(e.getMessage.contains("max_vocab=2"))
+    // matching expectation (or not caring) reads fine
+    assert(TextAnalysis.readBpeModel(spark, root,
+      expectMaxVocab = Some(2)).nonEmpty)
+    assert(TextAnalysis.readBpeModel(spark, root).nonEmpty)
+  }
 }

@@ -2267,4 +2267,33 @@ class StreamingSpec extends SparkSpec {
     assert(probe() === expect,
       "manifested span delta survived recovery (duplicated evidence)")
   }
+
+  test("ngram-lm stamp: a crashed first append's stamp doesn't wedge a cold store; a committed store rejects mixed params") {
+    import java.nio.file.Files
+    import graft.streaming.NgramLmStream
+    val d = Seq((0L, "a b c d"), (1L, "b c d e"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-nglm-stamp").toString
+    // crash window: the stamp landed but the first batch never
+    // committed (stamp-before-commit ordering) — the store is still
+    // cold, so a first append with a DIFFERENT order re-stamps
+    // instead of rejecting (round-16 ADVICE)
+    Files.write(new java.io.File(root, "maxn.json").toPath,
+      """{"max_n":2,"min_n":1,"boundary":false}""".getBytes("UTF-8"))
+    NgramLmStream.appendBatch(d, 0L, root, "text", maxN = 3)
+    assert(NgramLmStream.foldedCountsOf(spark, root)
+      .filter($"n" === 3).count() > 0)
+    // committed store: mixed order rejects...
+    val e = intercept[IllegalArgumentException](
+      NgramLmStream.appendBatch(d, 1L, root, "text", maxN = 2))
+    assert(e.getMessage.contains("mixed store"))
+    // ...and so does a mixed boundary convention (padded grams would
+    // silently dilute the unpadded fold)
+    val e2 = intercept[IllegalArgumentException](
+      NgramLmStream.appendBatch(d, 1L, root, "text", maxN = 3,
+        boundary = true))
+    assert(e2.getMessage.contains("mixed store"))
+    // matching params keep appending fine
+    NgramLmStream.appendBatch(d, 1L, root, "text", maxN = 3)
+  }
 }
