@@ -72,13 +72,14 @@ object GraftFunctions {
         "gram_stats expects (text[, n]) arguments")
     }
 
-  private[functions] def buildWordNGrams(exprs: Seq[Expression]): Expression =
+  private[functions] def buildWordNGrams(
+      boundary: Boolean)(exprs: Seq[Expression]): Expression =
     exprs match {
       case Seq(child, n) if n.foldable =>
         val v = n.eval()
         require(v != null && v.isInstanceOf[Number],
           "word_ngrams: n must be a non-null integer literal")
-        WordNGrams(child, v.asInstanceOf[Number].intValue())
+        WordNGrams(child, v.asInstanceOf[Number].intValue(), boundary)
       case Seq(_, _) => throw new IllegalArgumentException(
         "word_ngrams: n must be a foldable integer literal")
       case _ => throw new IllegalArgumentException(
@@ -126,7 +127,8 @@ object GraftFunctions {
       install("vec_dot_long", exprs => VecDotLong(exprs(0), exprs(1)))
       install("vec_dot_int8", exprs => VecDotInt8(exprs(0), exprs(1)))
       install("vec_quantize_int8", exprs => VecQuantizeInt8(exprs.head))
-      install("word_ngrams", buildWordNGrams)
+      install("word_ngrams", buildWordNGrams(boundary = false))
+      install("word_ngrams_bos", buildWordNGrams(boundary = true))
       install("nfc_normalize", exprs => NfcNormalize(exprs.head))
       install("bloom_agg", buildBloomAgg)
       install("bloom_contains", exprs =>
@@ -194,6 +196,13 @@ object GraftFunctions {
     * expression; empty array under n tokens). */
   def word_ngrams(c: Column, n: Int): Column =
     call_function("word_ngrams", c,
+      org.apache.spark.sql.functions.lit(n))
+
+  /** [[word_ngrams]] with KenLM-style sentence-boundary padding
+    * (n-1 `<s>` left markers, one `</s>`; every text yields m+1
+    * grams). Same codegen'd kernel family. */
+  def word_ngrams_bos(c: Column, n: Int): Column =
+    call_function("word_ngrams_bos", c,
       org.apache.spark.sql.functions.lit(n))
 
   /** Bloom-filter sketch aggregate over xxhash64 values (Spark's
@@ -265,7 +274,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams"),
       WordNGrams.info,
-      GraftFunctions.buildWordNGrams))
+      GraftFunctions.buildWordNGrams(boundary = false)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "word_ngrams_bos"),
+      WordNGrams.info,
+      GraftFunctions.buildWordNGrams(boundary = true)))
     // keep the extension surface identical to register(): a SQL-only
     // session built via GraftExtensions must see every graft function
     e.injectFunction((

@@ -49,6 +49,41 @@ object NGramKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** [[wordNGrams]] with the KenLM/CCNet sentence-boundary padding
+    * (`TextAnalysis.wordNgramsBounded`'s contract, natively): n−1
+    * `<s>` markers on the left, one `</s>` on the right — realized as
+    * pure index arithmetic over the conceptual padded array, no
+    * padding ever materialized. Every text (even empty) yields
+    * m+1 grams; no gram ends in `<s>`. */
+  def wordNGramsBounded(text: UTF8String, n: Int): ArrayData = {
+    val raw = text.toLowerCase.toString.split("\\W+", -1)
+    var m = 0
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) { raw(m) = raw(i); m += 1 }
+      i += 1
+    }
+    val total = m + 1
+    val out = new Array[AnyRef](total)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i < total) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val p = i + j // position in the conceptual padded array
+        if (p < n - 1) sb.append("<s>")
+        else if (p - (n - 1) < m) sb.append(raw(p - (n - 1)))
+        else sb.append("</s>")
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `word_ngrams(text, n)` — native Catalyst expression returning the
@@ -59,7 +94,8 @@ object NGramKernels {
   * Tokenization and gram joining are byte-identical to the relational
   * form (FunctionsSpec pins the equivalence; the ta_dup_ngrams oracle
   * pins it against DuckDB). */
-case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+case class WordNGrams(child: Expression, n: Int,
+    boundary: Boolean = false) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
@@ -72,15 +108,21 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "word_ngrams"
+  override def prettyName: String =
+    if (boundary) "word_ngrams_bos" else "word_ngrams"
+
+  private val kernel =
+    if (boundary) "wordNGramsBounded" else "wordNGrams"
 
   override protected def nullSafeEval(input: Any): Any =
-    NGramKernels.wordNGrams(input.asInstanceOf[UTF8String], n)
+    if (boundary)
+      NGramKernels.wordNGramsBounded(input.asInstanceOf[UTF8String], n)
+    else NGramKernels.wordNGrams(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.NGramKernels.wordNGrams($c, $n)")
+      c => s"graft.functions.NGramKernels.$kernel($c, $n)")
 
   override protected def withNewChildInternal(
       newChild: Expression): WordNGrams = copy(child = newChild)

@@ -609,7 +609,12 @@ object TextAnalysis {
     * markers occupy only the first n−1 positions), matching KenLM's
     * "condition on, never predict, BOS" rule; an empty document
     * still emits the one `<s>…</s>` gram, which is the standard
-    * p(</s>|<s>…) score of an empty sentence. */
+    * p(</s>|<s>…) score of an empty sentence.
+    *
+    * This relational form is the semantic REFERENCE (FunctionsSpec
+    * pins the codegen'd `word_ngrams_bos` kernel bit-equal to it);
+    * the hot paths call the native kernel, which pads by index
+    * arithmetic instead of materializing the marker array. */
   def wordNgramsBounded(text: Column, n: Int): Column = {
     val padded = concat(
       array_repeat(lit("<s>"), n - 1), tokens(text),
@@ -640,7 +645,8 @@ object TextAnalysis {
     // CONTENT and must live under its own layout name.
     val tagged = flatten(array((minN to maxN).map { n =>
       transform(
-        if (boundary) wordNgramsBounded(col(textCol), n)
+        if (boundary)
+          graft.functions.GraftFunctions.word_ngrams_bos(col(textCol), n)
         else graft.functions.GraftFunctions.word_ngrams(col(textCol), n),
         g => struct(lit(n).as("n"), g.as("gram")))
     }: _*))
@@ -1312,7 +1318,8 @@ object TextAnalysis {
     // model's grid carries <s>/</s> grams; an unpadded query stream
     // would never hit them, and vice versa)
     var df = docs.select(col(keyCol).as("key"), explode(
-        if (boundary) wordNgramsBounded(col(textCol), n)
+        if (boundary)
+          graft.functions.GraftFunctions.word_ngrams_bos(col(textCol), n)
         else graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
         .as("gram"))
       .withColumn("ctx", substring_index(col("gram"), " ", n - 1))

@@ -4789,9 +4789,12 @@ object PipelineQueries {
     * cutoffs. Shares [[taPplRouteSql]] VERBATIM. */
   def taPplRouteAtRest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
+    // upToN=2: the shared store carries n=1..5 since r15 — a bigram
+    // consumer must not materialize a five-order fold (the model's
+    // eager checkpoint sits above the fold, so Catalyst can't prune)
     val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
       graft.streaming.NgramLmStream.foldedCountsOf(s,
-        lmCountsRoot(s, dir)))
+        lmCountsRoot(s, dir), upToN = 2))
     pplRouteBuckets(
       TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
         "doc_id"))
@@ -6020,8 +6023,11 @@ object PipelineQueries {
   def taNgramLmKnAtRest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val root = lmCountsRoot(s, dir)
+    // upToN=2: prune the n=1..5 store below the fold (see
+    // taPplRouteAtRest)
     val (g2, lamT, contT) = TextAnalysis.ngramLmKnModel(
-      graft.streaming.NgramLmStream.foldedCountsOf(s, root))
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root,
+        upToN = 2))
     TextAnalysis.ngramLmScoreKn(docs, g2, lamT, contT, "text",
         "doc_id")
       .withColumnRenamed("key", "doc_id")
@@ -6778,7 +6784,8 @@ object PipelineQueries {
     val docs = t(s, dir, "documents")
     val root = lmCountsRoot(s, dir)
     val (g3, g2, g1) = TextAnalysis.ngramLmSbModel(
-      graft.streaming.NgramLmStream.foldedCountsOf(s, root))
+      graft.streaming.NgramLmStream.foldedCountsOf(s, root,
+        upToN = 3))
     TextAnalysis.ngramLmScoreSb(docs, g3, g2, g1, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))

@@ -131,10 +131,16 @@ object NgramLmStream {
 
   /** Folded counts with supersede semantics: zero cells drop exactly
     * as a retrain would never mint them; a negative cell can only
-    * come from subtracting a version never added and fails loudly. */
+    * come from subtracting a version never added and fails loudly.
+    * `upToN` prunes BELOW the fold: a bigram consumer of the shared
+    * n=1..5 store must not pay a 5-order shuffle for the two orders
+    * it reads (the filter reaches the parquet scan as a pushed
+    * predicate, and per-cell supersede algebra is untouched —
+    * orders fold independently). */
   private def foldedCounts(spark: SparkSession,
-      root: String): DataFrame =
+      root: String, upToN: Int = Int.MaxValue): DataFrame =
     try spark.read.parquet(s"$root/counts")
+      .filter(col("n") <= upToN)
       .groupBy(col("n"), col("gram"))
       .agg(sum(col("cnt")).as("cnt"))
       .select(col("n"), col("gram"),
@@ -157,8 +163,9 @@ object NgramLmStream {
     * [[graft.pipeline.TextAnalysis.ngramLmKnModel]] for Kneser-Ney:
     * its continuation / fan-out / type counts are distinct-row counts
     * over the folded pair table, so one store serves both). */
-  def foldedCountsOf(spark: SparkSession, root: String): DataFrame =
-    foldedCounts(spark, root)
+  def foldedCountsOf(spark: SparkSession, root: String,
+      upToN: Int = Int.MaxValue): DataFrame =
+    foldedCounts(spark, root, upToN)
 
   /** The live (bigram grid, unigram backoff grid) over everything
     * streamed so far — identical to
@@ -166,7 +173,8 @@ object NgramLmStream {
     * appended batches. */
   def model(spark: SparkSession,
       root: String): (DataFrame, DataFrame) =
-    TextAnalysis.ngramLmSmoothedModel(foldedCounts(spark, root))
+    TextAnalysis.ngramLmSmoothedModel(
+      foldedCounts(spark, root, upToN = 2))
 
   /** Maintain the count store from a parquet document directory as
     * files arrive. */

@@ -185,7 +185,8 @@ class FunctionsSpec extends SparkSpec {
       val expected = Set("simhash64", "gram_stats", "minhash_sigs",
         "minhash_agg", "vec_dot", "vec_norm", "vec_dot_long",
         "vec_dot_int8", "vec_quantize_int8", "word_ngrams",
-        "bloom_agg", "bloom_contains", "nfc_normalize")
+        "word_ngrams_bos", "bloom_agg", "bloom_contains",
+        "nfc_normalize")
       assert(names === expected)
     }
   }
@@ -282,6 +283,33 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.getSeq[String](0).isEmpty)
     assert(spark.sql("SELECT word_ngrams(cast(null as string), 3) AS g")
       .collect().head.isNullAt(0))
+  }
+
+  test("word_ngrams_bos kernel matches the relational boundary-padded reference") {
+    GraftFunctions.register(spark)
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    for (n <- Seq(2, 5)) {
+      val rel = d.select($"doc_id",
+          graft.pipeline.TextAnalysis.wordNgramsBounded($"text", n)
+            .as("g"))
+        .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+      val nat = d.select($"doc_id",
+          GraftFunctions.word_ngrams_bos($"text", n).as("g"))
+        .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+      assert(nat === rel, s"n=$n")
+    }
+    // empty text: the one <s>…</s> gram; null propagates
+    assert(spark.sql("SELECT word_ngrams_bos('', 3) AS g")
+      .collect().head.getSeq[String](0) === Seq("<s> <s> </s>"))
+    assert(spark.sql(
+      "SELECT word_ngrams_bos(cast(null as string), 3) AS g")
+      .collect().head.isNullAt(0))
+    // stays inside whole-stage codegen (no fallback)
+    d.createOrReplaceTempView("fn_bos_docs")
+    val q = spark.sql(
+      "SELECT word_ngrams_bos(text, 5) AS g FROM fn_bos_docs")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("*("))
   }
 
   test("vec_quantize_int8 properties: range, extremes, signs, non-finite") {
