@@ -142,6 +142,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Leakage-safe train/validation split — the step every training
+    * pipeline runs before the val set means anything: after a
+    * deterministic hash split (`key % valMod == 0` → validation), a
+    * training document is DROPPED if it could leak its validation
+    * twin — exact leakage when its normalized [[TextAnalysis
+    * .fingerprint]] matches any validation document's, near leakage
+    * when it shares any MinHash LSH band bucket with one (the
+    * recall-first decontamination contract: banding candidates drop
+    * without a verify pass, because a false drop costs one training
+    * document while a false keep costs the benchmark).
+    *
+    * Output: one row per input key with `split` ∈ `val` / `train` /
+    * `dropped_exact` / `dropped_near` (exact takes precedence), so
+    * the caller both filters and audits from the same frame.
+    *
+    * Scale shape: two semi-joins, both keyed — fingerprints meet on
+    * `fp` (the validation side is a `1/valMod` fraction of corpus
+    * DISTINCT fingerprints), bands meet on `(band, band_hash)`
+    * exactly like [[minHashCandidates]] — bucket-local, never n².
+    * Documents shorter than a shingle produce no bands and cannot
+    * near-leak, matching the signature definition. */
+  def leakageSafeSplit(df: DataFrame, textCol: String, keyCol: String,
+      valMod: Int = 10, numHashes: Int = 8, bands: Int = 4)
+      : DataFrame = {
+    val isVal = pmod(col(keyCol), lit(valMod)) === 0
+    val fp = df.select(col(keyCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val exactLeak = fp.filter(!isVal)
+      .join(fp.filter(isVal).select(col("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .select(col(keyCol)).distinct()
+      .withColumn("leak_exact", lit(true))
+    val bandsDf = lshBands(
+      minHashSignatures(df, textCol, keyCol, numHashes), keyCol,
+      numHashes, bands)
+    val nearLeak = bandsDf.filter(!isVal)
+      .join(bandsDf.filter(isVal)
+          .select(col("band"), col("band_hash")).distinct(),
+        Seq("band", "band_hash"), "left_semi")
+      .select(col(keyCol)).distinct()
+      .withColumn("leak_near", lit(true))
+    df.select(col(keyCol))
+      .join(exactLeak, Seq(keyCol), "left")
+      .join(nearLeak, Seq(keyCol), "left")
+      .select(col(keyCol),
+        when(isVal, lit("val"))
+          .when(col("leak_exact"), lit("dropped_exact"))
+          .when(col("leak_near"), lit("dropped_near"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   /** 64-bit SimHash, emitted as 4×16-bit signature parts
     * (key, part 0-3, sig) so the output stays engine-portable without
     * unsigned-64 headaches. Distinct tokens vote ±1 per bit; bit b of

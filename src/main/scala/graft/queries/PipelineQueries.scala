@@ -4967,6 +4967,53 @@ object PipelineQueries {
        FROM (VALUES ('head'), ('middle'), ('tail')) t(bucket)
        ORDER BY bucket"""
 
+  /** PER-LANGUAGE perplexity tertiles — the CCNet bucketing shape
+    * (Wenzek et al. 2020 cut head/middle/tail PER LANGUAGE, because
+    * one global cutoff would route whole low-resource languages to
+    * the tail): trigram-KN document scores off the cached chain
+    * ([[knChainCached]] order 3), an exact `ntile(3)` within each
+    * language (ties broken by doc_id so both engines agree), and
+    * per-(lang, bucket) counts + a decimal-routed score sum. Like
+    * [[taPplTertiles]] this exact per-group NTILE is the semantic
+    * reference — the 100 TB path replaces the per-language sort with
+    * per-language `percentile_approx` cutoffs exactly as
+    * [[taPplTertilesProd]] does globally (grouped sketches are one
+    * mergeable aggregation, no sort). */
+  def taPplLangBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val chain = knChainCached(s, dir, modifiedTop = false,
+      minTopCount = 1L, fromStore = true, order = 3)
+    val scored = TextAnalysis.ngramLmScoreKnChain(docs, chain,
+        "text", "doc_id")
+      .select(col("key").as("doc_id"), col("avg_ll"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("avg_ll").desc, col("doc_id"))))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("avg_ll").cast("decimal(20,6)")).cast("double")
+          .as("sum_ll"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private lazy val taPplLangBucketsSql =
+    s"""WITH j AS (
+         SELECT d.lang, s.doc_id, s.avg_ll
+         FROM documents d
+         JOIN (SELECT * FROM ($taNgramLmKn3Sql) q) s
+           ON d.doc_id = s.doc_id),
+       b AS (
+         SELECT lang, avg_ll,
+           NTILE(3) OVER (PARTITION BY lang
+                          ORDER BY avg_ll DESC, doc_id) AS bucket
+         FROM j)
+       SELECT lang, bucket, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(avg_ll AS DECIMAL(20,6))) AS DOUBLE) AS sum_ll
+       FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""
+
   /** Trained language-ID router — the fastText-style production form
     * of the heuristic [[TextAnalysis.langId]]: the proven NB
     * machinery ([[Classify]]) over CHAR-TRIGRAM features (character
@@ -5460,6 +5507,44 @@ object PipelineQueries {
        SELECT node AS doc_id, MIN(root) AS component,
          node = MIN(root) AS is_keeper
        FROM reach GROUP BY node ORDER BY doc_id"""
+
+  /** Leakage-safe train/validation split
+    * ([[Dedup.leakageSafeSplit]]): deterministic `doc_id % 10` hash
+    * split, then training documents that would leak a validation
+    * document — same normalized fingerprint (exact) or any shared
+    * MinHash LSH band bucket (near) — are marked dropped with the
+    * first-matching reason. The cross-split decontamination every
+    * training pipeline owes its benchmark numbers; the oracle
+    * replays the fingerprint and full-corpus band chains and the
+    * same precedence CASE. */
+  def ppSplitDecontam(s: SparkSession, dir: String): DataFrame =
+    Dedup.leakageSafeSplit(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private lazy val ppSplitDecontamSql =
+    s"""WITH ${minhashBandsCte(Int.MaxValue)},
+       fps AS (
+         SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
+         FROM documents),
+       exact_leak AS (
+         SELECT DISTINCT tr.doc_id
+         FROM fps tr JOIN fps v ON tr.fp = v.fp
+         WHERE tr.doc_id % 10 <> 0 AND v.doc_id % 10 = 0),
+       near_leak AS (
+         SELECT DISTINCT a.doc_id
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+         WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0)
+       SELECT d.doc_id,
+         CASE WHEN d.doc_id % 10 = 0 THEN 'val'
+              WHEN e.doc_id IS NOT NULL THEN 'dropped_exact'
+              WHEN n.doc_id IS NOT NULL THEN 'dropped_near'
+              ELSE 'train' END AS split
+       FROM documents d
+       LEFT JOIN exact_leak e ON d.doc_id = e.doc_id
+       LEFT JOIN near_leak n ON d.doc_id = n.doc_id
+       ORDER BY d.doc_id"""
 
   /** Transitive SemDeDup resolution — the embedding twin of
     * [[ppDedupE2e]]: within-cluster cosine pairs
@@ -6056,46 +6141,59 @@ object PipelineQueries {
     root
   }
 
-  /** Build-once cache of a DERIVED 5-gram KN chain under the layout
+  /** Build-once cache of a DERIVED KN chain under the layout
     * discipline (round-16): the grid/λ/backoff tables are a pure
     * function of the training counts and the (order, modifiedTop,
     * minTopCount) parameters, and the r15 bench measured a
     * persisted-chain apply at ~2.4× cheaper than rebuild-per-call —
-    * so each kn5-family gate derives its chain ONCE per surface run
+    * so each KN-family gate derives its chain ONCE per surface run
     * ([[TextAnalysis.writeKnChainModel]]) and every later call reads
     * the persisted form, exactly what a production deployment does
     * (KenLM trains once, binarizes, applies many). `fromStore`
     * selects the training source: the shared [[lmCountsRoot]] fold
-    * (the at-rest path) or a fresh fused corpus scan
-    * ([[TextAnalysis.ngramLmCounts]] minN=5 — keeps the inline count
-    * kernel in the gated surface). The layoutDir name encodes every
-    * parameter (the content-change rule: a chain trained differently
-    * is different content). */
+    * (the at-rest path, pruned to `upToN = order` so the order
+    * filter reaches the store scan), the re-crawl-superseded
+    * [[lmCountsUpdRoot]] fold (`updated` — itself deterministic, so
+    * the chain derived from it is cacheable content like any other),
+    * or a fresh fused corpus scan ([[TextAnalysis.ngramLmCounts]]
+    * minN = order — keeps the inline count kernel in the gated
+    * surface). The layoutDir name encodes every parameter (the
+    * content-change rule: a chain trained differently is different
+    * content). Round-16 routes the ORDER-3 family through this too —
+    * the five trigram gates were re-deriving ~1-1.5 s of identical
+    * chain per call. */
   private def knChainCached(s: SparkSession, dir: String,
       modifiedTop: Boolean, minTopCount: Long, fromStore: Boolean,
-      boundary: Boolean = false): TextAnalysis.KnChain = {
+      boundary: Boolean = false, order: Int = 5,
+      updated: Boolean = false): TextAnalysis.KnChain = {
     val root = layoutDir(dir, "documents",
-      s"kn_chain_n5_m${if (modifiedTop) 1 else 0}_p$minTopCount" +
-        s"_${if (fromStore) "s" else "i"}" +
+      s"kn_chain_n${order}_m${if (modifiedTop) 1 else 0}" +
+        s"_p$minTopCount" +
+        s"_${if (updated) "u" else if (fromStore) "s" else "i"}" +
         (if (boundary) "_b" else ""))
     ensureLayout(root) {
       val counts =
-        if (fromStore && boundary)
+        if (updated)
+          graft.streaming.NgramLmStream.foldedCountsOf(
+            s, lmCountsUpdRoot(s, dir), upToN = order)
+        else if (fromStore && boundary)
           graft.streaming.NgramLmStream.foldedCountsOf(
             s, lmCountsBosRoot(s, dir))
         else if (fromStore)
           graft.streaming.NgramLmStream.foldedCountsOf(
-            s, lmCountsRoot(s, dir))
+            s, lmCountsRoot(s, dir), upToN = order)
         else TextAnalysis.ngramLmCounts(
           t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0),
-          "text", maxN = 5, minN = 5, boundary = boundary)
+          "text", maxN = order, minN = order, boundary = boundary)
       TextAnalysis.writeKnChainModel(
-        if (modifiedTop) TextAnalysis.ngramLmMknChainModel(counts, 5)
-        else TextAnalysis.ngramLmKnChainModel(counts, 5, minTopCount),
+        if (modifiedTop)
+          TextAnalysis.ngramLmMknChainModel(counts, order)
+        else TextAnalysis.ngramLmKnChainModel(counts, order,
+          minTopCount),
         root)
       new java.io.File(root, "_SUCCESS").createNewFile(): Unit
     }
-    TextAnalysis.readKnChainModel(s, root, 5, modifiedTop,
+    TextAnalysis.readKnChainModel(s, root, order, modifiedTop,
       minTopCount)
   }
 
@@ -6150,13 +6248,13 @@ object PipelineQueries {
     * ([[TextAnalysis.ngramLmKnChainModel]] at order 3) — the order
     * production CCNet-style corpus filters start at, same ⅔-train /
     * score-all split so held-out documents exercise all three
-    * backoff tiers. */
+    * backoff tiers. The chain is derived once per surface run and
+    * read back from the layout cache ([[knChainCached]] at
+    * order 3). */
   def taNgramLmKn3(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val chain = TextAnalysis.ngramLmKnChainModel(
-      TextAnalysis.ngramLmCounts(
-        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 3,
-        minN = 3), 3)
+    val chain = knChainCached(s, dir, modifiedTop = false,
+      minTopCount = 1L, fromStore = false, order = 3)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6171,9 +6269,8 @@ object PipelineQueries {
     * Shares [[taNgramLmKn3Sql]] VERBATIM. */
   def taNgramLmKn3AtRest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val root = lmCountsRoot(s, dir)
-    val chain = TextAnalysis.ngramLmKnChainModel(
-      graft.streaming.NgramLmStream.foldedCountsOf(s, root), 3)
+    val chain = knChainCached(s, dir, modifiedTop = false,
+      minTopCount = 1L, fromStore = true, order = 3)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6186,9 +6283,9 @@ object PipelineQueries {
     * retrain on the latest snapshot, which the oracle replays. */
   def taNgramLmKn3Updated(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val root = lmCountsUpdRoot(s, dir)
-    val chain = TextAnalysis.ngramLmKnChainModel(
-      graft.streaming.NgramLmStream.foldedCountsOf(s, root), 3)
+    val chain = knChainCached(s, dir, modifiedTop = false,
+      minTopCount = 1L, fromStore = true, order = 3,
+      updated = true)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6794,13 +6891,12 @@ object PipelineQueries {
   /** Modified Kneser-Ney scorer
     * ([[TextAnalysis.ngramLmMknChainModel]] at order 3) — the
     * KenLM/SRILM-default discounting at the trigram order, same
-    * split and scoring contract as [[taNgramLmKn3]]. */
+    * split, scoring contract, and chain cache as
+    * [[taNgramLmKn3]]. */
   def taNgramLmMkn(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val chain = TextAnalysis.ngramLmMknChainModel(
-      TextAnalysis.ngramLmCounts(
-        docs.filter(col("doc_id") % 3 =!= 0), "text", maxN = 3,
-        minN = 3), 3)
+    val chain = knChainCached(s, dir, modifiedTop = true,
+      minTopCount = 1L, fromStore = false, order = 3)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -6816,9 +6912,8 @@ object PipelineQueries {
     * to the one-shot trainer. Shares [[taNgramLmMknSql]] VERBATIM. */
   def taNgramLmMknAtRest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val root = lmCountsRoot(s, dir)
-    val chain = TextAnalysis.ngramLmMknChainModel(
-      graft.streaming.NgramLmStream.foldedCountsOf(s, root), 3)
+    val chain = knChainCached(s, dir, modifiedTop = true,
+      minTopCount = 1L, fromStore = true, order = 3)
     TextAnalysis.ngramLmScoreKnChain(docs, chain, "text", "doc_id")
       .withColumnRenamed("key", "doc_id")
       .orderBy(col("doc_id"))
@@ -7288,6 +7383,7 @@ object PipelineQueries {
     "ta_ppl_tertiles" -> (taPplTertiles _),
     "ta_ppl_tertiles_approx" -> (taPplTertilesApprox _),
     "ta_ppl_tertiles_prod" -> (taPplTertilesProd _),
+    "ta_ppl_lang_buckets" -> (taPplLangBuckets _),
     "ta_langid_nb" -> (taLangidNb _),
     "ta_langid_nb_at_rest" -> (taLangidNbAtRest _),
     "dd_exact_substring" -> (ddExactSubstring _),
@@ -7351,6 +7447,7 @@ object PipelineQueries {
     "pp_nb_classify_at_rest" -> (ppNbClassifyAtRest _),
     "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
+    "pp_split_decontam" -> (ppSplitDecontam _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
     "pp_semdedup_at_rest" -> (ppSemdedupAtRest _),
     "pp_jsonl_roundtrip" -> (ppJsonlRoundtrip _),
@@ -7411,7 +7508,9 @@ object PipelineQueries {
     // round-16: the whole kn5 family reads a cached persisted chain
     // (knChainCached) — the inline forms build it on first call
     "ta_ngram_lm_kn5", "ta_ngram_lm_mkn5", "ta_ngram_lm_kn5_pruned",
-    "ta_ngram_lm_kn5_bos")
+    "ta_ngram_lm_kn5_bos",
+    // round-16 continuation: the trigram family rides the same cache
+    "ta_ngram_lm_kn3", "ta_ngram_lm_mkn", "ta_ppl_lang_buckets")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -7547,6 +7646,7 @@ object PipelineQueries {
     "ta_ppl_tertiles" -> taPplTertilesSql,
     "ta_ppl_tertiles_approx" -> taPplTertilesApproxSql,
     "ta_ppl_tertiles_prod" -> taPplTertilesProdSql,
+    "ta_ppl_lang_buckets" -> taPplLangBucketsSql,
     "ta_langid_nb" -> taLangidNbSql,
     "ta_langid_nb_at_rest" -> taLangidNbSql,
     "dd_exact_substring" -> ddExactSubstringSql,
@@ -7617,6 +7717,7 @@ object PipelineQueries {
     "pp_nb_classify_at_rest" -> ppNbClassifySql,
     "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
+    "pp_split_decontam" -> ppSplitDecontamSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,
     // at-rest e2e shares the rebuild form's oracle verbatim — same
     // lossless-layout proof pattern as dd_semantic_at_rest

@@ -3002,4 +3002,34 @@ class PipelineSpec extends SparkSpec {
       expectMaxVocab = Some(2)).nonEmpty)
     assert(TextAnalysis.readBpeModel(spark, root).nonEmpty)
   }
+
+  test("leakage-safe split: exact precedence, near drop, val immune") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi"
+    val d = Seq(
+      (10L, base),                        // val (10 % 10 == 0)
+      (3L, "  " + base + "  "),           // exact leak (fingerprint)
+      (4L, base.replace("upsilon phi", "upsilon psi")), // near leak
+      (5L, "entirely different words about distributed query planes" +
+        " and shuffle exchange topology choices in modern engines"),
+      (20L, base)) // a val exact-dup of a val doc stays val
+      .toDF("doc_id", "text")
+    val r = Dedup.leakageSafeSplit(d, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(r(10L) === "val" && r(20L) === "val")
+    // doc 3 shares every LSH band with doc 10 too — exact wins
+    assert(r(3L) === "dropped_exact")
+    assert(r(4L) === "dropped_near")
+    assert(r(5L) === "train")
+    // dropping the val docs leaves a clean train set: no surviving
+    // train doc shares a fingerprint or band bucket with any val doc
+    val survivors = d.join(
+      Dedup.leakageSafeSplit(d, "text", "doc_id")
+        .filter($"split" === "train").select($"doc_id"), Seq("doc_id"))
+    val cross = Dedup.minHashCandidates(
+      survivors.unionByName(d.filter($"doc_id" % 10 === 0)),
+      "text", "doc_id")
+      .filter(($"key_a" % 10 === 0) =!= ($"key_b" % 10 === 0))
+    assert(cross.isEmpty)
+  }
 }
