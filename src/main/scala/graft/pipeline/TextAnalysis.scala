@@ -1108,6 +1108,53 @@ object TextAnalysis {
         col("f_ellip"), col("f_dupline"), col("keep"))
   }
 
+  /** Corpus-wide boilerplate line scrub — the RefinedWeb/CCNet-style
+    * repeated-paragraph removal that line-LOCAL batteries
+    * ([[c4Clean]]'s per-page rules, [[gopherRules]]' dup-line ratio)
+    * cannot do: a navigation footer or cookie banner looks fine
+    * inside any one page and only reveals itself by appearing across
+    * the corpus. Every non-blank line is fingerprinted
+    * ([[fingerprint]] — case/whitespace-normalized md5); lines whose
+    * corpus-wide occurrence count exceeds `maxRepeats` are deleted
+    * from EVERY document (boilerplate removal deletes all copies —
+    * it is not dedup-keep-first), blank lines always survive so
+    * paragraph structure is preserved, and each document is
+    * reassembled in original line order.
+    *
+    * Scale shape: one explode + one map-side-combinable count
+    * groupBy to find the HOT set (lines with cnt > maxRepeats — the
+    * heavy hitters, a tiny fraction of line types), then a left join
+    * of the line stream against only that hot set keyed on the
+    * fingerprint — the full frequency table never moves, and AQE
+    * broadcasts the hot side when it fits. Reassembly is one
+    * per-document aggregation (collect_list of (pos, line) structs,
+    * sorted in place — document-sized state, never corpus-sized).
+    * Output: `(key, scrubbed, n_dropped)`. */
+  def boilerplateScrub(df: DataFrame, textCol: String,
+      keyCol: String, maxRepeats: Long = 2L): DataFrame = {
+    val lines = df.select(col(keyCol),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("pos", "line")))
+      .withColumn("blank", trim(col("line")) === "")
+      .withColumn("lf", fingerprint(col("line")))
+    val hot = lines.filter(!col("blank"))
+      .groupBy(col("lf")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxRepeats)
+      .select(col("lf"), lit(true).as("hot"))
+    lines.join(hot, Seq("lf"), "left")
+      .withColumn("keep", col("blank") || col("hot").isNull)
+      .groupBy(col(keyCol))
+      .agg(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("pos"), col("line"))))).as("ks"),
+        count(lit(1)).as("n_total"))
+      .select(col(keyCol),
+        array_join(transform(col("ks"),
+          x => x.getField("line")), "\n").as("scrubbed"),
+        (col("n_total") - size(col("ks"))).cast("long")
+          .as("n_dropped"))
+  }
+
   /** C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the other
     * canonical production battery, and unlike [[gopherRules]] a
     * line-level REWRITE): keep only lines that end in terminal

@@ -2826,6 +2826,73 @@ object PipelineQueries {
            AS quality_score
        FROM m ORDER BY doc_id"""
 
+  /** Dataset card — the per-(lang, source) statistical summary every
+    * released training corpus ships (datasheets/data-statements
+    * practice): document and token volume, how much of the slice is
+    * corpus-wide redundant (non-keeper fingerprint duplicates — the
+    * dedup attribution a curation report needs per source, not
+    * globally), and the slice's quality mass (3-dp scores summed in
+    * DECIMAL so the fold is order-independent on both engines). One
+    * scan for metrics + one fingerprint groupBy + one group-keyed
+    * aggregation — every piece map-side combinable; the card itself
+    * is O(|lang|×|source|) rows no matter the corpus size. */
+  def ppDataCard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val q = TextAnalysis.qualityMetrics(d, "text")
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val fp = d.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val dup = fp.join(
+        fp.groupBy(col("fp")).agg(min(col("doc_id")).as("keeper")),
+        Seq("fp"))
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper"))
+        .as("is_dup"))
+    d.select(col("doc_id"), col("lang"), col("source"))
+      .join(q, Seq("doc_id")).join(dup, Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("quality_score").cast("decimal(10,3)"))
+          .cast("double").as("sum_quality"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private lazy val ppDataCardSql =
+    """WITH m AS (
+         SELECT doc_id, lang, source,
+           len(list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '')) AS n_tokens,
+           length(regexp_replace(lower(text),
+             '[a-z0-9 \t\n\x0B\f\r]', '', 'g')) AS n_punct,
+           length(text) AS n_len
+         FROM documents),
+       q AS (
+         SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(GREATEST(0.0, LEAST(1.0,
+             CASE WHEN n_tokens > 0
+               THEN 0.5 + 0.5 * LEAST(1.0, n_tokens / 100.0) -
+                    (CASE WHEN n_len > 0
+                     THEN CAST(n_punct AS DOUBLE) / n_len ELSE 0.0 END)
+               ELSE 0.0 END)) AS DECIMAL(28,10)), 3) AS DOUBLE)
+             AS quality_score
+         FROM m),
+       fp AS (
+         SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp
+         FROM documents),
+       dup AS (
+         SELECT f.doc_id, f.doc_id <> k.keeper AS is_dup
+         FROM fp f JOIN (SELECT fp, MIN(doc_id) AS keeper
+                         FROM fp GROUP BY fp) k ON f.fp = k.fp)
+       SELECT q.lang, q.source, COUNT(*) AS n_docs,
+         CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) FILTER (WHERE d.is_dup) AS BIGINT) AS n_dup_docs,
+         CAST(SUM(CAST(q.quality_score AS DECIMAL(10,3))) AS DOUBLE)
+           AS sum_quality
+       FROM q JOIN dup d ON q.doc_id = d.doc_id
+       GROUP BY q.lang, q.source ORDER BY q.lang, q.source"""
+
   /** Weak-supervision labels ([[TextAnalysis.weakLabels]]): three
     * integer-exact labeling functions (length, stopword ratio,
     * repetition) voting keep/abstain/drop per document, with
@@ -6682,6 +6749,46 @@ object PipelineQueries {
          '[ \\t]+', ' ', 'g'),
          ' ?\\n ?', chr(10), 'g'))"""
 
+  /** Corpus-wide boilerplate scrub
+    * ([[TextAnalysis.boilerplateScrub]]): lines whose normalized
+    * fingerprint occurs more than twice across the whole corpus are
+    * deleted from every document — the cross-document rewrite the
+    * per-page C4/Gopher batteries can't express. The templated
+    * synthetic corpus repeats its scaffold lines heavily, so the
+    * gate produces real drops at every scale; the oracle replays the
+    * explode → hot-set → keep-join → ordered string_agg chain and
+    * the full scrubbed text is hashed, so line order and blank-line
+    * preservation are both proven. */
+  def taBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateScrub(t(s, dir, "documents"), "text",
+        "doc_id")
+      .orderBy(col("doc_id"))
+
+  private lazy val taBoilerplateSql =
+    s"""WITH ls AS (
+         SELECT doc_id,
+           unnest(string_split(COALESCE(text, ''), chr(10))) AS line,
+           unnest(range(len(string_split(COALESCE(text, ''), chr(10)))))
+             AS pos
+         FROM documents),
+       lf AS (
+         SELECT doc_id, pos, line, trim(line) = '' AS blank,
+           md5(regexp_replace(lower(trim(line)),
+             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
+         FROM ls),
+       hot AS (
+         SELECT fp FROM lf WHERE NOT blank
+         GROUP BY fp HAVING COUNT(*) > 2),
+       k AS (
+         SELECT l.doc_id, l.pos, l.line,
+           (l.blank OR h.fp IS NULL) AS keep
+         FROM lf l LEFT JOIN hot h ON l.fp = h.fp)
+       SELECT doc_id,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos)
+           FILTER (WHERE keep), '') AS scrubbed,
+         COUNT(*) FILTER (WHERE NOT keep) AS n_dropped
+       FROM k GROUP BY doc_id ORDER BY doc_id"""
+
   /** Dirty-document normalization ([[TextAnalysis.normalizeText]])
     * driver-gated char-for-char. The synthetic corpus is already
     * clean, so every 7th document is prefixed with a deterministic
@@ -7368,6 +7475,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn5_pruned" -> (taNgramLmKn5Pruned _),
     "ta_ngram_lm_kn5_model_at_rest" -> (taNgramLmKn5ModelAtRest _),
     "ta_c4_clean" -> (taC4Clean _),
+    "ta_boilerplate" -> (taBoilerplate _),
     "ta_gopher_rules" -> (taGopherRules _),
     "ta_normalize" -> (taNormalize _),
     "ta_ngram_lm_sb" -> (taNgramLmSb _),
@@ -7448,6 +7556,7 @@ object PipelineQueries {
     "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_split_decontam" -> (ppSplitDecontam _),
+    "pp_data_card" -> (ppDataCard _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
     "pp_semdedup_at_rest" -> (ppSemdedupAtRest _),
     "pp_jsonl_roundtrip" -> (ppJsonlRoundtrip _),
@@ -7631,6 +7740,7 @@ object PipelineQueries {
     "ta_ngram_lm_kn5_pruned" -> taNgramLmKn5PrunedSql,
     "ta_ngram_lm_kn5_model_at_rest" -> taNgramLmKn5Sql,
     "ta_c4_clean" -> taC4CleanSql,
+    "ta_boilerplate" -> taBoilerplateSql,
     "ta_gopher_rules" -> taGopherRulesSql,
     "ta_normalize" -> taNormalizeSql,
     "ta_ngram_lm_sb" -> taNgramLmSbSql,
@@ -7718,6 +7828,7 @@ object PipelineQueries {
     "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_split_decontam" -> ppSplitDecontamSql,
+    "pp_data_card" -> ppDataCardSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,
     // at-rest e2e shares the rebuild form's oracle verbatim — same
     // lossless-layout proof pattern as dd_semantic_at_rest

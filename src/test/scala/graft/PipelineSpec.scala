@@ -3003,6 +3003,27 @@ class PipelineSpec extends SparkSpec {
     assert(TextAnalysis.readBpeModel(spark, root).nonEmpty)
   }
 
+  test("boilerplate scrub: corpus-hot lines drop everywhere, blanks survive") {
+    val footer = "subscribe to our newsletter"
+    val d = Seq(
+      (0L, s"unique alpha\n$footer\nunique beta"),
+      (1L, s"$footer\n\nunique gamma"),
+      (2L, s"unique delta\n  Subscribe   to our NEWSLETTER \nend"),
+      (3L, "twice one\ntwice one\nunique eps"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.boilerplateScrub(d, "text", "doc_id")
+      .as[(Long, String, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    // the footer appears 3× (normalized: case/whitespace fold) —
+    // ALL copies delete, including the reformatted one
+    assert(r(0L) === ("unique alpha\nunique beta", 1L))
+    assert(r(2L) === ("unique delta\nend", 1L))
+    // blank lines are structure, not boilerplate — they survive
+    assert(r(1L) === ("\nunique gamma", 1L))
+    // exactly at maxRepeats (2) stays: repetition must EXCEED it
+    assert(r(3L) === ("twice one\ntwice one\nunique eps", 0L))
+  }
+
   test("leakage-safe split: exact precedence, near drop, val immune") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi"
