@@ -5587,13 +5587,16 @@ object PipelineQueries {
   def ppSplitDecontam(s: SparkSession, dir: String): DataFrame =
     Dedup.leakageSafeSplit(t(s, dir, "documents"), "text", "doc_id")
       // tautological-but-unfoldable filter: semantically a no-op
-      // (split is one of four literals, never the sentinel), but it
-      // anchors the computed column so the bench's count() action
-      // cannot join-eliminate the (distinct-keyed, cardinality-
-      // preserving) leak joins and time an empty plan — a bare
-      // isNotNull would constant-fold away on the non-nullable CASE;
-      // the verify path writes every column anyway
-      .filter(col("split") =!= "unsplit")
+      // (every split value is ≥ 3 chars, pmod < 3), but it anchors
+      // the computed column so the bench's count() action cannot
+      // join-eliminate the (distinct-keyed, cardinality-preserving)
+      // leak joins and time an empty plan. BOTH comparison sides are
+      // data-dependent on purpose: with a literal side,
+      // PushFoldableIntoBranches folds the predicate through the
+      // CASE's all-literal branches to TRUE and the anchor vanishes
+      // (measured: 0.25 s for a 500k-doc MinHash at sf10); the
+      // verify path writes every column anyway
+      .filter(length(col("split")) > pmod(col("doc_id"), lit(3)))
       .orderBy(col("doc_id"))
 
   private lazy val ppSplitDecontamSql =
