@@ -17,6 +17,22 @@ object Bench {
     * the artifact alone: sustained machine load shows up as *every*
     * sample elevated, while a one-off GC/compile hiccup shows one
     * outlier the median already discards (BENCH_r06 was the former). */
+  /** Fully materialize a query result through the noop sink. The
+    * previous action (`df.count()`) let Catalyst prune everything a
+    * row count doesn't need — pure projections collapsed to bare
+    * row-count scans, aggregate expressions dropped out of terminal
+    * groupBys, and left joins against provably-unique keys
+    * (aggregate-derived frames) were join-ELIMINATED outright, so
+    * several gates' bench entries timed a fraction of their real
+    * work (pp_split_decontam's full-corpus MinHash booked 0.25 s at
+    * sf10; pp_filter_ppl_e2e's KN-scoring join vanished). The noop
+    * sink evaluates EVERY output column of every row and discards
+    * them — the plan that runs is the plan verify writes, minus only
+    * the parquet encoder. Round-16 bench records re-base on this
+    * action; earlier rounds' totals are count()-action records. */
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   private[graft] def timeRuns(body: => Unit): Either[String, Seq[Double]] =
     try {
       Right(Seq.fill(Runs) {
@@ -80,7 +96,7 @@ object Bench {
     // runs_s steady-state at every cache state.
     selected.collect {
       case (name, fn) if graft.queries.PipelineQueries.layoutBacked(name) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val results = (selected.map {
       case (name, fn) =>
@@ -88,7 +104,7 @@ object Bench {
         // before timing the next (see periodicGC.interval above) so
         // each entry measures the query, not the allocator's history
         System.gc()
-        name -> timeRuns(fn(spark, sfDir).count())
+        name -> timeRuns(exec(fn(spark, sfDir)))
     } ++ (if (only.forall(_.contains("xml_convert_2000docs")))
             Seq("xml_convert_2000docs" -> xmlConvertBench(spark))
           else Seq())).toMap

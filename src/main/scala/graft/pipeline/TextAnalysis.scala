@@ -284,12 +284,17 @@ object TextAnalysis {
     * it. Output adds n_grams, n_distinct, dup_fraction. */
   def repetitionStats(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, "repetitionStats: n-gram size must be >= 1")
-    val terms = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
-    df.withColumn("tk", tokens(col(textCol)))
-      .withColumn("grams", when(size(col("tk")) >= n, expr(
-        s"transform(sequence(0, size(tk) - $n)," +
-          s" i -> concat_ws(' ', $terms))"))
-        .otherwise(array()))
+    // one-pass codegen'd word_ngrams kernel (FunctionsSpec pins it
+    // bit-equal to the relational tokenize→slice form). The previous
+    // tokens→transform chain was catastrophic under projection
+    // collapse: each inlined copy of the lambda got fresh variable
+    // ids, so subexpression elimination could not dedupe them and
+    // downstream consumers (the curation funnel's collapsed
+    // pass-filter) re-tokenized per reference — pp_curation_verdicts
+    // measured 33 s at sf0.1 from exactly this
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("grams",
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .withColumn("n_distinct",
         size(array_distinct(col("grams"))).cast("long"))
@@ -297,7 +302,7 @@ object TextAnalysis {
         r3(when(col("n_grams") > 0,
           lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
           .otherwise(0.0)))
-      .drop("tk", "grams")
+      .drop("grams")
   }
 
   /** CROSS-document duplicated n-gram fraction — the corpus-level

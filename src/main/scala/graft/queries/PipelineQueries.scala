@@ -5586,17 +5586,6 @@ object PipelineQueries {
     * same precedence CASE. */
   def ppSplitDecontam(s: SparkSession, dir: String): DataFrame =
     Dedup.leakageSafeSplit(t(s, dir, "documents"), "text", "doc_id")
-      // tautological-but-unfoldable filter: semantically a no-op
-      // (every split value is ≥ 3 chars, pmod < 3), but it anchors
-      // the computed column so the bench's count() action cannot
-      // join-eliminate the (distinct-keyed, cardinality-preserving)
-      // leak joins and time an empty plan. BOTH comparison sides are
-      // data-dependent on purpose: with a literal side,
-      // PushFoldableIntoBranches folds the predicate through the
-      // CASE's all-literal branches to TRUE and the anchor vanishes
-      // (measured: 0.25 s for a 500k-doc MinHash at sf10); the
-      // verify path writes every column anyway
-      .filter(length(col("split")) > pmod(col("doc_id"), lit(3)))
       .orderBy(col("doc_id"))
 
   private lazy val ppSplitDecontamSql =
@@ -6773,8 +6762,6 @@ object PipelineQueries {
   def taBoilerplate(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.boilerplateScrub(t(s, dir, "documents"), "text",
         "doc_id")
-      // anchors n_dropped under count() (see ppSplitDecontam)
-      .filter(col("n_dropped") >= 0L)
       .orderBy(col("doc_id"))
 
   private lazy val taBoilerplateSql =
@@ -6821,13 +6808,6 @@ object PipelineQueries {
         TextAnalysis.normalizeText(col("raw")).as("normalized"),
         (TextAnalysis.normalizeText(col("raw")) =!= col("raw"))
           .as("changed"))
-      // anchors the normalization chain under count() (see
-      // ppSplitDecontam) — a pure projection otherwise prunes to a
-      // bare row-count scan in the bench; length ≥ 0 is data-
-      // dependent so it survives constant folding, and corpus text
-      // is never NULL (the oracle replay would drop the same row if
-      // it ever were)
-      .filter(length(col("normalized")) >= 0)
       .orderBy(col("doc_id"))
   }
 

@@ -64,7 +64,13 @@ object CurationStream {
     * rejects it, so stage counts always sum to the input count). */
   def batchVerdicts(docs: DataFrame, qMin: Double = 0.65,
       rMax: Double = 0.01): DataFrame = {
-    val v = stageVerdicts(docs, qMin, rMax)
+    // eager checkpoint, same reason as processBatch: the verdict
+    // frame is consumed twice (keeper resolution + the join's left
+    // side), and it is VERDICT-sized (no text column), so cutting
+    // the lineage here both runs the text analysis once and stops
+    // projection collapse from inlining the tokenizer chain into the
+    // keeper filter (which cost pp_curation_verdicts 33 s at sf0.1)
+    val v = stageVerdicts(docs, qMin, rMax).localCheckpoint(true)
     val keepers = v.filter(col("pass_q") && col("pass_r"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
     v.join(keepers, Seq("fp"), "left_outer")
