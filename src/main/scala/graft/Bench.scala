@@ -8,15 +8,6 @@ object Bench {
     * plan changes instead of noise. */
   private val Runs = 3
 
-  /** Time `body` [[Runs]] times and return Right(all raw samples, in
-    * run order), or Left(error) if any run throws — a failure must
-    * surface as an explicit red flag in the JSON, never as a
-    * silently-booked elapsed time (a missing table at a new sf would
-    * otherwise look like a normal timing). All raw samples are kept
-    * (not just the median) so a load-inflated run is diagnosable from
-    * the artifact alone: sustained machine load shows up as *every*
-    * sample elevated, while a one-off GC/compile hiccup shows one
-    * outlier the median already discards (BENCH_r06 was the former). */
   /** Fully materialize a query result through the noop sink. The
     * previous action (`df.count()`) let Catalyst prune everything a
     * row count doesn't need — pure projections collapsed to bare
@@ -33,6 +24,15 @@ object Bench {
   private def exec(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
 
+  /** Time `body` [[Runs]] times and return Right(all raw samples, in
+    * run order), or Left(error) if any run throws — a failure must
+    * surface as an explicit red flag in the JSON, never as a
+    * silently-booked elapsed time (a missing table at a new sf would
+    * otherwise look like a normal timing). All raw samples are kept
+    * (not just the median) so a load-inflated run is diagnosable from
+    * the artifact alone: sustained machine load shows up as *every*
+    * sample elevated, while a one-off GC/compile hiccup shows one
+    * outlier the median already discards (BENCH_r06 was the former). */
   private[graft] def timeRuns(body: => Unit): Either[String, Seq[Double]] =
     try {
       Right(Seq.fill(Runs) {

@@ -167,8 +167,12 @@ object Dedup {
       valMod: Int = 10, numHashes: Int = 8, bands: Int = 4)
       : DataFrame = {
     val isVal = pmod(col(keyCol), lit(valMod)) === 0
+    // NULL text fingerprints as the empty string, not NULL: two
+    // NULL-text docs are byte-identical, and a NULL fp would never
+    // equi-join — an exact leak the recall-first contract must catch
     val fp = df.select(col(keyCol),
-      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      TextAnalysis.fingerprint(coalesce(col(textCol), lit("")))
+        .as("fp"))
     val exactLeak = fp.filter(!isVal)
       .join(fp.filter(isVal).select(col("fp")).distinct(),
         Seq("fp"), "left_semi")

@@ -293,8 +293,11 @@ object TextAnalysis {
     // pass-filter) re-tokenized per reference — pp_curation_verdicts
     // measured 33 s at sf0.1 from exactly this
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // coalesce preserves the pre-kernel contract: NULL text counts as
+    // zero grams (the kernel itself null-propagates)
     df.withColumn("grams",
-        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        graft.functions.GraftFunctions.word_ngrams(
+          coalesce(col(textCol), lit("")), n))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .withColumn("n_distinct",
         size(array_distinct(col("grams"))).cast("long"))
@@ -1140,7 +1143,12 @@ object TextAnalysis {
     val lines = df.select(col(keyCol),
       posexplode(split(coalesce(col(textCol), lit("")), "\n"))
         .as(Seq("pos", "line")))
-      .withColumn("blank", trim(col("line")) === "")
+      // blank = any horizontal whitespace only (trim alone strips
+      // just 0x20: a tab-only separator line would otherwise count
+      // as content, collide on the normalized fingerprint corpus-
+      // wide, and be scrubbed — destroying exactly the paragraph
+      // structure the blank carve-out preserves)
+      .withColumn("blank", col("line").rlike("^[ \\t\\x0B\\f\\r]*$"))
       .withColumn("lf", fingerprint(col("line")))
     val hot = lines.filter(!col("blank"))
       .groupBy(col("lf")).agg(count(lit(1)).as("cnt"))

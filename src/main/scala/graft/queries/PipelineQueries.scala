@@ -2837,7 +2837,11 @@ object PipelineQueries {
     * aggregation — every piece map-side combinable; the card itself
     * is O(|lang|×|source|) rows no matter the corpus size. */
   def ppDataCard(s: SparkSession, dir: String): DataFrame = {
+    // NULL text normalizes to '' up front so no row can fall out of
+    // the card through a NULL fingerprint's never-matching join —
+    // a dataset card that undercounts documents is worse than none
     val d = t(s, dir, "documents")
+      .withColumn("text", coalesce(col("text"), lit("")))
     val q = TextAnalysis.qualityMetrics(d, "text")
       .select(col("doc_id"), col("n_tokens"), col("quality_score"))
     val fp = d.select(col("doc_id"),
@@ -2859,14 +2863,17 @@ object PipelineQueries {
   }
 
   private lazy val ppDataCardSql =
-    """WITH m AS (
+    """WITH src AS (
+         SELECT doc_id, lang, source, COALESCE(text, '') AS text
+         FROM documents),
+       m AS (
          SELECT doc_id, lang, source,
            len(list_filter(string_split_regex(lower(text), '\W+'),
                            x -> x <> '')) AS n_tokens,
            length(regexp_replace(lower(text),
              '[a-z0-9 \t\n\x0B\f\r]', '', 'g')) AS n_punct,
            length(text) AS n_len
-         FROM documents),
+         FROM src),
        q AS (
          SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(ROUND(CAST(GREATEST(0.0, LEAST(1.0,
@@ -2880,7 +2887,7 @@ object PipelineQueries {
        fp AS (
          SELECT doc_id,
            md5(regexp_replace(lower(trim(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp
-         FROM documents),
+         FROM src),
        dup AS (
          SELECT f.doc_id, f.doc_id <> k.keeper AS is_dup
          FROM fp f JOIN (SELECT fp, MIN(doc_id) AS keeper
@@ -5592,7 +5599,7 @@ object PipelineQueries {
     s"""WITH ${minhashBandsCte(Int.MaxValue)},
        fps AS (
          SELECT doc_id,
-           md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
+           md5(regexp_replace(lower(trim(COALESCE(text, ''))), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
          FROM documents),
        exact_leak AS (
          SELECT DISTINCT tr.doc_id
@@ -6233,6 +6240,15 @@ object PipelineQueries {
       modifiedTop: Boolean, minTopCount: Long, fromStore: Boolean,
       boundary: Boolean = false, order: Int = 5,
       updated: Boolean = false): TextAnalysis.KnChain = {
+    // fail fast on parameter combinations no source store can serve:
+    // the updated store is unpadded, and the boundary store carries
+    // only n=5 rows — silently training the wrong chain under a
+    // layout name claiming otherwise would be served forever
+    require(!(updated && boundary),
+      "knChainCached: no boundary-padded updated store exists")
+    require(!boundary || order == 5,
+      s"knChainCached: the boundary store holds only n=5 rows " +
+        s"(got order=$order)")
     val root = layoutDir(dir, "documents",
       s"kn_chain_n${order}_m${if (modifiedTop) 1 else 0}" +
         s"_p$minTopCount" +
@@ -6772,7 +6788,8 @@ object PipelineQueries {
              AS pos
          FROM documents),
        lf AS (
-         SELECT doc_id, pos, line, trim(line) = '' AS blank,
+         SELECT doc_id, pos, line,
+           regexp_matches(line, '^[ \\t\\x0B\\f\\r]*$$') AS blank,
            md5(regexp_replace(lower(trim(line)),
              '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp
          FROM ls),
