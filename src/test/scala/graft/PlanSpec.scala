@@ -594,4 +594,59 @@ class PlanSpec extends SparkSpec {
     val n = p.linesIterator.count(_.contains("BroadcastHashJoin"))
     assert(n >= 9, s"expected the full backoff join ladder, got $n")
   }
+
+  test("gateBySize: hint under the cap broadcasts, over the cap degrades to a shuffle join") {
+    // round-17 contract closing the last forced-broadcast class: every
+    // per-word model table (NB loglik grid, LM unigram/λ/continuation
+    // tiers) joins through the size gate, so a 100 TB-vocabulary model
+    // falls back to a shuffle join instead of failing the job at the
+    // broadcast ceiling. With the size-estimate threshold disabled the
+    // HINT alone decides the strategy — exactly the production setting
+    // where estimates on derived grids are unreliable and the stamped
+    // row count is the contract.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.pipeline.{Classify, TextAnalysis}
+    val d = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val toks = d.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val counts = Classify.tokenCounts(d, "text", "lang")
+    def physical(m: DataFrame): String = {
+      val df = toks.join(m, Seq("token"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      df.collect()
+      (df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }).toString
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val under = physical(TextAnalysis.gateBySize(counts, 10L))
+      assert(under.contains("BroadcastHashJoin"),
+        s"gate declined a broadcast under the cap:\n$under")
+      val over = physical(TextAnalysis.gateBySize(counts, 4000001L))
+      assert(!over.contains("BroadcastHashJoin"),
+        s"over-cap hint still forced a broadcast:\n$over")
+      assert(over.contains("SortMergeJoin") ||
+        over.contains("ShuffledHashJoin"),
+        s"over-cap model join should degrade to a shuffle join:\n$over")
+      // and the real NB apply path at gate scale: the derivation-time
+      // hint is small, so the grid join must still broadcast even
+      // with the size-estimate threshold off
+      val model = Classify.nbModelFromCounts(counts)
+      val priors = Classify.nbPriors(d, "lang")
+      val applied = Classify.nbApply(d, model, priors, "text", "doc_id")
+      applied.collect()
+      val ap = (applied.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }).toString
+      assert(ap.contains("BroadcastHashJoin"),
+        s"NB model grid join lost its gate-scale broadcast:\n$ap")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
 }
