@@ -1362,6 +1362,19 @@ object PipelineQueries {
   private def ensureLayout(out: String)(write: => Unit): Unit =
     ensureLayout(out, out)(write)
 
+  /** Max committed `batch=` id under a count store's `counts/` — the
+    * fold watermark a DERIVED layout (e.g. a cached KN chain) stamps
+    * into its own layout NAME, so appending a batch to the source
+    * store changes the derived layout's identity and forces a
+    * re-derivation (ensureLayout trusts sentinels; a stale derived
+    * cache would otherwise be served forever). −1 = no committed
+    * batch yet. */
+  private def maxCommittedBatch(root: String): Long =
+    Option(new java.io.File(root, "counts").listFiles()).toSeq.flatten
+      .map(_.getName).collect {
+        case n if n.startsWith("batch=") => n.drop(6).toLong
+      }.foldLeft(-1L)(math.max)
+
   private def ensureLayout(out: String, wipe: String)(
       write: => Unit): Unit =
     layoutLock(wipe).synchronized {
@@ -5595,6 +5608,29 @@ object PipelineQueries {
     Dedup.leakageSafeSplit(t(s, dir, "documents"), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** [[ppSplitDecontam]] against a PERSISTED val-side index
+    * ([[Dedup.writeSplitValIndex]]): the benchmark/validation slice
+    * is fingerprinted and banded ONCE into a stored index, and each
+    * training crawl decontaminates against it — the production shape
+    * (a benchmark suite changes rarely; training crawls arrive
+    * continuously), the dd_contamination_at_rest precedent applied
+    * to the split. MinHash and the normalized fingerprint are pure
+    * functions of the text, so the stored index reproduces the
+    * inline recomputation bit-for-bit and the gate shares
+    * [[ppSplitDecontamSql]] VERBATIM. */
+  def ppSplitDecontamAtRest(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = t(s, dir, "documents")
+    val root = layoutDir(dir, "documents", "split_val_idx")
+    ensureLayout(root) {
+      Dedup.writeSplitValIndex(d.filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", root)
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    Dedup.leakageSafeSplitAgainst(d, "text", "doc_id", root)
+      .orderBy(col("doc_id"))
+  }
+
   private lazy val ppSplitDecontamSql =
     s"""WITH ${minhashBandsCte(Int.MaxValue)},
        fps AS (
@@ -6249,25 +6285,38 @@ object PipelineQueries {
     require(!boundary || order == 5,
       s"knChainCached: the boundary store holds only n=5 rows " +
         s"(got order=$order)")
+    // resolve the SOURCE count store first (building it if cold) and
+    // stamp its max committed batch id into the chain layout name:
+    // the chain is a pure function of the source FOLD, and
+    // ensureLayout trusts the sentinel — without the stamp, a batch
+    // appended to the source store after the chain was cached would
+    // silently keep serving the stale chain forever (round-16
+    // advice: the layout-content rule applied to DERIVED layouts).
+    // The inline path derives from the corpus itself, which is fixed
+    // per testdata dir — nothing to stamp.
+    val srcRoot =
+      if (updated) Some(lmCountsUpdRoot(s, dir))
+      else if (fromStore && boundary) Some(lmCountsBosRoot(s, dir))
+      else if (fromStore) Some(lmCountsRoot(s, dir))
+      else None
+    val wm = srcRoot.map(r => s"_w${maxCommittedBatch(r)}")
+      .getOrElse("")
     val root = layoutDir(dir, "documents",
       s"kn_chain_n${order}_m${if (modifiedTop) 1 else 0}" +
         s"_p$minTopCount" +
         s"_${if (updated) "u" else if (fromStore) "s" else "i"}" +
-        (if (boundary) "_b" else ""))
+        (if (boundary) "_b" else "") + wm)
     ensureLayout(root) {
-      val counts =
-        if (updated)
-          graft.streaming.NgramLmStream.foldedCountsOf(
-            s, lmCountsUpdRoot(s, dir), upToN = order)
-        else if (fromStore && boundary)
-          graft.streaming.NgramLmStream.foldedCountsOf(
-            s, lmCountsBosRoot(s, dir))
-        else if (fromStore)
-          graft.streaming.NgramLmStream.foldedCountsOf(
-            s, lmCountsRoot(s, dir), upToN = order)
-        else TextAnalysis.ngramLmCounts(
+      val counts = srcRoot match {
+        case Some(r) if boundary =>
+          graft.streaming.NgramLmStream.foldedCountsOf(s, r)
+        case Some(r) =>
+          graft.streaming.NgramLmStream.foldedCountsOf(s, r,
+            upToN = order)
+        case None => TextAnalysis.ngramLmCounts(
           t(s, dir, "documents").filter(col("doc_id") % 3 =!= 0),
           "text", maxN = order, minN = order, boundary = boundary)
+      }
       TextAnalysis.writeKnChainModel(
         if (modifiedTop)
           TextAnalysis.ngramLmMknChainModel(counts, order)
@@ -6779,6 +6828,71 @@ object PipelineQueries {
     TextAnalysis.boilerplateScrub(t(s, dir, "documents"), "text",
         "doc_id")
       .orderBy(col("doc_id"))
+
+  /** The line-fingerprint count store behind the at-rest boilerplate
+    * gates: two streamed [[graft.streaming.LineStream]] batches over
+    * the corpus — additive `(lf, cnt)` partials whose fold is
+    * bit-identical to the one-shot corpus count. */
+  private def boilerplateCountsRoot(s: SparkSession,
+      dir: String): String = {
+    val d = t(s, dir, "documents")
+    val root = layoutDir(dir, "documents", "boilerplate_lf_counts")
+    ensureLayout(root) {
+      graft.streaming.LineStream.appendBatch(
+        d.filter(col("doc_id") % 2 === 0), 0L, root, "text")
+      graft.streaming.LineStream.appendBatch(
+        d.filter(col("doc_id") % 2 === 1), 1L, root, "text")
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    root
+  }
+
+  /** [[taBoilerplate]] against the persisted hot-line store
+    * ([[graft.streaming.LineStream]]) — the production shape: the
+    * corpus-wide line-fingerprint counts are maintained at rest
+    * (additive partials, re-crawl supersede as subtraction) and each
+    * scrub pass reads the hot set instead of recounting the corpus,
+    * so the scrub is ONE corpus scan instead of two. Shares
+    * [[taBoilerplateSql]] VERBATIM: the folded hot set must
+    * reproduce the inline scrub bit-for-bit. */
+  def taBoilerplateAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = boilerplateCountsRoot(s, dir)
+    TextAnalysis.boilerplateScrubAgainst(t(s, dir, "documents"),
+        graft.streaming.LineStream.hotSet(s, root, maxRepeats = 2L),
+        "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[taBoilerplateAtRest]] under RE-CRAWLS: the store first sees a
+    * STALE version of every doc_id%7==0 document (its text plus a
+    * repeated banner line that would register as boilerplate if it
+    * survived), then a diff batch supersedes them — the stale
+    * versions' line counts subtract as negative partials, so the
+    * folded hot set is bit-identical to recounting the latest
+    * snapshot (which is exactly the corpus) and the gate shares
+    * [[taBoilerplateSql]] VERBATIM. A leftover stale count would
+    * either mint a phantom hot line (the banner) or inflate a real
+    * line's count past the threshold — both hash-visible in the full
+    * scrubbed text. */
+  def taBoilerplateUpdated(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val recrawled = d.filter(col("doc_id") % 7 === 0)
+    val stale = recrawled.withColumn("text",
+      concat(lit("PHANTOM BANNER LINE\n"), col("text")))
+    val root = layoutDir(dir, "documents", "boilerplate_lf_upd")
+    ensureLayout(root) {
+      graft.streaming.LineStream.appendBatch(
+        d.filter(col("doc_id") % 7 =!= 0), 0L, root, "text")
+      graft.streaming.LineStream.appendBatch(stale, 1L, root, "text")
+      graft.streaming.LineStream.appendDiffBatch(stale, recrawled,
+        2L, root, "text")
+      new java.io.File(root, "_SUCCESS").createNewFile(): Unit
+    }
+    TextAnalysis.boilerplateScrubAgainst(d,
+        graft.streaming.LineStream.hotSet(s, root, maxRepeats = 2L),
+        "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
 
   private lazy val taBoilerplateSql =
     s"""WITH ls AS (
@@ -7493,6 +7607,8 @@ object PipelineQueries {
     "ta_ngram_lm_kn5_model_at_rest" -> (taNgramLmKn5ModelAtRest _),
     "ta_c4_clean" -> (taC4Clean _),
     "ta_boilerplate" -> (taBoilerplate _),
+    "ta_boilerplate_at_rest" -> (taBoilerplateAtRest _),
+    "ta_boilerplate_updated" -> (taBoilerplateUpdated _),
     "ta_gopher_rules" -> (taGopherRules _),
     "ta_normalize" -> (taNormalize _),
     "ta_ngram_lm_sb" -> (taNgramLmSb _),
@@ -7573,6 +7689,7 @@ object PipelineQueries {
     "pp_split_clusters" -> (ppSplitClusters _),
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_split_decontam" -> (ppSplitDecontam _),
+    "pp_split_decontam_at_rest" -> (ppSplitDecontamAtRest _),
     "pp_data_card" -> (ppDataCard _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
     "pp_semdedup_at_rest" -> (ppSemdedupAtRest _),
@@ -7636,7 +7753,11 @@ object PipelineQueries {
     "ta_ngram_lm_kn5", "ta_ngram_lm_mkn5", "ta_ngram_lm_kn5_pruned",
     "ta_ngram_lm_kn5_bos",
     // round-16 continuation: the trigram family rides the same cache
-    "ta_ngram_lm_kn3", "ta_ngram_lm_mkn", "ta_ppl_lang_buckets")
+    "ta_ngram_lm_kn3", "ta_ngram_lm_mkn", "ta_ppl_lang_buckets",
+    // round-17: the curation at-rest twins (hot-line store, split
+    // val index)
+    "ta_boilerplate_at_rest", "ta_boilerplate_updated",
+    "pp_split_decontam_at_rest")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -7658,7 +7779,12 @@ object PipelineQueries {
     "pp_semdedup_e2e",
     "pp_bm25_search", "pp_hybrid_search", "pp_hard_negatives",
     "ta_heavy_hitters", "pp_bpe_train", "pp_bpe_apply",
-    "pp_bpe_tokenize", "pp_nb_model", "pp_unigram_apply")
+    "pp_bpe_tokenize", "pp_nb_model", "pp_unigram_apply",
+    // round-17: the inline classifier forms TRAIN per call; their
+    // at-rest twins (pp_nb_classify_at_rest, ta_langid_nb_at_rest)
+    // are the recommended production paths, so probe_total tracks
+    // those and the retrain-per-call cost books here
+    "pp_nb_classify", "ta_langid_nb")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -7758,6 +7884,10 @@ object PipelineQueries {
     "ta_ngram_lm_kn5_model_at_rest" -> taNgramLmKn5Sql,
     "ta_c4_clean" -> taC4CleanSql,
     "ta_boilerplate" -> taBoilerplateSql,
+    // at-rest/updated scrubs share the inline oracle VERBATIM: one
+    // replay proves the folded (and superseded) hot set lossless
+    "ta_boilerplate_at_rest" -> taBoilerplateSql,
+    "ta_boilerplate_updated" -> taBoilerplateSql,
     "ta_gopher_rules" -> taGopherRulesSql,
     "ta_normalize" -> taNormalizeSql,
     "ta_ngram_lm_sb" -> taNgramLmSbSql,
@@ -7845,6 +7975,8 @@ object PipelineQueries {
     "pp_split_clusters" -> ppSplitClustersSql,
     "pp_dedup_e2e" -> ppDedupE2eSql,
     "pp_split_decontam" -> ppSplitDecontamSql,
+    // the persisted val index must reproduce the inline split exactly
+    "pp_split_decontam_at_rest" -> ppSplitDecontamSql,
     "pp_data_card" -> ppDataCardSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,
     // at-rest e2e shares the rebuild form's oracle verbatim — same
