@@ -81,16 +81,31 @@ object Classify {
     * [[graft.streaming.NbStream]] path that lineage is the full
     * partials fold. */
   def nbModelFromCounts(counts: DataFrame): DataFrame = {
+    // the MEASURING form, for counts built inline from a corpus scan:
+    // the checkpoint stops the four grid inputs from each replaying
+    // the corpus tokenization, and the hint is one combined agg job
+    // on the checkpointed (model-sized) table. Stores skip all of
+    // this via [[nbModelFromCountsHinted]] with their stamped hint.
     val cc = counts.localCheckpoint()
     val m = cc.agg(count(lit(1)), countDistinct(col("label"))).head()
-    val gridHint = m.getLong(0) * math.max(m.getLong(1), 1L)
-    val classTotals = cc.groupBy(col("label"))
+    nbModelFromCountsHinted(cc,
+      m.getLong(0) * math.max(m.getLong(1), 1L))
+  }
+
+  /** [[nbModelFromCounts]] with the grid-size hint supplied by the
+    * caller (a store's stamped params — see
+    * [[graft.streaming.NbStream]]): no checkpoint, no driver jobs —
+    * the at-rest read path derives the grid with exactly the
+    * pre-hint plan plus the broadcast gate. */
+  def nbModelFromCountsHinted(counts: DataFrame,
+      gridHint: Long): DataFrame = {
+    val classTotals = counts.groupBy(col("label"))
       .agg(sum(col("cnt")).as("n_tok"))
-    val vocab = cc.select(col("token")).distinct()
+    val vocab = counts.select(col("token")).distinct()
     val vSize = vocab.agg(count(lit(1)).as("v_size"))
     val grid = vocab.crossJoin(broadcast(classTotals))
       .crossJoin(broadcast(vSize))
-      .join(cc, Seq("label", "token"), "left_outer")
+      .join(counts, Seq("label", "token"), "left_outer")
       .select(col("label"), col("token"),
         dlog(log((coalesce(col("cnt"), lit(0L)) + lit(1L))
           .cast("double") /

@@ -257,13 +257,17 @@ object TextAnalysis {
   def topGramStats(df: DataFrame, textCol: String, keyCol: String,
       n: Int = 2): DataFrame = {
     require(n >= 1, "topGramStats: n-gram size must be >= 1")
-    val terms = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // the native one-pass kernel replaces the tk + transform/
+    // concat_ws higher-order chain: the old form referenced the
+    // lambda-built tk array from several expressions (the size guard
+    // and every gram term), re-running tokenization per collapsed
+    // reference; the kernel is one generated call with the identical
+    // contract (< n tokens ⇒ empty array)
     val counts = df
-      .withColumn("tk", tokens(col(textCol)))
-      .select(col(keyCol), explode(when(size(col("tk")) >= n, expr(
-        s"transform(sequence(0, size(tk) - $n)," +
-          s" i -> concat_ws(' ', $terms))"))
-        .otherwise(array())).as("gram"))
+      .select(col(keyCol), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        .as("gram"))
       .groupBy(col(keyCol), col("gram"))
       .agg(count(lit(1)).as("c"))
     // one pass per key: total mass, max count, and the smallest gram
@@ -1087,11 +1091,19 @@ object TextAnalysis {
     * any corpus scan. */
   def gopherRules(df: DataFrame, textCol: String,
       keyCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // a NULL text normalizes to '' so every count is 0 and the doc
     // DROPS (f_wc fails) instead of emitting NULL flags — one
     // contract on both engines
     val text = coalesce(col(textCol), lit(""))
-    val toks = tokens(text)
+    // token array via the NATIVE kernel: four expressions consume it
+    // (n_words, n_chars, n_alpha, n_stop), and a lambda-built array
+    // re-runs its whole chain per collapsed reference (fresh lambda
+    // ids defeat subexpression elimination — the round-16
+    // pp_curation_verdicts blowup); the native call is structurally
+    // equal everywhere and dedupes. `lines` below is a plain split —
+    // no lambda ids — so its references already dedupe.
+    val toks = graft.functions.GraftFunctions.word_ngrams(text, 1)
     val lines = split(text, "\n")
     val stoplist = Seq("the", "be", "to", "of", "and",
       "that", "have", "with")

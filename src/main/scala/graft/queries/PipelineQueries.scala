@@ -5300,7 +5300,7 @@ object PipelineQueries {
     val recrawled = train.filter(col("doc_id") % 7 === 0)
     val revised = recrawled.withColumn("text",
       concat(col("text"), lit(" [rev1]")))
-    val root = layoutDir(dir, "documents", "nb_counts_upd_lang")
+    val root = layoutDir(dir, "documents", "nb_counts_upd_lang_p")
     ensureLayout(root) {
       graft.streaming.NbStream.appendBatch(train, 0L, root, "text",
         "lang")
@@ -5331,7 +5331,7 @@ object PipelineQueries {
     val d = t(s, dir, "documents")
     val train = d.filter(col("doc_id") % 5 =!= 0)
     val test = d.filter(col("doc_id") % 5 === 0)
-    val root = layoutDir(dir, "documents", "nb_counts_lang")
+    val root = layoutDir(dir, "documents", "nb_counts_lang_p")
     ensureLayout(root) {
       graft.streaming.NbStream.appendBatch(train, 0L, root, "text",
         "lang")
@@ -5364,7 +5364,7 @@ object PipelineQueries {
   def ppNbModelAtRest(s: SparkSession, dir: String): DataFrame = {
     val train = t(s, dir, "documents")
       .filter(col("doc_id") % 5 =!= 0)
-    val root = layoutDir(dir, "documents", "nb_counts_lang")
+    val root = layoutDir(dir, "documents", "nb_counts_lang_p")
     ensureLayout(root) {
       graft.streaming.NbStream.appendBatch(train, 0L, root, "text",
         "lang")
@@ -5381,7 +5381,7 @@ object PipelineQueries {
   def ppNbIncremental(s: SparkSession, dir: String): DataFrame = {
     val train = t(s, dir, "documents")
       .filter(col("doc_id") % 5 =!= 0)
-    val root = layoutDir(dir, "documents", "nb_counts_incr_lang")
+    val root = layoutDir(dir, "documents", "nb_counts_incr_lang_p")
     ensureLayout(root) {
       (0L to 2L).foreach { b =>
         graft.streaming.NbStream.appendBatch(

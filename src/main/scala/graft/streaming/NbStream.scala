@@ -44,6 +44,28 @@ object NbStream {
     Classify.docCounts(batch, labelCol)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
+    stampParams(batch.sparkSession, root, batchId)
+  }
+
+  /** Stamp the committed batch's partial sizes into
+    * `params/batch=<id>`: `n_rows` (count partial rows) and
+    * `n_labels` (doc partial rows) — the row-count hints
+    * [[model]] feeds the broadcast size gate, so deriving the grid
+    * never measures anything at read time (the derivation-time
+    * sizing discipline; parquet footer metadata makes both counts
+    * metadata-only jobs). Σn_rows · Σn_labels upper-bounds the grid
+    * (|vocab|·|labels| ≤ |folded counts|·|labels|; folds only shrink
+    * partial sums) — an over-estimate can only decline a broadcast
+    * that would have fit. Written LAST: a crash beforehand leaves a
+    * missing-params batch, which [[gridHint]] fails on loudly
+    * (replaying the batch rewrites both and then stamps). */
+  private def stampParams(spark: SparkSession, root: String,
+      batchId: Long): Unit = {
+    import spark.implicits._
+    val n = spark.read.parquet(s"$root/counts/batch=$batchId").count()
+    val l = spark.read.parquet(s"$root/docs/batch=$batchId").count()
+    Seq((n, l)).toDF("n_rows", "n_labels").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/params/batch=$batchId")
   }
 
   /** Apply one RE-CRAWL batch: the superseded versions' counts as
@@ -80,6 +102,7 @@ object NbStream {
       .agg(sum(col("n_docs")).as("n_docs"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
+    stampParams(oldVersions.sparkSession, root, batchId)
   }
 
   /** Folded counts with supersede semantics: zero cells (a token
@@ -106,11 +129,42 @@ object NbStream {
             "least one batch before asking for a model")
     }
 
+  /** The folded grid-size hint from the stamped per-batch params:
+    * Σn_rows · Σn_labels (see [[stampParams]]). Fails loudly when a
+    * committed count batch has no params row — a pre-round-17 store
+    * or a crash between the partial write and the stamp; replaying
+    * the batch (or rebuilding the store) repairs both. */
+  private def gridHint(spark: SparkSession, root: String): Long = {
+    def batchIds(sub: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+      val fs = p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") =>
+          n.drop(6).toLong }.toSet
+    }
+    val counts = batchIds("counts")
+    val params = batchIds("params")
+    val missing = counts -- params
+    require(missing.isEmpty,
+      s"NbStream: count batches ${missing.toSeq.sorted.mkString(",")} " +
+        s"under $root have no stamped params — a pre-params store or " +
+        "a crash between the partial write and the stamp; replay the " +
+        "batch or rebuild the store")
+    val p = spark.read.parquet(s"$root/params")
+      .agg(sum(col("n_rows")), sum(col("n_labels"))).head()
+    math.max(p.getLong(0), 1L) * math.max(p.getLong(1), 1L)
+  }
+
   /** The live smoothed log-likelihood grid over everything streamed
     * so far — identical schema and values to
-    * [[Classify.nbModel]] on the union of all appended batches. */
+    * [[Classify.nbModel]] on the union of all appended batches. The
+    * broadcast size gate is fed from the stamped params, so deriving
+    * the grid runs no measuring jobs over the fold. */
   def model(spark: SparkSession, root: String): DataFrame =
-    Classify.nbModelFromCounts(foldedCounts(spark, root))
+    Classify.nbModelFromCountsHinted(foldedCounts(spark, root),
+      gridHint(spark, root))
 
   /** The live log class priors over everything streamed so far
     * (zero-doc classes drop — a fully-superseded class has no prior,

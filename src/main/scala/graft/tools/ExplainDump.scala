@@ -59,7 +59,38 @@ object ExplainDump {
     // segmentation — no joins growing with the vocabulary)
     "pp_nb_model", "pp_nb_model_at_rest", "pp_nb_updated",
     "pp_nb_classify_at_rest", "pp_unigram_train", "pp_unigram_apply",
-    "pp_unigram_tokenize")
+    "pp_unigram_tokenize",
+    // round 17 (verdict #2): every gate that cost >= 1 s noop-basis
+    // in bench_r16_close.json is dumped, so plan audits read plans,
+    // not source — the LM chain family, the re-based expression-heavy
+    // outliers (langid, gopher, percentile contracts), and the
+    // round-16/17 curation gates with their at-rest twins
+    "gr_triangles", "ta_langid_nb", "ta_langid_nb_at_rest",
+    "pp_filter_ppl_e2e",
+    "ta_ngram_lm_kn5", "ta_ngram_lm_kn5_bos", "ta_ngram_lm_kn5_at_rest",
+    "ta_ngram_lm_kn5_model_at_rest", "ta_ngram_lm_kn5_pruned",
+    "ta_ngram_lm_mkn5", "ta_ngram_lm_mkn5_at_rest",
+    "ta_ngram_lm_kn3", "ta_ngram_lm_kn3_at_rest", "ta_ngram_lm_kn",
+    "ta_ngram_lm_sb", "ta_ngram_lm_sb_at_rest", "ta_ngram_lm_smoothed",
+    "ta_ppl_route", "ta_ppl_route_at_rest", "ta_ppl_tertiles_approx",
+    "ta_ppl_tertiles_prod", "ta_ppl_lang_buckets",
+    "dd_exact_substring_compacted", "dd_contamination_incremental",
+    "dd_semantic_incremental", "dd_triplets_at_rest",
+    "pp_cdc_dedup", "pp_cdc_incremental", "pp_cdc_at_rest",
+    "pp_chunk_cdc", "pp_hybrid_search", "pp_semdedup_at_rest",
+    "pp_semdedup_e2e", "pp_dsir_weights", "pp_hard_negatives",
+    "ann_int8_ivf_incremental", "ann_int8_ivf_refreshed",
+    "ann_int8_partitioned", "ann_int8_ivf_partitioned",
+    "ann_pq_ivf_incremental", "ann_ivf_partitioned",
+    "pp_maxmatch_apply", "pp_bpe_apply", "pp_bpe_train",
+    "ta_gopher_rules", "ta_langid", "ta_top_bigram", "ta_normalize",
+    "q28_hll_contract", "q30_percentiles", "q42_percentile_contract",
+    // (xml_convert_2000docs is the conversion BENCH, not a registered
+    // query — its ingest plan is pinned by IngestSpec/PlanSpec)
+    "q21_recursive_native", "dq_checks",
+    "pp_nb_classify", "pp_data_card",
+    "pp_split_decontam", "pp_split_decontam_at_rest",
+    "ta_boilerplate", "ta_boilerplate_at_rest", "ta_boilerplate_updated")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("EXPLAIN.md")
