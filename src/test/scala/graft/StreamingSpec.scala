@@ -1838,7 +1838,7 @@ class StreamingSpec extends SparkSpec {
     // store writer without its own recovery tier appears here) ---
     import graft.pipeline.{TextAnalysis, Validation}
     import graft.streaming.{CmsStream, CurationStream, DqStream,
-      DriftStream, LmStream, NbStream}
+      DriftStream, LineStream, LmStream, NbStream}
     val few = docs.limit(10)
     def pendForeign(): String = {
       val r = Files.createTempDirectory("graft-midswap-nocompact")
@@ -1854,6 +1854,10 @@ class StreamingSpec extends SparkSpec {
         (r => NbStream.appendBatch(few, 0L, r, "text", "lang")),
       "NbStream.appendDiffBatch" ->
         (r => NbStream.appendDiffBatch(few, few, 0L, r, "text", "lang")),
+      "LineStream.appendBatch" ->
+        (r => LineStream.appendBatch(few, 0L, r, "text")),
+      "LineStream.appendDiffBatch" ->
+        (r => LineStream.appendDiffBatch(few, few, 0L, r, "text")),
       "CmsStream.appendBatch" ->
         (r => CmsStream.appendBatch(few, 0L, r, "text", 2, 3, 64)),
       "DriftStream.appendBatch" ->
@@ -2091,6 +2095,67 @@ class StreamingSpec extends SparkSpec {
       e4.getMessage.contains("negative folded doc count") ||
       Option(e4.getCause).exists(
         _.getMessage.contains("negative folded doc count")))
+  }
+
+  test("LineStream hot set equals the one-shot scrub's; supersede subtracts; guards fire") {
+    import java.nio.file.Files
+    import graft.pipeline.TextAnalysis
+    import graft.streaming.LineStream
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    val root = Files.createTempDirectory("graft-line-store").toString
+    def hot(r: String): Set[String] =
+      LineStream.hotSet(spark, r).as[String].collect().toSet
+    def oneShotHot(d: org.apache.spark.sql.DataFrame): Set[String] =
+      TextAnalysis.boilerplateLineCounts(d, "text")
+        .filter($"cnt" > 2).select($"lf").as[String].collect().toSet
+    LineStream.appendBatch(docs.filter($"doc_id" % 2 === 0), 0L,
+      root, "text")
+    LineStream.appendBatch(docs.filter($"doc_id" % 2 === 1), 1L,
+      root, "text")
+    // additive partials: the folded hot set == one-shot counting,
+    // and the at-rest scrub is bit-identical to the inline form
+    assert(hot(root) === oneShotHot(docs))
+    def scrub(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"scrubbed", $"n_dropped")
+      .as[(Long, String, Long)].collect().toSet
+    assert(scrub(TextAnalysis.boilerplateScrubAgainst(docs,
+        LineStream.hotSet(spark, root), "text", "doc_id")) ===
+      scrub(TextAnalysis.boilerplateScrub(docs, "text", "doc_id")))
+    // replaying the newest batch regenerates, never double-counts
+    LineStream.appendBatch(docs.filter($"doc_id" % 2 === 1), 1L,
+      root, "text")
+    assert(hot(root) === oneShotHot(docs))
+    // a reused LOWER id can only be a fresh-checkpoint restart
+    val e1 = intercept[IllegalArgumentException](
+      LineStream.appendBatch(docs.limit(5), 0L, root, "text"))
+    assert(e1.getMessage.contains("below the newest committed batch"))
+    // supersede: stale versions (banner-prefixed) subtracted out —
+    // the folded hot set equals recounting the latest snapshot, and
+    // the banner never appears as a phantom hot line
+    val oldV = docs.filter($"doc_id" % 7 === 0)
+    val staleV = oldV.withColumn("text",
+      concat(lit("BANNER LINE\n"), $"text"))
+    val root2 = Files.createTempDirectory("graft-line-upd").toString
+    LineStream.appendBatch(docs.filter($"doc_id" % 7 =!= 0), 0L,
+      root2, "text")
+    LineStream.appendBatch(staleV, 1L, root2, "text")
+    LineStream.appendDiffBatch(staleV, oldV, 2L, root2, "text")
+    assert(hot(root2) === oneShotHot(docs))
+    // subtracting a version never added fails loudly at the fold
+    LineStream.appendDiffBatch(
+      oldV.withColumn("text", lit("phantom never-added line")),
+      oldV.limit(0), 3L, root2, "text")
+    val e2 = intercept[Exception](
+      LineStream.hotSet(spark, root2, 0L).collect())
+    assert(e2.getMessage != null &&
+      e2.getMessage.contains("negative folded count") ||
+      Option(e2.getCause).exists(
+        _.getMessage.contains("negative folded count")))
+    // an empty store is a loud error, not an empty hot set
+    val e3 = intercept[IllegalStateException](
+      LineStream.hotSet(spark,
+        Files.createTempDirectory("graft-line-empty").toString))
+    assert(e3.getMessage.contains("no count partials"))
   }
 
   test("incremental smoothed-LM counts equal one-shot training; streaming-driven; guards fire") {
