@@ -719,10 +719,12 @@ object TextAnalysis {
       .select(col("w"),
         Classify.dlog(log(lit(0.1) * pUni)).as("ll1"))
     // |grid2| == |pair| exactly (both joins are FK-complete) and
-    // |grid1| == |uni| (crossJoin with a 1-row total); both are
-    // projections of the checkpointed counts — the counts are
-    // materialized-block scans, not derivation replays
-    (gateBySize(grid2, pair.count()), gateBySize(grid1, uni.count()))
+    // |grid1| == |uni| (crossJoin with a 1-row total); ONE grouped
+    // count over the checkpointed table sizes both gates at
+    // derivation
+    val m = tierRows(counts)
+    (gateBySize(grid2, m.getOrElse(2, 0L)),
+      gateBySize(grid1, m.getOrElse(1, 0L)))
   }
 
   /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; the
@@ -1334,13 +1336,23 @@ object TextAnalysis {
           .as("s1"))
     // |g3| ≤ n=3 rows, |g2| ≤ n=2 rows (inner FK joins can only
     // drop), |g1| == n=1 rows — and the unigram tier is per-WORD,
-    // i.e. corpus vocabulary, so it gates like the grids; counts is
-    // checkpointed so all measures are cheap and happen once, at
-    // derivation — scorers never re-measure
-    (gateBySize(g3, counts.filter(col("n") === 3).count()),
-      gateBySize(g2, counts.filter(col("n") === 2).count()),
-      gateBySize(g1, counts.filter(col("n") === 1).count()))
+    // i.e. corpus vocabulary, so it gates like the grids; ONE
+    // grouped count over the checkpointed table sizes all three
+    // tiers at derivation — scorers never re-measure
+    val m = tierRows(counts)
+    (gateBySize(g3, m.getOrElse(3, 0L)),
+      gateBySize(g2, m.getOrElse(2, 0L)),
+      gateBySize(g1, m.getOrElse(1, 0L)))
   }
+
+  /** Per-order row counts of a (checkpointed) `(n, gram, cnt)` table
+    * in ONE job — the size hints every tier's broadcast gate consumes
+    * at derivation. */
+  private def tierRows(counts: DataFrame): Map[Int, Long] =
+    counts.groupBy(col("n")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => r.get(0).asInstanceOf[Number].intValue ->
+        r.getLong(1)).toMap
 
   /** Score documents under [[ngramLmSbModel]]: the three-tier CASE
     * with literal 0.4 multipliers, OOV drops. */
