@@ -595,6 +595,27 @@ class PlanSpec extends SparkSpec {
     assert(n >= 9, s"expected the full backoff join ladder, got $n")
   }
 
+  test("at-rest curation twins read their stores, not extra corpus passes") {
+    // the production claim behind round 17's at-rest twins: the
+    // stored hot-line set / val index replaces corpus-side recompute.
+    // Count the parquet scans of the corpus in the static plan —
+    // inline boilerplate scans documents twice (hot-set count +
+    // scrub), the at-rest form exactly once; the at-rest split reads
+    // the persisted index (2 scans of split_val_idx) and fewer
+    // corpus passes than the inline form's 5.
+    def docScans(name: String): Int =
+      plan(name).linesIterator.count(l =>
+        l.contains("Location") && l.contains("documents.parquet"))
+    assert(docScans("ta_boilerplate") >= 2)
+    assert(docScans("ta_boilerplate_at_rest") === 1,
+      "at-rest scrub must scan the corpus exactly once")
+    val sp = plan("pp_split_decontam_at_rest")
+    assert(sp.contains("split_val_idx"),
+      "val side must come from the persisted index")
+    assert(docScans("pp_split_decontam_at_rest") <
+      docScans("pp_split_decontam"))
+  }
+
   test("gateBySize: hint under the cap broadcasts, over the cap degrades to a shuffle join") {
     // round-17 contract closing the last forced-broadcast class: every
     // per-word model table (NB loglik grid, LM unigram/λ/continuation
