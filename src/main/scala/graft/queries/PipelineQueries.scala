@@ -556,6 +556,69 @@ object PipelineQueries {
        WHERE g.source <> 'src0'
        GROUP BY g.doc_id ORDER BY g.doc_id"""
 
+  /** Benchmark contamination-rate report — the eval-hygiene artifact
+    * every training run publishes (what fraction of each benchmark
+    * slice leaks into the training corpus): dd_contamination's gram
+    * machinery with the join DIRECTION flipped (per-BENCHMARK-doc
+    * hits against the distinct train gram set — `broadcastTestSide
+    * = false` because the "test side" here is the corpus, which must
+    * never broadcast), rolled up per language: docs, contaminated
+    * docs, shared-gram volume, 6-dp rate. O(langs) output rows;
+    * benchmark docs shorter than the gram width count as clean on
+    * both engines. */
+  def ppContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val hits = Dedup.contaminationHits(d, "text", "doc_id",
+      isTest = col("source") =!= "src0", n = 5,
+      broadcastTestSide = false)
+    d.filter(col("source") === "src0")
+      .select(col("doc_id"), col("lang"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_shared").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(coalesce(col("n_shared"), lit(0L))).as("n_shared_grams"))
+      .select(col("lang"), col("n_docs"), col("n_contaminated"),
+        col("n_shared_grams"),
+        round((col("n_contaminated").cast("double") /
+          col("n_docs").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 10)), 6)
+          .cast("double").as("rate"))
+      .orderBy(col("lang"))
+  }
+
+  private val ppContaminationReportSql =
+    """WITH toks AS (
+         SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '\W+'),
+             x -> x <> '') AS tk
+         FROM documents
+         WHERE len(list_filter(string_split_regex(lower(text), '\W+'),
+                 x -> x <> '')) >= 5),
+       grams AS (
+         SELECT doc_id, source,
+           tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' ||
+           tk[i+4] || ' ' || tk[i+5] AS gram
+         FROM toks CROSS JOIN unnest(range(len(tk) - 4)) AS r(i)),
+       train_grams AS (
+         SELECT DISTINCT gram FROM grams WHERE source <> 'src0'),
+       hits AS (
+         SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+         FROM grams g JOIN train_grams t ON g.gram = t.gram
+         WHERE g.source = 'src0'
+         GROUP BY g.doc_id)
+       SELECT d.lang, COUNT(*) AS n_docs,
+         COUNT(h.doc_id) AS n_contaminated,
+         CAST(COALESCE(SUM(h.n_shared), 0) AS BIGINT)
+           AS n_shared_grams,
+         CAST(ROUND(CAST(CAST(COUNT(h.doc_id) AS DOUBLE) /
+             CAST(COUNT(*) AS DOUBLE) AS DECIMAL(20,10)), 6)
+           AS DOUBLE) AS rate
+       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       WHERE d.source = 'src0'
+       GROUP BY d.lang ORDER BY d.lang"""
+
   /** Dedup resolution over the cosine-pair graph: connected components
     * via GraphX (min-id labeling), one keeper per cluster. The oracle
     * replays the clustering as a recursive min-label CTE. */
@@ -3611,6 +3674,42 @@ object PipelineQueries {
     TextAnalysis.bpeTokenizeFast(t(s, dir, "documents"), "text",
       "doc_id", bpeStoredMerges(s, dir))
 
+  /** Tokenizer fertility report — tokens-per-word per language, the
+    * number every vocab-size decision is made on (a language whose
+    * fertility blows up under a shared vocabulary is being
+    * under-served by it; production teams track this per release).
+    * Composes the AT-REST tokenize path (stored merges, fast
+    * segmenter) and rolls up per language: docs with ≥1 word, word
+    * and piece volumes as exact longs, fertility = Σpieces/Σwords
+    * 6-dp-rounded. O(langs) output rows. */
+  def taTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val tok = ppBpeTokenizeAtRest(s, dir)
+    tok.join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        round((col("n_bpe_tokens").cast("double") /
+          col("n_words").cast("double"))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 10)), 6)
+          .cast("double").as("fertility"))
+      .orderBy(col("lang"))
+  }
+
+  private lazy val taTokenizerFertilitySql =
+    s"""WITH tok AS (SELECT * FROM ($ppBpeTokenizeSql) q)
+       SELECT d.lang, COUNT(*) AS n_docs,
+         CAST(SUM(t.n_words) AS BIGINT) AS n_words,
+         CAST(SUM(t.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         CAST(ROUND(CAST(CAST(SUM(t.n_bpe_tokens) AS DOUBLE) /
+             CAST(SUM(t.n_words) AS DOUBLE) AS DECIMAL(20,10)), 6)
+           AS DOUBLE) AS fertility
+       FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+       GROUP BY d.lang ORDER BY d.lang"""
+
   // ---------------------------------------------------------------
   // Unigram-LM tokenizer gates ([[TextAnalysis.unigramTrain]] /
   // unigramSegment): the oracle replays the ENTIRE trainer — the
@@ -5345,6 +5444,69 @@ object PipelineQueries {
         col("label_pred"), col("score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Classifier evaluation report — the confusion-derived per-class
+    * precision/recall every production curation pipeline publishes
+    * before routing on a classifier's verdicts (the held-out eval
+    * that justifies a quality/language filter's threshold). Composes
+    * the AT-REST classify path (the production form): per class,
+    * support (`n_true`), predicted count (`n_pred`), correct count,
+    * and 6-dp-rounded precision/recall — counts are exact longs, the
+    * ratios integer-exact IEEE divisions rounded through DECIMAL, so
+    * the report is engine-exact. Classes appear if they occur in
+    * truth OR prediction (full outer), zero-filled. O(classes)
+    * output rows regardless of corpus size; the only corpus-scale
+    * work is the classify pass itself. */
+  def ppNbEval(s: SparkSession, dir: String): DataFrame = {
+    val cls = ppNbClassifyAtRest(s, dir)
+    val perTrue = cls.groupBy(col("label_true").as("label"))
+      .agg(count(lit(1)).as("n_true"))
+    val perPred = cls.groupBy(col("label_pred").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val correct = cls.filter(col("label_true") === col("label_pred"))
+      .groupBy(col("label_true").as("label"))
+      .agg(count(lit(1)).as("n_correct"))
+    def r6(c: Column): Column =
+      round(c.cast(org.apache.spark.sql.types.DecimalType(20, 10)), 6)
+        .cast("double")
+    perTrue.join(perPred, Seq("label"), "full_outer")
+      .join(correct, Seq("label"), "left_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("prec", r6(
+        when(col("n_pred") > 0, col("n_correct").cast("double") /
+          col("n_pred").cast("double")).otherwise(lit(0.0))))
+      .withColumn("rec", r6(
+        when(col("n_true") > 0, col("n_correct").cast("double") /
+          col("n_true").cast("double")).otherwise(lit(0.0))))
+      .orderBy(col("label"))
+  }
+
+  private lazy val ppNbEvalSql =
+    s"""WITH cls AS (SELECT * FROM ($ppNbClassifySql) c),
+       pt AS (SELECT label_true AS label, COUNT(*) AS n_true
+              FROM cls GROUP BY 1),
+       pp AS (SELECT label_pred AS label, COUNT(*) AS n_pred
+              FROM cls GROUP BY 1),
+       pc AS (SELECT label_true AS label, COUNT(*) AS n_correct
+              FROM cls WHERE label_true = label_pred GROUP BY 1)
+       SELECT COALESCE(pt.label, pp.label) AS label,
+         COALESCE(pt.n_true, 0) AS n_true,
+         COALESCE(pp.n_pred, 0) AS n_pred,
+         COALESCE(pc.n_correct, 0) AS n_correct,
+         CAST(ROUND(CAST(CASE WHEN COALESCE(pp.n_pred, 0) > 0
+             THEN CAST(COALESCE(pc.n_correct, 0) AS DOUBLE) /
+                  CAST(pp.n_pred AS DOUBLE)
+             ELSE 0.0 END AS DECIMAL(20,10)), 6) AS DOUBLE) AS prec,
+         CAST(ROUND(CAST(CASE WHEN COALESCE(pt.n_true, 0) > 0
+             THEN CAST(COALESCE(pc.n_correct, 0) AS DOUBLE) /
+                  CAST(pt.n_true AS DOUBLE)
+             ELSE 0.0 END AS DECIMAL(20,10)), 6) AS DOUBLE) AS rec
+       FROM pt FULL OUTER JOIN pp ON pt.label = pp.label
+       LEFT JOIN pc ON COALESCE(pt.label, pp.label) = pc.label
+       ORDER BY label"""
 
   /** The shared output projection of every NB-model gate — identical
     * column shape for the inline, at-rest and incremental forms so
@@ -7690,6 +7852,9 @@ object PipelineQueries {
     "pp_dedup_e2e" -> (ppDedupE2e _),
     "pp_split_decontam" -> (ppSplitDecontam _),
     "pp_split_decontam_at_rest" -> (ppSplitDecontamAtRest _),
+    "pp_nb_eval" -> (ppNbEval _),
+    "pp_contamination_report" -> (ppContaminationReport _),
+    "ta_tokenizer_fertility" -> (taTokenizerFertility _),
     "pp_data_card" -> (ppDataCard _),
     "pp_semdedup_e2e" -> (ppSemdedupE2e _),
     "pp_semdedup_at_rest" -> (ppSemdedupAtRest _),
@@ -7757,7 +7922,10 @@ object PipelineQueries {
     // round-17: the curation at-rest twins (hot-line store, split
     // val index)
     "ta_boilerplate_at_rest", "ta_boilerplate_updated",
-    "pp_split_decontam_at_rest")
+    "pp_split_decontam_at_rest",
+    // round-17 report gates composing layout-backed paths (the NB
+    // counts store / the BPE merge store)
+    "pp_nb_eval", "ta_tokenizer_fertility")
 
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
@@ -7977,6 +8145,9 @@ object PipelineQueries {
     "pp_split_decontam" -> ppSplitDecontamSql,
     // the persisted val index must reproduce the inline split exactly
     "pp_split_decontam_at_rest" -> ppSplitDecontamSql,
+    "pp_nb_eval" -> ppNbEvalSql,
+    "pp_contamination_report" -> ppContaminationReportSql,
+    "ta_tokenizer_fertility" -> taTokenizerFertilitySql,
     "pp_data_card" -> ppDataCardSql,
     "pp_semdedup_e2e" -> ppSemdedupE2eSql,
     // at-rest e2e shares the rebuild form's oracle verbatim — same
