@@ -90,7 +90,9 @@ object ExplainDump {
     "q21_recursive_native", "dq_checks",
     "pp_nb_classify", "pp_data_card",
     "pp_split_decontam", "pp_split_decontam_at_rest",
-    "ta_boilerplate", "ta_boilerplate_at_rest", "ta_boilerplate_updated")
+    "ta_boilerplate", "ta_boilerplate_at_rest", "ta_boilerplate_updated",
+    // round-17 report tier (all ≥ 1 s at sf0.1)
+    "pp_nb_eval", "pp_contamination_report", "ta_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("EXPLAIN.md")
