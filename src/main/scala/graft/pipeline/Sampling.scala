@@ -338,10 +338,14 @@ object Sampling {
     * operator here.
     *
     * 100 TB shape: gram construction is the codegen'd `word_ngrams`
-    * scan; both models are vocabulary-sized aggregates that broadcast
-    * to the scoring join; the per-doc combine is the same gram-keyed
-    * map-side-partial pattern as [[TextAnalysis.scoreWithBigramModel]].
-    * The two global totals are each one scalar aggregate. */
+    * scan; both models are GRAM-VOCABULARY-sized aggregates — at
+    * 100 TB that is strictly more rows than the word vocabulary
+    * CLAUDE.md's sizing rule puts at 10⁸-10⁹, so the scoring join is
+    * size-gated ([[TextAnalysis.gateBySize]]) with the gram-type
+    * count measured once at model derivation, never force-broadcast;
+    * the per-doc combine is the same gram-keyed map-side-partial
+    * pattern as [[TextAnalysis.scoreWithBigramModel]]. The two
+    * global totals are each one scalar aggregate. */
   /** The per-gram importance ratio `p_t / p_r` over rounded model
     * columns `p9_t` (nullable — unseen in the target) and `p9_r`.
     * p_r > 0 holds for every scored gram PRE-rounding only: past
@@ -360,41 +364,36 @@ object Sampling {
       .otherwise(lit(0).cast(DecimalType(18, 9)))
   }
 
-  def dsirWeights(docs: DataFrame, textCol: String, keyCol: String,
-      targetPred: org.apache.spark.sql.Column, n: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+  /** The combined DSIR model from `(gram, c_t, c_r)` sufficient
+    * statistics: one gram-keyed table `(gram, p9_t nullable, p9_r)` —
+    * `p9_t` NULL exactly when the gram never occurs in the target
+    * subset (the old separate-table form's left-outer semantics),
+    * both probabilities 9-decimal-rounded in DECIMAL. */
+  private def dsirModelFrom(byGram: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // ONE corpus-sized gram shuffle: per-(doc, gram) occurrence counts
-    // with the target flag riding along (constant per doc, so it joins
-    // the group key for free). Both models are vocabulary-sized
-    // re-aggregations of this relation — they never rescan the corpus.
-    val occ = docs
-      .select(col(keyCol), targetPred.as("is_t"), explode(
-        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
-        .as("gram"))
-      .groupBy(col(keyCol), col("is_t"), col("gram"))
-      .agg(count(lit(1)).as("occ"))
-    // no checkpoint: the three consumers (both models + scoring) share
-    // one IDENTICAL aggregation subplan, which Catalyst dedupes via
-    // ReusedExchange — materializing it eagerly was measured SLOWER
-    // (it writes the corpus-sized relation to checkpoint blocks)
-    def model(cnt: DataFrame): DataFrame = {
-      val total = cnt.agg(sum(col("c")).cast("double").as("n_total"))
-      cnt.crossJoin(broadcast(total))
-        .select(col("gram"),
-          round((col("c").cast("double") / col("n_total"))
-            .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9))
-            .as("p9"))
-    }
-    val tModel = model(occ.filter(col("is_t"))
-      .groupBy(col("gram")).agg(sum(col("occ")).as("c")))
-      .withColumnRenamed("p9", "p9_t")
-    val rModel = model(occ
-      .groupBy(col("gram")).agg(sum(col("occ")).as("c")))
-      .withColumnRenamed("p9", "p9_r")
-    occ
-      .join(broadcast(tModel), Seq("gram"), "left_outer")
-      .join(broadcast(rModel), Seq("gram"))
+    val totals = byGram.agg(
+      sum(col("c_t")).cast("double").as("n_t"),
+      sum(col("c_r")).cast("double").as("n_r"))
+    byGram.crossJoin(broadcast(totals))
+      .select(col("gram"),
+        when(col("c_t") > 0,
+          round((col("c_t").cast("double") / col("n_t"))
+            .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9)))
+          .as("p9_t"),
+        round((col("c_r").cast("double") / col("n_r"))
+          .cast(DecimalType(28, 10)), 9).cast(DecimalType(18, 9))
+          .as("p9_r"))
+  }
+
+  /** The scoring join: occurrence stream × size-gated model →
+    * per-document occurrence-weighted ratio mean. Inner join on the
+    * model (every corpus gram is in the raw model when the model was
+    * trained on this corpus; genuinely-new grams under an at-rest
+    * model carry no evidence and drop, the OOV discipline). */
+  private def scoreDsir(occ: DataFrame, model: DataFrame,
+      gramHint: Long, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    occ.join(TextAnalysis.gateBySize(model, gramHint), Seq("gram"))
       .groupBy(col(keyCol))
       .agg(sum(col("occ")).as("n_grams"),
         sum(importanceRatio9 * col("occ").cast(DecimalType(10, 0)))
@@ -402,5 +401,90 @@ object Sampling {
       .select(col(keyCol), col("n_grams"),
         Similarity.r3(col("r_sum").cast("double") / col("n_grams"))
           .as("dsir_weight"))
+  }
+
+  /** Per-(doc, gram) occurrence counts — the one corpus-sized gram
+    * shuffle every DSIR form pays exactly once per apply. */
+  private def dsirOcc(docs: DataFrame, textCol: String,
+      keyCol: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(keyCol), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        .as("gram"))
+      .groupBy(col(keyCol), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+  }
+
+  /** Retrain-per-call DSIR (the measured inline baseline —
+    * [[writeDsirModel]] + [[dsirWeightsFromStore]] is the
+    * recommended production path). Trains both models in one
+    * gram-keyed aggregation job, eagerly checkpointed (gram-vocab-
+    * sized — the round-10 small-shared-relation rule) so its row
+    * count is the derivation-time size hint for the scoring join's
+    * broadcast gate; the old form's forced `broadcast(model)` fails
+    * outright at a 100 TB gram vocabulary instead of degrading to
+    * the shuffle join this one takes. Costs one extra corpus gram
+    * scan vs the old single-action ReusedExchange share — the price
+    * of retraining per call, which the at-rest twin doesn't pay. */
+  def dsirWeights(docs: DataFrame, textCol: String, keyCol: String,
+      targetPred: org.apache.spark.sql.Column, n: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val byGram = docs
+      .select(targetPred.as("is_t"), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        .as("gram"))
+      .groupBy(col("gram"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+      .localCheckpoint()
+    val nGrams = byGram.count()
+    scoreDsir(dsirOcc(docs, textCol, keyCol, n),
+      dsirModelFrom(byGram), nGrams, keyCol)
+  }
+
+  /** Persist a trained DSIR model at rest: the combined
+    * `(gram, p9_t, p9_r)` table plus a params row stamping `n` (the
+    * gram order — a mismatched apply would score garbage, so reads
+    * carry it into gram construction) and `n_grams` (the model row
+    * count, captured via `observe` during the write itself — zero
+    * extra jobs — which [[dsirWeightsFromStore]] uses as the
+    * broadcast-gate hint). Training is a batch job by design (both
+    * models are global MLE distributions); the store is what makes
+    * APPLY pay training once instead of per call. */
+  def writeDsirModel(docs: DataFrame, textCol: String,
+      targetPred: org.apache.spark.sql.Column, n: Int,
+      outDir: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    graft.streaming.IvfStream.requireNoPendingSwap(outDir,
+      "Sampling.writeDsirModel")
+    val byGram = docs
+      .select(targetPred.as("is_t"), explode(
+        graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
+        .as("gram"))
+      .groupBy(col("gram"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+    val obs = org.apache.spark.sql.Observation()
+    dsirModelFrom(byGram)
+      .observe(obs, count(lit(1)).as("n_grams"))
+      .write.mode("overwrite").parquet(s"$outDir/model")
+    Seq((n, obs.get("n_grams").asInstanceOf[Long]))
+      .toDF("n", "n_grams").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/params")
+  }
+
+  /** Score a relation against a persisted [[writeDsirModel]] store:
+    * one corpus gram scan, model joined under the store-stamped
+    * size gate — no retraining, no measuring, no forced broadcast. */
+  def dsirWeightsFromStore(docs: DataFrame, textCol: String,
+      keyCol: String, dir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val p = spark.read.parquet(s"$dir/params").collect()(0)
+    val n = p.getAs[Int]("n")
+    val hint = p.getAs[Long]("n_grams")
+    scoreDsir(dsirOcc(docs, textCol, keyCol, n),
+      spark.read.parquet(s"$dir/model"), hint, keyCol)
   }
 }

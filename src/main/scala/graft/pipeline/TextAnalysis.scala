@@ -807,8 +807,17 @@ object TextAnalysis {
     * broadcast ceiling with headroom, past the point where
     * per-executor copies stop paying. */
   private[graft] def gateBySize(df: DataFrame, sizeHint: Long,
-      maxRows: Long = 4000000L): DataFrame =
-    if (sizeHint <= maxRows) broadcast(df) else df
+      maxRows: Long = 4000000L): DataFrame = {
+    // `spark.graft.broadcastGate.maxRows` overrides the cap when set:
+    // clusters differ in executor memory / broadcast ceiling, and the
+    // override also lets PlanSpec pin the over-cap shuffle fallback on
+    // paths whose hints are measured internally (tokenizeWith's
+    // segmentation count, dsirWeights' gram count) without faking data
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.broadcastGate.maxRows")
+      .map(_.toLong).getOrElse(maxRows)
+    if (sizeHint <= cap) broadcast(df) else df
+  }
 
   /** Score documents under the KN model: seen bigrams take the grid
     * value; unseen with both words known compose λ(w1)·p_cont(w2) at
@@ -2691,23 +2700,37 @@ object TextAnalysis {
   /** Corpus-scale BPE tokenization report: per document, the word
     * count and the BPE token count under a trained merge list. The
     * vocabulary segmentation ([[bpeSegment]]) is computed once and
-    * broadcast — at 100 TB the vocabulary is millions of rows (MBs)
-    * against trillions of token occurrences, so the occurrence
-    * stream joins map-side and the only shuffle is the per-document
-    * partial-count combine. This is the number every budget/packing
-    * operator downstream actually wants (token budgets are BPE
-    * tokens, not whitespace words). */
+    * SIZE-GATED into the occurrence join — the segmentation keys the
+    * corpus's distinct WORD TYPES, which at 100 TB is 10⁸-10⁹ rows
+    * (unbounded by any trained-vocab cap), so a forced broadcast
+    * would fail the job outright at the tier where it matters; under
+    * the cap the occurrence stream still joins map-side and the only
+    * shuffle is the per-document partial-count combine. This is the
+    * number every budget/packing operator downstream actually wants
+    * (token budgets are BPE tokens, not whitespace words). */
   def bpeTokenize(docs: DataFrame, textCol: String, keyCol: String,
       merges: Seq[(String, String)]): DataFrame =
     tokenizeWith(docs, textCol, keyCol,
       bpeSegment(docs, textCol, merges))
 
+  /** Shared apply core: join the occurrence stream against a derived
+    * vocabulary segmentation with a [[gateBySize]]d join. The
+    * derivation-time hint is a `count` on the segmentation frame —
+    * free here, because building the segmentation already costs its
+    * own corpus scan (distinct word types) SEPARATE from the
+    * occurrence scan (plain scans don't dedupe; only exchanges do),
+    * so eager-checkpointing the vocabulary-sized result and counting
+    * the checkpointed blocks keeps the total at two corpus scans
+    * while making the gate hint exact (the round-10 PQ-codewords
+    * pattern: EAGER checkpoint for small shared relations). */
   private def tokenizeWith(docs: DataFrame, textCol: String,
       keyCol: String, segmentation: DataFrame,
       tokCol: String = "n_bpe_tokens"): DataFrame = {
     val seg = segmentation.select(col("word"), col("n_pieces"))
+      .localCheckpoint()
+    val nWords = seg.count()
     docs.select(col(keyCol), explode(tokens(col(textCol))).as("word"))
-      .join(broadcast(seg), Seq("word"))
+      .join(gateBySize(seg, nWords), Seq("word"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces")).as(tokCol))

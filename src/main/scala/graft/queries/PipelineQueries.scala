@@ -2721,6 +2721,25 @@ object PipelineQueries {
       targetPred = col("lang") === "en", n = 2)
       .orderBy(col("doc_id"))
 
+  /** DSIR weights off the persisted model store
+    * ([[Sampling.writeDsirModel]] → [[Sampling.dsirWeightsFromStore]]):
+    * train once at rest, apply with one corpus gram scan under the
+    * store-stamped broadcast-gate hint — the recommended production
+    * path (the inline form retrains both models per call). Shares
+    * [[ppDsirWeightsSql]] verbatim: the store is trained on the same
+    * corpus, so apply-from-store == inline retrain bit-for-bit, and
+    * one oracle replay proves both the scorer and the layout
+    * lossless. */
+  def ppDsirWeightsAtRest(s: SparkSession, dir: String): DataFrame = {
+    val out = layoutDir(dir, "documents", "dsir_model_n2_en")
+    ensureLayout(out)(Sampling.writeDsirModel(
+      t(s, dir, "documents"), "text",
+      targetPred = col("lang") === "en", n = 2, outDir = out))
+    Sampling.dsirWeightsFromStore(t(s, dir, "documents"), "text",
+      "doc_id", out)
+      .orderBy(col("doc_id"))
+  }
+
   private val ppDsirWeightsSql =
     """WITH toks AS (
          SELECT doc_id, lang,
@@ -7746,6 +7765,7 @@ object PipelineQueries {
     "pp_hybrid_search" -> (ppHybridSearch _),
     "pp_hybrid_at_rest" -> (ppHybridAtRest _),
     "pp_dsir_weights" -> (ppDsirWeights _),
+    "pp_dsir_weights_at_rest" -> (ppDsirWeightsAtRest _),
     "pp_profile" -> (ppProfile _),
     "pp_weak_labels" -> (ppWeakLabels _),
     "pp_curriculum" -> (ppCurriculum _),
@@ -7923,6 +7943,8 @@ object PipelineQueries {
     // val index)
     "ta_boilerplate_at_rest", "ta_boilerplate_updated",
     "pp_split_decontam_at_rest",
+    // round-18: the DSIR model store
+    "pp_dsir_weights_at_rest",
     // round-17 report gates composing layout-backed paths (the NB
     // counts store / the BPE merge store)
     "pp_nb_eval", "ta_tokenizer_fertility")
@@ -7952,7 +7974,10 @@ object PipelineQueries {
     // at-rest twins (pp_nb_classify_at_rest, ta_langid_nb_at_rest)
     // are the recommended production paths, so probe_total tracks
     // those and the retrain-per-call cost books here
-    "pp_nb_classify", "ta_langid_nb")
+    "pp_nb_classify", "ta_langid_nb",
+    // round-18: DSIR joined the train-once/apply-many families —
+    // the inline form retrains both gram models per call
+    "pp_dsir_weights")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -8029,6 +8054,9 @@ object PipelineQueries {
     "pp_hybrid_search" -> ppHybridSearchSql,
     "pp_hybrid_at_rest" -> ppHybridAtRestSql,
     "pp_dsir_weights" -> ppDsirWeightsSql,
+    // store trained on the same corpus ⇒ apply-from-store == inline
+    // retrain; one shared replay proves scorer + layout lossless
+    "pp_dsir_weights_at_rest" -> ppDsirWeightsSql,
     "pp_profile" -> ppProfileSql,
     "pp_weak_labels" -> ppWeakLabelsSql,
     "pp_curriculum" -> ppCurriculumSql,
