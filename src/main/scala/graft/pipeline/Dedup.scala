@@ -389,16 +389,18 @@ object Dedup {
     require(n >= 1, "contaminationHits: n-gram size must be >= 1")
     // normalized tokens (lowercase, non-word splits dropped) like the
     // rest of the dd_* family: decontamination must catch case/
-    // punctuation variants of a held-out passage
-    val toks = docs.select(col(keyCol), isTest.as("is_test"),
-      filter(split(lower(col(textCol)), "\\W+"), _ =!= "").as("tk"))
-      .filter(size(col("tk")) >= n)
-    // direct element access per window — no per-gram slice allocation
-    val terms = (0 until n).map(j => s"tk[i + $j]").mkString(", ")
-    val grams = toks.select(col(keyCol), col("is_test"),
-      explode(expr(
-        s"transform(sequence(0, size(tk) - $n)," +
-          s" i -> concat_ws(' ', $terms))")).as("gram"))
+    // punctuation variants of a held-out passage. Grams come from the
+    // NATIVE word_ngrams kernel (as contaminationHitsFrames does) —
+    // the old lambda-built tk array was consumed by BOTH the
+    // size(tk) >= n filter and the transform gram builder, the exact
+    // fresh-lambda-id re-tokenization pattern the round-16 rule bans
+    // (each consumer re-ran the whole split chain per row, over the
+    // corpus side). word_ngrams returns an empty array below n
+    // tokens, so the explode drops those docs — the same contract.
+    val fns = graft.functions.GraftFunctions
+    fns.register(docs.sparkSession)
+    val grams = docs.select(col(keyCol), isTest.as("is_test"),
+      explode(fns.word_ngrams(col(textCol), n)).as("gram"))
     // a held-out benchmark suite is usually small next to the corpus:
     // broadcasting its gram set means corpus grams never shuffle. For
     // a LARGE held-out side (broadcast would overflow the driver),

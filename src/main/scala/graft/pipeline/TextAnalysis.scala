@@ -1186,10 +1186,20 @@ object TextAnalysis {
   def boilerplateScrub(df: DataFrame, textCol: String,
       keyCol: String, maxRepeats: Long = 2L): DataFrame = {
     val lines = boilerplateLines(df, textCol, keyCol)
+    // hot set EAGERLY checkpointed (round-10 small-shared-relation
+    // rule, round-16 filter-side-consumer rule): it is the tiny
+    // heavy-hitter relation derived from the corpus-sized `lines`,
+    // and leaving it lazy keeps the whole line-derivation lineage in
+    // the scrub action — which then recomputes the corpus scan +
+    // split + fingerprint chain once for the hot side and once for
+    // the join side within one action. Checkpointed, the scrub
+    // action scans the corpus exactly once and joins against blocks
+    // of known (broadcastable) size.
     val hot = lines.filter(!col("blank"))
       .groupBy(col("lf")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxRepeats)
       .select(col("lf"), lit(true).as("hot"))
+      .localCheckpoint()
     scrubAgainstHot(lines, hot, keyCol)
   }
 

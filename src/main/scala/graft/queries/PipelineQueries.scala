@@ -1433,7 +1433,13 @@ object PipelineQueries {
     * cache would otherwise be served forever). −1 = no committed
     * batch yet. */
   private def maxCommittedBatch(root: String): Long =
-    Option(new java.io.File(root, "counts").listFiles()).toSeq.flatten
+    // normalize first (round-14 rule): a file:-scheme root fed to
+    // java.io.File is a RELATIVE ./file:/x path, which would list
+    // nothing, stamp the derived chain layout _w-1, and serve a stale
+    // chain forever
+    Option(new java.io.File(
+        graft.streaming.IvfStream.localPath(root), "counts")
+      .listFiles()).toSeq.flatten
       .map(_.getName).collect {
         case n if n.startsWith("batch=") => n.drop(6).toLong
       }.foldLeft(-1L)(math.max)
@@ -6482,12 +6488,26 @@ object PipelineQueries {
       else None
     val wm = srcRoot.map(r => s"_w${maxCommittedBatch(r)}")
       .getOrElse("")
-    val root = layoutDir(dir, "documents",
+    val base =
       s"kn_chain_n${order}_m${if (modifiedTop) 1 else 0}" +
         s"_p$minTopCount" +
         s"_${if (updated) "u" else if (fromStore) "s" else "i"}" +
-        (if (boundary) "_b" else "") + wm)
+        (if (boundary) "_b" else "")
+    val root = layoutDir(dir, "documents", base + wm)
     ensureLayout(root) {
+      // reap superseded sibling chains: every source-store append
+      // mints a new _w<N> directory and ensureLayout only wipes its
+      // own root, so stale derived chains would otherwise accumulate
+      // under the tmp layout root indefinitely. Anchor the match on
+      // "_w" right after the FULL base so a chain whose base is a
+      // prefix of another's (e.g. `_s` vs `_s_b`) is never reaped.
+      if (wm.nonEmpty) {
+        Option(new java.io.File(root).getParentFile.listFiles())
+          .toSeq.flatten
+          .filter(f => f.getName.startsWith(base + "_w") &&
+            f.getName != base + wm)
+          .foreach(rmTree)
+      }
       val counts = srcRoot match {
         case Some(r) if boundary =>
           graft.streaming.NgramLmStream.foldedCountsOf(s, r)

@@ -39,12 +39,17 @@ object NbStream {
     IvfStream.requireNoPendingSwap(root, "NbStream.appendBatch")
     IvfStream.requireFreshBatchId(s"$root/counts", batchId,
       "NbStream.appendBatch")
+    val obsN = org.apache.spark.sql.Observation()
     Classify.tokenCounts(batch, textCol, labelCol)
+      .observe(obsN, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$root/counts/batch=$batchId")
+    val obsL = org.apache.spark.sql.Observation()
     Classify.docCounts(batch, labelCol)
+      .observe(obsL, count(lit(1)).as("n"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
-    stampParams(batch.sparkSession, root, batchId)
+    stampParams(batch.sparkSession, root, batchId,
+      obsN.get("n").asInstanceOf[Long], obsL.get("n").asInstanceOf[Long])
   }
 
   /** Stamp the committed batch's partial sizes into
@@ -52,19 +57,19 @@ object NbStream {
     * `n_labels` (doc partial rows) — the row-count hints
     * [[model]] feeds the broadcast size gate, so deriving the grid
     * never measures anything at read time (the derivation-time
-    * sizing discipline; parquet footer metadata makes both counts
-    * metadata-only jobs). Σn_rows · Σn_labels upper-bounds the grid
-    * (|vocab|·|labels| ≤ |folded counts|·|labels|; folds only shrink
-    * partial sums) — an over-estimate can only decline a broadcast
-    * that would have fit. Written LAST: a crash beforehand leaves a
-    * missing-params batch, which [[gridHint]] fails on loudly
-    * (replaying the batch rewrites both and then stamps). */
+    * sizing discipline). Both counts are captured via `observe`
+    * DURING the partial writes themselves — no re-read, no extra
+    * jobs per append/replay (round-17 advice). Σn_rows · Σn_labels
+    * upper-bounds the grid (|vocab|·|labels| ≤ |folded counts|·
+    * |labels|; folds only shrink partial sums) — an over-estimate
+    * can only decline a broadcast that would have fit. Written
+    * LAST: a crash beforehand leaves a missing-params batch, which
+    * [[gridHint]] fails on loudly (replaying the batch rewrites
+    * both and then stamps). */
   private def stampParams(spark: SparkSession, root: String,
-      batchId: Long): Unit = {
+      batchId: Long, nRows: Long, nLabels: Long): Unit = {
     import spark.implicits._
-    val n = spark.read.parquet(s"$root/counts/batch=$batchId").count()
-    val l = spark.read.parquet(s"$root/docs/batch=$batchId").count()
-    Seq((n, l)).toDF("n_rows", "n_labels").coalesce(1)
+    Seq((nRows, nLabels)).toDF("n_rows", "n_labels").coalesce(1)
       .write.mode("overwrite").parquet(s"$root/params/batch=$batchId")
   }
 
@@ -89,20 +94,25 @@ object NbStream {
       df.select((Seq(col("label")) ++
         (if (c == "cnt") Seq(col("token")) else Seq.empty) :+
         (-col(c)).as(c)): _*)
+    val obsN = org.apache.spark.sql.Observation()
     Classify.tokenCounts(newVersions, textCol, labelCol)
       .unionByName(
         neg(Classify.tokenCounts(oldVersions, textCol, labelCol), "cnt"))
       .groupBy(col("label"), col("token"))
       .agg(sum(col("cnt")).as("cnt"))
+      .observe(obsN, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$root/counts/batch=$batchId")
+    val obsL = org.apache.spark.sql.Observation()
     Classify.docCounts(newVersions, labelCol)
       .unionByName(
         neg(Classify.docCounts(oldVersions, labelCol), "n_docs"))
       .groupBy(col("label"))
       .agg(sum(col("n_docs")).as("n_docs"))
+      .observe(obsL, count(lit(1)).as("n"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
-    stampParams(oldVersions.sparkSession, root, batchId)
+    stampParams(oldVersions.sparkSession, root, batchId,
+      obsN.get("n").asInstanceOf[Long], obsL.get("n").asInstanceOf[Long])
   }
 
   /** Folded counts with supersede semantics: zero cells (a token
