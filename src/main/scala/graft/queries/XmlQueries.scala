@@ -74,7 +74,73 @@ object XmlQueries {
     }
   }
 
+  @volatile private var cachedStreamed:
+    Option[(SparkSession, (DataFrame, DataFrame, DataFrame))] = None
+
+  /** Stream-convert the fixture corpus once per session:
+    * [[graft.streaming.XmlStreamIngest]] discovers every fixture file
+    * through the file-source in one AvailableNow pass, appends
+    * per-micro-batch parquet via foreachBatch, and `compact` resolves
+    * cross-batch keys — exactly the tables a continuous deployment
+    * would serve. Materialized small (the [[tables]] treatment) so
+    * the comparison gate re-reads flat checkpoint blocks. */
+  private def streamedTables(spark: SparkSession)
+      : (DataFrame, DataFrame, DataFrame) = synchronized {
+    cachedStreamed match {
+      case Some((s, t)) if s eq spark => t
+      case _ =>
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_xml_streamed").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_xml_streamed_ckpt").toString
+        val q = graft.streaming.XmlStreamIngest.run(spark, fixturesDir,
+          out, ckpt,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+        graft.streaming.XmlStreamIngest.compact(spark, out)
+        def read(n: String) = spark.read
+          .parquet(s"$out/compacted/$n").coalesce(1).localCheckpoint()
+        val t = (read("documents"), read("nodes"),
+          read("node_properties"))
+        cachedStreamed = Some((spark, t))
+        t
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.9 end-to-end: the streaming XML ingest (file-source
+    // discovery → the batch converter's own parse/explode/dedup
+    // stages → foreachBatch append → compaction) must produce tables
+    // MULTISET-EQUAL to the one-shot batch conversion of the same
+    // corpus on every deterministic column (parsed_at/created_at are
+    // ingest wall clocks). The gate returns the comparison itself —
+    // row counts plus both multiset differences via exceptAll — so
+    // the golden pins streamed == batch, not just cardinality.
+    "xml_convert_streamed" ->
+      ((s: SparkSession, _: String) => {
+        import s.implicits._
+        val (sd, sn, sp) = streamedTables(s)
+        val b = tables(s)
+        def cmp(name: String, streamed: DataFrame, batch: DataFrame,
+            cols: Seq[String]): (String, Long, Long, Long) = {
+          val a = streamed.select(cols.map(col): _*)
+          val bb = batch.select(cols.map(col): _*)
+          (name, a.count(), a.exceptAll(bb).count(),
+            bb.exceptAll(a).count())
+        }
+        Seq(
+          cmp("documents", sd, b.documents,
+            Seq("id", "filename", "file_hash", "file_size")),
+          cmp("node_properties", sp, b.properties,
+            Seq("node_id", "property_name", "property_value",
+              "data_type", "document_id")),
+          cmp("nodes", sn, b.nodes,
+            Seq("id", "node_type", "document_id", "parent_id",
+              "position", "content", "xpath")))
+          .toDF("table_name", "n_rows", "n_only_streamed",
+            "n_only_batch")
+          .orderBy(col("table_name"))
+      }),
     // The broken-references health query (sql_queries.md:193-199) over
     // the one state that can strand a reference: the incremental
     // re-conversion ([[Converter.upsert]] of [[updateDir]]'s patch,
@@ -253,6 +319,21 @@ object XmlQueries {
     *    books carries exactly one `category` attribute
     *    (cat_fiction / cat_mystery / cat_history). */
   val oracle: Map[String, String] = XmlGoldens.oracle ++ Map(
+    // Hand-derived: the fixture corpus has exactly 2 parseable XML
+    // documents (simple + sample_library — the statistics golden's
+    // document count); 40 nodes == the count_by_type golden's sum;
+    // 51 properties == the fixtures' id-carrying elements' attribute
+    // inventory. Both multiset differences MUST be 0 — that is the
+    // stream==batch equivalence the gate exists to pin.
+    "xml_convert_streamed" ->
+      """SELECT CAST(c0 AS VARCHAR) AS table_name,
+         CAST(c1 AS BIGINT) AS n_rows,
+         CAST(c2 AS BIGINT) AS n_only_streamed,
+         CAST(c3 AS BIGINT) AS n_only_batch FROM (VALUES
+         ('documents', 2, 0, 0),
+         ('node_properties', 51, 0, 0),
+         ('nodes', 40, 0, 0)) AS t(c0, c1, c2, c3)
+         ORDER BY table_name""",
     "xml_broken_references" ->
       """SELECT CAST(c0 AS VARCHAR) AS missing_node_id FROM (VALUES
          ('book_1')) AS t(c0) ORDER BY missing_node_id""",
