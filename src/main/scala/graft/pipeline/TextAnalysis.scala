@@ -1902,7 +1902,16 @@ object TextAnalysis {
     * so segmentation at 100 TB is a single pass with no joins.
     * Output (word, pieces, n_pieces). */
   def bpeSegment(docs: DataFrame, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)]): DataFrame =
+    bpeSegmentCore(docs, textCol, merges).orderBy(col("word"))
+
+  /** [[bpeSegment]] without the presentation sort — what
+    * [[bpeTokenize]] checkpoints: the tokenize join doesn't care
+    * about order, and materializing the baked-in global sort through
+    * the checkpoint would pay a range partition of the vocabulary
+    * per call for nothing. */
+  private[pipeline] def bpeSegmentCore(docs: DataFrame,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val s0 = regexp_replace(col("word"), "(.)", "/$1/")
     val seg = merges.foldLeft(s0) { case (acc, (a, b)) =>
       replace(acc, lit(s"/$a//$b/"), lit(s"/$a$b/"))
@@ -1911,7 +1920,6 @@ object TextAnalysis {
     docs.select(explode(tokens(col(textCol))).as("word")).distinct()
       .select(col("word"), concat_ws(" ", pieces).as("pieces"),
         size(pieces).cast("long").as("n_pieces"))
-      .orderBy(col("word"))
   }
 
   /** One word as BPE's initial symbol sequence — split by CODE POINT
@@ -1997,7 +2005,13 @@ object TextAnalysis {
     * output contract as [[bpeSegment]]; a PipelineSpec property pins
     * the two equal on trained merge lists of any size. */
   def bpeSegmentFast(docs: DataFrame, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      merges: Seq[(String, String)]): DataFrame =
+    bpeSegmentFastCore(docs, textCol, merges).orderBy(col("word"))
+
+  /** [[bpeSegmentFast]] without the presentation sort (see
+    * [[bpeSegmentCore]]). */
+  private[pipeline] def bpeSegmentFastCore(docs: DataFrame,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranks = merges.zipWithIndex.map { case (p, i) => p -> i }.toMap
@@ -2012,7 +2026,6 @@ object TextAnalysis {
         }
       }
       .toDF("word", "pieces", "n_pieces")
-      .orderBy(col("word"))
   }
 
   /** [[bpeMerges]] at production round counts: the corpus-sized work
@@ -2126,7 +2139,7 @@ object TextAnalysis {
   def bpeTokenizeFast(docs: DataFrame, textCol: String, keyCol: String,
       merges: Seq[(String, String)]): DataFrame =
     tokenizeWith(docs, textCol, keyCol,
-      bpeSegmentFast(docs, textCol, merges))
+      bpeSegmentFastCore(docs, textCol, merges))
 
   /** Persist a trained BPE merge list at rest: the ordered (round,
     * lhs, rhs, merged, pair_count) table [[bpeMergesFast]] produces,
@@ -2519,13 +2532,20 @@ object TextAnalysis {
     * as a driver constant. */
   def unigramSegment(docs: DataFrame, textCol: String,
       model: Seq[(String, java.math.BigDecimal)],
+      maxPieceLen: Int = 4): DataFrame =
+    unigramSegmentCore(docs, textCol, model, maxPieceLen)
+      .orderBy(col("word"))
+
+  /** [[unigramSegment]] without the presentation sort (see
+    * [[bpeSegmentCore]]). */
+  private[pipeline] def unigramSegmentCore(docs: DataFrame,
+      textCol: String, model: Seq[(String, java.math.BigDecimal)],
       maxPieceLen: Int = 4): DataFrame = {
     val m = new java.util.HashMap[String, java.math.BigDecimal]()
     model.foreach { case (p, c) => m.put(p, c): Unit }
     segmentWordTable(
       docs.select(explode(tokens(col(textCol))).as("word")).distinct(),
       m, maxPieceLen)
-      .orderBy(col("word"))
   }
 
 
@@ -2721,7 +2741,7 @@ object TextAnalysis {
   def bpeTokenize(docs: DataFrame, textCol: String, keyCol: String,
       merges: Seq[(String, String)]): DataFrame =
     tokenizeWith(docs, textCol, keyCol,
-      bpeSegment(docs, textCol, merges))
+      bpeSegmentCore(docs, textCol, merges))
 
   /** Shared apply core: join the occurrence stream against a derived
     * vocabulary segmentation with a [[gateBySize]]d join. The
@@ -2755,7 +2775,7 @@ object TextAnalysis {
       model: Seq[(String, java.math.BigDecimal)],
       maxPieceLen: Int = 4): DataFrame =
     tokenizeWith(docs, textCol, keyCol,
-      unigramSegment(docs, textCol, model, maxPieceLen),
+      unigramSegmentCore(docs, textCol, model, maxPieceLen),
       tokCol = "n_unigram_tokens")
 
   /** Score any document relation against a trained [[bigramModel]].
