@@ -92,7 +92,9 @@ object ExplainDump {
     "pp_split_decontam", "pp_split_decontam_at_rest",
     "ta_boilerplate", "ta_boilerplate_at_rest", "ta_boilerplate_updated",
     // round-17 report tier (all ≥ 1 s at sf0.1)
-    "pp_nb_eval", "pp_contamination_report", "ta_tokenizer_fertility")
+    "pp_nb_eval", "pp_contamination_report", "ta_tokenizer_fertility",
+    // round-18: the DSIR store apply + the streamed-ingest parity gate
+    "pp_dsir_weights_at_rest", "xml_convert_streamed")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("EXPLAIN.md")
