@@ -98,6 +98,16 @@ object Bench {
       case (name, fn) if graft.queries.PipelineQueries.layoutBacked(name) =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // the streamed-ingest parity gate caches its conversion per
+    // SESSION (not per on-disk layout, so the layoutBacked loop can't
+    // cover it): warm it like the fixture conversion above, or its
+    // one-time streaming run lands inside timed run 1 (5.1 s vs 0.6 s
+    // steady-state in the sf1 record — the median absorbs it, but a
+    // known cold build shouldn't ride in runs_s)
+    selected.collect {
+      case (name, fn) if name == "xml_convert_streamed" =>
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
     val results = (selected.map {
       case (name, fn) =>
         // release the previous query's checkpoint/broadcast blocks
