@@ -98,14 +98,16 @@ object Bench {
       case (name, fn) if graft.queries.PipelineQueries.layoutBacked(name) =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    // the streamed-ingest parity gate caches its conversion per
-    // SESSION (not per on-disk layout, so the layoutBacked loop can't
-    // cover it): warm it like the fixture conversion above, or its
-    // one-time streaming run lands inside timed run 1 (5.1 s vs 0.6 s
-    // steady-state in the sf1 record — the median absorbs it, but a
-    // known cold build shouldn't ride in runs_s)
+    // gates cached outside the ensureLayout graph (session- or
+    // fingerprint-keyed — e.g. the streamed-ingest parity gate): warm
+    // them like the fixture conversion above, or their one-time build
+    // lands inside timed run 1 (5.1 s vs 0.6 s steady-state in the
+    // sf1 record — the median absorbs it, but a known cold build
+    // shouldn't ride in runs_s). The set is pinned in PipelineQueries
+    // next to layoutBacked so additions can't silently drift out.
     selected.collect {
-      case (name, fn) if name == "xml_convert_streamed" =>
+      case (name, fn)
+          if graft.queries.PipelineQueries.sessionCached(name) =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val results = (selected.map {

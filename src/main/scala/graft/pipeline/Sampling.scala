@@ -459,6 +459,14 @@ object Sampling {
     graft.functions.GraftFunctions.register(spark)
     graft.streaming.IvfStream.requireNoPendingSwap(outDir,
       "Sampling.writeDsirModel")
+    // params deleted FIRST, written LAST (the NbStream discipline):
+    // an overwrite-in-place retrain (say n=2 → n=3) that crashes
+    // between the model and params writes would otherwise leave a
+    // NEW model beside STALE params — apply would build the wrong
+    // gram order and silently score a near-total join miss. A crash
+    // now leaves a loud missing-params store instead.
+    graft.streaming.IvfStream.rmRec(new java.io.File(
+      graft.streaming.IvfStream.localPath(s"$outDir/params")))
     val byGram = docs
       .select(targetPred.as("is_t"), explode(
         graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
@@ -473,6 +481,12 @@ object Sampling {
     Seq((n, obs.get("n_grams").asInstanceOf[Long]))
       .toDF("n", "n_grams").coalesce(1)
       .write.mode("overwrite").parquet(s"$outDir/params")
+    // the ROOT sentinel ensureLayout-style gate caches check (the
+    // per-parquet _SUCCESS files live inside model/ and params/) —
+    // without it a sentinel-guarded caller rebuilds the store on
+    // every call, silently voiding the train-once contract
+    new java.io.File(graft.streaming.IvfStream.localPath(outDir),
+      "_SUCCESS").createNewFile(): Unit
   }
 
   /** Score a relation against a persisted [[writeDsirModel]] store:

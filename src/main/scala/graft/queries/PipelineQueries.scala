@@ -7969,6 +7969,15 @@ object PipelineQueries {
     // counts store / the BPE merge store)
     "pp_nb_eval", "ta_tokenizer_fertility")
 
+  /** Gates whose first call pays a one-time build cached OUTSIDE the
+    * ensureLayout call graph (a session/fingerprint-keyed cache the
+    * ContractSpec scan can't see). Bench warms these exactly like
+    * [[layoutBacked]]; a gate added here and not warmed would book
+    * its cold build inside timed run 1 as a fake regression — the
+    * pre-round-14 layoutBacked drift failure mode. Keep additions
+    * paired with their cache site. */
+  val sessionCached: Set[String] = Set("xml_convert_streamed")
+
   /** The DOCUMENTED-BASELINE tier: inline forms kept deliberately as
     * measured baselines for an at-rest / bucketed / fast twin that is
     * the recommended path at scale (each twin shares its baseline's

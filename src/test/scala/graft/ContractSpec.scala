@@ -93,6 +93,16 @@ class ContractSpec extends AnyFunSuite {
     // and the set never names an unregistered query
     val unknown = PipelineQueries.layoutBacked -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"layoutBacked names no query: $unknown")
+    // sessionCached (warmed by the same Bench pass, for caches the
+    // scan above can't see) must also name only registered queries,
+    // and never overlap layoutBacked (a gate is warmed by exactly
+    // one mechanism)
+    val unknownSc =
+      PipelineQueries.sessionCached -- SparkEntry.queries.keySet
+    assert(unknownSc.isEmpty, s"sessionCached names no query: $unknownSc")
+    assert((PipelineQueries.sessionCached &
+      PipelineQueries.layoutBacked).isEmpty,
+      "a gate must be warmed by exactly one mechanism")
   }
 
   test("per-module oracle maps never reference foreign queries") {
