@@ -489,6 +489,26 @@ object Sampling {
       "_SUCCESS").createNewFile(): Unit
   }
 
+  /** Deterministic importance RESAMPLING — the selection step DSIR
+    * exists for: keep the top-`n` documents of a [[dsirWeights]] /
+    * [[dsirWeightsFromStore]] relation by weight, ties broken on the
+    * key (weights are 3-dp-rounded doubles, so cross-engine ties are
+    * exact, and the tie-break makes the selected set reproducible —
+    * the [[mixtureSample]] discipline applied to importance
+    * selection). Global top-n plans as TakeOrderedAndProject (heap
+    * per partition + driver merge, no full sort at 100 TB); the
+    * rank column is a window over the already-selected n rows —
+    * driver-bounded, one tiny single-partition pass. */
+  def dsirSelect(weights: DataFrame, keyCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "dsirSelect: n must be >= 1")
+    val ord = Seq(col("dsir_weight").desc, col(keyCol))
+    weights.orderBy(ord: _*).limit(n)
+      .select(row_number().over(Window.orderBy(ord: _*))
+        .as("rank"),
+        col(keyCol), col("dsir_weight"))
+  }
+
   /** Score a relation against a persisted [[writeDsirModel]] store:
     * one corpus gram scan, model joined under the store-stamped
     * size gate — no retraining, no measuring, no forced broadcast. */

@@ -2746,8 +2746,11 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  private val ppDsirWeightsSql =
-    """WITH toks AS (
+  /** The DSIR weight computation as shared CTEs (`w` = the weights
+    * relation) — one replay text serving the weights gate, the
+    * at-rest twin, and the selection gate. */
+  private val ppDsirCtes =
+    """toks AS (
          SELECT doc_id, lang,
            list_filter(string_split_regex(lower(text), '\W+'),
              x -> x <> '') AS tk
@@ -2783,11 +2786,38 @@ object PipelineQueries {
          FROM occ o
            LEFT JOIN tm t ON t.gram = o.gram
            JOIN rm r ON r.gram = o.gram
-         GROUP BY o.doc_id)
-       SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-         CAST(ROUND(CAST(CAST(r_sum AS DOUBLE) / n_grams
-           AS DECIMAL(28,10)), 3) AS DOUBLE) AS dsir_weight
-       FROM sc ORDER BY doc_id"""
+         GROUP BY o.doc_id),
+       w AS (
+         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(ROUND(CAST(CAST(r_sum AS DOUBLE) / n_grams
+             AS DECIMAL(28,10)), 3) AS DOUBLE) AS dsir_weight
+         FROM sc)"""
+
+  private val ppDsirWeightsSql =
+    s"""WITH $ppDsirCtes
+       SELECT doc_id, n_grams, dsir_weight FROM w ORDER BY doc_id"""
+
+  private val ppDsirSelectSql =
+    s"""WITH $ppDsirCtes
+       SELECT CAST(ROW_NUMBER() OVER
+           (ORDER BY dsir_weight DESC, doc_id) AS INT) AS rank,
+         doc_id, dsir_weight
+       FROM w ORDER BY rank LIMIT 100"""
+
+  /** Deterministic importance resampling off the at-rest model
+    * ([[Sampling.dsirSelect]]) — the end of the DSIR pipeline: the
+    * top-100 most target-like documents, rank order reproducible
+    * across engines (3-dp weights, key tie-break). */
+  def ppDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val out = layoutDir(dir, "documents", "dsir_model_n2_en")
+    ensureLayout(out)(Sampling.writeDsirModel(
+      t(s, dir, "documents"), "text",
+      targetPred = col("lang") === "en", n = 2, outDir = out))
+    Sampling.dsirSelect(
+      Sampling.dsirWeightsFromStore(t(s, dir, "documents"), "text",
+        "doc_id", out),
+      "doc_id", n = 100)
+  }
 
   /** Corpus profiling report ([[TextAnalysis.corpusProfile]]): per
     * source, doc/token counts and exact interpolated token-length
@@ -7786,6 +7816,7 @@ object PipelineQueries {
     "pp_hybrid_at_rest" -> (ppHybridAtRest _),
     "pp_dsir_weights" -> (ppDsirWeights _),
     "pp_dsir_weights_at_rest" -> (ppDsirWeightsAtRest _),
+    "pp_dsir_select" -> (ppDsirSelect _),
     "pp_profile" -> (ppProfile _),
     "pp_weak_labels" -> (ppWeakLabels _),
     "pp_curriculum" -> (ppCurriculum _),
@@ -7963,8 +7994,8 @@ object PipelineQueries {
     // val index)
     "ta_boilerplate_at_rest", "ta_boilerplate_updated",
     "pp_split_decontam_at_rest",
-    // round-18: the DSIR model store
-    "pp_dsir_weights_at_rest",
+    // round-18: the DSIR model store + the selection gate off it
+    "pp_dsir_weights_at_rest", "pp_dsir_select",
     // round-17 report gates composing layout-backed paths (the NB
     // counts store / the BPE merge store)
     "pp_nb_eval", "ta_tokenizer_fertility")
@@ -8086,6 +8117,7 @@ object PipelineQueries {
     // store trained on the same corpus ⇒ apply-from-store == inline
     // retrain; one shared replay proves scorer + layout lossless
     "pp_dsir_weights_at_rest" -> ppDsirWeightsSql,
+    "pp_dsir_select" -> ppDsirSelectSql,
     "pp_profile" -> ppProfileSql,
     "pp_weak_labels" -> ppWeakLabelsSql,
     "pp_curriculum" -> ppCurriculumSql,

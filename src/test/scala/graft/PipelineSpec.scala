@@ -1580,6 +1580,34 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r(2)._3 - 1.0 / 62) < 1e-6)
   }
 
+  test("DSIR store: apply == inline retrain; crashed retrain fails loudly") {
+    val d = Seq(
+      (0L, "a b a b", "en"),
+      (1L, "c d c d", "zh"),
+      (2L, "a b c d", "en")).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("dsirstore").toString
+    Sampling.writeDsirModel(d, "text", $"lang" === "en", n = 2, dir)
+    // root sentinel present (round-18: ensureLayout-guarded callers
+    // check it; a store without it silently retrains per call)
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    val fromStore = Sampling.dsirWeightsFromStore(d, "text", "doc_id", dir)
+      .select($"doc_id", $"n_grams", $"dsir_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val inline = Sampling.dsirWeights(d, "text", "doc_id",
+      $"lang" === "en", n = 2)
+      .select($"doc_id", $"n_grams", $"dsir_weight")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(fromStore === inline)
+    // the crash window: a retrain that died between the model write
+    // and the params write must leave a LOUD missing-params store
+    // (params deleted first / written last), never a fresh model
+    // beside stale params scoring a silent join miss
+    graft.streaming.IvfStream.rmRec(new java.io.File(dir, "params"))
+    intercept[Exception] {
+      Sampling.dsirWeightsFromStore(d, "text", "doc_id", dir).collect()
+    }
+  }
+
   test("DSIR weights: target-only grams score ~ratio, foreign grams zero") {
     val d = Seq(
       (0L, "a b a b", "en"),
