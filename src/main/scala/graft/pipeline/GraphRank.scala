@@ -127,14 +127,44 @@ object GraphRank {
     * division is decimal-routed to 6 dp. */
   def triangleStats(pairs: DataFrame, aCol: String,
       bCol: String): DataFrame = {
-    val e = pairs
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tris = orientedTriangles(e, deg)
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round((when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+            .cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0))).cast(DecimalType(28, 10)), 6)
+          .cast("double").as("lcc"))
+      .orderBy(col("node"))
+  }
+
+  /** The canonical undirected edge set of a pair relation: endpoints
+    * least/greatest-ordered, self-loops dropped, distinct. */
+  private def canonicalEdges(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    pairs
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** The degree-ordered-orientation triangle relation over a
+    * canonical edge set `(u, v)` with its degree table `(node, deg)`:
+    * one row `(x, y, z)` per triangle (each triangle exactly once —
+    * the wedge opens at its lowest-(degree, id) corner). The
+    * machinery [[triangleStats]] and [[triangleCountApprox]] share;
+    * out-neighborhoods are O(√m) regardless of skew, no Cartesian. */
+  private def orientedTriangles(e: DataFrame,
+      deg: DataFrame): DataFrame = {
     val withDeg = e
       .join(deg.select(col("node").as("u"), col("deg").as("du")),
         Seq("u"))
@@ -157,21 +187,62 @@ object GraphRank {
             col("o1.dst") < col("o2.dst"))))
       .select(col("o1.src").as("x"), col("o1.dst").as("y"),
         col("o2.dst").as("z"))
-    val tris = wedges.join(
+    wedges.join(
       oriented.select(col("src").as("y"), col("dst").as("z")),
       Seq("y", "z"))
-    val perNode = tris
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    deg.join(perNode, Seq("node"), "left_outer")
-      .select(col("node"), col("deg").as("degree"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        round((when(col("deg") >= 2,
-          lit(2.0) * coalesce(col("n_triangles"), lit(0L))
-            .cast("double") /
-            (col("deg") * (col("deg") - 1)).cast("double"))
-          .otherwise(lit(0.0))).cast(DecimalType(28, 10)), 6)
-          .cast("double").as("lcc"))
-      .orderBy(col("node"))
+  }
+
+  /** DOULION-style approximate GLOBAL triangle count (Tsourakakis et
+    * al., KDD'09): keep each canonical edge independently with
+    * probability `p = keep/256`, count triangles EXACTLY on the
+    * sparsified graph with the same degree-ordered orientation, and
+    * scale by `1/p³` (each triangle survives iff all three edges do).
+    * Sampling is deterministic and engine-portable — an edge is kept
+    * iff the first two hex chars of `md5('u|v')` sort below the
+    * two-hex-digit `keep` threshold (the q32 hash-sampling idiom), so
+    * the SAME edges are kept on any engine, any partition count, any
+    * run, and a DuckDB oracle replays the estimate bit-for-bit.
+    *
+    * This is the 100 TB scale story the exact form cannot offer:
+    * triangle MASS grows super-linearly on a densifying graph (the
+    * measured sf0.1→sf1 exponent of gr_triangles is ~1.16), but the
+    * sparsified count runs on ~p·m edges with wedge work shrinking
+    * ~p³ in dense regions — p is the knob that keeps a fixed compute
+    * budget while the unbiased estimator (variance bounds in the
+    * paper) tracks the true count. Degrees for the orientation are
+    * computed ON the sparsified graph (the paper's form — the
+    * orientation only needs SOME total order; sampled degrees keep
+    * the O(√(pm)) neighborhood bound).
+    *
+    * Output: ONE row `(n_edges, n_sampled, tri_sampled,
+    * est_triangles)` — the full and kept edge counts (the audit
+    * trail), the exact sampled-graph triangle count, and the scaled
+    * estimate decimal-routed to 6 dp (`tri_sampled / p³` — exact
+    * double arithmetic both engines reproduce). */
+  def triangleCountApprox(pairs: DataFrame, aCol: String, bCol: String,
+      keep: Int = 128): DataFrame = {
+    require(keep >= 1 && keep <= 255,
+      "triangleCountApprox: keep must be in [1, 255] (p = keep/256; " +
+        "p = 1 is the exact form — use triangleStats)")
+    val p = keep / 256.0
+    val e = canonicalEdges(pairs, aCol, bCol)
+      .localCheckpoint(false) // feeds the full count + the sample
+    val hex = f"$keep%02x"
+    val kept = e.filter(substring(
+        md5(concat(col("u").cast("string"), lit("|"),
+          col("v").cast("string")).cast("binary")), 1, 2) < hex)
+      .localCheckpoint(false) // feeds degrees + orientation + count
+    val deg = kept.select(col("u").as("node"))
+      .unionAll(kept.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = orientedTriangles(kept, deg)
+      .agg(count(lit(1)).as("tri_sampled"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_sampled"))))
+      .crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_sampled"), col("tri_sampled"),
+        round((col("tri_sampled").cast("double") / lit(p * p * p))
+          .cast(DecimalType(28, 10)), 6)
+          .cast("double").as("est_triangles"))
   }
 }

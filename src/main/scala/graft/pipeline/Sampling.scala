@@ -467,6 +467,14 @@ object Sampling {
     // now leaves a loud missing-params store instead.
     graft.streaming.IvfStream.rmRec(new java.io.File(
       graft.streaming.IvfStream.localPath(s"$outDir/params")))
+    // the ROOT sentinel goes with them: a retrain-in-place that
+    // crashes mid-write would otherwise leave sentinel-present/
+    // params-missing — loud on every apply, but never self-healing
+    // (ensureLayout-guarded callers trust the sentinel and skip the
+    // rebuild forever). With the sentinel gone the next guarded call
+    // wipes and retrains automatically.
+    new java.io.File(graft.streaming.IvfStream.localPath(outDir),
+      "_SUCCESS").delete(): Unit
     val byGram = docs
       .select(targetPred.as("is_t"), explode(
         graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
@@ -507,6 +515,13 @@ object Sampling {
       .select(row_number().over(Window.orderBy(ord: _*))
         .as("rank"),
         col(keyCol), col("dsir_weight"))
+      // contractual total order (the SparkEntry determinism rule):
+      // rank-ascending already falls out of the window's physical
+      // single-partition sort today, but a later plan change (an
+      // exchange or project landing after the window) could silently
+      // reorder the dump; the explicit sort is over n driver-bounded
+      // rows — free
+      .orderBy(col("rank"))
   }
 
   /** Score a relation against a persisted [[writeDsirModel]] store:

@@ -815,7 +815,17 @@ object TextAnalysis {
     // segmentation count, dsirWeights' gram count) without faking data
     val cap = df.sparkSession.conf
       .getOption("spark.graft.broadcastGate.maxRows")
-      .map(_.toLong).getOrElse(maxRows)
+      .map { v =>
+        // pointed parse failure: a malformed override would otherwise
+        // surface as a bare NumberFormatException deep inside query
+        // construction with no hint which conf key is at fault
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.broadcastGate.maxRows must be a long row " +
+              s"count, got '$v'")
+        }
+      }.getOrElse(maxRows)
     if (sizeHint <= cap) broadcast(df) else df
   }
 

@@ -222,8 +222,11 @@ object EventQueries {
        ORDER BY user_id, event_type"""
 
   /** Batch form of the stream-static enrichment join: events left-
-    * joined to the customer dimension on user_id (broadcast static
-    * side; events with no dimension row survive with NULL segment). */
+    * joined to the customer dimension on user_id (events with no
+    * dimension row survive with NULL segment). The static side
+    * carries no forced hint — Catalyst broadcasts the gate-scale
+    * customer dim on its size estimate (PlanSpec pins it) and would
+    * degrade to a shuffle for a production-scale dimension. */
   def evEnrich(s: SparkSession, dir: String): DataFrame = {
     val dim = t(s, dir, "customer")
       .select(col("c_custkey").as("user_id"),

@@ -97,6 +97,38 @@ object PipelineQueries {
           AND a.doc_id < b.doc_id
        ORDER BY doc_a, doc_b"""
 
+  /** [[ddMinhash]]'s candidate pairs from the INCREMENTALLY-
+    * maintained band store ([[graft.streaming.LshStream]]): the same
+    * doc_id < 300 corpus streamed in three batches through
+    * processBatch (within-batch band self-join + cross-batch join
+    * against the accumulated store — every pair lands in exactly one
+    * batch partition), pairs read back from the accumulated `pairs/`
+    * tree — against the SAME band-CTE oracle SQL verbatim
+    * ([[ddMinhashSql]]), proving stream == batch for the one index
+    * maintainer that previously had only a spec-level gate (round-19
+    * directive #4; no re-arrivals here, so the supersede tier is
+    * inert and the batch form's oracle applies unchanged). */
+  def ddMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val root = layoutDir(dir, "documents", "lsh_incr_h8b4")
+    layoutLock(root).synchronized {
+      val m = new java.io.File(root, "_DELTAS_DONE")
+      if (!m.exists()) {
+        rmTree(new java.io.File(root))
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        Seq(0L, 1L, 2L).foreach { i =>
+          graft.streaming.LshStream.processBatch(
+            docs.filter(col("doc_id") % 3 === i), i,
+            s"$root/pairs", s"$root/bands", "text", "doc_id",
+            numHashes = 8, bands = 4)
+        }
+        m.createNewFile(): Unit
+      }
+    }
+    graft.streaming.LshStream.pairs(s, root)
+      .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** 64-bit SimHash signatures as 4×16-bit parts. */
   def ddSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashParts(
@@ -749,6 +781,54 @@ object PipelineQueries {
            AS DOUBLE) AS lcc
        FROM deg d LEFT JOIN tn USING (node)
        ORDER BY d.node"""
+
+  /** DOULION-style approximate triangle count
+    * ([[GraphRank.triangleCountApprox]], p = 128/256 = 0.5) over the
+    * SAME co-purchase graph as [[grTriangles]] — the scale path for
+    * the one genuinely super-linear exact gate (triangle MASS grows
+    * ~sf^1.16 on the densifying graph, so the exact count is
+    * infeasible at 100×100 TB; the md5-gated sample keeps a fixed
+    * fraction of edges and the wedge work shrinks ~p³). The sampling
+    * predicate is the q32 deterministic-hash idiom, so the DuckDB
+    * oracle replays the ESTIMATE bit-for-bit; PipelineSpec separately
+    * pins the estimate within tolerance of the exact count (the
+    * q28/q42 contract split: hash-exactness by oracle, statistical
+    * contract by spec). The exact form stays gated as the documented
+    * baseline ([[inlineBaseline]]). */
+  def grTrianglesApprox(s: SparkSession, dir: String): DataFrame = {
+    val pp = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = pp.alias("a").join(pp.alias("b"),
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    GraphRank.triangleCountApprox(pairs, "pa", "pb", keep = 128)
+  }
+
+  private val grTrianglesApproxSql =
+    """WITH pp AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       e AS (
+         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         FROM pp a JOIN pp b
+           ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey),
+       k AS (
+         SELECT u, v FROM e
+         WHERE substr(md5(CAST(u AS VARCHAR) || '|' ||
+           CAST(v AS VARCHAR)), 1, 2) < '80'),
+       tri AS (
+         SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         FROM k e1 JOIN k e2 ON e2.u = e1.v
+              JOIN k e3 ON e3.u = e1.u AND e3.v = e2.v),
+       ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+       ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled FROM k),
+       nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tri_sampled FROM tri)
+       SELECT n_edges, n_sampled, tri_sampled,
+         CAST(ROUND(CAST(CAST(tri_sampled AS DOUBLE) /
+           CAST(0.125 AS DOUBLE) AS DECIMAL(28,10)), 6) AS DOUBLE)
+           AS est_triangles
+       FROM ne CROSS JOIN ns CROSS JOIN nt"""
 
   def ddPagerank(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").filter(col("vec_id") < 120)
@@ -2419,7 +2499,10 @@ object PipelineQueries {
       (0L, "spark join window"),
       (1L, "fast table scan"),
       (2L, "stream batch query filter")).toDF("q_id", "q_text")
-    val root = layoutDir(dir, "documents", "bm25_incr_b64")
+    // _b64s: sidecar partitions now carry _ROWS size stamps (round
+    // 19) — the layout-name bump forces pre-stamp caches to rebuild
+    // (ensureLayout trusts sentinels; round-15 rule)
+    val root = layoutDir(dir, "documents", "bm25_incr_b64s")
     bm25IncrementalLayout(s, dir, root, "_DELTAS_DONE")(())
     graft.streaming.Bm25Stream.bm25TopKIncremental(s, root, qs,
       "q_id", "q_text", k = 10, buckets = 64)
@@ -2437,7 +2520,7 @@ object PipelineQueries {
       (0L, "spark join window"),
       (1L, "fast table scan"),
       (2L, "stream batch query filter")).toDF("q_id", "q_text")
-    val root = layoutDir(dir, "documents", "bm25_cpt_b64")
+    val root = layoutDir(dir, "documents", "bm25_cpt_b64s")
     bm25IncrementalLayout(s, dir, root, "_COMPACTED")(
       graft.streaming.Bm25Stream.compact(s, root))
     graft.streaming.Bm25Stream.bm25TopKIncremental(s, root, qs,
@@ -2462,7 +2545,7 @@ object PipelineQueries {
       (1L, "fast table scan"),
       (2L, "stream batch query filter"),
       (3L, "graft refresh probe")).toDF("q_id", "q_text")
-    val root = layoutDir(dir, "documents", "bm25_upd_b64")
+    val root = layoutDir(dir, "documents", "bm25_upd_b64s")
     val docs = t(s, dir, "documents")
     val m = new java.io.File(root, "_UPDATED")
     if (!m.exists()) {
@@ -7764,6 +7847,7 @@ object PipelineQueries {
     "dd_fingerprint" -> (ddFingerprint _),
     "dd_fingerprint_nfc" -> (ddFingerprintNfc _),
     "dd_minhash_lsh" -> (ddMinhash _),
+    "dd_minhash_incremental" -> (ddMinhashIncremental _),
     "dd_minhash_agg_expr" -> (ddMinhashExpr _),
     "dd_minhash_scalar_expr" -> (ddMinhashScalar _),
     "dd_simhash" -> (ddSimhash _),
@@ -7913,6 +7997,7 @@ object PipelineQueries {
     "dq_checks" -> (dqChecks _),
     "dq_incremental" -> (dqIncremental _),
     "gr_triangles" -> (grTriangles _),
+    "gr_triangles_approx" -> (grTrianglesApprox _),
     "pp_nb_model" -> (ppNbModel _),
     "pp_nb_model_at_rest" -> (ppNbModelAtRest _),
     "pp_nb_incremental" -> (ppNbIncremental _),
@@ -7996,6 +8081,8 @@ object PipelineQueries {
     "pp_split_decontam_at_rest",
     // round-18: the DSIR model store + the selection gate off it
     "pp_dsir_weights_at_rest", "pp_dsir_select",
+    // round-19: the streamed LSH band store (directive #4)
+    "dd_minhash_incremental",
     // round-17 report gates composing layout-backed paths (the NB
     // counts store / the BPE merge store)
     "pp_nb_eval", "ta_tokenizer_fertility")
@@ -8037,13 +8124,19 @@ object PipelineQueries {
     "pp_nb_classify", "ta_langid_nb",
     // round-18: DSIR joined the train-once/apply-many families —
     // the inline form retrains both gram models per call
-    "pp_dsir_weights")
+    "pp_dsir_weights",
+    // round-19: the exact triangle count is the documented baseline
+    // for the DOULION sampled estimator (gr_triangles_approx) — the
+    // only genuinely super-linear gate; the sampled form is the
+    // recommended path at scale
+    "gr_triangles")
 
   val oracle: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_fingerprint" -> ddFingerprintSql,
     "dd_fingerprint_nfc" -> ddFingerprintNfcSql,
     "dd_minhash_lsh" -> ddMinhashSql,
+    "dd_minhash_incremental" -> ddMinhashSql,
     "dd_minhash_agg_expr" -> ddMinhashSql,
     "dd_minhash_scalar_expr" -> ddMinhashSql,
     "dd_simhash" -> ddSimhashSql,
@@ -8223,6 +8316,7 @@ object PipelineQueries {
     "dq_checks" -> dqChecksSql,
     "dq_incremental" -> dqIncrementalSql,
     "gr_triangles" -> grTrianglesSql,
+    "gr_triangles_approx" -> grTrianglesApproxSql,
     "pp_nb_model" -> ppNbModelSql,
     "pp_nb_model_at_rest" -> ppNbModelSql,
     "pp_nb_incremental" -> ppNbModelSql,

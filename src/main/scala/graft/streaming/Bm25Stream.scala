@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.pipeline.Retrieval
+import graft.pipeline.{Retrieval, TextAnalysis}
 
 /** Incremental maintenance of the at-rest BM25 postings index
   * ([[Retrieval.writeBm25Index]]) — the same base + delta design the
@@ -45,14 +45,28 @@ import graft.pipeline.Retrieval
   * `(doc_id, gen, dl)` versions in the sidecar — deduplicated
   * against earlier sidecar rows, so a twice-updated document's first
   * version is recorded stale exactly once. Probes anti-join postings
-  * rows against the broadcast sidecar on (doc_id, gen) and subtract
+  * rows against the size-gated sidecar on (doc_id, gen) and subtract
   * the stale `(count, Σdl)` from the corpus scalars — both exact
   * integer arithmetic, so a probe over base ∪ deltas ∪ updates still
   * hash-matches an inline rebuild over the LATEST versions
   * (pp_bm25_updated). Sidecar and registry rows are ∝ corpus +
-  * re-arrivals, never shuffled (registry is scanned once per append;
-  * sidecar broadcasts); [[compact]] folds everything to a fresh base
-  * and resets both.
+  * re-arrivals (registry is scanned once per append); [[compact]]
+  * folds everything to a fresh base and resets both.
+  *
+  * SIDECAR GROWTH CONTRACT: the sidecar holds one row per superseded
+  * document version SINCE THE LAST COMPACTION — bounded only by
+  * operational compaction cadence, so for a re-crawl-heavy corpus it
+  * is corpus-scale between folds, NOT a broadcastable relation. Every
+  * sidecar anti-join therefore routes through the broadcast size gate
+  * ([[graft.pipeline.TextAnalysis.gateBySize]]) with a hint summed
+  * from per-batch `_ROWS` stamps written during the sidecar writes
+  * themselves ([[IvfStream.stampRows]] — observe-captured, zero extra
+  * jobs, pure driver listing to read): small sidecars still
+  * broadcast, an unbounded one degrades to the shuffled anti-join
+  * instead of failing the job at 100 TB. [[compact]] resets the
+  * sidecar to EMPTY on the happy path (StreamingSpec pins this), so
+  * the operational knob is simply "compact before the stamp sum
+  * crosses the gate's cap".
   *
   * 100 TB shape: a delta append tokenizes ONLY the batch, shuffles
   * once on term_bucket, and scans the doc_id registry (key + length
@@ -131,8 +145,11 @@ object Bm25Stream {
         case e: org.apache.spark.sql.AnalysisException
           if IvfStream.missingPath(e) => base
       }
-    all.join(broadcast(sidecar(spark, root)
-        .select(col("doc_id").as("s_doc"), col("gen").as("s_gen"))),
+    // size-gated, never forced: the sidecar is compaction-cadence-
+    // bounded, not bounded (see the growth contract above)
+    all.join(TextAnalysis.gateBySize(sidecar(spark, root)
+        .select(col("doc_id").as("s_doc"), col("gen").as("s_gen")),
+        IvfStream.sidecarRowHint(s"$root/superseded")),
       col("doc_id") === col("s_doc") && col("gen") === col("s_gen"),
       "left_anti")
   }
@@ -289,12 +306,22 @@ object Bm25Stream {
       .join(broadcast(myKeys), Seq("doc_id"))
     val alreadyStale = sidecar(spark, root, excludeBatch = Some(batchId))
       .select(col("doc_id").as("s_doc"), col("gen").as("s_gen"))
+    val obs = org.apache.spark.sql.Observation()
     prior
-      .join(broadcast(alreadyStale),
+      // accumulated sidecar — size-gated like every other sidecar
+      // join (the growth contract); `prior` itself is batch-bounded
+      .join(TextAnalysis.gateBySize(alreadyStale,
+          IvfStream.sidecarRowHint(s"$root/superseded",
+            excludeBatch = Some(batchId))),
         col("doc_id") === col("s_doc") && col("gen") === col("s_gen"),
         "left_anti")
       .select(col("doc_id"), col("gen"), col("dl"))
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$root/superseded/batch=$batchId")
+    // stamp LAST (observe-captured during the write): the hint future
+    // reads sum to size-gate the sidecar joins
+    IvfStream.stampRows(s"$root/superseded/batch=$batchId",
+      obs.get("n").asInstanceOf[Long])
     Retrieval.postingsFromTok(tok, buckets)
       .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")
@@ -341,8 +368,12 @@ object Bm25Stream {
     IvfStream.stagedSwap(root, clear = ClearDirs) { staging =>
       val posts = liveWithGen(spark, root).localCheckpoint()
       val liveReg = registry(spark, root)
-        .join(broadcast(sidecar(spark, root)
-            .select(col("doc_id").as("s_doc"), col("gen").as("s_gen"))),
+        // size-gated (the growth contract) — the registry side is
+        // corpus-sized too, so over the cap this is a plain shuffled
+        // anti-join, fine for an offline fold
+        .join(TextAnalysis.gateBySize(sidecar(spark, root)
+            .select(col("doc_id").as("s_doc"), col("gen").as("s_gen")),
+            IvfStream.sidecarRowHint(s"$root/superseded")),
           col("doc_id") === col("s_doc") && col("gen") === col("s_gen"),
           "left_anti")
         .select(col("doc_id"), col("dl"), col("gen"))

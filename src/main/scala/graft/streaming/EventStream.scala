@@ -255,13 +255,21 @@ object EventStream {
   }
 
   /** Stream-static enrichment join: the event stream joined to a
-    * static dimension on user_id. The static side is broadcast and
-    * re-resolved per micro-batch; left join preserves events with no
+    * static dimension on user_id; left join preserves events with no
     * dimension row. The third stream-join class next to windowed aggs
     * and stream-stream joins — no watermark needed because the static
-    * side never grows state. */
+    * side never grows state.
+    *
+    * Deliberately NO broadcast hint (round-19): a user dimension at
+    * production event scale is 10⁸-10⁹ rows — not a bounded relation —
+    * and a forced hint turns a degradable stream-static join into a
+    * hard broadcast failure. Catalyst picks the broadcast on its own
+    * whenever the dim's size estimate is under the threshold
+    * (PlanSpec pins that it still fires for a small dim), and
+    * degrades to a shuffled join when it isn't — re-resolved per
+    * micro-batch either way. */
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
-    events.join(broadcast(userDim), Seq("user_id"), "left")
+    events.join(userDim, Seq("user_id"), "left")
 
   /** Ordered funnel report: how many users complete each step of
     * `steps` IN ORDER — step i counts a user only if some step-i event

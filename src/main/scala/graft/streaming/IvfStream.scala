@@ -355,6 +355,58 @@ object IvfStream {
     f.delete(): Unit
   }
 
+  /** Stamp a just-written `batch=` partition directory with its row
+    * count as a body-bearing `_ROWS` marker (hidden from parquet
+    * readers — `_`-prefixed files are filtered like `_SUCCESS`). The
+    * count is captured via `observe` DURING the partition write (the
+    * NbStream params discipline — zero extra jobs) and read back by
+    * [[sidecarRowHint]] as the broadcast-gate hint for the supersede
+    * sidecars, which are NOT bounded relations: between compactions
+    * they grow with total re-arrivals — corpus-scale for the
+    * re-crawl-heavy corpora this tier exists for — so a forced
+    * broadcast would fail the job at 100 TB instead of degrading to
+    * a shuffled anti-join. Written via tmp + ATOMIC_MOVE and LAST
+    * (after the parquet commit): a crash in between leaves a
+    * stamp-less partition, which the hint treats as unbounded
+    * (shuffle — degraded, never wrong), and the replay's overwrite
+    * rewrites both. */
+  private[graft] def stampRows(dir: String, n: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val d = localPath(dir)
+    val tmp = Paths.get(d, "_ROWS.tmp")
+    Files.write(tmp, n.toString.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(d, "_ROWS"),
+      StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  /** The summed `_ROWS` stamps of a sidecar directory's `batch=`
+    * partitions — a pure driver-side listing, no Spark job, so
+    * probe-path callers can size-gate the sidecar join on every call
+    * for free. `excludeBatch` mirrors the reader's own-partition
+    * exclusion (replay safety) so the hint sizes exactly the relation
+    * being joined. Missing directory ⇒ 0 (the reader's empty-frame
+    * fallback); any included partition without a stamp (a crash
+    * between parquet commit and stamp, or a pre-stamp layout) ⇒
+    * Long.MaxValue — conservative: the gate declines the broadcast
+    * and the anti-join degrades to a shuffle, correct at any size. */
+  private[graft] def sidecarRowHint(dir: String,
+      excludeBatch: Option[Long] = None): Long = {
+    val parts = Option(new java.io.File(localPath(dir)).listFiles())
+      .toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(f => !excludeBatch.contains(f.getName.drop(6).toLong))
+    val stamps = parts.map { p =>
+      val m = new java.io.File(p, "_ROWS")
+      if (m.exists())
+        try Some(new String(java.nio.file.Files.readAllBytes(m.toPath),
+          "UTF-8").trim.toLong)
+        catch { case _: NumberFormatException => None }
+      else None
+    }
+    if (stamps.forall(_.isDefined)) stamps.flatten.sum
+    else Long.MaxValue
+  }
+
   private def finishSwap(root: String, clear: Seq[String],
       folded: Seq[String]): Unit = {
     import java.io.File

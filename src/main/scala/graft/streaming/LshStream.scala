@@ -59,14 +59,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * 100 TB shape: per batch the work is bands(batch) ⨝ bands(seen) on
   * (band, band_hash) — bucket-local like the batch form, with the
   * stream's own bands on the (small) probe side. The accumulated band
-  * store is only ever SCANNED, never shuffled: supersede filtering is
-  * two broadcast anti-joins (the current batch's keys, bounded by the
-  * micro-batch; the superseded sidecar, proportional to total
-  * re-arrivals — not corpus size). A recrawl-heavy corpus grows the
-  * sidecar, so its maintenance story is periodic [[compact]]ion:
-  * rewrite the store dropping superseded rows and reset the sidecar —
-  * the crash-safe staged swap shared with the other index
-  * maintainers, orthogonal to correctness. (The previous design
+  * store is only ever SCANNED, never shuffled while the sidecar stays
+  * small: supersede filtering is two anti-joins — the current batch's
+  * keys (micro-batch-bounded, always broadcast) and the superseded
+  * sidecar, which grows with TOTAL RE-ARRIVALS SINCE THE LAST
+  * COMPACTION and is therefore corpus-scale for a re-crawl-heavy
+  * corpus, not a broadcastable relation. The sidecar anti-joins route
+  * through the broadcast size gate
+  * ([[graft.pipeline.TextAnalysis.gateBySize]]) with a hint summed
+  * from per-batch `_ROWS` stamps ([[IvfStream.stampRows]], observe-
+  * captured during the sidecar writes — zero extra jobs, driver-only
+  * listing to read): under the cap the store is scanned and the
+  * sidecar broadcast; over it the join degrades to a shuffle instead
+  * of failing at 100 TB. The maintenance story is periodic
+  * [[compact]]ion: rewrite the store dropping superseded rows and
+  * reset the sidecar to EMPTY (StreamingSpec pins the reset) — the
+  * crash-safe staged swap shared with the other index maintainers —
+  * so the operational knob is "compact before the stamp sum crosses
+  * the gate's cap". (The previous design
   * superseded via a per-key max-batch window, which re-shuffled the
   * ENTIRE store on every micro-batch — a per-batch cost growing with
   * corpus size, exactly what a 1000-executor deployment cannot pay.) */
@@ -174,7 +184,11 @@ object LshStream {
             .withColumn("stale_batch", lit(0L))
       }
     storeBands(spark, bandsDir, batchId, keyCol, emptyLike)
-      .join(broadcast(superseded),
+      // sidecar size-gated (the growth contract above); myKeys stays
+      // forced — it is micro-batch-bounded by construction
+      .join(graft.pipeline.TextAnalysis.gateBySize(superseded,
+          IvfStream.sidecarRowHint(staleDir,
+            excludeBatch = Some(batchId))),
         col(keyCol) === col("s_key") &&
           col("batch") === col("stale_batch"), "left_anti")
       .join(broadcast(myKeys), Seq(keyCol), "left_anti")
@@ -216,10 +230,16 @@ object LshStream {
     // rows this batch's re-arrivals make stale, recorded for every
     // later batch (the store scan here is the same scan the candidate
     // join pays; the result is tiny — re-arrived keys only)
+    val obs = org.apache.spark.sql.Observation()
     storeBands(spark, bandsDir, batchId, keyCol, myBands)
       .join(broadcast(myKeys), Seq(keyCol))
       .select(col(keyCol), col("batch").as("stale_batch")).distinct()
+      .observe(obs, count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(s"$staleDir/batch=$batchId")
+    // stamp LAST (observe-captured): the summed stamps size-gate
+    // every later sidecar anti-join
+    IvfStream.stampRows(s"$staleDir/batch=$batchId",
+      obs.get("n").asInstanceOf[Long])
     val prior = livePrior(spark, bandsDir, batchId, keyCol, myKeys, myBands)
     val within = myBands
       .select(col(keyCol).as("key_a"), col("band"), col("band_hash"))
@@ -269,7 +289,10 @@ object LshStream {
             spark.range(0).select(col("id").as("s_key"),
               col("id").as("s_gen"))
         }
-      val live = all.join(broadcast(stale),
+      // size-gated (the growth contract): the fold is exactly the
+      // moment the sidecar is at its LARGEST
+      val live = all.join(graft.pipeline.TextAnalysis.gateBySize(stale,
+          IvfStream.sidecarRowHint(supersededDir(bandsDir))),
         col(keyCol) === col("s_key") &&
           col("batch") === col("s_gen"), "left_anti")
       val deltaGens = Option(new java.io.File(bandsDir).listFiles())

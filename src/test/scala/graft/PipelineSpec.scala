@@ -2411,6 +2411,40 @@ class PipelineSpec extends SparkSpec {
     assert(r.map(_._3).sum / 3 === 11L) // total triangles
   }
 
+  test("DOULION approximate triangles: deterministic, genuinely sparsified, within tolerance of exact") {
+    // round-19: the scale path for the one super-linear exact gate.
+    // The estimate is hash-exact by oracle (gr_triangles_approx); the
+    // STATISTICAL contract — unbiased estimator lands near the true
+    // count — is pinned here against the exact count on the gated
+    // co-purchase graph (measured 1.3% off at sf0.001, 1.1% at
+    // sf0.01; the 10% bar is variance headroom, not slack in the
+    // estimator).
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val pp = li.select($"l_orderkey", $"l_partkey").distinct()
+    val pairs = pp.alias("a").join(pp.alias("b"),
+      $"a.l_orderkey" === $"b.l_orderkey" &&
+        $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("pa"), $"b.l_partkey".as("pb"))
+    val exact = GraphRank.triangleStats(pairs, "pa", "pb")
+      .agg(org.apache.spark.sql.functions.sum($"n_triangles"))
+      .as[Long].collect()(0) / 3
+    def run() = GraphRank.triangleCountApprox(pairs, "pa", "pb",
+      keep = 128).as[(Long, Long, Long, Double)].collect()(0)
+    val (nEdges, nSampled, triSampled, est) = run()
+    // the sample is real: roughly half the edges kept, neither empty
+    // nor the full graph
+    assert(nSampled > 0 && nSampled < nEdges)
+    assert(math.abs(nSampled.toDouble / nEdges - 0.5) < 0.05,
+      s"p=0.5 sample kept $nSampled of $nEdges")
+    // sampled-graph count scales to the estimate exactly (p³ = 1/8)
+    assert(est === round6(triSampled * 8.0))
+    assert(exact > 0)
+    assert(math.abs(est / exact - 1.0) < 0.10,
+      s"estimate $est vs exact $exact")
+    // deterministic: same rows kept on every run
+    assert(run() === ((nEdges, nSampled, triSampled, est)))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 

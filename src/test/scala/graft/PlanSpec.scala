@@ -747,4 +747,95 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+
+  test("supersede sidecars are size-gated: broadcast under the cap, shuffle over it") {
+    // round-19: the round-18 verdict's surviving forced-broadcast
+    // class. The BM25/LSH supersede sidecars grow with re-arrivals
+    // since the last compaction — corpus-scale for re-crawl-heavy
+    // corpora — so the anti-joins route through gateBySize with
+    // observe-stamped per-batch _ROWS counts. Over-cap is pinned via
+    // the gate's cap override (the tokenize/DSIR technique); the hint
+    // is a pure driver listing, so rebuilding the frame re-reads it.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{concat, lit}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.pipeline.Retrieval
+    import graft.streaming.{Bm25Stream, LshStream}
+    import spark.implicits._
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    def executed(df: DataFrame): String = {
+      df.collect()
+      (df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }).toString
+    }
+    // BM25: base + one re-crawl batch ⇒ non-empty stamped sidecar
+    val root = Files.createTempDirectory("graft-plan-bm25").toString
+    Retrieval.writeBm25Index(docs.filter($"doc_id" < 120), "text",
+      "doc_id", s"$root/base", buckets = 8)
+    Bm25Stream.appendBatch(
+      docs.filter($"doc_id" % 7 === 0 && $"doc_id" < 120)
+        .withColumn("text", concat($"text", lit(" zz probe"))),
+      1L, root, "text", "doc_id", buckets = 8)
+    // LSH: two batches where batch 1 re-arrives batch-0 keys ⇒
+    // non-empty stamped sidecar; livePrior for a later batch joins it
+    val lsh = Files.createTempDirectory("graft-plan-lsh").toString
+    LshStream.processBatch(docs.filter($"doc_id" < 60), 0L,
+      s"$lsh/pairs", s"$lsh/bands", "text", "doc_id", 8, 4)
+    LshStream.processBatch(
+      docs.filter($"doc_id" >= 40 && $"doc_id" < 80), 1L,
+      s"$lsh/pairs", s"$lsh/bands", "text", "doc_id", 8, 4)
+    def lshPrior() = LshStream.livePrior(spark, s"$lsh/bands", 2L,
+      "doc_id",
+      docs.filter($"doc_id" >= 80 && $"doc_id" < 85)
+        .select($"doc_id").distinct(),
+      docs.select($"doc_id", lit(0).as("band"),
+        lit("").as("band_hash")))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // size-estimate threshold off: the gate ALONE decides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bmUnder = executed(Bm25Stream.layout(spark, root))
+      assert(bmUnder.contains("BroadcastHashJoin"),
+        s"small BM25 sidecar anti-join lost its broadcast:\n$bmUnder")
+      assert(!bmUnder.contains("SortMergeJoin"), bmUnder)
+      val lshUnder = executed(lshPrior())
+      assert(!lshUnder.contains("SortMergeJoin"),
+        s"small LSH sidecar anti-join degraded to a shuffle:\n$lshUnder")
+      spark.conf.set("spark.graft.broadcastGate.maxRows", "0")
+      val bmOver = executed(Bm25Stream.layout(spark, root))
+      assert(!bmOver.contains("BroadcastHashJoin"),
+        s"over-cap BM25 sidecar still forced a broadcast:\n$bmOver")
+      assert(bmOver.contains("SortMergeJoin") ||
+        bmOver.contains("ShuffledHashJoin"), bmOver)
+      val lshOver = executed(lshPrior())
+      assert(lshOver.contains("SortMergeJoin") ||
+        lshOver.contains("ShuffledHashJoin"),
+        s"over-cap LSH sidecar still forced a broadcast:\n$lshOver")
+      // the batch's own keys stay force-broadcast — micro-batch-
+      // bounded by construction, not part of the gated class
+      assert(lshOver.contains("BroadcastHashJoin"), lshOver)
+    } finally {
+      spark.conf.unset("spark.graft.broadcastGate.maxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("ev_enrich: the un-forced user-dim join still broadcasts a small dim") {
+    // round-19: the forced broadcast(userDim) hint was dropped (a
+    // production user dimension is 10⁸-10⁹ rows — the hint turned a
+    // degradable stream-static join into a hard failure). Catalyst
+    // must still pick the broadcast for a gate-scale dim from its own
+    // size estimate.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("ev_enrich")(spark, sf("sf0.001"))
+    df.collect()
+    val p = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }).toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"small customer dim no longer broadcasts:\n$p")
+  }
 }

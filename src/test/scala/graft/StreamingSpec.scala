@@ -2361,4 +2361,52 @@ class StreamingSpec extends SparkSpec {
     // matching params keep appending fine
     NgramLmStream.appendBatch(d, 1L, root, "text", maxN = 3)
   }
+
+  test("sidecar _ROWS stamps: hint tracks the stamped counts, degrades without them, resets at compaction") {
+    // round-19: the sidecar growth contract. The supersede sidecars'
+    // anti-joins are size-gated by the summed per-batch _ROWS stamps
+    // (observe-captured at append, pure driver listing to read) —
+    // this pins the bookkeeping the PlanSpec gating test relies on:
+    // exact under-cap hints, conservative degradation when a stamp
+    // is missing (crash between parquet commit and stamp), exclusion
+    // of the batch's own partition (replay safety), and the
+    // post-compaction reset to zero that makes compaction cadence
+    // the operational bound on sidecar size.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{concat, lit}
+    import graft.pipeline.Retrieval
+    import graft.streaming.{Bm25Stream, IvfStream}
+    val root = Files.createTempDirectory("graft-bm25-stamp").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    Retrieval.writeBm25Index(docs, "text", "doc_id", s"$root/base",
+      buckets = 8)
+    val upd = docs.filter($"doc_id" % 7 === 0)
+      .withColumn("text", concat($"text", lit(" stamp probe")))
+    Bm25Stream.appendBatch(upd, 1L, root, "text", "doc_id",
+      buckets = 8)
+    val side = s"$root/superseded"
+    val n = spark.read.parquet(side).count()
+    assert(n > 0)
+    // the hint equals the true sidecar size without any Spark job
+    assert(IvfStream.sidecarRowHint(side) === n)
+    // own-batch exclusion mirrors the replay-safe reader
+    assert(IvfStream.sidecarRowHint(side,
+      excludeBatch = Some(1L)) === 0L)
+    // a missing stamp (crash between parquet commit and stamp write)
+    // reads as unbounded — the gate declines the broadcast instead
+    // of under-estimating
+    val marker = new java.io.File(s"$side/batch=1", "_ROWS")
+    assert(marker.exists())
+    assert(marker.delete())
+    assert(IvfStream.sidecarRowHint(side) === Long.MaxValue)
+    // the replay's overwrite re-stamps
+    Bm25Stream.appendBatch(upd, 1L, root, "text", "doc_id",
+      buckets = 8)
+    assert(IvfStream.sidecarRowHint(side) === n)
+    // compaction resets the sidecar — and therefore the hint — to
+    // zero (the happy-path reset the growth contract documents)
+    Bm25Stream.compact(spark, root)
+    assert(!new java.io.File(side).exists())
+    assert(IvfStream.sidecarRowHint(side) === 0L)
+  }
 }
