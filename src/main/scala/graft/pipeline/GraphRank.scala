@@ -225,13 +225,22 @@ object GraphRank {
       "triangleCountApprox: keep must be in [1, 255] (p = keep/256; " +
         "p = 1 is the exact form — use triangleStats)")
     val p = keep / 256.0
+    // NO checkpoint on the shared edge relation: a LAZY
+    // localCheckpoint consumed several times within the one final
+    // action does not dedupe (round-10 rule — it measurably slowed
+    // this operator), and an EAGER one writes a corpus-sized relation
+    // to block storage. The consumers therefore re-run the edge
+    // derivation — same trade the exact [[triangleStats]] makes — and
+    // the asymptotically heavy stage (the O((pm)^1.5) wedge join +
+    // closure) still runs exactly once. A deployment sampling a
+    // 100 TB graph repeatedly would persist the sampled edge set as
+    // an at-rest relation instead (the layout tier's job, orthogonal
+    // to the estimator).
     val e = canonicalEdges(pairs, aCol, bCol)
-      .localCheckpoint(false) // feeds the full count + the sample
     val hex = f"$keep%02x"
     val kept = e.filter(substring(
         md5(concat(col("u").cast("string"), lit("|"),
           col("v").cast("string")).cast("binary")), 1, 2) < hex)
-      .localCheckpoint(false) // feeds degrees + orientation + count
     val deg = kept.select(col("u").as("node"))
       .unionAll(kept.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -2759,16 +2759,21 @@ object TextAnalysis {
     * free here, because building the segmentation already costs its
     * own corpus scan (distinct word types) SEPARATE from the
     * occurrence scan (plain scans don't dedupe; only exchanges do),
-    * so eager-checkpointing the vocabulary-sized result and counting
-    * the checkpointed blocks keeps the total at two corpus scans
-    * while making the gate hint exact (the round-10 PQ-codewords
-    * pattern: EAGER checkpoint for small shared relations). */
+    * so eager-checkpointing the vocabulary-sized result keeps the
+    * total at two corpus scans while making the gate hint exact (the
+    * round-10 PQ-codewords pattern: EAGER checkpoint for small shared
+    * relations). The count is captured via `observe` DURING the
+    * checkpoint materialization itself (the writeDsirModel pattern,
+    * round-18 verdict's suggested recovery) — no separate count job
+    * over the checkpointed blocks. */
   private def tokenizeWith(docs: DataFrame, textCol: String,
       keyCol: String, segmentation: DataFrame,
       tokCol: String = "n_bpe_tokens"): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
     val seg = segmentation.select(col("word"), col("n_pieces"))
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint()
-    val nWords = seg.count()
+    val nWords = obs.get("n").asInstanceOf[Long]
     docs.select(col(keyCol), explode(tokens(col(textCol))).as("word"))
       .join(gateBySize(seg, nWords), Seq("word"))
       .groupBy(col(keyCol))

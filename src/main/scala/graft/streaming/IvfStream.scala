@@ -391,6 +391,11 @@ object IvfStream {
     * and the anti-join degrades to a shuffle, correct at any size. */
   private[graft] def sidecarRowHint(dir: String,
       excludeBatch: Option[Long] = None): Long = {
+    // a REMOTE-scheme root cannot be listed by the java.io tier — it
+    // would read as "no partitions ⇒ hint 0" and force-broadcast a
+    // possibly corpus-scale sidecar; stay conservative (shuffle)
+    if (dir.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*://.*") &&
+        !dir.startsWith("file:")) return Long.MaxValue
     val parts = Option(new java.io.File(localPath(dir)).listFiles())
       .toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
