@@ -94,7 +94,11 @@ object ExplainDump {
     // round-17 report tier (all ≥ 1 s at sf0.1)
     "pp_nb_eval", "pp_contamination_report", "ta_tokenizer_fertility",
     // round-18: the DSIR store apply + the streamed-ingest parity gate
-    "pp_dsir_weights_at_rest", "xml_convert_streamed")
+    "pp_dsir_weights_at_rest", "xml_convert_streamed",
+    // round-19: the DOULION sampled-triangle twin (read next to
+    // gr_triangles — same orientation machinery on the md5-sampled
+    // edge set) and the streamed-LSH pairs gate
+    "gr_triangles_approx", "dd_minhash_incremental")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("EXPLAIN.md")
