@@ -23,8 +23,14 @@ object ExplainQuery {
       val df = SparkEntry.queries(n)(spark, dir)
       println(s"===== $n =====")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN_RUN")) {
-        df.count(): Unit
-        println(df.queryExecution.executedPlan.toString.take(8000))
+        // execute THE SAME queryExecution instance (df.count() builds a
+        // new one, so AQE never finalized the plan being printed and
+        // ReusedExchange/AQEShuffleRead nodes were invisible — the
+        // round-19 audit found every "executed" dump still said
+        // isFinalPlan=false). toRdd.foreach drives the exact plan
+        // instance with no driver-side collection.
+        df.queryExecution.toRdd.foreach(_ => ())
+        println(df.queryExecution.executedPlan.toString.take(120000))
       } else df.explain("formatted")
     }
     spark.stop()

@@ -236,18 +236,47 @@ object GraphRank {
     // 100 TB graph repeatedly would persist the sampled edge set as
     // an at-rest relation instead (the layout tier's job, orthogonal
     // to the estimator).
-    val e = canonicalEdges(pairs, aCol, bCol)
     val hex = f"$keep%02x"
-    val kept = e.filter(substring(
+    // The keep flag is computed INSIDE the distinct aggregate (max of
+    // a group-constant expression) rather than as a filter over the
+    // distinct edge set: a deterministic predicate on the group keys
+    // gets pushed BELOW the aggregate, which splits the exchange —
+    // the round-19 executed-plan audit showed the pair-explosion join
+    // and a full edge distinct running TWICE, once md5-filtered for
+    // the sampled side and once unfiltered for the n_edges audit
+    // column (plans/r19/gr_triangles_approx_before.txt, Exchanges
+    // 10811 vs 10844). An aggregate-output column cannot be pushed
+    // through, so every consumer — the sampled triangle machinery AND
+    // the audit count — now shares ONE exchange via AQE's
+    // ReusedExchange. The md5 work is unchanged (it already ran
+    // per pre-distinct pair row on the filtered side); the audit
+    // column forces the full-edge shuffle regardless, so sharing it
+    // is strictly fewer bytes than full + p·full.
+    val eFlag = pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(max(substring(
         md5(concat(col("u").cast("string"), lit("|"),
-          col("v").cast("string")).cast("binary")), 1, 2) < hex)
+          col("v").cast("string")).cast("binary")), 1, 2)).as("h2"))
+    val kept = eFlag.filter(col("h2") < hex).select(col("u"), col("v"))
     val deg = kept.select(col("u").as("node"))
       .unionAll(kept.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val tri = orientedTriangles(kept, deg)
       .agg(count(lit(1)).as("tri_sampled"))
-    e.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_sampled"))))
+    // n_edges AND n_sampled from ONE aggregate over eFlag: a separate
+    // `eFlag.agg(count)` lets column pruning drop the unused h2
+    // aggregate, which re-splits the canonical subplan from the kept
+    // side's and brings the second pair join back (observed in the
+    // first cut of this fix). Referencing h2 in the same agg keeps
+    // the audit-count subtree bit-identical to the kept side's below
+    // the exchange. coalesce: sum over zero rows is NULL where the
+    // old count() was 0.
+    eFlag.agg(count(lit(1)).as("n_edges"),
+        coalesce(sum(when(col("h2") < hex, 1L).otherwise(0L)),
+          lit(0L)).as("n_sampled"))
       .crossJoin(broadcast(tri))
       .select(col("n_edges"), col("n_sampled"), col("tri_sampled"),
         round((col("tri_sampled").cast("double") / lit(p * p * p))
