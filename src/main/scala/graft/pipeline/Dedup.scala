@@ -96,14 +96,26 @@ object Dedup {
   }
 
   /** MinHash signatures: `numHashes` permutations simulated as
-    * min(md5(seed || shingle)). One shuffle (groupBy key); the min
-    * aggregates combine map-side. */
+    * min(md5(seed || shingle)), computed SCAN-LOCALLY by the
+    * [[graft.functions.MinHashSigs]] codegen kernel — no shingle
+    * explode, no lead() window, no per-key groupBy shuffle; the
+    * signature never leaves the scan (round 19 — the kernel was
+    * already proven bit-equivalent to the relational
+    * explode+window+groupBy form by dd_minhash_scalar, which gates it
+    * against dd_minhash's oracle verbatim; rows match too: a document
+    * with < 3 tokens yields a null signature here and no groupBy row
+    * there). Same (key, h0..h{k-1}) output schema, so every consumer
+    * — candidates, the split-decontam val index, LshStream's
+    * persisted band store — reads identical values. */
   def minHashSignatures(df: DataFrame, textCol: String, keyCol: String,
       numHashes: Int = 8): DataFrame = {
-    val sh = shingles(df, textCol, keyCol)
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"h$i"))
-    sh.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sig = graft.functions.GraftFunctions
+      .minhash_sigs(col(textCol), numHashes)
+    df.select(col(keyCol), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col(keyCol) +: (0 until numHashes).map(i =>
+        element_at(col("sig"), i + 1).as(s"h$i")): _*)
   }
 
   /** LSH banding over a signature frame: `bands` bands of
