@@ -273,29 +273,23 @@ object Dedup {
     * unsigned-64 headaches. Distinct tokens vote ±1 per bit; bit b of
     * md5-nibble n covers signature position (n-1)*4+b. */
   def simHashParts(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
-    val toks = df
-      .select(col(keyCol), explode(TextAnalysis.tokens(col(textCol)))
-        .as("tok"))
-      .distinct()
-      .withColumn("hh", md5(col("tok")))
-    val nibbles = toks
-      .select(col(keyCol), col("hh"),
-        explode(sequence(lit(1), lit(16))).as("ni"))
-      .withColumn("nv",
-        expr("instr('0123456789abcdef', substring(hh, ni, 1)) - 1"))
-    val bits = nibbles
-      .select(col(keyCol), col("ni"), col("nv"),
-        explode(sequence(lit(0), lit(3))).as("b"))
+    // Scan-local via the SimHash64 codegen kernel (round 19): the
+    // relational vote chain — distinct (key, token) shuffle, 16-nibble
+    // × 4-bit explode (64 rows per distinct token), two grouped
+    // aggregations — collapses to one expression call per document
+    // plus the 4-part slice. dd_simhash_native_expr already proves
+    // the kernel bit-identical against dd_simhash's oracle verbatim.
+    // Row semantics preserved: token-less or null documents produced
+    // no distinct-token rows (hence no parts) relationally, so filter
+    // them before the kernel.
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.filter(col(textCol).isNotNull &&
+        size(TextAnalysis.tokens(col(textCol))) > 0)
       .select(col(keyCol),
-        ((col("ni") - 1) * 4 + col("b")).as("bitpos"),
-        expr("shiftright(nv, b) & 1").as("bit"))
-    val votes = bits.groupBy(col(keyCol), col("bitpos"))
-      .agg(sum(col("bit") * 2 - 1).as("s"))
-      .withColumn("sbit", when(col("s") > 0, 1L).otherwise(0L))
-    votes
-      .groupBy(col(keyCol), (col("bitpos") / 16).cast("int").as("part"))
-      .agg(sum(col("sbit") * expr("shiftleft(1L, int(bitpos % 16))"))
-        .as("sig"))
+        graft.functions.GraftFunctions.simhash64(col(textCol)).as("sh"))
+      .select(col(keyCol), posexplode(array((0 until 4).map(i =>
+        expr(s"shiftrightunsigned(sh, ${16 * i}) & 65535")): _*))
+        .as(Seq("part", "sig")))
   }
 
   /** SimHash near-dup candidate pairs, Manku-style: two 64-bit
