@@ -113,13 +113,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("dd_minhash_scalar_expr: signatures are scan-local (no window)") {
-    // the relational pipeline needs a Window (shingle positions) and a
-    // signature groupBy; the scalar kernel needs neither — its only
-    // shuffles are the band join and the final distinct/sort
-    val relational = plan("dd_minhash_lsh")
+  test("dd_minhash signatures are scan-local (no window) on every form") {
+    // round 19: minHashSignatures computes the eight min(md5) values
+    // via the MinHashSigs codegen kernel in one pass off the scan —
+    // the old relational pipeline's shingle Window and signature
+    // groupBy are gone from EVERY consumer, not just the scalar-expr
+    // gate; the only shuffles left are the band join and the final
+    // distinct/sort
+    val pipeline = plan("dd_minhash_lsh")
     val scalar = plan("dd_minhash_scalar_expr")
-    assert(relational.contains("Window"), relational)
+    assert(!pipeline.contains("Window"), pipeline)
     assert(!scalar.contains("Window"), scalar)
   }
 
