@@ -858,10 +858,17 @@ object TextAnalysis {
             Classify.dlog(log(col("lam") * col("pcont"))))
           .when(col("pcont").isNotNull,
             Classify.dlog(log(col("pcont")))))
-      .filter(col("ll_eff").isNotNull)
+      // no pre-aggregation isNotNull filter: Catalyst would push it
+      // below the projection and re-inline the whole when/dlog chain,
+      // evaluating it TWICE per gram row (Filter + Project — no
+      // cross-operator subexpression elimination). Null-skipping
+      // aggregation is exactly equivalent: count(col) counts
+      // non-nulls, sum skips nulls, and the HAVING drops docs with no
+      // scorable gram just like the row filter's empty groups did.
       .groupBy(col("key"))
-      .agg(count(lit(1)).as("n_scored"),
+      .agg(count(col("ll_eff")).as("n_scored"),
         sum(col("ll_eff")).as("sum_ll"))
+      .filter(col("n_scored") > 0)
       .select(col("key"), col("n_scored"),
         round((col("sum_ll").cast("double") /
           col("n_scored").cast("double")).cast(DecimalType(20, 10)), 6)
@@ -1407,10 +1414,17 @@ object TextAnalysis {
             Classify.dlog(log(lit(0.4) * col("s2"))))
           .when(col("s1").isNotNull,
             Classify.dlog(log(lit(0.4) * lit(0.4) * col("s1")))))
-      .filter(col("ll_eff").isNotNull)
+      // no pre-aggregation isNotNull filter: Catalyst would push it
+      // below the projection and re-inline the whole when/dlog chain,
+      // evaluating it TWICE per gram row (Filter + Project — no
+      // cross-operator subexpression elimination). Null-skipping
+      // aggregation is exactly equivalent: count(col) counts
+      // non-nulls, sum skips nulls, and the HAVING drops docs with no
+      // scorable gram just like the row filter's empty groups did.
       .groupBy(col("key"))
-      .agg(count(lit(1)).as("n_scored"),
+      .agg(count(col("ll_eff")).as("n_scored"),
         sum(col("ll_eff")).as("sum_ll"))
+      .filter(col("n_scored") > 0)
       .select(col("key"), col("n_scored"),
         round((col("sum_ll").cast("double") /
           col("n_scored").cast("double")).cast(DecimalType(20, 10)), 6)
@@ -1560,10 +1574,17 @@ object TextAnalysis {
             Classify.dlog(log(col("lam") * col("peff"))))
           .when(col("peff").isNotNull,
             Classify.dlog(log(col("peff")))))
-      .filter(col("ll_eff").isNotNull)
+      // no pre-aggregation isNotNull filter: Catalyst would push it
+      // below the projection and re-inline the whole when/dlog chain,
+      // evaluating it TWICE per gram row (Filter + Project — no
+      // cross-operator subexpression elimination). Null-skipping
+      // aggregation is exactly equivalent: count(col) counts
+      // non-nulls, sum skips nulls, and the HAVING drops docs with no
+      // scorable gram just like the row filter's empty groups did.
       .groupBy(col("key"))
-      .agg(count(lit(1)).as("n_scored"),
+      .agg(count(col("ll_eff")).as("n_scored"),
         sum(col("ll_eff")).as("sum_ll"))
+      .filter(col("n_scored") > 0)
       .select(col("key"), col("n_scored"),
         round((col("sum_ll").cast("double") /
           col("n_scored").cast("double")).cast(DecimalType(20, 10)), 6)
@@ -1590,10 +1611,17 @@ object TextAnalysis {
       .join(grid2, Seq("gram"), "left_outer")
       .join(grid1, Seq("w"), "left_outer")
       .withColumn("ll_eff", coalesce(col("ll"), col("ll1")))
-      .filter(col("ll_eff").isNotNull)
+      // no pre-aggregation isNotNull filter: Catalyst would push it
+      // below the projection and re-inline the whole when/dlog chain,
+      // evaluating it TWICE per gram row (Filter + Project — no
+      // cross-operator subexpression elimination). Null-skipping
+      // aggregation is exactly equivalent: count(col) counts
+      // non-nulls, sum skips nulls, and the HAVING drops docs with no
+      // scorable gram just like the row filter's empty groups did.
       .groupBy(col("key"))
-      .agg(count(lit(1)).as("n_scored"),
+      .agg(count(col("ll_eff")).as("n_scored"),
         sum(col("ll_eff")).as("sum_ll"))
+      .filter(col("n_scored") > 0)
       .select(col("key"), col("n_scored"),
         round((col("sum_ll").cast("double") /
           col("n_scored").cast("double")).cast(DecimalType(20, 10)), 6)
