@@ -465,20 +465,27 @@ object TextAnalysis {
       .select(col(keyCol), explode(sequence(col("start"),
         col("start") + lit(n - 1))).as("pos"))
       .distinct()
-    val kept = toks.alias("t")
-      .join(covered.alias("c"), Seq(keyCol, "pos"), "left_anti")
-    val removedCnt = toks.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n_tokens"))
-      .join(covered.groupBy(col(keyCol))
-        .agg(count(lit(1)).as("n_removed")), Seq(keyCol), "left")
-      .na.fill(0L, Seq("n_removed"))
-    val rebuilt = kept.groupBy(col(keyCol))
-      .agg(array_join(transform(array_sort(
-        collect_list(struct(col("pos"), col("tok")))),
-        s => s.getField("tok")), " ").as("clean_text"))
-    removedCnt.join(rebuilt, Seq(keyCol), "left")
+    // ONE outer join + ONE aggregate instead of the old
+    // anti-join/3-groupBy/2-join cascade (which scanned toks twice
+    // and covered twice): covered is distinct on (key, pos) and toks
+    // unique there, so a left join is 1:≤1 — count(covered) is the
+    // removed count, count(*) the token count, and collect_list skips
+    // the null struct of covered positions so the rebuild rides the
+    // same aggregate. A fully-covered doc collects an empty array →
+    // array_join "" (the old coalesce); a doc with no tokens has no
+    // group on either shape.
+    toks
+      .join(covered.select(col(keyCol), col("pos"),
+        lit(true).as("covered")), Seq(keyCol, "pos"), "left_outer")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("covered")).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("covered").isNull,
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")), " ").as("clean_text"))
       .select(col(keyCol), col("n_tokens"), col("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        col("clean_text"))
   }
 
   /** The exact-substring scrub's corpus state at rest — the Lee et
