@@ -112,7 +112,26 @@ object Dedup {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val sig = graft.functions.GraftFunctions
       .minhash_sigs(col(textCol), numHashes)
-    // Null-signature rows (< 3 tokens) are dropped by a TOKEN-COUNT
+    // The kernel concentrates the per-shingle md5×k work INTO the
+    // scan tasks, so its parallelism is the INPUT SPLIT count — a
+    // single-row-group parquet file yields ONE task no matter the
+    // core count (measured at sf1: pp_filter_e2e 3.7 → 8.5 s vs the
+    // relational form, whose shuffle spread the hashing). Restore
+    // parallelism with a keyed repartition ONLY when the scan has
+    // fewer splits than cores: the (key, text) shuffle is strictly
+    // fewer bytes than the token shuffle the relational form paid,
+    // and on a properly-sharded corpus (files ≥ cores — any real
+    // 100 TB layout) this is a no-op.
+    // explicit partition count: AQE's coalescing would shrink a
+    // small-byte keyed repartition right back to one partition (the
+    // advisory size is byte-based, but the point here is CPU spread)
+    val spread =
+      if (df.rdd.getNumPartitions <
+          df.sparkSession.sparkContext.defaultParallelism)
+        df.repartition(
+          df.sparkSession.sparkContext.defaultParallelism, col(keyCol))
+      else df
+    // Null-signature rows (< 3 tokens) are dropped by a cheap
     // predicate, not `sig.isNotNull`: Catalyst pushes a deterministic
     // filter below the projection and re-inlines the expression, so
     // the isNotNull form ran the FULL kernel (per-shingle md5 × k)
@@ -120,9 +139,14 @@ object Dedup {
     // is no cross-operator subexpression elimination). The predicate
     // replays the kernel's exact null rule ([[MinHashSigsKernel]]:
     // null text or < 3 non-empty `\W+` tokens of the lowercased text)
-    // for one extra tokenize instead of a second full signature pass
-    // (pp_split_decontam 2.9 → 2.0 s at sf0.1).
-    df.filter(size(TextAnalysis.tokens(col(textCol))) >= 3)
+    // as an EARLY-EXIT regex — "≥ 3 non-empty \W+-separated segments
+    // of lower(text)" ⟺ lower(text) contains three \w+ runs — because
+    // the pushed-down filter lands scan-side BELOW the repartition,
+    // where a full tokenize would run on the unspread splits (the
+    // regex find bails after the first three runs; the lower() is
+    // load-bearing — lowercasing can create word chars, e.g. İ → i +
+    // U+0307, so raw-text token counts can differ).
+    spread.filter(lower(col(textCol)).rlike("\\w+(\\W+\\w+){2}"))
       .select(col(keyCol), sig.as("sig"))
       .select(col(keyCol) +: (0 until numHashes).map(i =>
         element_at(col("sig"), i + 1).as(s"h$i")): _*)
@@ -293,8 +317,18 @@ object Dedup {
     // no distinct-token rows (hence no parts) relationally, so filter
     // them before the kernel.
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.filter(col(textCol).isNotNull &&
-        size(TextAnalysis.tokens(col(textCol))) > 0)
+    // same scan-parallelism guard as [[minHashSignatures]]: the
+    // kernel's per-token md5 voting runs in the scan tasks, so a
+    // few-split input serializes it; no-op on a sharded corpus
+    val spread =
+      if (df.rdd.getNumPartitions <
+          df.sparkSession.sparkContext.defaultParallelism)
+        df.repartition(
+          df.sparkSession.sparkContext.defaultParallelism, col(keyCol))
+      else df
+    // early-exit regex for "≥ 1 token of lower(text)" (see
+    // minHashSignatures — lower() is load-bearing)
+    spread.filter(lower(col(textCol)).rlike("\\w"))
       .select(col(keyCol),
         graft.functions.GraftFunctions.simhash64(col(textCol)).as("sh"))
       .select(col(keyCol), posexplode(array((0 until 4).map(i =>
