@@ -86,6 +86,34 @@ object GraftFunctions {
         "word_ngrams expects (text, n) arguments")
     }
 
+  private[functions] def buildCharGramCounts(
+      exprs: Seq[Expression]): Expression =
+    exprs match {
+      case Seq(child, n) if n.foldable =>
+        val v = n.eval()
+        require(v != null && v.isInstanceOf[Number],
+          "char_gram_counts: n must be a non-null integer literal")
+        CharGramCounts(child, v.asInstanceOf[Number].intValue())
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "char_gram_counts: n must be a foldable integer literal")
+      case _ => throw new IllegalArgumentException(
+        "char_gram_counts expects (text, n) arguments")
+    }
+
+  private[functions] def buildWordGramCounts(
+      exprs: Seq[Expression]): Expression =
+    exprs match {
+      case Seq(child, n) if n.foldable =>
+        val v = n.eval()
+        require(v != null && v.isInstanceOf[Number],
+          "word_gram_counts: n must be a non-null integer literal")
+        WordGramCounts(child, v.asInstanceOf[Number].intValue())
+      case Seq(_, _) => throw new IllegalArgumentException(
+        "word_gram_counts: n must be a foldable integer literal")
+      case _ => throw new IllegalArgumentException(
+        "word_gram_counts expects (text, n) arguments")
+    }
+
   /** Spark ships BloomFilterAggregate/BloomFilterMightContain for its
     * internal runtime row-filtering but does not register them in the
     * public function registry — graft exposes them for the
@@ -129,6 +157,8 @@ object GraftFunctions {
       install("vec_quantize_int8", exprs => VecQuantizeInt8(exprs.head))
       install("word_ngrams", buildWordNGrams(boundary = false))
       install("word_ngrams_bos", buildWordNGrams(boundary = true))
+      install("char_gram_counts", buildCharGramCounts)
+      install("word_gram_counts", buildWordGramCounts)
       install("nfc_normalize", exprs => NfcNormalize(exprs.head))
       install("bloom_agg", buildBloomAgg)
       install("bloom_contains", exprs =>
@@ -203,6 +233,18 @@ object GraftFunctions {
     * grams). Same codegen'd kernel family. */
   def word_ngrams_bos(c: Column, n: Int): Column =
     call_function("word_ngrams_bos", c,
+      org.apache.spark.sql.functions.lit(n))
+
+  /** Per-document character n-gram counts (`map<string, bigint>`,
+    * codegen'd native expression; empty map under n characters). */
+  def char_gram_counts(c: Column, n: Int): Column =
+    call_function("char_gram_counts", c,
+      org.apache.spark.sql.functions.lit(n))
+
+  /** Per-document word n-gram counts (`map<string, bigint>`,
+    * tokenization shared with [[word_ngrams]]). */
+  def word_gram_counts(c: Column, n: Int): Column =
+    call_function("word_gram_counts", c,
       org.apache.spark.sql.functions.lit(n))
 
   /** Bloom-filter sketch aggregate over xxhash64 values (Spark's
@@ -280,6 +322,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_ngrams_bos"),
       WordNGrams.info,
       GraftFunctions.buildWordNGrams(boundary = true)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "char_gram_counts"),
+      CharGramCounts.info,
+      GraftFunctions.buildCharGramCounts))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "word_gram_counts"),
+      WordGramCounts.info,
+      GraftFunctions.buildWordGramCounts))
     // keep the extension surface identical to register(): a SQL-only
     // session built via GraftExtensions must see every graft function
     e.injectFunction((

@@ -44,11 +44,19 @@ object Classify {
     * [[graft.streaming.NbStream]] maintain the classifier
     * incrementally with the grid derived, not stored. */
   def tokenCounts(train: DataFrame, textCol: String,
-      labelCol: String): DataFrame =
+      labelCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    // per-doc counts from the scan-local kernel, summed per class:
+    // identical cell values to the old explode-every-instance →
+    // count(*) form (doc-local counts are a partition of the class's
+    // instances), but the Generate emits each doc's DISTINCT tokens
+    // and the exchange carries pre-counted rows (guide §2.3)
     train.select(col(labelCol).as("label"),
-      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+        explode(graft.functions.GraftFunctions.word_gram_counts(
+          col(textCol), 1)).as(Seq("token", "cnt")))
       .groupBy(col("label"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** The priors' additive sufficient statistics:
     * `(label, n_docs)`. */
@@ -139,9 +147,12 @@ object Classify {
     * the report never silently loses a row. Output:
     * (key, label_pred, score) with the 6-dp rounded winning score. */
   def nbApply(test: DataFrame, model: DataFrame, priors: DataFrame,
-      textCol: String, keyCol: String): DataFrame =
-    nbApplyFeatures(test, model, priors,
-      c => TextAnalysis.tokens(c), textCol, keyCol)
+      textCol: String, keyCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(test.sparkSession)
+    nbApplyCounts(test, model, priors,
+      c => graft.functions.GraftFunctions.word_gram_counts(c, 1),
+      textCol, keyCol)
+  }
 
   /** fastText-style character n-gram features of lowercased text —
     * the language-ID feature family (character statistics separate
@@ -159,15 +170,38 @@ object Classify {
   /** [[tokenCounts]] over char n-gram features: the additive
     * sufficient statistics of the trained language-ID router. */
   def charGramCounts(train: DataFrame, textCol: String,
-      labelCol: String, n: Int): DataFrame =
+      labelCol: String, n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    // same kernel move as [[tokenCounts]]: identical cell values, the
+    // Generate shrunk to distinct-grams-per-doc, pre-counted rows into
+    // the class-grouping exchange
     train.select(col(labelCol).as("label"),
-      explode(charGrams(col(textCol), n)).as("token"))
+        explode(graft.functions.GraftFunctions.char_gram_counts(
+          col(textCol), n)).as(Seq("token", "cnt")))
       .groupBy(col("label"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** [[nbApply]] over an arbitrary PER-DOC COUNTS extractor
+    * (`map<token, cnt>` per document — [[CharGramCounts]] /
+    * [[WordGramCounts]] kernels): the per-doc occurrence counting
+    * happens inside the scan, so the `(key, token)` aggregation
+    * exchange of the old array-explode form disappears from the apply
+    * plan entirely. Scoring, argmax, and determinism contract
+    * unchanged — the occ rows carry identical values. */
+  def nbApplyCounts(test: DataFrame, model: DataFrame,
+      priors: DataFrame, counts: Column => Column,
+      textCol: String, keyCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(test.sparkSession)
+    val occ = test.select(col(keyCol).as("key"),
+      explode(counts(col(textCol))).as(Seq("token", "cnt")))
+    nbScoreOcc(test, occ, model, priors, keyCol)
+  }
 
   /** [[nbApply]] over an arbitrary feature extractor (word tokens,
     * char n-grams, …) — same scoring, argmax, and determinism
-    * contract. */
+    * contract. Kept as the relational reference form the kernel-based
+    * [[nbApplyCounts]] is spec-pinned against. */
   def nbApplyFeatures(test: DataFrame, model: DataFrame,
       priors: DataFrame, features: Column => Column,
       textCol: String, keyCol: String): DataFrame = {
@@ -175,6 +209,15 @@ object Classify {
       explode(features(col(textCol))).as("token"))
       .groupBy(col("key"), col("token"))
       .agg(count(lit(1)).as("cnt"))
+    nbScoreOcc(test, occ, model, priors, keyCol)
+  }
+
+  /** Shared scoring tail: evidence join + per-doc per-class decimal
+    * sums + priors + argmax over `(key, token, cnt)` occurrence
+    * rows. */
+  private def nbScoreOcc(test: DataFrame, occ: DataFrame,
+      model: DataFrame, priors: DataFrame,
+      keyCol: String): DataFrame = {
     // cnt cast to DECIMAL(10,0) keeps the product inside both
     // engines' 38-digit decimal cap — a BIGINT operand would
     // silently overflow DuckDB's multiply to DOUBLE and make the

@@ -5353,8 +5353,9 @@ object PipelineQueries {
     val model = Classify.nbModelFromCounts(
       Classify.charGramCounts(train, "text", "lang", n = 3))
     val priors = Classify.nbPriors(train, "lang")
-    Classify.nbApplyFeatures(test, model, priors,
-        c => Classify.charGrams(c, 3), "text", "doc_id")
+    Classify.nbApplyCounts(test, model, priors,
+        c => graft.functions.GraftFunctions.char_gram_counts(c, 3),
+        "text", "doc_id")
       .join(test.select(col("doc_id").as("key"),
         col("lang").as("label_true")), Seq("key"))
       .select(col("key").as("doc_id"), col("label_true"),
@@ -5450,8 +5451,9 @@ object PipelineQueries {
       s.read.parquet(s"$root/counts"))
     val priors = Classify.nbPriorsFromCounts(
       s.read.parquet(s"$root/docs"))
-    Classify.nbApplyFeatures(test, model, priors,
-        c => Classify.charGrams(c, 3), "text", "doc_id")
+    Classify.nbApplyCounts(test, model, priors,
+        c => graft.functions.GraftFunctions.char_gram_counts(c, 3),
+        "text", "doc_id")
       .join(test.select(col("doc_id").as("key"),
         col("lang").as("label_true")), Seq("key"))
       .select(col("key").as("doc_id"), col("label_true"),
