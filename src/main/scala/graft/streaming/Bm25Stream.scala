@@ -282,25 +282,17 @@ object Bm25Stream {
     // form would tokenize the batch once per write (micro-batch-
     // sized, so the materialization is the cheap side — the
     // PQ-codewords rule)
+    val obsTok = org.apache.spark.sql.Observation()
     val tok = Retrieval.tokenized(batch, textCol, keyCol)
+      .observe(obsTok, count(lit(1)).as("n_rows"))
       .localCheckpoint()
-    // one version per document per micro-batch: the supersede sidecar
-    // resolves versions ACROSS generations, so two crawls of the same
-    // doc_id inside one batch would both stay live (doubled evidence,
-    // double-counted stats). Fail fast — no ordering column exists
-    // here to pick a deterministic winner; pre-dedup the batch or
-    // split the re-crawl into its own batch.
-    val dup = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"Bm25Stream.appendBatch: batch $batchId carries doc_id " +
-        s"${dup.headOption.map(_.get(0)).orNull} more than once — " +
-        "one version per document per micro-batch")
     // sidecar FIRST: it reads the registry excluding this batch's own
     // partition (replay safety), so it must run before this batch's
     // registry write on the happy path too, keeping replay and first
     // run identical
+    val obsKeys = org.apache.spark.sql.Observation()
     val myKeys = tok.select(col("doc_id")).distinct()
+      .observe(obsKeys, count(lit(1)).as("n_docs"))
     val prior = registry(spark, root)
       .filter(col("gen") =!= lit(batchId))
       .join(broadcast(myKeys), Seq("doc_id"))
@@ -322,6 +314,30 @@ object Bm25Stream {
     // reads sum to size-gate the sidecar joins
     IvfStream.stampRows(s"$root/superseded/batch=$batchId",
       obs.get("n").asInstanceOf[Long])
+    // one version per document per micro-batch: the supersede sidecar
+    // resolves versions ACROSS generations, so two crawls of the same
+    // doc_id inside one batch would both stay live (doubled evidence,
+    // double-counted stats). The check rides two actions that run
+    // anyway (total rows observed during the checkpoint
+    // materialization, distinct docs during the sidecar write's
+    // broadcast build) instead of its own grouped-count job; the
+    // offending id is looked up only on the failure path. Ordering:
+    // the raise lands after the sidecar write but BEFORE the
+    // delta/stats/registry writes — the sidecar derives from the
+    // DISTINCT keys (correct under a dup batch), and it is the
+    // delta/stats evidence that a dup batch would double; a replay
+    // with the same id overwrites the committed sidecar partition
+    // byte-identically (the round-11 own-batch exclusion).
+    val nRows = obsTok.get("n_rows").asInstanceOf[Long]
+    val nDocs = obsKeys.get("n_docs").asInstanceOf[Long]
+    if (nRows != nDocs) {
+      val dup = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect()
+      throw new IllegalArgumentException(
+        s"Bm25Stream.appendBatch: batch $batchId carries doc_id " +
+          s"${dup.headOption.map(_.get(0)).orNull} more than once — " +
+          "one version per document per micro-batch")
+    }
     Retrieval.postingsFromTok(tok, buckets)
       .repartition(col("term_bucket"))
       .write.mode("overwrite").partitionBy("term_bucket")

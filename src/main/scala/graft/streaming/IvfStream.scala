@@ -405,7 +405,19 @@ object IvfStream {
       if (m.exists())
         try Some(new String(java.nio.file.Files.readAllBytes(m.toPath),
           "UTF-8").trim.toLong)
-        catch { case _: NumberFormatException => None }
+        catch {
+          case _: NumberFormatException =>
+            // a missing stamp is an expected pre-stamp/crash state,
+            // but an UNPARSEABLE one is corruption — degrading to a
+            // shuffle forever with no trace would hide it until
+            // someone profiles the plan, so name the file loudly
+            // (the hint itself stays conservative either way)
+            Console.err.println(s"WARN IvfStream.sidecarRowHint: " +
+              s"unparseable _ROWS stamp at $m — treating the sidecar " +
+              "as unbounded (joins degrade to shuffle) until a " +
+              "compaction or replay rewrites the stamp")
+            None
+        }
       else None
     }
     if (stamps.forall(_.isDefined)) stamps.flatten.sum

@@ -300,4 +300,20 @@ class CorpusSpec extends SparkSpec {
       .select($"id").as[String].collect().toSet
     assert(hits.contains("book_1"))
   }
+
+  test("a missing fixtures root fails pointedly, naming GRAFT_FIXTURES") {
+    // round-20 (ADVICE): a bad override otherwise surfaces as a bare
+    // file-source error deep inside the conversion with no hint which
+    // env var moves it
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.XmlQueries.requireFixturesDir(
+        "/no/such/fixtures/root", "GRAFT_FIXTURES")
+    }
+    assert(e.getMessage.contains("GRAFT_FIXTURES"))
+    assert(e.getMessage.contains("/no/such/fixtures/root"))
+    // the happy path returns the path unchanged
+    assert(graft.queries.XmlQueries.requireFixturesDir(
+      graft.queries.XmlQueries.fixturesDir, "GRAFT_FIXTURES") ===
+      graft.queries.XmlQueries.fixturesDir)
+  }
 }

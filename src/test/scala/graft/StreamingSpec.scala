@@ -2362,6 +2362,37 @@ class StreamingSpec extends SparkSpec {
     NgramLmStream.appendBatch(d, 1L, root, "text", maxN = 3)
   }
 
+  test("bm25 append dup-guard fails fast on a twice-crawled doc, before the delta write") {
+    // round-20: the guard rides the checkpoint/sidecar observes (no
+    // grouped-count job of its own) — pin that it still fires, names
+    // the doc, and that the raise lands before the delta/stats writes
+    // (a dup batch's doubled evidence never reaches the store)
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{concat, lit}
+    import graft.pipeline.Retrieval
+    import graft.streaming.Bm25Stream
+    val root = Files.createTempDirectory("graft-bm25-dup").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    Retrieval.writeBm25Index(docs, "text", "doc_id", s"$root/base",
+      buckets = 8)
+    val one = docs.filter($"doc_id" % 7 === 0)
+    val dupBatch = one.union(
+      one.withColumn("text", concat($"text", lit(" v2"))))
+    val e = intercept[IllegalArgumentException] {
+      Bm25Stream.appendBatch(dupBatch, 1L, root, "text", "doc_id",
+        buckets = 8)
+    }
+    assert(e.getMessage.contains("more than once"))
+    assert(e.getMessage.contains("doc_id"))
+    assert(!new java.io.File(s"$root/delta/batch=1").exists())
+    // a deduped retry with the same id succeeds (replay semantics:
+    // the guard's sidecar partition is overwritten byte-identically)
+    Bm25Stream.appendBatch(
+      one.withColumn("text", concat($"text", lit(" v2"))), 1L, root,
+      "text", "doc_id", buckets = 8)
+    assert(new java.io.File(s"$root/delta/batch=1").exists())
+  }
+
   test("sidecar _ROWS stamps: hint tracks the stamped counts, degrades without them, resets at compaction") {
     // round-19: the sidecar growth contract. The supersede sidecars'
     // anti-joins are size-gated by the summed per-batch _ROWS stamps
@@ -2399,6 +2430,19 @@ class StreamingSpec extends SparkSpec {
     assert(marker.exists())
     assert(marker.delete())
     assert(IvfStream.sidecarRowHint(side) === Long.MaxValue)
+    // an UNPARSEABLE stamp (corruption, not a crash window) also
+    // degrades conservatively — and, round-20: warns loudly naming
+    // the file, so a store stuck on shuffle-only joins is diagnosable
+    // from the logs instead of only from a plan audit
+    Files.write(marker.toPath, "not-a-number".getBytes("UTF-8"))
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val corruptHint = Console.withErr(errBuf) {
+      IvfStream.sidecarRowHint(side)
+    }
+    assert(corruptHint === Long.MaxValue)
+    assert(errBuf.toString("UTF-8").contains("unparseable _ROWS"))
+    assert(errBuf.toString("UTF-8").contains(marker.toString))
+    assert(marker.delete())
     // the replay's overwrite re-stamps
     Bm25Stream.appendBatch(upd, 1L, root, "text", "doc_id",
       buckets = 8)
