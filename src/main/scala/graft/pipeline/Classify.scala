@@ -50,7 +50,11 @@ object Classify {
     // identical cell values to the old explode-every-instance →
     // count(*) form (doc-local counts are a partition of the class's
     // instances), but the Generate emits each doc's DISTINCT tokens
-    // and the exchange carries pre-counted rows (guide §2.3)
+    // and the exchange carries pre-counted rows (guide §2.3). No
+    // spread here (unlike [[charGramCounts]]): the word kernel's
+    // per-byte work is on the order of the text hash a keyed
+    // repartition would itself pay, so the exchange never pays for
+    // itself (measured: pp_nb_model 0.55 -> ~1.0 s with the spread)
     train.select(col(labelCol).as("label"),
         explode(graft.functions.GraftFunctions.word_gram_counts(
           col(textCol), 1)).as(Seq("token", "cnt")))
@@ -175,7 +179,12 @@ object Classify {
     // same kernel move as [[tokenCounts]]: identical cell values, the
     // Generate shrunk to distinct-grams-per-doc, pre-counted rows into
     // the class-grouping exchange
-    train.select(col(labelCol).as("label"),
+    // char grams are ~len(text) map operations per doc — heavy
+    // enough that spreading few-split inputs over the cores pays for
+    // the text shuffle (no doc key in scope; the text itself is the
+    // high-cardinality key). No-op on any real sharded corpus.
+    TextAnalysis.spreadByKey(train, col(textCol))
+      .select(col(labelCol).as("label"),
         explode(graft.functions.GraftFunctions.char_gram_counts(
           col(textCol), n)).as(Seq("token", "cnt")))
       .groupBy(col("label"), col("token"))
@@ -193,8 +202,9 @@ object Classify {
       priors: DataFrame, counts: Column => Column,
       textCol: String, keyCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(test.sparkSession)
-    val occ = test.select(col(keyCol).as("key"),
-      explode(counts(col(textCol))).as(Seq("token", "cnt")))
+    val occ = TextAnalysis.spreadByKey(test, col(keyCol))
+      .select(col(keyCol).as("key"),
+        explode(counts(col(textCol))).as(Seq("token", "cnt")))
     nbScoreOcc(test, occ, model, priors, keyCol)
   }
 

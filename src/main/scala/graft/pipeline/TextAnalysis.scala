@@ -813,6 +813,30 @@ object TextAnalysis {
     * 4M rows of (gram, ll) ≈ low hundreds of MB — inside the 8 GB
     * broadcast ceiling with headroom, past the point where
     * per-executor copies stop paying. */
+  /** Restore scan-task parallelism on few-split inputs (the round-19
+    * spread rule, shared): per-row kernel/probe work that never
+    * leaves the scan is bounded by the INPUT SPLIT count — a
+    * single-row-group parquet file yields ONE task no matter the core
+    * count (the kn5 profile measured ~2 s of single-task probe work
+    * under a 26-job query at sf0.1). The keyed repartition applies
+    * ONLY when the scan has fewer splits than cores, so on a
+    * properly-sharded corpus (files ≥ cores — any real 100 TB layout)
+    * it is a no-op; the explicit partition count stops AQE's
+    * byte-based coalescing from shrinking the small-byte exchange
+    * right back to one partition. The `df.rdd.getNumPartitions`
+    * probe forces physical planning of `df`, so callers pass the
+    * bare (pre-derivation) scan, never a derived frame. */
+  private[graft] def spreadByKey(df: DataFrame,
+      key: Column): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism, key)
+    else df
+  }
+
+  private[graft] def spreadByKey(df: DataFrame,
+      keyCol: String): DataFrame = spreadByKey(df, col(keyCol))
+
   private[graft] def gateBySize(df: DataFrame, sizeHint: Long,
       maxRows: Long = 4000000L): DataFrame = {
     // `spark.graft.broadcastGate.maxRows` overrides the cap when set:
@@ -846,7 +870,10 @@ object TextAnalysis {
       keyCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(keyCol).as("key"), explode(
+    // spread the scan-local gram/probe work over the cores on
+    // few-split inputs (shared round-19/20 rule — see [[spreadByKey]])
+    spreadByKey(docs, keyCol)
+      .select(col(keyCol).as("key"), explode(
         graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
         .as("gram"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
@@ -1403,7 +1430,8 @@ object TextAnalysis {
       g1: DataFrame, textCol: String, keyCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(keyCol).as("key"), explode(
+    spreadByKey(docs, keyCol)
+      .select(col(keyCol).as("key"), explode(
         graft.functions.GraftFunctions.word_ngrams(col(textCol), 3))
         .as("gram"))
       .withColumn("suf", substring_index(col("gram"), " ", -2))
@@ -1518,7 +1546,8 @@ object TextAnalysis {
     // `boundary` must match how the chain was TRAINED (a boundary
     // model's grid carries <s>/</s> grams; an unpadded query stream
     // would never hit them, and vice versa)
-    var df = docs.select(col(keyCol).as("key"), explode(
+    var df = spreadByKey(docs, keyCol)
+      .select(col(keyCol).as("key"), explode(
         if (boundary)
           graft.functions.GraftFunctions.word_ngrams_bos(col(textCol), n)
         else graft.functions.GraftFunctions.word_ngrams(col(textCol), n))
@@ -1608,7 +1637,8 @@ object TextAnalysis {
       grid1: DataFrame, textCol: String, keyCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(keyCol).as("key"), explode(
+    spreadByKey(docs, keyCol)
+      .select(col(keyCol).as("key"), explode(
         graft.functions.GraftFunctions.word_ngrams(col(textCol), 2))
         .as("gram"))
       .withColumn("w", substring_index(col("gram"), " ", -1))
