@@ -3115,4 +3115,20 @@ class PipelineSpec extends SparkSpec {
       .filter(($"key_a" % 10 === 0) =!= ($"key_b" % 10 === 0))
     assert(cross.isEmpty)
   }
+
+  test("spreadByKey: spreads few-split inputs to the core count, no-ops on many-split ones") {
+    // round-20: the shared spread rule behind the LM/NB scorer
+    // parallelism fix. The firing branch restores scan-task
+    // parallelism; the no-op branch returns the SAME frame (reference
+    // equality — zero added plan nodes), which is the 100 TB contract:
+    // a properly sharded corpus (files >= cores) never pays the
+    // exchange.
+    val few = spark.range(1000).toDF("k").coalesce(1)
+    val spread = graft.pipeline.TextAnalysis.spreadByKey(few, "k")
+    assert(spread.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    val many = spark.range(1000).toDF("k")
+      .repartition(spark.sparkContext.defaultParallelism + 7)
+    assert(graft.pipeline.TextAnalysis.spreadByKey(many, "k") eq many)
+  }
 }
