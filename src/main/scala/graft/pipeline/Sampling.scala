@@ -195,7 +195,15 @@ object Sampling {
       keyCol: String, window: Int = 4): DataFrame = {
     require(window > 0, "chunkContentDefined: window must be positive")
     val byPos = Window.partitionBy(col(keyCol)).orderBy(col("pos"))
-    val toks = df
+    // The doc-keyed spread replaces (not adds to) the window's own
+    // exchange — hashpartitioning(key, cores) satisfies the window's
+    // required distribution and Generate preserves it — while moving
+    // tokenize+explode+per-token md5 off the scan task AND pinning the
+    // partition count: AQE coalesces this exchange by BYTES (~9 MB of
+    // tokens at sf0.1 → 9 tasks) but the per-row window-hash work is
+    // CPU-bound (profiled 3.5 s executor CPU on 9 of 32 cores).
+    // No-op whenever the scan already has >= cores splits.
+    val toks = TextAnalysis.spreadByKey(df, keyCol)
       .select(col(keyCol),
         posexplode(TextAnalysis.tokens(col(textCol)))
           .as(Seq("pos", "tok")))
