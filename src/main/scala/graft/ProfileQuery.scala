@@ -32,14 +32,29 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val dumpJobs = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
     val jobStart = mutable.Map[Int, Long]()
+    val jobDesc = mutable.Map[Int, String]()
     val jobs = mutable.Buffer[(Int, Long, Long)]()
     var executorRunMs = 0L
     var executorCpuMs = 0L
     var tasks = 0L
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
-        synchronized { jobStart(e.jobId) = System.nanoTime() }
+        synchronized {
+          jobStart(e.jobId) = System.nanoTime()
+          if (dumpJobs) {
+            val p = e.properties
+            val d = Option(p)
+              .flatMap(pp => Option(pp.getProperty(
+                "spark.job.description")))
+              .orElse(Option(p).flatMap(pp =>
+                Option(pp.getProperty("callSite.short"))))
+              .orElse(e.stageInfos.lastOption.map(_.name))
+              .getOrElse("?")
+            jobDesc(e.jobId) = d.take(110)
+          }
+        }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         synchronized {
           jobStart.remove(e.jobId).foreach(t0 =>
@@ -91,6 +106,16 @@ object ProfileQuery {
           f"driverGap=${wallS - jobWallS}%.3f " +
           f"execRun=${executorRunMs / 1e3}%.3f " +
           f"execCpu=${executorCpuMs / 1e3}%.3f tasks=$tasks")
+        if (dumpJobs && run == 3) listener.synchronized {
+          // timeline: per job, the driver gap since the previous
+          // job's end (planning/collect/broadcast time) + job length
+          var prevEnd = t0
+          jobs.sortBy(_._2).foreach { case (id, a, b) =>
+            println(f"  JOB $id%4d gapBefore=${(a - prevEnd) / 1e9}%6.3f " +
+              f"len=${(b - a) / 1e9}%6.3f  ${jobDesc.getOrElse(id, "?")}")
+            prevEnd = math.max(prevEnd, b)
+          }
+        }
       }
     }
     spark.stop()

@@ -2645,7 +2645,11 @@ object TextAnalysis {
       keyCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol)).orderBy(col("pos"))
-    val toks = docs
+    // same move as chunkContentDefined: the doc-keyed spread replaces
+    // the windows' own exchange (Generate preserves partitioning) and
+    // moves tokenize+explode+per-token md5 off the single scan split;
+    // no-op on any >= cores-splits corpus
+    val toks = spreadByKey(docs, keyCol)
       .select(col(keyCol), posexplode(tokens(col(textCol)))
         .as(Seq("pos", "word")))
       .withColumn("masked", substring(md5(concat(
